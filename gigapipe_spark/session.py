@@ -1,0 +1,36 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on
+(runtime re-plan, skew-join handling, partition coalescing), Arrow on
+(vectorized Python interop), shuffle partitions sized to cores rather
+than the 200 default. On a 1000-executor cluster only master/memory
+change; the SQL conf stays valid.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gigapipe_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read it as a raw
+        # Int64 ns — which is exactly the engine's time representation
+        # (SURVEY §1.1: Int64 nanoseconds everywhere, never TimestampType).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

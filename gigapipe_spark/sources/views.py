@@ -1,0 +1,222 @@
+"""Derived observability views over the driver-provided testdata.
+
+The reference's store holds a unified log/metric fact table (samples), a
+series dimension (time_series), a label inverted index (gin) and a span
+store (ref: ctrl/qryn/sql/log.sql, traces.sql). The driver's testdata is a
+TPC-H-ish star schema + an `events` stream (TESTDATA.md). This module maps
+the testdata onto the observability model with DETERMINISTIC, pure-SQL
+transforms so the DuckDB oracle can derive byte-identical inputs
+(see sources/oracle.py for the matching SQL):
+
+  events   → samples / time_series / gin   (logs + metrics)
+  orders   → root spans   (one trace per order)
+  lineitem → child spans  (one span per line item, parented to the root)
+
+Mapping contract (keep in lockstep with oracle.py):
+  fingerprint  = user_id * 8 + type_code(event_type)
+  timestamp_ns = unix_micros(ts) * 1000
+  labels       = {app: event_type, instance: 'u'||user_id,
+                  level: 'error' if event_type='error' else 'info'}
+  counter      = fmod(cumsum(value) over series, 1000)  # resets for rate tests
+
+All ts columns are Int64 nanoseconds (SURVEY §1.1: never TimestampType).
+Filters and projections on these views still reach the parquet scan —
+they are plain column expressions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _type_code():
+    c = F.when(F.col("event_type") == "click", F.lit(0))
+    for i, t in enumerate(EVENT_TYPES[1:], start=1):
+        c = c.when(F.col("event_type") == t, F.lit(i))
+    return c.otherwise(F.lit(7))
+
+
+def _labels_col():
+    return F.create_map(
+        F.lit("app"),
+        F.col("event_type"),
+        F.lit("instance"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")),
+        F.lit("level"),
+        F.when(F.col("event_type") == "error", F.lit("error")).otherwise(F.lit("info")),
+    )
+
+
+def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified fact table (ref samples_v3, log.sql:25-32) from `events`.
+
+    `string` carries the JSON props payload (the "log line"); `value` the
+    numeric sample. type=1 (logs) — LogQL range aggregations turn these
+    into metrics inside a query with no copy, like the reference.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # `ts` reads as Int64 ns via spark.sql.legacy.parquet.nanosAsLong
+    # (the parquet column is TIMESTAMP(NANOS)) — already our time model.
+    # Truncate to µs: DuckDB (the oracle) reads TIMESTAMP(NANOS) at µs
+    # precision, so sub-µs digits must be dropped for parity.
+    return ev.select(
+        (F.col("user_id") * 8 + _type_code()).alias("fingerprint"),
+        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(1000))).alias(
+            "timestamp_ns"
+        ),
+        F.col("value").cast("double").alias("value"),
+        F.col("props").alias("string"),
+        F.lit(1).cast("byte").alias("type"),
+    )
+
+
+def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-shaped metric series (for PromQL rate/increase/resets tests).
+
+    counter = fmod(running_sum(value), 1000) per fingerprint → monotone
+    within a cycle with deliberate resets, exactly the shape the
+    reference's counter logic handles (ref: promql planner counter.go).
+    The window is per-fingerprint ordered by time — on a cluster this
+    shuffles once on fingerprint, which any counter computation requires.
+    """
+    w = (
+        Window.partitionBy("fingerprint")
+        .orderBy("timestamp_ns")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return samples(spark, sf_dir).select(
+        "fingerprint",
+        "timestamp_ns",
+        (F.sum("value").over(w) % F.lit(1000.0)).alias("value"),
+        F.lit("").alias("string"),
+        F.lit(2).cast("byte").alias("type"),
+    )
+
+
+def time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series dimension (ref time_series, log.sql:16-23): fingerprint → labels.
+
+    Small by construction (one row per distinct label set) — always the
+    broadcast side of the samples join at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .select(
+            (F.col("user_id") * 8 + _type_code()).alias("fingerprint"),
+            _labels_col().alias("labels"),
+            F.lit(1).cast("byte").alias("type"),
+        )
+    )
+
+
+def time_series_gin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label inverted index (ref time_series_gin, log.sql:62-80) =
+    explode(time_series.labels)."""
+    ts = time_series(spark, sf_dir)
+    return ts.select(
+        "fingerprint", "type", F.explode("labels").alias("key", "val")
+    ).select("key", "val", "fingerprint", "type")
+
+
+def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span fact table (ref tempo_traces, traces.sql:7-18).
+
+    One trace per order: a root span from `orders`, child spans from
+    `lineitem` parented to the root. Durations derived from prices
+    (floor(price*1000) ns) so duration filters/histograms have spread.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    root = orders.select(
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
+        F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
+            "span_id"
+        ),
+        F.lit("").alias("parent_id"),
+        F.lit("order").alias("name"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("timestamp_ns"),
+        F.floor(F.col("o_totalprice") * 1000).cast("long").alias("duration_ns"),
+        F.concat(F.lit("svc-"), F.col("o_orderpriority")).alias("service_name"),
+    )
+    child = li.select(
+        F.concat(F.lit("t"), F.col("l_orderkey").cast("string")).alias("trace_id"),
+        F.concat(
+            F.lit("s"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("span_id"),
+        F.concat(F.lit("s"), F.col("l_orderkey").cast("string"), F.lit("_0")).alias(
+            "parent_id"
+        ),
+        F.lit("item").alias("name"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) * 1000).alias("timestamp_ns"),
+        F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("duration_ns"),
+        F.lit("svc-item").alias("service_name"),
+    )
+    return root.unionByName(child)
+
+
+def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded span attribute index (ref tempo_traces_attrs_gin,
+    traces.sql:21-31). Includes intrinsics (name, service.name) plus
+    per-kind custom attrs so =,!=,>,=~ and bitmask and/or have targets.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    root = orders.select(
+        F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
+        F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
+            "span_id"
+        ),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias("timestamp_ns"),
+        F.floor(F.col("o_totalprice") * 1000).cast("long").alias("duration"),
+        F.create_map(
+            F.lit("name"), F.lit("order"),
+            F.lit("service.name"), F.concat(F.lit("svc-"), F.col("o_orderpriority")),
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("attrs"),
+    )
+    child = li.select(
+        F.concat(F.lit("t"), F.col("l_orderkey").cast("string")).alias("trace_id"),
+        F.concat(
+            F.lit("s"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("span_id"),
+        (F.unix_micros(F.col("l_shipdate").cast("timestamp")) * 1000).alias("timestamp_ns"),
+        F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("duration"),
+        F.create_map(
+            F.lit("name"), F.lit("item"),
+            F.lit("service.name"), F.lit("svc-item"),
+            F.lit("returnflag"), F.col("l_returnflag"),
+            F.lit("linestatus"), F.col("l_linestatus"),
+        ).alias("attrs"),
+    )
+    both = root.unionByName(child)
+    return both.select(
+        "trace_id",
+        "span_id",
+        "timestamp_ns",
+        "duration",
+        F.explode("attrs").alias("key", "val"),
+    )
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
