@@ -1,0 +1,609 @@
+"""LogQL → DataFrame compiler.
+
+Where the reference compiles its AST into one ClickHouse SQL string plus
+a chain of Go streaming operators (ref: reader/logql/logql_transpiler/),
+this compiler maps every pipeline stage onto DataFrame transformations and
+lets Catalyst choose the physical plan. There is no SQL-string generation
+and no pushdown split: everything runs in Spark, and the "which stages are
+native column ops vs UDF" decision survives as "prefer built-in exprs".
+
+Execution model per stage (scale notes inline):
+
+  selector      → fingerprint set from the small series/gin dimension,
+                  broadcast-semi-joined into the samples scan
+                  (ref: planner_stream_select.go GIN bitmask — same trick,
+                  groupBy + bit_or(shiftleft()) — see `fingerprints`)
+  line filters  → contains/rlike column predicates (pushed to scan)
+  parsers       → from_json / str_to_map / regexp_extract into the labels
+                  map (ref: planner_parser*.go + Go-side parser.go)
+  range aggs    → tumbling bucket floor(ts/range)*range per stream
+                  (ref: planner_lra.go intDiv bucketing)
+  vector aggs   → re-group by kept labels with a canonical fingerprint
+                  (ref: planner_by_without.go canonical re-hash)
+  topk          → row_number window per bucket (ref: planner_topk.go
+                  arraySlice(arraySort(...)) — same semantics)
+  binary ops    → join on (labels, bucket) (ref: planner_binary_expr.go
+                  UNION ALL + argMinIf pivot — a join expresses the same)
+
+The internal row shape mirrors the reference's LogEntry
+(ref: shared/types.go:97-105): fingerprint, timestamp_ns, value, string,
+labels — but stays a distributed DataFrame throughout.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql import ast as A
+from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.sources import views
+
+
+@dataclass
+class LogQLContext:
+    """Bind-point for the engine's tables; override in tests to inject
+    custom DataFrames."""
+
+    spark: SparkSession
+    sf_dir: str
+    _samples: DataFrame | None = None
+    _series: DataFrame | None = None
+    _gin: DataFrame | None = None
+
+    def samples(self) -> DataFrame:
+        if self._samples is None:
+            self._samples = views.samples(self.spark, self.sf_dir)
+        return self._samples
+
+    def series(self) -> DataFrame:
+        if self._series is None:
+            self._series = views.time_series(self.spark, self.sf_dir)
+        return self._series
+
+    def gin(self) -> DataFrame:
+        if self._gin is None:
+            self._gin = views.time_series_gin(self.spark, self.sf_dir)
+        return self._gin
+
+
+@dataclass
+class Result:
+    df: DataFrame
+    kind: str  # "streams" | "matrix"
+    labels_mutated: bool = field(default=False)
+
+
+# ---------------------------------------------------------------- selector
+
+
+def _matcher_cond(key_col: Column, val_col: Column, m: A.Matcher) -> Column:
+    cond = key_col == m.label
+    if m.op == "=":
+        return cond & (val_col == m.value)
+    if m.op == "=~":
+        return cond & val_col.rlike(m.value)
+    raise ValueError(f"positive matcher expected, got {m.op}")
+
+
+def fingerprints(ctx: LogQLContext, sel: A.Selector) -> DataFrame:
+    """Selector → DF[fingerprint] via the GIN inverted index.
+
+    Positive matchers use the reference's bitmask trick (ref:
+    planner_stream_select.go:73-82): one scan of the exploded (key,val)
+    index evaluates N matchers — each matching row contributes bit i,
+    a series qualifies when bit_or == 2^n - 1. Negative matchers are an
+    anti-join refinement (a series qualifies unless some row matches the
+    negated value). The result is small (dimension-sized) and is
+    broadcast into the fact scan by `scan`.
+    """
+    pos = [m for m in sel.matchers if m.op in ("=", "=~")]
+    neg = [m for m in sel.matchers if m.op in ("!=", "!~")]
+    gin = ctx.gin()
+    if pos:
+        conds = None
+        bits = None
+        for i, m in enumerate(pos):
+            c = _matcher_cond(F.col("key"), F.col("val"), m)
+            conds = c if conds is None else (conds | c)
+            b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = b if bits is None else bits.bitwiseOR(b)
+        want = (1 << len(pos)) - 1
+        fps = (
+            gin.filter(conds)
+            .groupBy("fingerprint")
+            .agg(F.bit_or(bits).alias("mask"))
+            .filter(F.col("mask") == want)
+            .select("fingerprint")
+        )
+    else:
+        fps = ctx.series().select("fingerprint")
+    for m in neg:
+        flip = A.Matcher(label=m.label, op="=" if m.op == "!=" else "=~", value=m.value)
+        bad = gin.filter(_matcher_cond(F.col("key"), F.col("val"), flip)).select(
+            "fingerprint"
+        )
+        fps = fps.join(bad, "fingerprint", "left_anti")
+    return fps
+
+
+def _needs_labels(expr: A.LogExpr, grouped: bool) -> bool:
+    if grouped:
+        return True
+    for st in expr.stages:
+        if not isinstance(st, A.LineFilter):
+            return True
+    return False
+
+
+def scan(ctx: LogQLContext, expr: A.LogExpr, with_labels: bool) -> DataFrame:
+    """samples ⋈ broadcast(selector fingerprints) [⋈ broadcast(series)].
+
+    The fact scan stays pruned: when the pipeline never touches labels
+    the series join is skipped entirely and only the needed columns are
+    read from parquet.
+    """
+    fps = fingerprints(ctx, expr.selector)
+    df = ctx.samples().join(F.broadcast(fps), "fingerprint", "inner")
+    if with_labels:
+        df = df.join(
+            F.broadcast(ctx.series().select("fingerprint", "labels")),
+            "fingerprint",
+            "left",
+        )
+    else:
+        df = df.withColumn("labels", F.lit(None).cast("map<string,string>"))
+    return df
+
+
+# ---------------------------------------------------------------- stages
+
+
+def _lf_col(op: str, e: A.LFExpr) -> Column:
+    if isinstance(e, A.LFNode):
+        left, right = _lf_col(op, e.left), _lf_col(op, e.right)
+        return (left & right) if e.op == "and" else (left | right)
+    v = e.value
+    s = F.col("string")
+    if op == "|=":
+        return s.contains(v)
+    if op == "!=":
+        return ~s.contains(v)
+    if op == "|~":
+        return s.rlike(v)
+    if op == "!~":
+        return ~s.rlike(v)
+    if op == "|>":  # Loki pattern filter: <_> wildcards
+        rx = ".*".join(re.escape(p) for p in v.split("<_>"))
+        return s.rlike("^" + rx + "$")
+    raise ValueError(f"unknown line filter op {op}")
+
+
+def _label_col(e: A.LabelExpr) -> Column:
+    if isinstance(e, A.LabelNode):
+        left, right = _label_col(e.left), _label_col(e.right)
+        return (left & right) if e.op == "and" else (left | right)
+    lbl = F.col("labels").getItem(e.label)
+    if e.numeric:
+        num = lbl.cast("double")
+        v = float(e.value)
+        ops = {
+            "==": num == v, "!=": num != v,
+            ">": num > v, ">=": num >= v, "<": num < v, "<=": num <= v,
+        }
+        return ops[e.op]
+    ops = {
+        "=": lbl == e.value,
+        "!=": (lbl != e.value) | lbl.isNull(),
+        "=~": lbl.rlike(e.value),
+        "!~": ~F.coalesce(lbl.rlike(e.value), F.lit(False)),
+    }
+    return ops[e.op]
+
+
+_JSON_MAP = "map<string,string>"
+
+
+def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
+    if st.kind == "json":
+        if st.params:
+            # parameterized: | json lbl="path.to[0].field"
+            # ref: planner_parser_json.go JSONExtractString per param
+            pairs = []
+            for lbl, path in st.params.items():
+                pairs += [F.lit(lbl), F.get_json_object("string", "$." + path)]
+            newmap = F.map_filter(
+                F.map_from_arrays(
+                    F.array(*pairs[0::2]), F.array(*pairs[1::2])
+                ),
+                lambda k, v: v.isNotNull(),
+            )
+        else:
+            # bare | json: merge every top-level scalar field
+            # (ref runs this Go-side row-at-a-time; from_json is JVM-side)
+            newmap = F.coalesce(
+                F.from_json("string", _JSON_MAP), F.lit(None).cast(_JSON_MAP)
+            )
+        return df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(F.col("labels"), F.expr("map()")),
+                    lambda k, v: ~F.map_contains_key(F.coalesce(newmap, F.expr("map()")), k),
+                ),
+                F.coalesce(newmap, F.expr("map()")),
+            ),
+        )
+    if st.kind == "logfmt":
+        parsed = F.expr(
+            "map_filter(str_to_map(string, ' ', '='), (k, v) -> v IS NOT NULL AND k != '')"
+        )
+        return df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(F.col("labels"), F.expr("map()")),
+                    lambda k, v: ~F.map_contains_key(parsed, k),
+                ),
+                parsed,
+            ),
+        )
+    if st.kind == "regexp":
+        # RE2 named groups (?P<x>…) → Java (?<x>…); extract each group
+        pat = st.pattern.replace("(?P<", "(?<")
+        groups = re.compile(pat.replace("(?<", "(?P<")).groupindex
+        out = df
+        pairs = []
+        for name, idx in groups.items():
+            pairs += [
+                F.lit(name),
+                F.when(
+                    F.col("string").rlike(pat),
+                    F.regexp_extract("string", pat, idx),
+                ),
+            ]
+        newmap = F.map_filter(
+            F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
+            lambda k, v: v.isNotNull(),
+        )
+        return out.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(
+                    F.coalesce(F.col("labels"), F.expr("map()")),
+                    lambda k, v: ~F.map_contains_key(newmap, k),
+                ),
+                newmap,
+            ),
+        )
+    raise NotImplementedError(f"parser {st.kind}")
+
+
+_TPL_TOKEN = re.compile(r"\{\{\s*([^}]*?)\s*\}\}")
+
+
+def _template_col(tpl: str) -> Column:
+    """Compile a line_format template to a concat() of columns.
+
+    Supports the common surface of the reference's template function
+    library (ref: shared/template_funcs.go): {{.label}} / {{label}},
+    {{_entry}} / {{__line__}}, and {{divide|mul|add|sub lbl N}},
+    ToLower/ToUpper. Unsupported constructs raise NotImplementedError so
+    callers can fall back.
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in _TPL_TOKEN.finditer(tpl):
+        if m.start() > pos:
+            parts.append(F.lit(tpl[pos : m.start()]))
+        expr = m.group(1).strip()
+        parts.append(_tpl_expr(expr))
+        pos = m.end()
+    if pos < len(tpl):
+        parts.append(F.lit(tpl[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*[F.coalesce(p.cast("string"), F.lit("")) for p in parts])
+
+
+def _tpl_num(label: str) -> Column:
+    return F.col("labels").getItem(label).cast("double")
+
+
+def _fmt_num(c: Column) -> Column:
+    # Go templates print 4.0 as "4"; mimic for integral results
+    return F.when(
+        c == F.floor(c), c.cast("long").cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def _tpl_expr(expr: str) -> Column:
+    if expr in ("_entry", "__line__", "."):
+        return F.col("string")
+    if expr.startswith("."):
+        return F.coalesce(F.col("labels").getItem(expr[1:]), F.lit(""))
+    toks = expr.split()
+    if len(toks) == 1:
+        return F.coalesce(F.col("labels").getItem(expr), F.lit(""))
+    fn = toks[0]
+    if fn in ("divide", "div", "mul", "add", "sub") and len(toks) == 3:
+        a, b = toks[1], toks[2]
+        ac = _tpl_num(a) if not re.fullmatch(r"-?\d+(\.\d+)?", a) else F.lit(float(a))
+        bc = _tpl_num(b) if not re.fullmatch(r"-?\d+(\.\d+)?", b) else F.lit(float(b))
+        ops = {"divide": ac / bc, "div": ac / bc, "mul": ac * bc, "add": ac + bc, "sub": ac - bc}
+        return _fmt_num(ops[fn])
+    if fn == "ToLower" and len(toks) == 2:
+        return F.lower(_tpl_expr(toks[1]))
+    if fn == "ToUpper" and len(toks) == 2:
+        return F.upper(_tpl_expr(toks[1]))
+    raise NotImplementedError(f"line_format template construct {expr!r}")
+
+
+def _apply_label_format(df: DataFrame, st: A.LabelFormat) -> DataFrame:
+    labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    drop_keys = []
+    pairs = []
+    for new, (kind, src) in st.actions:
+        if kind == "label":
+            pairs += [F.lit(new), labels.getItem(src)]
+            drop_keys.append(src)  # rename semantics: source is dropped
+        else:
+            pairs += [F.lit(new), _template_col(src)]
+    newmap = F.map_filter(
+        F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
+        lambda k, v: v.isNotNull(),
+    )
+    news = [new for new, _ in st.actions]
+    base = F.map_filter(
+        labels,
+        lambda k, v: ~k.isin(*(drop_keys + news)) if (drop_keys or news) else F.lit(True),
+    )
+    return df.withColumn("labels", F.map_concat(base, newmap))
+
+
+def _apply_drop_keep(df: DataFrame, st: A.Drop | A.Keep) -> DataFrame:
+    labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    keep = isinstance(st, A.Keep)
+
+    def match(k: Column, v: Column) -> Column:
+        c = F.lit(False)
+        for lbl, val in st.params:
+            this = k == lbl
+            if val is not None:
+                this = this & (v == val)
+            c = c | this
+        return c
+
+    fn = (lambda k, v: match(k, v)) if keep else (lambda k, v: ~match(k, v))
+    return df.withColumn("labels", F.map_filter(labels, fn))
+
+
+def apply_stages(df: DataFrame, expr: A.LogExpr) -> tuple[DataFrame, bool]:
+    """Run the pipeline; returns (df, labels_mutated)."""
+    mutated = False
+    for st in expr.stages:
+        if isinstance(st, A.LineFilter):
+            df = df.filter(_lf_col(st.op, st.expr))
+        elif isinstance(st, A.LabelFilter):
+            df = df.filter(_label_col(st.expr))
+        elif isinstance(st, A.ParserStage):
+            df = _apply_parser(df, st)
+            mutated = True
+        elif isinstance(st, A.LineFormat):
+            df = df.withColumn("string", _template_col(st.template))
+        elif isinstance(st, A.LabelFormat):
+            df = _apply_label_format(df, st)
+            mutated = True
+        elif isinstance(st, (A.Drop, A.Keep)):
+            df = _apply_drop_keep(df, st)
+            mutated = True
+        elif isinstance(st, A.Unwrap):
+            if st.label in ("_entry", "__line__"):
+                df = df.withColumn("value", F.col("string").cast("double"))
+            else:
+                df = df.withColumn(
+                    "value", F.col("labels").getItem(st.label).cast("double")
+                )
+            df = df.filter(F.col("value").isNotNull())
+        else:
+            raise NotImplementedError(f"stage {st}")
+    return df, mutated
+
+
+# ---------------------------------------------------------------- aggs
+
+
+def _bucket_col(range_ns: int, offset_ns: int) -> Column:
+    # ref: planner_lra.go — intDiv(timestamp_ns, dur)*dur tumbling buckets.
+    # Pure int64 arithmetic: double division would lose precision above
+    # 2^53, and ns timestamps are ~1.7e18.
+    ts = F.col("timestamp_ns") - F.lit(offset_ns)
+    return (ts - F.pmod(ts, F.lit(range_ns))).alias("timestamp_ns")
+
+
+_RANGE_AGGS = {
+    "count_over_time": lambda rs: F.count(F.lit(1)).cast("double"),
+    "rate": lambda rs: (F.count(F.lit(1)) / F.lit(rs / 1e9)).cast("double"),
+    "bytes_over_time": lambda rs: F.sum(F.length("string")).cast("double"),
+    "bytes_rate": lambda rs: (F.sum(F.length("string")) / F.lit(rs / 1e9)).cast("double"),
+    "sum_over_time": lambda rs: F.sum("value"),
+    "avg_over_time": lambda rs: F.avg("value"),
+    "max_over_time": lambda rs: F.max("value"),
+    "min_over_time": lambda rs: F.min("value"),
+    "first_over_time": lambda rs: F.min_by("value", "timestamp_ns"),
+    "last_over_time": lambda rs: F.max_by("value", "timestamp_ns"),
+    "stddev_over_time": lambda rs: F.stddev_pop("value"),
+    "stdvar_over_time": lambda rs: F.var_pop("value"),
+}
+
+
+def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
+    grouped = ra.by is not None or ra.without is not None
+    # matrix results always carry labels: downstream vector aggs group on
+    # them and the API layer renders them. The series join is a broadcast
+    # of the (small) dimension — cheap relative to the fact scan.
+    with_labels = True
+    df = scan(ctx, ra.inner, with_labels)
+    df, mutated = apply_stages(df, ra.inner)
+    bucket = _bucket_col(ra.range_ns, ra.offset_ns)
+    if ra.fn == "quantile_over_time":
+        agg = F.percentile("value", F.lit(ra.param))
+    else:
+        agg = _RANGE_AGGS[ra.fn](ra.range_ns)
+    if mutated:
+        # labels can differ per row: stream identity = full label set
+        # (ref: by_without.go canonical fingerprint re-hash)
+        key = F.xxhash64(canonical_labels_str(F.col("labels")))
+        out = (
+            df.groupBy(key.alias("fingerprint"), bucket)
+            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        )
+    else:
+        out = (
+            df.groupBy("fingerprint", bucket)
+            .agg(
+                agg.alias("value"),
+                (F.first("labels") if with_labels else F.first(F.lit(None).cast("map<string,string>"))).alias("labels"),
+            )
+        )
+    res = Result(out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", mutated)
+    if grouped:
+        res = _regroup(res, ra.by, ra.without, "sum")
+    return res
+
+
+def _group_labels_col(by: list[str] | None, without: list[str] | None) -> Column:
+    labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    if by is not None:
+        return F.map_filter(labels, lambda k, v: k.isin(*by) if by else F.lit(False))
+    return F.map_filter(labels, lambda k, v: ~k.isin(*without))
+
+
+_VECTOR_AGGS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c).cast("double"),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+}
+
+
+def _regroup(res: Result, by, without, fn: str) -> Result:
+    """Re-group a matrix by a label subset with a canonical fingerprint
+    (ref: planner_by_without.go + planner_agg_op.go)."""
+    df = res.df
+    new_labels = _group_labels_col(by, without)
+    key = F.xxhash64(canonical_labels_str(new_labels))
+    agg = _VECTOR_AGGS[fn](F.col("value"))
+    out = (
+        df.withColumn("labels", new_labels)
+        .groupBy(
+            key.alias("fingerprint"), F.col("timestamp_ns")
+        )
+        .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        .select("fingerprint", "labels", "timestamp_ns", "value")
+    )
+    return Result(out, "matrix", True)
+
+
+def compile_expr(ctx: LogQLContext, expr: A.Expr) -> Result:
+    if isinstance(expr, A.LogExpr):
+        with_labels = _needs_labels(expr, False)
+        df = scan(ctx, expr, with_labels)
+        df, mutated = apply_stages(df, expr)
+        return Result(
+            df.select("fingerprint", "labels", "timestamp_ns", "value", "string"),
+            "streams",
+            mutated,
+        )
+    if isinstance(expr, A.RangeAgg):
+        return compile_range_agg(ctx, expr)
+    if isinstance(expr, A.VectorAgg):
+        inner = compile_expr(ctx, expr.inner)
+        assert inner.kind == "matrix", "vector agg over streams"
+        return _regroup(inner, expr.by, expr.without, expr.fn)
+    if isinstance(expr, A.TopK):
+        inner = compile_expr(ctx, expr.inner)
+        # tiebreak on the canonical label string (deterministic and
+        # engine-independent, unlike a hash)
+        order = [F.col("value").desc() if expr.fn == "topk" else F.col("value").asc(),
+                 canonical_labels_str(F.coalesce(F.col("labels"), F.expr("map()"))).asc()]
+        w = Window.partitionBy("timestamp_ns").orderBy(*order)
+        out = (
+            inner.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= expr.k)
+            .drop("__rn")
+        )
+        return Result(out, "matrix", inner.labels_mutated)
+    if isinstance(expr, A.BinOp):
+        return _compile_binop(ctx, expr)
+    if isinstance(expr, A.Scalar):
+        raise ValueError("bare scalar is not a query")
+    raise NotImplementedError(f"expr {expr}")
+
+
+_CMP = {"==", "!=", ">", ">=", "<", "<="}
+
+
+def _cmp_col(op: str, left: Column, right: Column) -> Column:
+    return {
+        "==": left == right, "!=": left != right, ">": left > right,
+        ">=": left >= right, "<": left < right, "<=": left <= right,
+    }[op]
+
+
+def _arith_col(op: str, left: Column, right: Column) -> Column:
+    return {
+        "+": left + right, "-": left - right, "*": left * right,
+        "/": left / right, "%": left % right,
+    }[op]
+
+
+def _compile_binop(ctx: LogQLContext, b: A.BinOp) -> Result:
+    lscalar = isinstance(b.left, A.Scalar)
+    rscalar = isinstance(b.right, A.Scalar)
+    if lscalar and rscalar:
+        raise ValueError("scalar-scalar expression is not a query")
+    if rscalar or lscalar:
+        vec = compile_expr(ctx, b.left if rscalar else b.right)
+        lit = F.lit((b.right if rscalar else b.left).value)
+        v = F.col("value")
+        left, right = (v, lit) if rscalar else (lit, v)
+        if b.op in _CMP:
+            # comparison on aggregate = filter (ref: planner_comparison.go)
+            out = vec.df.filter(_cmp_col(b.op, left, right))
+        else:
+            out = vec.df.withColumn("value", _arith_col(b.op, left, right))
+        return Result(out, vec.kind, vec.labels_mutated)
+    # vector-vector: join on (fingerprint, ts)
+    # (ref: planner_binary_expr.go — UNION ALL + pivot; a join is the
+    #  idiomatic Spark expression of the same (fp, ts) alignment)
+    left = compile_expr(ctx, b.left)
+    right = compile_expr(ctx, b.right)
+    lj = left.df.select(
+        "fingerprint", "labels", "timestamp_ns", F.col("value").alias("__l")
+    )
+    rj = right.df.select("fingerprint", "timestamp_ns", F.col("value").alias("__r"))
+    j = lj.join(rj, ["fingerprint", "timestamp_ns"], "inner")
+    if b.op in _CMP:
+        out = j.filter(_cmp_col(b.op, F.col("__l"), F.col("__r"))).withColumn(
+            "value", F.col("__l")
+        )
+    else:
+        out = j.withColumn("value", _arith_col(b.op, F.col("__l"), F.col("__r")))
+    return Result(
+        out.select("fingerprint", "labels", "timestamp_ns", "value"),
+        "matrix",
+        left.labels_mutated,
+    )
+
+
+def query(ctx: LogQLContext, text: str) -> Result:
+    from gigapipe_spark.logql.parser import parse
+
+    return compile_expr(ctx, parse(text))
