@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship query smoke check at sf0.001.
+queries()     — one entry per implemented operator (SURVEY §2), each
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching DuckDB ANSI SQL per query key.
+
+The real catalog lives in gigapipe_spark/registry.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LogQL selector + line filter + rate + sum by + topk,
+    end-to-end through the engine, on sf0.001."""
+    from gigapipe_spark.logql.compiler import LogQLContext, query
+    from pyspark.sql import functions as F
+
+    res = query(
+        LogQLContext(spark, "/root/testdata/sf0.001"),
+        'topk(2, sum by (app) (rate({level="info"} |= "k" [10m])))',
+    )
+    return res.df.select(
+        F.col("labels").getItem("app").alias("app"),
+        "timestamp_ns",
+        F.round("value", 6).alias("value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gigapipe_spark import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gigapipe_spark import registry
+
+    return registry.oracle_sql()

@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is a registry entry; timing covers plan build + full execution
+(count() forces every stage, including shuffles). Session startup is
+excluded — the engine is designed to run inside a persistent session
+(SURVEY §7.4: latency envelope).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # one per engine area: scan, range agg, regroup, topk, rollup, meta
+    "logql_selector_scan",
+    "logql_line_filter",
+    "logql_json_label_filter",
+    "logql_rate",
+    "logql_sum_by_count_over_time",
+    "logql_topk",
+    "rollup_metrics_15s",
+    "meta_index_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gigapipe_spark.session import get_spark
+    from gigapipe_spark import registry
+
+    spark = get_spark("gigapipe_spark_bench")
+    # warmup: first-touch JIT + parquet footer reads, excluded from timings
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        dt = round(time.monotonic() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -207,6 +207,28 @@ def _label_col(e: A.LabelExpr) -> Column:
 _JSON_MAP = "map<string,string>"
 
 
+def _merge_parsed(df: DataFrame, newmap: Column) -> DataFrame:
+    """labels ← labels ⊎ parsed (parsed wins on key conflict).
+
+    The parsed map is materialized into a temp column first so the parse
+    expression is evaluated ONCE per row — inlining it into map_concat/
+    map_filter would duplicate it in the expression tree (no guaranteed
+    CSE across lambda scopes).
+    """
+    tmp = df.withColumn("__parsed", F.coalesce(newmap, F.expr("map()")))
+    merged = tmp.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("labels"), F.expr("map()")),
+                lambda k, v: ~F.map_contains_key(F.col("__parsed"), k),
+            ),
+            F.col("__parsed"),
+        ),
+    )
+    return merged.drop("__parsed")
+
+
 def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
     if st.kind == "json":
         if st.params:
@@ -216,46 +238,23 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             for lbl, path in st.params.items():
                 pairs += [F.lit(lbl), F.get_json_object("string", "$." + path)]
             newmap = F.map_filter(
-                F.map_from_arrays(
-                    F.array(*pairs[0::2]), F.array(*pairs[1::2])
-                ),
+                F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
                 lambda k, v: v.isNotNull(),
             )
         else:
             # bare | json: merge every top-level scalar field
             # (ref runs this Go-side row-at-a-time; from_json is JVM-side)
-            newmap = F.coalesce(
-                F.from_json("string", _JSON_MAP), F.lit(None).cast(_JSON_MAP)
-            )
-        return df.withColumn(
-            "labels",
-            F.map_concat(
-                F.map_filter(
-                    F.coalesce(F.col("labels"), F.expr("map()")),
-                    lambda k, v: ~F.map_contains_key(F.coalesce(newmap, F.expr("map()")), k),
-                ),
-                F.coalesce(newmap, F.expr("map()")),
-            ),
-        )
+            newmap = F.from_json("string", _JSON_MAP)
+        return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
-        parsed = F.expr(
+        newmap = F.expr(
             "map_filter(str_to_map(string, ' ', '='), (k, v) -> v IS NOT NULL AND k != '')"
         )
-        return df.withColumn(
-            "labels",
-            F.map_concat(
-                F.map_filter(
-                    F.coalesce(F.col("labels"), F.expr("map()")),
-                    lambda k, v: ~F.map_contains_key(parsed, k),
-                ),
-                parsed,
-            ),
-        )
+        return _merge_parsed(df, newmap)
     if st.kind == "regexp":
         # RE2 named groups (?P<x>…) → Java (?<x>…); extract each group
         pat = st.pattern.replace("(?P<", "(?<")
         groups = re.compile(pat.replace("(?<", "(?P<")).groupindex
-        out = df
         pairs = []
         for name, idx in groups.items():
             pairs += [
@@ -269,16 +268,7 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
             lambda k, v: v.isNotNull(),
         )
-        return out.withColumn(
-            "labels",
-            F.map_concat(
-                F.map_filter(
-                    F.coalesce(F.col("labels"), F.expr("map()")),
-                    lambda k, v: ~F.map_contains_key(newmap, k),
-                ),
-                newmap,
-            ),
-        )
+        return _merge_parsed(df, newmap)
     raise NotImplementedError(f"parser {st.kind}")
 
 

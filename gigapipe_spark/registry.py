@@ -1,0 +1,283 @@
+"""Query registry: the driver-facing catalog of implemented operators.
+
+Each entry pairs a Spark implementation (spark, sf_dir) -> DataFrame with
+an equivalent DuckDB oracle SQL string over the same parquet views.
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name and hashes values.
+
+Keys are grouped by engine area mirroring SURVEY §2:
+  logql_*     LogQL operators   (§2.3)
+  promql_*    PromQL operators  (§2.4)
+  traceql_*   TraceQL operators (§2.5)
+  rollup_*    materialized-view layer (§2.8)
+  meta_*      meta/stat endpoints (§2.10)
+  dedup_* / sim_* / text_*   LLM-data-pipeline operators (§7.5)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql.compiler import LogQLContext
+from gigapipe_spark.logql.compiler import query as logql_query
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _rounded(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), 6))
+    return out
+
+
+def _logql(q: str, out_cols: list, round_cols: list[str] = ()) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = logql_query(LogQLContext(spark, sf_dir), q)
+        # column specs are lazy (callables) because pyspark Columns need an
+        # active session, and the registry is importable without one
+        cols = [c() if callable(c) else c for c in out_cols]
+        df = res.df.select(*cols)
+        return _rounded(df, *round_cols)
+
+    return fn
+
+
+def _lbl(name: str, alias: str | None = None):
+    return lambda: F.col("labels").getItem(name).alias(alias or name)
+
+
+# --------------------------------------------------------------- LogQL
+
+register(
+    "logql_selector_scan",
+    "SELECT user_id*8+4 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " props AS string FROM events WHERE event_type='error'",
+)(_logql('{app="error"}', ["fingerprint", "timestamp_ns", "string"]))
+
+register(
+    "logql_selector_negative",
+    "SELECT user_id*8 + CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2"
+    " WHEN 'signup' THEN 3 END AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " props AS string FROM events WHERE event_type NOT IN ('click','error')",
+)(_logql('{level="info", app!="click"}', ["fingerprint", "timestamp_ns", "string"]))
+
+register(
+    "logql_line_filter",
+    "SELECT user_id*8 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " props AS string FROM events WHERE event_type='click'"
+    " AND regexp_matches(props, '8[0-9]\\}')",
+)(_logql('{app="click"} |~ "8[0-9]\\\\}"', ["fingerprint", "timestamp_ns", "string"]))
+
+register(
+    "logql_json_label_filter",
+    "SELECT user_id*8+1 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " props AS string FROM events WHERE event_type='view'"
+    " AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+)(_logql('{app="view"} | json | k > 50', ["fingerprint", "timestamp_ns", "string"]))
+
+register(
+    "logql_rate",
+    "SELECT user_id*8 AS fingerprint,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 60000000000) AS timestamp_ns,"
+    " round(count(*)/60.0, 6) AS value FROM events"
+    " WHERE event_type='click' GROUP BY 1, 2",
+)(_logql('rate({app="click"}[1m])', ["fingerprint", "timestamp_ns", "value"], ["value"]))
+
+register(
+    "logql_sum_by_count_over_time",
+    "SELECT event_type AS app,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 300000000000) AS timestamp_ns,"
+    " round(CAST(count(*) AS DOUBLE), 6) AS value FROM events"
+    " WHERE event_type != 'error' GROUP BY 1, 2",
+)(
+    _logql(
+        'sum by (app) (count_over_time({level="info"}[5m]))',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_unwrap_sum_over_time",
+    "SELECT 'purchase' AS app,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(sum(CAST(json_extract_string(props,'$.k') AS DOUBLE)), 6) AS value"
+    " FROM events WHERE event_type='purchase' GROUP BY 2",
+)(
+    _logql(
+        'sum_over_time({app="purchase"} | json | unwrap k [10m]) by (app)',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_comparison",
+    "SELECT user_id*8+3 AS fingerprint,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 300000000000) AS timestamp_ns,"
+    " round(CAST(count(*) AS DOUBLE),6) AS value FROM events"
+    " WHERE event_type='signup' GROUP BY 1,2 HAVING count(*) > 2",
+)(
+    _logql(
+        'count_over_time({app="signup"}[5m]) > 2',
+        ["fingerprint", "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_topk",
+    """
+    WITH m AS (
+      SELECT event_type AS app,
+             (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS timestamp_ns,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM events WHERE event_type != 'error' GROUP BY 1, 2
+    ), r AS (
+      SELECT app, timestamp_ns, value,
+             row_number() OVER (PARTITION BY timestamp_ns
+                                ORDER BY value DESC, 'app=' || app) AS rn
+      FROM m
+    ) SELECT app, timestamp_ns, round(value, 6) AS value FROM r WHERE rn <= 2
+    """,
+)(
+    _logql(
+        'topk(2, sum by (app) (count_over_time({level="info"}[1h])))',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_bytes_over_time",
+    "SELECT user_id*8+1 AS fingerprint,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(CAST(sum(length(props)) AS DOUBLE), 6) AS value FROM events"
+    " WHERE event_type='view' GROUP BY 1, 2",
+)(
+    _logql(
+        'bytes_over_time({app="view"}[10m])',
+        ["fingerprint", "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_scalar_arithmetic",
+    "SELECT user_id*8+4 AS fingerprint,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 60000000000) AS timestamp_ns,"
+    " round(count(*)/60.0*60, 6) AS value FROM events"
+    " WHERE event_type='error' GROUP BY 1,2",
+)(
+    _logql(
+        'rate({app="error"}[1m]) * 60',
+        ["fingerprint", "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+
+# --------------------------------------------------------------- meta
+
+@register(
+    "meta_label_values",
+    "SELECT DISTINCT event_type AS val FROM events",
+)
+def meta_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-values endpoint (ref: planner_label_names.go / SURVEY §2.3
+    meta planners): distinct values of one label from the GIN index."""
+    from gigapipe_spark.sources import views
+
+    gin = views.time_series_gin(spark, sf_dir)
+    return gin.filter(F.col("key") == "app").select(F.col("val")).distinct()
+
+
+@register(
+    "meta_index_stats",
+    "SELECT CAST(count(DISTINCT user_id*8 + CASE event_type WHEN 'click' THEN 0"
+    " WHEN 'view' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)"
+    " AS BIGINT) AS streams, count(*) AS entries,"
+    " CAST(sum(length(props)) AS BIGINT) AS bytes FROM events",
+)
+def meta_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index/stats endpoint (ref: reader/service/query_range.go:804-893)."""
+    from gigapipe_spark.sources import views
+
+    s = views.samples(spark, sf_dir)
+    return s.agg(
+        F.countDistinct("fingerprint").alias("streams"),
+        F.count(F.lit(1)).alias("entries"),
+        F.sum(F.length("string")).cast("long").alias("bytes"),
+    )
+
+
+@register(
+    "meta_volume",
+    "SELECT event_type AS app, CAST(sum(length(props)) AS BIGINT) AS volume"
+    " FROM events GROUP BY 1",
+)
+def meta_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label byte volume (ref: controller/volume.go:17)."""
+    from gigapipe_spark.sources import views
+
+    s = views.samples(spark, sf_dir)
+    series = views.time_series(spark, sf_dir)
+    return (
+        s.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
+        .groupBy(_lbl("app")())
+        .agg(F.sum(F.length("string")).cast("long").alias("volume"))
+    )
+
+
+# --------------------------------------------------------------- rollup
+
+@register(
+    "rollup_metrics_15s",
+    """
+    SELECT fingerprint,
+           (timestamp_ns - timestamp_ns % 15000000000) AS timestamp_ns,
+           round(max(value), 6) AS max, round(min(value), 6) AS min,
+           count(*) AS count, round(sum(value), 6) AS sum,
+           round(CAST(sum(length(string)) AS DOUBLE), 6) AS bytes,
+           round(max_by(value, timestamp_ns), 6) AS last
+    FROM (SELECT user_id*8 + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS fingerprint,
+                 epoch_ns(ts) AS timestamp_ns, CAST(value AS DOUBLE) AS value,
+                 props AS string FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15s downsample table build (ref: ClickHouse MV log.sql:96-107;
+    Spark = one groupBy with re-aggregable partials, streaming variant in
+    streaming/rollup.py)."""
+    from gigapipe_spark.streaming.rollup import rollup_15s_batch
+    from gigapipe_spark.sources import views
+
+    df = rollup_15s_batch(views.samples(spark, sf_dir))
+    return _rounded(df.drop("type"), "max", "min", "sum", "bytes", "last")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -100,31 +100,54 @@ def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dimension cache: in the reference these are real stored tables
+# (time_series / gin MVs); here they are derived from events, so cache
+# the (small) result per session+sf_dir instead of re-shuffling the fact
+# table for every query. Fact-table views are NOT cached — they must
+# stream from parquet with pushdown.
+_dim_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _dim_cache:
+        _dim_cache[key] = build().cache()
+    return _dim_cache[key]
+
+
 def time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series dimension (ref time_series, log.sql:16-23): fingerprint → labels.
 
     Small by construction (one row per distinct label set) — always the
     broadcast side of the samples join at scale.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select("user_id", "event_type")
-        .distinct()
-        .select(
-            (F.col("user_id") * 8 + _type_code()).alias("fingerprint"),
-            _labels_col().alias("labels"),
-            F.lit(1).cast("byte").alias("type"),
+
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.select("user_id", "event_type")
+            .distinct()
+            .select(
+                (F.col("user_id") * 8 + _type_code()).alias("fingerprint"),
+                _labels_col().alias("labels"),
+                F.lit(1).cast("byte").alias("type"),
+            )
         )
-    )
+
+    return _cached(spark, sf_dir, "time_series", build)
 
 
 def time_series_gin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label inverted index (ref time_series_gin, log.sql:62-80) =
     explode(time_series.labels)."""
-    ts = time_series(spark, sf_dir)
-    return ts.select(
-        "fingerprint", "type", F.explode("labels").alias("key", "val")
-    ).select("key", "val", "fingerprint", "type")
+
+    def build():
+        ts = time_series(spark, sf_dir)
+        return ts.select(
+            "fingerprint", "type", F.explode("labels").alias("key", "val")
+        ).select("key", "val", "fingerprint", "type")
+
+    return _cached(spark, sf_dir, "time_series_gin", build)
 
 
 def spans(spark: SparkSession, sf_dir: str) -> DataFrame:

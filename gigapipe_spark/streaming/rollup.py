@@ -1,0 +1,70 @@
+"""15-second metric rollup — the reference's continuous materialized view
+(ref: ctrl/qryn/sql/log.sql:83-107: metrics_15s + MV intDiv(ts,15e9)*15e9).
+
+Two forms of the same aggregation:
+  - rollup_15s_batch: one groupBy over a samples DataFrame. All partials
+    are re-aggregable (max(max), sum(sum), sum(count), max_by-last), so a
+    downstream reader can merge buckets exactly like ClickHouse's
+    AggregateFunction states merge (SURVEY §1.2).
+  - rollup_15s_stream: the Structured Streaming variant — watermarked
+    tumbling window, append mode, for continuous maintenance of the
+    rollup table (SURVEY §2.8).
+
+At 100 TB the batch form is a single map-side-combinable shuffle keyed
+(fingerprint, bucket); no skew risk beyond what the key space carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_NS = 15_000_000_000
+
+
+def _bucket(col):
+    return (F.col(col) - F.pmod(F.col(col), F.lit(BUCKET_NS))).alias("timestamp_ns")
+
+
+def rollup_15s_batch(samples: DataFrame) -> DataFrame:
+    return (
+        samples.groupBy("fingerprint", _bucket("timestamp_ns"))
+        .agg(
+            F.max_by("value", "timestamp_ns").alias("last"),
+            F.max("value").alias("max"),
+            F.min("value").alias("min"),
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum"),
+            F.sum(F.length("string")).cast("double").alias("bytes"),
+            F.first("type").alias("type"),
+        )
+    )
+
+
+def rollup_15s_stream(samples_stream: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
+    """Streaming maintenance of the rollup (event time = timestamp_ns).
+
+    The source must expose the same samples schema with an additional
+    event-time column derived from timestamp_ns; late rows beyond the
+    watermark are dropped, matching the reference's append-only model
+    (SURVEY §2.8: watermark only needed for the rollup stream).
+    """
+    with_ts = samples_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long"))
+    ).withWatermark("event_time", watermark_delay)
+    return (
+        with_ts.groupBy(
+            "fingerprint", F.window("event_time", "15 seconds").alias("w")
+        )
+        .agg(
+            F.max_by("value", "timestamp_ns").alias("last"),
+            F.max("value").alias("max"),
+            F.min("value").alias("min"),
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum"),
+            F.sum(F.length("string")).cast("double").alias("bytes"),
+            F.first("type").alias("type"),
+        )
+        .withColumn("timestamp_ns", F.unix_micros(F.col("w.start")) * 1000)
+        .drop("w")
+    )
