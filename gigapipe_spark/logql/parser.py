@@ -104,7 +104,11 @@ class Parser:
         return self.toks[min(self.i + k, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise LogQLSyntaxError("unexpected end of query")
         t = self.toks[self.i]
+        if t[0] == "eof":
+            raise LogQLSyntaxError("unexpected end of query")
         self.i += 1
         return t
 

@@ -1,0 +1,374 @@
+"""PromQL → DataFrame compiler.
+
+Implements the reference's pushdown planner semantics natively
+(ref: reader/promql/promql_transpiler/planner/):
+
+  counter fns   → per-series window functions with the reference's
+                  reset formula: reset amount = prev when prev > cur,
+                  increase = (last - first) + Σ resets
+                  (ref: planner/counter.go:74-96 — NOT upstream
+                  Prometheus extrapolated rate; SURVEY §7.4 risk 2)
+  *_over_time   → tumbling-bucket aggregation (ref: over_time.go)
+  vector aggs   → label regroup, canonical fingerprint (ref: sum.go)
+  instant sel   → last sample per step bucket (ref: downsample_values.go
+                  argMaxMerge(last) per step)
+  gap fill      → step-grid sequence + forward fill (ref: fill_gaps.go)
+
+All time arithmetic is pure int64 ns. Counter windows shuffle once per
+fingerprint — the minimum any per-series computation requires; at scale
+AQE handles skewed series.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql.compiler import LogQLContext, _group_labels_col
+from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.promql import parser as P
+from gigapipe_spark.promql.parser import (
+    AggExpr,
+    FnCall,
+    PromBinOp,
+    PromExpr,
+    PromScalar,
+    VectorSelector,
+)
+from gigapipe_spark.sources import views
+
+
+@dataclass
+class PromQLContext:
+    spark: SparkSession
+    sf_dir: str
+    step_ns: int = 60_000_000_000  # evaluation step grid
+    _metrics: DataFrame | None = None
+    _logctx: LogQLContext | None = None
+
+    def metrics(self) -> DataFrame:
+        if self._metrics is None:
+            self._metrics = views.metric_samples(self.spark, self.sf_dir)
+        return self._metrics
+
+    def logctx(self) -> LogQLContext:
+        if self._logctx is None:
+            self._logctx = LogQLContext(self.spark, self.sf_dir)
+        return self._logctx
+
+
+def _bucket(ts: Column, width_ns: int, offset_ns: int = 0) -> Column:
+    t = ts - F.lit(offset_ns)
+    return t - F.pmod(t, F.lit(width_ns))
+
+
+def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
+    """Matcher-filtered raw metric samples with labels attached.
+
+    Fingerprint resolution reuses the LogQL GIN bitmask semi-join
+    (ref: promql planner/stream_select.go — same pattern as LogQL).
+    """
+    from gigapipe_spark.logql import ast as LA
+    from gigapipe_spark.logql.compiler import fingerprints
+
+    matchers = list(sel.matchers)
+    if sel.name:
+        matchers.append(LA.Matcher(label="__name__", op="=", value=sel.name))
+    lctx = ctx.logctx()
+    df = ctx.metrics()
+    if matchers:
+        fps = fingerprints(lctx, LA.Selector(matchers=matchers))
+        df = df.join(F.broadcast(fps), "fingerprint", "inner")
+    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    df = df.join(F.broadcast(series), "fingerprint", "left")
+    if sel.offset_ns:
+        df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
+    return df
+
+
+def _instant_matrix(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
+    """Instant vector: last raw sample per step bucket per series
+    (ref: downsample_values.go argMaxMerge(last) per step)."""
+    df = _selector_samples(ctx, sel)
+    return (
+        df.groupBy("fingerprint", _bucket(F.col("timestamp_ns"), ctx.step_ns).alias("timestamp_ns"))
+        .agg(F.max_by("value", "timestamp_ns").alias("value"), F.first("labels").alias("labels"))
+        .select("fingerprint", "labels", "timestamp_ns", "value")
+    )
+
+
+_SIMPLE_RANGE = {
+    "sum_over_time": lambda: F.sum("value"),
+    "count_over_time": lambda: F.count(F.lit(1)).cast("double"),
+    "avg_over_time": lambda: F.avg("value"),
+    "min_over_time": lambda: F.min("value"),
+    "max_over_time": lambda: F.max("value"),
+    "last_over_time": lambda: F.max_by("value", "timestamp_ns"),
+    "first_over_time": lambda: F.min_by("value", "timestamp_ns"),
+    "present_over_time": lambda: F.lit(1.0),
+    "stddev_over_time": lambda: F.stddev_pop("value"),
+    "stdvar_over_time": lambda: F.var_pop("value"),
+}
+
+# counter fns share one window computation; each picks its aggregate
+# (ref: counter.go:62-96 rate/increase/delta, :173 resets/changes)
+_COUNTER_FNS = {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
+
+
+def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
+    sel = fn.args[0]
+    if not isinstance(sel, VectorSelector) or sel.range_ns is None:
+        raise ValueError(f"{fn.fn} expects a range vector selector")
+    rng = sel.range_ns
+    df = _selector_samples(ctx, sel)
+    bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
+    if fn.fn in _SIMPLE_RANGE:
+        agg = _SIMPLE_RANGE[fn.fn]()
+        out = (
+            df.groupBy("fingerprint", bucket)
+            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        )
+        return out.select("fingerprint", "labels", "timestamp_ns", "value")
+    if fn.fn == "quantile_over_time":
+        out = (
+            df.groupBy("fingerprint", bucket)
+            .agg(
+                F.percentile("value", F.lit(fn.param)).alias("value"),
+                F.first("labels").alias("labels"),
+            )
+        )
+        return out.select("fingerprint", "labels", "timestamp_ns", "value")
+    if fn.fn in _COUNTER_FNS:
+        # window: per-series consecutive-pair deltas WITHIN each bucket
+        b = _bucket(F.col("timestamp_ns"), rng)
+        w = Window.partitionBy("fingerprint", b).orderBy("timestamp_ns")
+        prev = F.lag("value").over(w)
+        prev_ts = F.lag("timestamp_ns").over(w)
+        df2 = df.withColumn("__prev", prev).withColumn("__prev_ts", prev_ts)
+        reset_amt = F.when(F.col("__prev") > F.col("value"), F.col("__prev")).otherwise(F.lit(0.0))
+        changed = F.when(
+            F.col("__prev").isNotNull() & (F.col("__prev") != F.col("value")), 1
+        ).otherwise(0)
+        reset_cnt = F.when(
+            F.col("__prev").isNotNull() & (F.col("__prev") > F.col("value")), 1
+        ).otherwise(0)
+        grouped = df2.groupBy("fingerprint", bucket).agg(
+            F.min_by("value", "timestamp_ns").alias("__first"),
+            F.max_by("value", "timestamp_ns").alias("__last"),
+            F.sum(reset_amt).alias("__resets_amt"),
+            F.sum(changed).alias("__changes"),
+            F.sum(reset_cnt).alias("__resets"),
+            # last pair in bucket for irate/idelta
+            F.max_by(F.col("value") - F.col("__prev"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_delta"),
+            F.max_by(F.col("timestamp_ns") - F.col("__prev_ts"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_dt"),
+            F.first("labels").alias("labels"),
+        )
+        # ref counter.go:74-82: increase = end - start + Σ reset amounts
+        increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
+        value = {
+            "increase": increase,
+            "rate": increase / F.lit(rng / 1e9),
+            "delta": F.col("__last") - F.col("__first"),
+            "resets": F.col("__resets").cast("double"),
+            "changes": F.col("__changes").cast("double"),
+            "idelta": F.col("__last_delta"),
+            "irate": F.when(
+                F.col("__last_dt") > 0,
+                F.col("__last_delta") / (F.col("__last_dt") / F.lit(1e9)),
+            ),
+        }[fn.fn]
+        return grouped.select(
+            "fingerprint", "labels", "timestamp_ns", value.alias("value")
+        )
+    raise NotImplementedError(f"range fn {fn.fn}")
+
+
+_SCALAR_FNS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+}
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c).cast("double"),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+    "group": lambda c: F.lit(1.0),
+}
+
+
+def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
+    """Returns a matrix DF: (fingerprint, labels, timestamp_ns, value)."""
+    if isinstance(e, VectorSelector):
+        if e.range_ns is not None:
+            raise ValueError("bare range selector is not an instant expression")
+        return _instant_matrix(ctx, e)
+    if isinstance(e, FnCall):
+        if e.fn in P.RANGE_FNS:
+            return _range_fn(ctx, e)
+        if e.fn in _SCALAR_FNS:
+            inner = compile_expr(ctx, e.args[0])
+            return inner.withColumn(
+                "value", _SCALAR_FNS[e.fn](F.col("value")).cast("double")
+            )
+        if e.fn == "round":
+            inner = compile_expr(ctx, e.args[0])
+            nearest = e.param or 1.0
+            return inner.withColumn(
+                "value", F.round(F.col("value") / F.lit(nearest)) * F.lit(nearest)
+            )
+        if e.fn in ("clamp_min", "clamp_max"):
+            inner = compile_expr(ctx, e.args[0])
+            bound = F.lit(e.param)
+            v = F.col("value")
+            newv = F.greatest(v, bound) if e.fn == "clamp_min" else F.least(v, bound)
+            return inner.withColumn("value", newv)
+        raise NotImplementedError(f"function {e.fn}")
+    if isinstance(e, AggExpr):
+        inner = compile_expr(ctx, e.inner)
+        if e.fn in ("topk", "bottomk"):
+            order = [
+                F.col("value").desc() if e.fn == "topk" else F.col("value").asc(),
+                canonical_labels_str(F.coalesce(F.col("labels"), F.expr("map()"))).asc(),
+            ]
+            w = Window.partitionBy("timestamp_ns").orderBy(*order)
+            return (
+                inner.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(e.param))
+                .drop("__rn")
+            )
+        new_labels = _group_labels_col(e.by, e.without)
+        key = F.xxhash64(canonical_labels_str(new_labels))
+        agg = _AGG_FNS[e.fn](F.col("value"))
+        return (
+            inner.withColumn("labels", new_labels)
+            .groupBy(key.alias("fingerprint"), "timestamp_ns")
+            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+            .select("fingerprint", "labels", "timestamp_ns", "value")
+        )
+    if isinstance(e, PromBinOp):
+        return _binop(ctx, e)
+    if isinstance(e, PromScalar):
+        raise ValueError("bare scalar is not a query")
+    raise NotImplementedError(f"expr {e}")
+
+
+_CMP_OPS = {"==", "!=", ">", ">=", "<", "<="}
+
+
+def _cmp(op: str, l: Column, r: Column) -> Column:
+    return {"==": l == r, "!=": l != r, ">": l > r, ">=": l >= r, "<": l < r, "<=": l <= r}[op]
+
+
+def _arith(op: str, l: Column, r: Column) -> Column:
+    return {"+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r}[op]
+
+
+def _binop(ctx: PromQLContext, e: PromBinOp) -> DataFrame:
+    ls = isinstance(e.left, PromScalar)
+    rs = isinstance(e.right, PromScalar)
+    if ls and rs:
+        raise ValueError("scalar-scalar expression is not a query")
+    if ls or rs:
+        vec = compile_expr(ctx, e.right if ls else e.left)
+        lit = F.lit((e.left if ls else e.right).value)
+        v = F.col("value")
+        lcol, rcol = (lit, v) if ls else (v, lit)
+        if e.op in _CMP_OPS:
+            if e.bool_modifier:
+                return vec.withColumn("value", _cmp(e.op, lcol, rcol).cast("double"))
+            return vec.filter(_cmp(e.op, lcol, rcol))
+        return vec.withColumn("value", _arith(e.op, lcol, rcol))
+    left = compile_expr(ctx, e.left)
+    right = compile_expr(ctx, e.right)
+    if e.op in ("and", "or", "unless"):
+        if e.op == "and":
+            return left.join(
+                right.select("fingerprint", "timestamp_ns"),
+                ["fingerprint", "timestamp_ns"],
+                "left_semi",
+            )
+        if e.op == "unless":
+            return left.join(
+                right.select("fingerprint", "timestamp_ns"),
+                ["fingerprint", "timestamp_ns"],
+                "left_anti",
+            )
+        # or: left wins on collision
+        onlyr = right.join(
+            left.select("fingerprint", "timestamp_ns"),
+            ["fingerprint", "timestamp_ns"],
+            "left_anti",
+        )
+        return left.unionByName(onlyr)
+    lj = left.select("fingerprint", "labels", "timestamp_ns", F.col("value").alias("__l"))
+    rj = right.select("fingerprint", "timestamp_ns", F.col("value").alias("__r"))
+    j = lj.join(rj, ["fingerprint", "timestamp_ns"], "inner")
+    if e.op in _CMP_OPS:
+        if e.bool_modifier:
+            out = j.withColumn("value", _cmp(e.op, F.col("__l"), F.col("__r")).cast("double"))
+        else:
+            out = j.filter(_cmp(e.op, F.col("__l"), F.col("__r"))).withColumn(
+                "value", F.col("__l")
+            )
+    else:
+        out = j.withColumn("value", _arith(e.op, F.col("__l"), F.col("__r")))
+    return out.select("fingerprint", "labels", "timestamp_ns", "value")
+
+
+def gap_fill(ctx: PromQLContext, matrix: DataFrame, lookback_ns: int | None = None) -> DataFrame:
+    """Fill the step grid per series, forward-filling the last value
+    (ref: planner/fill_gaps.go:23 + instant_vector.go 5m lookback).
+
+    Grid bounds come from the data (min/max bucket across the matrix);
+    a fill row carries the previous value if one exists within the
+    lookback window, else is dropped (staleness).
+    """
+    step = ctx.step_ns
+    if lookback_ns is None:
+        lookback_ns = 5 * 60 * 1_000_000_000
+    bounds = matrix.select(
+        F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi")
+    )
+    # fingerprint determines labels; dropDuplicates on the key avoids
+    # set-ops on MapType (unsupported)
+    series = matrix.select("fingerprint", "labels").dropDuplicates(["fingerprint"])
+    grid = series.crossJoin(F.broadcast(bounds)).select(
+        "fingerprint",
+        "labels",
+        F.explode(F.sequence("lo", "hi", F.lit(step))).alias("timestamp_ns"),
+    )
+    joined = grid.join(
+        matrix.select("fingerprint", "timestamp_ns", "value"),
+        ["fingerprint", "timestamp_ns"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("fingerprint")
+        .orderBy("timestamp_ns")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.withColumn("__v", F.last("value", ignorenulls=True).over(w))
+    last_real_ts = F.last(
+        F.when(F.col("value").isNotNull(), F.col("timestamp_ns")), ignorenulls=True
+    ).over(w)
+    filled = filled.withColumn("__age", F.col("timestamp_ns") - last_real_ts)
+    return (
+        filled.filter(F.col("__v").isNotNull() & (F.col("__age") <= lookback_ns))
+        .select("fingerprint", "labels", "timestamp_ns", F.col("__v").alias("value"))
+    )
+
+
+def query(ctx: PromQLContext, text: str) -> DataFrame:
+    return compile_expr(ctx, P.parse(text))

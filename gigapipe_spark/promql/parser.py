@@ -1,0 +1,259 @@
+"""Hand-rolled PromQL parser (pushdown-first subset).
+
+The reference embeds the upstream Prometheus engine and pushes eligible
+subtrees down to SQL (ref: reader/promql/promql_transpiler/
+transpiler_v2.go + optimizer/vector_range.go, vector_agg.go). There is no
+embeddable Prometheus engine in Python, so this rebuild parses PromQL
+itself and compiles the full supported surface natively to DataFrames —
+the reference's pushdown planners become the primary execution path
+(SURVEY §2.4 note).
+
+Grammar subset:
+  expr     := term (binop term)*
+  term     := number | fn '(' expr ')' | agg [grp] '(' expr ')' [grp]
+            | selector ['[' dur ']'] ['offset' dur]
+  selector := metric? '{' matcher* '}' | metric
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from gigapipe_spark.logql.ast import Matcher
+from gigapipe_spark.logql.parser import (
+    LogQLSyntaxError,
+    parse_duration_ns,
+    tokenize,
+    unquote,
+)
+
+RANGE_FNS = {
+    "rate",
+    "increase",
+    "delta",
+    "idelta",
+    "irate",
+    "resets",
+    "changes",
+    "sum_over_time",
+    "count_over_time",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "last_over_time",
+    "first_over_time",
+    "present_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "quantile_over_time",
+}
+
+AGG_FNS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group", "topk", "bottomk"}
+
+SCALAR_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "round", "clamp_min", "clamp_max"}
+
+
+@dataclass
+class VectorSelector:
+    name: str | None
+    matchers: list[Matcher]
+    range_ns: int | None = None
+    offset_ns: int = 0
+
+
+@dataclass
+class FnCall:
+    fn: str
+    args: list["PromExpr"] = field(default_factory=list)
+    param: float | None = None  # quantile_over_time φ, round to-nearest, clamp bound
+
+
+@dataclass
+class AggExpr:
+    fn: str
+    inner: "PromExpr"
+    by: list[str] | None = None
+    without: list[str] | None = None
+    param: float | None = None  # topk/bottomk k
+
+
+@dataclass
+class PromBinOp:
+    op: str
+    left: "PromExpr"
+    right: "PromExpr"
+    bool_modifier: bool = False
+
+
+@dataclass
+class PromScalar:
+    value: float
+
+
+PromExpr = VectorSelector | FnCall | AggExpr | PromBinOp | PromScalar
+
+
+class PromQLParser:
+    _PREC = {
+        "or": 1, "unless": 1,
+        "and": 2,
+        "==": 3, "!=": 3, ">": 3, ">=": 3, "<": 3, "<=": 3,
+        "+": 4, "-": 4,
+        "*": 5, "/": 5, "%": 5,
+    }
+
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        if self.i >= len(self.toks):
+            raise LogQLSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        if t[0] == "eof":
+            raise LogQLSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, v: str):
+        t = self.next()
+        if t[1] != v:
+            raise LogQLSyntaxError(f"expected {v!r}, got {t[1]!r}")
+
+    def at(self, v: str) -> bool:
+        return self.peek()[1] == v
+
+    def parse(self) -> PromExpr:
+        e = self.parse_binop(0)
+        if self.peek()[0] != "eof":
+            raise LogQLSyntaxError(f"trailing input: {self.peek()[1]!r}")
+        return e
+
+    def parse_binop(self, min_prec: int) -> PromExpr:
+        left = self.parse_term()
+        while True:
+            _, val = self.peek()
+            prec = self._PREC.get(val)
+            if prec is None or prec < min_prec:
+                return left
+            self.next()
+            bool_mod = False
+            if self.at("bool"):
+                self.next()
+                bool_mod = True
+            right = self.parse_binop(prec + 1)
+            left = PromBinOp(op=val, left=left, right=right, bool_modifier=bool_mod)
+
+    def parse_term(self) -> PromExpr:
+        kind, val = self.peek()
+        if kind == "number":
+            self.next()
+            return PromScalar(float(val))
+        if val == "-":
+            self.next()
+            kind2, v2 = self.next()
+            if kind2 != "number":
+                raise LogQLSyntaxError("unary minus expects a number")
+            return PromScalar(-float(v2))
+        if val == "(":
+            self.next()
+            e = self.parse_binop(0)
+            self.expect(")")
+            return e
+        if val == "{":
+            return self.parse_selector(None)
+        if kind == "ident":
+            if val in RANGE_FNS or val in SCALAR_FNS:
+                return self.parse_fn()
+            if val in AGG_FNS:
+                return self.parse_agg()
+            return self.parse_selector(None if self.peek(1)[1] == "(" else val)
+        raise LogQLSyntaxError(f"unexpected token {val!r}")
+
+    def parse_selector(self, name_hint: str | None) -> VectorSelector:
+        name = None
+        if self.peek()[0] == "ident" and self.peek()[1] != "{":
+            _, name = self.next()
+        matchers = []
+        if self.at("{"):
+            self.next()
+            while not self.at("}"):
+                _, lbl = self.next()
+                _, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise LogQLSyntaxError(f"bad matcher op {op!r}")
+                kind, v = self.next()
+                if kind != "string":
+                    raise LogQLSyntaxError("matcher value must be a string")
+                matchers.append(Matcher(label=lbl, op=op, value=unquote(v)))
+                if self.at(","):
+                    self.next()
+            self.expect("}")
+        sel = VectorSelector(name=name, matchers=matchers)
+        if self.at("["):
+            self.next()
+            _, d = self.next()
+            sel.range_ns = parse_duration_ns(d)
+            self.expect("]")
+        if self.at("offset"):
+            self.next()
+            _, d = self.next()
+            sel.offset_ns = parse_duration_ns(d)
+        return sel
+
+    def parse_fn(self) -> FnCall:
+        _, fn = self.next()
+        self.expect("(")
+        args = []
+        param = None
+        if fn == "quantile_over_time":
+            _, v = self.next()
+            param = float(v)
+            self.expect(",")
+        args.append(self.parse_binop(0))
+        while self.at(","):
+            self.next()
+            kind, v = self.peek()
+            if kind == "number":
+                self.next()
+                param = float(v)
+            else:
+                args.append(self.parse_binop(0))
+        self.expect(")")
+        return FnCall(fn=fn, args=args, param=param)
+
+    def parse_agg(self) -> AggExpr:
+        _, fn = self.next()
+        by = without = None
+        param = None
+        if self.peek()[1] in ("by", "without"):
+            by, without = self._grouping()
+        self.expect("(")
+        if fn in ("topk", "bottomk"):
+            _, k = self.next()
+            param = float(k)
+            self.expect(",")
+        inner = self.parse_binop(0)
+        self.expect(")")
+        if self.peek()[1] in ("by", "without"):
+            by, without = self._grouping()
+        return AggExpr(fn=fn, inner=inner, by=by, without=without, param=param)
+
+    def _grouping(self):
+        _, kw = self.next()
+        self.expect("(")
+        labels = []
+        while not self.at(")"):
+            _, lbl = self.next()
+            labels.append(lbl)
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return (labels, None) if kw == "by" else (None, labels)
+
+
+def parse(text: str) -> PromExpr:
+    return PromQLParser(text).parse()

@@ -194,6 +194,123 @@ register(
 )
 
 
+# --------------------------------------------------------------- PromQL
+
+from gigapipe_spark.promql.compiler import PromQLContext  # noqa: E402
+from gigapipe_spark.promql.compiler import query as promql_query  # noqa: E402
+from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE, counter_cte  # noqa: E402
+
+
+def _promql(q: str, out_cols: list, step_ns: int = 60_000_000_000) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = promql_query(PromQLContext(spark, sf_dir, step_ns=step_ns), q)
+        cols = [c() if callable(c) else c for c in out_cols]
+        return df.select(*cols).withColumn("value", F.round("value", 6))
+
+    return fn
+
+
+_FPV = ["fingerprint", "timestamp_ns", "value"]
+
+register(
+    "promql_rate_counter_resets",
+    counter_cte(600_000_000_000, "app='click'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round((max_by(value, timestamp_ns) - min_by(value, timestamp_ns)
+                  + sum(CASE WHEN prev > value THEN prev ELSE 0 END)) / 600.0, 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('rate({app="click"}[10m])', _FPV))
+
+register(
+    "promql_increase",
+    counter_cte(3_600_000_000_000, "app='view'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(max_by(value, timestamp_ns) - min_by(value, timestamp_ns)
+                 + sum(CASE WHEN prev > value THEN prev ELSE 0 END), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('increase({app="view"}[1h])', _FPV))
+
+register(
+    "promql_delta",
+    counter_cte(3_600_000_000_000, "app='purchase'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(max_by(value, timestamp_ns) - min_by(value, timestamp_ns), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('delta({app="purchase"}[1h])', _FPV))
+
+register(
+    "promql_resets",
+    counter_cte(3_600_000_000_000, "app='click'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(CAST(sum(CASE WHEN prev IS NOT NULL AND prev > value THEN 1 ELSE 0 END) AS DOUBLE), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('resets({app="click"}[1h])', _FPV))
+
+register(
+    "promql_changes",
+    counter_cte(3_600_000_000_000, "app='click'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(CAST(sum(CASE WHEN prev IS NOT NULL AND prev != value THEN 1 ELSE 0 END) AS DOUBLE), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('changes({app="click"}[1h])', _FPV))
+
+register(
+    "promql_avg_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 1800000000000) AS timestamp_ns,
+           round(avg(value), 6) AS value
+    FROM metric_samples WHERE app='signup' GROUP BY 1, 2
+    """,
+)(_promql('avg_over_time({app="signup"}[30m])', _FPV))
+
+register(
+    "promql_instant_sum_by",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT fingerprint, app, (timestamp_ns - timestamp_ns % 60000000000) AS bucket,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE level='info' GROUP BY 1, 2, 3
+    )
+    SELECT app, bucket AS timestamp_ns, round(sum(value), 6) AS value
+    FROM inst GROUP BY 1, 2
+    """,
+)(_promql('sum by (app) ({level="info"})', [_lbl("app"), "timestamp_ns", "value"]))
+
+register(
+    "promql_comparison",
+    counter_cte(3_600_000_000_000, "app='error'")
+    + """
+    , m AS (
+      SELECT fingerprint, bucket AS timestamp_ns,
+             max_by(value, timestamp_ns) - min_by(value, timestamp_ns)
+             + sum(CASE WHEN prev > value THEN prev ELSE 0 END) AS value
+      FROM d GROUP BY 1, 2
+    ) SELECT fingerprint, timestamp_ns, round(value, 6) AS value FROM m WHERE value > 500
+    """,
+)(_promql('increase({app="error"}[1h]) > 500', _FPV))
+
+register(
+    "promql_abs_scalar_arith",
+    counter_cte(3_600_000_000_000, "app='view'")
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(abs(max_by(value, timestamp_ns) - min_by(value, timestamp_ns)), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('abs(delta({app="view"}[1h]) * -1)', _FPV))
+
+
 # --------------------------------------------------------------- meta
 
 @register(

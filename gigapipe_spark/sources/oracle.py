@@ -75,6 +75,20 @@ spans AS (
 """
 
 
+def counter_cte(rng_ns: int, where: str) -> str:
+    """Per-bucket consecutive-pair window over metric_samples — the
+    oracle-side mirror of the PromQL counter computation."""
+    return f"""
+    WITH {METRIC_SAMPLES_CTE}, d AS (
+      SELECT fingerprint, timestamp_ns, value, app, instance, level,
+             (timestamp_ns - timestamp_ns % {rng_ns}) AS bucket,
+             lag(value) OVER (PARTITION BY fingerprint, (timestamp_ns - timestamp_ns % {rng_ns})
+                              ORDER BY timestamp_ns) AS prev
+      FROM metric_samples WHERE {where}
+    )
+    """
+
+
 def with_samples(body: str) -> str:
     return f"WITH {SAMPLES_CTE} {body}"
 
