@@ -363,6 +363,171 @@ def meta_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- TraceQL
+
+from gigapipe_spark.traceql.compiler import TraceQLContext  # noqa: E402
+from gigapipe_spark.traceql.compiler import assemble_traces  # noqa: E402
+from gigapipe_spark.traceql.compiler import query as traceql_query  # noqa: E402
+from gigapipe_spark.sources.oracle import with_spans  # noqa: E402
+
+
+def _traceql(q: str, cols=("trace_id", "span_id"), round_cols=()) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = traceql_query(TraceQLContext(spark, sf_dir), q).select(*cols)
+        return _rounded(df, *round_cols)
+
+    return fn
+
+
+register(
+    "traceql_attr_eq",
+    with_spans("SELECT trace_id, span_id FROM spans WHERE returnflag = 'R'"),
+)(_traceql('{ returnflag = "R" }'))
+
+register(
+    "traceql_duration_filter",
+    with_spans("SELECT trace_id, span_id FROM spans WHERE duration_ns > 50000000"),
+)(_traceql("{ duration > 50ms }"))
+
+register(
+    "traceql_bitmask_and_or",
+    with_spans(
+        "SELECT trace_id, span_id FROM spans WHERE (status IN ('F','P'))"
+        " AND regexp_matches(priority, '1-.*')"
+    ),
+)(_traceql('{ (status = "F" || status = "P") && priority =~ "1-.*" }'))
+
+register(
+    "traceql_attr_and_duration",
+    with_spans(
+        "SELECT trace_id, span_id FROM spans WHERE name='item' AND duration_ns > 60000000"
+    ),
+)(_traceql('{ name = "item" && duration > 60ms }'))
+
+register(
+    "traceql_descendant",
+    with_spans(
+        """
+        SELECT c.trace_id, c.span_id FROM spans c
+        JOIN spans p ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+        WHERE c.returnflag = 'R' AND p.priority = '1-URGENT'
+        """
+    ),
+)(_traceql('{ priority = "1-URGENT" } &>> { returnflag = "R" }'))
+
+register(
+    "traceql_ancestor",
+    with_spans(
+        """
+        SELECT DISTINCT p.trace_id, p.span_id FROM spans p
+        JOIN spans c ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+        WHERE p.name = 'order' AND c.returnflag = 'R'
+        """
+    ),
+)(_traceql('{ returnflag = "R" } <<& { name = "order" }'))
+
+register(
+    "traceql_sibling",
+    with_spans(
+        """
+        SELECT DISTINCT b.trace_id, b.span_id FROM spans b
+        JOIN spans a ON a.trace_id = b.trace_id AND a.parent_id = b.parent_id
+                    AND a.span_id != b.span_id
+        WHERE b.returnflag = 'A' AND a.returnflag = 'R'
+          AND b.parent_id != '' AND a.parent_id != ''
+        """
+    ),
+)(_traceql('{ returnflag = "R" } ~ { returnflag = "A" }'))
+
+register(
+    "traceql_spanset_count",
+    with_spans(
+        """
+        SELECT trace_id, span_id FROM spans WHERE trace_id IN (
+          SELECT trace_id FROM spans GROUP BY trace_id HAVING count(*) > 45
+        )
+        """
+    ),
+)(_traceql("{} | count() > 45"))
+
+register(
+    "traceql_spanset_avg_duration",
+    with_spans(
+        """
+        SELECT trace_id, span_id FROM spans
+        WHERE name = 'item' AND trace_id IN (
+          SELECT trace_id FROM spans WHERE name = 'item' GROUP BY trace_id
+          HAVING avg(duration_ns) > 30000000
+        )
+        """
+    ),
+)(_traceql('{ name = "item" } | avg(duration) > 30ms'))
+
+
+@register(
+    "traceql_trace_assembly",
+    with_spans(
+        """
+        SELECT trace_id, count(*) AS span_count, min(timestamp_ns) AS start_ns,
+               sum(duration_ns) AS total_duration_ns
+        FROM spans WHERE returnflag = 'R' GROUP BY trace_id
+        """
+    ),
+)
+def traceql_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = TraceQLContext(spark, sf_dir)
+    spans = traceql_query(c, '{ returnflag = "R" }')
+    return assemble_traces(c, spans).select(
+        "trace_id", "span_count", "start_ns", "total_duration_ns"
+    )
+
+
+register(
+    "traceql_metrics_rate",
+    with_spans(
+        """
+        SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+               round(count(*) / 3600.0, 6) AS value
+        FROM spans WHERE name = 'item' GROUP BY 1
+        """
+    ),
+)(_traceql('{ name = "item" } | rate()', cols=("timestamp_ns", "value"), round_cols=("value",)))
+
+@register(
+    "traceql_metrics_quantile",
+    with_spans(
+        """
+        SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+               round(quantile_cont(duration_ns, 0.9), 4) AS value
+        FROM spans WHERE name = 'item' GROUP BY 1
+        """
+    ),
+)
+def _traceql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = traceql_query(
+        TraceQLContext(spark, sf_dir), '{ name = "item" } | quantile_over_time(duration, 0.9)'
+    )
+    return df.select("timestamp_ns", F.round("value", 4).alias("value"))
+
+register(
+    "traceql_metrics_histogram",
+    with_spans(
+        """
+        SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+               power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+               round(CAST(count(*) AS DOUBLE), 6) AS value
+        FROM spans WHERE name = 'order' GROUP BY 1, 2
+        """
+    ),
+)(
+    _traceql(
+        '{ name = "order" } | histogram_over_time(duration)',
+        cols=("timestamp_ns", "le", "value"),
+        round_cols=("value",),
+    )
+)
+
+
 # --------------------------------------------------------------- rollup
 
 @register(

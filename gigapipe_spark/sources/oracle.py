@@ -46,6 +46,9 @@ metric_samples AS (
 )
 """
 
+# span ordinal disambiguates duplicate (orderkey, linenumber) pairs in the
+# synthetic lineitem — keep the ORDER BY list in lockstep with
+# views._lineitem_with_span_no
 SPANS_CTE = """
 spans AS (
   SELECT 't' || CAST(o_orderkey AS VARCHAR) AS trace_id,
@@ -62,7 +65,12 @@ spans AS (
   FROM orders
   UNION ALL
   SELECT 't' || CAST(l_orderkey AS VARCHAR),
-         's' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR),
+         's' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+             || '_' || CAST(row_number() OVER (
+                  PARTITION BY l_orderkey, l_linenumber
+                  ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+                           l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                ) AS VARCHAR),
          's' || CAST(l_orderkey AS VARCHAR) || '_0',
          'item',
          epoch_ns(l_shipdate),

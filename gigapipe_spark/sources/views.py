@@ -150,6 +150,32 @@ def time_series_gin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "time_series_gin", build)
 
 
+def _lineitem_with_span_no(li: DataFrame) -> DataFrame:
+    """lineitem + a deterministic unique span ordinal.
+
+    The synthetic lineitem has duplicate (orderkey, linenumber) pairs
+    (full rows ARE unique), so the span id needs a disambiguator:
+    row_number over a total order of the remaining columns — identical
+    in Spark and the DuckDB oracle.
+    """
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    return li.withColumn("__sn", F.row_number().over(w))
+
+
+def _span_id_col():
+    return F.concat(
+        F.lit("s"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("_"),
+        F.col("__sn").cast("string"),
+    )
+
+
 def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span fact table (ref tempo_traces, traces.sql:7-18).
 
@@ -158,7 +184,7 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(price*1000) ns) so duration filters/histograms have spread.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _lineitem_with_span_no(load_table(spark, sf_dir, "lineitem"))
     root = orders.select(
         F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
         F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
@@ -172,12 +198,7 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     child = li.select(
         F.concat(F.lit("t"), F.col("l_orderkey").cast("string")).alias("trace_id"),
-        F.concat(
-            F.lit("s"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("_"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("span_id"),
+        _span_id_col().alias("span_id"),
         F.concat(F.lit("s"), F.col("l_orderkey").cast("string"), F.lit("_0")).alias(
             "parent_id"
         ),
@@ -195,7 +216,7 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-kind custom attrs so =,!=,>,=~ and bitmask and/or have targets.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _lineitem_with_span_no(load_table(spark, sf_dir, "lineitem"))
     root = orders.select(
         F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
         F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
@@ -212,12 +233,7 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     child = li.select(
         F.concat(F.lit("t"), F.col("l_orderkey").cast("string")).alias("trace_id"),
-        F.concat(
-            F.lit("s"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("_"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("span_id"),
+        _span_id_col().alias("span_id"),
         (F.unix_micros(F.col("l_shipdate").cast("timestamp")) * 1000).alias("timestamp_ns"),
         F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("duration"),
         F.create_map(

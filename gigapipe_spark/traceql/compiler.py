@@ -1,0 +1,353 @@
+"""TraceQL → DataFrame compiler.
+
+Mirrors the reference's planner structure (ref: reader/traceql/
+traceql_transpiler/clickhouse_transpiler/):
+
+  attr conditions → the bitmask trick over the exploded attrs index:
+      each term i contributes bit i when its (key,val) row matches;
+      a span qualifies when groupBitOr covers the required bits
+      (ref: attr_condition.go:141-148, 368-412) — here
+      groupBy(trace_id, span_id).agg(bit_or(shiftleft(...)))
+  boolean && / ||   → evaluated on the bitmask (one index scan for N
+      terms, arbitrary and/or), same as the reference
+  structural ops    → self-joins on trace_id + parent_id chains
+      (&>> descendant via iterate-to-fixpoint with depth cap,
+       <<& ancestor, ~ sibling; SURVEY §7.4 risk 5)
+  spanset agg filter→ groupBy(trace_id) HAVING (ref: aggregator.go)
+  trace assembly    → groupBy(trace_id).agg(...) (ref: index_groupby.go)
+  metrics           → step buckets / exact quantiles / log2 histogram
+      (ref: tempo/metrics_query.go:33,365-395,501)
+
+Scale notes: the attrs index carries (key,val,duration,ts) so most
+selectors resolve on the (narrower) index scan; span payload fetch is a
+semi-join by (trace_id, span_id). Duration/intrinsic-only selectors skip
+the index entirely and scan the spans table (ref: attrless.go).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gigapipe_spark.sources import views
+from gigapipe_spark.traceql import parser as P
+from gigapipe_spark.traceql.parser import (
+    AggFilter,
+    AttrCmp,
+    AttrNode,
+    MetricsStage,
+    SpanSelector,
+    Structural,
+    TraceQLScript,
+)
+
+
+@dataclass
+class TraceQLContext:
+    spark: SparkSession
+    sf_dir: str
+    step_ns: int = 3_600_000_000_000  # metrics step (1h default for fixtures)
+    _spans: DataFrame | None = None
+    _attrs: DataFrame | None = None
+
+    def spans(self) -> DataFrame:
+        if self._spans is None:
+            self._spans = views.spans(self.spark, self.sf_dir)
+        return self._spans
+
+    def attrs(self) -> DataFrame:
+        if self._attrs is None:
+            self._attrs = views.span_attrs(self.spark, self.sf_dir)
+        return self._attrs
+
+
+_INTRINSIC_NUM = {"duration": "duration"}
+
+
+def _collect_terms(e) -> list[AttrCmp]:
+    if isinstance(e, AttrCmp):
+        return [e]
+    return _collect_terms(e.left) + _collect_terms(e.right)
+
+
+def _term_cond_on_attrs(t: AttrCmp) -> Column:
+    """Condition for one term against an exploded attrs row.
+
+    Numeric terms on `duration` use the index's duration column;
+    other numeric terms compare the string val cast to double
+    (ref: attr_condition_eval.go)."""
+    if t.attr == "duration":
+        return F.col("duration") >= F.lit(-1)  # key-independent; see _bitmask
+    key = F.col("key") == t.attr
+    val = F.col("val")
+    if t.kind == "string":
+        ops = {
+            "=": val == t.value,
+            "!=": val != t.value,
+            "=~": val.rlike(str(t.value)),
+            "!~": ~val.rlike(str(t.value)),
+        }
+        return key & ops[t.op]
+    if t.kind == "bool":
+        return key & (val == F.lit("true" if t.value else "false"))
+    num = val.cast("double")
+    v = float(t.value)
+    ops = {
+        "=": num == v, "!=": num != v, ">": num > v,
+        ">=": num >= v, "<": num < v, "<=": num <= v,
+    }
+    return key & ops[t.op]
+
+
+def _duration_cond(t: AttrCmp, col: Column) -> Column:
+    v = float(t.value)
+    return {
+        "=": col == v, "!=": col != v, ">": col > v,
+        ">=": col >= v, "<": col < v, "<=": col <= v,
+    }[t.op]
+
+
+def _mask_expr(e, term_index: dict[int, AttrCmp]) -> Column:
+    """Rebuild the boolean tree as bit tests over the aggregated mask."""
+    if isinstance(e, AttrCmp):
+        i = next(i for i, t in term_index.items() if t is e)
+        return F.col("__mask").bitwiseAND(F.lit(1 << i)) != 0
+    left = _mask_expr(e.left, term_index)
+    right = _mask_expr(e.right, term_index)
+    return (left & right) if e.op == "&&" else (left | right)
+
+
+def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
+    """Spanset selector → DF[trace_id, span_id] via the bitmask index scan."""
+    if sel.expr is None:
+        return ctx.spans().select("trace_id", "span_id")
+    terms = _collect_terms(sel.expr)
+    term_index = dict(enumerate(terms))
+    # duration-only selector: scan spans directly (ref: attrless.go)
+    if all(t.attr == "duration" for t in terms):
+        cond = _build_direct(sel.expr, F.col("duration_ns"))
+        return ctx.spans().filter(cond).select("trace_id", "span_id")
+    attrs = ctx.attrs()
+    bits = None
+    conds = None
+    for i, t in term_index.items():
+        if t.attr == "duration":
+            c = _duration_cond(t, F.col("duration"))
+        else:
+            c = _term_cond_on_attrs(t)
+        b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = b if bits is None else bits.bitwiseOR(b)
+        conds = c if conds is None else (conds | c)
+    masked = (
+        attrs.filter(conds)
+        .groupBy("trace_id", "span_id")
+        .agg(F.bit_or(bits).alias("__mask"))
+    )
+    return masked.filter(_mask_expr(sel.expr, term_index)).select(
+        "trace_id", "span_id"
+    )
+
+
+def _build_direct(e, duration_col: Column) -> Column:
+    if isinstance(e, AttrCmp):
+        return _duration_cond(e, duration_col)
+    left = _build_direct(e.left, duration_col)
+    right = _build_direct(e.right, duration_col)
+    return (left & right) if e.op == "&&" else (left | right)
+
+
+def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
+    """Spanset expr → DF[trace_id, span_id]."""
+    if isinstance(e, SpanSelector):
+        return select_spans(ctx, e)
+    left = eval_spanset(ctx, e.left)
+    right = eval_spanset(ctx, e.right)
+    spans = ctx.spans().select("trace_id", "span_id", "parent_id")
+    if e.op in ("and", "or"):
+        # trace-level set ops (ref: complex_and.go intersect / complex_or.go
+        # union): result spans come from both sides, limited to traces
+        # satisfying the combination
+        if e.op == "and":
+            lt = left.select("trace_id").distinct()
+            rt = right.select("trace_id").distinct()
+            traces = lt.join(rt, "trace_id", "inner")
+            return (
+                left.unionByName(right)
+                .join(F.broadcast(traces), "trace_id", "left_semi")
+                .distinct()
+            )
+        return left.unionByName(right).distinct()
+    if e.op in ("&>>", "!>>"):
+        # descendant: spans in `right` with an ancestor matching `left`.
+        # parent chains resolved by iterative join to fixpoint with a
+        # depth cap (fixture traces are depth ≤ 2, cap at 8 for safety).
+        anc = _ancestors(ctx, right, spans)
+        matched = anc.join(
+            left.withColumnRenamed("span_id", "anc_id"),
+            ["trace_id", "anc_id"],
+            "left_semi",
+        ).select("trace_id", "span_id")
+        if e.op == "&>>":
+            return matched.distinct()
+        return right.join(matched, ["trace_id", "span_id"], "left_anti")
+    if e.op in ("<<&", "<<~"):
+        # ancestor: spans matching `right` that have a descendant
+        # matching `left` — the ancestor ids of left's spans, kept when
+        # they appear in right's span set
+        anc = _ancestors(ctx, left, spans)
+        res = (
+            anc.withColumnRenamed("span_id", "desc_id")
+            .withColumnRenamed("anc_id", "span_id")
+            .join(right, ["trace_id", "span_id"], "left_semi")
+            .select("trace_id", "span_id")
+            .distinct()
+        )
+        if e.op == "<<&":
+            return res
+        return right.join(res, ["trace_id", "span_id"], "left_anti")
+    if e.op == "~":
+        # sibling: spans in right sharing a parent with a (different) span
+        # in left
+        lp = (
+            left.join(spans, ["trace_id", "span_id"], "inner")
+            .filter(F.col("parent_id") != "")
+            .select("trace_id", F.col("parent_id"), F.col("span_id").alias("lspan"))
+        )
+        rp = right.join(spans, ["trace_id", "span_id"], "inner").filter(
+            F.col("parent_id") != ""
+        )
+        j = rp.join(lp, ["trace_id", "parent_id"], "inner").filter(
+            F.col("span_id") != F.col("lspan")
+        )
+        return j.select("trace_id", "span_id").distinct()
+    raise NotImplementedError(f"structural op {e.op}")
+
+
+def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame, max_depth: int = 8) -> DataFrame:
+    """(trace_id, span_id, anc_id) for every ancestor of each span in
+    span_set, walking parent_id up to max_depth."""
+    cur = (
+        span_set.join(spans, ["trace_id", "span_id"], "inner")
+        .filter(F.col("parent_id") != "")
+        .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
+    )
+    all_anc = cur
+    parents = spans.select(
+        "trace_id",
+        F.col("span_id").alias("anc_id"),
+        F.col("parent_id").alias("next_anc"),
+    )
+    for _ in range(max_depth - 1):
+        cur = (
+            cur.join(parents, ["trace_id", "anc_id"], "inner")
+            .filter(F.col("next_anc") != "")
+            .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
+        )
+        # local fixpoint check would force an action per level; with a
+        # depth cap the empty tail joins are cheap no-ops
+        all_anc = all_anc.unionByName(cur)
+    return all_anc.distinct()
+
+
+_CMP = {
+    "=": lambda c, v: c == v, "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v, ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v, "<=": lambda c, v: c <= v,
+}
+
+
+def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
+    """Full pipeline; returns spans (search), traces (assembly) or a
+    metrics matrix depending on the stages."""
+    ids = eval_spanset(ctx, script.spanset)
+    spans = ctx.spans().join(ids, ["trace_id", "span_id"], "left_semi")
+    for af in script.agg_filters:
+        target = F.col("duration_ns") if af.attr in (None, "duration") else F.col("duration_ns")
+        aggs = {
+            "count": F.count(F.lit(1)).cast("double"),
+            "sum": F.sum(target), "min": F.min(target),
+            "max": F.max(target), "avg": F.avg(target),
+        }
+        per_trace = spans.groupBy("trace_id").agg(aggs[af.fn].alias("__agg"))
+        good = per_trace.filter(_CMP[af.op](F.col("__agg"), F.lit(af.value))).select(
+            "trace_id"
+        )
+        spans = spans.join(F.broadcast(good), "trace_id", "left_semi")
+    if script.metrics is not None:
+        return _metrics(ctx, spans, script.metrics)
+    return spans
+
+
+def assemble_traces(ctx: TraceQLContext, spans: DataFrame) -> DataFrame:
+    """Search-result trace assembly (ref: index_groupby.go — groupArray
+    per trace ordered by max ts): span count, root service, window."""
+    return spans.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("span_count"),
+        F.min("timestamp_ns").alias("start_ns"),
+        F.max(F.col("timestamp_ns") + F.col("duration_ns")).alias("end_ns"),
+        F.max_by("service_name", F.when(F.col("parent_id") == "", F.col("timestamp_ns"))).alias(
+            "root_service"
+        ),
+        F.sum("duration_ns").alias("total_duration_ns"),
+    )
+
+
+def _metrics(ctx: TraceQLContext, spans: DataFrame, m: MetricsStage) -> DataFrame:
+    step = m.step_ns or ctx.step_ns
+    bucket = (
+        F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(step))
+    ).alias("timestamp_ns")
+    target = F.col("duration_ns")
+    if m.fn == "rate":
+        return spans.groupBy(bucket).agg(
+            (F.count(F.lit(1)) / F.lit(step / 1e9)).alias("value")
+        )
+    if m.fn == "count_over_time":
+        return spans.groupBy(bucket).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    if m.fn == "avg_over_time":
+        return spans.groupBy(bucket).agg(F.avg(target).alias("value"))
+    if m.fn == "min_over_time":
+        return spans.groupBy(bucket).agg(F.min(target).cast("double").alias("value"))
+    if m.fn == "max_over_time":
+        return spans.groupBy(bucket).agg(F.max(target).cast("double").alias("value"))
+    if m.fn == "quantile_over_time":
+        return spans.groupBy(bucket).agg(
+            F.percentile(target, F.lit(m.param)).alias("value")
+        )
+    if m.fn == "histogram_over_time":
+        # log2 duration buckets (ref: metrics_query.go:501)
+        exp = F.floor(F.log2(target.cast("double"))).cast("long")
+        return (
+            spans.withColumn("le", F.pow(F.lit(2.0), exp))
+            .groupBy(bucket, "le")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+    raise NotImplementedError(f"metrics fn {m.fn}")
+
+
+def compare_attrs(ctx: TraceQLContext, sel: SpanSelector, top_n: int = 10) -> DataFrame:
+    """| compare({sel}): attribute frequency diff between the selection
+    and the baseline (everything else) — ref: BuildCompareQuery
+    metrics_query.go:748. Returns per (key,val): selection count,
+    baseline count."""
+    ids = select_spans(ctx, sel)
+    attrs = ctx.attrs()
+    flagged = attrs.join(
+        ids.withColumn("__sel", F.lit(1)), ["trace_id", "span_id"], "left"
+    ).withColumn("__sel", F.coalesce(F.col("__sel"), F.lit(0)))
+    counts = flagged.groupBy("key", "val").agg(
+        F.sum("__sel").alias("selection_count"),
+        F.sum(F.lit(1) - F.col("__sel")).alias("baseline_count"),
+    )
+    w = Window.orderBy(F.col("selection_count").desc(), F.col("key"), F.col("val"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+
+
+def query(ctx: TraceQLContext, text: str) -> DataFrame:
+    return compile_script(ctx, P.parse(text))

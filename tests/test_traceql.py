@@ -1,0 +1,280 @@
+"""TraceQL semantic tests vs the DuckDB oracle over the derived spans
+(orders → root spans, lineitem → child spans; see sources/views.py)."""
+
+from pyspark.sql import functions as F
+
+from gigapipe_spark.sources.oracle import with_spans
+from gigapipe_spark.traceql.compiler import (
+    TraceQLContext,
+    assemble_traces,
+    compare_attrs,
+    query,
+)
+from gigapipe_spark.traceql.parser import parse
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_match
+
+
+def ctx(spark):
+    return TraceQLContext(spark, SF_DIR)
+
+
+def ids(df):
+    return df.select("trace_id", "span_id")
+
+
+# ----------------------------------------------------------------- parser
+
+def test_parse_shapes():
+    s = parse('{ name="order" && duration > 1s }')
+    assert s.spanset.expr.op == "&&"
+    s2 = parse('{ .returnflag = "R" } &>> { name = "order" }')
+    # note: grammar binds selector-structural-selector left to right
+    s3 = parse('{} | count() > 5')
+    assert s3.agg_filters[0].fn == "count"
+    s4 = parse('{ name="item" } | rate()')
+    assert s4.metrics.fn == "rate"
+    s5 = parse('{ span.returnflag = "R" || duration >= 2s }')
+    assert s5.spanset.expr.op == "||"
+
+
+# ----------------------------------------------------------------- selection
+
+def test_attr_eq(spark):
+    df = ids(query(ctx(spark), '{ returnflag = "R" }'))
+    assert_match(
+        df,
+        with_spans("SELECT trace_id, span_id FROM spans WHERE returnflag = 'R'"),
+        SF_DIR,
+    )
+
+
+def test_duration_filter_direct(spark):
+    # duration-only selector takes the attrless fast path (spans scan)
+    df = ids(query(ctx(spark), "{ duration > 50ms }"))
+    assert_match(
+        df,
+        with_spans(
+            "SELECT trace_id, span_id FROM spans WHERE duration_ns > 50000000"
+        ),
+        SF_DIR,
+    )
+
+
+def test_bitmask_and_or(spark):
+    df = ids(query(ctx(spark), '{ (status = "F" || status = "P") && priority =~ "1-.*" }'))
+    assert_match(
+        df,
+        with_spans(
+            "SELECT trace_id, span_id FROM spans WHERE (status IN ('F','P'))"
+            " AND regexp_matches(priority, '1-.*')"
+        ),
+        SF_DIR,
+    )
+
+
+def test_mixed_attr_duration(spark):
+    df = ids(query(ctx(spark), '{ name = "item" && duration > 60ms }'))
+    assert_match(
+        df,
+        with_spans(
+            "SELECT trace_id, span_id FROM spans WHERE name='item'"
+            " AND duration_ns > 60000000"
+        ),
+        SF_DIR,
+    )
+
+
+# ----------------------------------------------------------------- structural
+
+def test_descendant(spark):
+    # items with returnflag R under an urgent order
+    df = ids(query(ctx(spark), '{ priority = "1-URGENT" } &>> { returnflag = "R" }'))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT c.trace_id, c.span_id FROM spans c
+            JOIN spans p ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE c.returnflag = 'R' AND p.priority = '1-URGENT'
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_ancestor(spark):
+    # orders that have an R-flagged item beneath them
+    df = ids(query(ctx(spark), '{ returnflag = "R" } <<& { name = "order" }'))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT DISTINCT p.trace_id, p.span_id FROM spans p
+            JOIN spans c ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE p.name = 'order' AND c.returnflag = 'R'
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_sibling(spark):
+    df = ids(query(ctx(spark), '{ returnflag = "R" } ~ { returnflag = "A" }'))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT DISTINCT b.trace_id, b.span_id FROM spans b
+            JOIN spans a ON a.trace_id = b.trace_id AND a.parent_id = b.parent_id
+                        AND a.span_id != b.span_id
+            WHERE b.returnflag = 'A' AND a.returnflag = 'R'
+              AND b.parent_id != '' AND a.parent_id != ''
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_trace_and(spark):
+    df = ids(query(ctx(spark), '{ returnflag = "R" } and { status = "F" }'))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT DISTINCT u.trace_id, u.span_id
+            FROM (SELECT trace_id, span_id FROM spans WHERE returnflag='R'
+                  UNION ALL
+                  SELECT trace_id, span_id FROM spans WHERE status='F') u
+            JOIN (SELECT DISTINCT l.trace_id
+                  FROM (SELECT DISTINCT trace_id FROM spans WHERE returnflag='R') l
+                  JOIN (SELECT DISTINCT trace_id FROM spans WHERE status='F') rr
+                    ON l.trace_id = rr.trace_id) t
+              ON u.trace_id = t.trace_id
+            """
+        ),
+        SF_DIR,
+    )
+
+
+# ----------------------------------------------------------------- aggregates
+
+def test_spanset_count_filter(spark):
+    df = ids(query(ctx(spark), "{} | count() > 45"))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT trace_id, span_id FROM spans WHERE trace_id IN (
+              SELECT trace_id FROM spans GROUP BY trace_id HAVING count(*) > 45
+            )
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_spanset_avg_duration_filter(spark):
+    df = ids(query(ctx(spark), '{ name = "item" } | avg(duration) > 30ms'))
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT trace_id, span_id FROM spans
+            WHERE name = 'item' AND trace_id IN (
+              SELECT trace_id FROM spans WHERE name = 'item' GROUP BY trace_id
+              HAVING avg(duration_ns) > 30000000
+            )
+            """
+        ),
+        SF_DIR,
+    )
+
+
+# ----------------------------------------------------------------- assembly
+
+def test_trace_assembly(spark):
+    spans = query(ctx(spark), '{ returnflag = "R" }')
+    df = assemble_traces(ctx(spark), spans).select(
+        "trace_id", "span_count", "start_ns", "total_duration_ns"
+    )
+    assert_match(
+        df,
+        with_spans(
+            """
+            SELECT trace_id, count(*) AS span_count, min(timestamp_ns) AS start_ns,
+                   sum(duration_ns) AS total_duration_ns
+            FROM spans WHERE returnflag = 'R' GROUP BY trace_id
+            """
+        ),
+        SF_DIR,
+    )
+
+
+# ----------------------------------------------------------------- metrics
+
+def test_metrics_rate_and_quantile(spark):
+    c = ctx(spark)
+    step = c.step_ns
+    df = query(c, '{ name = "item" } | rate()').select(
+        "timestamp_ns", F.round("value", 6).alias("value")
+    )
+    assert_match(
+        df,
+        with_spans(
+            f"""
+            SELECT (timestamp_ns - timestamp_ns % {step}) AS timestamp_ns,
+                   round(count(*) / {step/1e9}, 6) AS value
+            FROM spans WHERE name = 'item' GROUP BY 1
+            """
+        ),
+        SF_DIR,
+    )
+    dq = query(c, '{ name = "item" } | quantile_over_time(duration, 0.9)').select(
+        "timestamp_ns", F.round("value", 4).alias("value")
+    )
+    assert_match(
+        dq,
+        with_spans(
+            f"""
+            SELECT (timestamp_ns - timestamp_ns % {step}) AS timestamp_ns,
+                   round(quantile_cont(duration_ns, 0.9), 4) AS value
+            FROM spans WHERE name = 'item' GROUP BY 1
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_histogram_over_time(spark):
+    c = ctx(spark)
+    step = c.step_ns
+    df = query(c, '{ name = "order" } | histogram_over_time(duration)').select(
+        "timestamp_ns", "le", F.round("value", 6).alias("value")
+    )
+    assert_match(
+        df,
+        with_spans(
+            f"""
+            SELECT (timestamp_ns - timestamp_ns % {step}) AS timestamp_ns,
+                   power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+                   round(CAST(count(*) AS DOUBLE), 6) AS value
+            FROM spans WHERE name = 'order' GROUP BY 1, 2
+            """
+        ),
+        SF_DIR,
+    )
+
+
+def test_compare(spark):
+    from gigapipe_spark.traceql.parser import TraceQLParser
+
+    sel = TraceQLParser('{ returnflag = "R" }').parse_spanset_atom()
+    df = compare_attrs(ctx(spark), sel, top_n=5)
+    rows = df.collect()
+    assert len(rows) == 5
+    # the selection is exactly the R-flagged spans: for key=returnflag,
+    # val=R the baseline count must be 0
+    r = [x for x in rows if x["key"] == "returnflag" and x["val"] == "R"]
+    if r:
+        assert r[0]["baseline_count"] == 0
