@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies, each fully distributed (no driver-side loops):
+
+  exact_dedup        hash-groupBy on normalized text — one shuffle
+  jaccard_pairs      exact n-gram-shingle Jaccard over bounded candidate
+                     pairs (the small-scale oracle / verification path)
+  minhash_lsh_pairs  MinHash signatures + LSH banding → candidates →
+                     exact-Jaccard verification. The 100 TB path: cost is
+                     O(docs × num_hashes) + a band-bucket shuffle, never
+                     O(n²). Deterministic: fixed hash params, xxhash64.
+  simhash_pairs      64-bit SimHash + banded Hamming search, verified the
+                     same way.
+
+All set operations stay in Spark built-ins (transform/aggregate/
+array_*) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime universe: keeps a*h+b within int64 under ANSI
+# arithmetic (Spark 4 errors on overflow rather than wrapping)
+MERSENNE_P = (1 << 31) - 1
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, built with sequence+transform
+    (JVM-side, codegen'd)."""
+    ws = words_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per distinct text. One hash shuffle on the
+    text digest (not the full text — cheaper wide rows at scale)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__digest"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    partition_col: str | None = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard over same-partition pairs.
+
+    O(pairs-within-partition) — usable as the verification/oracle path
+    and for bounded partitions; the unbounded path is minhash_lsh_pairs.
+    partition_col=None compares every pair (quadratic — oracle use only).
+    """
+    part = F.col(partition_col) if partition_col else F.lit(0)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        part.alias("part"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    )
+    a = sh.select(
+        F.col("id").alias("doc_a"), F.col("part"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("id").alias("doc_b"), F.col("part"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, "part").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _minhash_sig(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature: per permutation j, min over shingle hashes of
+    (a_j*h + b_j) mod p. Params are fixed odd constants — deterministic
+    across runs and engines."""
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
+    params = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"j -> struct(CAST(2*j + 1 AS BIGINT) AS a, CAST(j AS BIGINT) * 98765431 + 12345 AS b))"
+    )
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(
+                    p["a"] * F.pmod(h, F.lit(MERSENNE_P)) + p["b"], F.lit(MERSENNE_P)
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, exact-verified.
+
+    rows-per-band = num_hashes // bands. Candidate generation is a
+    groupBy on (band, band_hash) — the only shuffle touching all docs;
+    verification joins shingle sets back for candidates only.
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", _minhash_sig(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
+            )
+        ).alias("bh"),
+    ).select("id", "sh", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    left = banded.select("band", "h", F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    right = banded.select("band", "h", F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        left.join(right, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over words: bit i = sign of Σ_tokens (±1 by token
+    hash bit i). Bit positions are unrolled statically (shift amounts
+    must be literals), so the whole signature is one codegen'd
+    expression over the token-hash array."""
+    ws = words_col(text)
+    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+    def _merge_for_bit(i: int):
+        # closure (not a default arg): pyspark dispatches HOF lambdas on
+        # their arity, so the merge fn must be exactly 2-ary
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for_bit(i))
+        bitval = (1 << i) if i < 63 else -(1 << 63)  # top bit = sign bit in int64
+        sig = sig.bitwiseOR(
+            F.when(bit_sum > 0, F.lit(bitval).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_threshold: float | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    chunks (any pair within hamming ≤ 3·16 shares ≥1 exact chunk —
+    guaranteed recall for max_hamming ≤ 48/...; for small max_hamming the
+    pigeonhole bound is max_hamming < 4), then filter by true Hamming
+    distance via bit_count(xor)."""
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        _simhash(F.col(text_col)).alias("sig"),
+    )
+    chunks = sig.select(
+        "id",
+        "sig",
+        "text",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> struct(c AS chunk, shiftright(sig, c*16) & 65535 AS h))"
+            )
+        ).alias("ch"),
+    ).select("id", "sig", "text", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
+    left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("text").alias("text_a"))
+    right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("text").alias("text_b"))
+    cand = (
+        left.join(right, ["chunk", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    out = cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
+    if verify_threshold is not None:
+        out = out.withColumn(
+            "jaccard",
+            _jaccard(
+                shingles_col(F.col("text_a"), shingle_n),
+                shingles_col(F.col("text_b"), shingle_n),
+            ),
+        ).filter(F.col("jaccard") >= verify_threshold)
+        return out.select(
+            "doc_a", "doc_b", "hamming", F.round("jaccard", 6).alias("jaccard")
+        )
+    return out.select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,128 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata,
+with decode / feature-extract stages as Arrow-batched Pandas stages.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked STUB (deterministic byte-level features). The Spark-side
+plumbing — schema, batch shape, mapInPandas signature, partition
+behavior — is real and tested; swapping in a real decoder is a local
+change inside `_decode_batch`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("size_bytes", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, size_bytes long, n_chunks int, feature array<double>"
+)
+
+_CHUNK = 64
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal rows: text bytes as the opaque payload
+    (stand-in for image/audio blobs) + typed metadata struct."""
+    return docs.select(
+        F.col("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("size_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes):
+    """Placeholder for a real decoder (PIL/librosa/av). Not available in
+    this container — the pipeline stubs it with byte-level features."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; extract_features uses a deterministic byte-level stub"
+    )
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: 16-bin byte histogram per payload (deterministic).
+
+    Arrow-batched: each pdf is a columnar batch; per-row Python cost is
+    one numpy pass over the payload bytes.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        sizes = []
+        chunks = []
+        for payload in pdf["payload"]:
+            b = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+            hist = np.bincount(b >> 4, minlength=16).astype("float64")
+            total = max(hist.sum(), 1.0)
+            feats.append((hist / total).tolist())
+            sizes.append(len(b))
+            chunks.append(int(np.ceil(len(b) / _CHUNK)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "size_bytes": sizes,
+                "n_chunks": chunks,
+                "feature": feats,
+            }
+        )
+
+
+def extract_features(multimodal: DataFrame) -> DataFrame:
+    """payload → feature vectors via mapInPandas (the real-decoder seam).
+
+    Repartition note: feature extraction is CPU-bound per row; at scale
+    the input should be repartitioned to ~cores×4 before this stage so
+    Arrow batches stay balanced."""
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        _decode_batch, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(multimodal: DataFrame, every_n: int = 4) -> DataFrame:
+    """Deterministic frame/chunk sampling: split each payload into fixed
+    chunks and keep every n-th — pure built-ins (posexplode over byte
+    slices), the pattern a video frame-sampler follows."""
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                (F.length("payload") - 1) / F.lit(_CHUNK), F.lit(0)
+            ).cast("int"),
+        ),
+        lambda i: F.struct(
+            i.alias("chunk_no"),
+            F.substring(F.col("payload"), i * _CHUNK + 1, _CHUNK).alias("chunk"),
+        ),
+    )
+    return (
+        multimodal.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_no").alias("chunk_no"), F.col("c.chunk").alias("chunk"))
+        .filter(F.pmod(F.col("chunk_no"), F.lit(every_n)) == 0)
+    )

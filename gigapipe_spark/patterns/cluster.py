@@ -1,0 +1,194 @@
+"""Drain-style log pattern mining (ref: writer/pattern/, ~4.8k LoC).
+
+The reference clusters log lines online at ingest: a re2c lexer types
+tokens (UUID/IP/timestamp/number/...), the cluster key is the first
+"valuable" token, and a line merges into a cluster iff
+
+    (difference_cost + generalized_cost) / overall_cost <= 1 - similarity
+
+(ref: writer/pattern/clustering/pattern.go:155-198; token costs :46-66;
+cluster key :238-265). Differing tokens become the `<_>` placeholder.
+
+Spark design: tokenize + cluster-key assignment are pure column
+expressions; the per-key incremental clustering is an applyInPandas
+stage — per-group state fits in memory because groups are (fingerprint,
+cluster_key) shards, exactly how the reference shards its controller.
+At 100 TB this is one shuffle on the cluster key; group sizes are
+bounded by per-key line volume, with AQE skew handling for hot keys.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# token classes, mirroring the reference lexer's typing
+# (ref: writer/pattern/clustering/_lexer.go): higher cost = more
+# "valuable" when generalizing
+TOKEN_CLASSES = [
+    ("uuid", re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), 1),
+    ("ip", re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d+)?$"), 1),
+    ("timestamp", re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}.*)?$"), 1),
+    ("number", re.compile(r"^-?\d+(\.\d+)?$"), 1),
+    ("hex", re.compile(r"^0[xX][0-9a-fA-F]+$"), 1),
+    ("level", re.compile(r"^(TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL|trace|debug|info|warn|warning|error|fatal)$"), 2),
+    ("method", re.compile(r"^(GET|POST|PUT|DELETE|PATCH|HEAD|OPTIONS)$"), 2),
+    ("path", re.compile(r"^/[^ ]*$"), 3),
+    ("word", re.compile(r"^.*$"), 5),
+]
+
+GENERALIZED = "<_>"
+GENERALIZED_COST = 0
+
+
+def classify(token: str) -> tuple[str, int]:
+    for name, rx, cost in TOKEN_CLASSES:
+        if rx.match(token):
+            return name, cost
+    return "word", 5
+
+
+def token_cost(token: str) -> int:
+    return classify(token)[1]
+
+
+def cluster_key(tokens: list[str]) -> str:
+    """First 'valuable' token (ref: pattern.go:238-265): the first token
+    whose class is a plain word — stable under parameter changes."""
+    for t in tokens:
+        name, cost = classify(t)
+        if cost >= 5:
+            return t
+    return tokens[0] if tokens else ""
+
+
+class Pattern:
+    __slots__ = ("tokens", "costs", "samples_count")
+
+    def __init__(self, tokens: list[str]):
+        self.tokens = list(tokens)
+        self.costs = [token_cost(t) for t in tokens]
+        self.samples_count = 1
+
+    @property
+    def overall_cost(self) -> int:
+        return sum(self.costs)
+
+    @property
+    def generalized_cost(self) -> int:
+        return sum(c for t, c in zip(self.tokens, self.costs) if t == GENERALIZED)
+
+    def try_merge(self, tokens: list[str], similarity: float) -> bool:
+        """Merge rule (ref: pattern.go:155-198): accept iff
+        (difference_cost + generalized_cost) / overall_cost <= 1 - sim."""
+        if len(tokens) != len(self.tokens):
+            return False
+        diff_cost = 0
+        for mine, theirs, cost in zip(self.tokens, tokens, self.costs):
+            if mine != theirs and mine != GENERALIZED:
+                diff_cost += cost
+        overall = self.overall_cost or 1
+        if (diff_cost + self.generalized_cost) / overall > 1 - similarity:
+            return False
+        self.tokens = [
+            m if (m == t or m == GENERALIZED) else GENERALIZED
+            for m, t in zip(self.tokens, tokens)
+        ]
+        self.samples_count += 1
+        return True
+
+
+def cluster_lines(lines: list[str], similarity: float = 0.6) -> list[Pattern]:
+    """Reference algorithm over one shard (driver-free: called inside
+    applyInPandas per group)."""
+    clusters: list[Pattern] = []
+    for line in lines:
+        tokens = line.split()
+        if not tokens:
+            continue
+        for c in clusters:
+            if c.try_merge(tokens, similarity):
+                break
+        else:
+            clusters.append(Pattern(tokens))
+    return clusters
+
+
+def mine_patterns(
+    samples: DataFrame,
+    similarity: float = 0.6,
+    bucket_ns: int = 600_000_000_000,  # 10m flush buckets (ref: controller.go)
+) -> DataFrame:
+    """Distributed pattern mining over a samples DataFrame.
+
+    groupBy (fingerprint, 10m bucket, cluster_key) → applyInPandas runs
+    the reference merge loop per shard. Output mirrors the `patterns`
+    table (ref: ctrl/qryn/sql/log.sql:174-187).
+    """
+    first_word = F.element_at(F.filter(F.split("string", r"\s+"), lambda w: w != ""), 1)
+    prepared = samples.filter(F.col("string") != "").select(
+        "fingerprint",
+        (
+            F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(bucket_ns))
+        ).alias("timestamp_10m"),
+        F.coalesce(first_word, F.lit("")).alias("ckey"),
+        F.col("string"),
+        "timestamp_ns",
+    )
+
+    out_schema = (
+        "fingerprint long, timestamp_10m long, tokens array<string>, "
+        "classes array<int>, overall_cost int, generalized_cost int, "
+        "samples_count long, pattern_id long"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp_ns")
+        clusters = cluster_lines(list(pdf["string"]), similarity)
+        rows = []
+        fp = int(pdf["fingerprint"].iloc[0])
+        bucket = int(pdf["timestamp_10m"].iloc[0])
+        for c in clusters:
+            import zlib
+
+            pid = zlib.crc32(" ".join(c.tokens).encode()) + (fp << 32 & 0x7FFFFFFF00000000)
+            rows.append(
+                {
+                    "fingerprint": fp,
+                    "timestamp_10m": bucket,
+                    "tokens": c.tokens,
+                    "classes": [token_cost(t) for t in c.tokens],
+                    "overall_cost": c.overall_cost,
+                    "generalized_cost": c.generalized_cost,
+                    "samples_count": c.samples_count,
+                    "pattern_id": pid,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "fingerprint", "timestamp_10m", "tokens", "classes",
+                "overall_cost", "generalized_cost", "samples_count", "pattern_id",
+            ],
+        )
+
+    return prepared.groupBy("fingerprint", "timestamp_10m", "ckey").applyInPandas(
+        run, schema=out_schema
+    )
+
+
+def read_patterns(patterns: DataFrame) -> DataFrame:
+    """Read-side shaping (ref: planner_patterns.go:10 — latest iteration
+    per pattern, sample counts): pattern string + totals."""
+    return (
+        patterns.withColumn("pattern", F.concat_ws(" ", "tokens"))
+        .groupBy("pattern")
+        .agg(
+            F.sum("samples_count").alias("samples_count"),
+            F.countDistinct("fingerprint").alias("n_streams"),
+        )
+    )

@@ -557,6 +557,159 @@ def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded(df.drop("type"), "max", "min", "sum", "bytes", "last")
 
 
+# ------------------------------------------------------- data pipeline
+
+from gigapipe_spark.datapipe import dedup as _dedup  # noqa: E402
+from gigapipe_spark.datapipe import multimodal as _mm  # noqa: E402
+from gigapipe_spark.datapipe import simsearch as _sim  # noqa: E402
+from gigapipe_spark.datapipe import textstats as _ts  # noqa: E402
+from gigapipe_spark.sources import views as _views  # noqa: E402
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' '))-1),"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    " || ' ' || string_split(text,' ')[i+2]))"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+WITH sh AS (SELECT doc_id, lang, {_SHINGLE_SQL} AS s FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))*1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id {{part}}
+WHERE len(list_intersect(a.s, b.s))*1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_views.documents(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL.format(part="AND a.lang = b.lang"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.jaccard_pairs(_views.documents(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL.format(part=""))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with exact verification: at threshold 0.5 with 32
+    bands × 2 rows recall is 1.0 on the fixture, so the exact-pair SQL
+    is a valid oracle."""
+    return _dedup.minhash_lsh_pairs(_views.documents(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash")  # subset semantics — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_pairs(
+        _views.documents(spark, sf_dir), max_hamming=3, verify_threshold=0.5
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                                         e.vec_id) AS rn
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.cosine_topk(_views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
+
+
+@register("sim_ann_lsh")  # approximate — rows-only check (recall tested in tests/)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.lsh_ann_topk(_views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.token_count(_views.documents(spark, sf_dir))
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id, len(ws) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(ws, w -> lower(w) IN ('the','a','and','of','to','in','is','on','for','with')))
+                 * 1.0 / greatest(len(ws), 1), 6) AS stopword_ratio,
+           round(len(list_distinct(ws)) * 1.0 / greatest(len(ws), 1), 6) AS distinct_token_ratio,
+           round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / greatest(len(ws), 1), 6) AS mean_word_len
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.quality_score(_views.documents(spark, sf_dir))
+
+
+@register(
+    "text_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(ws, w -> lower(w) IN ('the','and','of'))) AS score_en,
+           CASE WHEN len(list_filter(ws, w -> lower(w) IN ('the','and','of'))) > 0
+                THEN 'en' ELSE 'fr' END AS pred_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.lang_id(_views.documents(spark, sf_dir)).select(
+        "doc_id", "score_en", "pred_lang"
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id, md5(text) AS exact_digest,
+           md5(array_to_string(list_sort(list_filter(string_split_regex(text, '\s+'), x -> x != '')), ' ')) AS bag_digest
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.fingerprint(_views.documents(spark, sf_dir)).select(
+        "doc_id", "exact_digest", "bag_digest"
+    )
+
+
+@register("multimodal_features")  # Pandas-UDF stage — rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _mm.attach_payload(_views.documents(spark, sf_dir))
+    return _mm.extract_features(mm)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

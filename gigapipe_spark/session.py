@@ -17,6 +17,16 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "gigapipe_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers (Pandas UDF / applyInPandas stages) unpickle closures
+    # that reference this package; they inherit PYTHONPATH, not the
+    # driver's runtime sys.path — export the repo root before the first
+    # worker spawns so the engine works from any cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + py_path if py_path else "")
+        )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

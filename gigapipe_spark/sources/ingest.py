@@ -1,0 +1,197 @@
+"""Ingestion decoders: wire formats → the unified samples/time_series
+model (ref: writer/utils/unmarshal/*).
+
+Each decoder is a DataFrame → DataFrame transform over a column of raw
+payload strings (one HTTP body or line per row), built on from_json /
+regexp — JVM-side, streaming-compatible (the same transforms run under
+readStream). Protobuf variants of these endpoints decode to the same
+shapes; JSON is the wire format exercised here.
+
+  loki_push       ref: unmarshal.go:36        {"streams":[{"stream":{..},"values":[[ts,line],..]}]}
+  influx_line     ref: influx.go:42           measurement,tag=v field=1.5 ts
+  elastic_bulk    ref: elastic.go:29,56       NDJSON doc lines
+  zipkin_spans    ref: zipkin_json.go:42      Zipkin v2 JSON arrays
+  otlp_logs       ref: otlplogs.go + otlp.go:135-154 (dotted-prefix attr flattening)
+
+All decoders end in the same normalized tuple the reference funnels into
+fingerprinting: (labels map, timestamp_ns, string|value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gigapipe_spark.model.fingerprint import fingerprint_col
+
+_LOKI_SCHEMA = (
+    "struct<streams: array<struct<stream: map<string,string>,"
+    " values: array<array<string>>>>>"
+)
+
+
+def _normalize(labels: Column, ts_ns: Column, line: Column, value: Column, typ: int) -> list[Column]:
+    return [
+        fingerprint_col(labels).alias("fingerprint"),
+        labels.alias("labels"),
+        ts_ns.cast("long").alias("timestamp_ns"),
+        value.cast("double").alias("value"),
+        line.cast("string").alias("string"),
+        F.lit(typ).cast("byte").alias("type"),
+    ]
+
+
+def loki_push(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Loki push API JSON → samples rows (ref: unmarshal.go:36)."""
+    parsed = raw.select(F.from_json(F.col(payload_col), _LOKI_SCHEMA).alias("p"))
+    streams = parsed.select(F.explode("p.streams").alias("s"))
+    entries = streams.select(
+        F.col("s.stream").alias("labels"), F.explode("s.values").alias("v")
+    )
+    return entries.select(
+        *_normalize(
+            F.col("labels"),
+            F.get(F.col("v"), 0).cast("long"),
+            F.get(F.col("v"), 1),
+            F.lit(0.0),
+            1,
+        )
+    )
+
+
+def influx_line(raw: DataFrame, line_col: str = "line") -> DataFrame:
+    """InfluxDB line protocol → metric samples (ref: influx.go:42).
+
+    measurement[,tag=v...] field=value[,field2=v2...] [timestamp]
+    Each field becomes one sample named measurement_field; tags become
+    labels. Regex-based split — stays in JVM expressions.
+    """
+    line = F.col(line_col)
+    meas_tags = F.regexp_extract(line, r"^([^ ]+) ", 1)
+    measurement = F.split(meas_tags, ",").getItem(0)
+    # tags: everything after the first comma in the first space-token
+    tags = F.when(
+        meas_tags.contains(","),
+        F.expr(
+            f"str_to_map(regexp_replace(regexp_extract({line_col}, '^([^ ]+) ', 1),"
+            f" '^[^,]*,', ''), ',', '=')"
+        ),
+    ).otherwise(F.expr("map()"))
+    ts = F.regexp_extract(line, r" (\d+)\s*$", 1).cast("long")
+    fields = F.expr(
+        f"str_to_map(regexp_extract({line_col}, '^[^ ]+ ([^ ]+)', 1), ',', '=')"
+    )
+    exploded = raw.select(
+        measurement.alias("meas"), tags.alias("tags"), ts.alias("ts"),
+        F.explode(fields).alias("fkey", "fval"),
+    )
+    labels = F.map_concat(
+        F.col("tags"),
+        F.create_map(
+            F.lit("__name__"), F.concat(F.col("meas"), F.lit("_"), F.col("fkey"))
+        ),
+    )
+    value = F.regexp_replace(F.col("fval"), r"i$", "").cast("double")
+    return exploded.select(
+        *_normalize(labels, F.col("ts"), F.lit(""), value, 2)
+    ).filter(F.col("value").isNotNull())
+
+
+def elastic_bulk(raw: DataFrame, line_col: str = "line") -> DataFrame:
+    """Elastic _bulk NDJSON: action lines are dropped, doc lines become
+    log samples with @timestamp/message extracted, remaining top-level
+    scalars as labels (ref: elastic.go:29,56)."""
+    doc = F.from_json(F.col(line_col), "map<string,string>")
+    docs = raw.select(doc.alias("d")).filter(
+        F.col("d").isNotNull()
+        & ~F.map_contains_key("d", "index")
+        & ~F.map_contains_key("d", "create")
+    )
+    ts = F.coalesce(
+        F.to_timestamp(F.col("d").getItem("@timestamp")).cast("long") * 1_000_000_000,
+        F.lit(0),
+    )
+    message = F.coalesce(F.col("d").getItem("message"), F.to_json(F.col("d")))
+    labels = F.map_filter(
+        F.col("d"), lambda k, v: ~k.isin("@timestamp", "message")
+    )
+    return docs.select(*_normalize(labels, ts, message, F.lit(0.0), 1))
+
+
+_ZIPKIN_SCHEMA = (
+    "array<struct<id: string, traceId: string, parentId: string, name: string,"
+    " timestamp: long, duration: long, localEndpoint: struct<serviceName: string>,"
+    " tags: map<string,string>>>"
+)
+
+
+def zipkin_spans(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Zipkin v2 JSON span arrays → spans rows (ref: zipkin_json.go:42).
+    Zipkin timestamps/durations are µs → ns."""
+    spans = raw.select(
+        F.explode(F.from_json(F.col(payload_col), _ZIPKIN_SCHEMA)).alias("s")
+    )
+    return spans.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.id").alias("span_id"),
+        F.coalesce(F.col("s.parentId"), F.lit("")).alias("parent_id"),
+        F.col("s.name").alias("name"),
+        (F.col("s.timestamp") * 1000).alias("timestamp_ns"),
+        (F.col("s.duration") * 1000).alias("duration_ns"),
+        F.col("s.localEndpoint.serviceName").alias("service_name"),
+        F.lit(1).cast("byte").alias("payload_type"),
+        F.to_json(F.col("s")).alias("payload"),
+    )
+
+
+_OTLP_LOGS_SCHEMA = """
+struct<resourceLogs: array<struct<
+  resource: struct<attributes: array<struct<key: string,
+    value: struct<stringValue: string>>>>,
+  scopeLogs: array<struct<logRecords: array<struct<
+    timeUnixNano: string, severityText: string,
+    body: struct<stringValue: string>,
+    attributes: array<struct<key: string, value: struct<stringValue: string>>>
+  >>>>
+>>>
+"""
+
+
+def otlp_logs(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """OTLP/JSON logs → samples (ref: otlplogs.go). Resource attributes
+    are flattened with dotted prefixes kept as-is (the reference prefixes
+    nested attrs the same way, otlp.go:135-154)."""
+    parsed = raw.select(F.from_json(F.col(payload_col), _OTLP_LOGS_SCHEMA).alias("p"))
+    rl = parsed.select(F.explode("p.resourceLogs").alias("rl"))
+    recs = (
+        rl.select(
+            F.map_from_entries(
+                F.transform(
+                    F.coalesce(F.col("rl.resource.attributes"), F.array()),
+                    lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+                )
+            ).alias("res_attrs"),
+            F.explode("rl.scopeLogs").alias("sl"),
+        )
+        .select("res_attrs", F.explode("sl.logRecords").alias("r"))
+    )
+    rec_attrs = F.map_from_entries(
+        F.transform(
+            F.coalesce(F.col("r.attributes"), F.array()),
+            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+        )
+    )
+    labels = F.map_concat(
+        F.col("res_attrs"),
+        rec_attrs,
+        F.create_map(F.lit("severity"), F.coalesce(F.col("r.severityText"), F.lit(""))),
+    )
+    return recs.select(
+        *_normalize(
+            labels,
+            F.col("r.timeUnixNano").cast("long"),
+            F.col("r.body.stringValue"),
+            F.lit(0.0),
+            1,
+        )
+    )

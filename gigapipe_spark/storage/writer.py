@@ -1,0 +1,96 @@
+"""Storage layout + the materialized-view fan-out writer.
+
+The reference's ClickHouse MVs fan one insert batch out to samples /
+time_series / gin / rollup tables (ref: ctrl/qryn/sql/log.sql:62-107;
+writer insert services writer/service/insert/*). Here one ingest batch
+(the output of a sources.ingest decoder) is written to N parquet tables
+in one pass — batch or inside foreachBatch for streaming, where the
+micro-batch trigger plays the role of the reference's timer flush
+(ref: generic_insert.go:288 flush timing → trigger(processingTime)).
+
+Layout decisions for 100 TB (SURVEY §1.2):
+  - fact tables partitioned by date (partition pruning on time ranges)
+  - rows sorted within files by (fingerprint, timestamp_ns) via
+    sortWithinPartitions — min/max parquet stats then let selector
+    semi-joins skip row groups, the MergeTree ORDER BY analog
+  - dimension tables (time_series, gin) deduplicated per batch and
+    merged on read (ReplacingMergeTree analog = dropDuplicates)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    """Paths + readers/writers for the engine's tables under one root."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def read_series(self, spark: SparkSession) -> DataFrame:
+        """time_series with ReplacingMergeTree-style dedup on read."""
+        return (
+            self.read(spark, "time_series")
+            .orderBy(F.col("date").desc())
+            .dropDuplicates(["fingerprint"])
+        )
+
+
+def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
+    """One decoded batch → samples + time_series + gin (the MV layer).
+
+    The batch carries (fingerprint, labels, timestamp_ns, value, string,
+    type). Labels are peeled off into the dimension tables; the fact
+    table stays narrow.
+    """
+    date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    with_date = batch.withColumn("date", date)
+
+    (
+        with_date.select(
+            "date", "fingerprint", "timestamp_ns", "value", "string", "type"
+        )
+        .sortWithinPartitions("fingerprint", "timestamp_ns")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("samples"))
+    )
+
+    series = with_date.select("date", "fingerprint", "labels", "type").dropDuplicates(
+        ["date", "fingerprint"]
+    )
+    series.write.mode("append").partitionBy("date").parquet(
+        catalog.path("time_series")
+    )
+
+    gin = series.select(
+        "date", "fingerprint", "type", F.explode("labels").alias("key", "val")
+    )
+    gin.write.mode("append").partitionBy("date").parquet(catalog.path("gin"))
+
+
+def stream_fanout(decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
+                  trigger_seconds: int = 5):
+    """Streaming ingest: micro-batch fan-out via foreachBatch — the
+    timer-flush batching of the reference is exactly the trigger
+    interval."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_fanout(batch_df, catalog)
+
+    return (
+        decoded_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

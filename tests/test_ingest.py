@@ -1,0 +1,162 @@
+"""Ingestion decoders + MV fan-out writer (ref: writer/utils/unmarshal/*,
+writer/service/insert/*)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from gigapipe_spark.sources import ingest
+from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+
+def test_loki_push(spark):
+    payload = json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web", "env": "prod"},
+                    "values": [
+                        ["1700000000000000000", "GET /index 200"],
+                        ["1700000001000000000", "GET /login 500"],
+                    ],
+                },
+                {
+                    "stream": {"app": "db"},
+                    "values": [["1700000002000000000", "slow query 1.2s"]],
+                },
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    out = ingest.loki_push(raw).collect()
+    assert len(out) == 3
+    web = [r for r in out if r["labels"]["app"] == "web"]
+    assert len(web) == 2
+    assert web[0]["timestamp_ns"] == 1700000000000000000
+    assert web[0]["string"] == "GET /index 200"
+    assert web[0]["type"] == 1
+    # same labels → same fingerprint; different labels → different
+    assert web[0]["fingerprint"] == web[1]["fingerprint"]
+    assert web[0]["fingerprint"] != out[2]["fingerprint"] or out[2]["labels"]["app"] == "web"
+
+
+def test_influx_line(spark):
+    lines = [
+        ("cpu,host=h1,region=eu usage=0.55,idle=0.45 1700000000000000000",),
+        ("mem,host=h1 used=1024i 1700000001000000000",),
+        ("disk free=99.5 1700000002000000000",),
+    ]
+    raw = spark.createDataFrame(lines, "line string")
+    out = ingest.influx_line(raw).collect()
+    by_name = {r["labels"]["__name__"]: r for r in out}
+    assert set(by_name) == {"cpu_usage", "cpu_idle", "mem_used", "disk_free"}
+    assert by_name["cpu_usage"]["value"] == 0.55
+    assert by_name["cpu_usage"]["labels"]["host"] == "h1"
+    assert by_name["cpu_usage"]["labels"]["region"] == "eu"
+    assert by_name["mem_used"]["value"] == 1024.0  # i-suffix integer
+    assert by_name["disk_free"]["labels"].get("host") is None
+    assert by_name["disk_free"]["timestamp_ns"] == 1700000002000000000
+
+
+def test_elastic_bulk(spark):
+    lines = [
+        ('{"index": {"_index": "logs"}}',),
+        ('{"@timestamp": "2024-01-01T00:00:00Z", "message": "hello", "level": "info"}',),
+        ('{"create": {"_index": "logs"}}',),
+        ('{"@timestamp": "2024-01-01T00:00:01Z", "message": "bye", "level": "warn"}',),
+    ]
+    raw = spark.createDataFrame(lines, "line string")
+    out = ingest.elastic_bulk(raw).orderBy("timestamp_ns").collect()
+    assert len(out) == 2  # action lines dropped
+    assert out[0]["string"] == "hello"
+    assert out[0]["labels"]["level"] == "info"
+    assert out[0]["timestamp_ns"] == 1704067200 * 1_000_000_000
+
+
+def test_zipkin_spans(spark):
+    payload = json.dumps(
+        [
+            {
+                "id": "b1", "traceId": "t1", "name": "get /",
+                "timestamp": 1700000000000000, "duration": 1500,
+                "localEndpoint": {"serviceName": "web"},
+            },
+            {
+                "id": "b2", "traceId": "t1", "parentId": "b1", "name": "select",
+                "timestamp": 1700000000000100, "duration": 900,
+                "localEndpoint": {"serviceName": "db"},
+            },
+        ]
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    out = ingest.zipkin_spans(raw).orderBy("span_id").collect()
+    assert len(out) == 2
+    assert out[0]["parent_id"] == "" and out[1]["parent_id"] == "b1"
+    assert out[0]["timestamp_ns"] == 1700000000000000000  # µs → ns
+    assert out[1]["duration_ns"] == 900000
+
+
+def test_otlp_logs(spark):
+    payload = json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "api"}}
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": "1700000000000000000",
+                                    "severityText": "ERROR",
+                                    "body": {"stringValue": "boom"},
+                                    "attributes": [
+                                        {"key": "http.method", "value": {"stringValue": "GET"}}
+                                    ],
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    out = ingest.otlp_logs(raw).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["string"] == "boom"
+    assert r["labels"]["service.name"] == "api"  # dotted prefix preserved
+    assert r["labels"]["http.method"] == "GET"
+    assert r["labels"]["severity"] == "ERROR"
+
+
+def test_ingest_fanout_roundtrip(spark, tmp_path):
+    payload = json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [["1700000000000000000", "hello"]],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    decoded = ingest.loki_push(raw)
+    cat = Catalog(str(tmp_path / "store"))
+    ingest_fanout(decoded, cat)
+    ingest_fanout(decoded, cat)  # second batch appends
+    samples = cat.read(spark, "samples")
+    assert samples.count() == 2
+    assert "date" in samples.columns  # partition column materialized
+    series = cat.read_series(spark)
+    assert series.count() == 1  # deduped on read
+    gin = cat.read(spark, "gin")
+    assert {r["key"] for r in gin.select("key").distinct().collect()} == {"app"}
+    # selector semi-join over the written store works end-to-end
+    fp = series.collect()[0]["fingerprint"]
+    assert samples.filter(F.col("fingerprint") == fp).count() == 2
