@@ -146,37 +146,46 @@ def mine_patterns(
         "samples_count long, pattern_id long"
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("timestamp_ns")
-        clusters = cluster_lines(list(pdf["string"]), similarity)
-        rows = []
-        fp = int(pdf["fingerprint"].iloc[0])
-        bucket = int(pdf["timestamp_10m"].iloc[0])
-        for c in clusters:
-            import zlib
+    cols = [
+        "fingerprint", "timestamp_10m", "tokens", "classes",
+        "overall_cost", "generalized_cost", "samples_count", "pattern_id",
+    ]
 
-            pid = zlib.crc32(" ".join(c.tokens).encode()) + (fp << 32 & 0x7FFFFFFF00000000)
-            rows.append(
-                {
-                    "fingerprint": fp,
-                    "timestamp_10m": bucket,
-                    "tokens": c.tokens,
-                    "classes": [token_cost(t) for t in c.tokens],
-                    "overall_cost": c.overall_cost,
-                    "generalized_cost": c.generalized_cost,
-                    "samples_count": c.samples_count,
-                    "pattern_id": pid,
-                }
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "fingerprint", "timestamp_10m", "tokens", "classes",
-                "overall_cost", "generalized_cost", "samples_count", "pattern_id",
-            ],
-        )
+    def run(batches):
+        # mapInPandas over hash-partitioned data, per-shard loop in
+        # pandas: one Arrow stream per partition instead of one
+        # invocation per (fingerprint, bucket, key) group —
+        # thousands of tiny applyInPandas groups each pay ~ms of
+        # batch overhead, which dominated wall-clock.
+        import zlib
 
-    return prepared.groupBy("fingerprint", "timestamp_10m", "ckey").applyInPandas(
+        for pdf in batches:
+            rows = []
+            pdf = pdf.sort_values("timestamp_ns")
+            for (fp, bucket, _ck), grp in pdf.groupby(
+                ["fingerprint", "timestamp_10m", "ckey"], sort=False
+            ):
+                for c in cluster_lines(list(grp["string"]), similarity):
+                    pid = zlib.crc32(" ".join(c.tokens).encode()) + (
+                        int(fp) << 32 & 0x7FFFFFFF00000000
+                    )
+                    rows.append(
+                        {
+                            "fingerprint": int(fp),
+                            "timestamp_10m": int(bucket),
+                            "tokens": c.tokens,
+                            "classes": [token_cost(t) for t in c.tokens],
+                            "overall_cost": c.overall_cost,
+                            "generalized_cost": c.generalized_cost,
+                            "samples_count": c.samples_count,
+                            "pattern_id": pid,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    # co-locate each shard on one partition so the pandas groupby sees
+    # complete groups
+    return prepared.repartition("fingerprint", "timestamp_10m", "ckey").mapInPandas(
         run, schema=out_schema
     )
 

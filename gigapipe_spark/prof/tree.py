@@ -1,0 +1,98 @@
+"""Profiling (Pyroscope) tree algebra.
+
+The reference stores call trees as Array(Tuple(parent, id, fn_id,
+values)) per profile row and merges them Go-side (ref:
+reader/service/prof_tree.go — MergeTrie :80-143, BFS levels :145,
+diff :308). SURVEY §2.6: in Spark the merge is explode → groupBy(node
+identity) → sum — a plain DataFrame aggregation, no UDAF. Only the
+final flamegraph formatting (levels/diff rendering) runs driver-side on
+the already-small merged result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_trees(profiles: DataFrame) -> DataFrame:
+    """MergeTrie as a DataFrame agg (ref: prof_tree.go:80-143): explode
+    every profile's tree and sum self/total per node identity
+    (id, parent, fn_id). Scales as one shuffle on the node key."""
+    nodes = profiles.select(F.explode("tree").alias("n")).select(
+        F.col("n.id").alias("id"),
+        F.col("n.parent").alias("parent"),
+        F.col("n.fn_id").alias("fn_id"),
+        F.explode("n.values").alias("v"),
+    )
+    return nodes.groupBy("id", "parent", "fn_id").agg(
+        F.sum("v.self").alias("self"),
+        F.sum("v.total").alias("total"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def resolve_functions(merged: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Attach function names from the per-profile function dictionaries
+    (ref: prof_tree.go:223 cross-profile name sync)."""
+    fns = (
+        profiles.select(F.explode("functions").alias("f"))
+        .select(F.col("f.id").alias("fn_id"), F.col("f.name").alias("fn_name"))
+        .dropDuplicates(["fn_id"])
+    )
+    return merged.join(F.broadcast(fns), "fn_id", "left")
+
+
+def flamegraph_levels(rows: list) -> list[list[dict]]:
+    """BFS level-order flamegraph (ref: prof_tree.go:145) — runs on the
+    collected merged tree (small by construction)."""
+    children: dict[int, list] = {}
+    by_id = {}
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        by_id[d["id"]] = d
+        children.setdefault(d["parent"], []).append(d)
+    roots = [d for d in by_id.values() if d["parent"] not in by_id or d["parent"] == d["id"]]
+    levels = []
+    frontier = sorted(roots, key=lambda d: -d["total"])
+    while frontier:
+        levels.append(frontier)
+        nxt = []
+        for node in frontier:
+            nxt.extend(
+                c for c in children.get(node["id"], []) if c["id"] != node["id"]
+            )
+        frontier = sorted(nxt, key=lambda d: -d["total"])
+    return levels
+
+
+def diff_trees(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Flamegraph diff (ref: prof_tree.go:308): full-outer join on node
+    identity, left/right self+total side by side."""
+    lj = left.select(
+        "id", "parent", "fn_id",
+        F.col("self").alias("self_left"), F.col("total").alias("total_left"),
+    )
+    rj = right.select(
+        "id", "parent", "fn_id",
+        F.col("self").alias("self_right"), F.col("total").alias("total_right"),
+    )
+    return (
+        lj.join(rj, ["id", "parent", "fn_id"], "full_outer")
+        .fillna(0, ["self_left", "total_left", "self_right", "total_right"])
+        .withColumn("self_delta", F.col("self_right") - F.col("self_left"))
+        .withColumn("total_delta", F.col("total_right") - F.col("total_left"))
+    )
+
+
+def render_dot(rows: list, fn_names: dict[int, str] | None = None) -> str:
+    """Graphviz DOT rendering of a merged tree (ref: prof_tree.go:516)."""
+    lines = ["digraph flamegraph {"]
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        name = (fn_names or {}).get(d["fn_id"], f"fn_{d['fn_id']}")
+        lines.append(f'  n{d["id"]} [label="{name}\\nself={d["self"]} total={d["total"]}"];')
+        if d["parent"] != d["id"]:
+            lines.append(f'  n{d["parent"]} -> n{d["id"]};')
+    lines.append("}")
+    return "\n".join(lines)

@@ -1,0 +1,207 @@
+"""PromQL long-tail functions.
+
+The reference gets these "for free" from the embedded upstream engine
+after series fetch (SURVEY §2.4); here they're implemented natively:
+
+  deriv / predict_linear   per-bucket least-squares — Spark's built-in
+                           regr_slope/regr_intercept (JVM, no UDF)
+  histogram_quantile       classic le-bucket linear interpolation as
+                           window expressions over the bucketed series
+  label_replace/label_join map rewrites
+  absent                   anti-join against the step grid
+  sort/sort_desc           ordering on the matrix
+  holt_winters             genuinely iterative → per-series Arrow UDF
+                           (the "residual evaluator" fallback path —
+                           the ONLY Python-side function here)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gigapipe_spark.model.fingerprint import canonical_labels_str
+
+
+def _bucket(ts: Column, width_ns: int) -> Column:
+    return ts - F.pmod(ts, F.lit(width_ns))
+
+
+def deriv(samples: DataFrame, range_ns: int) -> DataFrame:
+    """Per-second least-squares slope per (series, bucket)
+    (PromQL deriv): regr_slope over (value, t_seconds)."""
+    b = _bucket(F.col("timestamp_ns"), range_ns).alias("timestamp_ns")
+    t_sec = (F.col("timestamp_ns") / F.lit(1e9)).alias("__t")
+    return (
+        samples.withColumn("__t", t_sec)
+        .groupBy("fingerprint", b)
+        .agg(
+            F.regr_slope(F.col("value"), F.col("__t")).alias("value"),
+            F.first("labels").alias("labels"),
+        )
+        .select("fingerprint", "labels", "timestamp_ns", "value")
+    )
+
+
+def predict_linear(samples: DataFrame, range_ns: int, horizon_s: float) -> DataFrame:
+    """Extrapolate each series horizon_s past its bucket end:
+    intercept + slope * (t_end + horizon)."""
+    b = _bucket(F.col("timestamp_ns"), range_ns).alias("timestamp_ns")
+    df = samples.withColumn("__t", F.col("timestamp_ns") / F.lit(1e9))
+    grouped = df.groupBy("fingerprint", b).agg(
+        F.regr_slope(F.col("value"), F.col("__t")).alias("__m"),
+        F.regr_intercept(F.col("value"), F.col("__t")).alias("__c"),
+        F.max("__t").alias("__tmax"),
+        F.first("labels").alias("labels"),
+    )
+    return grouped.select(
+        "fingerprint",
+        "labels",
+        "timestamp_ns",
+        (F.col("__c") + F.col("__m") * (F.col("__tmax") + F.lit(horizon_s))).alias(
+            "value"
+        ),
+    )
+
+
+def histogram_quantile(buckets: DataFrame, q: float) -> DataFrame:
+    """PromQL histogram_quantile over le-bucketed counts.
+
+    Input: matrix with labels containing 'le' (or +Inf) and cumulative
+    counts in value. Classic interpolation: find the bucket where the
+    rank falls, interpolate linearly inside it. All window expressions.
+    """
+    from pyspark.sql import Window
+
+    le = (
+        F.when(F.col("labels").getItem("le") == "+Inf", F.lit(float("inf")))
+        .otherwise(F.col("labels").getItem("le").cast("double"))
+    )
+    series_key = F.xxhash64(
+        canonical_labels_str(
+            F.map_filter(F.coalesce(F.col("labels"), F.expr("map()")), lambda k, v: k != "le")
+        )
+    )
+    df = buckets.withColumn("__le", le).withColumn("__grp", series_key)
+    w = Window.partitionBy("__grp", "timestamp_ns").orderBy("__le")
+    wall = Window.partitionBy("__grp", "timestamp_ns")
+    df = (
+        df.withColumn("__prev_le", F.lag("__le").over(w))
+        .withColumn("__prev_count", F.lag("value").over(w))
+        .withColumn("__total", F.max("value").over(wall))
+        .withColumn("__rank", F.lit(q) * F.col("__total"))
+    )
+    inbucket = (F.col("value") >= F.col("__rank")) & (
+        F.coalesce(F.col("__prev_count"), F.lit(-1.0)) < F.col("__rank")
+    )
+    lo = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    lo_count = F.coalesce(F.col("__prev_count"), F.lit(0.0))
+    interp = lo + (F.col("__le") - lo) * (
+        (F.col("__rank") - lo_count) / F.greatest(F.col("value") - lo_count, F.lit(1e-12))
+    )
+    value = F.when(F.col("__le") == float("inf"), lo).otherwise(interp)
+    out = df.filter(inbucket).withColumn("value", value)
+    return out.select(
+        F.col("__grp").alias("fingerprint"),
+        F.map_filter(F.coalesce(F.col("labels"), F.expr("map()")), lambda k, v: k != "le").alias("labels"),
+        "timestamp_ns",
+        "value",
+    )
+
+
+def label_replace(matrix: DataFrame, dst: str, replacement: str, src: str, regex: str) -> DataFrame:
+    """PromQL label_replace: dst ← replacement with $1…$n substituted
+    from regex captures of src (full-anchor match, else unchanged)."""
+    src_col = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+    anchored = f"^(?:{regex})$"
+    java_repl = re.sub(r"\$(\d)", r"$\1", replacement)
+    newval = F.regexp_replace(src_col, anchored, java_repl)
+    matched = src_col.rlike(anchored)
+    labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    updated = F.map_concat(
+        F.map_filter(labels, lambda k, v: k != dst),
+        F.create_map(F.lit(dst), newval),
+    )
+    out_labels = F.when(matched & (newval != ""), updated).otherwise(labels)
+    df = matrix.withColumn("labels", out_labels)
+    return df.withColumn(
+        "fingerprint", F.xxhash64(canonical_labels_str(F.col("labels")))
+    )
+
+
+def label_join(matrix: DataFrame, dst: str, sep: str, *srcs: str) -> DataFrame:
+    labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    joined = F.concat_ws(sep, *[F.coalesce(labels.getItem(s), F.lit("")) for s in srcs])
+    df = matrix.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter(labels, lambda k, v: k != dst),
+            F.create_map(F.lit(dst), joined),
+        ),
+    )
+    return df.withColumn(
+        "fingerprint", F.xxhash64(canonical_labels_str(F.col("labels")))
+    )
+
+
+def absent(matrix: DataFrame, spark, start_ns: int, end_ns: int, step_ns: int) -> DataFrame:
+    """1 for every step-grid bucket with no data at all (PromQL absent
+    over the whole selection)."""
+    grid = spark.range(start_ns, end_ns + 1, step_ns).select(
+        F.col("id").alias("timestamp_ns")
+    )
+    present = matrix.select("timestamp_ns").distinct()
+    missing = grid.join(present, "timestamp_ns", "left_anti")
+    return missing.select(
+        F.lit(0).cast("long").alias("fingerprint"),
+        F.expr("map()").cast("map<string,string>").alias("labels"),
+        "timestamp_ns",
+        F.lit(1.0).alias("value"),
+    )
+
+
+def sort_matrix(matrix: DataFrame, descending: bool = False) -> DataFrame:
+    order = F.col("value").desc() if descending else F.col("value").asc()
+    return matrix.orderBy("timestamp_ns", order)
+
+
+# ----------------------------------------------------------- UDF fallback
+
+_HW_SCHEMA = "fingerprint long, timestamp_ns long, value double"
+
+
+def holt_winters(matrix: DataFrame, sf: float, tf: float, range_ns: int) -> DataFrame:
+    """Double exponential smoothing per (series, bucket) — inherently
+    sequential, so this is the per-series Arrow-UDF fallback path the
+    rebuild keeps for the long tail (SURVEY §2.4 note). Grouping keys
+    bound state; Arrow moves batches columnar."""
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp_ns")
+        vals = pdf["value"].tolist()
+        if len(vals) < 2:
+            return pd.DataFrame(
+                {
+                    "fingerprint": pdf["fingerprint"].iloc[:1],
+                    "timestamp_ns": pdf["__bucket"].iloc[:1],
+                    "value": [float("nan")],
+                }
+            )
+        s, b = vals[0], vals[1] - vals[0]
+        for x in vals[1:]:
+            s_prev = s
+            s = sf * x + (1 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1 - tf) * b
+        return pd.DataFrame(
+            {
+                "fingerprint": [pdf["fingerprint"].iloc[0]],
+                "timestamp_ns": [pdf["__bucket"].iloc[0]],
+                "value": [s],
+            }
+        )
+
+    df = matrix.withColumn("__bucket", _bucket(F.col("timestamp_ns"), range_ns))
+    return df.groupBy("fingerprint", "__bucket").applyInPandas(smooth, _HW_SCHEMA)

@@ -557,6 +557,109 @@ def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded(df.drop("type"), "max", "min", "sum", "bytes", "last")
 
 
+# ------------------------------------------------------- PromQL long tail
+
+from gigapipe_spark.promql import functions as _pf  # noqa: E402
+
+
+def _metric_with_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.metric_samples(spark, sf_dir).join(
+        F.broadcast(views.time_series(spark, sf_dir).select("fingerprint", "labels")),
+        "fingerprint",
+        "left",
+    )
+
+
+from gigapipe_spark.sources import views  # noqa: E402
+
+
+@register(
+    "promql_deriv",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(regr_slope(value, timestamp_ns / 1e9), 6) AS value
+    FROM metric_samples GROUP BY 1, 2
+    """,
+)
+def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pf.deriv(_metric_with_labels(spark, sf_dir), 3_600_000_000_000)
+    return df.select("fingerprint", "timestamp_ns", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_predict_linear",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(regr_intercept(value, timestamp_ns / 1e9)
+                 + regr_slope(value, timestamp_ns / 1e9)
+                   * (max(timestamp_ns / 1e9) + 300.0), 4) AS value
+    FROM metric_samples GROUP BY 1, 2
+    """,
+)
+def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pf.predict_linear(_metric_with_labels(spark, sf_dir), 3_600_000_000_000, 300.0)
+    return df.select("fingerprint", "timestamp_ns", F.round("value", 4).alias("value"))
+
+
+@register("promql_holt_winters")  # iterative per-series UDF — rows-only check
+def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = views.metric_samples(spark, sf_dir).select("fingerprint", "timestamp_ns", "value")
+    return _pf.holt_winters(m, sf=0.5, tf=0.5, range_ns=3_600_000_000_000)
+
+
+# ------------------------------------------------------- profiles
+
+from gigapipe_spark.prof.tree import diff_trees, merge_trees  # noqa: E402
+
+
+@register(
+    "prof_merge_trees",
+    """
+    SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent, CAST(0 AS BIGINT) AS fn_id,
+           CAST(0 AS BIGINT) AS self,
+           CAST(sum(floor(o_totalprice * 1000)) AS BIGINT) AS total,
+           count(*) AS n_samples
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT CAST(code AS BIGINT), 0, CAST(code AS BIGINT),
+           CAST(s AS BIGINT), CAST(s AS BIGINT), n
+    FROM (
+      SELECT CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS code,
+             sum(floor(l_extendedprice * 1000)) AS s,
+             count(DISTINCT (l_orderkey,
+                   CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END)) AS n
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def prof_merge_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flamegraph MergeTrie as DataFrame agg (ref: prof_tree.go:80-143)."""
+    return merge_trees(views.profiles(spark, sf_dir))
+
+
+@register("prof_diff_trees")  # two-selection diff — rows-only check
+def prof_diff_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = views.profiles(spark, sf_dir)
+    left = merge_trees(prof.filter(F.col("service_name") == "svc-1-URGENT"))
+    right = merge_trees(prof.filter(F.col("service_name") == "svc-5-LOW"))
+    return diff_trees(left, right)
+
+
+# ------------------------------------------------------- patterns
+
+from gigapipe_spark.patterns.cluster import mine_patterns, read_patterns  # noqa: E402
+
+
+@register("patterns_mine")  # iterative clustering — rows-only check
+def patterns_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style pattern mining over the log samples (ref:
+    writer/pattern/ clustering; SURVEY §2.7)."""
+    s = views.samples(spark, sf_dir)
+    return read_patterns(mine_patterns(s))
+
+
 # ------------------------------------------------------- data pipeline
 
 from gigapipe_spark.datapipe import dedup as _dedup  # noqa: E402

@@ -253,6 +253,73 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile fact table (ref profiles, profiles.sql:19-31) derived from
+    orders/lineitem: one profile per order; call tree = root node (order
+    total) + one child per distinct returnflag (summed item prices as
+    self/total). Deterministic and oracle-expressible — the merged tree
+    equals a direct lineitem aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_code = (
+        F.when(F.col("l_returnflag") == "R", 1)
+        .when(F.col("l_returnflag") == "A", 2)
+        .otherwise(3)
+    )
+    per_flag = li.groupBy("l_orderkey", flag_code.alias("code")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 1000)).cast("long").alias("val")
+    )
+    children = per_flag.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.lit(0).cast("long").alias("parent"),
+                F.col("code").cast("long").alias("id"),
+                F.col("code").cast("long").alias("fn_id"),
+                F.array(
+                    F.struct(
+                        F.lit("samples").alias("name"),
+                        F.col("val").alias("self"),
+                        F.col("val").alias("total"),
+                    )
+                ).alias("values"),
+            )
+        ).alias("kids")
+    )
+    root_node = F.struct(
+        F.lit(0).cast("long").alias("parent"),
+        F.lit(0).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("fn_id"),
+        F.array(
+            F.struct(
+                F.lit("samples").alias("name"),
+                F.lit(0).cast("long").alias("self"),
+                F.floor(F.col("o_totalprice") * 1000).cast("long").alias("total"),
+            )
+        ).alias("values"),
+    )
+    fn_dict = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("id"), F.lit(n).alias("name"))
+            for i, n in enumerate(["root", "flag_R", "flag_A", "flag_N"])
+        ]
+    )
+    return (
+        orders.join(children, orders.o_orderkey == children.l_orderkey, "inner")
+        .select(
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+                "timestamp_ns"
+            ),
+            F.col("o_orderkey").alias("fingerprint"),
+            F.lit("process_cpu:cpu:nanoseconds").alias("type_id"),
+            F.concat(F.lit("svc-"), F.col("o_orderpriority")).alias("service_name"),
+            F.floor(F.col("o_totalprice") * 1000).cast("long").alias("duration_ns"),
+            F.concat(F.array(root_node), F.col("kids")).alias("tree"),
+            fn_dict.alias("functions"),
+        )
+    )
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 

@@ -1,0 +1,127 @@
+"""Recording rules + live tail (ref: ruler/, reader/service/query_range.go).
+
+The reference's ruler is a poll-scheduler re-evaluating LogQL/PromQL
+rules on intervals and writing results back as samples (ref:
+ruler/manager.go:55-224, logql_evaluator.go:44, writeback.go:20-54).
+Live tail is a polling loop re-running the transpiled query from the
+last-seen timestamp (ref: reader/service/query_range.go:670-760) — a
+deliberate poll, not a push stream, and that design carries over.
+
+Spark form: rule evaluation = run the compiled query over the window
+since the last tick, append the matrix to the samples store with the
+rule name as __name__ — scheduled micro-batches, the Structured
+Streaming-free shape the reference itself uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapipe_spark.model.fingerprint import fingerprint_col
+
+
+@dataclass
+class RecordingRule:
+    name: str  # becomes __name__ of the written-back series
+    query: str  # LogQL metric query
+    interval_ns: int
+
+
+@dataclass
+class RuleEvaluation:
+    rule: RecordingRule
+    rows: int
+    df: DataFrame
+
+
+class Ruler:
+    """Evaluate rules over a samples context and write back
+    (ref: ruler/manager.go evaluation loop + writeback.go)."""
+
+    def __init__(self, spark: SparkSession, logctx_factory: Callable, sink: Callable[[DataFrame], None]):
+        self.spark = spark
+        self.logctx_factory = logctx_factory
+        self.sink = sink
+        self.rules: list[RecordingRule] = []
+        self.last_run_ns: dict[str, int] = {}
+
+    def add_rule(self, rule: RecordingRule) -> None:
+        self.rules.append(rule)
+
+    def due(self, now_ns: int) -> list[RecordingRule]:
+        return [
+            r
+            for r in self.rules
+            if r.name not in self.last_run_ns  # never evaluated → due now
+            or now_ns - self.last_run_ns[r.name] >= r.interval_ns
+        ]
+
+    def evaluate(self, rule: RecordingRule, now_ns: int) -> RuleEvaluation:
+        """One evaluation tick: run the rule, shape the matrix as
+        writeback samples (ref: writeback.go:20-54 remote-write path)."""
+        from gigapipe_spark.logql.compiler import query as logql_query
+
+        ctx = self.logctx_factory()
+        res = logql_query(ctx, rule.query)
+        labels = F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("labels"), F.expr("map()")),
+                lambda k, v: k != "__name__",
+            ),
+            F.create_map(F.lit("__name__"), F.lit(rule.name)),
+        )
+        out = res.df.select(
+            labels.alias("labels"),
+            F.col("timestamp_ns"),
+            F.col("value").cast("double").alias("value"),
+        ).select(
+            fingerprint_col(F.col("labels")).alias("fingerprint"),
+            "labels",
+            "timestamp_ns",
+            "value",
+            F.lit("").alias("string"),
+            F.lit(2).cast("byte").alias("type"),
+        )
+        self.last_run_ns[rule.name] = now_ns
+        return RuleEvaluation(rule=rule, rows=out.count(), df=out)
+
+    def tick(self, now_ns: int) -> list[RuleEvaluation]:
+        evals = []
+        for rule in self.due(now_ns):
+            ev = self.evaluate(rule, now_ns)
+            self.sink(ev.df)
+            evals.append(ev)
+        return evals
+
+
+@dataclass
+class Tailer:
+    """Live tail as a poll loop (ref: query_range.go:670-760): each poll
+    re-runs the query filtered to rows newer than the last-seen ts."""
+
+    logctx_factory: Callable
+    query: str
+    last_ts_ns: int = 0
+    max_rows_per_poll: int = 1000
+    dropped: int = field(default=0)
+
+    def poll(self) -> list:
+        from gigapipe_spark.logql.compiler import query as logql_query
+
+        ctx = self.logctx_factory()
+        res = logql_query(ctx, self.query)
+        newer = res.df.filter(F.col("timestamp_ns") > self.last_ts_ns).orderBy(
+            "timestamp_ns"
+        )
+        rows = newer.limit(self.max_rows_per_poll + 1).collect()
+        if len(rows) > self.max_rows_per_poll:
+            # backpressure accounting (ref: dropped_entries)
+            self.dropped += 1
+            rows = rows[: self.max_rows_per_poll]
+        if rows:
+            self.last_ts_ns = max(r["timestamp_ns"] for r in rows)
+        return rows

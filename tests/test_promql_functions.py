@@ -1,0 +1,103 @@
+"""PromQL long-tail functions: deriv/predict_linear vs DuckDB regr_*,
+histogram_quantile on a constructed bucket series, label ops, absent,
+holt_winters fallback."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from gigapipe_spark.promql import functions as PF
+from gigapipe_spark.sources import views
+from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_match
+
+
+def metric(spark):
+    return views.metric_samples(spark, SF_DIR).join(
+        F.broadcast(views.time_series(spark, SF_DIR).select("fingerprint", "labels")),
+        "fingerprint",
+        "left",
+    )
+
+
+def test_deriv_matches_regr_slope(spark):
+    rng = 3_600_000_000_000
+    df = PF.deriv(metric(spark), rng).select(
+        "fingerprint", "timestamp_ns", F.round("value", 6).alias("value")
+    )
+    sql = f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % {rng}) AS timestamp_ns,
+           round(regr_slope(value, timestamp_ns / 1e9), 6) AS value
+    FROM metric_samples GROUP BY 1, 2
+    """
+    assert_match(df, sql, SF_DIR)
+
+
+def test_predict_linear_matches_oracle(spark):
+    rng = 3_600_000_000_000
+    df = PF.predict_linear(metric(spark), rng, 300.0).select(
+        "fingerprint", "timestamp_ns", F.round("value", 4).alias("value")
+    )
+    sql = f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % {rng}) AS timestamp_ns,
+           round(regr_intercept(value, timestamp_ns / 1e9)
+                 + regr_slope(value, timestamp_ns / 1e9)
+                   * (max(timestamp_ns / 1e9) + 300.0), 4) AS value
+    FROM metric_samples GROUP BY 1, 2
+    """
+    assert_match(df, sql, SF_DIR)
+
+
+def test_histogram_quantile(spark):
+    # constructed cumulative le-buckets: 10 obs ≤1, 30 ≤2, 60 ≤4, 100 ≤+Inf
+    rows = []
+    for le, cum in [("1", 10.0), ("2", 30.0), ("4", 60.0), ("+Inf", 100.0)]:
+        rows.append((1, {"job": "x", "le": le}, 0, cum))
+    df = spark.createDataFrame(
+        rows, "fingerprint long, labels map<string,string>, timestamp_ns long, value double"
+    )
+    out = PF.histogram_quantile(df, 0.5).collect()
+    assert len(out) == 1
+    # rank = 50 falls in the (2,4] bucket: 2 + 2*(50-30)/(60-30) = 3.333…
+    assert math.isclose(out[0]["value"], 2 + 2 * (50 - 30) / 30, rel_tol=1e-9)
+    assert out[0]["labels"] == {"job": "x"}
+    # q=0.95 → rank 95 in +Inf bucket → returns lower bound (4)
+    out95 = PF.histogram_quantile(df, 0.95).collect()
+    assert out95[0]["value"] == 4.0
+
+
+def test_label_replace_and_join(spark):
+    df = spark.createDataFrame(
+        [(1, {"app": "web-1", "env": "prod"}, 0, 1.0)],
+        "fingerprint long, labels map<string,string>, timestamp_ns long, value double",
+    )
+    out = PF.label_replace(df, "svc", "$1", "app", "(\\w+)-\\d+").collect()[0]
+    assert out["labels"]["svc"] == "web"
+    # non-matching regex leaves labels untouched
+    out2 = PF.label_replace(df, "svc", "$1", "app", "nope-(\\d+)").collect()[0]
+    assert "svc" not in out2["labels"]
+    out3 = PF.label_join(df, "combo", "/", "env", "app").collect()[0]
+    assert out3["labels"]["combo"] == "prod/web-1"
+
+
+def test_absent(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}, 100, 1.0), (1, {"a": "b"}, 300, 1.0)],
+        "fingerprint long, labels map<string,string>, timestamp_ns long, value double",
+    )
+    out = PF.absent(df, spark, 100, 400, 100).collect()
+    missing = {r["timestamp_ns"] for r in out}
+    assert missing == {200, 400}
+    assert all(r["value"] == 1.0 for r in out)
+
+
+def test_holt_winters_fallback(spark):
+    # linear series: smoothed value tracks the trend closely
+    rows = [(1, i * 1_000_000_000, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "fingerprint long, timestamp_ns long, value double")
+    out = PF.holt_winters(df, sf=0.5, tf=0.5, range_ns=60_000_000_000).collect()
+    assert len(out) == 1
+    assert abs(out[0]["value"] - 19.0) < 1.0
