@@ -19,15 +19,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
-    # one per engine area: scan, range agg, regroup, topk, rollup, meta
+    # LogQL: scan, line filter, json pipeline, range agg, regroup, topk
     "logql_selector_scan",
     "logql_line_filter",
     "logql_json_label_filter",
     "logql_rate",
     "logql_sum_by_count_over_time",
     "logql_topk",
+    # PromQL: counter windows + instant regroup
+    "promql_rate_counter_resets",
+    "promql_instant_sum_by",
+    # TraceQL: bitmask index scan, structural join, metrics
+    "traceql_bitmask_and_or",
+    "traceql_descendant",
+    "traceql_metrics_quantile",
+    # MV layer + meta
     "rollup_metrics_15s",
     "meta_index_stats",
+    # data pipeline: dedup, ANN, text, patterns
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "patterns_mine",
 ]
 
 

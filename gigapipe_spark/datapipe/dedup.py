@@ -30,16 +30,36 @@ def words_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda w: w != "")
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, built with sequence+transform
-    (JVM-side, codegen'd)."""
-    ws = words_col(text)
+def shingles_from_words(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words column.
+
+    `ws` must be a plain column reference, not an inline expression:
+    Catalyst does not CSE subexpressions across lambda scopes, so an
+    inlined words expression would re-tokenize the text for every
+    F.get — measured ~200× per row.
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
     )
     return F.array_distinct(grams)
+
+
+def with_shingles(df: DataFrame, text_col: str, out: str = "sh", n: int = 3) -> DataFrame:
+    """df + a shingle column, with the words array materialized once."""
+    return (
+        df.withColumn("__ws", words_col(F.col(text_col)))
+        .withColumn(out, shingles_from_words(F.col("__ws"), n))
+        .drop("__ws")
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Inline shingles (SLOW PATH — re-tokenizes per access; prefer
+    with_shingles). Kept for expression contexts that can't add
+    columns."""
+    return shingles_from_words(words_col(text), n)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,10 +94,8 @@ def jaccard_pairs(
     partition_col=None compares every pair (quadratic — oracle use only).
     """
     part = F.col(partition_col) if partition_col else F.lit(0)
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        part.alias("part"),
-        shingles_col(F.col(text_col), n).alias("sh"),
+    sh = with_shingles(docs, text_col, "sh", n).select(
+        F.col(id_col).alias("id"), part.alias("part"), F.col("sh")
     )
     a = sh.select(
         F.col("id").alias("doc_a"), F.col("part"), F.col("sh").alias("sh_a")
@@ -93,11 +111,11 @@ def jaccard_pairs(
     )
 
 
-def _minhash_sig(sh: Column, num_hashes: int) -> Column:
-    """MinHash signature: per permutation j, min over shingle hashes of
-    (a_j*h + b_j) mod p. Params are fixed odd constants — deterministic
-    across runs and engines."""
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)))
+def _minhash_sig(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature from a MATERIALIZED shingle-hash column: per
+    permutation j, min over hashes of (a_j*h + b_j) mod p. Params are
+    fixed odd constants — deterministic across runs and engines. The
+    hash array must be a column reference (no CSE across lambdas)."""
     params = F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
         f"j -> struct(CAST(2*j + 1 AS BIGINT) AS a, CAST(j AS BIGINT) * 98765431 + 12345 AS b))"
@@ -107,9 +125,7 @@ def _minhash_sig(sh: Column, num_hashes: int) -> Column:
         lambda p: F.array_min(
             F.transform(
                 hashes,
-                lambda h: F.pmod(
-                    p["a"] * F.pmod(h, F.lit(MERSENNE_P)) + p["b"], F.lit(MERSENNE_P)
-                ),
+                lambda h: F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_P)),
             )
         ),
     )
@@ -120,7 +136,7 @@ def minhash_lsh_pairs(
     threshold: float,
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -129,44 +145,66 @@ def minhash_lsh_pairs(
     rows-per-band = num_hashes // bands. Candidate generation is a
     groupBy on (band, band_hash) — the only shuffle touching all docs;
     verification joins shingle sets back for candidates only.
+
+    Band geometry: r=4 rows × 16 bands. For background-similarity pairs
+    (j≈0.05 on this corpus) the per-pair candidate probability is
+    ~16·j⁴ ≈ 1e-4 — candidate volume stays linear-ish; at the match
+    threshold (j≥0.8) the miss probability is (1-j⁴)¹⁶ ≈ 2e-4. r=2
+    produced ~8% false-candidate rate = a quadratic blowup at scale.
     """
     rows = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", _minhash_sig(F.col("sh"), num_hashes))
+    # Signature index: shingles + MinHash sig per doc, persisted — this
+    # is the artifact a 100 TB deployment stores as a table; persisting
+    # is also the optimizer barrier that stops CollapseProject from
+    # re-inlining (and thus recomputing) the shingle/hash arrays into
+    # every downstream lambda.
+    sh = (
+        with_shingles(docs, text_col, "sh", n)
+        .select(F.col(id_col).alias("id"), F.col("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn(
+            "__h",
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(F.abs(F.xxhash64(s)), F.lit(MERSENNE_P))
+            ),
+        )
+        .persist()
+    )
+    sig = sh.withColumn("sig", _minhash_sig(F.col("__h"), num_hashes)).select("id", "sig")
+    # banding: ids only through the shuffle — shingle arrays stay home
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
             )
         ).alias("bh"),
-    ).select("id", "sh", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    left = banded.select("band", "h", F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    right = banded.select("band", "h", F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
     cand = (
-        left.join(right, ["band", "h"])
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "h"])
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
-    return (
-        cand.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+    # verification: join shingle sets back for candidates only
+    shingle_sets = sh.select("id", "sh")
+    verified = (
+        cand.join(shingle_sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(shingle_sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over words: bit i = sign of Σ_tokens (±1 by token
-    hash bit i). Bit positions are unrolled statically (shift amounts
-    must be literals), so the whole signature is one codegen'd
-    expression over the token-hash array."""
-    ws = words_col(text)
-    hashes = F.transform(ws, lambda w: F.xxhash64(w))
+def _simhash(hashes: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from a MATERIALIZED token-hash column: bit i =
+    sign of Σ_tokens (±1 by token hash bit i). Bit positions are
+    unrolled statically (shift amounts must be literals); the hash array
+    must be a column reference — inlining it would re-hash every token
+    64 times (no CSE across lambda scopes)."""
     def _merge_for_bit(i: int):
         # closure (not a default arg): pyspark dispatches HOF lambdas on
         # their arity, so the merge fn must be exactly 2-ary
@@ -200,40 +238,46 @@ def simhash_pairs(
     guaranteed recall for max_hamming ≤ 48/...; for small max_hamming the
     pigeonhole bound is max_hamming < 4), then filter by true Hamming
     distance via bit_count(xor)."""
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        _simhash(F.col(text_col)).alias("sig"),
+    # signature index (persisted barrier, same pattern as minhash)
+    sig = (
+        docs.withColumn("__ws", words_col(F.col(text_col)))
+        .withColumn("__th", F.transform(F.col("__ws"), lambda w: F.xxhash64(w)))
+        .select(F.col(id_col).alias("id"), _simhash(F.col("__th")).alias("sig"))
+        .persist()
     )
     chunks = sig.select(
         "id",
         "sig",
-        "text",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
                 "c -> struct(c AS chunk, shiftright(sig, c*16) & 65535 AS h))"
             )
         ).alias("ch"),
-    ).select("id", "sig", "text", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
-    left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("text").alias("text_a"))
-    right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("text").alias("text_b"))
+    ).select("id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
+    left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     cand = (
         left.join(right, ["chunk", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)  # before dedup: shrink early
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    out = cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
     if verify_threshold is not None:
-        out = out.withColumn(
-            "jaccard",
-            _jaccard(
-                shingles_col(F.col("text_a"), shingle_n),
-                shingles_col(F.col("text_b"), shingle_n),
-            ),
-        ).filter(F.col("jaccard") >= verify_threshold)
+        # verify against precomputed shingle sets (candidates only)
+        sets = with_shingles(docs, text_col, "sh", shingle_n).select(
+            F.col(id_col).alias("id"), "sh"
+        )
+        out = (
+            cand.join(sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+            .join(sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+            .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= verify_threshold)
+        )
         return out.select(
             "doc_a", "doc_b", "hamming", F.round("jaccard", 6).alias("jaccard")
         )
-    return out.select("doc_a", "doc_b", "hamming")
+    return cand

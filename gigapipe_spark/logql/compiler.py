@@ -430,7 +430,38 @@ _RANGE_AGGS = {
 }
 
 
+def _absent_over_time(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
+    """absent_over_time: 1 for every range bucket (over the table's full
+    time extent) where the selector+pipeline matched nothing
+    (ref: LRA breakpoint special case, logql_transpiler/planner.go)."""
+    df = scan(ctx, ra.inner, _needs_labels(ra.inner, False))
+    df, _ = apply_stages(df, ra.inner)
+    rng = ra.range_ns
+    # grid bounds from the full fact table so absence is well-defined
+    all_ts = ctx.samples().select(
+        (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(rng))).alias("b")
+    )
+    bounds = all_ts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(rng))).alias("timestamp_ns")
+    )
+    present = df.select(
+        (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(rng))).alias(
+            "timestamp_ns"
+        )
+    ).distinct()
+    out = grid.join(present, "timestamp_ns", "left_anti").select(
+        F.lit(0).cast("long").alias("fingerprint"),
+        F.lit(None).cast("map<string,string>").alias("labels"),
+        "timestamp_ns",
+        F.lit(1.0).alias("value"),
+    )
+    return Result(out, "matrix", False)
+
+
 def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
+    if ra.fn == "absent_over_time":
+        return _absent_over_time(ctx, ra)
     grouped = ra.by is not None or ra.without is not None
     # matrix results always carry labels: downstream vector aggs group on
     # them and the API layer renders them. The series join is a broadcast
@@ -443,6 +474,21 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
         agg = F.percentile("value", F.lit(ra.param))
     else:
         agg = _RANGE_AGGS[ra.fn](ra.range_ns)
+    if grouped:
+        # grouped range agg: aggregate RAW samples per (group-labels,
+        # bucket) — NOT per-stream then re-aggregate, which would turn
+        # quantiles into sums-of-quantiles (ref: unwrap_agg.go applies
+        # the agg over the regrouped stream set)
+        group_labels = _group_labels_col(ra.by, ra.without)
+        key = F.xxhash64(canonical_labels_str(group_labels))
+        out = (
+            df.withColumn("labels", group_labels)
+            .groupBy(key.alias("fingerprint"), bucket)
+            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        )
+        return Result(
+            out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", True
+        )
     if mutated:
         # labels can differ per row: stream identity = full label set
         # (ref: by_without.go canonical fingerprint re-hash)
@@ -459,10 +505,7 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
                 (F.first("labels") if with_labels else F.first(F.lit(None).cast("map<string,string>"))).alias("labels"),
             )
         )
-    res = Result(out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", mutated)
-    if grouped:
-        res = _regroup(res, ra.by, ra.without, "sum")
-    return res
+    return Result(out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", mutated)
 
 
 def _group_labels_col(by: list[str] | None, without: list[str] | None) -> Column:

@@ -40,18 +40,32 @@ from gigapipe_spark.promql.parser import (
 from gigapipe_spark.sources import views
 
 
+ROLLUP_NS = 15_000_000_000
+
+
 @dataclass
 class PromQLContext:
     spark: SparkSession
     sf_dir: str
     step_ns: int = 60_000_000_000  # evaluation step grid
+    use_rollup: bool = True  # allow the downsample shortcut
     _metrics: DataFrame | None = None
+    _rollup: DataFrame | None = None
     _logctx: LogQLContext | None = None
 
     def metrics(self) -> DataFrame:
         if self._metrics is None:
             self._metrics = views.metric_samples(self.spark, self.sf_dir)
         return self._metrics
+
+    def rollup(self) -> DataFrame:
+        """The metrics_15s table (ref: log.sql:83-107). Derived here from
+        raw samples; a deployment reads the stored rollup parquet."""
+        if self._rollup is None:
+            from gigapipe_spark.streaming.rollup import rollup_15s_batch
+
+            self._rollup = rollup_15s_batch(self.metrics())
+        return self._rollup
 
     def logctx(self) -> LogQLContext:
         if self._logctx is None:
@@ -117,11 +131,67 @@ _SIMPLE_RANGE = {
 _COUNTER_FNS = {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
 
 
+# over_time fns whose partials the rollup can serve (ref: promql
+# optimizer/vector_range.go:21-39 pushdown set + over_time.go reading the
+# 15s partial aggs)
+_ROLLUP_AGGS = {
+    "sum_over_time": lambda: F.sum("sum"),
+    "count_over_time": lambda: F.sum("count").cast("double"),
+    "min_over_time": lambda: F.min("min"),
+    "max_over_time": lambda: F.max("max"),
+    "last_over_time": lambda: F.max_by("last", "timestamp_ns"),
+    "avg_over_time": lambda: F.sum("sum") / F.sum("count"),
+    "present_over_time": lambda: F.lit(1.0),
+}
+
+
+def _rollup_eligible(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> bool:
+    """Downsample-shortcut decision (ref: prom_queryable.go:155-159):
+    use the 15s rollup when the function has a re-aggregable partial and
+    the range/offset align to the 15s grid."""
+    return (
+        ctx.use_rollup
+        and fn.fn in _ROLLUP_AGGS
+        and sel.range_ns is not None
+        and sel.range_ns % ROLLUP_NS == 0
+        and sel.offset_ns % ROLLUP_NS == 0
+    )
+
+
+def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> DataFrame:
+    """over_time agg served from metrics_15s partials — reads ~1/15th
+    the rows of the raw path and re-aggregates states exactly
+    (ref: over_time.go:73 + bucket_producer.go:19)."""
+    from gigapipe_spark.logql import ast as LA
+    from gigapipe_spark.logql.compiler import fingerprints
+
+    matchers = list(sel.matchers)
+    if sel.name:
+        matchers.append(LA.Matcher(label="__name__", op="=", value=sel.name))
+    df = ctx.rollup()
+    if matchers:
+        fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
+        df = df.join(F.broadcast(fps), "fingerprint", "inner")
+    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    df = df.join(F.broadcast(series), "fingerprint", "left")
+    if sel.offset_ns:
+        df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
+    bucket = _bucket(F.col("timestamp_ns"), sel.range_ns).alias("timestamp_ns")
+    agg = _ROLLUP_AGGS[fn.fn]()
+    return (
+        df.groupBy("fingerprint", bucket)
+        .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        .select("fingerprint", "labels", "timestamp_ns", "value")
+    )
+
+
 def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
     sel = fn.args[0]
     if not isinstance(sel, VectorSelector) or sel.range_ns is None:
         raise ValueError(f"{fn.fn} expects a range vector selector")
     rng = sel.range_ns
+    if _rollup_eligible(ctx, fn, sel):
+        return _range_fn_rollup(ctx, fn, sel)
     df = _selector_samples(ctx, sel)
     bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
     if fn.fn in _SIMPLE_RANGE:

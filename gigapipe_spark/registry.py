@@ -194,6 +194,56 @@ register(
 )
 
 
+register(
+    "logql_regexp_parser",
+    "SELECT user_id*8 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " props AS string FROM events WHERE event_type='click'"
+    " AND CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE) > 50",
+)(
+    _logql(
+        '{app="click"} | regexp "\\"k\\": (?P<kv>[0-9]+)" | kv > 50',
+        ["fingerprint", "timestamp_ns", "string"],
+    )
+)
+
+register(
+    "logql_line_format_logfmt",
+    # line_format rewrites the line to logfmt; | logfmt parses it back;
+    # the label filter then applies to the round-tripped value
+    "SELECT user_id*8+1 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " 'kk=' || json_extract_string(props, '$.k') || ' app=view' AS string"
+    " FROM events WHERE event_type='view'"
+    " AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 10",
+)(
+    _logql(
+        '{app="view"} | json kk="k" | line_format "kk={{.kk}} app=view" | logfmt | kk <= 10',
+        ["fingerprint", "timestamp_ns", "string"],
+    )
+)
+
+register(
+    "logql_absent_over_time",
+    # buckets (over the table's extent) where the heavily-filtered
+    # selector matched nothing
+    """
+    WITH b AS (SELECT (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS bucket,
+                      count(*) FILTER (WHERE event_type = 'signup'
+                                       AND CAST(json_extract_string(props,'$.k') AS DOUBLE) > 95) AS hits
+               FROM events GROUP BY 1),
+    bounds AS (SELECT min(bucket) lo, max(bucket) hi FROM b),
+    grid AS (SELECT unnest(generate_series(lo, hi, 600000000000)) AS timestamp_ns FROM bounds)
+    SELECT CAST(0 AS BIGINT) AS fingerprint, g.timestamp_ns, 1.0 AS value
+    FROM grid g LEFT JOIN b ON g.timestamp_ns = b.bucket AND b.hits > 0
+    WHERE b.bucket IS NULL
+    """,
+)(
+    _logql(
+        'absent_over_time({app="signup"} | json | k > 95 [10m])',
+        ["fingerprint", "timestamp_ns", "value"],
+    )
+)
+
+
 # --------------------------------------------------------------- PromQL
 
 from gigapipe_spark.promql.compiler import PromQLContext  # noqa: E402
@@ -309,6 +359,34 @@ register(
     FROM d GROUP BY 1, 2
     """,
 )(_promql('abs(delta({app="view"}[1h]) * -1)', _FPV))
+
+
+@register(
+    "promql_sum_over_time_rollup",
+    # served from metrics_15s partials (downsample shortcut, ref:
+    # prom_queryable.go:155); oracle computes from raw — results must be
+    # identical because the partials re-aggregate losslessly
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 1800000000000) AS timestamp_ns,
+           round(sum(value), 6) AS value
+    FROM metric_samples WHERE app='click' GROUP BY 1, 2
+    """,
+)
+def promql_sum_over_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = promql_query(
+        PromQLContext(spark, sf_dir, use_rollup=True), 'sum_over_time({app="click"}[30m])'
+    )
+    return df.select("fingerprint", "timestamp_ns", F.round("value", 6).alias("value"))
+
+
+@register("traceql_compare")  # top-N frequency diff — rows-only check
+def traceql_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.traceql.compiler import compare_attrs
+    from gigapipe_spark.traceql.parser import TraceQLParser
+
+    sel = TraceQLParser('{ returnflag = "R" }').parse_spanset_atom()
+    return compare_attrs(TraceQLContext(spark, sf_dir), sel, top_n=10)
 
 
 # --------------------------------------------------------------- meta
@@ -528,6 +606,79 @@ register(
 )
 
 
+@register(
+    "meta_detected_labels",
+    # per label key: distinct-value cardinality (ref: detected_labels,
+    # service/query_range.go:222)
+    """
+    SELECT 'app' AS key, CAST(count(DISTINCT event_type) AS BIGINT) AS cardinality FROM events
+    UNION ALL
+    SELECT 'instance', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'level', CAST(count(DISTINCT CASE WHEN event_type='error' THEN 'error' ELSE 'info' END) AS BIGINT) FROM events
+    """,
+)
+def meta_detected_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources import views
+
+    gin = views.time_series_gin(spark, sf_dir)
+    return gin.groupBy("key").agg(F.countDistinct("val").alias("cardinality"))
+
+
+@register(
+    "meta_series",
+    # series endpoint: distinct label sets for a selector
+    "SELECT DISTINCT event_type AS app, 'u' || CAST(user_id AS VARCHAR) AS instance"
+    " FROM events WHERE event_type = 'purchase'",
+)
+def meta_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.logql.compiler import fingerprints
+    from gigapipe_spark.logql.parser import parse
+    from gigapipe_spark.sources import views
+
+    sel = parse('{app="purchase"}').selector
+    lctx = LogQLContext(spark, sf_dir)
+    fps = fingerprints(lctx, sel)
+    series = views.time_series(spark, sf_dir)
+    return (
+        series.join(F.broadcast(fps), "fingerprint", "left_semi")
+        .select(_lbl("app")(), _lbl("instance")())
+        .distinct()
+    )
+
+
+register(
+    "logql_label_format",
+    # label_format copies app into a new label and templates another;
+    # output projects the rewritten labels
+    "SELECT DISTINCT event_type AS svc, 'prefix-' || event_type AS tagged,"
+    " epoch_ns(ts) AS timestamp_ns FROM events WHERE event_type='click'",
+)(
+    _logql(
+        # templates see the PRE-stage labels (app still present)
+        '{app="click"} | label_format svc=app, tagged="prefix-{{.app}}"',
+        [_lbl("svc"), _lbl("tagged"), "timestamp_ns"],
+    )
+)
+
+register(
+    "logql_quantile_over_time",
+    # exact percentile (Spark percentile == DuckDB quantile_cont linear
+    # interpolation)
+    """
+    SELECT event_type AS app,
+           (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS timestamp_ns,
+           round(quantile_cont(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.9), 4) AS value
+    FROM events WHERE event_type IN ('view','click') GROUP BY 1, 2
+    """,
+)(
+    _logql(
+        'quantile_over_time(0.9, {app=~"view|click"} | json | unwrap k [1h]) by (app)',
+        [_lbl("app"), "timestamp_ns", lambda: F.round("value", 4).alias("value")],
+    )
+)
+
+
 # --------------------------------------------------------------- rollup
 
 @register(
@@ -716,13 +867,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_cosine_topk",
     """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
                WHERE vec_id IN (0,1,2,3,4)),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
              row_number() OVER (PARTITION BY q.query_id
-                                ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                                ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
                                          e.vec_id) AS rn
       FROM q JOIN embeddings e ON e.vec_id != q.query_id
     )

@@ -207,7 +207,9 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("duration_ns"),
         F.lit("svc-item").alias("service_name"),
     )
-    return root.unionByName(child)
+    # cached: the row_number disambiguation window would otherwise re-run
+    # per query — a real deployment reads spans from a stored table
+    return _cached(spark, sf_dir, "spans", lambda: root.unionByName(child))
 
 
 def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,14 +245,17 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("linestatus"), F.col("l_linestatus"),
         ).alias("attrs"),
     )
-    both = root.unionByName(child)
-    return both.select(
-        "trace_id",
-        "span_id",
-        "timestamp_ns",
-        "duration",
-        F.explode("attrs").alias("key", "val"),
-    )
+    def build():
+        both = root.unionByName(child)
+        return both.select(
+            "trace_id",
+            "span_id",
+            "timestamp_ns",
+            "duration",
+            F.explode("attrs").alias("key", "val"),
+        )
+
+    return _cached(spark, sf_dir, "span_attrs", build)
 
 
 def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -240,13 +240,16 @@ def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame, max_d
         F.col("parent_id").alias("next_anc"),
     )
     for _ in range(max_depth - 1):
+        # one cheap action per level to stop at the true tree depth —
+        # planning 8 levels of joins unconditionally costs more than the
+        # isEmpty probes on typical shallow traces
+        if cur.isEmpty():
+            break
         cur = (
             cur.join(parents, ["trace_id", "anc_id"], "inner")
             .filter(F.col("next_anc") != "")
             .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
         )
-        # local fixpoint check would force an action per level; with a
-        # depth cap the empty tail joins are cheap no-ops
         all_anc = all_anc.unionByName(cur)
     return all_anc.distinct()
 

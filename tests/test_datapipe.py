@@ -74,12 +74,12 @@ def test_cosine_topk(spark):
     qids = [0, 1, 2, 3, 4]
     df = simsearch.cosine_topk(emb, qids, k=5)
     sql = """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
              row_number() OVER (PARTITION BY q.query_id
-                                ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) AS rn
+                                ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
       FROM q JOIN embeddings e ON e.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 5

@@ -1,0 +1,51 @@
+"""Downsample-shortcut routing (ref: prom_queryable.go:155-159): rollup
+path must be chosen when eligible and produce EXACTLY the raw-path
+results (partials re-aggregate losslessly)."""
+
+from pyspark.sql import functions as F
+
+from gigapipe_spark.promql.compiler import PromQLContext, query
+from tests.conftest import SF_DIR
+
+
+def out(df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "fingerprint", "timestamp_ns", F.round("value", 6).alias("value")
+        ).collect()
+    )
+
+
+def test_rollup_equals_raw(spark):
+    for q in [
+        'sum_over_time({app="click"}[30m])',
+        'count_over_time({app="view"}[1h])',
+        'max_over_time({app="error"}[15m])',
+        'avg_over_time({app="signup"}[30m])',
+    ]:
+        routed = query(PromQLContext(spark, SF_DIR, use_rollup=True), q)
+        raw = query(PromQLContext(spark, SF_DIR, use_rollup=False), q)
+        assert out(routed) == out(raw), q
+
+
+def test_unaligned_range_uses_raw(spark):
+    ctx = PromQLContext(spark, SF_DIR, use_rollup=True)
+    # 100s range is not 15s-aligned -> raw path; just verify it runs and
+    # matches the no-rollup context
+    q = 'sum_over_time({app="click"}[100s])'
+    assert out(query(ctx, q)) == out(
+        query(PromQLContext(spark, SF_DIR, use_rollup=False), q)
+    )
+
+
+def test_rollup_plan_reads_partials(spark):
+    ctx = PromQLContext(spark, SF_DIR, use_rollup=True)
+    plan = (
+        query(ctx, 'sum_over_time({app="click"}[30m])')
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the rollup path aggregates the partial columns, not raw value
+    assert "sum#" in plan or "sum(" in plan.lower()
