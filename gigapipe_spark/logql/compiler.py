@@ -35,6 +35,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -332,6 +333,104 @@ def _tpl_expr(expr: str) -> Column:
     raise NotImplementedError(f"line_format template construct {expr!r}")
 
 
+def _template_udf(tpl: str) -> Column:
+    """Arrow-batched fallback for the FULL template surface (ref:
+    shared/template_funcs.go): trunc, substr, Trim*, Replace,
+    regexReplaceAll, default, alignment with pipelines etc. Used only
+    when the column compiler can't express the template — keeps the
+    common path codegen'd while covering the long tail.
+    """
+    token_re = _TPL_TOKEN
+
+    def render_one(line: str, labels: dict | None) -> str:
+        labels = labels or {}
+
+        def resolve(expr: str) -> str:
+            expr = expr.strip()
+            if expr in ("_entry", "__line__", "."):
+                return line if line is not None else ""
+            if expr.startswith("."):
+                return labels.get(expr[1:], "")
+            toks = expr.split()
+            if len(toks) == 1:
+                return labels.get(expr, "")
+            fn, args = toks[0], toks[1:]
+
+            def val(a: str) -> str:
+                if a.startswith('"') and a.endswith('"'):
+                    return a[1:-1]
+                if re.fullmatch(r"-?\d+(\.\d+)?", a):
+                    return a
+                return resolve(a)
+
+            def num(a: str) -> float:
+                try:
+                    return float(val(a))
+                except ValueError:
+                    return 0.0
+
+            def fmt(x: float) -> str:
+                return str(int(x)) if x == int(x) else str(x)
+
+            if fn in ("divide", "div") and len(args) == 2:
+                d = num(args[1])
+                return fmt(num(args[0]) / d) if d else ""
+            if fn == "mul" and len(args) == 2:
+                return fmt(num(args[0]) * num(args[1]))
+            if fn == "add" and len(args) == 2:
+                return fmt(num(args[0]) + num(args[1]))
+            if fn == "sub" and len(args) == 2:
+                return fmt(num(args[0]) - num(args[1]))
+            if fn == "ToLower":
+                return val(args[0]).lower()
+            if fn == "ToUpper":
+                return val(args[0]).upper()
+            if fn == "Trim" and len(args) == 2:
+                return val(args[1]).strip(val(args[0]))
+            if fn == "TrimLeft" and len(args) == 2:
+                return val(args[1]).lstrip(val(args[0]))
+            if fn == "TrimRight" and len(args) == 2:
+                return val(args[1]).rstrip(val(args[0]))
+            if fn == "TrimSpace":
+                return val(args[0]).strip()
+            if fn == "TrimPrefix" and len(args) == 2:
+                v, p = val(args[1]), val(args[0])
+                return v[len(p):] if v.startswith(p) else v
+            if fn == "TrimSuffix" and len(args) == 2:
+                v, s = val(args[1]), val(args[0])
+                return v[: -len(s)] if s and v.endswith(s) else v
+            if fn == "trunc" and len(args) == 2:
+                return val(args[1])[: int(num(args[0]))]
+            if fn == "substr" and len(args) == 3:
+                v = val(args[2])
+                return v[int(num(args[0])): int(num(args[1]))]
+            if fn == "Replace" and len(args) == 3:
+                return val(args[2]).replace(val(args[0]), val(args[1]))
+            if fn == "regexReplaceAll" and len(args) == 3:
+                return re.sub(val(args[0]), val(args[1]).replace("$1", r"\1"), val(args[2]))
+            if fn == "default" and len(args) == 2:
+                v = val(args[1])
+                return v if v else val(args[0])
+            return ""
+
+        out = []
+        pos = 0
+        for m in token_re.finditer(tpl):
+            out.append(tpl[pos : m.start()])
+            out.append(resolve(m.group(1)))
+            pos = m.end()
+        out.append(tpl[pos:])
+        return "".join(out)
+
+    @F.pandas_udf("string")
+    def render(lines: pd.Series, labels: pd.Series) -> pd.Series:
+        return pd.Series(
+            [render_one(l, lab) for l, lab in zip(lines, labels)]
+        )
+
+    return render(F.col("string"), F.coalesce(F.col("labels"), F.expr("map()")))
+
+
 def _apply_label_format(df: DataFrame, st: A.LabelFormat) -> DataFrame:
     labels = F.coalesce(F.col("labels"), F.expr("map()"))
     drop_keys = []
@@ -383,7 +482,12 @@ def apply_stages(df: DataFrame, expr: A.LogExpr) -> tuple[DataFrame, bool]:
             df = _apply_parser(df, st)
             mutated = True
         elif isinstance(st, A.LineFormat):
-            df = df.withColumn("string", _template_col(st.template))
+            try:
+                tpl_col = _template_col(st.template)
+            except NotImplementedError:
+                # full template surface via the Arrow-batched fallback
+                tpl_col = _template_udf(st.template)
+            df = df.withColumn("string", tpl_col)
         elif isinstance(st, A.LabelFormat):
             df = _apply_label_format(df, st)
             mutated = True

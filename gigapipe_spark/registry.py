@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from gigapipe_spark.logql.compiler import LogQLContext
 from gigapipe_spark.logql.compiler import query as logql_query
+from gigapipe_spark.sources.oracle import with_spans
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -222,6 +223,20 @@ register(
 )
 
 register(
+    "logql_line_format_udf",
+    # trunc/ToUpper exercise the Arrow-UDF template fallback (full
+    # template library, ref: shared/template_funcs.go)
+    "SELECT user_id*8+2 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+    " substring('u' || CAST(user_id AS VARCHAR), 1, 2) || ':PURCHASE' AS string"
+    " FROM events WHERE event_type='purchase'",
+)(
+    _logql(
+        '{app="purchase"} | line_format "{{ trunc 2 .instance }}:{{ToUpper .app}}"',
+        ["fingerprint", "timestamp_ns", "string"],
+    )
+)
+
+register(
     "logql_absent_over_time",
     # buckets (over the table's extent) where the heavily-filtered
     # selector matched nothing
@@ -314,6 +329,40 @@ register(
     """,
 )(_promql('changes({app="click"}[1h])', _FPV))
 
+_IRATE_CTE = f"""
+WITH {METRIC_SAMPLES_CTE}, d AS (
+  SELECT fingerprint, timestamp_ns, value,
+         (timestamp_ns - timestamp_ns % 3600000000000) AS bucket,
+         lag(value) OVER w AS prev,
+         lag(timestamp_ns) OVER w AS prev_ts
+  FROM metric_samples WHERE app='purchase'
+  WINDOW w AS (PARTITION BY fingerprint, (timestamp_ns - timestamp_ns % 3600000000000)
+               ORDER BY timestamp_ns)
+)
+"""
+
+register(
+    "promql_idelta",
+    _IRATE_CTE
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(max_by(value - prev, timestamp_ns) FILTER (WHERE prev IS NOT NULL), 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('idelta({app="purchase"}[1h])', _FPV))
+
+register(
+    "promql_irate",
+    _IRATE_CTE
+    + """
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(max_by(value - prev, timestamp_ns) FILTER (WHERE prev IS NOT NULL)
+                 / (max_by(timestamp_ns - prev_ts, timestamp_ns) FILTER (WHERE prev IS NOT NULL) / 1e9),
+                 6) AS value
+    FROM d GROUP BY 1, 2
+    """,
+)(_promql('irate({app="purchase"}[1h])', _FPV))
+
 register(
     "promql_avg_over_time",
     f"""
@@ -378,6 +427,42 @@ def promql_sum_over_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         PromQLContext(spark, sf_dir, use_rollup=True), 'sum_over_time({app="click"}[30m])'
     )
     return df.select("fingerprint", "timestamp_ns", F.round("value", 6).alias("value"))
+
+
+@register(
+    "traceql_tag_names",
+    # tag autocomplete (ref: all_tags_request_planner.go, tempo.go:161)
+    "SELECT * FROM (VALUES ('name'), ('service.name'), ('status'),"
+    " ('priority'), ('returnflag'), ('linestatus')) t(key)",
+)
+def traceql_tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = TraceQLContext(spark, sf_dir)
+    return c.attrs().select("key").distinct()
+
+
+@register(
+    "traceql_tag_values",
+    # values autocomplete for one key, filtered by a selector
+    # (ref: select_values_planner.go)
+    with_spans(
+        "SELECT DISTINCT returnflag AS val FROM spans"
+        " WHERE name = 'item' AND returnflag IS NOT NULL"
+    ),
+)
+def traceql_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.traceql.compiler import select_spans
+    from gigapipe_spark.traceql.parser import TraceQLParser
+
+    c = TraceQLContext(spark, sf_dir)
+    sel = TraceQLParser('{ name = "item" }').parse_spanset_atom()
+    ids = select_spans(c, sel)
+    return (
+        c.attrs()
+        .join(ids, ["trace_id", "span_id"], "left_semi")
+        .filter(F.col("key") == "returnflag")
+        .select("val")
+        .distinct()
+    )
 
 
 @register("traceql_compare")  # top-N frequency diff — rows-only check
