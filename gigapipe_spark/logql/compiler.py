@@ -744,3 +744,31 @@ def query(ctx: LogQLContext, text: str) -> Result:
     from gigapipe_spark.logql.parser import parse
 
     return compile_expr(ctx, parse(text))
+
+
+def query_range(
+    ctx: LogQLContext,
+    text: str,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    limit: int | None = None,
+    direction: str = "backward",
+) -> Result:
+    """query_range response shaping (ref: planner_main_order_by.go,
+    planner_main_limit.go, planner_main_finalizer.go): time-range bounds,
+    newest/oldest-first ordering, row limit. The limit's tiebreak is the
+    (timestamp, fingerprint) total order so pagination is deterministic.
+    """
+    res = query(ctx, text)
+    df = res.df
+    if start_ns is not None:
+        df = df.filter(F.col("timestamp_ns") >= start_ns)
+    if end_ns is not None:
+        df = df.filter(F.col("timestamp_ns") < end_ns)
+    ts = F.col("timestamp_ns")
+    fp = F.col("fingerprint")
+    order = [ts.desc(), fp.desc()] if direction == "backward" else [ts.asc(), fp.asc()]
+    df = df.orderBy(*order)
+    if limit is not None:
+        df = df.limit(limit)
+    return Result(df, res.kind, res.labels_mutated)

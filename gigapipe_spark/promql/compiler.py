@@ -131,6 +131,28 @@ _SIMPLE_RANGE = {
 _COUNTER_FNS = {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
 
 
+def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
+    """over_time agg over a subquery: evaluate the inner expression on
+    the subquery's step grid, then re-bucket the resulting points by the
+    outer range. The inner evaluation runs at sq.step_ns."""
+    if fn.fn not in _SIMPLE_RANGE and fn.fn != "quantile_over_time":
+        raise NotImplementedError(f"{fn.fn} over a subquery")
+    import dataclasses
+
+    inner_ctx = dataclasses.replace(ctx, step_ns=sq.step_ns, _metrics=None, _rollup=None, _logctx=None)
+    inner = compile_expr(inner_ctx, sq.inner)
+    bucket = _bucket(F.col("timestamp_ns"), sq.range_ns).alias("timestamp_ns")
+    if fn.fn == "quantile_over_time":
+        agg = F.percentile("value", F.lit(fn.param))
+    else:
+        agg = _SIMPLE_RANGE[fn.fn]()
+    return (
+        inner.groupBy("fingerprint", bucket)
+        .agg(agg.alias("value"), F.first("labels").alias("labels"))
+        .select("fingerprint", "labels", "timestamp_ns", "value")
+    )
+
+
 # over_time fns whose partials the rollup can serve (ref: promql
 # optimizer/vector_range.go:21-39 pushdown set + over_time.go reading the
 # 15s partial aggs)
@@ -187,6 +209,8 @@ def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> Dat
 
 def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
     sel = fn.args[0]
+    if isinstance(sel, P.Subquery):
+        return _range_fn_subquery(ctx, fn, sel)
     if not isinstance(sel, VectorSelector) or sel.range_ns is None:
         raise ValueError(f"{fn.fn} expects a range vector selector")
     rng = sel.range_ns

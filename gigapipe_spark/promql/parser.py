@@ -78,6 +78,16 @@ class AggExpr:
 
 
 @dataclass
+class Subquery:
+    """expr[range:step] — re-evaluate expr on the step grid, then treat
+    the points as a range vector of width `range`."""
+
+    inner: "PromExpr"
+    range_ns: int
+    step_ns: int
+
+
+@dataclass
 class PromBinOp:
     op: str
     left: "PromExpr"
@@ -90,7 +100,7 @@ class PromScalar:
     value: float
 
 
-PromExpr = VectorSelector | FnCall | AggExpr | PromBinOp | PromScalar
+PromExpr = VectorSelector | FnCall | AggExpr | PromBinOp | PromScalar | Subquery
 
 
 class PromQLParser:
@@ -148,6 +158,22 @@ class PromQLParser:
             left = PromBinOp(op=val, left=left, right=right, bool_modifier=bool_mod)
 
     def parse_term(self) -> PromExpr:
+        term = self._parse_term_inner()
+        # subquery suffix: expr[range:step]
+        if self.at("[") and self.peek(2)[1] == ":":
+            self.next()
+            _, rng = self.next()
+            self.expect(":")
+            _, step = self.next()
+            self.expect("]")
+            return Subquery(
+                inner=term,
+                range_ns=parse_duration_ns(rng),
+                step_ns=parse_duration_ns(step),
+            )
+        return term
+
+    def _parse_term_inner(self) -> PromExpr:
         kind, val = self.peek()
         if kind == "number":
             self.next()
@@ -193,7 +219,9 @@ class PromQLParser:
                     self.next()
             self.expect("}")
         sel = VectorSelector(name=name, matchers=matchers)
-        if self.at("["):
+        # plain range `[5m]` binds to the selector; `[30m:5m]` is a
+        # subquery suffix handled by parse_term
+        if self.at("[") and self.peek(2)[1] != ":":
             self.next()
             _, d = self.next()
             sel.range_ns = parse_duration_ns(d)

@@ -236,6 +236,25 @@ register(
     )
 )
 
+@register(
+    "logql_query_range_limit",
+    # newest-first limit with deterministic (ts, fingerprint) tiebreak
+    """
+    SELECT fingerprint, timestamp_ns, string FROM (
+      SELECT user_id*8+4 AS fingerprint, epoch_ns(ts) AS timestamp_ns,
+             props AS string FROM events WHERE event_type='error'
+    ) ORDER BY timestamp_ns DESC, fingerprint DESC LIMIT 100
+    """,
+)
+def logql_query_range_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.logql.compiler import query_range
+
+    res = query_range(
+        LogQLContext(spark, sf_dir), '{app="error"}', limit=100, direction="backward"
+    )
+    return res.df.select("fingerprint", "timestamp_ns", "string")
+
+
 register(
     "logql_absent_over_time",
     # buckets (over the table's extent) where the heavily-filtered
@@ -362,6 +381,28 @@ register(
     FROM d GROUP BY 1, 2
     """,
 )(_promql('irate({app="purchase"}[1h])', _FPV))
+
+register(
+    "promql_subquery_max_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT fingerprint, app, (timestamp_ns - timestamp_ns % 60000000000) AS step_b,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app='click' GROUP BY 1, 2, 3
+    ), summed AS (
+      SELECT app, step_b, sum(value) AS value FROM inst GROUP BY 1, 2
+    )
+    SELECT app, (step_b - step_b % 3600000000000) AS timestamp_ns,
+           round(max(value), 6) AS value
+    FROM summed GROUP BY 1, 2
+    """,
+)(
+    _promql(
+        'max_over_time(sum by (app) ({app="click"})[1h:1m])',
+        [_lbl("app"), "timestamp_ns", "value"],
+        step_ns=60_000_000_000,
+    )
+)
 
 register(
     "promql_avg_over_time",
