@@ -158,8 +158,12 @@ def minhash_lsh_pairs(
     # is also the optimizer barrier that stops CollapseProject from
     # re-inlining (and thus recomputing) the shingle/hash arrays into
     # every downstream lambda.
+    # repartition BEFORE the expression-heavy shingle/hash computation:
+    # small corpora arrive as one parquet partition and would build the
+    # whole index on a single core
+    par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
-        with_shingles(docs, text_col, "sh", n)
+        with_shingles(docs.repartition(par, id_col), text_col, "sh", n)
         .select(F.col(id_col).alias("id"), F.col("sh"))
         .filter(F.size("sh") > 0)
         .withColumn(

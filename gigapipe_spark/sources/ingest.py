@@ -144,6 +144,88 @@ def zipkin_spans(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+_DATADOG_LOGS_SCHEMA = (
+    "array<struct<message: string, status: string, hostname: string,"
+    " service: string, ddsource: string, ddtags: string, timestamp: long>>"
+)
+
+
+def datadog_logs(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Datadog logs JSON arrays → samples (ref: datadog_json.go:32).
+    ddtags ("k:v,k2:v2") explode into labels; ms timestamps → ns."""
+    logs = raw.select(
+        F.explode(F.from_json(F.col(payload_col), _DATADOG_LOGS_SCHEMA)).alias("l")
+    )
+    tags = F.when(
+        F.coalesce(F.col("l.ddtags"), F.lit("")) != "",
+        F.expr("str_to_map(l.ddtags, ',', ':')"),
+    ).otherwise(F.expr("map()"))
+    labels = F.map_concat(
+        tags,
+        F.map_filter(
+            F.create_map(
+                F.lit("status"), F.col("l.status"),
+                F.lit("hostname"), F.col("l.hostname"),
+                F.lit("service"), F.col("l.service"),
+                F.lit("ddsource"), F.col("l.ddsource"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    return logs.select(
+        *_normalize(
+            labels,
+            F.col("l.timestamp") * 1_000_000,
+            F.col("l.message"),
+            F.lit(0.0),
+            1,
+        )
+    )
+
+
+_OTLP_TRACES_SCHEMA = """
+struct<resourceSpans: array<struct<
+  resource: struct<attributes: array<struct<key: string,
+    value: struct<stringValue: string>>>>,
+  scopeSpans: array<struct<spans: array<struct<
+    traceId: string, spanId: string, parentSpanId: string, name: string,
+    startTimeUnixNano: string, endTimeUnixNano: string,
+    attributes: array<struct<key: string, value: struct<stringValue: string>>>
+  >>>>
+>>>
+"""
+
+
+def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """OTLP/JSON traces → spans rows (ref: unmarshal/otlp.go:76;
+    nested attrs flattened with dotted prefixes like the reference,
+    otlp.go:135-154 — OTLP JSON keys already carry the dots)."""
+    parsed = raw.select(F.from_json(F.col(payload_col), _OTLP_TRACES_SCHEMA).alias("p"))
+    rs = parsed.select(F.explode("p.resourceSpans").alias("rs"))
+    res_attrs = F.map_from_entries(
+        F.transform(
+            F.coalesce(F.col("rs.resource.attributes"), F.array()),
+            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+        )
+    )
+    spans = rs.select(
+        res_attrs.alias("res_attrs"), F.explode("rs.scopeSpans").alias("ss")
+    ).select("res_attrs", F.explode("ss.spans").alias("s"))
+    start = F.col("s.startTimeUnixNano").cast("long")
+    end = F.col("s.endTimeUnixNano").cast("long")
+    return spans.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.coalesce(F.col("s.parentSpanId"), F.lit("")).alias("parent_id"),
+        F.col("s.name").alias("name"),
+        start.alias("timestamp_ns"),
+        (end - start).alias("duration_ns"),
+        F.col("res_attrs").getItem("service.name").alias("service_name"),
+        F.lit(2).cast("byte").alias("payload_type"),
+        F.to_json(F.col("s")).alias("payload"),
+    )
+
+
 _OTLP_LOGS_SCHEMA = """
 struct<resourceLogs: array<struct<
   resource: struct<attributes: array<struct<key: string,

@@ -265,6 +265,11 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
     ids = eval_spanset(ctx, script.spanset)
+    if script.sample is not None:
+        # trace-level sampling with a fixed seed (ref: ctx.RandomFilter
+        # attr_condition.go:55-62 — the reference also samples trace ids)
+        traces = ids.select("trace_id").distinct().sample(script.sample, seed=42)
+        ids = ids.join(F.broadcast(traces), "trace_id", "left_semi")
     spans = ctx.spans().join(ids, ["trace_id", "span_id"], "left_semi")
     for af in script.agg_filters:
         target = F.col("duration_ns") if af.attr in (None, "duration") else F.col("duration_ns")
@@ -349,6 +354,16 @@ def compare_attrs(ctx: TraceQLContext, sel: SpanSelector, top_n: int = 10) -> Da
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= top_n)
         .drop("__rn")
+    )
+
+
+def trace_by_id(ctx: TraceQLContext, trace_id: str) -> DataFrame:
+    """Point lookup (ref: reader/service/tempo.go:53 GetQueryRequest):
+    all spans of one trace, root first then by start time."""
+    return (
+        ctx.spans()
+        .filter(F.col("trace_id") == trace_id)
+        .orderBy(F.when(F.col("parent_id") == "", 0).otherwise(1), "timestamp_ns")
     )
 
 

@@ -104,6 +104,7 @@ class TraceQLScript:
     spanset: SpansetExpr
     agg_filters: list[AggFilter] = field(default_factory=list)
     metrics: MetricsStage | None = None
+    sample: float | None = None  # with(sample=0.1) hint
 
 
 def _norm_attr(name: str) -> str:
@@ -144,6 +145,17 @@ class TraceQLParser:
         while self.at("|"):
             self.next()
             self.parse_pipeline_stage(script)
+        # trailing hint: with(sample=0.1)  (ref: WithClause model_v2.go:243)
+        if self.peek()[1] == "with":
+            self.next()
+            self.expect("(")
+            _, key = self.next()
+            if key != "sample":
+                raise TraceQLSyntaxError(f"unknown hint {key!r}")
+            self.expect("=")
+            _, v = self.next()
+            script.sample = float(v)
+            self.expect(")")
         if self.peek()[0] != "eof":
             raise TraceQLSyntaxError(f"trailing input {self.peek()[1]!r}")
         return script
