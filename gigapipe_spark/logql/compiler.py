@@ -614,9 +614,11 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
 
 def _group_labels_col(by: list[str] | None, without: list[str] | None) -> Column:
     labels = F.coalesce(F.col("labels"), F.expr("map()"))
+    if by is None and without is None:
+        by = []  # bare agg (e.g. sum(x)): aggregate every label away
     if by is not None:
         return F.map_filter(labels, lambda k, v: k.isin(*by) if by else F.lit(False))
-    return F.map_filter(labels, lambda k, v: ~k.isin(*without))
+    return F.map_filter(labels, lambda k, v: ~k.isin(*without) if without else F.lit(True))
 
 
 _VECTOR_AGGS = {

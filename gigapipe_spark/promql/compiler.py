@@ -406,9 +406,33 @@ def _binop(ctx: PromQLContext, e: PromBinOp) -> DataFrame:
             "left_anti",
         )
         return left.unionByName(onlyr)
-    lj = left.select("fingerprint", "labels", "timestamp_ns", F.col("value").alias("__l"))
-    rj = right.select("fingerprint", "timestamp_ns", F.col("value").alias("__r"))
-    j = lj.join(rj, ["fingerprint", "timestamp_ns"], "inner")
+    # vector matching: default joins on the full label identity
+    # (fingerprint); on()/ignoring() join on a label subset with
+    # group_left/right allowing many-to-one (ref: upstream PromQL
+    # matching semantics; the reference gets these from the embedded
+    # engine, here they compile to the join key)
+    if e.on is not None or e.ignoring is not None:
+        match_labels = _group_labels_col(e.on, e.ignoring or [])
+        key = F.xxhash64(canonical_labels_str(match_labels))
+        lj = left.select(
+            key.alias("__k"), "fingerprint", "labels", "timestamp_ns",
+            F.col("value").alias("__l"),
+        )
+        rj = right.select(key.alias("__k"), "timestamp_ns", F.col("value").alias("__r"))
+        if e.group_side == "right":
+            # many-to-one toward the right: keep right's identity
+            lj2 = left.select(key.alias("__k"), "timestamp_ns", F.col("value").alias("__l"))
+            rj2 = right.select(
+                key.alias("__k"), "fingerprint", "labels", "timestamp_ns",
+                F.col("value").alias("__r"),
+            )
+            j = rj2.join(lj2, ["__k", "timestamp_ns"], "inner").drop("__k")
+        else:
+            j = lj.join(rj, ["__k", "timestamp_ns"], "inner").drop("__k")
+    else:
+        lj = left.select("fingerprint", "labels", "timestamp_ns", F.col("value").alias("__l"))
+        rj = right.select("fingerprint", "timestamp_ns", F.col("value").alias("__r"))
+        j = lj.join(rj, ["fingerprint", "timestamp_ns"], "inner")
     if e.op in _CMP_OPS:
         if e.bool_modifier:
             out = j.withColumn("value", _cmp(e.op, F.col("__l"), F.col("__r")).cast("double"))

@@ -93,6 +93,9 @@ class PromBinOp:
     left: "PromExpr"
     right: "PromExpr"
     bool_modifier: bool = False
+    on: list[str] | None = None  # on(labels) vector matching
+    ignoring: list[str] | None = None
+    group_side: str | None = None  # "left" | "right" (many-to-one)
 
 
 @dataclass
@@ -154,8 +157,25 @@ class PromQLParser:
             if self.at("bool"):
                 self.next()
                 bool_mod = True
+            on = ignoring = None
+            group_side = None
+            if self.peek()[1] in ("on", "ignoring"):
+                _, kw = self.next()
+                labels = self._label_list()
+                if kw == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+                if self.peek()[1] in ("group_left", "group_right"):
+                    _, g = self.next()
+                    group_side = "left" if g == "group_left" else "right"
+                    if self.at("("):  # optional extra-label list (carried implicitly)
+                        self._label_list()
             right = self.parse_binop(prec + 1)
-            left = PromBinOp(op=val, left=left, right=right, bool_modifier=bool_mod)
+            left = PromBinOp(
+                op=val, left=left, right=right, bool_modifier=bool_mod,
+                on=on, ignoring=ignoring, group_side=group_side,
+            )
 
     def parse_term(self) -> PromExpr:
         term = self._parse_term_inner()
@@ -270,8 +290,7 @@ class PromQLParser:
             by, without = self._grouping()
         return AggExpr(fn=fn, inner=inner, by=by, without=without, param=param)
 
-    def _grouping(self):
-        _, kw = self.next()
+    def _label_list(self) -> list[str]:
         self.expect("(")
         labels = []
         while not self.at(")"):
@@ -280,6 +299,11 @@ class PromQLParser:
             if self.at(","):
                 self.next()
         self.expect(")")
+        return labels
+
+    def _grouping(self):
+        _, kw = self.next()
+        labels = self._label_list()
         return (labels, None) if kw == "by" else (None, labels)
 
 

@@ -428,6 +428,26 @@ register(
 )(_promql('sum by (app) ({level="info"})', [_lbl("app"), "timestamp_ns", "value"]))
 
 register(
+    "promql_vector_matching_ratio",
+    # share-of-total via / on() group_left (many-to-one matching)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, per_app AS (
+      SELECT app, (timestamp_ns - timestamp_ns % 3600000000000) AS b,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM metric_samples WHERE level='info' GROUP BY 1, 2
+    ), total AS (SELECT b, sum(v) AS t FROM per_app GROUP BY 1)
+    SELECT p.app, p.b AS timestamp_ns, round(p.v / t.t, 6) AS value
+    FROM per_app p JOIN total t ON p.b = t.b
+    """,
+)(
+    _promql(
+        'sum by (app) (count_over_time({level="info"}[1h]))'
+        ' / on() group_left sum(count_over_time({level="info"}[1h]))',
+        [_lbl("app"), "timestamp_ns", "value"],
+    )
+)
+
+register(
     "promql_comparison",
     counter_cte(3_600_000_000_000, "app='error'")
     + """
