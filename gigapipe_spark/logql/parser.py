@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
   | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))*)
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:\\.|[^"\\])*"|`[^`]*`)
-  | (?P<op>\|=|\|~|\|>|!=|!~|=~|==|>=|<=|->|[{}(),\[\]|=<>+\-*/%:])
+  | (?P<op>\|=|\|~|\|>|!=|!~|=~|==|>=|<=|->|[{}(),\[\]|=<>+\-*/%:@])
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
     """,
     re.VERBOSE,

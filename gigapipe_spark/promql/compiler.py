@@ -99,13 +99,31 @@ def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
     df = df.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
+    if sel.at_ns is not None:
+        # @-modifier: restrict to data at/before the pinned time
+        df = df.filter(F.col("timestamp_ns") <= sel.at_ns)
     return df
+
+
+_LOOKBACK_NS = 5 * 60 * 1_000_000_000  # instant-vector staleness window
 
 
 def _instant_matrix(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
     """Instant vector: last raw sample per step bucket per series
-    (ref: downsample_values.go argMaxMerge(last) per step)."""
+    (ref: downsample_values.go argMaxMerge(last) per step). With an
+    @-modifier: one point per series — the last sample within the
+    staleness lookback before the pinned time."""
     df = _selector_samples(ctx, sel)
+    if sel.at_ns is not None:
+        df = df.filter(F.col("timestamp_ns") > sel.at_ns - _LOOKBACK_NS)
+        return (
+            df.groupBy("fingerprint")
+            .agg(F.max_by("value", "timestamp_ns").alias("value"), F.first("labels").alias("labels"))
+            .select(
+                "fingerprint", "labels",
+                F.lit(sel.at_ns).alias("timestamp_ns"), "value",
+            )
+        )
     return (
         df.groupBy("fingerprint", _bucket(F.col("timestamp_ns"), ctx.step_ns).alias("timestamp_ns"))
         .agg(F.max_by("value", "timestamp_ns").alias("value"), F.first("labels").alias("labels"))
@@ -177,6 +195,7 @@ def _rollup_eligible(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> boo
         and sel.range_ns is not None
         and sel.range_ns % ROLLUP_NS == 0
         and sel.offset_ns % ROLLUP_NS == 0
+        and sel.at_ns is None  # pinned windows don't align to the grid
     )
 
 
@@ -217,7 +236,12 @@ def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
     if _rollup_eligible(ctx, fn, sel):
         return _range_fn_rollup(ctx, fn, sel)
     df = _selector_samples(ctx, sel)
-    bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
+    if sel.at_ns is not None:
+        # pinned range: one window (at-range, at] → one output point
+        df = df.filter(F.col("timestamp_ns") > sel.at_ns - rng)
+        bucket = F.lit(sel.at_ns).alias("timestamp_ns")
+    else:
+        bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
     if fn.fn in _SIMPLE_RANGE:
         agg = _SIMPLE_RANGE[fn.fn]()
         out = (
@@ -236,7 +260,12 @@ def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
         return out.select("fingerprint", "labels", "timestamp_ns", "value")
     if fn.fn in _COUNTER_FNS:
         # window: per-series consecutive-pair deltas WITHIN each bucket
-        b = _bucket(F.col("timestamp_ns"), rng)
+        # (@-pinned ranges are one window per series)
+        b = (
+            F.lit(sel.at_ns)
+            if sel.at_ns is not None
+            else _bucket(F.col("timestamp_ns"), rng)
+        )
         w = Window.partitionBy("fingerprint", b).orderBy("timestamp_ns")
         prev = F.lag("value").over(w)
         prev_ts = F.lag("timestamp_ns").over(w)

@@ -59,6 +59,7 @@ class VectorSelector:
     matchers: list[Matcher]
     range_ns: int | None = None
     offset_ns: int = 0
+    at_ns: int | None = None  # @-modifier: pin evaluation time
 
 
 @dataclass
@@ -246,10 +247,16 @@ class PromQLParser:
             _, d = self.next()
             sel.range_ns = parse_duration_ns(d)
             self.expect("]")
-        if self.at("offset"):
-            self.next()
-            _, d = self.next()
-            sel.offset_ns = parse_duration_ns(d)
+        while self.peek()[1] in ("offset", "@"):
+            _, mod = self.next()
+            if mod == "offset":
+                _, d = self.next()
+                sel.offset_ns = parse_duration_ns(d)
+            else:  # @ <unix seconds>
+                kind, v = self.next()
+                if kind != "number":
+                    raise LogQLSyntaxError("@ expects a unix timestamp")
+                sel.at_ns = int(float(v) * 1e9)
         return sel
 
     def parse_fn(self) -> FnCall:
