@@ -228,30 +228,37 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
 def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame, max_depth: int = 8) -> DataFrame:
     """(trace_id, span_id, anc_id) for every ancestor of each span in
     span_set, walking parent_id up to max_depth."""
+    # each level is persisted: the isEmpty probe and the next join then
+    # read the materialized level instead of re-executing the whole
+    # upstream lineage (selector bitmask + k joins) once per level —
+    # iterative algorithms on DataFrames recompute lineage otherwise
     cur = (
         span_set.join(spans, ["trace_id", "span_id"], "inner")
         .filter(F.col("parent_id") != "")
         .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
+        .persist()
     )
-    all_anc = cur
+    levels = [cur]
     parents = spans.select(
         "trace_id",
         F.col("span_id").alias("anc_id"),
         F.col("parent_id").alias("next_anc"),
     )
     for _ in range(max_depth - 1):
-        # one cheap action per level to stop at the true tree depth —
-        # planning 8 levels of joins unconditionally costs more than the
-        # isEmpty probes on typical shallow traces
+        # one cheap action per level to stop at the true tree depth
         if cur.isEmpty():
             break
         cur = (
             cur.join(parents, ["trace_id", "anc_id"], "inner")
             .filter(F.col("next_anc") != "")
             .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
+            .persist()
         )
-        all_anc = all_anc.unionByName(cur)
-    return all_anc.distinct()
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.distinct()
 
 
 _CMP = {
