@@ -748,6 +748,24 @@ def query(ctx: LogQLContext, text: str) -> Result:
     return compile_expr(ctx, parse(text))
 
 
+def restep(matrix: DataFrame, range_ns: int, step_ns: int) -> DataFrame:
+    """Step re-interpolation (ref: planner_step_fix.go:11 +
+    matrix_step.go:9): each range bucket's value is repeated onto the
+    finer step grid within the bucket — query_range responses are dense
+    per step even when the range agg bucketed coarser. Zero-valued
+    points are dropped afterwards by the zero-eater
+    (ref: planner_zero_eater.go), mirrored here with a filter."""
+    if step_ns >= range_ns:
+        return matrix
+    k = range_ns // step_ns
+    offsets = F.sequence(F.lit(0), F.lit(int(k - 1)))
+    exploded = matrix.withColumn("__i", F.explode(offsets))
+    out = exploded.withColumn(
+        "timestamp_ns", F.col("timestamp_ns") + F.col("__i") * F.lit(step_ns)
+    ).drop("__i")
+    return out.filter(F.col("value") != 0)  # zero-eater
+
+
 def query_range(
     ctx: LogQLContext,
     text: str,

@@ -190,6 +190,34 @@ def mine_patterns(
     )
 
 
+def stream_mine_patterns(
+    samples_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    similarity: float = 0.6,
+    bucket_ns: int = 600_000_000_000,
+    trigger_seconds: int = 5,
+):
+    """Streaming pattern mining: the reference clusters at ingest and
+    flushes per 10m bucket (ref: writer/pattern/controller/
+    controller.go:71,132,187). Here each micro-batch is mined and the
+    clusters appended to the patterns table — per-batch clustering of a
+    bucket shard merges at read time via read_patterns, matching the
+    reference's iteration_id/argMax merge model."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        mine_patterns(batch_df, similarity, bucket_ns).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        samples_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def read_patterns(patterns: DataFrame) -> DataFrame:
     """Read-side shaping (ref: planner_patterns.go:10 — latest iteration
     per pattern, sample counts): pattern string + totals."""

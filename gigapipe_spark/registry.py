@@ -237,6 +237,34 @@ register(
 )
 
 @register(
+    "logql_step_reinterpolation",
+    # 10m rate buckets repeated onto a 2m step grid (5 points/bucket),
+    # zero points eaten
+    """
+    WITH m AS (
+      SELECT user_id*8+4 AS fingerprint,
+             (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS b,
+             round(count(*)/600.0, 6) AS value
+      FROM events WHERE event_type='error' GROUP BY 1, 2
+    )
+    SELECT fingerprint, b + i * 120000000000 AS timestamp_ns, value
+    FROM m, (SELECT unnest(generate_series(0, 4)) AS i)
+    WHERE value != 0
+    """,
+)
+def logql_step_reinterpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.logql.compiler import restep
+
+    res = logql_query(LogQLContext(spark, sf_dir), 'rate({app="error"}[10m])')
+    out = restep(
+        res.df.withColumn("value", F.round("value", 6)),
+        range_ns=600_000_000_000,
+        step_ns=120_000_000_000,
+    )
+    return out.select("fingerprint", "timestamp_ns", "value")
+
+
+@register(
     "logql_query_range_limit",
     # newest-first limit with deterministic (ts, fingerprint) tiebreak
     """
@@ -488,6 +516,20 @@ def promql_sum_over_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         PromQLContext(spark, sf_dir, use_rollup=True), 'sum_over_time({app="click"}[30m])'
     )
     return df.select("fingerprint", "timestamp_ns", F.round("value", 6).alias("value"))
+
+
+register(
+    "traceql_select_stage",
+    with_spans(
+        "SELECT trace_id, span_id, returnflag, linestatus FROM spans"
+        " WHERE name = 'item' AND duration_ns > 80000000"
+    ),
+)(
+    lambda spark, sf_dir: traceql_query(
+        TraceQLContext(spark, sf_dir),
+        '{ name = "item" && duration > 80ms } | select(returnflag, linestatus)',
+    ).select("trace_id", "span_id", "returnflag", "linestatus")
+)
 
 
 @register(
@@ -904,6 +946,131 @@ def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = views.metric_samples(spark, sf_dir).select("fingerprint", "timestamp_ns", "value")
     return _pf.holt_winters(m, sf=0.5, tf=0.5, range_ns=3_600_000_000_000)
+
+
+@register(
+    "promql_label_replace",
+    # svc ← capture from app; re-fingerprinted
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT app, (timestamp_ns - timestamp_ns % 60000000000) AS b,
+             fingerprint, max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app IN ('click','view') GROUP BY 1, 2, 3
+    )
+    SELECT regexp_replace(app, '^(?:(\\w+))$', 'svc-\\1') AS svc, app,
+           b AS timestamp_ns, round(value, 6) AS value
+    FROM inst
+    """,
+)
+def promql_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.promql import functions as pf
+
+    m = promql_query(PromQLContext(spark, sf_dir), '{app=~"click|view"}')
+    out = pf.label_replace(m, "svc", "svc-$1", "app", "(\\w+)")
+    return out.select(
+        _lbl("svc")(), _lbl("app")(), "timestamp_ns", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "promql_absent",
+    # grid buckets (1m step over the selection's extent) with no data at
+    # all for a heavily-filtered selector
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT (timestamp_ns - timestamp_ns % 60000000000) AS b
+      FROM metric_samples WHERE app = 'signup'
+    ), bounds AS (SELECT min(b) lo, max(b) hi FROM m),
+    grid AS (SELECT unnest(generate_series(lo, hi, 60000000000)) AS timestamp_ns FROM bounds)
+    SELECT CAST(0 AS BIGINT) AS fingerprint, g.timestamp_ns, 1.0 AS value
+    FROM grid g LEFT JOIN (SELECT DISTINCT b FROM m) mm ON g.timestamp_ns = mm.b
+    WHERE mm.b IS NULL
+    """,
+)
+def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.promql import functions as pf
+
+    ctx = PromQLContext(spark, sf_dir, step_ns=60_000_000_000)
+    m = promql_query(ctx, '{app="signup"}')
+    bounds = m.agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi")).collect()[0]
+    return pf.absent(m, spark, bounds["lo"], bounds["hi"], ctx.step_ns).select(
+        "fingerprint", "timestamp_ns", "value"
+    )
+
+
+@register(
+    "promql_histogram_quantile",
+    # le-buckets built from span durations (log2 histogram, cumulative),
+    # then the classic bucket interpolation — all mirrored in SQL
+    with_spans(
+        """
+        SELECT timestamp_ns,
+               CASE WHEN le = max_le THEN prev_le
+                    ELSE prev_le + (le - prev_le) * (rank - prev_c) / greatest(cum - prev_c, 1e-12)
+               END AS value
+        FROM (
+          SELECT timestamp_ns, le, cum,
+                 lag(le) OVER w AS prev_le0,
+                 coalesce(lag(le) OVER w, 0.0) AS prev_le,
+                 coalesce(lag(cum) OVER w, 0.0) AS prev_c,
+                 max(cum) OVER (PARTITION BY timestamp_ns) * 0.5 AS rank,
+                 max(le) OVER (PARTITION BY timestamp_ns) AS max_le
+          FROM (
+            SELECT timestamp_ns, le,
+                   sum(cnt) OVER (PARTITION BY timestamp_ns ORDER BY le) AS cum
+            FROM (
+              SELECT (timestamp_ns - timestamp_ns % 86400000000000) AS timestamp_ns,
+                     power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+                     CAST(count(*) AS DOUBLE) AS cnt
+              FROM spans WHERE name = 'order' GROUP BY 1, 2
+            )
+          ) WINDOW w AS (PARTITION BY timestamp_ns ORDER BY le)
+        )
+        WHERE cum >= rank AND prev_c < rank
+        """
+    ),
+)
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile over le-bucketed series built from span
+    durations — exercises the full interpolation path with a real
+    oracle. The top bucket acts as +Inf (quantile falls back to the
+    previous bound there, matching the oracle's max_le branch)."""
+    from gigapipe_spark.promql import functions as pf
+    from gigapipe_spark.traceql.compiler import TraceQLContext as TC
+    from gigapipe_spark.traceql.compiler import query as tq
+
+    day = 86_400_000_000_000
+    hist = tq(
+        TraceQLContext(spark, sf_dir), '{ name = "order" } | histogram_over_time(duration)'
+    )
+    # rebucket to daily + cumulative counts per le, shaped as a matrix
+    # with labels {le: ...}
+    from pyspark.sql import Window
+
+    daily = (
+        hist.withColumn(
+            "timestamp_ns",
+            F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(day)),
+        )
+        .groupBy("timestamp_ns", "le")
+        .agg(F.sum("value").alias("cnt"))
+    )
+    w = Window.partitionBy("timestamp_ns").orderBy("le")
+    cum = daily.withColumn("value", F.sum("cnt").over(w))
+    # mark the top bucket of each ts as +Inf so interpolation treats it
+    # as the overflow bucket (log2 histograms have no explicit +Inf)
+    wmax = Window.partitionBy("timestamp_ns")
+    matrix = cum.withColumn(
+        "labels",
+        F.create_map(
+            F.lit("le"),
+            F.when(F.col("le") == F.max("le").over(wmax), F.lit("+Inf")).otherwise(
+                F.col("le").cast("string")
+            ),
+        ),
+    ).select(F.lit(0).cast("long").alias("fingerprint"), "labels", "timestamp_ns", "value")
+    out = pf.histogram_quantile(matrix, 0.5)
+    return out.select("timestamp_ns", "value")
 
 
 # ------------------------------------------------------- profiles

@@ -292,6 +292,19 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         spans = spans.join(F.broadcast(good), "trace_id", "left_semi")
     if script.metrics is not None:
         return _metrics(ctx, spans, script.metrics)
+    if script.select_attrs:
+        # | select(a, b): attach requested attr values as columns
+        # (ref: select_tags_planner.go) — one semi-filtered index scan
+        # pivoted per key
+        attrs = ctx.attrs().filter(F.col("key").isin(*script.select_attrs))
+        pivoted = (
+            attrs.groupBy("trace_id", "span_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("key", "val"))).alias("__m"))
+        )
+        out = spans.join(pivoted, ["trace_id", "span_id"], "left")
+        for a in script.select_attrs:
+            out = out.withColumn(a.replace(".", "_"), F.col("__m").getItem(a))
+        return out.drop("__m")
     return spans
 
 

@@ -105,6 +105,7 @@ class TraceQLScript:
     agg_filters: list[AggFilter] = field(default_factory=list)
     metrics: MetricsStage | None = None
     sample: float | None = None  # with(sample=0.1) hint
+    select_attrs: list[str] = field(default_factory=list)  # | select(a, b)
 
 
 def _norm_attr(name: str) -> str:
@@ -224,6 +225,16 @@ class TraceQLParser:
 
     def parse_pipeline_stage(self, script: TraceQLScript) -> None:
         kind, fn = self.next()
+        if fn == "select":
+            # second-stage projection (ref: select_tags_planner.go:8)
+            self.expect("(")
+            while not self.at(")"):
+                _, a = self.next()
+                script.select_attrs.append(_norm_attr(a))
+                if self.at(","):
+                    self.next()
+            self.expect(")")
+            return
         if fn in ("count", "sum", "min", "max", "avg"):
             self.expect("(")
             attr = None
