@@ -183,6 +183,105 @@ def datadog_logs(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+_DATADOG_METRICS_SCHEMA = (
+    "struct<series: array<struct<metric: string, host: string,"
+    " tags: array<string>, points: array<array<double>>>>>"
+)
+
+
+def datadog_metrics(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Datadog metrics JSON → metric samples (ref: datadog_metrics_json.go).
+    tags ["k:v", ...] become labels; points are [epoch_s, value] pairs."""
+    series = raw.select(
+        F.explode(F.from_json(F.col(payload_col), _DATADOG_METRICS_SCHEMA)["series"]).alias("s")
+    )
+    tags = F.map_from_entries(
+        F.transform(
+            F.coalesce(F.col("s.tags"), F.array()),
+            lambda t: F.struct(
+                F.split(t, ":").getItem(0).alias("key"),
+                F.split(t, ":").getItem(1).alias("value"),
+            ),
+        )
+    )
+    labels = F.map_concat(
+        tags,
+        F.map_filter(
+            F.create_map(
+                F.lit("__name__"), F.col("s.metric"),
+                F.lit("host"), F.col("s.host"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    pts = series.select(labels.alias("labels"), F.explode("s.points").alias("p"))
+    return pts.select(
+        *_normalize(
+            F.col("labels"),
+            (F.get(F.col("p"), 0) * 1_000_000_000).cast("long"),
+            F.lit(""),
+            F.get(F.col("p"), 1),
+            2,
+        )
+    )
+
+
+def collapsed_stacks(raw: DataFrame, line_col: str = "line",
+                     profile_col: str = "profile_id") -> DataFrame:
+    """Folded-stack profiles ("main;foo;bar 42" per line — the format
+    flamegraph tooling exchanges; the reference ingests binary pprof,
+    ref: writer/utils/unmarshal/go_pprof.go:82) → per-node tree rows
+    compatible with prof.tree.merge_trees's exploded shape.
+
+    Node identity = xxhash64 of the frame path, parent = hash of the
+    prefix path; self = sample value on exact-path lines, total = Σ over
+    all lines passing through the node. Pure explode + groupBy.
+    """
+    line = F.col(line_col)
+    raw_value = F.regexp_extract(line, r" (\d+)\s*$", 1)
+    # malformed lines (no trailing count) extract "" — ANSI cast would
+    # throw, so gate the cast and drop them
+    value = F.when(raw_value != "", raw_value.cast("long"))
+    stack = F.split(F.regexp_extract(line, r"^(.*) \d+\s*$", 1), ";")
+    parsed = (
+        raw.select(F.col(profile_col), stack.alias("stack"), value.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .filter(F.size("stack") > 0)
+    )
+    # explode each prefix of the stack: node at depth i covers value
+    depths = F.sequence(F.lit(1), F.size("stack"))
+    nodes = parsed.select(
+        profile_col,
+        "stack",
+        "value",
+        F.explode(depths).alias("depth"),
+    ).select(
+        profile_col,
+        "value",
+        F.slice("stack", 1, F.col("depth")).alias("path"),
+        (F.col("depth") == F.size("stack")).alias("is_leaf"),
+        F.element_at("stack", F.col("depth")).alias("fn_name"),
+    )
+    path_id = F.xxhash64(F.concat_ws(";", F.col("path")))
+    parent_id = F.when(
+        F.size("path") > 1,
+        F.xxhash64(F.concat_ws(";", F.slice("path", 1, F.size("path") - 1))),
+    ).otherwise(F.lit(0))
+    return (
+        nodes.groupBy(
+            F.col(profile_col),
+            path_id.alias("id"),
+            parent_id.alias("parent"),
+            F.col("fn_name"),
+        )
+        .agg(
+            F.sum(F.when(F.col("is_leaf"), F.col("value")).otherwise(0)).alias("self"),
+            F.sum("value").alias("total"),
+        )
+        .withColumn("fn_id", F.xxhash64("fn_name"))
+    )
+
+
 _OTLP_TRACES_SCHEMA = """
 struct<resourceSpans: array<struct<
   resource: struct<attributes: array<struct<key: string,

@@ -63,7 +63,9 @@ class TraceQLContext:
         return self._attrs
 
 
-_INTRINSIC_NUM = {"duration": "duration"}
+# intrinsics resolvable on the spans table itself — selectors touching
+# only these skip the attrs index entirely (ref: attrless.go:9)
+_INTRINSIC_COLS = {"duration": "duration_ns", "name": "name", "service.name": "service_name"}
 
 
 def _collect_terms(e) -> list[AttrCmp]:
@@ -125,9 +127,10 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
         return ctx.spans().select("trace_id", "span_id")
     terms = _collect_terms(sel.expr)
     term_index = dict(enumerate(terms))
-    # duration-only selector: scan spans directly (ref: attrless.go)
-    if all(t.attr == "duration" for t in terms):
-        cond = _build_direct(sel.expr, F.col("duration_ns"))
+    # intrinsic-only selector: scan spans directly, no index round trip
+    # (ref: attrless.go) — the common {name="x"} / {duration>..} shapes
+    if all(t.attr in _INTRINSIC_COLS for t in terms):
+        cond = _build_direct_intrinsic(sel.expr)
         return ctx.spans().filter(cond).select("trace_id", "span_id")
     attrs = ctx.attrs()
     bits = None
@@ -150,11 +153,18 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
     )
 
 
-def _build_direct(e, duration_col: Column) -> Column:
+def _build_direct_intrinsic(e) -> Column:
     if isinstance(e, AttrCmp):
-        return _duration_cond(e, duration_col)
-    left = _build_direct(e.left, duration_col)
-    right = _build_direct(e.right, duration_col)
+        col = F.col(_INTRINSIC_COLS[e.attr])
+        if e.kind in ("duration", "number"):
+            return _duration_cond(e, col)
+        ops = {
+            "=": col == e.value, "!=": col != e.value,
+            "=~": col.rlike(str(e.value)), "!~": ~col.rlike(str(e.value)),
+        }
+        return ops[e.op]
+    left = _build_direct_intrinsic(e.left)
+    right = _build_direct_intrinsic(e.right)
     return (left & right) if e.op == "&&" else (left | right)
 
 
