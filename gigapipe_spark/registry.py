@@ -1277,6 +1277,166 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.extract_features(mm)
 
 
+# --- §2.1 ingestion decoders -------------------------------------------------
+# Deterministic wire payloads built inline, decoded through the real
+# ingest path, hash-checked against literal-row oracles. Fingerprints are
+# xxhash64 (not reproducible in DuckDB) so outputs project around them.
+
+
+def _pb_fixture_write_request() -> bytes:
+    import struct as _struct
+
+    from gigapipe_spark.sources import protowire as pw
+
+    def lbl(n: str, v: str) -> bytes:
+        return pw.pb_encode([(1, 2, n.encode()), (2, 2, v.encode())])
+
+    def smp(val: float, ts_ms: int) -> bytes:
+        return pw.pb_encode([(1, 1, _struct.pack("<d", val)), (2, 0, ts_ms)])
+
+    ts1 = pw.pb_encode(
+        [(1, 2, lbl("__name__", "http_total")), (1, 2, lbl("job", "api")),
+         (2, 2, smp(1.5, 1_000)), (2, 2, smp(2.5, 16_000))]
+    )
+    ts2 = pw.pb_encode(
+        [(1, 2, lbl("__name__", "http_total")), (1, 2, lbl("job", "web")),
+         (2, 2, smp(7.0, 1_000))]
+    )
+    return pw.snappy_compress(pw.pb_encode([(1, 2, ts1), (1, 2, ts2)]))
+
+
+@register(
+    "ingest_remote_write_pb",
+    """
+    SELECT * FROM (VALUES
+      ('api', 1000000000::BIGINT, 1.5),
+      ('api', 16000000000::BIGINT, 2.5),
+      ('web', 1000000000::BIGINT, 7.0)
+    ) AS t(job, timestamp_ns, value)
+    """,
+)
+def ingest_remote_write_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources import protowire as pw
+
+    raw = spark.createDataFrame(
+        [(bytearray(_pb_fixture_write_request()),)], "payload binary"
+    )
+    return pw.remote_write(raw).select(
+        F.col("labels").getItem("job").alias("job"), "timestamp_ns", "value"
+    )
+
+
+def _pb_fixture_pprof() -> bytes:
+    from gigapipe_spark.sources import protowire as pw
+
+    strings = [b"", b"main", b"foo", b"bar"]
+    fields = [
+        (2, 2, pw.pb_encode([(1, 0, 2), (1, 0, 1), (2, 0, 5)])),
+        (2, 2, pw.pb_encode([(1, 0, 3), (1, 0, 2), (1, 0, 1), (2, 0, 7)])),
+    ]
+    fields += [
+        (4, 2, pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))]))
+        for i in range(3)
+    ]
+    fields += [(5, 2, pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)])) for i in range(3)]
+    fields += [(6, 2, s) for s in strings]
+    return pw.pb_encode(fields)
+
+
+@register(
+    "ingest_pprof_tree",
+    """
+    SELECT * FROM (VALUES
+      ('main', 0::BIGINT, 12::BIGINT),
+      ('foo', 5::BIGINT, 12::BIGINT),
+      ('bar', 7::BIGINT, 7::BIGINT)
+    ) AS t(fn_name, self, total)
+    """,
+)
+def ingest_pprof_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+
+    from gigapipe_spark.sources import protowire as pw
+    from gigapipe_spark.sources.ingest import collapsed_stacks
+
+    raw = spark.createDataFrame(
+        [("p1", bytearray(_gzip.compress(_pb_fixture_pprof())))],
+        "profile_id string, payload binary",
+    )
+    return collapsed_stacks(pw.pprof_folded(raw)).select("fn_name", "self", "total")
+
+
+@register(
+    "ingest_loki_push",
+    """
+    SELECT * FROM (VALUES
+      ('api', 1000000000::BIGINT, 'err one'),
+      ('api', 2000000000::BIGINT, 'ok two')
+    ) AS t(app, timestamp_ns, string)
+    """,
+)
+def ingest_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources.ingest import loki_push
+
+    payload = (
+        '{"streams":[{"stream":{"app":"api"},"values":'
+        '[["1000000000","err one"],["2000000000","ok two"]]}]}'
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    return loki_push(raw).select(
+        F.col("labels").getItem("app").alias("app"), "timestamp_ns", "string"
+    )
+
+
+@register(
+    "ingest_influx_line",
+    """
+    SELECT * FROM (VALUES
+      ('cpu_usage', 'east', 1000000000::BIGINT, 0.64),
+      ('cpu_idle', 'east', 1000000000::BIGINT, 0.3)
+    ) AS t(name, region, timestamp_ns, value)
+    """,
+)
+def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources.ingest import influx_line
+
+    raw = spark.createDataFrame(
+        [("cpu,region=east usage=0.64,idle=0.3 1000000000",)], "line string"
+    )
+    return influx_line(raw).select(
+        F.col("labels").getItem("__name__").alias("name"),
+        F.col("labels").getItem("region").alias("region"),
+        "timestamp_ns",
+        "value",
+    )
+
+
+@register(
+    "ingest_datadog_cf",
+    """
+    SELECT * FROM (VALUES
+      ('GetLog', 'success', 3000000000::BIGINT),
+      ('PutLog', 'failure', 4000000000::BIGINT)
+    ) AS t(script_name, outcome, timestamp_ns)
+    """,
+)
+def ingest_datadog_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources.ingest import datadog_cf
+
+    lines = [
+        ('{"ScriptName":"GetLog","Outcome":"success","EventType":"fetch",'
+         '"EventTimestampMs":3000}',),
+        ('{"ScriptName":"PutLog","Outcome":"failure","EventType":"fetch",'
+         '"EventTimestampMs":4000}',),
+    ]
+    raw = spark.createDataFrame(lines, "line string")
+    return datadog_cf(raw).select(
+        F.col("labels").getItem("script_name").alias("script_name"),
+        F.col("labels").getItem("outcome").alias("outcome"),
+        "timestamp_ns",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,52 @@
+"""Self-run replica of the driver's correctness gate.
+
+Runs every queries() entry against its oracle_sql() on /root/testdata/sf0.01
+and prints per-query PASS/FAIL (rows-only for entries without an oracle).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from oracle_utils import compare  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = sys.argv[1:]
+    import __spark_entry__ as e
+    from gigapipe_spark.session import get_spark
+
+    spark = get_spark("selfcheck")
+    qs, os_ = e.queries(), e.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in os_:
+                ok, msg = compare(df, os_[name], sf_dir)
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only ({n} rows)"
+        except Exception:
+            ok, msg = False, traceback.format_exc(limit=3).replace("\n", " | ")
+        dt = round(time.monotonic() - t0, 2)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name} [{dt}s] {msg}", flush=True)
+        if not ok:
+            fails.append(name)
+    print(f"\n{len(fails)} failures: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

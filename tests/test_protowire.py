@@ -1,0 +1,189 @@
+"""Binary wire-format ingestion: snappy + protobuf decode paths.
+
+Fixtures are hand-encoded with protowire.pb_encode / snappy_compress —
+no protobuf or snappy runtime exists in this image, which is the point
+of the module.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+from gigapipe_spark.sources import protowire as pw
+
+
+def _label(name: str, value: str) -> bytes:
+    return pw.pb_encode([(1, 2, name.encode()), (2, 2, value.encode())])
+
+
+def _sample(value: float, ts_ms: int) -> bytes:
+    return pw.pb_encode([(1, 1, struct.pack("<d", value)), (2, 0, ts_ms)])
+
+
+def _write_request() -> bytes:
+    ts1 = pw.pb_encode(
+        [
+            (1, 2, _label("__name__", "http_total")),
+            (1, 2, _label("job", "api")),
+            (2, 2, _sample(1.5, 1_000)),
+            (2, 2, _sample(2.5, 16_000)),
+        ]
+    )
+    ts2 = pw.pb_encode(
+        [
+            (1, 2, _label("__name__", "http_total")),
+            (1, 2, _label("job", "web")),
+            (2, 2, _sample(7.0, 1_000)),
+        ]
+    )
+    return pw.pb_encode([(1, 2, ts1), (1, 2, ts2)])
+
+
+def test_snappy_roundtrip_and_copies():
+    data = b"abcdefgh" * 500 + b"tail"
+    assert pw.snappy_uncompress(pw.snappy_compress(data)) == data
+    # hand-built stream with an overlapping copy: literal "ab" + copy
+    # (offset=2, len=8) = RLE expansion "ab"*5
+    stream = bytes([10]) + bytes([1 << 2]) + b"ab" + bytes([(8 - 4) << 2 | 1, 2])
+    assert pw.snappy_uncompress(stream) == b"ab" * 5
+
+
+def test_remote_write_decode_py():
+    rows = list(pw.decode_write_request(_write_request()))
+    assert len(rows) == 3
+    labels, ts_ns, val = rows[0]
+    assert labels == {"__name__": "http_total", "job": "api"}
+    assert ts_ns == 1_000 * 1_000_000 and val == 1.5
+
+
+def test_remote_write_spark(spark):
+    body = pw.snappy_compress(_write_request())
+    raw = spark.createDataFrame([(bytearray(body),)], "payload binary")
+    out = pw.remote_write(raw).orderBy("timestamp_ns", "value").collect()
+    assert len(out) == 3
+    assert out[0]["labels"]["job"] == "api" and out[0]["value"] == 1.5
+    assert out[0]["type"] == 2 and out[0]["string"] == ""
+    # fingerprint equals the JVM-side fingerprint of the same map → joins
+    # against series built by any other ingest path line up
+    from gigapipe_spark.model.fingerprint import fingerprint_col
+    from pyspark.sql import functions as F
+
+    fp = (
+        spark.createDataFrame(
+            [({"__name__": "http_total", "job": "api"},)], "m map<string,string>"
+        )
+        .select(fingerprint_col(F.col("m")).alias("fp"))
+        .head()["fp"]
+    )
+    assert out[0]["fingerprint"] == fp
+
+
+def _anyval(s: str) -> bytes:
+    return pw.pb_encode([(1, 2, s.encode())])
+
+
+def _kv(k: str, v: str) -> bytes:
+    return pw.pb_encode([(1, 2, k.encode()), (2, 2, _anyval(v))])
+
+
+def test_otlp_traces_pb(spark):
+    span = pw.pb_encode(
+        [
+            (1, 2, bytes.fromhex("aa" * 16)),
+            (2, 2, bytes.fromhex("bb" * 8)),
+            (4, 2, bytes.fromhex("cc" * 8)),
+            (5, 2, b"GET /x"),
+            (7, 1, struct.pack("<Q", 1_000_000_000)),
+            (8, 1, struct.pack("<Q", 1_500_000_000)),
+            (9, 2, _kv("http.status", "200")),
+        ]
+    )
+    scope = pw.pb_encode([(2, 2, span)])
+    resource = pw.pb_encode([(1, 2, _kv("service.name", "api"))])
+    rs = pw.pb_encode([(1, 2, resource), (2, 2, scope)])
+    body = pw.pb_encode([(1, 2, rs)])
+    raw = spark.createDataFrame([(bytearray(body),)], "payload binary")
+    rows = pw.otlp_traces_pb(raw).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["trace_id"] == "aa" * 16 and r["parent_id"] == "cc" * 8
+    assert r["name"] == "GET /x" and r["duration_ns"] == 500_000_000
+    assert r["service_name"] == "api" and r["attrs"]["http.status"] == "200"
+
+
+def test_otlp_logs_pb(spark):
+    rec = pw.pb_encode(
+        [
+            (1, 1, struct.pack("<Q", 2_000_000_000)),
+            (3, 2, b"ERROR"),
+            (5, 2, _anyval("boom happened")),
+            (6, 2, _kv("app", "worker")),
+        ]
+    )
+    scope = pw.pb_encode([(2, 2, rec)])
+    resource = pw.pb_encode([(1, 2, _kv("service.name", "api"))])
+    rl = pw.pb_encode([(1, 2, resource), (2, 2, scope)])
+    body = pw.pb_encode([(1, 2, rl)])
+    raw = spark.createDataFrame([(bytearray(body),)], "payload binary")
+    rows = pw.otlp_logs_pb(raw).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["string"] == "boom happened" and r["timestamp_ns"] == 2_000_000_000
+    assert r["labels"] == {
+        "service.name": "api", "app": "worker", "severity": "ERROR"
+    }
+    assert r["type"] == 1
+
+
+def _pprof() -> bytes:
+    # strings: 0 reserved "", 1 main, 2 foo, 3 bar
+    strings = [b"", b"main", b"foo", b"bar"]
+    funcs = [
+        pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)]) for i in range(3)
+    ]
+    locs = [
+        pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))])
+        for i in range(3)
+    ]
+    # stacks leaf-first: [foo, main] value 5; [bar, foo, main] value 7
+    s1 = pw.pb_encode([(1, 0, 2), (1, 0, 1), (2, 0, 5)])
+    s2 = pw.pb_encode([(1, 0, 3), (1, 0, 2), (1, 0, 1), (2, 0, 7)])
+    fields = [(2, 2, s1), (2, 2, s2)]
+    fields += [(4, 2, l) for l in locs]
+    fields += [(5, 2, f) for f in funcs]
+    fields += [(6, 2, s) for s in strings]
+    return pw.pb_encode(fields)
+
+
+def test_pprof_decode_py():
+    folded = pw.decode_pprof(gzip.compress(_pprof()))
+    assert folded == [("main;foo", 5), ("main;foo;bar", 7)]
+
+
+def test_pprof_to_tree(spark):
+    from gigapipe_spark.sources.ingest import collapsed_stacks
+
+    raw = spark.createDataFrame(
+        [("p1", bytearray(gzip.compress(_pprof())))],
+        "profile_id string, payload binary",
+    )
+    tree = collapsed_stacks(pw.pprof_folded(raw)).collect()
+    by_fn = {r["fn_name"]: r for r in tree}
+    assert by_fn["main"]["total"] == 12 and by_fn["main"]["self"] == 0
+    assert by_fn["foo"]["total"] == 12 and by_fn["foo"]["self"] == 5
+    assert by_fn["bar"]["total"] == 7 and by_fn["bar"]["self"] == 7
+
+
+def test_packed_varints():
+    # packed repeated location ids (wire type 2) decode identically
+    packed = pw.pb_encode([(1, 2, b"\x02\x01"), (2, 0, 5)])
+    strings = [b"", b"main", b"foo"]
+    fields = [(2, 2, packed)]
+    fields += [
+        (4, 2, pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))]))
+        for i in range(2)
+    ]
+    fields += [(5, 2, pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)])) for i in range(2)]
+    fields += [(6, 2, s) for s in strings]
+    assert pw.decode_pprof(pw.pb_encode(fields)) == [("main;foo", 5)]
