@@ -735,7 +735,7 @@ register(
     with_spans(
         """
         SELECT trace_id, count(*) AS span_count, min(timestamp_ns) AS start_ns,
-               sum(duration_ns) AS total_duration_ns
+               CAST(sum(duration_ns) AS BIGINT) AS total_duration_ns
         FROM spans WHERE returnflag = 'R' GROUP BY trace_id
         """
     ),
@@ -1431,8 +1431,8 @@ def ingest_datadog_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     raw = spark.createDataFrame(lines, "line string")
     return datadog_cf(raw).select(
-        F.col("labels").getItem("script_name").alias("script_name"),
-        F.col("labels").getItem("outcome").alias("outcome"),
+        F.col("labels").getItem("ScriptName").alias("script_name"),
+        F.col("labels").getItem("Outcome").alias("outcome"),
         "timestamp_ns",
     )
 

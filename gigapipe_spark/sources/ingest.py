@@ -189,6 +189,48 @@ _DATADOG_METRICS_SCHEMA = (
 )
 
 
+_DATADOG_CF_SCHEMA = (
+    "struct<EventType: string, Outcome: string, ScriptName: string,"
+    " EventTimestampMs: long, `When`: long, ActionResult: boolean,"
+    " ActionType: string, ActorType: string, ResourceType: string>"
+)
+
+
+def datadog_cf(raw: DataFrame, line_col: str = "line",
+               ddsource: str = "cloudflare") -> DataFrame:
+    """Cloudflare-via-Datadog NDJSON lines → log samples
+    (ref: datadog_cf_json.go:30-141).
+
+    Labels keep the reference's original key casing (ScriptName, Outcome,
+    EventType, ActionResult, ActionType, ActorType, ResourceType) plus
+    ddsource, dropping empty values; timestamp comes from EventTimestampMs
+    (ms → ns) or `When` (already ns); the log line is the raw JSON text.
+    """
+    parsed = raw.select(
+        F.col(line_col).alias("line"),
+        F.from_json(F.col(line_col), _DATADOG_CF_SCHEMA).alias("e"),
+    )
+    ts_ns = F.coalesce(
+        F.col("e.EventTimestampMs") * 1_000_000,
+        F.col("e.When"),
+        F.lit(0),
+    )
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("ddsource"), F.lit(ddsource),
+            F.lit("ScriptName"), F.col("e.ScriptName"),
+            F.lit("Outcome"), F.col("e.Outcome"),
+            F.lit("EventType"), F.col("e.EventType"),
+            F.lit("ActionResult"), F.col("e.ActionResult").cast("string"),
+            F.lit("ActionType"), F.col("e.ActionType"),
+            F.lit("ActorType"), F.col("e.ActorType"),
+            F.lit("ResourceType"), F.col("e.ResourceType"),
+        ),
+        lambda k, v: v.isNotNull() & (v != ""),
+    )
+    return parsed.select(*_normalize(labels, ts_ns, F.col("line"), F.lit(0.0), 1))
+
+
 def datadog_metrics(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Datadog metrics JSON → metric samples (ref: datadog_metrics_json.go).
     tags ["k:v", ...] become labels; points are [epoch_s, value] pairs."""

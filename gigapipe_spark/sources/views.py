@@ -33,6 +33,12 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver-generated parquet stores `ts` as TIMESTAMP(NANOS), which
+    # Spark only reads (as Int64 ns — exactly our time model) with this
+    # legacy conf. It is session-scoped and runtime-settable; set it here
+    # so the engine works under ANY SparkSession, not just ours
+    # (the correctness driver builds its own session without it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,9 +21,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     only = sys.argv[1:]
     import __spark_entry__ as e
-    from gigapipe_spark.session import get_spark
 
-    spark = get_spark("selfcheck")
+    if os.environ.get("SELFCHECK_TUNED"):
+        from gigapipe_spark.session import get_spark
+
+        spark = get_spark("selfcheck")
+    else:
+        # Mimic the correctness driver: a VANILLA session with none of our
+        # tuned confs, so conf-dependence (e.g. nanosAsLong) shows up here
+        # instead of in CORRECTNESS_r{N}.json.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
     qs, os_ = e.queries(), e.oracle_sql()
     fails = []
     for name in sorted(qs):
