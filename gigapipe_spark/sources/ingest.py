@@ -30,7 +30,30 @@ _LOKI_SCHEMA = (
 )
 
 
+def sanitize_labels(labels: Column) -> Column:
+    """Reference's sanitizeLabels (unmarshal.go:272-283), JVM-side: label
+    names keep only [a-zA-Z0-9_] (offending chars → '_', plus a leading
+    digit → '_'); values longer than 100 chars truncate to 100 + '...'.
+    Shared by every ingest path so all wire formats produce the same
+    series for the same logical labels. (Pathological payloads whose keys
+    collide only after sanitization raise under Spark's default duplicate-
+    map-key policy — the reference keeps the first pair.)"""
+    fixed = F.transform_keys(
+        labels,
+        lambda k, v: F.regexp_replace(
+            F.regexp_replace(k, "[^a-zA-Z0-9_]", "_"), "^[^a-zA-Z_]", "_"
+        ),
+    )
+    return F.transform_values(
+        fixed,
+        lambda k, v: F.when(
+            F.length(v) > 100, F.concat(F.substring(v, 1, 100), F.lit("..."))
+        ).otherwise(v),
+    )
+
+
 def _normalize(labels: Column, ts_ns: Column, line: Column, value: Column, typ: int) -> list[Column]:
+    labels = sanitize_labels(labels)
     return [
         fingerprint_col(labels).alias("fingerprint"),
         labels.alias("labels"),
@@ -354,6 +377,12 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     ).select("res_attrs", F.explode("ss.spans").alias("s"))
     start = F.col("s.startTimeUnixNano").cast("long")
     end = F.col("s.endTimeUnixNano").cast("long")
+    span_attrs = F.map_from_entries(
+        F.transform(
+            F.coalesce(F.col("s.attributes"), F.array()),
+            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+        )
+    )
     return spans.select(
         F.col("s.traceId").alias("trace_id"),
         F.col("s.spanId").alias("span_id"),
@@ -364,6 +393,16 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.col("res_attrs").getItem("service.name").alias("service_name"),
         F.lit(2).cast("byte").alias("payload_type"),
         F.to_json(F.col("s")).alias("payload"),
+        # resource + span attrs, span winning on key clash (filtered first:
+        # map_concat raises on duplicate keys) — same shape as the protobuf
+        # path so both ingest paths are union-compatible
+        F.map_concat(
+            F.map_filter(
+                F.col("res_attrs"),
+                lambda k, v: v.isNotNull() & ~F.map_contains_key(span_attrs, k),
+            ),
+            F.map_filter(span_attrs, lambda k, v: v.isNotNull()),
+        ).alias("attrs"),
     )
 
 

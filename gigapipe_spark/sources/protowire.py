@@ -22,6 +22,7 @@ identical to every other ingest path.
 from __future__ import annotations
 
 import gzip
+import json
 import struct
 from collections.abc import Iterable, Iterator
 
@@ -30,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gigapipe_spark.model.fingerprint import fingerprint_col
+from gigapipe_spark.sources.ingest import sanitize_labels
 
 # ---------------------------------------------------------------------------
 # snappy block format (https://github.com/google/snappy/blob/main/format_description.txt)
@@ -232,6 +234,11 @@ _SAMPLES_OUT = (
     " string string, type tinyint"
 )
 
+# Per-body decode failure modes on malformed/truncated input: bad varints
+# and framing raise ValueError/IndexError, short fixed-width reads raise
+# struct.error, bad gzip raises (gzip.BadGzipFile is an OSError subclass).
+_DECODE_ERRORS = (ValueError, IndexError, KeyError, struct.error, OSError)
+
 
 def remote_write(raw: DataFrame, payload_col: str = "payload",
                  compressed: bool = True) -> DataFrame:
@@ -245,16 +252,24 @@ def remote_write(raw: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for body in pdf[payload_col]:
-                buf = snappy_uncompress(bytes(body)) if compressed else bytes(body)
-                for labels, ts_ns, val in decode_write_request(buf):
-                    rows.append((labels, ts_ns, val, "", 2))
+                # One malformed HTTP body must not fail the whole Spark
+                # task — the reference rejects only the offending request.
+                try:
+                    buf = snappy_uncompress(bytes(body)) if compressed else bytes(body)
+                    for labels, ts_ns, val in decode_write_request(buf):
+                        rows.append((labels, ts_ns, val, "", 2))
+                except _DECODE_ERRORS:
+                    continue
             yield pd.DataFrame(
                 rows, columns=["labels", "timestamp_ns", "value", "string", "type"]
             )
 
     decoded = raw.mapInPandas(decode, schema=_SAMPLES_OUT)
+    san = sanitize_labels(F.col("labels"))
     return decoded.select(
-        fingerprint_col(F.col("labels")).alias("fingerprint"), "*"
+        fingerprint_col(san).alias("fingerprint"),
+        san.alias("labels"),
+        "timestamp_ns", "value", "string", "type",
     )
 
 
@@ -264,8 +279,10 @@ def remote_write(raw: DataFrame, payload_col: str = "payload",
 
 
 def _any_value(buf: bytes) -> str:
-    """AnyValue{string=1,bool=2,int=3,double=4} → string form (the engine
-    stores attrs as strings, like the reference's dotted flattening)."""
+    """AnyValue{string=1,bool=2,int=3,double=4,array=5,kvlist=6,bytes=7}
+    → string form. Scalars render like the reference; arrays/kvlists get a
+    JSON-ish rendering (used for log BODIES — attr maps flatten these with
+    dotted prefixes instead, see _flatten_attr / ref otlp.go:135-154)."""
     for fno, wt, v in pb_fields(buf):
         if fno == 1:
             return v.decode()  # type: ignore[union-attr]
@@ -275,19 +292,61 @@ def _any_value(buf: bytes) -> str:
             return str(_i64(v))  # type: ignore[arg-type]
         if fno == 4:
             return repr(struct.unpack("<d", v)[0])  # type: ignore[arg-type]
+        if fno == 5:  # ArrayValue{values=1}
+            vals = [_any_value(v2) for f2, _, v2 in pb_fields(v) if f2 == 1]  # type: ignore[arg-type]
+            return "[" + ",".join(vals) + "]"
+        if fno == 6:  # KeyValueList{values=1}
+            parts = []
+            for f2, _, kv in pb_fields(v):  # type: ignore[arg-type]
+                if f2 == 1:
+                    k, val = _kv_pair(kv)  # type: ignore[arg-type]
+                    parts.append(f"{k}:{val}")
+            return "{" + ",".join(parts) + "}"
+        if fno == 7:
+            return v.hex()  # type: ignore[union-attr]
     return ""
+
+
+def _kv_pair(msg: bytes) -> tuple[str, bytes | None]:
+    """KeyValue{key=1, value=2} → (key, raw AnyValue buf)."""
+    key: str = ""
+    val: bytes | None = None
+    for fno, _, v in pb_fields(msg):
+        if fno == 1:
+            key = v.decode()  # type: ignore[union-attr]
+        elif fno == 2:
+            val = v  # type: ignore[assignment]
+    return key, val
+
+
+def _flatten_attr(key: str, buf: bytes | None, prefix: str, out: dict[str, str]) -> None:
+    """Recursive attr flattening, matching the reference's writeAttrValue
+    (otlp.go:135-154): arrays → key.0, key.1, ...; kvlists → key.subkey."""
+    if buf is None:
+        out[prefix + key] = ""
+        return
+    for fno, _, v in pb_fields(buf):
+        if fno == 5:  # ArrayValue → indexed dotted keys
+            i = 0
+            for f2, _, v2 in pb_fields(v):  # type: ignore[arg-type]
+                if f2 == 1:
+                    _flatten_attr(str(i), v2, prefix + key + ".", out)  # type: ignore[arg-type]
+                    i += 1
+            return
+        if fno == 6:  # KeyValueList → dotted sub-keys
+            for f2, _, kv in pb_fields(v):  # type: ignore[arg-type]
+                if f2 == 1:
+                    k2, v2 = _kv_pair(kv)  # type: ignore[arg-type]
+                    _flatten_attr(k2, v2, prefix + key + ".", out)
+            return
+    out[prefix + key] = _any_value(buf)
 
 
 def _kv_attrs(msgs: list[bytes]) -> dict[str, str]:
     out: dict[str, str] = {}
     for m in msgs:
-        key, val = "", ""
-        for fno, _, v in pb_fields(m):
-            if fno == 1:
-                key = v.decode()  # type: ignore[union-attr]
-            elif fno == 2:
-                val = _any_value(v)  # type: ignore[arg-type]
-        out[key] = val
+        key, val = _kv_pair(m)
+        _flatten_attr(key, val, "", out)
     return out
 
 
@@ -346,19 +405,46 @@ _SPANS_OUT = (
 )
 
 
+def _span_payload_json(s: dict) -> str:
+    """OTLP-JSON rendering of a decoded span, field-compatible with the
+    JSON path's `to_json(span)` payload so trace-by-id reconstruction can
+    read either ingest path's rows interchangeably."""
+    return json.dumps(
+        {
+            "traceId": s["trace_id"],
+            "spanId": s["span_id"],
+            "parentSpanId": s["parent_id"],
+            "name": s["name"],
+            "startTimeUnixNano": str(s["start"]),
+            "endTimeUnixNano": str(s["end"]),
+            "attributes": [
+                {"key": k, "value": {"stringValue": v}}
+                for k, v in s["attrs"].items()
+            ],
+        },
+        separators=(",", ":"),
+    )
+
+
 def otlp_traces_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """OTLP protobuf trace bodies → spans rows (+ attrs map for the GIN)."""
+    """OTLP protobuf trace bodies → spans rows (+ attrs map for the GIN).
+    The JSON path (ingest.otlp_traces) emits the same 10-column shape."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for body in pdf[payload_col]:
-                for s in decode_otlp_traces(bytes(body)):
+                try:
+                    spans = list(decode_otlp_traces(bytes(body)))
+                except _DECODE_ERRORS:
+                    continue
+                for s in spans:
                     rows.append(
                         (
                             s["trace_id"], s["span_id"], s["parent_id"],
                             s["name"], s["start"], s["end"] - s["start"],
-                            s["attrs"].get("service.name", ""), 2, "",
+                            s["attrs"].get("service.name", ""), 2,
+                            _span_payload_json(s),
                             s["attrs"],
                         )
                     )
@@ -415,15 +501,22 @@ def otlp_logs_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             rows = []
             for body in pdf[payload_col]:
-                for labels, ts, line in decode_otlp_logs(bytes(body)):
+                try:
+                    recs = list(decode_otlp_logs(bytes(body)))
+                except _DECODE_ERRORS:
+                    continue
+                for labels, ts, line in recs:
                     rows.append((labels, ts, 0.0, line, 1))
             yield pd.DataFrame(
                 rows, columns=["labels", "timestamp_ns", "value", "string", "type"]
             )
 
     decoded = raw.mapInPandas(decode, schema=_SAMPLES_OUT)
+    san = sanitize_labels(F.col("labels"))
     return decoded.select(
-        fingerprint_col(F.col("labels")).alias("fingerprint"), "*"
+        fingerprint_col(san).alias("fingerprint"),
+        san.alias("labels"),
+        "timestamp_ns", "value", "string", "type",
     )
 
 
@@ -477,8 +570,14 @@ def decode_pprof(data: bytes) -> list[tuple[str, int]]:
             strings.append(v.decode())  # type: ignore[union-attr]
 
     def name(loc: int) -> str:
-        idx = fn_name.get(loc_fn.get(loc, 0), 0)
-        return strings[idx] if 0 <= idx < len(strings) else f"loc_{loc}"
+        # Sentinel None (not 0) defaults: string-table index 0 is the
+        # reserved empty string, so a missing mapping must fall through to
+        # the loc_{id} fallback instead of resolving to "".
+        fid = loc_fn.get(loc)
+        idx = fn_name.get(fid) if fid is not None else None
+        if idx and 0 < idx < len(strings):
+            return strings[idx]
+        return f"loc_{loc}"
 
     return [
         (";".join(name(l) for l in reversed(locs)), val)
@@ -495,7 +594,11 @@ def pprof_folded(raw: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = []
             for pid, body in zip(pdf[profile_col], pdf[payload_col]):
-                for stack, val in decode_pprof(bytes(body)):
+                try:
+                    stacks = decode_pprof(bytes(body))
+                except _DECODE_ERRORS:
+                    continue
+                for stack, val in stacks:
                     rows.append((pid, f"{stack} {val}"))
             yield pd.DataFrame(rows, columns=["profile_id", "line"])
 

@@ -129,8 +129,9 @@ def test_otlp_logs(spark):
     assert len(out) == 1
     r = out[0]
     assert r["string"] == "boom"
-    assert r["labels"]["service.name"] == "api"  # dotted prefix preserved
-    assert r["labels"]["http.method"] == "GET"
+    # shared sanitize step (ref SanitizeKey, otlplogs.go:103): dots → _
+    assert r["labels"]["service_name"] == "api"
+    assert r["labels"]["http_method"] == "GET"
     assert r["labels"]["severity"] == "ERROR"
 
 

@@ -130,8 +130,10 @@ def test_otlp_logs_pb(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["string"] == "boom happened" and r["timestamp_ns"] == 2_000_000_000
+    # label names pass the shared sanitize step (ref sanitizeLabels /
+    # SanitizeKey): '.' is not [a-zA-Z0-9_] so service.name → service_name
     assert r["labels"] == {
-        "service.name": "api", "app": "worker", "severity": "ERROR"
+        "service_name": "api", "app": "worker", "severity": "ERROR"
     }
     assert r["type"] == 1
 
