@@ -32,6 +32,26 @@ def merge_trees(profiles: DataFrame) -> DataFrame:
     )
 
 
+def merge_folded(folded: DataFrame, by_profile: bool = False) -> DataFrame:
+    """Raw-profile merge with sample dedup (ref: prof_merge_v1.go /
+    prof_merge_v2.go): the reference's ProfileMerge keys each sample by
+    its (location stack, labels) hash and SUMS values on collision while
+    rewrite-tables dedup strings/functions/locations. Over the folded-
+    stack representation the same semantics are one groupBy: identical
+    stacks collapse, values add. `by_profile=True` keeps per-profile
+    grouping (the v1 "merge within one selection" shape); False merges
+    across all profiles (the v2 cross-profile merge).
+
+    Scales as a single partial-aggregated shuffle on the stack key — the
+    map-side combine collapses duplicate stacks before the exchange.
+    """
+    keys = ["profile_id", "stack"] if by_profile else ["stack"]
+    return folded.groupBy(*keys).agg(
+        F.sum("value").alias("value"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+
+
 def resolve_functions(merged: DataFrame, profiles: DataFrame) -> DataFrame:
     """Attach function names from the per-profile function dictionaries
     (ref: prof_tree.go:223 cross-profile name sync)."""

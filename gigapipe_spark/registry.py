@@ -1437,6 +1437,85 @@ def ingest_datadog_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ingest_loki_push_pb",
+    """
+    SELECT * FROM (VALUES
+      ('api', 1500000001::BIGINT, 'err one'),
+      ('api', 2500000002::BIGINT, 'ok two')
+    ) AS t(app, timestamp_ns, string)
+    """,
+)
+def ingest_loki_push_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf twin of ingest_loki_push (ref: logs_protobuf.go:14-39)."""
+    from gigapipe_spark.sources import protowire as pw
+
+    def entry(secs: int, nanos: int, line: bytes) -> bytes:
+        ts = pw.pb_encode([(1, 0, secs), (2, 0, nanos)])
+        return pw.pb_encode([(1, 2, ts), (2, 2, line)])
+
+    stream = pw.pb_encode(
+        [
+            (1, 2, b'{app="api", ns="prod"}'),
+            (2, 2, entry(1, 500000001, b"err one")),
+            (2, 2, entry(2, 500000002, b"ok two")),
+        ]
+    )
+    body = pw.snappy_compress(pw.pb_encode([(1, 2, stream)]))
+    raw = spark.createDataFrame([(bytearray(body),)], "payload binary")
+    return pw.loki_push_pb(raw).select(
+        F.col("labels").getItem("app").alias("app"), "timestamp_ns", "string"
+    )
+
+
+@register(
+    "ingest_zipkin_ndjson",
+    """
+    SELECT * FROM (VALUES
+      ('t1', 's1', 'fetch', 5000000::BIGINT, 2000000::BIGINT),
+      ('t1', 's2', 'store', 6000000::BIGINT, 1000000::BIGINT)
+    ) AS t(trace_id, span_id, name, timestamp_ns, duration_ns)
+    """,
+)
+def ingest_zipkin_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON variant of the tempo native push (ref: tempo.go:21 ndjson
+    content type)."""
+    from gigapipe_spark.sources.ingest import zipkin_ndjson
+
+    body = (
+        '{"traceId":"t1","id":"s1","name":"fetch","timestamp":5000,"duration":2000}\n'
+        '{"traceId":"t1","id":"s2","name":"store","timestamp":6000,"duration":1000}\n'
+    )
+    raw = spark.createDataFrame([(body,)], "payload string")
+    return zipkin_ndjson(raw).select(
+        "trace_id", "span_id", "name", "timestamp_ns", "duration_ns"
+    )
+
+
+@register(
+    "prof_merge_dedup",
+    """
+    SELECT 'root;flag_' || l_returnflag AS stack,
+           CAST(sum(floor(l_extendedprice * 1000)) AS BIGINT) AS value,
+           count(*) AS n_merged
+    FROM lineitem GROUP BY 1
+    """,
+)
+def prof_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProfileMerge v1/v2 sample dedup (ref: prof_merge_v1.go GetSampleKey
+    / prof_merge_v2.go Merge): identical stacks collapse, values sum —
+    exercised over folded stacks derived from lineitem."""
+    from gigapipe_spark.prof.tree import merge_folded
+
+    li = views.load_table(spark, sf_dir, "lineitem")
+    folded = li.select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        F.concat(F.lit("root;flag_"), F.col("l_returnflag")).alias("stack"),
+        F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("value"),
+    )
+    return merge_folded(folded)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -167,6 +167,23 @@ def zipkin_spans(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def zipkin_ndjson(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Zipkin NDJSON bodies — one span object per line — → spans rows
+    (ref: UnmarshalZipkinNDJSONV2, the `/tempo/spans` ndjson content
+    type, writer/controller/tempo.go:21). Splits lines JVM-side and
+    re-wraps each as a 1-element array to reuse the array decoder."""
+    lines = (
+        raw.select(F.explode(F.split(F.col(payload_col), "\n")).alias("line"))
+        .filter(F.trim("line") != "")
+    )
+    return zipkin_spans(
+        lines.select(
+            F.concat(F.lit("["), F.col("line"), F.lit("]")).alias(payload_col)
+        ),
+        payload_col,
+    )
+
+
 _DATADOG_LOGS_SCHEMA = (
     "array<struct<message: string, status: string, hostname: string,"
     " service: string, ddsource: string, ddtags: string, timestamp: long>>"

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import re
 import struct
 from collections.abc import Iterable, Iterator
 
@@ -274,6 +275,87 @@ def remote_write(raw: DataFrame, payload_col: str = "payload",
 
 
 # ---------------------------------------------------------------------------
+# Loki push protobuf (logproto.PushRequest)
+# ---------------------------------------------------------------------------
+
+_LOKI_LABEL_RE = re.compile(r'([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"')
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\t": "\t", "\\r": "\r"}
+
+
+def parse_loki_labels(s: str) -> dict[str, str]:
+    """Loki label-string `{a="b", c="d"}` → dict
+    (ref: parseLabelsLokiFormat, unmarshal.go:313-351)."""
+    s = s.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f"loki labels: unknown input: {s!r}")
+    out: dict[str, str] = {}
+    for m in _LOKI_LABEL_RE.finditer(s):
+        val = m.group(2)
+        for esc, ch in _UNESCAPES.items():
+            val = val.replace(esc, ch)
+        out[m.group(1)] = val
+    return out
+
+
+def decode_loki_push(data: bytes) -> Iterator[tuple[dict, int, str]]:
+    """logproto.PushRequest{streams=1: {labels=1 string (Loki format),
+    entries=2: {timestamp=1 {seconds=1,nanos=2}, line=2}}} →
+    (labels, ts_ns, line) (ref: logs_protobuf.go:14-39)."""
+    for fno, _, stream in pb_fields(data):
+        if fno != 1:
+            continue
+        labels: dict[str, str] = {}
+        entries: list[tuple[int, str]] = []
+        for f2, _, v2 in pb_fields(stream):  # type: ignore[arg-type]
+            if f2 == 1:
+                labels = parse_loki_labels(v2.decode())  # type: ignore[union-attr]
+            elif f2 == 2:  # EntryAdapter
+                ts_ns, line = 0, ""
+                for f3, _, v3 in pb_fields(v2):  # type: ignore[arg-type]
+                    if f3 == 1:  # google.protobuf.Timestamp
+                        secs = nanos = 0
+                        for f4, _, v4 in pb_fields(v3):  # type: ignore[arg-type]
+                            if f4 == 1:
+                                secs = _i64(v4)  # type: ignore[arg-type]
+                            elif f4 == 2:
+                                nanos = _i64(v4)  # type: ignore[arg-type]
+                        ts_ns = secs * 1_000_000_000 + nanos
+                    elif f3 == 2:
+                        line = v3.decode()  # type: ignore[union-attr]
+                entries.append((ts_ns, line))
+        for ts_ns, line in entries:
+            yield labels, ts_ns, line
+
+
+def loki_push_pb(raw: DataFrame, payload_col: str = "payload",
+                 compressed: bool = True) -> DataFrame:
+    """Snappy+protobuf Loki push bodies → log samples rows — the protobuf
+    twin of ingest.loki_push (ref: UnmarshalProtoV2, logs_protobuf.go:45)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for body in pdf[payload_col]:
+                try:
+                    buf = snappy_uncompress(bytes(body)) if compressed else bytes(body)
+                    for labels, ts_ns, line in decode_loki_push(buf):
+                        rows.append((labels, ts_ns, 0.0, line, 1))
+                except _DECODE_ERRORS:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["labels", "timestamp_ns", "value", "string", "type"]
+            )
+
+    decoded = raw.mapInPandas(decode, schema=_SAMPLES_OUT)
+    san = sanitize_labels(F.col("labels"))
+    return decoded.select(
+        fingerprint_col(san).alias("fingerprint"),
+        san.alias("labels"),
+        "timestamp_ns", "value", "string", "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # OTLP protobuf (traces + logs)
 # ---------------------------------------------------------------------------
 
@@ -300,7 +382,7 @@ def _any_value(buf: bytes) -> str:
             for f2, _, kv in pb_fields(v):  # type: ignore[arg-type]
                 if f2 == 1:
                     k, val = _kv_pair(kv)  # type: ignore[arg-type]
-                    parts.append(f"{k}:{val}")
+                    parts.append(f"{k}:{_any_value(val) if val is not None else ''}")
             return "{" + ",".join(parts) + "}"
         if fno == 7:
             return v.hex()  # type: ignore[union-attr]

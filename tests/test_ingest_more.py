@@ -85,3 +85,47 @@ def test_trace_by_id(spark):
     )
     rows = df.collect()
     assert rows[0]["parent_id"] == ""  # root ordered first
+
+
+def test_zipkin_ndjson(spark):
+    body = (
+        '{"traceId":"t9","id":"a1","name":"get","timestamp":1000,"duration":50}\n'
+        '\n'
+        '{"traceId":"t9","id":"a2","parentId":"a1","name":"db","timestamp":1200,"duration":20}\n'
+    )
+    raw = spark.createDataFrame([(body,)], "payload string")
+    rows = ingest.zipkin_ndjson(raw).orderBy("span_id").collect()
+    assert len(rows) == 2
+    assert rows[0]["timestamp_ns"] == 1_000_000 and rows[0]["duration_ns"] == 50_000
+    assert rows[1]["parent_id"] == "a1"
+
+
+def test_datadog_cf(spark):
+    lines = [
+        ('{"ScriptName":"GetLog","Outcome":"success","EventType":"fetch",'
+         '"EventTimestampMs":3000}',),
+        ('{"ActionType":"login","ActionResult":true,"When":9000000000}',),
+        ("not json at all",),
+    ]
+    raw = spark.createDataFrame(lines, "line string")
+    rows = ingest.datadog_cf(raw).orderBy("timestamp_ns").collect()
+    assert len(rows) == 3  # unparseable line still yields a (label-less) row
+    assert rows[1]["labels"]["ScriptName"] == "GetLog"
+    assert rows[1]["timestamp_ns"] == 3_000_000_000
+    assert rows[2]["labels"]["ActionResult"] == "true"
+    assert rows[2]["timestamp_ns"] == 9_000_000_000
+    assert rows[2]["labels"]["ActionType"] == "login"
+
+
+def test_merge_folded(spark):
+    from gigapipe_spark.prof.tree import merge_folded
+
+    folded = spark.createDataFrame(
+        [("p1", "main;foo", 5), ("p2", "main;foo", 7), ("p2", "main;bar", 1)],
+        "profile_id string, stack string, value long",
+    )
+    merged = {r["stack"]: r for r in merge_folded(folded).collect()}
+    assert merged["main;foo"]["value"] == 12 and merged["main;foo"]["n_merged"] == 2
+    assert merged["main;bar"]["value"] == 1
+    per_prof = merge_folded(folded, by_profile=True).collect()
+    assert len(per_prof) == 3

@@ -189,3 +189,65 @@ def test_packed_varints():
     fields += [(5, 2, pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)])) for i in range(2)]
     fields += [(6, 2, s) for s in strings]
     assert pw.decode_pprof(pw.pb_encode(fields)) == [("main;foo", 5)]
+
+
+def test_loki_push_pb(spark):
+    def entry(secs, nanos, line):
+        ts = pw.pb_encode([(1, 0, secs), (2, 0, nanos)])
+        return pw.pb_encode([(1, 2, ts), (2, 2, line)])
+
+    stream = pw.pb_encode(
+        [
+            (1, 2, b'{app="api", level="error"}'),
+            (2, 2, entry(3, 7, b"boom")),
+        ]
+    )
+    body = pw.snappy_compress(pw.pb_encode([(1, 2, stream)]))
+    raw = spark.createDataFrame(
+        [(bytearray(body),), (bytearray(b"\xffjunk"),)], "payload binary"
+    )
+    rows = pw.loki_push_pb(raw).collect()
+    assert len(rows) == 1  # malformed body skipped, not task-fatal
+    r = rows[0]
+    assert r["labels"] == {"app": "api", "level": "error"}
+    assert r["timestamp_ns"] == 3_000_000_007 and r["string"] == "boom"
+    assert r["type"] == 1 and r["fingerprint"] is not None
+
+
+def test_parse_loki_labels():
+    assert pw.parse_loki_labels('{a="b", c="d\\"e"}') == {"a": "b", "c": 'd"e'}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pw.parse_loki_labels('a="b"')
+
+
+def test_anyvalue_nested_kinds():
+    # kvlist flattens with dotted prefixes, arrays with indexed keys
+    # (ref: otlp.go:135-154 writeAttrValue)
+    def anyval_str(s):
+        return pw.pb_encode([(1, 2, s)])
+
+    def kv(k, vbuf):
+        return pw.pb_encode([(1, 2, k), (2, 2, vbuf)])
+
+    kvlist = pw.pb_encode([(6, 2, pw.pb_encode([(1, 2, kv(b"user", anyval_str(b"alice")))]))])
+    arr = pw.pb_encode(
+        [(5, 2, pw.pb_encode([(1, 2, anyval_str(b"a")), (1, 2, anyval_str(b"b"))]))]
+    )
+    attrs = pw._kv_attrs([kv(b"ctx", kvlist), kv(b"tags", arr)])
+    assert attrs == {"ctx.user": "alice", "tags.0": "a", "tags.1": "b"}
+    # log-body rendering of the same kinds stays a single string
+    assert pw._any_value(kvlist) == "{user:alice}"
+    assert pw._any_value(arr) == "[a,b]"
+    assert pw._any_value(pw.pb_encode([(7, 2, b"\x01\x02")])) == "0102"
+
+
+def test_pprof_unmapped_location_fallback():
+    prof = pw.pb_encode(
+        [
+            (6, 2, b""),  # string table: only the reserved empty string
+            (2, 2, pw.pb_encode([(1, 0, 7), (2, 0, 5)])),
+        ]
+    )
+    assert pw.decode_pprof(prof) == [("loc_7", 5)]
