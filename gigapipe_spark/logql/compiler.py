@@ -743,8 +743,17 @@ def _compile_binop(ctx: LogQLContext, b: A.BinOp) -> Result:
 
 
 def query(ctx: LogQLContext, text: str) -> Result:
+    """Compile entry: macros expand first, then planner plugins are
+    consulted, then the built-in compiler (ref: planner.go:134-139 —
+    plugin chain before the stock planner; model.go:485 MacrosOp)."""
+    from gigapipe_spark import plugins
     from gigapipe_spark.logql.parser import parse
 
+    if "_" in text and plugins.get_plugins(plugins.MACRO):
+        text = plugins.expand_macros(text)
+    planned = plugins.consult(plugins.LOGQL_PLANNER, ctx, text)
+    if planned is not None:
+        return planned
     return compile_expr(ctx, parse(text))
 
 
