@@ -51,6 +51,8 @@ class TraceQLContext:
     step_ns: int = 3_600_000_000_000  # metrics step (1h default for fixtures)
     _spans: DataFrame | None = None
     _attrs: DataFrame | None = None
+    # result of the per-script complexity probe (None = not yet probed)
+    complexity: int | None = None
 
     def spans(self) -> DataFrame:
         if self._spans is None:
@@ -168,6 +170,67 @@ def _build_direct_intrinsic(e) -> Column:
     return (left & right) if e.op == "&&" else (left | right)
 
 
+# Above this many matched index rows the reference switches from the
+# single-pass plan to paginated "complex" processing
+# (ref: complexity_evaluator.go:29 COMPLEXITY_THRESHOLD).
+COMPLEXITY_THRESHOLD = 10_000_000
+
+
+def _selectors(e) -> list[SpanSelector]:
+    if e is None:
+        return []
+    if isinstance(e, SpanSelector):
+        return [e]
+    return _selectors(e.left) + _selectors(e.right)
+
+
+def eval_complexity(ctx: TraceQLContext, spanset) -> int:
+    """Pre-query complexity probe (ref: complexity_evaluator.go:31-67,
+    probe SQL = count() over the filtered attr index,
+    attr_condition_eval.go:30-47; maxed across probe rows like the
+    reference's scan loop).
+
+    Counts index rows matched by ANY term of each selector — an upper
+    bound on every span set the plan will later join — and takes the max
+    across selectors. Runs on the cached attrs/spans dimensions, so the
+    probe is one cheap count job per selector; its verdict decides
+    whether trace-set joins may force a broadcast (small) or must leave
+    the strategy to AQE's runtime stats (large). On a 1000-executor
+    cluster this is what keeps a selector matching 10^8 spans from
+    broadcasting its trace set into every executor.
+    """
+    best = 0
+    for sel in _selectors(spanset):
+        if sel.expr is None:
+            n = ctx.spans().count()
+        else:
+            terms = _collect_terms(sel.expr)
+            if all(t.attr in _INTRINSIC_COLS for t in terms):
+                n = ctx.spans().filter(_build_direct_intrinsic(sel.expr)).count()
+            else:
+                conds = None
+                for t in terms:
+                    c = (
+                        _duration_cond(t, F.col("duration"))
+                        if t.attr == "duration"
+                        else _term_cond_on_attrs(t)
+                    )
+                    conds = c if conds is None else (conds | c)
+                n = ctx.attrs().filter(conds).count()
+        best = max(best, n)
+    return best
+
+
+def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
+    """Broadcast a trace/span id set only when the complexity probe
+    bounded it under the threshold; otherwise return it unhinted and let
+    AQE pick the join strategy from runtime sizes (Spark's native
+    equivalent of the reference's simple/complex processor split)."""
+    if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD:
+        return F.broadcast(df)
+    return df
+
+
 def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
     """Spanset expr → DF[trace_id, span_id]."""
     if isinstance(e, SpanSelector):
@@ -185,7 +248,7 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
             traces = lt.join(rt, "trace_id", "inner")
             return (
                 left.unionByName(right)
-                .join(F.broadcast(traces), "trace_id", "left_semi")
+                .join(_small_side(ctx, traces), "trace_id", "left_semi")
                 .distinct()
             )
         return left.unionByName(right).distinct()
@@ -281,12 +344,14 @@ _CMP = {
 def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
+    if ctx.complexity is None:
+        ctx.complexity = eval_complexity(ctx, script.spanset)
     ids = eval_spanset(ctx, script.spanset)
     if script.sample is not None:
         # trace-level sampling with a fixed seed (ref: ctx.RandomFilter
         # attr_condition.go:55-62 — the reference also samples trace ids)
         traces = ids.select("trace_id").distinct().sample(script.sample, seed=42)
-        ids = ids.join(F.broadcast(traces), "trace_id", "left_semi")
+        ids = ids.join(_small_side(ctx, traces), "trace_id", "left_semi")
     spans = ctx.spans().join(ids, ["trace_id", "span_id"], "left_semi")
     for af in script.agg_filters:
         target = F.col("duration_ns") if af.attr in (None, "duration") else F.col("duration_ns")
@@ -299,7 +364,7 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         good = per_trace.filter(_CMP[af.op](F.col("__agg"), F.lit(af.value))).select(
             "trace_id"
         )
-        spans = spans.join(F.broadcast(good), "trace_id", "left_semi")
+        spans = spans.join(_small_side(ctx, good), "trace_id", "left_semi")
     if script.metrics is not None:
         return _metrics(ctx, spans, script.metrics)
     if script.select_attrs:

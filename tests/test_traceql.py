@@ -278,3 +278,25 @@ def test_compare(spark):
     r = [x for x in rows if x["key"] == "returnflag" and x["val"] == "R"]
     if r:
         assert r[0]["baseline_count"] == 0
+
+
+def test_complexity_probe(spark):
+    from gigapipe_spark.traceql import compiler as C
+
+    ctx = TraceQLContext(spark, SF_DIR)
+    script = parse('{ returnflag = "R" }')
+    n = C.eval_complexity(ctx, script.spanset)
+    # upper-bounds the matched span set, below the reference threshold here
+    assert 0 < n <= C.COMPLEXITY_THRESHOLD
+    # compile_script records the probe on the context
+    C.compile_script(ctx, script)
+    assert ctx.complexity == n
+    # a probe over the threshold flips _small_side to the AQE path
+    big = TraceQLContext(spark, SF_DIR)
+    big.complexity = C.COMPLEXITY_THRESHOLD + 1
+    df = ctx.spans().select("trace_id").limit(5)
+    # broadcast hint applied under threshold; AQE path (no hint) above it
+    hinted = C._small_side(ctx, df)
+    unhinted = C._small_side(big, df)
+    assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
+    assert "broadcast" not in unhinted._jdf.queryExecution().logical().toString().lower()
