@@ -62,7 +62,20 @@ def main() -> None:
     views.time_series_gin(spark, sf_dir).count()
     views.spans(spark, sf_dir).count()
     views.span_attrs(spark, sf_dir).count()
+    views.span_ancestors(spark, sf_dir).count()
     qs = registry.queries()
+    # JIT warmup: run every headline query once at the smallest SF so the
+    # JVM compiles the expression/codegen paths before timing. Nothing at
+    # sf_dir is precomputed by this — per-query persists are per-call and
+    # the derived-view caches are keyed by sf directory.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in BENCH_QUERIES:
+            if name in qs:
+                try:
+                    qs[name](spark, warm_dir).count()
+                except Exception:
+                    pass
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

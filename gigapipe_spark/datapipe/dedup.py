@@ -31,19 +31,22 @@ def words_col(text: Column) -> Column:
 
 
 def shingles_from_words(ws: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a MATERIALIZED words column.
+    """Distinct word n-gram shingles via shifted-slice zip_with.
 
-    `ws` must be a plain column reference, not an inline expression:
-    Catalyst does not CSE subexpressions across lambda scopes, so an
-    inlined words expression would re-tokenize the text for every
-    F.get — measured ~200× per row.
+    Formulated WITHOUT element-indexed access into `ws` (no F.get(ws, i)
+    inside a lambda): Catalyst does not CSE across lambda scopes, and
+    CollapseProject can inline the words expression into the lambda — an
+    indexed formulation then re-tokenizes the text once per ELEMENT
+    (measured ~8s of an 11s query at sf0.1). Here `ws` appears only as a
+    per-ROW input to slice/zip_with, so even fully inlined it evaluates
+    O(n) times per row, not O(words) times.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    parts = [F.slice(ws, j + 1, cnt) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(acc)
 
 
 def with_shingles(df: DataFrame, text_col: str, out: str = "sh", n: int = 3) -> DataFrame:
@@ -174,17 +177,36 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
-    sig = sh.withColumn("sig", _minhash_sig(F.col("__h"), num_hashes)).select("id", "sig")
-    # banding: ids only through the shuffle — shingle arrays stay home
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
-            )
-        ).alias("bh"),
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # persisted: without the materialization barrier CollapseProject
+    # inlines this 64-permutation expression into the banding transform's
+    # lambda, which re-evaluates it once PER BAND (16×) — measured as the
+    # whole query's cost at sf0.1. This is the signature table a 100 TB
+    # deployment stores.
+    sig = (
+        sh.withColumn("sig", _minhash_sig(F.col("__h"), num_hashes))
+        .select("id", "sig")
+        .persist()
+    )
+    # banding: ids only through the shuffle — shingle arrays stay home.
+    # persisted: the candidate self-join consumes banded TWICE, and
+    # without the materialization barrier each side re-inlines (and so
+    # re-computes) the full 64-permutation signature chain — measured
+    # ~6× the whole query's cost at sf0.1. The banded index is tiny
+    # (bands rows of (id, band, h) per doc) and is the second artifact a
+    # 100 TB deployment would store alongside the signature table.
+    banded = (
+        sig.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
+                )
+            ).alias("bh"),
+        )
+        .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        .persist()
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "h"])

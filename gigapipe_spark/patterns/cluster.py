@@ -23,7 +23,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # token classes, mirroring the reference lexer's typing
@@ -54,6 +54,17 @@ def classify(token: str) -> tuple[str, int]:
 
 def token_cost(token: str) -> int:
     return classify(token)[1]
+
+
+def _cost_col(t: Column) -> Column:
+    """JVM twin of classify()/token_cost(): the same first-match-wins
+    regex chain as TOKEN_CLASSES, as a when-cascade — used on the
+    all-column singleton-shard path so no Python runs per token."""
+    c = None
+    for _name, rx, cost in TOKEN_CLASSES[:-1]:
+        cond = t.rlike(rx.pattern)
+        c = F.when(cond, cost) if c is None else c.when(cond, cost)
+    return c.otherwise(TOKEN_CLASSES[-1][2])
 
 
 def cluster_key(tokens: list[str]) -> str:
@@ -151,6 +162,41 @@ def mine_patterns(
         "overall_cost", "generalized_cost", "samples_count", "pattern_id",
     ]
 
+    # Split shards by size: a single-line shard needs no merge loop — its
+    # cluster IS the tokenized line, so the whole row computes as JVM
+    # column expressions (token split, per-token cost classification,
+    # crc32 pattern id). Only multi-line shards go through Python. On
+    # observability corpora the (fingerprint, 10m, first-word) shard key
+    # makes singletons the overwhelming majority (>99% on the fixture
+    # corpus), and the pandas per-group overhead on ~100k one-line groups
+    # was ~5s of the query's ~6s.
+    w = Window.partitionBy("fingerprint", "timestamp_10m", "ckey")
+    sized = prepared.withColumn("__n", F.count(F.lit(1)).over(w))
+
+    tokens_col = F.filter(F.split(F.col("string"), r"\s+"), lambda t: t != "")
+    classes_col = F.transform(tokens_col, _cost_col)
+    overall_col = F.aggregate(classes_col, F.lit(0), lambda a, x: a + x)
+    pid_col = (
+        F.crc32(F.concat_ws(" ", tokens_col).cast("binary"))
+        + F.shiftleft(F.col("fingerprint"), 32).bitwiseAND(
+            F.lit(0x7FFFFFFF00000000)
+        )
+    )
+    singles = (
+        sized.filter(F.col("__n") == 1)
+        .filter(F.size(tokens_col) > 0)
+        .select(
+            "fingerprint",
+            "timestamp_10m",
+            tokens_col.alias("tokens"),
+            classes_col.alias("classes"),
+            overall_col.alias("overall_cost"),
+            F.lit(0).alias("generalized_cost"),
+            F.lit(1).cast("long").alias("samples_count"),
+            pid_col.alias("pattern_id"),
+        )
+    )
+
     def run(batches):
         # mapInPandas over hash-partitioned data, per-shard loop in
         # pandas: one Arrow stream per partition instead of one
@@ -183,11 +229,13 @@ def mine_patterns(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    # co-locate each shard on one partition so the pandas groupby sees
-    # complete groups
-    return prepared.repartition("fingerprint", "timestamp_10m", "ckey").mapInPandas(
+    # multi-line shards: the window's hash exchange already co-located
+    # complete groups on one partition, so the pandas groupby sees whole
+    # shards without another repartition
+    multi = sized.filter(F.col("__n") > 1).drop("__n").mapInPandas(
         run, schema=out_schema
     )
+    return singles.unionByName(multi)
 
 
 def stream_mine_patterns(

@@ -264,6 +264,46 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "span_attrs", build)
 
 
+def span_ancestors(spark: SparkSession, sf_dir: str, max_depth: int = 8) -> DataFrame:
+    """Transitive ancestor closure (trace_id, span_id, anc_id) of the
+    span hierarchy, cached per session+sf like the other dimension
+    indexes. Structural TraceQL ops (&>> <<& !>> <<~) resolve against
+    this with ONE join instead of an iterative per-query parent walk —
+    the closure is query-independent, so at scale it is a stored index
+    (size = spans × avg depth) maintained at ingest, not recomputed per
+    query. Depth capped like the reference's recursion guards.
+    """
+
+    def build():
+        sp = spans(spark, sf_dir).select("trace_id", "span_id", "parent_id")
+        cur = (
+            sp.filter(F.col("parent_id") != "")
+            .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
+        )
+        parents = sp.select(
+            "trace_id",
+            F.col("span_id").alias("anc_id"),
+            F.col("parent_id").alias("next_anc"),
+        )
+        levels = [cur]
+        for _ in range(max_depth - 1):
+            cur = cur.persist()
+            if cur.isEmpty():
+                break
+            cur = (
+                cur.join(parents, ["trace_id", "anc_id"], "inner")
+                .filter(F.col("next_anc") != "")
+                .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
+            )
+            levels.append(cur)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.unionByName(lvl)
+        return out.distinct()
+
+    return _cached(spark, sf_dir, "span_ancestors", build)
+
+
 def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile fact table (ref profiles, profiles.sql:19-31) derived from
     orders/lineitem: one profile per order; call tree = root node (order

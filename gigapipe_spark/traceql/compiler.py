@@ -135,6 +135,14 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
         cond = _build_direct_intrinsic(sel.expr)
         return ctx.spans().filter(cond).select("trace_id", "span_id")
     attrs = ctx.attrs()
+    # single non-duration term: the attrs index holds exactly one row per
+    # (span, key), so the filtered index IS the span set — no bitmask,
+    # no groupBy shuffle (ref: the reference's planner likewise skips
+    # bitSet aggregation for one condition, attr_condition.go simple path)
+    if len(terms) == 1 and terms[0].attr != "duration":
+        return attrs.filter(_term_cond_on_attrs(terms[0])).select(
+            "trace_id", "span_id"
+        )
     bits = None
     conds = None
     for i, t in term_index.items():
@@ -298,40 +306,13 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
     raise NotImplementedError(f"structural op {e.op}")
 
 
-def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame, max_depth: int = 8) -> DataFrame:
+def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame) -> DataFrame:
     """(trace_id, span_id, anc_id) for every ancestor of each span in
-    span_set, walking parent_id up to max_depth."""
-    # each level is persisted: the isEmpty probe and the next join then
-    # read the materialized level instead of re-executing the whole
-    # upstream lineage (selector bitmask + k joins) once per level —
-    # iterative algorithms on DataFrames recompute lineage otherwise
-    cur = (
-        span_set.join(spans, ["trace_id", "span_id"], "inner")
-        .filter(F.col("parent_id") != "")
-        .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
-        .persist()
-    )
-    levels = [cur]
-    parents = spans.select(
-        "trace_id",
-        F.col("span_id").alias("anc_id"),
-        F.col("parent_id").alias("next_anc"),
-    )
-    for _ in range(max_depth - 1):
-        # one cheap action per level to stop at the true tree depth
-        if cur.isEmpty():
-            break
-        cur = (
-            cur.join(parents, ["trace_id", "anc_id"], "inner")
-            .filter(F.col("next_anc") != "")
-            .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
-            .persist()
-        )
-        levels.append(cur)
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionByName(lvl)
-    return out.distinct()
+    span_set: one join against the cached query-independent ancestor
+    closure (views.span_ancestors) instead of an iterative per-query
+    parent walk — the closure is the stored hierarchy index at scale."""
+    closure = views.span_ancestors(ctx.spark, ctx.sf_dir)
+    return closure.join(span_set, ["trace_id", "span_id"], "left_semi")
 
 
 _CMP = {
