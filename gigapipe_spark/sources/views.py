@@ -264,6 +264,31 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "span_attrs", build)
 
 
+def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span attribute map (trace_id, span_id, timestamp_ns, duration,
+    attrs map<string,string>) — the row-oriented twin of the exploded
+    span_attrs GIN. Selector evaluation over this layout is ONE cached
+    scan with zero shuffle (map lookups replace the groupBy-bitmask
+    collapse); the exploded index remains the layout for key/value
+    enumeration (tag autocomplete, compare). Cached like the other
+    dimension indexes — at scale both are stored tables maintained at
+    ingest, exactly like the reference's paired tempo_traces /
+    tempo_traces_attrs_gin (traces.sql:7-31)."""
+
+    def build():
+        return (
+            span_attrs(spark, sf_dir)
+            .groupBy("trace_id", "span_id", "timestamp_ns", "duration")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("key", "val"))
+                ).alias("attrs")
+            )
+        )
+
+    return _cached(spark, sf_dir, "span_attr_map", build)
+
+
 def span_ancestors(spark: SparkSession, sf_dir: str, max_depth: int = 8) -> DataFrame:
     """Transitive ancestor closure (trace_id, span_id, anc_id) of the
     span hierarchy, cached per session+sf like the other dimension

@@ -3,16 +3,18 @@
 Mirrors the reference's planner structure (ref: reader/traceql/
 traceql_transpiler/clickhouse_transpiler/):
 
-  attr conditions → the bitmask trick over the exploded attrs index:
-      each term i contributes bit i when its (key,val) row matches;
-      a span qualifies when groupBitOr covers the required bits
-      (ref: attr_condition.go:141-148, 368-412) — here
-      groupBy(trace_id, span_id).agg(bit_or(shiftleft(...)))
-  boolean && / ||   → evaluated on the bitmask (one index scan for N
-      terms, arbitrary and/or), same as the reference
-  structural ops    → self-joins on trace_id + parent_id chains
-      (&>> descendant via iterate-to-fixpoint with depth cap,
-       <<& ancestor, ~ sibling; SURVEY §7.4 risk 5)
+  attr conditions → the reference collapses the exploded attrs index
+      with a groupBitOr bitmask (term i sets bit i when its (key,val)
+      row matches; ref: attr_condition.go:141-148, 368-412). Here the
+      same truth table evaluates in ONE shuffle-free scan of the cached
+      per-span attr map (views.span_attr_map) — missing key → NULL →
+      false ≡ unset bit; single-term selectors filter the exploded
+      index directly (unique per (span, key)).
+  boolean && / ||   → the boolean tree compiles straight into the map
+      scan's filter condition (arbitrary and/or, N terms, one scan)
+  structural ops    → one join against the cached transitive ancestor
+      closure (views.span_ancestors; &>> <<& ~ and negations;
+      SURVEY §7.4 risk 5)
   spanset agg filter→ groupBy(trace_id) HAVING (ref: aggregator.go)
   trace assembly    → groupBy(trace_id).agg(...) (ref: index_groupby.go)
   metrics           → step buckets / exact quantiles / log2 histogram
@@ -51,8 +53,11 @@ class TraceQLContext:
     step_ns: int = 3_600_000_000_000  # metrics step (1h default for fixtures)
     _spans: DataFrame | None = None
     _attrs: DataFrame | None = None
-    # result of the per-script complexity probe (None = not yet probed)
+    # result of the per-script complexity probe (None = not yet probed);
+    # pending_spanset is set by compile_script so the probe can run
+    # lazily at the first broadcast decision
     complexity: int | None = None
+    pending_spanset: object | None = None
 
     def spans(self) -> DataFrame:
         if self._spans is None:
@@ -113,22 +118,11 @@ def _duration_cond(t: AttrCmp, col: Column) -> Column:
     }[t.op]
 
 
-def _mask_expr(e, term_index: dict[int, AttrCmp]) -> Column:
-    """Rebuild the boolean tree as bit tests over the aggregated mask."""
-    if isinstance(e, AttrCmp):
-        i = next(i for i, t in term_index.items() if t is e)
-        return F.col("__mask").bitwiseAND(F.lit(1 << i)) != 0
-    left = _mask_expr(e.left, term_index)
-    right = _mask_expr(e.right, term_index)
-    return (left & right) if e.op == "&&" else (left | right)
-
-
 def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
     """Spanset selector → DF[trace_id, span_id] via the bitmask index scan."""
     if sel.expr is None:
         return ctx.spans().select("trace_id", "span_id")
     terms = _collect_terms(sel.expr)
-    term_index = dict(enumerate(terms))
     # intrinsic-only selector: scan spans directly, no index round trip
     # (ref: attrless.go) — the common {name="x"} / {duration>..} shapes
     if all(t.attr in _INTRINSIC_COLS for t in terms):
@@ -143,24 +137,35 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
         return attrs.filter(_term_cond_on_attrs(terms[0])).select(
             "trace_id", "span_id"
         )
-    bits = None
-    conds = None
-    for i, t in term_index.items():
-        if t.attr == "duration":
-            c = _duration_cond(t, F.col("duration"))
-        else:
-            c = _term_cond_on_attrs(t)
-        b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = b if bits is None else bits.bitwiseOR(b)
-        conds = c if conds is None else (conds | c)
-    masked = (
-        attrs.filter(conds)
-        .groupBy("trace_id", "span_id")
-        .agg(F.bit_or(bits).alias("__mask"))
-    )
-    return masked.filter(_mask_expr(sel.expr, term_index)).select(
-        "trace_id", "span_id"
-    )
+    # multi-term selector: evaluate the boolean tree directly over the
+    # per-span attr MAP — one cached scan, zero shuffle. Semantically
+    # identical to the reference's groupBitOr bitmask collapse over the
+    # exploded GIN (attr_condition.go:141-148): a missing key yields NULL
+    # → false, matching "no index row → bit unset". The map layout is the
+    # Spark-first equivalent of ClickHouse's PREWHERE-on-GIN: the N-term
+    # scan costs the same as a 1-term scan instead of an N-bit shuffle.
+    amap = views.span_attr_map(ctx.spark, ctx.sf_dir)
+    return amap.filter(_build_map_cond(sel.expr)).select("trace_id", "span_id")
+
+
+def _build_map_cond(e) -> Column:
+    """Boolean tree over the span_attr_map layout (NULL-for-missing-key
+    gives the same truth table as the bitmask's unset bit)."""
+    if isinstance(e, AttrCmp):
+        if e.attr == "duration":
+            return _duration_cond(e, F.col("duration"))
+        v = F.col("attrs").getItem(e.attr)
+        if e.kind == "string":
+            return {
+                "=": v == e.value, "!=": v != e.value,
+                "=~": v.rlike(str(e.value)), "!~": ~v.rlike(str(e.value)),
+            }[e.op]
+        if e.kind == "bool":
+            return v == F.lit("true" if e.value else "false")
+        return _duration_cond(e, v.cast("double"))
+    left = _build_map_cond(e.left)
+    right = _build_map_cond(e.right)
+    return (left & right) if e.op == "&&" else (left | right)
 
 
 def _build_direct_intrinsic(e) -> Column:
@@ -231,9 +236,15 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
 
 def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
     """Broadcast a trace/span id set only when the complexity probe
-    bounded it under the threshold; otherwise return it unhinted and let
+    bounds it under the threshold; otherwise return it unhinted and let
     AQE pick the join strategy from runtime sizes (Spark's native
-    equivalent of the reference's simple/complex processor split)."""
+    equivalent of the reference's simple/complex processor split).
+
+    The probe is LAZY: it runs at the first broadcast decision, so plans
+    with no forced-broadcast site (plain selectors, structural ops) pay
+    no probe job at all."""
+    if ctx.complexity is None and ctx.pending_spanset is not None:
+        ctx.complexity = eval_complexity(ctx, ctx.pending_spanset)
     if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD:
         return F.broadcast(df)
     return df
@@ -325,8 +336,7 @@ _CMP = {
 def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
-    if ctx.complexity is None:
-        ctx.complexity = eval_complexity(ctx, script.spanset)
+    ctx.pending_spanset = script.spanset
     ids = eval_spanset(ctx, script.spanset)
     if script.sample is not None:
         # trace-level sampling with a fixed seed (ref: ctx.RandomFilter

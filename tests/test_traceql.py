@@ -288,9 +288,15 @@ def test_complexity_probe(spark):
     n = C.eval_complexity(ctx, script.spanset)
     # upper-bounds the matched span set, below the reference threshold here
     assert 0 < n <= C.COMPLEXITY_THRESHOLD
-    # compile_script records the probe on the context
+    # the probe is lazy: a plain selector has no broadcast decision, so
+    # compiling it runs no probe job...
     C.compile_script(ctx, script)
-    assert ctx.complexity == n
+    assert ctx.complexity is None
+    # ...but a plan with a forced-broadcast site (spanset agg filter)
+    # probes at the first _small_side consult
+    ctx2 = TraceQLContext(spark, SF_DIR)
+    C.compile_script(ctx2, parse("{} | count() > 45"))
+    assert ctx2.complexity is not None
     # a probe over the threshold flips _small_side to the AQE path
     big = TraceQLContext(spark, SF_DIR)
     big.complexity = C.COMPLEXITY_THRESHOLD + 1
