@@ -266,6 +266,94 @@ def stream_mine_patterns(
     )
 
 
+def stateful_mine_patterns(
+    samples_stream: DataFrame, similarity: float = 0.6
+) -> DataFrame:
+    """Cross-batch ONLINE clustering via applyInPandasWithState — the
+    true streaming twin of the reference's resident controller state
+    (ref: writer/pattern/controller/controller.go:71-187: clusters live
+    in memory across requests and keep absorbing lines until flush).
+
+    Keyed by (fingerprint, cluster key) like the reference's shard map;
+    the state value is the serialized cluster list, so a line arriving
+    in batch N merges into a cluster opened in batch N-1 — something the
+    per-batch foreachBatch variant (stream_mine_patterns) only
+    approximates by re-merging at read time. Output mode `update`: each
+    batch re-emits the keys it touched with refreshed counts.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    first_word = F.element_at(
+        F.filter(F.split("string", r"\s+"), lambda w: w != ""), 1
+    )
+    prepared = samples_stream.filter(F.col("string") != "").select(
+        "fingerprint",
+        F.coalesce(first_word, F.lit("")).alias("ckey"),
+        F.col("string"),
+    )
+
+    out_schema = (
+        "fingerprint long, ckey string, pattern string, "
+        "overall_cost int, generalized_cost int, samples_count long"
+    )
+    state_schema = "clusters string"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        import json
+
+        clusters: list[Pattern] = []
+        if state.exists:
+            (raw,) = state.get
+            for item in json.loads(raw):
+                p = Pattern.__new__(Pattern)
+                p.tokens = item["t"]
+                p.costs = item["c"]
+                p.samples_count = item["n"]
+                clusters.append(p)
+        for pdf in pdfs:
+            for line in pdf["string"]:
+                tokens = line.split()
+                if not tokens:
+                    continue
+                for c in clusters:
+                    if c.try_merge(tokens, similarity):
+                        break
+                else:
+                    clusters.append(Pattern(tokens))
+        state.update(
+            (
+                json.dumps(
+                    [
+                        {"t": c.tokens, "c": c.costs, "n": c.samples_count}
+                        for c in clusters
+                    ]
+                ),
+            )
+        )
+        fp, ck = key
+        yield pd.DataFrame(
+            [
+                {
+                    "fingerprint": int(fp),
+                    "ckey": ck,
+                    "pattern": " ".join(c.tokens),
+                    "overall_cost": c.overall_cost,
+                    "generalized_cost": c.generalized_cost,
+                    "samples_count": c.samples_count,
+                }
+                for c in clusters
+            ],
+            columns=[
+                "fingerprint", "ckey", "pattern",
+                "overall_cost", "generalized_cost", "samples_count",
+            ],
+        )
+
+    return prepared.groupBy("fingerprint", "ckey").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def read_patterns(patterns: DataFrame) -> DataFrame:
     """Read-side shaping (ref: planner_patterns.go:10 — latest iteration
     per pattern, sample counts): pattern string + totals."""

@@ -31,3 +31,41 @@ def test_stream_mining(spark, tmp_path):
     by_pattern = {r["pattern"]: r["samples_count"] for r in agg}
     assert by_pattern.get("user <_> logged in from <_>") == 2
     assert "disk full on /dev/sda1" in by_pattern
+
+
+def test_stateful_mine_patterns_cross_batch(spark, tmp_path):
+    """State persists across micro-batches: the same line shape arriving
+    in two separate files (maxFilesPerTrigger=1 → two batches) merges
+    into ONE cluster whose count spans both batches."""
+    from gigapipe_spark.patterns.cluster import stateful_mine_patterns
+
+    schema = "fingerprint long, timestamp_ns long, value double, string string, type tinyint"
+    src = str(tmp_path / "src")
+    b1 = [(1, 1_000, 0.0, "login user alice from 10.0.0.1", 1)]
+    b2 = [(1, 2_000, 0.0, "login user bob from 10.0.0.2", 1)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_mine_patterns(stream, similarity=0.6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_patterns")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM stateful_patterns ORDER BY samples_count"
+    ).collect()
+    assert rows, "no output emitted"
+    final = rows[-1]
+    # the two lines generalized into one pattern with both samples counted
+    assert final["samples_count"] == 2
+    assert "<_>" in final["pattern"] and final["pattern"].startswith("login user")
