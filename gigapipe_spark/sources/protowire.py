@@ -667,6 +667,149 @@ def decode_pprof(data: bytes) -> list[tuple[str, int]]:
     ]
 
 
+def decode_otlp_profiles(data: bytes) -> Iterator[dict]:
+    """OTLP profiles (v1development, dictionary+stack-table revision —
+    the layout the reference consumes via pdata/pprofile, ref:
+    otlp_profile.go buildOTLPTree/frameName/extractOTLPMeta) → one dict
+    per profile: {service_name, type_id, folded: [(stack, value)]}.
+
+    Wire layout targeted (profiles.proto v1development):
+      ProfilesData{resource_profiles=1, dictionary=2}
+      ProfilesDictionary{mapping_table=1, location_table=2,
+        function_table=3, link_table=4, string_table=5,
+        attribute_table=6, stack_table=7}
+      ResourceProfiles{resource=1, scope_profiles=2}
+      ScopeProfiles{scope=1, profiles=2}
+      Profile{sample_type=1, sample=2, time_nanos=3, duration_nanos=4,
+        period_type=5}
+      Sample{stack_index=1, values=2}  Stack{location_indices=1}
+      Location{mapping_index=1, address=2, line=3}
+      Line{function_index=1}  Function{name_strindex=1}
+      ValueType{type_strindex=1, unit_strindex=2}
+    Frame naming mirrors frameName (otlp_profile.go:294): Lines[0] →
+    function → string table, else "+0x<address>"; per-sample value =
+    sum(values) like buildOTLPTree (otlp_profile.go:326-333).
+    """
+    strings: list[str] = []
+    functions: list[int] = []  # name_strindex per function
+    locations: list[tuple[int, int]] = []  # (first function_index or -1, address)
+    stacks: list[list[int]] = []  # location index lists
+    resource_profiles: list[bytes] = []
+    for fno, _, v in pb_fields(data):
+        if fno == 1:
+            resource_profiles.append(v)  # type: ignore[arg-type]
+        elif fno == 2:  # ProfilesDictionary
+            for f2, _, v2 in pb_fields(v):  # type: ignore[arg-type]
+                if f2 == 2:  # Location
+                    fn_idx, addr = -1, 0
+                    for f3, _, v3 in pb_fields(v2):  # type: ignore[arg-type]
+                        if f3 == 2:
+                            addr = v3 if isinstance(v3, int) else _fixed64(v3)
+                        elif f3 == 3 and fn_idx < 0:  # first Line
+                            for f4, _, v4 in pb_fields(v3):  # type: ignore[arg-type]
+                                if f4 == 1:
+                                    fn_idx = int(v4)  # type: ignore[arg-type]
+                                    break
+                    locations.append((fn_idx, addr))
+                elif f2 == 3:  # Function{name_strindex=1}
+                    nidx = 0
+                    for f3, _, v3 in pb_fields(v2):  # type: ignore[arg-type]
+                        if f3 == 1:
+                            nidx = int(v3)  # type: ignore[arg-type]
+                    functions.append(nidx)
+                elif f2 == 5:  # string_table
+                    strings.append(v2.decode())  # type: ignore[union-attr]
+                elif f2 == 7:  # Stack{location_indices=1}
+                    li: list[int] = []
+                    for f3, _, v3 in pb_fields(v2):  # type: ignore[arg-type]
+                        if f3 == 1:
+                            li += _packed_uvarints(v3)
+                    stacks.append(li)
+
+    def s_at(i: int) -> str:
+        return strings[i] if 0 <= i < len(strings) else ""
+
+    def frame(loc_idx: int) -> str:
+        if 0 <= loc_idx < len(locations):
+            fn_idx, addr = locations[loc_idx]
+            if 0 <= fn_idx < len(functions):
+                name = s_at(functions[fn_idx])
+                if name:
+                    return name
+            return f"+0x{addr:x}"
+        return "n/a"
+
+    for rp in resource_profiles:
+        service = "unknown_service"
+        scope_profiles: list[bytes] = []
+        for f2, _, v2 in pb_fields(rp):
+            if f2 == 1:  # Resource{attributes=1}
+                attrs = _kv_attrs(
+                    [v for f3, _, v in pb_fields(v2) if f3 == 1]  # type: ignore[arg-type]
+                )
+                service = attrs.get("service.name", service)
+            elif f2 == 2:
+                scope_profiles.append(v2)  # type: ignore[arg-type]
+        for sp in scope_profiles:
+            for f3, _, prof in pb_fields(sp):
+                if f3 != 2:
+                    continue
+                type_s = unit_s = ""
+                folded: list[tuple[str, int]] = []
+                for f4, _, v4 in pb_fields(prof):  # type: ignore[arg-type]
+                    if f4 == 1:  # ValueType
+                        for f5, _, v5 in pb_fields(v4):  # type: ignore[arg-type]
+                            if f5 == 1:
+                                type_s = s_at(int(v5))  # type: ignore[arg-type]
+                            elif f5 == 2:
+                                unit_s = s_at(int(v5))  # type: ignore[arg-type]
+                    elif f4 == 2:  # Sample{stack_index=1, values=2}
+                        st_idx, vals = -1, []
+                        for f5, _, v5 in pb_fields(v4):  # type: ignore[arg-type]
+                            if f5 == 1:
+                                st_idx = int(v5)  # type: ignore[arg-type]
+                            elif f5 == 2:
+                                vals += [_i64(x) for x in _packed_uvarints(v5)]
+                        if 0 <= st_idx < len(stacks):
+                            li = stacks[st_idx]
+                            stack = ";".join(frame(i) for i in reversed(li))
+                            folded.append((stack, sum(vals)))
+                yield {
+                    "service_name": service,
+                    "type_id": f"{type_s}:{unit_s}",
+                    "folded": folded,
+                }
+
+
+def otlp_profiles_pb(raw: DataFrame, payload_col: str = "payload",
+                     profile_col: str = "profile_id") -> DataFrame:
+    """OTLP profile bodies → folded-stack lines (compose with
+    ingest.collapsed_stacks for tree rows, like pprof_folded)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, body in zip(pdf[profile_col], pdf[payload_col]):
+                try:
+                    profs = list(decode_otlp_profiles(bytes(body)))
+                except _DECODE_ERRORS:
+                    continue
+                for p in profs:
+                    for stack, val in p["folded"]:
+                        rows.append(
+                            (pid, p["service_name"], p["type_id"], f"{stack} {val}")
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["profile_id", "service_name", "type_id", "line"],
+            )
+
+    return raw.mapInPandas(
+        decode,
+        schema="profile_id string, service_name string, type_id string, line string",
+    )
+
+
 def pprof_folded(raw: DataFrame, payload_col: str = "payload",
                  profile_col: str = "profile_id") -> DataFrame:
     """pprof bodies → folded-stack lines; compose with

@@ -251,3 +251,60 @@ def test_pprof_unmapped_location_fallback():
         ]
     )
     assert pw.decode_pprof(prof) == [("loc_7", 5)]
+
+
+def _otlp_profile_body() -> bytes:
+    # dictionary: strings ["", "cpu", "ns", "main", "work"]
+    strings = [b"", b"cpu", b"ns", b"main", b"work"]
+    functions = [
+        pw.pb_encode([(1, 0, 3)]),  # fn0 -> "main"
+        pw.pb_encode([(1, 0, 4)]),  # fn1 -> "work"
+    ]
+    locations = [
+        pw.pb_encode([(2, 0, 0x10), (3, 2, pw.pb_encode([(1, 0, 0)]))]),  # loc0 -> fn0
+        pw.pb_encode([(2, 0, 0x20), (3, 2, pw.pb_encode([(1, 0, 1)]))]),  # loc1 -> fn1
+        pw.pb_encode([(2, 0, 0xFF)]),  # loc2: no line -> "+0xff"
+    ]
+    stacks = [
+        pw.pb_encode([(1, 2, b"\x01\x00")]),  # leaf-first [loc1, loc0] -> main;work
+        pw.pb_encode([(1, 2, b"\x02\x00")]),  # [loc2, loc0] -> main;+0xff
+    ]
+    dict_fields = []
+    dict_fields += [(5, 2, s) for s in strings]
+    dict_fields += [(3, 2, f) for f in functions]
+    dict_fields += [(2, 2, l) for l in locations]
+    dict_fields += [(7, 2, s) for s in stacks]
+    dictionary = pw.pb_encode(dict_fields)
+    sample_type = pw.pb_encode([(1, 0, 1), (2, 0, 2)])  # cpu:ns
+    samples = [
+        pw.pb_encode([(1, 0, 0), (2, 2, b"\x05")]),       # stack0, value 5
+        pw.pb_encode([(1, 0, 1), (2, 2, b"\x03")]),       # stack1, value 3
+    ]
+    profile = pw.pb_encode([(1, 2, sample_type)] + [(2, 2, s) for s in samples])
+    scope_profiles = pw.pb_encode([(2, 2, profile)])
+    resource = pw.pb_encode([(1, 2, _kv("service.name", "api"))])
+    rp = pw.pb_encode([(1, 2, resource), (2, 2, scope_profiles)])
+    return pw.pb_encode([(1, 2, rp), (2, 2, dictionary)])
+
+
+def test_otlp_profiles_decode_py():
+    profs = list(pw.decode_otlp_profiles(_otlp_profile_body()))
+    assert len(profs) == 1
+    p = profs[0]
+    assert p["service_name"] == "api" and p["type_id"] == "cpu:ns"
+    assert p["folded"] == [("main;work", 5), ("main;+0xff", 3)]
+
+
+def test_otlp_profiles_to_tree(spark):
+    from gigapipe_spark.sources.ingest import collapsed_stacks
+
+    raw = spark.createDataFrame(
+        [("p1", bytearray(_otlp_profile_body()))],
+        "profile_id string, payload binary",
+    )
+    folded = pw.otlp_profiles_pb(raw)
+    tree = collapsed_stacks(folded.select("profile_id", "line")).collect()
+    by_fn = {r["fn_name"]: r for r in tree}
+    assert by_fn["main"]["total"] == 8 and by_fn["main"]["self"] == 0
+    assert by_fn["work"]["total"] == 5 and by_fn["work"]["self"] == 5
+    assert by_fn["+0xff"]["self"] == 3
