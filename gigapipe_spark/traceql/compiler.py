@@ -343,7 +343,15 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         # attr_condition.go:55-62 — the reference also samples trace ids)
         traces = ids.select("trace_id").distinct().sample(script.sample, seed=42)
         ids = ids.join(_small_side(ctx, traces), "trace_id", "left_semi")
-    spans = ctx.spans().join(ids, ["trace_id", "span_id"], "left_semi")
+    # fetch matched span rows: broadcast the id set into the fact scan
+    # when an already-run probe bounds it; otherwise leave the strategy
+    # to AQE rather than paying a probe job just for this join
+    fetch_ids = (
+        F.broadcast(ids)
+        if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD
+        else ids
+    )
+    spans = ctx.spans().join(fetch_ids, ["trace_id", "span_id"], "left_semi")
     for af in script.agg_filters:
         target = F.col("duration_ns") if af.attr in (None, "duration") else F.col("duration_ns")
         aggs = {
