@@ -1516,6 +1516,143 @@ def prof_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_folded(folded)
 
 
+# ------------------------------------------- round-3 long-tail entries
+
+register(
+    "promql_max_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 1800000000000) AS timestamp_ns,
+           round(max(value), 6) AS value
+    FROM metric_samples WHERE app = 'view' GROUP BY 1, 2
+    """,
+)(_promql('max_over_time({app="view"}[30m])', _FPV))
+
+register(
+    "promql_first_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(min_by(value, timestamp_ns), 6) AS value
+    FROM metric_samples WHERE app = 'purchase' GROUP BY 1, 2
+    """,
+)(_promql('first_over_time({app="purchase"}[1h])', _FPV))
+
+register(
+    "promql_quantile_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(quantile_cont(value, 0.9), 6) AS value
+    FROM metric_samples WHERE app = 'click' GROUP BY 1, 2
+    """,
+)(_promql('quantile_over_time(0.9, {app="click"}[1h])', _FPV))
+
+register(
+    "promql_topk",
+    # rank on the UNROUNDED value like the engine; tiebreak mirrors the
+    # canonical key-sorted label string (chr(30) separator)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             max(value) AS value,
+             'app=' || any_value(app) || chr(30) || 'instance=' || any_value(instance)
+               || chr(30) || 'level=' || any_value(level) AS lbl
+      FROM metric_samples WHERE app IN ('click','view','error') GROUP BY 1, 2
+    )
+    SELECT fingerprint, ts AS timestamp_ns, round(value, 6) AS value FROM (
+      SELECT *, row_number() OVER (PARTITION BY ts ORDER BY value DESC, lbl ASC) AS rn
+      FROM m
+    ) WHERE rn <= 2
+    """,
+)(_promql('topk(2, max_over_time({app=~"click|view|error"}[1h]))', _FPV))
+
+
+@register(
+    "promql_label_join",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT app, instance, (timestamp_ns - timestamp_ns % 60000000000) AS b,
+             fingerprint, max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app IN ('click','view') GROUP BY 1, 2, 3, 4
+    )
+    SELECT app || '-' || instance AS joined, app, b AS timestamp_ns,
+           round(value, 6) AS value
+    FROM inst
+    """,
+)
+def promql_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_join(v, "joined", "-", "app", "instance")
+    (ref: promql function set; functions.py:135)."""
+    m = promql_query(PromQLContext(spark, sf_dir), '{app=~"click|view"}')
+    out = _pf.label_join(m, "joined", "-", "app", "instance")
+    return out.select(
+        _lbl("joined")(), _lbl("app")(), "timestamp_ns",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "traceql_trace_by_id",
+    with_spans(
+        "SELECT trace_id, span_id, parent_id, name FROM spans WHERE trace_id = 't42'"
+    ),
+)
+def traceql_trace_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-by-id fetch, root-first (ref: reader/service/tempo.go)."""
+    from gigapipe_spark.traceql.compiler import trace_by_id
+
+    return trace_by_id(TraceQLContext(spark, sf_dir), "t42").select(
+        "trace_id", "span_id", "parent_id", "name"
+    )
+
+
+register(
+    "logql_last_over_time",
+    # `| json` adds the parsed k to the label set → one series per
+    # (user, k); each such series' samples all carry value k, so the
+    # per-user sum of series lasts = sum of DISTINCT k values
+    "SELECT 'u' || CAST(user_id AS VARCHAR) AS instance,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS timestamp_ns,"
+    " round(sum(DISTINCT CAST(json_extract_string(props,'$.k') AS DOUBLE)), 6)"
+    " AS value FROM events WHERE event_type='purchase' GROUP BY 1, 2",
+)(
+    _logql(
+        'sum by (instance) (last_over_time({app="purchase"} | json | unwrap k [1h]))',
+        [_lbl("instance"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_first_over_time",
+    "SELECT 'u' || CAST(user_id AS VARCHAR) AS instance,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 3600000000000) AS timestamp_ns,"
+    " round(max(CAST(json_extract_string(props,'$.k') AS DOUBLE)), 6)"
+    " AS value FROM events WHERE event_type='signup' GROUP BY 1, 2",
+)(
+    _logql(
+        'max by (instance) (first_over_time({app="signup"} | json | unwrap k [1h]))',
+        [_lbl("instance"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    "logql_drop_keep",
+    # after `| json | keep app, k`: only the kept labels survive into the
+    # output label set
+    "SELECT 'click' AS app, json_extract_string(props,'$.k') AS k,"
+    " epoch_ns(ts) AS timestamp_ns, props AS string"
+    " FROM events WHERE event_type='click'",
+)(
+    _logql(
+        '{app="click"} | json | keep app, k',
+        [_lbl("app"), _lbl("k"), "timestamp_ns", "string"],
+    )
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
