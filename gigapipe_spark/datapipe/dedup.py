@@ -226,29 +226,40 @@ def minhash_lsh_pairs(
 
 
 def _simhash(hashes: Column, bits: int = 64) -> Column:
-    """64-bit SimHash from a MATERIALIZED token-hash column: bit i =
-    sign of Σ_tokens (±1 by token hash bit i). Bit positions are
-    unrolled statically (shift amounts must be literals); the hash array
-    must be a column reference — inlining it would re-hash every token
-    64 times (no CSE across lambda scopes)."""
-    def _merge_for_bit(i: int):
-        # closure (not a default arg): pyspark dispatches HOF lambdas on
-        # their arity, so the merge fn must be exactly 2-ary
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    """64-bit SimHash: bit i = sign of Σ_tokens (±1 by token hash bit i).
 
-        return merge
-
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for_bit(i))
-        bitval = (1 << i) if i < 63 else -(1 << 63)  # top bit = sign bit in int64
-        sig = sig.bitwiseOR(
-            F.when(bit_sum > 0, F.lit(bitval).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+    ONE fold over the token-hash array with an array<long> accumulator of
+    per-bit counters (acc[i] += ±1 via the 2-ary transform's index arg),
+    then one zip_with+fold to assemble the signature. The earlier
+    formulation unrolled 64 separate F.aggregate folds; CollapseProject
+    inlined the token-hash transform into every one of them (no CSE
+    across lambda scopes), re-tokenizing and re-hashing each document
+    64× (~8s of an 8.8s query at sf0.01). Single-reference single-pass
+    keeps the work at tokens×64 counter bumps, all JVM-side."""
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.transform(
+            acc, lambda a, i: a + F.bit_get(h, i).cast("long") * 2 - 1
+        ),
+    )
+    # literal powers-of-two (bit 63 = int64 sign bit); zip against the
+    # counters INSIDE HOF land — element_at(counters, i) unrolled 64×
+    # would re-run the fold per reference.
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    contribs = F.zip_with(
+        counters,
+        powers,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        contribs, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b)
+    )
 
 
 def simhash_pairs(
