@@ -568,7 +568,35 @@ def traceql_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("traceql_compare")  # top-N frequency diff — rows-only check
+_ATTRS_CTE = """
+attrs AS (
+  SELECT trace_id, span_id, 'name' AS key, name AS val FROM spans
+  UNION ALL SELECT trace_id, span_id, 'service.name', service_name FROM spans
+  UNION ALL SELECT trace_id, span_id, 'status', status FROM spans WHERE status IS NOT NULL
+  UNION ALL SELECT trace_id, span_id, 'priority', priority FROM spans WHERE priority IS NOT NULL
+  UNION ALL SELECT trace_id, span_id, 'returnflag', returnflag FROM spans WHERE returnflag IS NOT NULL
+  UNION ALL SELECT trace_id, span_id, 'linestatus', linestatus FROM spans WHERE linestatus IS NOT NULL
+)
+"""
+
+
+@register(
+    "traceql_compare",
+    with_spans(
+        f""", {_ATTRS_CTE}, sel AS (
+      SELECT trace_id, span_id FROM attrs WHERE key = 'returnflag' AND val = 'R'
+    ), counts AS (
+      SELECT a.key, a.val,
+             CAST(SUM(CASE WHEN s.span_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS selection_count,
+             CAST(SUM(CASE WHEN s.span_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS baseline_count
+      FROM attrs a LEFT JOIN sel s ON a.trace_id = s.trace_id AND a.span_id = s.span_id
+      GROUP BY 1, 2
+    )
+    SELECT key, val, selection_count, baseline_count FROM counts
+    QUALIFY row_number() OVER (ORDER BY selection_count DESC, key, val) <= 10
+    """
+    ),
+)
 def traceql_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gigapipe_spark.traceql.compiler import compare_attrs
     from gigapipe_spark.traceql.parser import TraceQLParser
@@ -942,7 +970,31 @@ def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("fingerprint", "timestamp_ns", F.round("value", 4).alias("value"))
 
 
-@register("promql_holt_winters")  # iterative per-series UDF — rows-only check
+@register(
+    "promql_holt_winters",
+    # same double-exponential fold, DuckDB-side: list_reduce with a
+    # struct accumulator seeded by the first element (identical op order
+    # → identical IEEE doubles)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, g AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             list(value ORDER BY timestamp_ns, value) AS vals
+      FROM metric_samples GROUP BY 1, 2
+    )
+    SELECT fingerprint, ts AS timestamp_ns,
+      CASE WHEN len(vals) < 2 THEN 'NaN'::DOUBLE
+      ELSE list_reduce(
+        [{{'s': vals[1], 'b': vals[2] - vals[1]}}]
+          || list_transform(vals[2:], v -> {{'s': v, 'b': 0.0::DOUBLE}}),
+        (acc, x) -> {{
+          's': 0.5::DOUBLE * x.s + 0.5::DOUBLE * (acc.s + acc.b),
+          'b': 0.5::DOUBLE * ((0.5::DOUBLE * x.s + 0.5::DOUBLE * (acc.s + acc.b)) - acc.s)
+               + 0.5::DOUBLE * acc.b
+        }}
+      ).s END AS value
+    FROM g
+    """,
+)
 def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = views.metric_samples(spark, sf_dir).select("fingerprint", "timestamp_ns", "value")
     return _pf.holt_winters(m, sf=0.5, tf=0.5, range_ns=3_600_000_000_000)
@@ -1103,7 +1155,43 @@ def prof_merge_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_trees(views.profiles(spark, sf_dir))
 
 
-@register("prof_diff_trees")  # two-selection diff — rows-only check
+def _merged_tree_cte(alias: str, priority: str) -> str:
+    """Oracle-side merge_trees for one service selection (diff has no
+    n_samples column, unlike prof_merge_trees)."""
+    return f"""
+    {alias} AS (
+      SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent,
+             CAST(0 AS BIGINT) AS fn_id, CAST(0 AS BIGINT) AS self,
+             CAST(SUM(floor(o_totalprice * 1000)) AS BIGINT) AS total
+      FROM orders WHERE o_orderpriority = '{priority}'
+        AND o_orderkey IN (SELECT l_orderkey FROM lineitem)
+      HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT CAST(code AS BIGINT), CAST(0 AS BIGINT), CAST(code AS BIGINT),
+             CAST(s AS BIGINT), CAST(s AS BIGINT)
+      FROM (
+        SELECT CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS code,
+               SUM(floor(l_extendedprice * 1000)) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '{priority}' GROUP BY 1
+      )
+    )"""
+
+
+@register(
+    "prof_diff_trees",
+    f"""
+    WITH {_merged_tree_cte("lm", "1-URGENT")}, {_merged_tree_cte("rm", "5-LOW")}
+    SELECT COALESCE(l.id, r.id) AS id, COALESCE(l.parent, r.parent) AS parent,
+           COALESCE(l.fn_id, r.fn_id) AS fn_id,
+           COALESCE(l.self, 0) AS self_left, COALESCE(l.total, 0) AS total_left,
+           COALESCE(r.self, 0) AS self_right, COALESCE(r.total, 0) AS total_right,
+           COALESCE(r.self, 0) - COALESCE(l.self, 0) AS self_delta,
+           COALESCE(r.total, 0) - COALESCE(l.total, 0) AS total_delta
+    FROM lm l FULL OUTER JOIN rm r
+      ON l.id = r.id AND l.parent = r.parent AND l.fn_id = r.fn_id
+    """,
+)
 def prof_diff_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = views.profiles(spark, sf_dir)
     left = merge_trees(prof.filter(F.col("service_name") == "svc-1-URGENT"))
