@@ -1,0 +1,286 @@
+"""Endpoint facade — the reference's HTTP router surface as one class.
+
+The reference exposes its engine through an HTTP router
+(ref: reader/router/query_range.go, prometheus_query_range.go,
+prometheus_labels.go, select_labels.go, tempo.go, prof.go, misc.go).
+This module re-expresses that surface as an embeddable `Engine`: one
+method per route family, DataFrames in/out (serializing a response body
+is the caller's concern — in Spark the result set IS the response).
+
+A user of the reference maps their calls 1:1:
+
+    /loki/api/v1/query_range          -> loki_query_range(q, ...)
+    /loki/api/v1/query                -> loki_query(q, time_ns)
+    /loki/api/v1/labels | label/:n/values -> loki_labels() / loki_label_values(n)
+    /loki/api/v1/series               -> loki_series(match)
+    /loki/api/v1/index/stats | volume -> loki_index_stats() / loki_index_volume()
+    /loki/api/v1/detected_labels | detected_fields -> loki_detected_*()
+    /loki/api/v1/patterns             -> loki_patterns()
+    /loki/api/v1/tail                 -> loki_tail(q)  (poll-loop Tailer)
+    /api/v1/query | query_range       -> prom_query(expr, ...) / prom_query_range(expr)
+    /api/v1/labels | label/:n/values  -> prom_labels() / prom_label_values(n)
+    /api/v1/series                    -> prom_series(match)
+    /api/v1/metadata                  -> prom_metadata()
+    /api/search (+ /tempo/api/*)      -> tempo_search(q)
+    /api/traces/{id}                  -> tempo_trace(id)
+    /api/{v2/}search/tags | tag/:t/values -> tempo_tags() / tempo_tag_values(t)
+    /api/metrics/query_range          -> tempo_metrics_query_range(q)
+    /pyroscope/render | render-diff   -> pyroscope_render(...) / pyroscope_render_diff(...)
+
+Every method delegates to the language compilers, so plans stay fully
+declarative (Catalyst sees the whole pipeline; nothing is evaluated at
+facade level).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql.compiler import LogQLContext
+from gigapipe_spark.logql.compiler import query as _logql_query
+from gigapipe_spark.logql.compiler import query_range as _logql_query_range
+from gigapipe_spark.promql.compiler import PromQLContext
+from gigapipe_spark.promql.compiler import query as _promql_query
+from gigapipe_spark.sources import views
+from gigapipe_spark.traceql.compiler import TraceQLContext, assemble_traces, trace_by_id
+from gigapipe_spark.traceql.compiler import query as _traceql_query
+
+
+@dataclass
+class Engine:
+    """One engine per (session, store dir) — contexts cache the derived
+    views (samples/series/GIN/spans/attrs), so repeated endpoint calls
+    reuse the same cached dimension tables exactly like the reference's
+    stored MVs."""
+
+    spark: SparkSession
+    sf_dir: str
+    prom_step_ns: int = 60_000_000_000
+    trace_step_ns: int = 3_600_000_000_000
+    _logctx: LogQLContext | None = field(default=None, repr=False)
+    _promctx: PromQLContext | None = field(default=None, repr=False)
+    _tracectx: TraceQLContext | None = field(default=None, repr=False)
+
+    # ------------------------------------------------------ contexts
+    def logctx(self) -> LogQLContext:
+        if self._logctx is None:
+            self._logctx = LogQLContext(self.spark, self.sf_dir)
+        return self._logctx
+
+    def promctx(self) -> PromQLContext:
+        if self._promctx is None:
+            self._promctx = PromQLContext(
+                self.spark, self.sf_dir, step_ns=self.prom_step_ns
+            )
+        return self._promctx
+
+    def tracectx(self) -> TraceQLContext:
+        if self._tracectx is None:
+            self._tracectx = TraceQLContext(
+                self.spark, self.sf_dir, step_ns=self.trace_step_ns
+            )
+        return self._tracectx
+
+    # ------------------------------------------------------ Loki
+    def loki_query_range(
+        self,
+        query: str,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        limit: int | None = None,
+        direction: str = "backward",
+    ) -> DataFrame:
+        """/loki/api/v1/query_range (ref: reader/router/query_range.go)."""
+        return _logql_query_range(
+            self.logctx(), query, start_ns, end_ns, limit, direction
+        ).df
+
+    def loki_query(
+        self, query: str, time_ns: int | None = None, limit: int = 100
+    ) -> DataFrame:
+        """/loki/api/v1/query — instant: newest entries up to `time_ns`
+        (the reference's instant query is a backward range ending at
+        the evaluation time)."""
+        return _logql_query_range(
+            self.logctx(), query, None, time_ns, limit, "backward"
+        ).df
+
+    def loki_labels(self) -> DataFrame:
+        """/loki/api/v1/labels — distinct label names from the GIN."""
+        gin = views.time_series_gin(self.spark, self.sf_dir)
+        return gin.select("key").distinct()
+
+    def loki_label_values(self, name: str) -> DataFrame:
+        """/loki/api/v1/label/{name}/values."""
+        gin = views.time_series_gin(self.spark, self.sf_dir)
+        return gin.filter(F.col("key") == name).select("val").distinct()
+
+    def loki_series(self, match: str) -> DataFrame:
+        """/loki/api/v1/series — distinct label sets for a selector."""
+        from gigapipe_spark.logql.compiler import fingerprints
+        from gigapipe_spark.logql.parser import parse
+
+        sel = parse(match).selector
+        fps = fingerprints(self.logctx(), sel)
+        series = views.time_series(self.spark, self.sf_dir)
+        return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
+            "fingerprint", "labels"
+        )
+
+    def loki_index_stats(self) -> DataFrame:
+        """/loki/api/v1/index/stats (ref: service/query_range.go:804)."""
+        s = views.samples(self.spark, self.sf_dir)
+        return s.agg(
+            F.countDistinct("fingerprint").alias("streams"),
+            F.count(F.lit(1)).alias("entries"),
+            F.sum(F.length("string")).cast("long").alias("bytes"),
+        )
+
+    def loki_index_volume(self, by: str = "app") -> DataFrame:
+        """/loki/api/v1/index/volume (ref: controller/volume.go:17)."""
+        s = views.samples(self.spark, self.sf_dir)
+        series = views.time_series(self.spark, self.sf_dir)
+        return (
+            s.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
+            .groupBy(F.col("labels")[by].alias(by))
+            .agg(F.sum(F.length("string")).cast("long").alias("volume"))
+        )
+
+    def loki_detected_labels(self) -> DataFrame:
+        """/loki/api/v1/detected_labels — per-label cardinality."""
+        gin = views.time_series_gin(self.spark, self.sf_dir)
+        return gin.groupBy("key").agg(F.countDistinct("val").alias("cardinality"))
+
+    def loki_detected_fields(self) -> DataFrame:
+        """/loki/api/v1/detected_fields — field names parsed out of the
+        log lines themselves (ref: planner_labels_detect.go): keys of
+        the JSON payload, with how many lines carry each."""
+        s = views.samples(self.spark, self.sf_dir)
+        fields = s.select(
+            F.explode(
+                F.map_keys(
+                    F.from_json(F.col("string"), "map<string,string>")
+                )
+            ).alias("field")
+        )
+        return fields.groupBy("field").agg(F.count(F.lit(1)).alias("lines"))
+
+    def loki_patterns(self) -> DataFrame:
+        """/loki/api/v1/patterns (ref: SURVEY §2.7 read side)."""
+        from gigapipe_spark.patterns.cluster import mine_patterns, read_patterns
+
+        return read_patterns(mine_patterns(views.samples(self.spark, self.sf_dir)))
+
+    def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
+        """/loki/api/v1/tail — returns the poll-loop Tailer (the
+        reference's WS tail is a ticker re-running the query from the
+        last seen ts, query_range.go:670)."""
+        from gigapipe_spark.streaming.ruler import Tailer
+
+        return Tailer(
+            logctx_factory=self.logctx,
+            query=query,
+            max_rows_per_poll=max_rows_per_poll,
+        )
+
+    # ------------------------------------------------------ Prometheus
+    def prom_query_range(self, expr: str) -> DataFrame:
+        """/api/v1/query_range (ref: router/prometheus_query_range.go)."""
+        return _promql_query(self.promctx(), expr)
+
+    def prom_query(self, expr: str, time_ns: int | None = None) -> DataFrame:
+        """/api/v1/query — instant vector: latest step at/before the
+        evaluation time, per series."""
+        m = _promql_query(self.promctx(), expr)
+        if time_ns is not None:
+            m = m.filter(F.col("timestamp_ns") <= time_ns)
+        group_cols = [c for c in m.columns if c not in ("timestamp_ns", "value")]
+        w_val = F.max_by("value", F.col("timestamp_ns"))
+        return m.groupBy(*group_cols).agg(
+            F.max("timestamp_ns").alias("timestamp_ns"), w_val.alias("value")
+        )
+
+    def prom_labels(self) -> DataFrame:
+        """/api/v1/labels — same GIN as Loki (one unified store)."""
+        return self.loki_labels()
+
+    def prom_label_values(self, name: str) -> DataFrame:
+        return self.loki_label_values(name)
+
+    def prom_series(self, match: str) -> DataFrame:
+        """/api/v1/series."""
+        return self.loki_series(match)
+
+    def prom_metadata(self) -> DataFrame:
+        """/api/v1/metadata — metric names with sample counts (the
+        closest stored analogue of Prometheus metadata)."""
+        m = views.metric_samples(self.spark, self.sf_dir)
+        series = views.time_series(self.spark, self.sf_dir)
+        return (
+            m.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
+            .groupBy(F.col("labels")["app"].alias("metric"))
+            .agg(F.count(F.lit(1)).alias("samples"))
+        )
+
+    # ------------------------------------------------------ Tempo
+    def tempo_search(self, q: str, limit: int = 20) -> DataFrame:
+        """/api/search (ref: reader/service/tempo.go) — spansets for a
+        TraceQL script; selector results are assembled into per-trace
+        summaries ordered newest-first like index_groupby.go."""
+        out = _traceql_query(self.tracectx(), q)
+        if set(out.columns) >= {"trace_id", "span_id", "timestamp_ns", "duration_ns"}:
+            out = assemble_traces(self.tracectx(), out).orderBy(
+                F.col("end_ns").desc(), "trace_id"
+            )
+        return out.limit(limit)
+
+    def tempo_trace(self, trace_id: str) -> DataFrame:
+        """/api/traces/{traceId} — root-first span list."""
+        return trace_by_id(self.tracectx(), trace_id)
+
+    def tempo_tags(self) -> DataFrame:
+        """/api/(v2/)search/tags."""
+        return self.tracectx().attrs().select("key").distinct()
+
+    def tempo_tag_values(self, tag: str) -> DataFrame:
+        """/api/(v2/)search/tag/{tag}/values."""
+        return (
+            self.tracectx()
+            .attrs()
+            .filter(F.col("key") == tag)
+            .select("val")
+            .distinct()
+        )
+
+    def tempo_metrics_query_range(self, q: str) -> DataFrame:
+        """/api/metrics/query_range — TraceQL metrics pipeline (the
+        compiler dispatches `| rate()` etc. to the metrics stage)."""
+        return _traceql_query(self.tracectx(), q)
+
+    # ------------------------------------------------------ Pyroscope
+    def _profiles(self, service: str | None) -> DataFrame:
+        prof = views.profiles(self.spark, self.sf_dir)
+        if service is not None:
+            prof = prof.filter(F.col("service_name") == service)
+        return prof
+
+    def pyroscope_render(self, service: str | None = None) -> list:
+        """/pyroscope/render — merged flamegraph as BFS levels
+        (ref: prof_tree.go:145). Returns levels (driver-side: a render
+        response is small by construction)."""
+        from gigapipe_spark.prof.tree import flamegraph_levels, merge_trees
+
+        rows = merge_trees(self._profiles(service)).collect()
+        return flamegraph_levels(rows)
+
+    def pyroscope_render_diff(self, left_service: str, right_service: str) -> DataFrame:
+        """/pyroscope/render-diff — node-aligned left/right/self deltas."""
+        from gigapipe_spark.prof.tree import diff_trees, merge_trees
+
+        return diff_trees(
+            merge_trees(self._profiles(left_service)),
+            merge_trees(self._profiles(right_service)),
+        )

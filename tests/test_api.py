@@ -1,0 +1,116 @@
+"""Endpoint facade coverage: every router family returns sane results.
+
+Mirrors the reference's route table (reader/router/*.go) — one assertion
+per endpoint family over the sf0.001 fixtures.
+"""
+
+import pytest
+
+from gigapipe_spark.api import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF)
+
+
+def test_loki_query_range_limit_direction(engine):
+    rows = engine.loki_query_range('{app="click"}', limit=5).collect()
+    assert len(rows) == 5
+    ts = [r["timestamp_ns"] for r in rows]
+    assert ts == sorted(ts, reverse=True)  # backward = newest first
+    fwd = engine.loki_query_range('{app="click"}', limit=5, direction="forward").collect()
+    assert [r["timestamp_ns"] for r in fwd] == sorted(r["timestamp_ns"] for r in fwd)
+
+
+def test_loki_instant_query(engine):
+    rows = engine.loki_query('{app="click"}', limit=3).collect()
+    assert len(rows) == 3
+
+
+def test_loki_labels_and_values(engine):
+    keys = {r["key"] for r in engine.loki_labels().collect()}
+    assert keys == {"app", "instance", "level"}
+    vals = {r["val"] for r in engine.loki_label_values("level").collect()}
+    assert vals == {"error", "info"}
+
+
+def test_loki_series(engine):
+    rows = engine.loki_series('{app="error"}').collect()
+    assert rows and all(r["labels"]["app"] == "error" for r in rows)
+
+
+def test_loki_index_stats_and_volume(engine):
+    st = engine.loki_index_stats().collect()[0]
+    assert st["streams"] > 0 and st["entries"] > st["streams"] and st["bytes"] > 0
+    vol = {r["app"]: r["volume"] for r in engine.loki_index_volume().collect()}
+    assert set(vol) == {"click", "view", "purchase", "signup", "error"}
+    assert all(v > 0 for v in vol.values())
+
+
+def test_loki_detected(engine):
+    labels = {r["key"]: r["cardinality"] for r in engine.loki_detected_labels().collect()}
+    assert labels["level"] == 2
+    fields = {r["field"] for r in engine.loki_detected_fields().collect()}
+    assert "k" in fields  # props payload is {"k": n}
+
+
+def test_loki_patterns(engine):
+    rows = engine.loki_patterns().limit(5).collect()
+    assert rows and all(r["samples_count"] >= 1 for r in rows)
+
+
+def test_loki_tail_poll(engine):
+    tailer = engine.loki_tail('{app="click"}', max_rows_per_poll=10)
+    first = tailer.poll()
+    assert len(first) == 10
+    second = tailer.poll()
+    if second:  # strictly newer than the last seen ts
+        assert min(r["timestamp_ns"] for r in second) > max(
+            r["timestamp_ns"] for r in first
+        )
+
+
+def test_prom_query_range_and_instant(engine):
+    m = engine.prom_query_range('sum by (app) (rate({app=~".+"}[1h]))')
+    assert m.count() > 0
+    inst = engine.prom_query('sum by (app) (rate({app=~".+"}[1h]))')
+    # instant: exactly one row per series
+    assert inst.count() == inst.select("fingerprint").distinct().count()
+
+
+def test_prom_meta(engine):
+    assert {r["key"] for r in engine.prom_labels().collect()} == {
+        "app", "instance", "level",
+    }
+    md = {r["metric"] for r in engine.prom_metadata().collect()}
+    assert md == {"click", "view", "purchase", "signup", "error"}
+
+
+def test_tempo_search_and_trace(engine):
+    res = engine.tempo_search('{ returnflag = "R" }', limit=5).collect()
+    assert 0 < len(res) <= 5
+    assert {"trace_id", "span_count", "root_service"} <= set(res[0].asDict())
+    spans = engine.tempo_trace(res[0]["trace_id"]).collect()
+    assert spans[0]["parent_id"] == ""  # root first
+
+
+def test_tempo_tags(engine):
+    tags = {r["key"] for r in engine.tempo_tags().collect()}
+    assert {"name", "service.name", "returnflag"} <= tags
+    vals = {r["val"] for r in engine.tempo_tag_values("returnflag").collect()}
+    assert "R" in vals
+
+
+def test_tempo_metrics(engine):
+    m = engine.tempo_metrics_query_range('{ name = "item" } | rate()')
+    assert "value" in m.columns and m.count() > 0
+
+
+def test_pyroscope_render_and_diff(engine):
+    levels = engine.pyroscope_render()
+    assert levels and levels[0][0]["total"] >= levels[0][0]["self"]
+    diff = engine.pyroscope_render_diff("svc-1-URGENT", "svc-5-LOW").collect()
+    assert diff and {"self_delta", "total_delta"} <= set(diff[0].asDict())
