@@ -317,6 +317,32 @@ _SCALAR_FNS = {
     "log2": F.log2,
     "log10": F.log10,
     "sqrt": F.sqrt,
+    "sgn": F.signum,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "deg": F.degrees,
+    "rad": F.radians,
+}
+
+# Prometheus time functions interpret the sample VALUE as unix seconds
+# (timestamp() is the exception: it returns the sample's own timestamp).
+# Session tz is UTC, so timestamp_seconds() extractions match upstream.
+_TIME_FNS = {
+    "hour": lambda t: F.hour(t),
+    "minute": lambda t: F.minute(t),
+    "month": lambda t: F.month(t),
+    "year": lambda t: F.year(t),
+    "day_of_month": lambda t: F.dayofmonth(t),
+    "day_of_week": lambda t: F.dayofweek(t) - 1,  # upstream: 0 = Sunday
+    "day_of_year": lambda t: F.dayofyear(t),
+    "days_in_month": lambda t: F.dayofmonth(F.last_day(t)),
 }
 
 _AGG_FNS = {
@@ -357,6 +383,29 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             v = F.col("value")
             newv = F.greatest(v, bound) if e.fn == "clamp_min" else F.least(v, bound)
             return inner.withColumn("value", newv)
+        if e.fn == "clamp":
+            inner = compile_expr(ctx, e.args[0])
+            return inner.withColumn(
+                "value",
+                F.least(F.greatest(F.col("value"), F.lit(e.param)), F.lit(e.param2)),
+            )
+        if e.fn == "timestamp":
+            inner = compile_expr(ctx, e.args[0])
+            return inner.withColumn(
+                "value", (F.col("timestamp_ns") / F.lit(1e9)).cast("double")
+            )
+        if e.fn in _TIME_FNS:
+            inner = compile_expr(ctx, e.args[0])
+            ts = F.timestamp_seconds(F.col("value"))
+            return inner.withColumn(
+                "value", _TIME_FNS[e.fn](ts).cast("double")
+            )
+        if e.fn in ("sort", "sort_desc"):
+            from gigapipe_spark.promql.functions import sort_matrix
+
+            return sort_matrix(
+                compile_expr(ctx, e.args[0]), descending=e.fn == "sort_desc"
+            )
         raise NotImplementedError(f"function {e.fn}")
     if isinstance(e, AggExpr):
         inner = compile_expr(ctx, e.inner)
@@ -370,6 +419,28 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                 inner.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= int(e.param))
                 .drop("__rn")
+            )
+        if e.fn == "count_values":
+            # count_values("l", v): series count per distinct sample value;
+            # the value joins the label set as label `l`. Default grouping
+            # keeps every label (unlike plain aggs, which drop them all).
+            if e.by is None and e.without is None:
+                base = _group_labels_col(None, [])
+            else:
+                base = _group_labels_col(e.by, e.without)
+            new_labels = F.map_concat(
+                F.map_filter(base, lambda k, v: k != e.sparam),
+                F.create_map(F.lit(e.sparam), F.col("value").cast("string")),
+            )
+            key = F.xxhash64(canonical_labels_str(new_labels))
+            return (
+                inner.withColumn("labels", new_labels)
+                .groupBy(key.alias("fingerprint"), "timestamp_ns")
+                .agg(
+                    F.count(F.lit(1)).cast("double").alias("value"),
+                    F.first("labels").alias("labels"),
+                )
+                .select("fingerprint", "labels", "timestamp_ns", "value")
             )
         new_labels = _group_labels_col(e.by, e.without)
         key = F.xxhash64(canonical_labels_str(new_labels))

@@ -48,9 +48,21 @@ RANGE_FNS = {
     "quantile_over_time",
 }
 
-AGG_FNS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group", "topk", "bottomk"}
+AGG_FNS = {
+    "sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
+    "topk", "bottomk", "count_values",
+}
 
-SCALAR_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "round", "clamp_min", "clamp_max"}
+SCALAR_FNS = {
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "round",
+    "clamp", "clamp_min", "clamp_max", "sgn",
+    "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "deg", "rad",
+    # sample-timestamp / value-as-unix-seconds extractors
+    "timestamp", "hour", "minute", "month", "year",
+    "day_of_month", "day_of_week", "day_of_year", "days_in_month",
+    "sort", "sort_desc",
+}
 
 
 @dataclass
@@ -66,7 +78,8 @@ class VectorSelector:
 class FnCall:
     fn: str
     args: list["PromExpr"] = field(default_factory=list)
-    param: float | None = None  # quantile_over_time φ, round to-nearest, clamp bound
+    param: float | None = None  # quantile_over_time φ, round to-nearest, clamp lo
+    param2: float | None = None  # clamp(v, lo, hi) second bound
 
 
 @dataclass
@@ -76,6 +89,7 @@ class AggExpr:
     by: list[str] | None = None
     without: list[str] | None = None
     param: float | None = None  # topk/bottomk k
+    sparam: str | None = None  # count_values target label
 
 
 @dataclass
@@ -269,16 +283,20 @@ class PromQLParser:
             param = float(v)
             self.expect(",")
         args.append(self.parse_binop(0))
+        param2 = None
         while self.at(","):
             self.next()
             kind, v = self.peek()
             if kind == "number":
                 self.next()
-                param = float(v)
+                if param is None:
+                    param = float(v)
+                else:
+                    param2 = float(v)
             else:
                 args.append(self.parse_binop(0))
         self.expect(")")
-        return FnCall(fn=fn, args=args, param=param)
+        return FnCall(fn=fn, args=args, param=param, param2=param2)
 
     def parse_agg(self) -> AggExpr:
         _, fn = self.next()
@@ -287,15 +305,24 @@ class PromQLParser:
         if self.peek()[1] in ("by", "without"):
             by, without = self._grouping()
         self.expect("(")
+        sparam = None
         if fn in ("topk", "bottomk"):
             _, k = self.next()
             param = float(k)
+            self.expect(",")
+        elif fn == "count_values":
+            kind, lbl = self.next()
+            if kind != "string":
+                raise LogQLSyntaxError("count_values expects a quoted label name")
+            sparam = unquote(lbl)
             self.expect(",")
         inner = self.parse_binop(0)
         self.expect(")")
         if self.peek()[1] in ("by", "without"):
             by, without = self._grouping()
-        return AggExpr(fn=fn, inner=inner, by=by, without=without, param=param)
+        return AggExpr(
+            fn=fn, inner=inner, by=by, without=without, param=param, sparam=sparam
+        )
 
     def _label_list(self) -> list[str]:
         self.expect("(")

@@ -443,6 +443,53 @@ register(
 )(_promql('avg_over_time({app="signup"}[30m])', _FPV))
 
 register(
+    "promql_count_values",
+    # count_values("v", sgn(...)) by (app): series count per distinct
+    # sample value; the value string becomes label v
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, l AS (
+      SELECT app, instance, level,
+             (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples GROUP BY 1, 2, 3, 4
+    )
+    SELECT app,
+           CAST(CASE WHEN value > 0 THEN 1.0::DOUBLE
+                     WHEN value < 0 THEN -1.0::DOUBLE
+                     ELSE 0.0::DOUBLE END AS VARCHAR) AS v,
+           ts AS timestamp_ns, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM l GROUP BY 1, 2, 3
+    """,
+)(
+    _promql(
+        'count_values by (app) ("v", sgn(last_over_time({app=~".+"}[1h])))',
+        [_lbl("app"), _lbl("v"), "timestamp_ns", "value"],
+    )
+)
+
+register(
+    "promql_day_of_week_timestamp",
+    # day_of_week(timestamp(v)): the sample timestamp (unix seconds)
+    # re-read as a value, then calendar-extracted (0 = Sunday — DuckDB's
+    # dayofweek uses the same convention)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, l AS (
+      SELECT app, instance, level,
+             (timestamp_ns - timestamp_ns % 3600000000000) AS ts
+      FROM metric_samples GROUP BY 1, 2, 3, 4
+    )
+    SELECT app, instance, ts AS timestamp_ns,
+           CAST(dayofweek(to_timestamp(ts // 1000000000)) AS DOUBLE) AS value
+    FROM l
+    """,
+)(
+    _promql(
+        'day_of_week(timestamp(last_over_time({app=~".+"}[1h])))',
+        [_lbl("app"), _lbl("instance"), "timestamp_ns", "value"],
+    )
+)
+
+register(
     "promql_instant_sum_by",
     f"""
     WITH {METRIC_SAMPLES_CTE}, inst AS (

@@ -101,3 +101,61 @@ def test_holt_winters_fallback(spark):
     out = PF.holt_winters(df, sf=0.5, tf=0.5, range_ns=60_000_000_000).collect()
     assert len(out) == 1
     assert abs(out[0]["value"] - 19.0) < 1.0
+
+
+# ---------------------------------------------------------- new long tail
+
+
+def _q(spark, text):
+    from gigapipe_spark.promql.compiler import PromQLContext, query
+
+    return query(PromQLContext(spark, SF_DIR), text)
+
+
+def test_sgn_and_trig(spark):
+    base = _q(spark, 'last_over_time({app="click"}[1h])')
+    sgn = _q(spark, 'sgn(last_over_time({app="click"}[1h]))')
+    assert sgn.count() == base.count()
+    assert {r["value"] for r in sgn.select("value").distinct().collect()} <= {-1.0, 0.0, 1.0}
+    sin = _q(spark, 'sin(last_over_time({app="click"}[1h]))').select("value").first()
+    assert -1.0 <= sin["value"] <= 1.0
+
+
+def test_clamp_two_bounds(spark):
+    out = _q(spark, 'clamp(last_over_time({app="click"}[1h]), 10, 20)')
+    vals = [r["value"] for r in out.select("value").collect()]
+    assert vals and all(10.0 <= v <= 20.0 for v in vals)
+
+
+def test_timestamp_and_time_extractors(spark):
+    ts = _q(spark, 'timestamp(last_over_time({app="click"}[1h]))').first()
+    assert ts["value"] == ts["timestamp_ns"] / 1e9
+    # hour(v) interprets the VALUE as unix seconds; counters stay <1000
+    # so hour=0 (1970-01-01T00:xx), minute in [0, 16]
+    hr = _q(spark, 'hour(last_over_time({app="click"}[1h]))')
+    assert {r["value"] for r in hr.select("value").distinct().collect()} == {0.0}
+    dow = _q(spark, 'day_of_week(last_over_time({app="click"}[1h]))')
+    assert {r["value"] for r in dow.select("value").distinct().collect()} == {4.0}  # 1970-01-01 = Thursday
+    dim = _q(spark, 'days_in_month(last_over_time({app="click"}[1h]))')
+    assert {r["value"] for r in dim.select("value").distinct().collect()} == {31.0}
+
+
+def test_sort_desc(spark):
+    out = _q(spark, 'sort_desc(sum by (app) (last_over_time({app=~".+"}[1h])))')
+    rows = out.collect()
+    by_ts = {}
+    for r in rows:
+        by_ts.setdefault(r["timestamp_ns"], []).append(r["value"])
+    assert all(vs == sorted(vs, reverse=True) for vs in by_ts.values())
+
+
+def test_count_values(spark):
+    out = _q(spark, 'count_values("v", sgn(last_over_time({app=~".+"}[1h])))')
+    rows = out.collect()
+    assert rows
+    # every row carries the value label; counts sum to the input rows
+    assert all("v" in r["labels"] for r in rows)
+    base_n = _q(spark, 'sgn(last_over_time({app=~".+"}[1h]))').count()
+    assert sum(r["value"] for r in rows) == base_n
+    # labels otherwise preserved (default keeps all labels)
+    assert all("app" in r["labels"] for r in rows)
