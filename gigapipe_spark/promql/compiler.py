@@ -406,6 +406,48 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             return sort_matrix(
                 compile_expr(ctx, e.args[0]), descending=e.fn == "sort_desc"
             )
+        if e.fn == "histogram_quantile":
+            from gigapipe_spark.promql.functions import histogram_quantile
+
+            return histogram_quantile(compile_expr(ctx, e.args[0]), q=e.param)
+        if e.fn == "label_replace":
+            from gigapipe_spark.promql.functions import label_replace
+
+            dst, repl, src, regex = e.str_args
+            return label_replace(compile_expr(ctx, e.args[0]), dst, repl, src, regex)
+        if e.fn == "label_join":
+            from gigapipe_spark.promql.functions import label_join
+
+            return label_join(
+                compile_expr(ctx, e.args[0]), e.str_args[0], e.str_args[1], *e.str_args[2:]
+            )
+        if e.fn == "absent":
+            # 1 for every step-grid bucket where the inner vector has no
+            # sample. The grid derives lazily from the store's time
+            # bounds (one tiny agg subquery — no driver-side action).
+            inner = compile_expr(ctx, e.args[0])
+            step = F.lit(ctx.step_ns)
+            grid = (
+                ctx.metrics()
+                .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
+                .select(
+                    F.explode(
+                        F.sequence(F.col("lo") - F.pmod(F.col("lo"), step), F.col("hi"), step)
+                    ).alias("timestamp_ns")
+                )
+            )
+            present = inner.select(
+                (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), step)).alias(
+                    "timestamp_ns"
+                )
+            ).distinct()
+            missing = grid.join(present, "timestamp_ns", "left_anti")
+            return missing.select(
+                F.lit(0).cast("long").alias("fingerprint"),
+                F.expr("map()").cast("map<string,string>").alias("labels"),
+                "timestamp_ns",
+                F.lit(1.0).alias("value"),
+            )
         raise NotImplementedError(f"function {e.fn}")
     if isinstance(e, AggExpr):
         inner = compile_expr(ctx, e.inner)

@@ -62,6 +62,7 @@ SCALAR_FNS = {
     "timestamp", "hour", "minute", "month", "year",
     "day_of_month", "day_of_week", "day_of_year", "days_in_month",
     "sort", "sort_desc",
+    "histogram_quantile", "label_replace", "label_join", "absent",
 }
 
 
@@ -80,6 +81,7 @@ class FnCall:
     args: list["PromExpr"] = field(default_factory=list)
     param: float | None = None  # quantile_over_time φ, round to-nearest, clamp lo
     param2: float | None = None  # clamp(v, lo, hi) second bound
+    str_args: list[str] = field(default_factory=list)  # label_replace/join strings
 
 
 @dataclass
@@ -278,12 +280,13 @@ class PromQLParser:
         self.expect("(")
         args = []
         param = None
-        if fn == "quantile_over_time":
+        if fn in ("quantile_over_time", "histogram_quantile"):
             _, v = self.next()
             param = float(v)
             self.expect(",")
         args.append(self.parse_binop(0))
         param2 = None
+        str_args: list[str] = []
         while self.at(","):
             self.next()
             kind, v = self.peek()
@@ -293,10 +296,13 @@ class PromQLParser:
                     param = float(v)
                 else:
                     param2 = float(v)
+            elif kind == "string":
+                self.next()
+                str_args.append(unquote(v))
             else:
                 args.append(self.parse_binop(0))
         self.expect(")")
-        return FnCall(fn=fn, args=args, param=param, param2=param2)
+        return FnCall(fn=fn, args=args, param=param, param2=param2, str_args=str_args)
 
     def parse_agg(self) -> AggExpr:
         _, fn = self.next()

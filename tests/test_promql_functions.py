@@ -159,3 +159,39 @@ def test_count_values(spark):
     assert sum(r["value"] for r in rows) == base_n
     # labels otherwise preserved (default keeps all labels)
     assert all("app" in r["labels"] for r in rows)
+
+
+def test_label_replace_and_join_from_text(spark):
+    out = _q(
+        spark,
+        'label_replace(last_over_time({app="click"}[1h]), "svc", "svc-$1", "app", "(.+)")',
+    )
+    assert all(r["labels"]["svc"] == "svc-click" for r in out.limit(5).collect())
+    joined = _q(
+        spark,
+        'label_join(last_over_time({app="click"}[1h]), "ai", "/", "app", "instance")',
+    )
+    r = joined.first()
+    assert r["labels"]["ai"] == r["labels"]["app"] + "/" + r["labels"]["instance"]
+
+
+def test_absent_from_text(spark):
+    # a selector that matches nothing -> 1 at every grid step
+    out = _q(spark, 'absent(last_over_time({app="nosuch"}[1h]))')
+    rows = out.collect()
+    assert rows and all(r["value"] == 1.0 for r in rows)
+    # a matching selector: absent only on steps with no data, so the
+    # match-nothing grid is a strict superset
+    n_all = _q(spark, 'absent({app=~".+"})').count()
+    assert 0 < n_all < len(rows)
+
+
+def test_histogram_quantile_from_text(spark):
+    # synthetic le-buckets via count_values is overkill; drive the text
+    # path with label_replace to fabricate an le label per series
+    out = _q(
+        spark,
+        'histogram_quantile(0.5, label_replace(count_over_time({app=~".+"}[1h]),'
+        ' "le", "+Inf", "app", ".*"))',
+    )
+    assert out.count() > 0
