@@ -101,9 +101,37 @@ def fingerprints(ctx: LogQLContext, sel: A.Selector) -> DataFrame:
     negated value). The result is small (dimension-sized) and is
     broadcast into the fact scan by `scan`.
     """
-    pos = [m for m in sel.matchers if m.op in ("=", "=~")]
-    neg = [m for m in sel.matchers if m.op in ("!=", "!~")]
+    # Matcher normalization (ref: planner_stream_select.go:31-47,85-116):
+    #  - `l=~".*"` is trivially true — PRUNE it (semantic fix too: the
+    #    GIN semi-join would otherwise require the label to exist, while
+    #    upstream `.*` also matches streams without the label)
+    #  - `l!~".*"` matches nothing — whole selector is empty
+    #  - empty-value matchers (`l=""`, `l=~""`) mean "label absent" and
+    #    compile to a NOT-EXISTS refinement, not a GIN value match;
+    #    their negations (`l!=""`, `l!~""`) mean "label present"
+    _TRIVIAL_RX = (".*", ".*?", "(?s:.*)")
+    matchers: list[A.Matcher] = []
+    require_absent: list[str] = []
+    require_present: list[str] = []
+    match_nothing = False
+    for m in sel.matchers:
+        if m.op == "=~" and m.value in _TRIVIAL_RX:
+            continue
+        if m.op == "!~" and m.value in _TRIVIAL_RX:
+            match_nothing = True
+            continue
+        if m.value == "":
+            if m.op in ("=", "=~"):
+                require_absent.append(m.label)
+            else:
+                require_present.append(m.label)
+            continue
+        matchers.append(m)
     gin = ctx.gin()
+    if match_nothing:
+        return ctx.series().select("fingerprint").limit(0)
+    pos = [m for m in matchers if m.op in ("=", "=~")]
+    neg = [m for m in matchers if m.op in ("!=", "!~")]
     if pos:
         conds = None
         bits = None
@@ -128,6 +156,14 @@ def fingerprints(ctx: LogQLContext, sel: A.Selector) -> DataFrame:
             "fingerprint"
         )
         fps = fps.join(bad, "fingerprint", "left_anti")
+    for lbl in require_absent:
+        has = gin.filter(F.col("key") == lbl).select("fingerprint")
+        fps = fps.join(has, "fingerprint", "left_anti")
+    for lbl in require_present:
+        has = gin.filter((F.col("key") == lbl) & (F.col("val") != "")).select(
+            "fingerprint"
+        )
+        fps = fps.join(has, "fingerprint", "left_semi")
     return fps
 
 
@@ -632,6 +668,16 @@ _VECTOR_AGGS = {
 }
 
 
+# vector-agg fn → range fns it commutes with (ref: canSwapByWithout,
+# internal/planner/planner.go:166-178): the outer agg of per-stream
+# results equals one agg of raw rows for these pairs only
+_COMMUTABLE = {
+    "sum": {"count_over_time", "rate", "bytes_over_time", "bytes_rate", "sum_over_time"},
+    "max": {"max_over_time"},
+    "min": {"min_over_time"},
+}
+
+
 def _regroup(res: Result, by, without, fn: str) -> Result:
     """Re-group a matrix by a label subset with a canonical fingerprint
     (ref: planner_by_without.go + planner_agg_op.go)."""
@@ -663,6 +709,26 @@ def compile_expr(ctx: LogQLContext, expr: A.Expr) -> Result:
     if isinstance(expr, A.RangeAgg):
         return compile_range_agg(ctx, expr)
     if isinstance(expr, A.VectorAgg):
+        # agg/range commute (ref: internal/planner/planner.go:166-178
+        # canSwapByWithout): sum by(l)(count_over_time(x[r])) aggregates
+        # RAW rows once per (l, bucket) instead of per-stream + regroup.
+        # At scale this is one shuffle on the final grouping instead of
+        # two (stream key, then label subset), with map-side partials
+        # collapsing most of the volume before the exchange.
+        if (
+            isinstance(expr.inner, A.RangeAgg)
+            and expr.inner.by is None
+            and expr.inner.without is None
+            and expr.inner.fn in _COMMUTABLE.get(expr.fn, ())
+        ):
+            import dataclasses
+
+            ra = dataclasses.replace(
+                expr.inner,
+                by=expr.by if expr.by is not None else ([] if expr.without is None else None),
+                without=expr.without,
+            )
+            return compile_range_agg(ctx, ra)
         inner = compile_expr(ctx, expr.inner)
         assert inner.kind == "matrix", "vector agg over streams"
         return _regroup(inner, expr.by, expr.without, expr.fn)

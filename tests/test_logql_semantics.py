@@ -207,3 +207,93 @@ def test_drop_keep_labels(spark):
     res2 = query(ctx(spark), '{app="error"} | drop instance')
     keys2 = res2.df.select(F.explode(F.map_keys("labels")).alias("k")).distinct()
     assert {r["k"] for r in keys2.collect()} == {"app", "level"}
+
+
+# ------------------------------------------------- matcher normalization
+
+
+def _fps(spark, sel_text):
+    from gigapipe_spark.logql.compiler import LogQLContext, fingerprints
+    from gigapipe_spark.logql.parser import parse
+
+    ctx = LogQLContext(spark, SF_DIR)
+    return fingerprints(ctx, parse(sel_text).selector)
+
+
+def test_trivial_regex_matcher_pruned(spark):
+    all_n = _fps(spark, '{app=~".*"}').count()
+    from gigapipe_spark.sources import views
+
+    assert all_n == views.time_series(spark, SF_DIR).count()
+    # pruning composes with real matchers
+    assert (
+        _fps(spark, '{level=~".*", app="click"}').count()
+        == _fps(spark, '{app="click"}').count()
+    )
+
+
+def test_match_nothing_negated_trivial(spark):
+    assert _fps(spark, '{app!~".*"}').count() == 0
+
+
+def test_empty_value_matchers(spark):
+    # every series carries app/level/instance: `=""` (absent) matches
+    # nothing, `!=""` (present) matches everything, and an unknown label
+    # is absent everywhere
+    all_n = _fps(spark, '{app=~".*"}').count()
+    assert _fps(spark, '{app=""}').count() == 0
+    assert _fps(spark, '{app!=""}').count() == all_n
+    assert _fps(spark, '{nosuch=""}').count() == all_n
+    assert _fps(spark, '{nosuch!=""}').count() == 0
+
+
+# ---------------------------------------------------- agg/range commute
+
+
+def test_sum_by_count_over_time_commutes_to_one_shuffle(spark):
+    from gigapipe_spark.logql.compiler import LogQLContext, query
+
+    import dataclasses
+
+    from gigapipe_spark.logql.compiler import _regroup, compile_range_agg
+    from gigapipe_spark.logql.parser import parse
+
+    ctx = LogQLContext(spark, SF_DIR)
+    e = parse('sum by (app) (count_over_time({app=~".+"}[1h]))')
+    commuted = query(ctx, 'sum by (app) (count_over_time({app=~".+"}[1h]))').df
+    uncommuted = _regroup(
+        compile_range_agg(ctx, e.inner), e.by, e.without, "sum"
+    ).df
+
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+
+    # the commute saves the per-stream shuffle: strictly fewer exchanges
+    assert n_exchanges(commuted) < n_exchanges(uncommuted)
+
+
+def test_commute_matches_uncommuted_result(spark):
+    import dataclasses
+
+    from gigapipe_spark.logql import ast as A
+    from gigapipe_spark.logql.compiler import (
+        LogQLContext,
+        _regroup,
+        compile_expr,
+        compile_range_agg,
+    )
+    from gigapipe_spark.logql.parser import parse
+
+    ctx = LogQLContext(spark, SF_DIR)
+    e = parse('sum by (level) (rate({app=~".+"}[1h]))')
+    commuted = compile_expr(ctx, e).df
+    # force the per-stream + regroup path
+    inner = compile_range_agg(ctx, e.inner)
+    uncommuted = _regroup(inner, e.by, e.without, "sum").df
+    a = {(r["timestamp_ns"], r["labels"]["level"]): round(r["value"], 6)
+         for r in commuted.collect()}
+    b = {(r["timestamp_ns"], r["labels"]["level"]): round(r["value"], 6)
+         for r in uncommuted.collect()}
+    assert a == b
