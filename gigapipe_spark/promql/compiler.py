@@ -148,6 +148,14 @@ _SIMPLE_RANGE = {
 # (ref: counter.go:62-96 rate/increase/delta, :173 resets/changes)
 _COUNTER_FNS = {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
 
+# vector-agg fn → over_time fns it commutes with (mirror of the LogQL
+# canSwapByWithout set; PromQL counter fns are deliberately absent)
+_COMMUTABLE_PROM = {
+    "sum": {"sum_over_time", "count_over_time"},
+    "max": {"max_over_time"},
+    "min": {"min_over_time"},
+}
+
 
 def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
     """over_time agg over a subquery: evaluate the inner expression on
@@ -226,7 +234,9 @@ def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> Dat
     )
 
 
-def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
+def _range_fn(
+    ctx: PromQLContext, fn: FnCall, group: tuple | None = None
+) -> DataFrame:
     sel = fn.args[0]
     if isinstance(sel, P.Subquery):
         return _range_fn_subquery(ctx, fn, sel)
@@ -234,8 +244,36 @@ def _range_fn(ctx: PromQLContext, fn: FnCall) -> DataFrame:
         raise ValueError(f"{fn.fn} expects a range vector selector")
     rng = sel.range_ns
     if _rollup_eligible(ctx, fn, sel):
-        return _range_fn_rollup(ctx, fn, sel)
+        out = _range_fn_rollup(ctx, fn, sel)
+        if group is not None:
+            # rollup partials are per-series; commuting over them would
+            # re-aggregate states — correct for the commutable set, but
+            # the per-series matrix is already 15×-reduced: regroup it
+            from gigapipe_spark.logql.compiler import _group_labels_col
+
+            new_labels = _group_labels_col(group[0], group[1])
+            key = F.xxhash64(canonical_labels_str(new_labels))
+            agg = {"sum": F.sum, "max": F.max, "min": F.min}[group[2]](F.col("value"))
+            return (
+                out.withColumn("labels", new_labels)
+                .groupBy(key.alias("fingerprint"), "timestamp_ns")
+                .agg(agg.alias("value"), F.first("labels").alias("labels"))
+                .select("fingerprint", "labels", "timestamp_ns", "value")
+            )
+        return out
     df = _selector_samples(ctx, sel)
+    if group is not None:
+        # agg/range commute (ref: optimizer/vector_agg.go — the vector
+        # agg pushes into the pushed-down range plan): relabel RAW
+        # samples to the outer grouping so ONE (group, bucket) shuffle
+        # replaces per-series agg + regroup. Only the commutable
+        # fn pairs reach here (sum↔sum/count, max↔max, min↔min).
+        from gigapipe_spark.logql.compiler import _group_labels_col
+
+        new_labels = _group_labels_col(group[0], group[1])
+        df = df.withColumn("labels", new_labels).withColumn(
+            "fingerprint", F.xxhash64(canonical_labels_str(F.col("labels")))
+        )
     if sel.at_ns is not None:
         # pinned range: one window (at-range, at] → one output point
         df = df.filter(F.col("timestamp_ns") > sel.at_ns - rng)
@@ -450,6 +488,16 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             )
         raise NotImplementedError(f"function {e.fn}")
     if isinstance(e, AggExpr):
+        # agg/range commute for the *_over_time family (counter fns are
+        # per-series and must NOT commute — resets depend on the series)
+        if (
+            e.fn in _COMMUTABLE_PROM
+            and isinstance(e.inner, FnCall)
+            and e.inner.fn in _COMMUTABLE_PROM[e.fn]
+            and e.inner.args
+            and isinstance(e.inner.args[0], VectorSelector)
+        ):
+            return _range_fn(ctx, e.inner, group=(e.by, e.without, e.fn))
         inner = compile_expr(ctx, e.inner)
         if e.fn in ("topk", "bottomk"):
             order = [

@@ -443,6 +443,23 @@ register(
 )(_promql('avg_over_time({app="signup"}[30m])', _FPV))
 
 register(
+    "promql_sum_by_sum_over_time",
+    # exercises the agg/range commute: ONE (app, bucket) aggregation
+    # over raw samples (optimizer/vector_agg.go pushdown analog)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT app, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(SUM(value), 6) AS value
+    FROM metric_samples GROUP BY 1, 2
+    """,
+)(
+    _promql(
+        'sum by (app) (sum_over_time({app=~".+"}[1h]))',
+        [_lbl("app"), "timestamp_ns", "value"],
+    )
+)
+
+register(
     "promql_count_values",
     # count_values("v", sgn(...)) by (app): series count per distinct
     # sample value; the value string becomes label v

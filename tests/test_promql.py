@@ -169,3 +169,23 @@ def test_gap_fill(spark):
     orig = m.select("fingerprint", "timestamp_ns").distinct()
     joined = orig.join(filled, ["fingerprint", "timestamp_ns"], "left_semi")
     assert joined.count() == orig.count()
+
+
+def test_agg_range_commute_matches_regroup(spark):
+    """sum by (app)(count_over_time(x[1h])) via the commuted single-agg
+    path must equal grouping the per-series matrix after the fact."""
+    from gigapipe_spark.promql.compiler import PromQLContext, _range_fn, query
+    from gigapipe_spark.promql import parser as P
+
+    c = PromQLContext(spark, SF_DIR)
+    commuted = query(c, 'sum by (app) (count_over_time({app=~".+"}[1h]))')
+    per_series = _range_fn(
+        c, P.parse('count_over_time({app=~".+"}[1h])')
+    )
+    expected = (
+        per_series.groupBy(F.col("labels")["app"].alias("app"), "timestamp_ns")
+        .agg(F.sum("value").alias("value"))
+    )
+    a = {(r["labels"]["app"], r["timestamp_ns"]): r["value"] for r in commuted.collect()}
+    b = {(r["app"], r["timestamp_ns"]): r["value"] for r in expected.collect()}
+    assert a == b
