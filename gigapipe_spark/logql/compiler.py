@@ -808,6 +808,36 @@ def _compile_binop(ctx: LogQLContext, b: A.BinOp) -> Result:
     )
 
 
+def _cancel_json_logfmt(expr: A.Expr) -> None:
+    """Adjacent `| json | logfmt` pairs cancel — both stages are removed
+    (ref: logql_transpiler/planner.go cancelJsonAndLogFmt, applied
+    in-place on the parsed script before planning). Mirrored exactly,
+    including the right-to-left sweep."""
+    if isinstance(expr, A.BinOp):
+        _cancel_json_logfmt(expr.left)
+        _cancel_json_logfmt(expr.right)
+        return
+    if not isinstance(expr, A.LogExpr):
+        inner = getattr(expr, "inner", None)
+        if inner is not None:
+            _cancel_json_logfmt(inner)
+        return
+    st = expr.stages
+    i = len(st) - 2
+    while i >= 0:
+        a, b = st[i], st[i + 1]
+        if (
+            isinstance(a, A.ParserStage)
+            and isinstance(b, A.ParserStage)
+            and a.kind == "json"
+            and b.kind == "logfmt"
+        ):
+            del st[i : i + 2]
+            i = min(i, len(st) - 2)
+        else:
+            i -= 1
+
+
 def query(ctx: LogQLContext, text: str) -> Result:
     """Compile entry: macros expand first, then planner plugins are
     consulted, then the built-in compiler (ref: planner.go:134-139 —
@@ -820,7 +850,9 @@ def query(ctx: LogQLContext, text: str) -> Result:
     planned = plugins.consult(plugins.LOGQL_PLANNER, ctx, text)
     if planned is not None:
         return planned
-    return compile_expr(ctx, parse(text))
+    expr = parse(text)
+    _cancel_json_logfmt(expr)
+    return compile_expr(ctx, expr)
 
 
 def restep(matrix: DataFrame, range_ns: int, step_ns: int) -> DataFrame:

@@ -297,3 +297,15 @@ def test_commute_matches_uncommuted_result(spark):
     b = {(r["timestamp_ns"], r["labels"]["level"]): round(r["value"], 6)
          for r in uncommuted.collect()}
     assert a == b
+
+
+def test_json_logfmt_adjacent_pair_cancels(spark):
+    """Mirror of the reference's cancelJsonAndLogFmt quirk: the pair is
+    REMOVED, so the pipeline behaves as if neither parser ran."""
+    c = LogQLContext(spark, SF_DIR)
+    cancelled = query(c, '{app="click"} | json | logfmt').df
+    plain = query(c, '{app="click"}').df
+    assert cancelled.count() == plain.count()
+    # non-adjacent / reversed order does NOT cancel
+    parsed = query(c, '{app="click"} | logfmt | json').df
+    assert parsed.columns == cancelled.columns
