@@ -196,6 +196,57 @@ def scan(ctx: LogQLContext, expr: A.LogExpr, with_labels: bool) -> DataFrame:
     return df
 
 
+def _liftable_prefix(stages: list) -> tuple[list, list]:
+    """Split stages into (lifted label-only ops, remaining).
+
+    A drop/keep — or a label_format whose actions are all pure label
+    renames — acting on STATIC labels (before any parser/label_filter/
+    unwrap/line_format introduces or reads per-row labels) can run on
+    the series dimension instead of per event row. LineFilters read
+    only the line, so they commute past label ops without ending the
+    prefix (they are kept in place, not lifted)."""
+    lifted, kept = [], []
+    blocked = False
+    for st in stages:
+        pure_label = isinstance(st, (A.Drop, A.Keep)) or (
+            isinstance(st, A.LabelFormat)
+            and all(kind == "label" for _, (kind, _src) in st.actions)
+        )
+        if not blocked and pure_label:
+            lifted.append(st)
+            continue
+        if not isinstance(st, A.LineFilter):
+            blocked = True
+        kept.append(st)
+    return lifted, kept
+
+
+def scan_pipeline(
+    ctx: LogQLContext, expr: A.LogExpr, with_labels: bool
+) -> tuple[DataFrame, list, bool]:
+    """scan + label-op fast path (ref: clickhouse_planner/analyze.go
+    simpleLabelOperation + planner_drop_simple.go): liftable label ops
+    run on the series DIMENSION (rows = streams) before the broadcast
+    join, so a 100 TB fact scan never rebuilds a per-row map. Returns
+    (df, remaining_stages, labels_mutated_by_lift)."""
+    lifted, kept = (
+        _liftable_prefix(expr.stages) if with_labels else ([], list(expr.stages))
+    )
+    if not lifted:
+        return scan(ctx, expr, with_labels), kept, False
+    sdf = ctx.series().select("fingerprint", "labels")
+    for st in lifted:
+        sdf = (
+            _apply_drop_keep(sdf, st)
+            if isinstance(st, (A.Drop, A.Keep))
+            else _apply_label_format(sdf, st)
+        )
+    fps = fingerprints(ctx, expr.selector)
+    df = ctx.samples().join(F.broadcast(fps), "fingerprint", "inner")
+    df = df.join(F.broadcast(sdf), "fingerprint", "left")
+    return df, kept, True
+
+
 # ---------------------------------------------------------------- stages
 
 
@@ -506,10 +557,13 @@ def _apply_drop_keep(df: DataFrame, st: A.Drop | A.Keep) -> DataFrame:
     return df.withColumn("labels", F.map_filter(labels, fn))
 
 
-def apply_stages(df: DataFrame, expr: A.LogExpr) -> tuple[DataFrame, bool]:
-    """Run the pipeline; returns (df, labels_mutated)."""
+def apply_stages(
+    df: DataFrame, expr: A.LogExpr, stages: list | None = None
+) -> tuple[DataFrame, bool]:
+    """Run the pipeline; returns (df, labels_mutated). `stages`
+    overrides expr.stages when scan_pipeline already lifted a prefix."""
     mutated = False
-    for st in expr.stages:
+    for st in expr.stages if stages is None else stages:
         if isinstance(st, A.LineFilter):
             df = df.filter(_lf_col(st.op, st.expr))
         elif isinstance(st, A.LabelFilter):
@@ -607,8 +661,9 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
     # them and the API layer renders them. The series join is a broadcast
     # of the (small) dimension — cheap relative to the fact scan.
     with_labels = True
-    df = scan(ctx, ra.inner, with_labels)
-    df, mutated = apply_stages(df, ra.inner)
+    df, kept, lifted_mut = scan_pipeline(ctx, ra.inner, with_labels)
+    df, mutated = apply_stages(df, ra.inner, kept)
+    mutated = mutated or lifted_mut
     bucket = _bucket_col(ra.range_ns, ra.offset_ns)
     if ra.fn == "quantile_over_time":
         agg = F.percentile("value", F.lit(ra.param))
@@ -699,8 +754,9 @@ def _regroup(res: Result, by, without, fn: str) -> Result:
 def compile_expr(ctx: LogQLContext, expr: A.Expr) -> Result:
     if isinstance(expr, A.LogExpr):
         with_labels = _needs_labels(expr, False)
-        df = scan(ctx, expr, with_labels)
-        df, mutated = apply_stages(df, expr)
+        df, kept, lifted_mut = scan_pipeline(ctx, expr, with_labels)
+        df, mutated = apply_stages(df, expr, kept)
+        mutated = mutated or lifted_mut
         return Result(
             df.select("fingerprint", "labels", "timestamp_ns", "value", "string"),
             "streams",
