@@ -887,6 +887,22 @@ register(
 
 
 @register(
+    "meta_detected_fields",
+    # fields parsed from the log payload itself (ref: detected_fields,
+    # planner_labels_detect.go): JSON keys of props with line counts
+    """
+    SELECT field, CAST(COUNT(*) AS BIGINT) AS lines FROM (
+      SELECT unnest(json_keys(props)) AS field FROM events
+    ) GROUP BY 1
+    """,
+)
+def meta_detected_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.api import Engine
+
+    return Engine(spark, sf_dir).loki_detected_fields()
+
+
+@register(
     "meta_detected_labels",
     # per label key: distinct-value cardinality (ref: detected_labels,
     # service/query_range.go:222)
