@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) over the pure-Python layers.
+
+SURVEY §5's highest-value harness item (a): parser tests on arbitrary
+inputs, complementing the golden corpus — the reference snapshot-tests a
+fixed 42-query corpus; generated inputs cover the grammar space between
+the snapshots. All Spark-free (parsers, duration parsing, the Drain
+merge rule), so thousands of examples run in seconds.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gigapipe_spark.logql import ast as A
+from gigapipe_spark.logql.parser import parse as logql_parse
+from gigapipe_spark.logql.parser import parse_duration_ns
+from gigapipe_spark.patterns.cluster import Pattern, cluster_key
+from gigapipe_spark.promql.parser import parse as promql_parse
+from gigapipe_spark.traceql.parser import parse as traceql_parse
+
+label = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,10}", fullmatch=True)
+# printable values without quote/backslash escapes (escaping rules are
+# covered by the golden corpus; here we exercise structure)
+value = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,:;-+*/()[]{}!@#$%^&",
+    max_size=20,
+)
+match_op = st.sampled_from(["=", "!=", "=~", "!~"])
+
+
+@st.composite
+def selectors(draw):
+    n = draw(st.integers(1, 4))
+    parts = []
+    for _ in range(n):
+        lbl = draw(label)
+        op = draw(match_op)
+        val = draw(value)
+        if op in ("=~", "!~"):
+            val = draw(st.from_regex(r"[a-z0-9.+*|]{1,8}", fullmatch=True))
+        parts.append(f'{lbl}{op}"{val}"')
+    return "{" + ", ".join(parts) + "}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(selectors())
+def test_logql_selector_parses(sel):
+    script = logql_parse(sel)
+    got = script.selector
+    assert isinstance(got, A.Selector) and 1 <= len(got.matchers) <= 4
+    for m in got.matchers:
+        assert m.op in ("=", "!=", "=~", "!~")
+
+
+@settings(max_examples=200, deadline=None)
+@given(selectors(), st.sampled_from(["|=", "!=", "|~"]), value)
+def test_logql_line_filter_parses(sel, op, needle):
+    if '"' in needle or "\\" in needle:
+        return
+    q = f'{sel} {op} "{needle}"'
+    script = logql_parse(q)
+    assert script.stages, q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    selectors(),
+    st.sampled_from(
+        ["rate", "count_over_time", "bytes_over_time", "sum_over_time"]
+    ),
+    st.integers(1, 1000),
+    st.sampled_from(["ms", "s", "m", "h"]),
+)
+def test_logql_range_agg_parses(sel, fn, n, unit):
+    e = logql_parse(f"{fn}({sel}[{n}{unit}])")
+    assert isinstance(e, A.RangeAgg) and e.fn == fn
+    assert e.range_ns == n * {"ms": 10**6, "s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9}[unit]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 10**6), st.sampled_from(["ns", "us", "ms", "s", "m", "h"]))
+def test_duration_roundtrip(n, unit):
+    ns = parse_duration_ns(f"{n}{unit}")
+    mult = {"ns": 1, "us": 10**3, "ms": 10**6, "s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9}[unit]
+    assert ns == n * mult
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["sum", "min", "max", "avg", "count"]),
+    st.lists(label, min_size=0, max_size=3, unique=True),
+    selectors(),
+    st.sampled_from(["rate", "count_over_time", "sum_over_time"]),
+)
+def test_promql_agg_parses(agg, by, sel, fn):
+    by_clause = f" by ({', '.join(by)}) " if by else ""
+    e = promql_parse(f"{agg}{by_clause}({fn}({sel}[5m]))")
+    # AggExpr over FnCall, grouping preserved
+    assert e.fn == agg
+    assert (e.by or []) == by
+    assert e.inner.fn == fn
+
+
+@settings(max_examples=200, deadline=None)
+@given(selectors(), st.floats(0.01, 0.99))
+def test_promql_quantile_over_time_parses(sel, q):
+    e = promql_parse(f"quantile_over_time({q:.2f}, {sel}[5m])")
+    assert abs(e.param - float(f"{q:.2f}")) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    label,
+    st.sampled_from(["=", "!=", ">", ">=", "<", "<=", "=~"]),
+    st.one_of(st.integers(0, 10**6), value),
+)
+def test_traceql_attr_selector_parses(attr, op, val):
+    if isinstance(val, str):
+        if op not in ("=", "!=", "=~") or '"' in val or "\\" in val:
+            return
+        q = f'{{ {attr} {op} "{val}" }}'
+    else:
+        q = f"{{ {attr} {op} {val} }}"
+    script = traceql_parse(q)
+    assert script.spanset is not None
+
+
+# ------------------------------------------------------ Drain merge rule
+
+
+tokens = st.lists(
+    st.from_regex(r"[a-zA-Z0-9_.:\-]{1,8}", fullmatch=True), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens)
+def test_pattern_self_merge_always_succeeds(toks):
+    p = Pattern(toks)
+    assert p.try_merge(list(toks), similarity=0.99)
+    assert p.samples_count == 2
+    # self-merge never generalizes any token away
+    assert p.tokens == list(toks)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens, tokens)
+def test_pattern_merge_is_safe(a, b):
+    """Merging arbitrary token lists never corrupts the pattern: token
+    count is stable, costs stay consistent, samples_count only grows."""
+    p = Pattern(a)
+    before = len(p.tokens)
+    orig_costs = list(p.costs)
+    merged = p.try_merge(b, similarity=0.6)
+    assert len(p.tokens) == before
+    assert p.samples_count == (2 if merged else 1)
+    # costs keep the ORIGINAL token costs (generalized positions are
+    # accounted via generalized_cost, ref: pattern.go) and every token is
+    # either the original or the <_> wildcard
+    assert p.costs == orig_costs
+    from gigapipe_spark.patterns.cluster import GENERALIZED
+
+    assert all(t == orig or t == GENERALIZED for t, orig in zip(p.tokens, a))
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens)
+def test_cluster_key_deterministic(toks):
+    assert cluster_key(toks) == cluster_key(list(toks))
