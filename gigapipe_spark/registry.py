@@ -167,6 +167,20 @@ register(
 )
 
 register(
+    "logql_bytes_rate",
+    "SELECT user_id*8+1 AS fingerprint,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(sum(length(props)) / 600.0, 6) AS value FROM events"
+    " WHERE event_type='view' GROUP BY 1, 2",
+)(
+    _logql(
+        'bytes_rate({app="view"}[10m])',
+        ["fingerprint", "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
     "logql_bytes_over_time",
     "SELECT user_id*8+1 AS fingerprint,"
     " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
@@ -772,6 +786,19 @@ register(
         """
     ),
 )(_traceql('{ priority = "1-URGENT" } &>> { returnflag = "R" }'))
+
+register(
+    "traceql_not_descendant",
+    # !>>: right-side spans with NO matching ancestor (ref: negated
+    # structural ops, expression_planner_complex.go)
+    with_spans(
+        """
+        SELECT c.trace_id, c.span_id FROM spans c
+        JOIN spans p ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+        WHERE c.returnflag = 'R' AND p.priority <> '1-URGENT'
+        """
+    ),
+)(_traceql('{ priority = "1-URGENT" } !>> { returnflag = "R" }'))
 
 register(
     "traceql_ancestor",
