@@ -105,6 +105,45 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = "doc_id long, resized binary, orig_bytes long"
+
+
+def _resize_batch_fn(target: int):
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out, sizes = [], []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                )
+                sizes.append(len(b))
+                if len(b) == 0:
+                    out.append(bytes(target))
+                    continue
+                # stride resample to exactly `target` samples — the
+                # 1-D analogue of nearest-neighbor image resize
+                idx = np.linspace(0, len(b) - 1, target).astype(np.int64)
+                out.append(b[idx].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "resized": out, "orig_bytes": sizes}
+            )
+
+    return _resize
+
+
+def resize_payload(multimodal: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """payload → fixed-size representation via deterministic stride
+    resampling (nearest-neighbor): the resize/thumbnail stage of an
+    image/video pipeline, with the same mapInPandas seam as
+    extract_features — swap the stride picker for PIL.Image.resize when
+    a real decoder is available."""
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        _resize_batch_fn(target_bytes), schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample(multimodal: DataFrame, every_n: int = 4) -> DataFrame:
     """Deterministic frame/chunk sampling: split each payload into fixed
     chunks and keep every n-th — pure built-ins (posexplode over byte

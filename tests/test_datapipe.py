@@ -179,3 +179,19 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"xx")
+
+
+def test_multimodal_resize_payload(spark):
+    from gigapipe_spark.datapipe import multimodal as M
+    from gigapipe_spark.sources import views
+
+    mm = M.attach_payload(views.documents(spark, SF_DIR).limit(20))
+    out = M.resize_payload(mm, target_bytes=64).collect()
+    assert len(out) == 20
+    assert all(len(r["resized"]) == 64 for r in out)
+    assert all(r["orig_bytes"] > 0 for r in out)
+    # deterministic: same input -> same bytes
+    again = M.resize_payload(mm, target_bytes=64).collect()
+    assert {r["doc_id"]: r["resized"] for r in out} == {
+        r["doc_id"]: r["resized"] for r in again
+    }
