@@ -10,9 +10,18 @@
                    derived deterministically from xxhash64(j, d) — no RNG,
                    reproducible across runs/executors.
 
-At 100 TB the corpus side stays partitioned; only queries and
-bucket keys move. An IVF variant would add a coarse k-means routing
-step — the LSH path covers the same contract without iterative fitting.
+  ivf_topk         IVF (inverted-file) routing: a coarse k-means
+                   quantizer (deterministic init, bounded Lloyd
+                   iterations, all DataFrame ops) assigns every vector
+                   to a cell; queries probe the nprobe nearest cells and
+                   rerank exactly. The classic ANN index shape — recall
+                   is tunable via nprobe, candidate cost is
+                   corpus/cells × nprobe.
+
+At 100 TB the corpus side stays partitioned; only queries, bucket keys
+and the (tiny) centroid table move. IVF cell assignment is one
+broadcast-join pass per Lloyd iteration — no driver-side loops over
+data, only over the centroid table.
 """
 
 from __future__ import annotations
@@ -144,6 +153,130 @@ def lsh_ann_topk(
         banded.join(F.broadcast(queries), ["band", "h"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+    scored = cand.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer: k-means centroids as a (cid, c) DataFrame.
+
+    Deterministic init — the n_cells vectors with the smallest
+    xxhash64(id) (a seedless reproducible sample) — then `iters` Lloyd
+    rounds. Each round is ONE broadcast join (assign) + ONE shuffle on
+    (cid, pos) (recompute means element-wise); nothing iterates over
+    data rows driver-side, so rounds cost O(corpus × cells) compute and
+    one exchange regardless of scale. The centroid table stays
+    dimension-sized (cells × dim)."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+    cents = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cells)
+        .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cid", "v"), _sq_dist(F.col("v"), F.col("c"))).alias(
+                    "__best"
+                )
+            )
+            .select(F.col("__best.cid").alias("cid"), F.col("__best.v").alias("v"))
+        )
+        # element-wise mean per cell: explode positions, avg, regroup
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: route every vector to its nearest centroid cell,
+    probe the query's `nprobe` nearest cells, exact-cosine rerank the
+    candidates. Same output schema as cosine_topk. At scale the fitted
+    centroid table is persisted once (an index build, like the
+    reference's stored GIN) and reused across queries."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = ivf_fit(embeddings, n_cells, iters, id_col, vec_col).persist()
+    # corpus → cell assignment (one broadcast pass)
+    corpus = (
+        base.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cid", "v"), _sq_dist(F.col("v"), F.col("c"))).alias("__b")
+        )
+        .select(F.col("__b.cid").alias("cid"), "vec_id", F.col("__b.v").alias("v"))
+    )
+    # queries → nprobe nearest cells
+    qbase = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("q"), F.col("c")).asc(), F.col("cid").asc()
+    )
+    probes = (
+        qbase.crossJoin(F.broadcast(cents))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q", "cid")
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
     )
     cos = _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
     scored = cand.withColumn("cosine", cos)

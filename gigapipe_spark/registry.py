@@ -1397,6 +1397,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_ann_topk(_views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
 
 
+@register("sim_ann_ivf")  # approximate — rows-only check (exactness at
+# nprobe=n_cells tested in tests/test_datapipe.py)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ivf_topk(
+        _views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5, n_cells=8, nprobe=2
+    )
+
+
 @register(
     "text_token_count",
     r"""

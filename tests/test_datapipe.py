@@ -195,3 +195,24 @@ def test_multimodal_resize_payload(spark):
     assert {r["doc_id"]: r["resized"] for r in out} == {
         r["doc_id"]: r["resized"] for r in again
     }
+
+
+def test_ivf_topk_matches_exact_on_probed_cells(spark):
+    from gigapipe_spark.datapipe import simsearch
+    from gigapipe_spark.sources import views
+
+    emb = views.embeddings(spark, SF_DIR)
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(3).collect()]
+    exact = simsearch.cosine_topk(emb, qids, k=5)
+    approx = simsearch.ivf_topk(emb, qids, k=5, n_cells=4, nprobe=4)
+    # nprobe == n_cells probes every cell -> identical to exact search
+    a = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    b = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx.collect()}
+    assert a == b
+    # smaller probe budget: results is a subset-quality approximation
+    # with the right shape and self excluded
+    part = simsearch.ivf_topk(emb, qids, k=5, n_cells=4, nprobe=1).collect()
+    assert part and all(r["query_id"] != r["neighbor_id"] for r in part)
+    # deterministic across runs
+    again = simsearch.ivf_topk(emb, qids, k=5, n_cells=4, nprobe=1).collect()
+    assert {tuple(r) for r in part} == {tuple(r) for r in again}
