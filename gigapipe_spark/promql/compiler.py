@@ -610,15 +610,37 @@ def _binop(ctx: PromQLContext, e: PromBinOp) -> DataFrame:
         )
         rj = right.select(key.alias("__k"), "timestamp_ns", F.col("value").alias("__r"))
         if e.group_side == "right":
-            # many-to-one toward the right: keep right's identity
-            lj2 = left.select(key.alias("__k"), "timestamp_ns", F.col("value").alias("__l"))
+            # many-to-one toward the right: keep right's identity; the
+            # one side (left) may carry group_right(lbls) extra labels
+            lj2 = left.select(
+                key.alias("__k"), "timestamp_ns", F.col("value").alias("__l"),
+                F.col("labels").alias("__one_labels"),
+            )
             rj2 = right.select(
                 key.alias("__k"), "fingerprint", "labels", "timestamp_ns",
                 F.col("value").alias("__r"),
             )
             j = rj2.join(lj2, ["__k", "timestamp_ns"], "inner").drop("__k")
         else:
+            rj = right.select(
+                key.alias("__k"), "timestamp_ns", F.col("value").alias("__r"),
+                F.col("labels").alias("__one_labels"),
+            )
             j = lj.join(rj, ["__k", "timestamp_ns"], "inner").drop("__k")
+        if e.group_labels:
+            # group_left/right(lbls): copy the named labels from the ONE
+            # side onto the many side's label set (upstream semantics);
+            # identity re-hashes since labels changed
+            one = F.coalesce(F.col("__one_labels"), F.expr("map()"))
+            copied = F.map_filter(one, lambda k, v: k.isin(*e.group_labels))
+            base = F.map_filter(
+                F.coalesce(F.col("labels"), F.expr("map()")),
+                lambda k, v: ~k.isin(*e.group_labels),
+            )
+            j = j.withColumn("labels", F.map_concat(base, copied)).withColumn(
+                "fingerprint", F.xxhash64(canonical_labels_str(F.col("labels")))
+            )
+        j = j.drop("__one_labels")
     else:
         lj = left.select("fingerprint", "labels", "timestamp_ns", F.col("value").alias("__l"))
         rj = right.select("fingerprint", "timestamp_ns", F.col("value").alias("__r"))

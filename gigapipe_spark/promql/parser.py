@@ -113,6 +113,7 @@ class PromBinOp:
     on: list[str] | None = None  # on(labels) vector matching
     ignoring: list[str] | None = None
     group_side: str | None = None  # "left" | "right" (many-to-one)
+    group_labels: list[str] | None = None  # group_left(lbls): copied from one side
 
 
 @dataclass
@@ -176,6 +177,7 @@ class PromQLParser:
                 bool_mod = True
             on = ignoring = None
             group_side = None
+            group_labels = None
             if self.peek()[1] in ("on", "ignoring"):
                 _, kw = self.next()
                 labels = self._label_list()
@@ -186,12 +188,13 @@ class PromQLParser:
                 if self.peek()[1] in ("group_left", "group_right"):
                     _, g = self.next()
                     group_side = "left" if g == "group_left" else "right"
-                    if self.at("("):  # optional extra-label list (carried implicitly)
-                        self._label_list()
+                    if self.at("("):  # extra labels copied from the one side
+                        group_labels = self._label_list()
             right = self.parse_binop(prec + 1)
             left = PromBinOp(
                 op=val, left=left, right=right, bool_modifier=bool_mod,
                 on=on, ignoring=ignoring, group_side=group_side,
+                group_labels=group_labels,
             )
 
     def parse_term(self) -> PromExpr:

@@ -59,3 +59,20 @@ def test_on_specific_label(spark):
         sql,
         SF_DIR,
     )
+
+
+def test_group_left_copies_labels_from_one_side(spark):
+    """x / on(app) group_left(level) y: result rows keep the many side's
+    identity plus the `level` label copied from the one side."""
+    q = (
+        'sum by (app, instance) (count_over_time({level="info"}[1h]))'
+        ' / on(app) group_left(level)'
+        ' sum by (app, level) (count_over_time({level="info"}[1h]))'
+    )
+    out = query(PromQLContext(spark, SF_DIR), q)
+    rows = out.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert r["labels"]["level"] == "info"  # copied from one side
+        assert "instance" in r["labels"]  # many-side identity kept
+        assert abs(r["value"]) <= 1.0 + 1e-9  # share of total per app
