@@ -161,13 +161,22 @@ def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
     """over_time agg over a subquery: evaluate the inner expression on
     the subquery's step grid, then re-bucket the resulting points by the
     outer range. The inner evaluation runs at sq.step_ns."""
-    if fn.fn not in _SIMPLE_RANGE and fn.fn != "quantile_over_time":
+    if (
+        fn.fn not in _SIMPLE_RANGE
+        and fn.fn != "quantile_over_time"
+        and fn.fn not in _COUNTER_FNS
+    ):
         raise NotImplementedError(f"{fn.fn} over a subquery")
     import dataclasses
 
     inner_ctx = dataclasses.replace(ctx, step_ns=sq.step_ns, _metrics=None, _rollup=None, _logctx=None)
     inner = compile_expr(inner_ctx, sq.inner)
     bucket = _bucket(F.col("timestamp_ns"), sq.range_ns).alias("timestamp_ns")
+    if fn.fn in _COUNTER_FNS:
+        # counter math over the inner expression's step-grid points —
+        # same window/reset formula as the raw path
+        wb = _bucket(F.col("timestamp_ns"), sq.range_ns)
+        return _counter_agg(inner, wb, bucket, sq.range_ns, fn.fn)
     if fn.fn == "quantile_over_time":
         agg = F.percentile("value", F.lit(fn.param))
     else:
@@ -304,46 +313,55 @@ def _range_fn(
             if sel.at_ns is not None
             else _bucket(F.col("timestamp_ns"), rng)
         )
-        w = Window.partitionBy("fingerprint", b).orderBy("timestamp_ns")
-        prev = F.lag("value").over(w)
-        prev_ts = F.lag("timestamp_ns").over(w)
-        df2 = df.withColumn("__prev", prev).withColumn("__prev_ts", prev_ts)
-        reset_amt = F.when(F.col("__prev") > F.col("value"), F.col("__prev")).otherwise(F.lit(0.0))
-        changed = F.when(
-            F.col("__prev").isNotNull() & (F.col("__prev") != F.col("value")), 1
-        ).otherwise(0)
-        reset_cnt = F.when(
-            F.col("__prev").isNotNull() & (F.col("__prev") > F.col("value")), 1
-        ).otherwise(0)
-        grouped = df2.groupBy("fingerprint", bucket).agg(
-            F.min_by("value", "timestamp_ns").alias("__first"),
-            F.max_by("value", "timestamp_ns").alias("__last"),
-            F.sum(reset_amt).alias("__resets_amt"),
-            F.sum(changed).alias("__changes"),
-            F.sum(reset_cnt).alias("__resets"),
-            # last pair in bucket for irate/idelta
-            F.max_by(F.col("value") - F.col("__prev"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_delta"),
-            F.max_by(F.col("timestamp_ns") - F.col("__prev_ts"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_dt"),
-            F.first("labels").alias("labels"),
-        )
-        # ref counter.go:74-82: increase = end - start + Σ reset amounts
-        increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
-        value = {
-            "increase": increase,
-            "rate": increase / F.lit(rng / 1e9),
-            "delta": F.col("__last") - F.col("__first"),
-            "resets": F.col("__resets").cast("double"),
-            "changes": F.col("__changes").cast("double"),
-            "idelta": F.col("__last_delta"),
-            "irate": F.when(
-                F.col("__last_dt") > 0,
-                F.col("__last_delta") / (F.col("__last_dt") / F.lit(1e9)),
-            ),
-        }[fn.fn]
-        return grouped.select(
-            "fingerprint", "labels", "timestamp_ns", value.alias("value")
-        )
+        return _counter_agg(df, b, bucket, rng, fn.fn)
     raise NotImplementedError(f"range fn {fn.fn}")
+
+
+def _counter_agg(
+    df: DataFrame, window_bucket: Column, bucket: Column, rng: int, fn_name: str
+) -> DataFrame:
+    """Shared counter computation (ref counter.go:62-96, :173): lag
+    window per (series, bucket), reset detection, one aggregation.
+    Used by both the raw range path and subquery evaluation."""
+    w = Window.partitionBy("fingerprint", window_bucket).orderBy("timestamp_ns")
+    prev = F.lag("value").over(w)
+    prev_ts = F.lag("timestamp_ns").over(w)
+    df2 = df.withColumn("__prev", prev).withColumn("__prev_ts", prev_ts)
+    reset_amt = F.when(F.col("__prev") > F.col("value"), F.col("__prev")).otherwise(F.lit(0.0))
+    changed = F.when(
+        F.col("__prev").isNotNull() & (F.col("__prev") != F.col("value")), 1
+    ).otherwise(0)
+    reset_cnt = F.when(
+        F.col("__prev").isNotNull() & (F.col("__prev") > F.col("value")), 1
+    ).otherwise(0)
+    grouped = df2.groupBy("fingerprint", bucket).agg(
+        F.min_by("value", "timestamp_ns").alias("__first"),
+        F.max_by("value", "timestamp_ns").alias("__last"),
+        F.sum(reset_amt).alias("__resets_amt"),
+        F.sum(changed).alias("__changes"),
+        F.sum(reset_cnt).alias("__resets"),
+        # last pair in bucket for irate/idelta
+        F.max_by(F.col("value") - F.col("__prev"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_delta"),
+        F.max_by(F.col("timestamp_ns") - F.col("__prev_ts"), F.when(F.col("__prev").isNotNull(), F.col("timestamp_ns"))).alias("__last_dt"),
+        F.first("labels").alias("labels"),
+    )
+    # ref counter.go:74-82: increase = end - start + Σ reset amounts
+    increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
+    value = {
+        "increase": increase,
+        "rate": increase / F.lit(rng / 1e9),
+        "delta": F.col("__last") - F.col("__first"),
+        "resets": F.col("__resets").cast("double"),
+        "changes": F.col("__changes").cast("double"),
+        "idelta": F.col("__last_delta"),
+        "irate": F.when(
+            F.col("__last_dt") > 0,
+            F.col("__last_delta") / (F.col("__last_dt") / F.lit(1e9)),
+        ),
+    }[fn_name]
+    return grouped.select(
+        "fingerprint", "labels", "timestamp_ns", value.alias("value")
+    )
 
 
 _SCALAR_FNS = {

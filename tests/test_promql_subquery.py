@@ -45,3 +45,16 @@ def test_subquery_matches_oracle(spark):
         sql,
         SF_DIR,
     )
+
+
+def test_rate_over_subquery(spark):
+    """rate(max_over_time(x[10m:])[1h:10m]): counter math over the inner
+    expression's step-grid points."""
+    c = PromQLContext(spark, SF_DIR)
+    out = query(c, 'rate(max_over_time({app="click"}[10m])[1h:10m])')
+    rows = out.limit(5).collect()
+    assert rows and all(r["value"] is not None for r in rows)
+    # resets over a subquery: counts are non-negative integers
+    res = query(c, 'resets(max_over_time({app="click"}[10m])[1h:10m])')
+    vals = [r["value"] for r in res.collect()]
+    assert vals and all(v >= 0 and v == int(v) for v in vals)
