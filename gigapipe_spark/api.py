@@ -187,9 +187,28 @@ class Engine:
         )
 
     # ------------------------------------------------------ Prometheus
-    def prom_query_range(self, expr: str) -> DataFrame:
-        """/api/v1/query_range (ref: router/prometheus_query_range.go)."""
-        return _promql_query(self.promctx(), expr)
+    def prom_query_range(
+        self,
+        expr: str,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        step_ns: int | None = None,
+    ) -> DataFrame:
+        """/api/v1/query_range (ref: router/prometheus_query_range.go).
+
+        `step_ns` overrides the evaluation grid (a fresh context — the
+        default-step context and its cached views are untouched);
+        start/end bound the result window like the endpoint's params."""
+        if step_ns is not None and step_ns != self.prom_step_ns:
+            ctx = PromQLContext(self.spark, self.sf_dir, step_ns=step_ns)
+        else:
+            ctx = self.promctx()
+        m = _promql_query(ctx, expr)
+        if start_ns is not None:
+            m = m.filter(F.col("timestamp_ns") >= start_ns)
+        if end_ns is not None:
+            m = m.filter(F.col("timestamp_ns") < end_ns)
+        return m
 
     def prom_query(self, expr: str, time_ns: int | None = None) -> DataFrame:
         """/api/v1/query — instant vector: latest step at/before the

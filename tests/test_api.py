@@ -114,3 +114,21 @@ def test_pyroscope_render_and_diff(engine):
     assert levels and levels[0][0]["total"] >= levels[0][0]["self"]
     diff = engine.pyroscope_render_diff("svc-1-URGENT", "svc-5-LOW").collect()
     assert diff and {"self_delta", "total_delta"} <= set(diff[0].asDict())
+
+
+def test_prom_query_range_bounds_and_step(engine):
+    full = engine.prom_query_range('sum by (app) (rate({app=~".+"}[1h]))')
+    lo = full.agg({"timestamp_ns": "min"}).collect()[0][0]
+    hi = full.agg({"timestamp_ns": "max"}).collect()[0][0]
+    mid = (lo + hi) // 2
+    half = engine.prom_query_range(
+        'sum by (app) (rate({app=~".+"}[1h]))', start_ns=mid
+    )
+    assert half.count() < full.count()
+    assert half.agg({"timestamp_ns": "min"}).collect()[0][0] >= mid
+    # custom step grid: instant vectors land on the requested step
+    stepped = engine.prom_query_range(
+        'sum by (app) ({app=~".+"})', step_ns=3_600_000_000_000
+    )
+    ts = [r["timestamp_ns"] for r in stepped.select("timestamp_ns").distinct().collect()]
+    assert ts and all(t % 3_600_000_000_000 == 0 for t in ts)
