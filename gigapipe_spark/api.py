@@ -233,6 +233,17 @@ class Engine:
         """/api/v1/series."""
         return self.loki_series(match)
 
+    def prom_query_exemplars(self, expr: str = "") -> DataFrame:
+        """/api/v1/query_exemplars — the reference wires this route to
+        its empty Metadata handler (prometheus_labels.go:23) and sets
+        ExemplarQueryable to nil: exemplars are UNSUPPORTED and the
+        endpoint returns an empty result. Mirrored faithfully (empty
+        frame with the exemplar response shape)."""
+        return self.spark.createDataFrame(
+            [],
+            "labels map<string,string>, timestamp_ns long, value double, trace_id string",
+        )
+
     def prom_metadata(self) -> DataFrame:
         """/api/v1/metadata — metric names with sample counts (the
         closest stored analogue of Prometheus metadata)."""

@@ -132,3 +132,9 @@ def test_prom_query_range_bounds_and_step(engine):
     )
     ts = [r["timestamp_ns"] for r in stepped.select("timestamp_ns").distinct().collect()]
     assert ts and all(t % 3_600_000_000_000 == 0 for t in ts)
+
+
+def test_prom_query_exemplars_empty_like_reference(engine):
+    df = engine.prom_query_exemplars('{app="click"}')
+    assert df.count() == 0
+    assert set(df.columns) == {"labels", "timestamp_ns", "value", "trace_id"}
