@@ -788,6 +788,27 @@ register(
 )(_traceql('{ priority = "1-URGENT" } &>> { returnflag = "R" }'))
 
 register(
+    "traceql_metrics_topk",
+    with_spans(
+        """
+        , m AS (
+          SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+                 CAST(COUNT(*) AS DOUBLE) AS value
+          FROM spans WHERE name = 'item' GROUP BY 1
+        )
+        SELECT ts AS timestamp_ns, round(value, 6) AS value FROM m
+        QUALIFY row_number() OVER (ORDER BY value DESC, ts) <= 5
+        """
+    ),
+)(
+    _traceql(
+        '{ name = "item" } | count_over_time() | topk(5)',
+        cols=("timestamp_ns", "value"),
+        round_cols=("value",),
+    )
+)
+
+register(
     "traceql_not_descendant",
     # !>>: right-side spans with NO matching ancestor (ref: negated
     # structural ops, expression_planner_complex.go)

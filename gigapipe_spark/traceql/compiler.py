@@ -365,7 +365,29 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         )
         spans = spans.join(_small_side(ctx, good), "trace_id", "left_semi")
     if script.metrics is not None:
-        return _metrics(ctx, spans, script.metrics)
+        out = _metrics(ctx, spans, script.metrics)
+        if script.topk is not None:
+            # | topk(n) / bottomk(n) second stage (ref:
+            # SecondPipelineStage — applied over the metrics matrix):
+            # k extreme series per step when a series column exists
+            # (histogram le), else the k extreme points
+            fn, k = script.topk
+            order = F.col("value").desc() if fn == "topk" else F.col("value").asc()
+            series_cols = [
+                c for c in out.columns if c not in ("timestamp_ns", "value")
+            ]
+            if series_cols:
+                w = Window.partitionBy("timestamp_ns").orderBy(
+                    order, *[F.col(c) for c in series_cols]
+                )
+            else:
+                w = Window.orderBy(order, F.col("timestamp_ns"))
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .drop("__rn")
+            )
+        return out
     if script.select_attrs:
         # | select(a, b): attach requested attr values as columns
         # (ref: select_tags_planner.go) — one semi-filtered index scan

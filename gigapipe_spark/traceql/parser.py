@@ -106,6 +106,7 @@ class TraceQLScript:
     metrics: MetricsStage | None = None
     sample: float | None = None  # with(sample=0.1) hint
     select_attrs: list[str] = field(default_factory=list)  # | select(a, b)
+    topk: tuple[str, int] | None = None  # | topk(n) / bottomk(n) second stage
 
 
 def _norm_attr(name: str) -> str:
@@ -270,6 +271,14 @@ class TraceQLParser:
                 param = float(p)
             self.expect(")")
             script.metrics = MetricsStage(fn=fn, attr=_norm_attr(attr), param=param)
+            return
+        if fn in ("topk", "bottomk"):
+            # second stage over metrics series (ref: SecondPipelineStage,
+            # topk applied at the service layer over the matrix)
+            self.expect("(")
+            _, k = self.next()
+            self.expect(")")
+            script.topk = (fn, int(float(k)))
             return
         raise TraceQLSyntaxError(f"unknown pipeline stage {fn!r}")
 

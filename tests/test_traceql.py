@@ -306,3 +306,19 @@ def test_complexity_probe(spark):
     unhinted = C._small_side(big, df)
     assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
     assert "broadcast" not in unhinted._jdf.queryExecution().logical().toString().lower()
+
+
+def test_metrics_topk_second_stage(spark):
+    c = TraceQLContext(spark, SF_DIR)
+    full = query(c, '{ name = "item" } | count_over_time()')
+    top = query(c, '{ name = "item" } | count_over_time() | topk(3)')
+    rows = top.collect()
+    assert len(rows) == min(3, full.count())
+    # the kept points are the highest values overall
+    best = sorted((r["value"] for r in full.collect()), reverse=True)[: len(rows)]
+    assert sorted((r["value"] for r in rows), reverse=True) == best
+    bot = query(c, '{ name = "item" } | histogram_over_time(duration) | bottomk(2)')
+    per_ts = {}
+    for r in bot.collect():
+        per_ts.setdefault(r["timestamp_ns"], []).append(r["value"])
+    assert all(len(v) <= 2 for v in per_ts.values())
