@@ -336,6 +336,11 @@ _CMP = {
 def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
+    if script.compare is not None:
+        # | compare({sel}[, N]): the stage's selector defines the
+        # selection, the baseline is everything else in the window
+        sel, n = script.compare
+        return compare_attrs(ctx, sel, top_n=n)
     ctx.pending_spanset = script.spanset
     ids = eval_spanset(ctx, script.spanset)
     if script.sample is not None:

@@ -107,6 +107,7 @@ class TraceQLScript:
     sample: float | None = None  # with(sample=0.1) hint
     select_attrs: list[str] = field(default_factory=list)  # | select(a, b)
     topk: tuple[str, int] | None = None  # | topk(n) / bottomk(n) second stage
+    compare: tuple | None = None  # | compare({sel}[, topN]) → (SpansetExpr, n)
 
 
 def _norm_attr(name: str) -> str:
@@ -279,6 +280,19 @@ class TraceQLParser:
             _, k = self.next()
             self.expect(")")
             script.topk = (fn, int(float(k)))
+            return
+        if fn == "compare":
+            # | compare({sel}[, topN]) — selection-vs-baseline attr
+            # frequency diff (ref: CompareSelector model_v2.go:209)
+            self.expect("(")
+            sel = self.parse_spanset_atom()
+            n = 10
+            if self.at(","):
+                self.next()
+                _, v = self.next()
+                n = int(float(v))
+            self.expect(")")
+            script.compare = (sel, n)
             return
         raise TraceQLSyntaxError(f"unknown pipeline stage {fn!r}")
 

@@ -322,3 +322,19 @@ def test_metrics_topk_second_stage(spark):
     for r in bot.collect():
         per_ts.setdefault(r["timestamp_ns"], []).append(r["value"])
     assert all(len(v) <= 2 for v in per_ts.values())
+
+
+def test_compare_stage_from_text(spark):
+    from gigapipe_spark.traceql.compiler import compare_attrs
+    from gigapipe_spark.traceql.parser import TraceQLParser
+
+    c = TraceQLContext(spark, SF_DIR)
+    text = query(c, '{} | compare({ returnflag = "R" }, 5)')
+    direct = compare_attrs(
+        TraceQLContext(spark, SF_DIR),
+        TraceQLParser('{ returnflag = "R" }').parse_spanset_atom(),
+        top_n=5,
+    )
+    a = {(r["key"], r["val"]): (r["selection_count"], r["baseline_count"]) for r in text.collect()}
+    b = {(r["key"], r["val"]): (r["selection_count"], r["baseline_count"]) for r in direct.collect()}
+    assert a == b and len(a) == 5
