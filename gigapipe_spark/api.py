@@ -49,6 +49,29 @@ from gigapipe_spark.traceql.compiler import TraceQLContext, assemble_traces, tra
 from gigapipe_spark.traceql.compiler import query as _traceql_query
 
 
+def _find_range_ns(query: str) -> int | None:
+    """Range of the outermost range aggregation in a LogQL metric query
+    (walks through vector aggs / topk / binops)."""
+    from gigapipe_spark.logql import ast as A
+    from gigapipe_spark.logql.parser import parse
+
+    def walk(e):
+        if isinstance(e, A.RangeAgg):
+            return e.range_ns
+        for attr in ("inner", "left", "right"):
+            sub = getattr(e, attr, None)
+            if sub is not None and not isinstance(sub, (int, float, str, list)):
+                r = walk(sub)
+                if r is not None:
+                    return r
+        return None
+
+    try:
+        return walk(parse(query))
+    except Exception:
+        return None
+
+
 @dataclass
 class Engine:
     """One engine per (session, store dir) — contexts cache the derived
@@ -92,11 +115,23 @@ class Engine:
         end_ns: int | None = None,
         limit: int | None = None,
         direction: str = "backward",
+        step_ns: int | None = None,
     ) -> DataFrame:
-        """/loki/api/v1/query_range (ref: reader/router/query_range.go)."""
-        return _logql_query_range(
+        """/loki/api/v1/query_range (ref: reader/router/query_range.go).
+
+        `step_ns` re-interpolates matrix results onto the finer step
+        grid (ref: planner_step_fix.go / matrix_step.go response
+        shaping); ignored for stream (log-line) results."""
+        res = _logql_query_range(
             self.logctx(), query, start_ns, end_ns, limit, direction
-        ).df
+        )
+        if step_ns is not None and res.kind == "matrix":
+            from gigapipe_spark.logql.compiler import restep
+
+            rng = _find_range_ns(query)
+            if rng is not None and step_ns < rng:
+                return restep(res.df, rng, step_ns)
+        return res.df
 
     def loki_query(
         self, query: str, time_ns: int | None = None, limit: int = 100

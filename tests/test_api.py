@@ -138,3 +138,19 @@ def test_prom_query_exemplars_empty_like_reference(engine):
     df = engine.prom_query_exemplars('{app="click"}')
     assert df.count() == 0
     assert set(df.columns) == {"labels", "timestamp_ns", "value", "trace_id"}
+
+
+def test_loki_query_range_step_reinterpolation(engine):
+    coarse = engine.loki_query_range('sum by (app) (count_over_time({app="click"}[1h]))')
+    fine = engine.loki_query_range(
+        'sum by (app) (count_over_time({app="click"}[1h]))',
+        step_ns=900_000_000_000,
+    )
+    # each 1h bucket value repeats onto up to 4 quarter-hour steps
+    # (zero-valued points are eaten, so <= 4x)
+    assert coarse.count() < fine.count() <= coarse.count() * 4
+    ts = [r["timestamp_ns"] for r in fine.select("timestamp_ns").distinct().limit(10).collect()]
+    assert all(t % 900_000_000_000 == 0 for t in ts)
+    # stream results ignore step
+    logs = engine.loki_query_range('{app="click"}', limit=5, step_ns=900_000_000_000)
+    assert logs.count() == 5
