@@ -153,13 +153,19 @@ class Engine:
         gin = views.time_series_gin(self.spark, self.sf_dir)
         return gin.filter(F.col("key") == name).select("val").distinct()
 
-    def loki_series(self, match: str) -> DataFrame:
-        """/loki/api/v1/series — distinct label sets for a selector."""
+    def loki_series(self, match: str | list[str]) -> DataFrame:
+        """/loki/api/v1/series — distinct label sets for one or more
+        match[] selectors; multiple selectors union (ref:
+        planner_multi_stream_select.go:8)."""
         from gigapipe_spark.logql.compiler import fingerprints
         from gigapipe_spark.logql.parser import parse
 
-        sel = parse(match).selector
-        fps = fingerprints(self.logctx(), sel)
+        matches = [match] if isinstance(match, str) else list(match)
+        fps = None
+        for m in matches:
+            f = fingerprints(self.logctx(), parse(m).selector)
+            fps = f if fps is None else fps.unionByName(f)
+        fps = fps.distinct()
         series = views.time_series(self.spark, self.sf_dir)
         return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
             "fingerprint", "labels"

@@ -154,3 +154,13 @@ def test_loki_query_range_step_reinterpolation(engine):
     # stream results ignore step
     logs = engine.loki_query_range('{app="click"}', limit=5, step_ns=900_000_000_000)
     assert logs.count() == 5
+
+
+def test_loki_series_multi_match_union(engine):
+    a = engine.loki_series('{app="error"}').count()
+    b = engine.loki_series('{app="click"}').count()
+    both = engine.loki_series(['{app="error"}', '{app="click"}']).count()
+    assert both == a + b  # disjoint selectors union
+    # overlapping selectors dedup
+    overlap = engine.loki_series(['{app="error"}', '{level="error"}']).count()
+    assert overlap == a  # level=error == app=error series
