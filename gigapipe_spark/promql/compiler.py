@@ -252,6 +252,33 @@ def _range_fn(
     if not isinstance(sel, VectorSelector) or sel.range_ns is None:
         raise ValueError(f"{fn.fn} expects a range vector selector")
     rng = sel.range_ns
+    if fn.fn == "absent_over_time":
+        # 1 for every range bucket (over the store's time extent) where
+        # the selector matched nothing — same grid derivation as
+        # absent(), bucketed by the range instead of the step
+        df = _selector_samples(ctx, sel)
+        grid = (
+            ctx.metrics()
+            .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.col("lo") - F.pmod(F.col("lo"), F.lit(rng)),
+                        F.col("hi"),
+                        F.lit(rng),
+                    )
+                ).alias("timestamp_ns")
+            )
+        )
+        present = df.select(
+            _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
+        ).distinct()
+        return grid.join(present, "timestamp_ns", "left_anti").select(
+            F.lit(0).cast("long").alias("fingerprint"),
+            F.expr("map()").cast("map<string,string>").alias("labels"),
+            "timestamp_ns",
+            F.lit(1.0).alias("value"),
+        )
     if _rollup_eligible(ctx, fn, sel):
         out = _range_fn_rollup(ctx, fn, sel)
         if group is not None:

@@ -43,6 +43,7 @@ RANGE_FNS = {
     "last_over_time",
     "first_over_time",
     "present_over_time",
+    "absent_over_time",
     "stddev_over_time",
     "stdvar_over_time",
     "quantile_over_time",

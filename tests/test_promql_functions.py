@@ -195,3 +195,14 @@ def test_histogram_quantile_from_text(spark):
         ' "le", "+Inf", "app", ".*"))',
     )
     assert out.count() > 0
+
+
+def test_absent_over_time(spark):
+    # no matching series: every range bucket fires
+    out = _q(spark, 'absent_over_time({app="nosuch"}[1h])')
+    rows = out.collect()
+    assert rows and all(r["value"] == 1.0 for r in rows)
+    assert all(r["timestamp_ns"] % 3_600_000_000_000 == 0 for r in rows)
+    # matching everywhere-dense selector: strictly fewer absent buckets
+    n = _q(spark, 'absent_over_time({app=~".+"}[1h])').count()
+    assert n < len(rows)
