@@ -510,15 +510,7 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             # bounds (one tiny agg subquery — no driver-side action).
             inner = compile_expr(ctx, e.args[0])
             step = F.lit(ctx.step_ns)
-            grid = (
-                ctx.metrics()
-                .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
-                .select(
-                    F.explode(
-                        F.sequence(F.col("lo") - F.pmod(F.col("lo"), step), F.col("hi"), step)
-                    ).alias("timestamp_ns")
-                )
-            )
+            grid = _step_grid(ctx)
             present = inner.select(
                 (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), step)).alias(
                     "timestamp_ns"
@@ -531,6 +523,27 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                 "timestamp_ns",
                 F.lit(1.0).alias("value"),
             )
+        if e.fn == "time":
+            # evaluation timestamp as a per-step series (upstream: a
+            # scalar per step; binops special-case this — see _binop)
+            return _step_grid(ctx).select(
+                F.lit(0).cast("long").alias("fingerprint"),
+                F.expr("map()").cast("map<string,string>").alias("labels"),
+                "timestamp_ns",
+                (F.col("timestamp_ns") / F.lit(1e9)).alias("value"),
+            )
+        if e.fn == "vector":
+            # vector(s): the scalar as a label-less series on the grid
+            arg = e.args[0] if e.args else None
+            val = arg.value if isinstance(arg, PromScalar) else 0.0
+            return _step_grid(ctx).select(
+                F.lit(0).cast("long").alias("fingerprint"),
+                F.expr("map()").cast("map<string,string>").alias("labels"),
+                "timestamp_ns",
+                F.lit(float(val)).alias("value"),
+            )
+        if e.fn == "scalar":
+            return _scalar_series(ctx, e.args[0])
         raise NotImplementedError(f"function {e.fn}")
     if isinstance(e, AggExpr):
         # agg/range commute for the *_over_time family (counter fns are
@@ -593,6 +606,39 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
     raise NotImplementedError(f"expr {e}")
 
 
+def _step_grid(ctx: PromQLContext):
+    """Step-aligned timestamp grid over the store's time extent, derived
+    lazily (one tiny agg subquery — no driver-side action)."""
+    step = F.lit(ctx.step_ns)
+    return (
+        ctx.metrics()
+        .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo") - F.pmod(F.col("lo"), step), F.col("hi"), step)
+            ).alias("timestamp_ns")
+        )
+    )
+
+
+def _scalar_series(ctx: PromQLContext, arg) -> DataFrame:
+    """scalar(v): per evaluation step, the single series' value — NaN
+    when the vector has ≠ 1 element at that step (upstream semantics)."""
+    inner = compile_expr(ctx, arg)
+    return (
+        inner.groupBy("timestamp_ns")
+        .agg(F.count(F.lit(1)).alias("__n"), F.first("value").alias("__v"))
+        .select(
+            F.lit(0).cast("long").alias("fingerprint"),
+            F.expr("map()").cast("map<string,string>").alias("labels"),
+            "timestamp_ns",
+            F.when(F.col("__n") == 1, F.col("__v"))
+            .otherwise(F.lit(float("nan")))
+            .alias("value"),
+        )
+    )
+
+
 _CMP_OPS = {"==", "!=", ">", ">=", "<", "<="}
 
 
@@ -605,6 +651,48 @@ def _arith(op: str, l: Column, r: Column) -> Column:
 
 
 def _binop(ctx: PromQLContext, e: PromBinOp) -> DataFrame:
+    # scalar-context operands: time() is the other side's own step
+    # timestamp; scalar(v) joins per step. Neither matches on labels
+    # (upstream treats both as scalars, not vectors).
+    def _is_time(x):
+        return isinstance(x, FnCall) and x.fn == "time"
+
+    def _is_scalar_fn(x):
+        return isinstance(x, FnCall) and x.fn == "scalar"
+
+    if _is_time(e.left) != _is_time(e.right) and not (
+        isinstance(e.left, PromScalar) or isinstance(e.right, PromScalar)
+    ):
+        tl = _is_time(e.left)
+        vec = compile_expr(ctx, e.right if tl else e.left)
+        t = F.col("timestamp_ns") / F.lit(1e9)
+        v = F.col("value")
+        lcol, rcol = (t, v) if tl else (v, t)
+        if e.op in _CMP_OPS:
+            if e.bool_modifier:
+                return vec.withColumn("value", _cmp(e.op, lcol, rcol).cast("double"))
+            return vec.filter(_cmp(e.op, lcol, rcol))
+        return vec.withColumn("value", _arith(e.op, lcol, rcol))
+    if _is_scalar_fn(e.left) != _is_scalar_fn(e.right) and not (
+        isinstance(e.left, PromScalar) or isinstance(e.right, PromScalar)
+    ):
+        sl = _is_scalar_fn(e.left)
+        sc = _scalar_series(ctx, (e.left if sl else e.right).args[0]).select(
+            "timestamp_ns", F.col("value").alias("__s")
+        )
+        vec = compile_expr(ctx, e.right if sl else e.left)
+        j = vec.join(F.broadcast(sc), "timestamp_ns", "inner")
+        v = F.col("value")
+        s = F.col("__s")
+        lcol, rcol = (s, v) if sl else (v, s)
+        if e.op in _CMP_OPS:
+            if e.bool_modifier:
+                out = j.withColumn("value", _cmp(e.op, lcol, rcol).cast("double"))
+            else:
+                out = j.filter(_cmp(e.op, lcol, rcol))
+        else:
+            out = j.withColumn("value", _arith(e.op, lcol, rcol))
+        return out.select("fingerprint", "labels", "timestamp_ns", "value")
     ls = isinstance(e.left, PromScalar)
     rs = isinstance(e.right, PromScalar)
     if ls and rs:

@@ -64,6 +64,7 @@ SCALAR_FNS = {
     "day_of_month", "day_of_week", "day_of_year", "days_in_month",
     "sort", "sort_desc",
     "histogram_quantile", "label_replace", "label_join", "absent",
+    "time", "scalar", "vector", "pi",
 }
 
 
@@ -280,8 +281,16 @@ class PromQLParser:
         return sel
 
     def parse_fn(self) -> FnCall:
+        import math
+
         _, fn = self.next()
         self.expect("(")
+        if fn == "pi":  # constant — fold at parse time
+            self.expect(")")
+            return PromScalar(math.pi)
+        if self.at(")"):  # zero-arg: time()
+            self.next()
+            return FnCall(fn=fn)
         args = []
         param = None
         if fn in ("quantile_over_time", "histogram_quantile"):

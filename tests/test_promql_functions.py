@@ -206,3 +206,36 @@ def test_absent_over_time(spark):
     # matching everywhere-dense selector: strictly fewer absent buckets
     n = _q(spark, 'absent_over_time({app=~".+"}[1h])').count()
     assert n < len(rows)
+
+
+def test_time_vector_scalar_pi(spark):
+    import math
+
+    # time() - timestamp(v) == 0 for every sample (both are the step ts)
+    out = _q(spark, 'time() - timestamp(last_over_time({app="click"}[1h]))')
+    assert {r["value"] for r in out.select("value").distinct().collect()} == {0.0}
+    # vector(1): label-less constant series on the step grid
+    v = _q(spark, 'vector(1)')
+    assert {r["value"] for r in v.select("value").distinct().collect()} == {1.0}
+    assert v.first()["labels"] == {}
+    # pi() folds to a scalar usable in arithmetic
+    p = _q(spark, 'sgn(last_over_time({app="click"}[1h])) * pi()')
+    vals = {round(r["value"], 6) for r in p.select("value").distinct().collect()}
+    assert vals <= {round(math.pi, 6), 0.0, round(-math.pi, 6)}
+
+
+def test_scalar_fn(spark):
+    # scalar over a 1-series vector: usable as a per-step scalar operand
+    q = (
+        'sum by (app) (count_over_time({level="info"}[1h]))'
+        ' / scalar(sum(count_over_time({level="info"}[1h])))'
+    )
+    out = _q(spark, q)
+    rows = out.collect()
+    assert rows and all(0.0 <= r["value"] <= 1.0 + 1e-9 for r in rows)
+    # scalar of a multi-series vector -> NaN (daily buckets are dense:
+    # every day has several apps)
+    import math as m
+
+    bad = _q(spark, 'scalar(sum by (app) (count_over_time({level="info"}[1d])))')
+    assert all(m.isnan(r["value"]) for r in bad.collect())
