@@ -244,6 +244,9 @@ class Engine:
             ctx = PromQLContext(self.spark, self.sf_dir, step_ns=step_ns)
         else:
             ctx = self.promctx()
+        # request window → widened raw scan bound below the aggs
+        # (ctx.set_scan_bounds inside _promql_query), exact trim here
+        ctx.start_ns, ctx.end_ns = start_ns, end_ns
         m = _promql_query(ctx, expr)
         if start_ns is not None:
             m = m.filter(F.col("timestamp_ns") >= start_ns)
@@ -254,7 +257,9 @@ class Engine:
     def prom_query(self, expr: str, time_ns: int | None = None) -> DataFrame:
         """/api/v1/query — instant vector: latest step at/before the
         evaluation time, per series."""
-        m = _promql_query(self.promctx(), expr)
+        ctx = self.promctx()
+        ctx.start_ns, ctx.end_ns = None, None  # shared ctx: drop stale window
+        m = _promql_query(ctx, expr)
         if time_ns is not None:
             m = m.filter(F.col("timestamp_ns") <= time_ns)
         group_cols = [c for c in m.columns if c not in ("timestamp_ns", "value")]

@@ -51,14 +51,31 @@ class LogQLContext:
 
     spark: SparkSession
     sf_dir: str
+    # requested time window (query_range params); query() widens these by
+    # the query's max range+offset and threads them into the fact scan as
+    # raw-ts predicates (parquet row-group pruning at scale — ref:
+    # stream_select.go:76, prom_queryable.go:196-202)
+    start_ns: int | None = None
+    end_ns: int | None = None
+    _scan_bounds: tuple[int | None, int | None] = (None, None)
     _samples: DataFrame | None = None
     _series: DataFrame | None = None
     _gin: DataFrame | None = None
 
     def samples(self) -> DataFrame:
         if self._samples is None:
-            self._samples = views.samples(self.spark, self.sf_dir)
+            self._samples = views.samples(
+                self.spark, self.sf_dir, self._scan_bounds[0], self._scan_bounds[1]
+            )
         return self._samples
+
+    def set_scan_bounds(self, lookback_ns: int) -> None:
+        """Install the widened scan window for the current query."""
+        lo = None if self.start_ns is None else self.start_ns - lookback_ns
+        hi = self.end_ns
+        if (lo, hi) != self._scan_bounds:
+            self._scan_bounds = (lo, hi)
+            self._samples = None
 
     def series(self) -> DataFrame:
         if self._series is None:
@@ -908,7 +925,23 @@ def query(ctx: LogQLContext, text: str) -> Result:
         return planned
     expr = parse(text)
     _cancel_json_logfmt(expr)
+    ctx.set_scan_bounds(_max_lookback_ns(expr))
     return compile_expr(ctx, expr)
+
+
+def _max_lookback_ns(expr) -> int:
+    """How far before the requested start the scan must reach: the max
+    range+offset of any range aggregation in the tree (a bucket whose
+    re-stepped points land inside [start, end) draws samples from up to
+    range+offset earlier — the reference's rate-hint widening,
+    prom_queryable.go:196-202)."""
+    if isinstance(expr, A.RangeAgg):
+        return expr.range_ns + expr.offset_ns
+    if isinstance(expr, (A.VectorAgg, A.TopK)):
+        return _max_lookback_ns(expr.inner)
+    if isinstance(expr, A.BinOp):
+        return max(_max_lookback_ns(expr.left), _max_lookback_ns(expr.right))
+    return 0
 
 
 def restep(matrix: DataFrame, range_ns: int, step_ns: int) -> DataFrame:
@@ -942,8 +975,11 @@ def query_range(
     newest/oldest-first ordering, row limit. The limit's tiebreak is the
     (timestamp, fingerprint) total order so pagination is deterministic.
     """
+    ctx.start_ns, ctx.end_ns = start_ns, end_ns
     res = query(ctx, text)
     df = res.df
+    # exact trim on the derived column; the widened raw-ts bound already
+    # pruned the scan inside query()
     if start_ns is not None:
         df = df.filter(F.col("timestamp_ns") >= start_ns)
     if end_ns is not None:

@@ -49,9 +49,31 @@ class PromQLContext:
     sf_dir: str
     step_ns: int = 60_000_000_000  # evaluation step grid
     use_rollup: bool = True  # allow the downsample shortcut
+    # requested window (query_range params); query() widens by the max
+    # range+offset+staleness lookback and every selector scan applies the
+    # result as a raw timestamp_ns bound BELOW all aggs/windows (ref:
+    # prom_queryable.go:196-202 rate-hint widening). On a stored metrics
+    # table this predicate reaches the parquet scan; on the derived
+    # fixture it stops above the counter cumsum, which needs history.
+    start_ns: int | None = None
+    end_ns: int | None = None
+    _scan_bounds: tuple = (None, None)
     _metrics: DataFrame | None = None
     _rollup: DataFrame | None = None
     _logctx: LogQLContext | None = None
+
+    def set_scan_bounds(self, lookback_ns: int) -> None:
+        lo = None if self.start_ns is None else self.start_ns - lookback_ns
+        self._scan_bounds = (lo, self.end_ns)
+
+    def bound_scan(self, df: DataFrame) -> DataFrame:
+        """Apply the widened raw time window to a per-series scan."""
+        lo, hi = self._scan_bounds
+        if lo is not None:
+            df = df.filter(F.col("timestamp_ns") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("timestamp_ns") < hi)
+        return df
 
     def metrics(self) -> DataFrame:
         if self._metrics is None:
@@ -92,6 +114,8 @@ def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
         matchers.append(LA.Matcher(label="__name__", op="=", value=sel.name))
     lctx = ctx.logctx()
     df = ctx.metrics()
+    if sel.at_ns is None:  # @-pinned selectors read outside the window
+        df = ctx.bound_scan(df)
     if matchers:
         fps = fingerprints(lctx, LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
@@ -226,7 +250,7 @@ def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> Dat
     matchers = list(sel.matchers)
     if sel.name:
         matchers.append(LA.Matcher(label="__name__", op="=", value=sel.name))
-    df = ctx.rollup()
+    df = ctx.bound_scan(ctx.rollup())
     if matchers:
         fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
@@ -833,5 +857,24 @@ def gap_fill(ctx: PromQLContext, matrix: DataFrame, lookback_ns: int | None = No
     )
 
 
+def _max_lookback_ns(e) -> int:
+    """Widening for the scan's lower bound: max range+offset across the
+    tree, with the 5m staleness lookback as the floor for instant
+    selectors (ref: prom_queryable.go:196-202)."""
+    if isinstance(e, VectorSelector):
+        return (e.range_ns or _LOOKBACK_NS) + e.offset_ns
+    if isinstance(e, P.Subquery):
+        return e.range_ns + _max_lookback_ns(e.inner)
+    if isinstance(e, FnCall):
+        return max((_max_lookback_ns(a) for a in e.args), default=_LOOKBACK_NS)
+    if isinstance(e, AggExpr):
+        return _max_lookback_ns(e.inner)
+    if isinstance(e, PromBinOp):
+        return max(_max_lookback_ns(e.left), _max_lookback_ns(e.right))
+    return 0
+
+
 def query(ctx: PromQLContext, text: str) -> DataFrame:
-    return compile_expr(ctx, P.parse(text))
+    expr = P.parse(text)
+    ctx.set_scan_bounds(_max_lookback_ns(expr))
+    return compile_expr(ctx, expr)

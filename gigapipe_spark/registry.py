@@ -614,7 +614,7 @@ register(
     "traceql_tag_names",
     # tag autocomplete (ref: all_tags_request_planner.go, tempo.go:161)
     "SELECT * FROM (VALUES ('name'), ('service.name'), ('status'),"
-    " ('priority'), ('returnflag'), ('linestatus')) t(key)",
+    " ('priority'), ('returnflag'), ('linestatus'), ('quantity')) t(key)",
 )
 def traceql_tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = TraceQLContext(spark, sf_dir)
@@ -654,6 +654,7 @@ attrs AS (
   UNION ALL SELECT trace_id, span_id, 'priority', priority FROM spans WHERE priority IS NOT NULL
   UNION ALL SELECT trace_id, span_id, 'returnflag', returnflag FROM spans WHERE returnflag IS NOT NULL
   UNION ALL SELECT trace_id, span_id, 'linestatus', linestatus FROM spans WHERE linestatus IS NOT NULL
+  UNION ALL SELECT trace_id, span_id, 'quantity', quantity FROM spans WHERE quantity IS NOT NULL
 )
 """
 
@@ -868,6 +869,21 @@ register(
         """
     ),
 )(_traceql('{ name = "item" } | avg(duration) > 30ms'))
+
+register(
+    # aggregate over a NAMED span attribute, not duration (ref:
+    # clickhouse_transpiler/aggregator.go:12)
+    "traceql_spanset_avg_attr",
+    with_spans(
+        """
+        SELECT trace_id, span_id FROM spans
+        WHERE name = 'item' AND trace_id IN (
+          SELECT trace_id FROM spans WHERE name = 'item' GROUP BY trace_id
+          HAVING avg(CAST(quantity AS DOUBLE)) > 30
+        )
+        """
+    ),
+)(_traceql('{ name = "item" } | avg(quantity) > 30'))
 
 
 @register(

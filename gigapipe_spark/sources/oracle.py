@@ -61,7 +61,8 @@ spans AS (
          o_orderstatus AS status,
          o_orderpriority AS priority,
          NULL AS returnflag,
-         NULL AS linestatus
+         NULL AS linestatus,
+         NULL AS quantity
   FROM orders
   UNION ALL
   SELECT 't' || CAST(l_orderkey AS VARCHAR),
@@ -77,7 +78,8 @@ spans AS (
          CAST(floor(l_extendedprice * 1000) AS BIGINT),
          'svc-item',
          NULL, NULL,
-         l_returnflag, l_linestatus
+         l_returnflag, l_linestatus,
+         CAST(l_quantity AS VARCHAR) AS quantity
   FROM lineitem
 )
 """

@@ -33,13 +33,27 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver-generated parquet stores `ts` as TIMESTAMP(NANOS), which
-    # Spark only reads (as Int64 ns — exactly our time model) with this
+    # Some generations of the driver testdata store `ts` as
+    # TIMESTAMP(NANOS), which Spark only reads (as Int64 ns) with this
     # legacy conf. It is session-scoped and runtime-settable; set it here
     # so the engine works under ANY SparkSession, not just ours
-    # (the correctness driver builds its own session without it).
+    # (the correctness driver builds its own session without it). With
+    # TIMESTAMP(MICROS) files the conf is a no-op; _ts_ns() adapts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_ns(df: DataFrame, col: str = "ts"):
+    """Nanosecond epoch from `ts` regardless of how the parquet stored it:
+    Int64 ns (TIMESTAMP(NANOS) + nanosAsLong, truncated to µs because the
+    DuckDB oracle reads the same column at µs precision) or a µs
+    timestamp (TIMESTAMP(MICROS) → ntz; cast via session-UTC is lossless).
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("bigint", "long"):
+        raw = F.col(col).cast("long")
+        return raw - F.pmod(raw, F.lit(1000))
+    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
 
 
 def _type_code():
@@ -60,7 +74,29 @@ def _labels_col():
     )
 
 
-def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raw_ts_bound(df: DataFrame, op: str, bound_ns: int):
+    """Predicate on the RAW parquet `ts` column for a ns epoch bound —
+    the form that reaches the scan as a parquet row-group filter
+    (PushedFilters), unlike a predicate on the derived timestamp_ns.
+    ±1µs slack covers the µs truncation of the derived column; exact
+    trimming happens downstream on timestamp_ns. Ref: the reference
+    emits raw `timestamp_ns >= / <` + date bounds in every planner
+    (stream_select.go:76)."""
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("bigint", "long"):
+        lit = F.lit(bound_ns - 1000 if op == ">=" else bound_ns + 1000)
+    else:
+        us = bound_ns // 1000 + (-1 if op == ">=" else 2)
+        lit = F.timestamp_micros(F.lit(us)).cast(dict(df.dtypes)["ts"])
+    return F.col("ts") >= lit if op == ">=" else F.col("ts") < lit
+
+
+def samples(
+    spark: SparkSession,
+    sf_dir: str,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+) -> DataFrame:
     """Unified fact table (ref samples_v3, log.sql:25-32) from `events`.
 
     `string` carries the JSON props payload (the "log line"); `value` the
@@ -68,15 +104,13 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     into metrics inside a query with no copy, like the reference.
     """
     ev = load_table(spark, sf_dir, "events")
-    # `ts` reads as Int64 ns via spark.sql.legacy.parquet.nanosAsLong
-    # (the parquet column is TIMESTAMP(NANOS)) — already our time model.
-    # Truncate to µs: DuckDB (the oracle) reads TIMESTAMP(NANOS) at µs
-    # precision, so sub-µs digits must be dropped for parity.
+    if start_ns is not None:
+        ev = ev.filter(_raw_ts_bound(ev, ">=", start_ns))
+    if end_ns is not None:
+        ev = ev.filter(_raw_ts_bound(ev, "<", end_ns))
     return ev.select(
         (F.col("user_id") * 8 + _type_code()).alias("fingerprint"),
-        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), F.lit(1000))).alias(
-            "timestamp_ns"
-        ),
+        _ts_ns(ev).alias("timestamp_ns"),
         F.col("value").cast("double").alias("value"),
         F.col("props").alias("string"),
         F.lit(1).cast("byte").alias("type"),
@@ -249,6 +283,7 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("service.name"), F.lit("svc-item"),
             F.lit("returnflag"), F.col("l_returnflag"),
             F.lit("linestatus"), F.col("l_linestatus"),
+            F.lit("quantity"), F.col("l_quantity").cast("string"),
         ).alias("attrs"),
     )
     def build():

@@ -358,13 +358,24 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     )
     spans = ctx.spans().join(fetch_ids, ["trace_id", "span_id"], "left_semi")
     for af in script.agg_filters:
-        target = F.col("duration_ns") if af.attr in (None, "duration") else F.col("duration_ns")
+        if af.attr in (None, "duration"):
+            agg_src, target = spans, F.col("duration_ns")
+        else:
+            # aggregate the NAMED attribute, not duration (ref:
+            # clickhouse_transpiler/aggregator.go:12 — the aggregator
+            # selects the attr expression). Resolved via the per-span
+            # attr map: missing key -> NULL, which sum/avg/min/max skip.
+            amap = views.span_attr_map(ctx.spark, ctx.sf_dir).select(
+                "trace_id", "span_id", F.col("attrs").getItem(af.attr).alias("__attr_val")
+            )
+            agg_src = spans.join(amap, ["trace_id", "span_id"], "left")
+            target = F.col("__attr_val").cast("double")
         aggs = {
             "count": F.count(F.lit(1)).cast("double"),
             "sum": F.sum(target), "min": F.min(target),
             "max": F.max(target), "avg": F.avg(target),
         }
-        per_trace = spans.groupBy("trace_id").agg(aggs[af.fn].alias("__agg"))
+        per_trace = agg_src.groupBy("trace_id").agg(aggs[af.fn].alias("__agg"))
         good = per_trace.filter(_CMP[af.op](F.col("__agg"), F.lit(af.value))).select(
             "trace_id"
         )

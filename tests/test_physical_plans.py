@@ -76,3 +76,44 @@ def test_multiterm_selector_no_shuffle(spark):
     )
     top = _plan(df).split("InMemoryTableScan")[0]
     assert "Exchange" not in top
+
+
+def test_loki_query_range_time_bound_reaches_scan(spark):
+    # bounded metric query: the widened raw-ts predicate must appear in
+    # the parquet scan's PushedFilters, below the range agg (ref:
+    # stream_select.go:76 — every planner emits raw time bounds)
+    from gigapipe_spark.logql.compiler import LogQLContext, query_range
+
+    lo, hi = 1_500_000_000_000_000_000, 1_800_000_000_000_000_000
+    res = query_range(
+        LogQLContext(spark, SF_DIR),
+        'sum by (app) (rate({level="info"} [10m]))',
+        start_ns=lo,
+        end_ns=hi,
+    )
+    plan = _formatted(res.df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "ts" in ln and ("GreaterThan" in ln or "LessThan" in ln) for ln in pushed
+    ), pushed
+
+
+def test_prom_query_range_bound_below_rate(spark, tmp_path):
+    # with a STORED metrics table (physical timestamp_ns column, as at a
+    # real deployment) the widened bound reaches the scan below rate();
+    # the derived fixture necessarily stops above its counter cumsum
+    from gigapipe_spark.promql.compiler import PromQLContext, query
+
+    path = str(tmp_path / "stored_metrics")
+    views.metric_samples(spark, SF_DIR).limit(1000).write.parquet(path)
+    ctx = PromQLContext(
+        spark, SF_DIR, use_rollup=False, _metrics=spark.read.parquet(path)
+    )
+    ctx.start_ns, ctx.end_ns = 1_500_000_000_000_000_000, 1_800_000_000_000_000_000
+    m = query(ctx, 'rate({app="click"}[5m])')
+    plan = _formatted(m)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "timestamp_ns" in ln and ("GreaterThan" in ln or "LessThan" in ln)
+        for ln in pushed
+    ), pushed
