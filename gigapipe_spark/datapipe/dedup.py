@@ -262,6 +262,21 @@ def _simhash(hashes: Column, bits: int = 64) -> Column:
     )
 
 
+def _chunk_bounds(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
+    """(start, width) spans banding `bits` into max_hamming+1 NON-EMPTY
+    chunks (capped at `bits` chunks). Pigeonhole recall needs strictly
+    more chunks than differing bits; empty chunks would match every
+    pair (an all-pairs explosion), so widths are distributed base/base+1."""
+    n_chunks = min(max_hamming + 1, bits)
+    base_w, extra = divmod(bits, n_chunks)
+    bounds, pos = [], 0
+    for i in range(n_chunks):
+        w = base_w + (1 if i < extra else 0)
+        bounds.append((pos, w))
+        pos += w
+    return bounds
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
@@ -270,11 +285,13 @@ def simhash_pairs(
     verify_threshold: float | None = None,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    chunks (any pair within hamming ≤ 3·16 shares ≥1 exact chunk —
-    guaranteed recall for max_hamming ≤ 48/...; for small max_hamming the
-    pigeonhole bound is max_hamming < 4), then filter by true Hamming
-    distance via bit_count(xor)."""
+    """SimHash near-dup pairs: band the 64-bit signature into
+    `max_hamming + 1` chunks (pigeonhole: a pair at Hamming distance
+    ≤ max_hamming differs in at most max_hamming chunks, so at least one
+    of the max_hamming+1 chunks matches exactly — guaranteed recall),
+    then filter by true Hamming distance via bit_count(xor). Chunk count
+    derives from max_hamming so the default geometry cannot silently
+    drop pairs the distance bound promises."""
     # signature index (persisted barrier, same pattern as minhash)
     sig = (
         docs.withColumn("__ws", words_col(F.col(text_col)))
@@ -282,15 +299,17 @@ def simhash_pairs(
         .select(F.col(id_col).alias("id"), _simhash(F.col("__th")).alias("sig"))
         .persist()
     )
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("sig"), start)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("h"),
+        )
+        for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
+    ]
     chunks = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "c -> struct(c AS chunk, shiftright(sig, c*16) & 65535 AS h))"
-            )
-        ).alias("ch"),
+        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
     ).select("id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
     left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -199,11 +199,13 @@ def ivf_fit(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # distributed TakeOrdered picks the seeds (same determinism as a
+    # global sort, no single-partition exchange of the corpus); the
+    # ordinal window then runs over n_cells rows only
+    seeds = base.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(n_cells)
     w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
-    cents = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_cells)
-        .select((F.col("__rn") - 1).alias("cid"), F.col("v").alias("c"))
+    cents = seeds.withColumn("__rn", F.row_number().over(w)).select(
+        (F.col("__rn") - 1).alias("cid"), F.col("v").alias("c")
     )
     for _ in range(iters):
         assigned = (

@@ -91,6 +91,10 @@ class LabelFormat:
 @dataclass
 class Unwrap:
     label: str  # "_entry" unwraps the line; otherwise a label name
+    # conversion function: None (numeric cast), "duration" /
+    # "duration_seconds" (Go duration string → seconds) or "bytes"
+    # (humanized size → bytes). Ref: planner_unwrap.go:10, unwrap.go:9.
+    fn: str | None = None
 
 
 @dataclass

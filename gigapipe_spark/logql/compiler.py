@@ -602,16 +602,74 @@ def apply_stages(
             df = _apply_drop_keep(df, st)
             mutated = True
         elif isinstance(st, A.Unwrap):
-            if st.label in ("_entry", "__line__"):
-                df = df.withColumn("value", F.col("string").cast("double"))
+            raw = (
+                F.col("string")
+                if st.label in ("_entry", "__line__")
+                else F.col("labels").getItem(st.label)
+            )
+            if st.fn in ("duration", "duration_seconds"):
+                df = df.withColumn("value", _go_duration_seconds(raw))
+            elif st.fn == "bytes":
+                df = df.withColumn("value", _humanized_bytes(raw))
             else:
-                df = df.withColumn(
-                    "value", F.col("labels").getItem(st.label).cast("double")
-                )
+                df = df.withColumn("value", raw.cast("double"))
             df = df.filter(F.col("value").isNotNull())
         else:
             raise NotImplementedError(f"stage {st}")
     return df, mutated
+
+
+_GO_DUR_PAT = r"(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+
+
+def _go_duration_seconds(raw: Column) -> Column:
+    """`unwrap duration(lbl)`: Go duration string ("1h30m", "250ms") →
+    seconds, as time.ParseDuration does (ref: unwrap.go:9). Pure column
+    expressions: extract (number, unit) components, fold their products.
+    Unparseable values → NULL → the row is dropped (the reference tags
+    __error__ and drops on aggregate)."""
+    nums = F.regexp_extract_all(raw, F.lit(_GO_DUR_PAT), 1)
+    units = F.regexp_extract_all(raw, F.lit(_GO_DUR_PAT), 2)
+
+    def unit_secs(u: Column) -> Column:
+        return (
+            F.when(u == "ns", F.lit(1e-9))
+            .when(u.isin("us", "µs"), F.lit(1e-6))
+            .when(u == "ms", F.lit(1e-3))
+            .when(u == "s", F.lit(1.0))
+            .when(u == "m", F.lit(60.0))
+            .otherwise(F.lit(3600.0))  # h
+        )
+
+    total = F.aggregate(
+        F.zip_with(nums, units, lambda n, u: n.cast("double") * unit_secs(u)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(nums) > 0, total)
+
+
+_BYTES_FACTORS = {
+    "": 1.0, "b": 1.0,
+    "kb": 1e3, "kib": 1024.0,
+    "mb": 1e6, "mib": 1024.0**2,
+    "gb": 1e9, "gib": 1024.0**3,
+    "tb": 1e12, "tib": 1024.0**4,
+    "pb": 1e15, "pib": 1024.0**5,
+}
+
+
+def _humanized_bytes(raw: Column) -> Column:
+    """`unwrap bytes(lbl)`: humanized size ("3MiB", "5 kB") → bytes,
+    as humanize.ParseBytes does (ref: unwrap.go:9). SI units are decimal
+    (kB=1e3), IEC binary (KiB=1024)."""
+    pat = r"^\s*(-?\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[iI]?[bB]?)\s*$"
+    num = F.regexp_extract(raw, pat, 1)
+    unit = F.lower(F.regexp_extract(raw, pat, 2))
+    factor = F.lit(None).cast("double")
+    for u, f_ in reversed(_BYTES_FACTORS.items()):
+        factor = F.when(unit == u, F.lit(f_)).otherwise(factor)
+    return F.when(num != "", num.cast("double") * factor)
 
 
 # ---------------------------------------------------------------- aggs

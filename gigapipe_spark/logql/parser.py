@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
   | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))*)
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:\\.|[^"\\])*"|`[^`]*`)
-  | (?P<op>\|=|\|~|\|>|!=|!~|=~|==|>=|<=|->|[{}(),\[\]|=<>+\-*/%:@])
+  | (?P<op>\|=|\|~|\|>|!=|!~|=~|==|>=|<=|->|[{}(),\[\]|=<>+\-*/%:@^])
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
     """,
     re.VERBOSE,
@@ -283,6 +283,13 @@ class Parser:
         if val == "unwrap":
             self.next()
             _, lbl = self.next()
+            # conversion form: unwrap duration(lbl) / bytes(lbl) —
+            # ref: planner_unwrap.go:10
+            if lbl in ("duration", "duration_seconds", "bytes") and self.at("("):
+                self.next()
+                _, inner = self.next()
+                self.expect(")")
+                return Unwrap(label=inner, fn=lbl)
             return Unwrap(label=lbl)
         if val in ("drop", "keep"):
             self.next()

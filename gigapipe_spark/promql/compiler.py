@@ -616,7 +616,13 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             )
         new_labels = _group_labels_col(e.by, e.without)
         key = F.xxhash64(canonical_labels_str(new_labels))
-        agg = _AGG_FNS[e.fn](F.col("value"))
+        if e.fn == "quantile":
+            # quantile(φ, v) by (...): φ-quantile with linear
+            # interpolation across the group's series, exactly
+            # percentile()'s semantics (upstream quantile agg)
+            agg = F.percentile(F.col("value"), F.lit(e.param))
+        else:
+            agg = _AGG_FNS[e.fn](F.col("value"))
         return (
             inner.withColumn("labels", new_labels)
             .groupBy(key.alias("fingerprint"), "timestamp_ns")
@@ -671,7 +677,10 @@ def _cmp(op: str, l: Column, r: Column) -> Column:
 
 
 def _arith(op: str, l: Column, r: Column) -> Column:
-    return {"+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r}[op]
+    return {
+        "+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r,
+        "^": F.pow(l, r), "atan2": F.atan2(l, r),
+    }[op]
 
 
 def _binop(ctx: PromQLContext, e: PromBinOp) -> DataFrame:

@@ -51,7 +51,7 @@ RANGE_FNS = {
 
 AGG_FNS = {
     "sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
-    "topk", "bottomk", "count_values",
+    "topk", "bottomk", "count_values", "quantile",
 }
 
 SCALAR_FNS = {
@@ -132,7 +132,8 @@ class PromQLParser:
         "and": 2,
         "==": 3, "!=": 3, ">": 3, ">=": 3, "<": 3, "<=": 3,
         "+": 4, "-": 4,
-        "*": 5, "/": 5, "%": 5,
+        "*": 5, "/": 5, "%": 5, "atan2": 5,
+        "^": 6,
     }
 
     def __init__(self, text: str):
@@ -192,7 +193,8 @@ class PromQLParser:
                     group_side = "left" if g == "group_left" else "right"
                     if self.at("("):  # extra labels copied from the one side
                         group_labels = self._label_list()
-            right = self.parse_binop(prec + 1)
+            # ^ is right-associative (upstream promql); all others left
+            right = self.parse_binop(prec if val == "^" else prec + 1)
             left = PromBinOp(
                 op=val, left=left, right=right, bool_modifier=bool_mod,
                 on=on, ignoring=ignoring, group_side=group_side,
@@ -325,7 +327,7 @@ class PromQLParser:
             by, without = self._grouping()
         self.expect("(")
         sparam = None
-        if fn in ("topk", "bottomk"):
+        if fn in ("topk", "bottomk", "quantile"):
             _, k = self.next()
             param = float(k)
             self.expect(",")

@@ -130,6 +130,40 @@ register(
 )
 
 register(
+    # unwrap duration(lbl): Go duration string → seconds (ref:
+    # planner_unwrap.go:10 + unwrap.go:9); the duration label is
+    # synthesized from the json field via label_format
+    "logql_unwrap_duration",
+    "SELECT 'purchase' AS app,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(sum(CAST(json_extract_string(props,'$.k') AS DOUBLE) * 0.001), 6) AS value"
+    " FROM events WHERE event_type='purchase' GROUP BY 2",
+)(
+    _logql(
+        'sum_over_time({app="purchase"} | json'
+        ' | label_format d="{{.k}}ms" | unwrap duration(d) [10m]) by (app)',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
+    # unwrap bytes(lbl): humanized size → bytes (KiB = 1024)
+    "logql_unwrap_bytes",
+    "SELECT 'purchase' AS app,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(sum(CAST(json_extract_string(props,'$.k') AS DOUBLE) * 1024), 6) AS value"
+    " FROM events WHERE event_type='purchase' GROUP BY 2",
+)(
+    _logql(
+        'sum_over_time({app="purchase"} | json'
+        ' | label_format b="{{.k}}KiB" | unwrap bytes(b) [10m]) by (app)',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
     "logql_comparison",
     "SELECT user_id*8+3 AS fingerprint,"
     " (epoch_ns(ts) - epoch_ns(ts) % 300000000000) AS timestamp_ns,"
@@ -532,6 +566,37 @@ register(
     FROM inst GROUP BY 1, 2
     """,
 )(_promql('sum by (app) ({level="info"})', [_lbl("app"), "timestamp_ns", "value"]))
+
+register(
+    # quantile(φ, v) by (lbl) vector aggregation — φ-quantile with linear
+    # interpolation across the group's series per step (supported in the
+    # reference via the embedded engine, prometheus_query_range.go:24-45)
+    "promql_quantile_agg",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT fingerprint, level, (timestamp_ns - timestamp_ns % 60000000000) AS bucket,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app='click' GROUP BY 1, 2, 3
+    )
+    SELECT level, bucket AS timestamp_ns, round(quantile_cont(value, 0.9), 6) AS value
+    FROM inst GROUP BY 1, 2
+    """,
+)(_promql('quantile by (level) (0.9, {app="click"})', [_lbl("level"), "timestamp_ns", "value"]))
+
+register(
+    # ^ (right-associative power) and atan2 binary operators
+    "promql_pow_atan2",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inst AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 60000000000) AS bucket,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app='click' GROUP BY 1, 2
+    )
+    SELECT fingerprint, bucket AS timestamp_ns,
+           round(atan2(pow(value, 0.5), 3.0), 6) AS value
+    FROM inst
+    """,
+)(_promql('{app="click"} ^ 0.5 atan2 3', _FPV))
 
 register(
     "promql_vector_matching_ratio",

@@ -216,3 +216,54 @@ def test_ivf_topk_matches_exact_on_probed_cells(spark):
     # deterministic across runs
     again = simsearch.ivf_topk(emb, qids, k=5, n_cells=4, nprobe=1).collect()
     assert {tuple(r) for r in part} == {tuple(r) for r in again}
+
+
+def test_simhash_banding_recall_exhaustive(spark):
+    # the banded join must return EXACTLY the pairs within max_hamming of
+    # each other (pigeonhole recall guarantee) — brute-force all signature
+    # pairs on a small corpus and compare. The old fixed 4×16-bit banding
+    # missed pairs at distance 4..8 with no shared chunk.
+    d = docs(spark).limit(60)
+    sig = (
+        d.withColumn("__ws", dedup.words_col(F.col("text")))
+        .withColumn("__th", F.transform(F.col("__ws"), lambda w: F.xxhash64(w)))
+        .select(F.col("doc_id").alias("id"), dedup._simhash(F.col("__th")).alias("sig"))
+    )
+    for mh in (3, 6, 8):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_pairs(d, max_hamming=mh).collect()
+        }
+        a = sig.alias("a")
+        b = sig.alias("b")
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= mh
+            )
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        )
+        want = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
+        assert got == want, (mh, got ^ want)
+
+
+def test_simhash_chunk_bounds_geometry():
+    for mh in (0, 3, 6, 8, 70):
+        bounds = dedup._chunk_bounds(mh)
+        assert len(bounds) == min(mh + 1, 64)
+        assert all(w >= 1 for _, w in bounds)  # no empty chunk
+        covered = sum(w for _, w in bounds)
+        assert covered == 64 and bounds[0][0] == 0
+        for (s1, w1), (s2, _w2) in zip(bounds, bounds[1:]):
+            assert s2 == s1 + w1  # contiguous, non-overlapping
+
+
+def test_ivf_fit_no_global_window(spark):
+    # seed selection must be a distributed TakeOrdered, not a
+    # single-partition Window over the corpus
+    emb = views.embeddings(spark, SF_DIR)
+    cents = simsearch.ivf_fit(emb, n_cells=4, iters=1)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert cents.count() == 4
