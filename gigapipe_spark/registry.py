@@ -1336,7 +1336,81 @@ def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- profiles
 
+from gigapipe_spark.api import Engine  # noqa: E402
 from gigapipe_spark.prof.tree import diff_trees, merge_trees  # noqa: E402
+from gigapipe_spark.sources.oracle import PROF_CTE, PROF_SERIES_CTE  # noqa: E402
+
+
+@register(
+    # PlanLabelNames over a selector (ref: prof_transpiler/transpiler.go:10)
+    "prof_label_names",
+    "SELECT * FROM (VALUES ('service_name'), ('status'), ('priority')) t(key)",
+)
+def prof_label_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_label_names(['{service_name=~"svc-1.*"}'])
+
+
+@register(
+    # PlanLabelValues under a regex selector (transpiler.go:18) — the
+    # selector resolves through the series table's global matchers
+    "prof_label_values",
+    f"WITH {PROF_SERIES_CTE} SELECT DISTINCT status AS val FROM prof_series"
+    " WHERE regexp_matches(service_name, 'svc-[12].*')",
+)
+def prof_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_label_values(
+        "status", ['{service_name=~"svc-[12].*"}']
+    )
+
+
+@register(
+    # PlanSelectSeries (transpiler.go:42): stepped per-group series of
+    # the profile sample value; the kv matcher resolves via the GIN
+    "prof_select_series",
+    f"""
+    WITH {PROF_CTE}
+    SELECT priority,
+           (timestamp_ns - timestamp_ns % 2592000000000000) AS timestamp_ns,
+           CAST(sum(value) AS DOUBLE) AS value
+    FROM prof WHERE status = 'F' GROUP BY 1, 2
+    """,
+)
+def prof_select_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_select_series(
+        '{status="F"}', ["priority"], step_ns=2_592_000_000_000_000
+    )
+
+
+@register(
+    # PlanSeries (transpiler.go:74): label sets of matching series —
+    # plain-column projection for the oracle compare
+    "prof_series",
+    f"WITH {PROF_SERIES_CTE} SELECT fingerprint, service_name, status, priority"
+    " FROM prof_series WHERE priority = '1-URGENT'",
+)
+def prof_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = Engine(spark, sf_dir).pyroscope_series(['{priority="1-URGENT"}'])
+    return df.select(
+        "fingerprint",
+        F.col("labels").getItem("service_name").alias("service_name"),
+        F.col("labels").getItem("status").alias("status"),
+        F.col("labels").getItem("priority").alias("priority"),
+    )
+
+
+@register(
+    # PlanAnalyzeQuery (transpiler.go:103): stored-size + series-count
+    # estimate; the fixture's payload proxy is the tree node count
+    "prof_analyze",
+    f"""
+    WITH {PROF_CTE}
+    SELECT CAST(sum(nodes) AS BIGINT) AS profile_size,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS fingerprint_count
+    FROM prof WHERE service_name = 'svc-2-HIGH'
+    """,
+)
+def prof_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_analyze('{service_name="svc-2-HIGH"}')
 
 
 @register(

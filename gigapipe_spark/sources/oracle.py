@@ -85,6 +85,36 @@ spans AS (
 """
 
 
+# Keep in lockstep with views.profiles_series (every order is a profile
+# series) and views.profiles (the fact: only orders with lineitems; the
+# tree is 1 root + one node per distinct returnflag).
+PROF_SERIES_CTE = """
+prof_series AS (
+  SELECT o_orderkey AS fingerprint,
+         'svc-' || o_orderpriority AS service_name,
+         o_orderstatus AS status,
+         o_orderpriority AS priority
+  FROM orders
+)
+"""
+
+PROF_CTE = """
+prof AS (
+  SELECT o.o_orderkey AS fingerprint,
+         epoch_ns(o.o_orderdate) AS timestamp_ns,
+         'svc-' || o.o_orderpriority AS service_name,
+         o.o_orderstatus AS status,
+         o.o_orderpriority AS priority,
+         CAST(floor(o.o_totalprice * 1000) AS BIGINT) AS value,
+         1 + li.nflags AS nodes
+  FROM orders o JOIN (
+    SELECT l_orderkey, count(DISTINCT l_returnflag) AS nflags
+    FROM lineitem GROUP BY 1
+  ) li ON li.l_orderkey = o.o_orderkey
+)
+"""
+
+
 def counter_cte(rng_ns: int, where: str) -> str:
     """Per-bucket consecutive-pair window over metric_samples — the
     oracle-side mirror of the PromQL counter computation."""

@@ -431,6 +431,42 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profiles_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles series dimension (ref profiles_series, profiles.sql:46-57):
+    one row per profile fingerprint with the queryable columns the
+    selector planners match globally (service_name, type_id) plus the
+    tag map. Small (one row per order) — cached, always the broadcast
+    side. Keep in lockstep with oracle.PROF_SERIES_CTE."""
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders")
+        return orders.select(
+            F.col("o_orderkey").alias("fingerprint"),
+            F.lit("process_cpu:cpu:nanoseconds").alias("type_id"),
+            F.concat(F.lit("svc-"), F.col("o_orderpriority")).alias("service_name"),
+            F.create_map(
+                F.lit("service_name"),
+                F.concat(F.lit("svc-"), F.col("o_orderpriority")),
+                F.lit("status"), F.col("o_orderstatus"),
+                F.lit("priority"), F.col("o_orderpriority"),
+            ).alias("labels"),
+        )
+
+    return _cached(spark, sf_dir, "profiles_series", build)
+
+
+def profiles_gin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles label inverted index (ref profiles_series_gin,
+    profiles.sql:60-71) = explode(profiles_series.labels)."""
+
+    def build():
+        return profiles_series(spark, sf_dir).select(
+            "fingerprint", F.explode("labels").alias("key", "val")
+        )
+
+    return _cached(spark, sf_dir, "profiles_gin", build)
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 

@@ -65,3 +65,95 @@ def test_diff_trees(spark):
     assert all(
         row["self_delta"] == row["self_right"] - row["self_left"] for row in d
     )
+
+
+# ------------------------------------------------ selector surface
+
+def test_profile_selector_parse():
+    import pytest
+
+    from gigapipe_spark.prof.selector import (
+        ProfSelectorError,
+        parse_profile_selector,
+    )
+
+    assert parse_profile_selector("{}") == []
+    assert parse_profile_selector("") == []
+    sels = parse_profile_selector('{service_name="svc-1-URGENT", status!="F"}')
+    assert [(s.name, s.op, s.val) for s in sels] == [
+        ("service_name", "=", "svc-1-URGENT"),
+        ("status", "!=", "F"),
+    ]
+    sels = parse_profile_selector('{__name__=~"process.*", priority=`2-HIGH`}')
+    assert sels[0].op == "=~" and sels[1].val == "2-HIGH"
+    with pytest.raises(ProfSelectorError):
+        parse_profile_selector('{status"F"}')
+    with pytest.raises(ProfSelectorError):
+        parse_profile_selector('{status="F"} trailing')
+
+
+def test_profile_fingerprints_global_vs_gin(spark):
+    from gigapipe_spark.prof.selector import (
+        parse_profile_selector,
+        profile_fingerprints,
+    )
+
+    # pseudo-label __name__ matches the type_id head (global matcher)
+    all_fp = profile_fingerprints(
+        spark, SF_DIR, [parse_profile_selector('{__name__="process_cpu"}')]
+    ).count()
+    none_fp = profile_fingerprints(
+        spark, SF_DIR, [parse_profile_selector('{__name__="nope"}')]
+    ).count()
+    total = views.profiles_series(spark, SF_DIR).count()
+    assert all_fp == total and none_fp == 0
+    # kv matcher resolves via the GIN; negation refines
+    urgent = profile_fingerprints(
+        spark, SF_DIR, [parse_profile_selector('{priority="1-URGENT"}')]
+    )
+    got = views.profiles_series(spark, SF_DIR).join(
+        urgent, "fingerprint", "left_semi"
+    )
+    assert got.filter(F.col("service_name") != "svc-1-URGENT").count() == 0
+    neg = profile_fingerprints(
+        spark, SF_DIR, [parse_profile_selector('{priority!="1-URGENT"}')]
+    ).count()
+    assert neg == total - urgent.count()
+
+
+def test_profile_fingerprints_multi_script_union(spark):
+    from gigapipe_spark.prof.selector import (
+        parse_profile_selector,
+        profile_fingerprints,
+    )
+
+    one = profile_fingerprints(
+        spark, SF_DIR, [parse_profile_selector('{priority="1-URGENT"}')]
+    ).count()
+    two = profile_fingerprints(
+        spark,
+        SF_DIR,
+        [
+            parse_profile_selector('{priority="1-URGENT"}'),
+            parse_profile_selector('{priority="2-HIGH"}'),
+        ],
+    ).count()
+    assert two > one  # union of the two scripts, distinct
+
+
+def test_pyroscope_series_filter_labels(spark):
+    from gigapipe_spark.api import Engine
+
+    e = Engine(spark, SF_DIR)
+    df = e.pyroscope_series(['{priority="1-URGENT"}'], label_names=["status"])
+    row = df.first()
+    assert set(row["labels"].keys()) == {"status"}
+
+
+def test_pyroscope_render_with_selector(spark):
+    from gigapipe_spark.api import Engine
+
+    levels = Engine(spark, SF_DIR).pyroscope_render(
+        selector='{service_name="svc-1-URGENT"}'
+    )
+    assert levels and levels[0][0]["fn_id"] == 0
