@@ -1791,6 +1791,35 @@ def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # Elastic single-doc routes /{target}/_doc[/{id}] (ref: elastic.go:9-14):
+    # whole body = line, labels {type: elastic, _index, _id?}
+    "ingest_elastic_doc",
+    """
+    SELECT * FROM (VALUES
+      ('logs-web', '7', '{"msg":"hello"}', 5000000000::BIGINT),
+      ('logs-app', NULL, '{"msg":"noid"}', 6000000000::BIGINT)
+    ) AS t(idx, doc_id, line, timestamp_ns)
+    """,
+)
+def ingest_elastic_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapipe_spark.sources.ingest import elastic_doc
+
+    raw = spark.createDataFrame(
+        [
+            ("logs-web", "7", '{"msg":"hello"}', 5_000_000_000),
+            ("logs-app", None, '{"msg":"noid"}', 6_000_000_000),
+        ],
+        "target string, doc_id string, payload string, ingest_ts_ns long",
+    )
+    return elastic_doc(raw).select(
+        F.col("labels").getItem("_index").alias("idx"),
+        F.col("labels").getItem("_id").alias("doc_id"),
+        F.col("string").alias("line"),
+        "timestamp_ns",
+    )
+
+
+@register(
     "ingest_datadog_cf",
     """
     SELECT * FROM (VALUES

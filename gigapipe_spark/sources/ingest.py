@@ -141,6 +141,32 @@ def elastic_bulk(raw: DataFrame, line_col: str = "line") -> DataFrame:
     return docs.select(*_normalize(labels, ts, message, F.lit(0.0), 1))
 
 
+def elastic_doc(
+    raw: DataFrame,
+    payload_col: str = "payload",
+    target_col: str = "target",
+    id_col: str | None = "doc_id",
+    ingest_ts_col: str = "ingest_ts_ns",
+) -> DataFrame:
+    """Elastic single-document routes /{target}/_doc[/{id}] and
+    /{target}/_create/{id} (ref: elastic.go:9-14 + ElasticUnmarshal
+    elastic.go:29-36): the WHOLE body is the log line; labels are
+    {type: elastic, _index: target} plus _id when the route carries one.
+    The reference stamps arrival time; deterministic here via an
+    ingest-time column the HTTP layer fills."""
+    labels = F.create_map(
+        F.lit("type"), F.lit("elastic"), F.lit("_index"), F.col(target_col)
+    )
+    if id_col is not None and id_col in raw.columns:
+        with_id = F.map_concat(
+            labels, F.create_map(F.lit("_id"), F.col(id_col).cast("string"))
+        )
+        labels = F.when(F.col(id_col).isNotNull(), with_id).otherwise(labels)
+    return raw.select(
+        *_normalize(labels, F.col(ingest_ts_col), F.col(payload_col), F.lit(0.0), 1)
+    )
+
+
 _ZIPKIN_SCHEMA = (
     "array<struct<id: string, traceId: string, parentId: string, name: string,"
     " timestamp: long, duration: long, localEndpoint: struct<serviceName: string>,"

@@ -308,3 +308,76 @@ def test_otlp_profiles_to_tree(spark):
     assert by_fn["main"]["total"] == 8 and by_fn["main"]["self"] == 0
     assert by_fn["work"]["total"] == 5 and by_fn["work"]["self"] == 5
     assert by_fn["+0xff"]["self"] == 3
+
+
+def test_otlp_traces_pb_json_schema_parity(spark):
+    # the pb and JSON OTLP trace paths must stay union-compatible:
+    # same columns, same types, same values for the same logical span
+    import json
+
+    from gigapipe_spark.sources.ingest import otlp_traces
+
+    span = pw.pb_encode(
+        [
+            (1, 2, bytes.fromhex("aa" * 16)),
+            (2, 2, bytes.fromhex("bb" * 8)),
+            (4, 2, bytes.fromhex("cc" * 8)),
+            (5, 2, b"GET /x"),
+            (7, 1, struct.pack("<Q", 1_000_000_000)),
+            (8, 1, struct.pack("<Q", 1_500_000_000)),
+            (9, 2, _kv("http.status", "200")),
+        ]
+    )
+    scope = pw.pb_encode([(2, 2, span)])
+    resource = pw.pb_encode([(1, 2, _kv("service.name", "api"))])
+    rs = pw.pb_encode([(1, 2, resource), (2, 2, scope)])
+    body = pw.pb_encode([(1, 2, rs)])
+    pb_df = pw.otlp_traces_pb(
+        spark.createDataFrame([(bytearray(body),)], "payload binary")
+    )
+    payload = json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "api"}}
+                        ]
+                    },
+                    "scopeSpans": [
+                        {
+                            "spans": [
+                                {
+                                    "traceId": "aa" * 16,
+                                    "spanId": "bb" * 8,
+                                    "parentSpanId": "cc" * 8,
+                                    "name": "GET /x",
+                                    "startTimeUnixNano": "1000000000",
+                                    "endTimeUnixNano": "1500000000",
+                                    "attributes": [
+                                        {
+                                            "key": "http.status",
+                                            "value": {"stringValue": "200"},
+                                        }
+                                    ],
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    json_df = otlp_traces(spark.createDataFrame([(payload,)], "payload string"))
+    # union-compatible: same names and types (nullability may differ —
+    # literal columns are non-nullable)
+    assert [(f.name, f.dataType) for f in pb_df.schema.fields] == [
+        (f.name, f.dataType) for f in json_df.schema.fields
+    ]
+    merged = pb_df.unionByName(json_df)
+    cols = [
+        "trace_id", "span_id", "parent_id", "name",
+        "timestamp_ns", "duration_ns", "service_name", "attrs",
+    ]
+    a, b = [r.asDict() for r in merged.select(*cols).collect()]
+    assert a == b
