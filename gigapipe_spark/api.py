@@ -400,6 +400,19 @@ class Engine:
         scripts = [psel.parse_profile_selector(q) for q in queries] if queries else None
         return psel.series(self.spark, self.sf_dir, scripts, label_names)
 
+    def pyroscope_profile_types(self) -> DataFrame:
+        """/querier.v1.QuerierService/ProfileTypes (ref: service/prof.go:33)."""
+        from gigapipe_spark.prof import selector as psel
+
+        return psel.profile_types(self.spark, self.sf_dir)
+
+    def pyroscope_profile_stats(self) -> DataFrame:
+        """/querier.v1.QuerierService/GetProfileStats (ref:
+        service/prof.go:334)."""
+        from gigapipe_spark.prof import selector as psel
+
+        return psel.profile_stats(self.spark, self.sf_dir)
+
     def pyroscope_analyze(self, selector: str) -> DataFrame:
         """/querier.v1.QuerierService/AnalyzeQuery (ref: transpiler.go:103
         PlanAnalyzeQuery): stored-bytes + series-count estimate for a

@@ -337,3 +337,68 @@ def simhash_pairs(
             "doc_a", "doc_b", "hamming", F.round("jaccard", 6).alias("jaccard")
         )
     return cand
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH bands
+    generate candidates (bucket join, never all-pairs), exact cosine
+    verifies each candidate against `threshold`. Precision is exact
+    (every emitted pair is verified); recall is the hyperplane-LSH
+    collision probability — for near-dup thresholds (≥0.9) a pair shares
+    ≥1 of the 4 bands with ≥98% probability, tunable via n_planes/bands.
+    At scale only (id, band-hash, vec) rows move through the exchange;
+    the signature table is the stored index (same persisted-barrier
+    pattern as MinHash)."""
+    from gigapipe_spark.datapipe.simsearch import _as_double, _dot, _norm, signature_col
+
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("sig", signature_col(F.col("v"), dim, n_planes))
+        .persist()
+    )
+    banded = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * rows)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("h"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "v", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    left = banded.select(
+        "band", "h", F.col("id").alias("doc_a"), F.col("v").alias("va")
+    )
+    right = banded.select(
+        "band", "h", F.col("id").alias("doc_b"), F.col("v").alias("vb")
+    )
+    cand = (
+        left.join(right, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+    )

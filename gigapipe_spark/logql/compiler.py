@@ -602,6 +602,9 @@ def apply_stages(
             df = _apply_drop_keep(df, st)
             mutated = True
         elif isinstance(st, A.Unwrap):
+            if st.label == "__value__":  # | unwrap_value: stored sample value
+                df = df.filter(F.col("value").isNotNull())
+                continue
             raw = (
                 F.col("string")
                 if st.label in ("_entry", "__line__")

@@ -280,6 +280,11 @@ class Parser:
                 if self.at(","):
                     self.next()
             return LabelFormat(actions=actions)
+        if val == "unwrap_value":
+            # qryn extension (model.go:335): the sample's stored numeric
+            # value becomes the unwrapped value — no label lookup
+            self.next()
+            return Unwrap(label="__value__")
         if val == "unwrap":
             self.next()
             _, lbl = self.next()

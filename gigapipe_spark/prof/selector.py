@@ -275,6 +275,43 @@ def series(
     return s
 
 
+def profile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuerierService/ProfileTypes (ref: service/prof.go:33): distinct
+    type_id × sample type/unit, split into ProfileType components. The
+    fixture stores one sample type per profile == the period type/unit
+    (type_id = name:period_type:period_unit)."""
+    p = F.split(F.col("type_id"), ":")
+    return (
+        views.profiles_series(spark, sf_dir)
+        .select("type_id")
+        .distinct()
+        .select(
+            p.getItem(0).alias("name"),
+            p.getItem(1).alias("sample_type"),
+            p.getItem(2).alias("sample_unit"),
+            p.getItem(1).alias("period_type"),
+            p.getItem(2).alias("period_unit"),
+            F.concat_ws(
+                ":", p.getItem(0), p.getItem(1), p.getItem(2), p.getItem(1), p.getItem(2)
+            ).alias("profile_type_id"),
+        )
+    )
+
+
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuerierService/GetProfileStats (ref: service/prof.go:334): one row
+    (data_ingested, oldest/newest profile time in ms)."""
+    return views.profiles(spark, sf_dir).agg(
+        (F.count(F.lit(1)) > 0).alias("data_ingested"),
+        (F.min("timestamp_ns") / F.lit(1_000_000)).cast("long").alias(
+            "oldest_profile_time_ms"
+        ),
+        (F.max("timestamp_ns") / F.lit(1_000_000)).cast("long").alias(
+            "newest_profile_time_ms"
+        ),
+    )
+
+
 def analyze(spark: SparkSession, sf_dir: str, selector: str) -> DataFrame:
     """PlanAnalyzeQuery (transpiler.go:103 + planner_profiles_size.go):
     one row (profile_size, fingerprint_count) for the selection. The

@@ -164,6 +164,22 @@ register(
 )
 
 register(
+    # | unwrap_value: the stored numeric sample value, no label lookup
+    # (qryn grammar extension, logql_parser/model.go:335)
+    "logql_unwrap_value",
+    "SELECT 'purchase' AS app,"
+    " (epoch_ns(ts) - epoch_ns(ts) % 600000000000) AS timestamp_ns,"
+    " round(sum(CAST(value AS DOUBLE)), 6) AS value"
+    " FROM events WHERE event_type='purchase' GROUP BY 2",
+)(
+    _logql(
+        'sum_over_time({app="purchase"} | unwrap_value [10m]) by (app)',
+        [_lbl("app"), "timestamp_ns", "value"],
+        ["value"],
+    )
+)
+
+register(
     "logql_comparison",
     "SELECT user_id*8+3 AS fingerprint,"
     " (epoch_ns(ts) - epoch_ns(ts) % 300000000000) AS timestamp_ns,"
@@ -1399,6 +1415,32 @@ def prof_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # ProfileTypes (service/prof.go:33): distinct type components
+    "prof_profile_types",
+    "SELECT * FROM (VALUES ('process_cpu', 'cpu', 'nanoseconds', 'cpu',"
+    " 'nanoseconds', 'process_cpu:cpu:nanoseconds:cpu:nanoseconds'))"
+    " t(name, sample_type, sample_unit, period_type, period_unit, profile_type_id)",
+)
+def prof_profile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_profile_types()
+
+
+@register(
+    # GetProfileStats (service/prof.go:334)
+    "prof_profile_stats",
+    f"""
+    WITH {PROF_CTE}
+    SELECT count(*) > 0 AS data_ingested,
+           CAST(min(timestamp_ns) / 1000000 AS BIGINT) AS oldest_profile_time_ms,
+           CAST(max(timestamp_ns) / 1000000 AS BIGINT) AS newest_profile_time_ms
+    FROM prof
+    """,
+)
+def prof_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).pyroscope_profile_stats()
+
+
+@register(
     # PlanAnalyzeQuery (transpiler.go:103): stored-size + series-count
     # estimate; the fixture's payload proxy is the tree node count
     "prof_analyze",
@@ -1545,6 +1587,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_pairs(
         _views.documents(spark, sf_dir), max_hamming=3, verify_threshold=0.5
+    )
+
+
+@register("dedup_embedding_cosine")  # LSH recall is probabilistic — rows-only
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings carry no true near-dups (max cos ≈ 0.51),
+    # so the entry runs at the top-pairs threshold with the band geometry
+    # widened to match (8×2 bits — lower per-band selectivity for the
+    # lower threshold; a real ≥0.9 dedup keeps the default 4×4)
+    return _dedup.embedding_cosine_pairs(
+        _views.embeddings(spark, sf_dir), threshold=0.4, bands=8
     )
 
 

@@ -267,3 +267,37 @@ def test_ivf_fit_no_global_window(spark):
     plan = cents._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert cents.count() == 4
+
+
+def test_embedding_cosine_pairs_recall_and_precision(spark):
+    emb = views.embeddings(spark, SF_DIR)
+    # fixture has no ≥0.9 near-dups (max cos ≈ 0.51): run at the
+    # top-pairs threshold with the geometry widened to match
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4, bands=8).collect()
+    }
+    # exact all-pairs oracle via DuckDB
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               list_cosine_similarity(a.v, b.v) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """
+    ).fetchall()
+    want = {(r[0], r[1]): r[2] for r in rows}
+    # precision exact: every emitted pair is a true pair
+    assert set(got) <= set(want)
+    # recall: hyperplane LSH finds ≥90% of true near-dups on the fixture
+    if want:
+        assert len(got) >= 0.9 * len(want)
+        for k, v in got.items():
+            assert abs(v - want[k]) < 1e-4
