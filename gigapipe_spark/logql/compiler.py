@@ -709,14 +709,26 @@ def _absent_over_time(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
     df = scan(ctx, ra.inner, _needs_labels(ra.inner, False))
     df, _ = apply_stages(df, ra.inner)
     rng = ra.range_ns
-    # grid bounds from the full fact table so absence is well-defined
-    all_ts = ctx.samples().select(
-        (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(rng))).alias("b")
-    )
-    bounds = all_ts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.lit(rng))).alias("timestamp_ns")
-    )
+    if ctx.start_ns is not None and ctx.end_ns is not None:
+        # explicit request window: the grid is pure arithmetic over
+        # [start, end) — no scan at all (the reference derives the step
+        # grid from the request params, matrix.go)
+        lo = ctx.start_ns - ctx.start_ns % rng
+        hi = ctx.end_ns - 1
+        grid = ctx.spark.range(1).select(
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(rng))).alias(
+                "timestamp_ns"
+            )
+        )
+    else:
+        # grid bounds from the full fact table so absence is well-defined
+        all_ts = ctx.samples().select(
+            (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(rng))).alias("b")
+        )
+        bounds = all_ts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        grid = bounds.select(
+            F.explode(F.sequence("lo", "hi", F.lit(rng))).alias("timestamp_ns")
+        )
     present = df.select(
         (F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(rng))).alias(
             "timestamp_ns"

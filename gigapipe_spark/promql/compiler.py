@@ -281,19 +281,28 @@ def _range_fn(
         # the selector matched nothing — same grid derivation as
         # absent(), bucketed by the range instead of the step
         df = _selector_samples(ctx, sel)
-        grid = (
-            ctx.metrics()
-            .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
-            .select(
+        if ctx.start_ns is not None and ctx.end_ns is not None:
+            # explicit window: pure-arithmetic grid, no extent scan
+            lo = ctx.start_ns - ctx.start_ns % rng
+            grid = ctx.spark.range(1).select(
                 F.explode(
-                    F.sequence(
-                        F.col("lo") - F.pmod(F.col("lo"), F.lit(rng)),
-                        F.col("hi"),
-                        F.lit(rng),
-                    )
+                    F.sequence(F.lit(lo), F.lit(ctx.end_ns - 1), F.lit(rng))
                 ).alias("timestamp_ns")
             )
-        )
+        else:
+            grid = (
+                ctx.metrics()
+                .agg(F.min("timestamp_ns").alias("lo"), F.max("timestamp_ns").alias("hi"))
+                .select(
+                    F.explode(
+                        F.sequence(
+                            F.col("lo") - F.pmod(F.col("lo"), F.lit(rng)),
+                            F.col("hi"),
+                            F.lit(rng),
+                        )
+                    ).alias("timestamp_ns")
+                )
+            )
         present = df.select(
             _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
         ).distinct()
@@ -434,6 +443,9 @@ _SCALAR_FNS = {
     "sinh": F.sinh,
     "cosh": F.cosh,
     "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
     "deg": F.degrees,
     "rad": F.radians,
 }

@@ -58,7 +58,7 @@ SCALAR_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "round",
     "clamp", "clamp_min", "clamp_max", "sgn",
     "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
-    "deg", "rad",
+    "asinh", "acosh", "atanh", "deg", "rad",
     # sample-timestamp / value-as-unix-seconds extractors
     "timestamp", "hour", "minute", "month", "year",
     "day_of_month", "day_of_week", "day_of_year", "days_in_month",

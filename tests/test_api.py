@@ -164,3 +164,36 @@ def test_loki_series_multi_match_union(engine):
     # overlapping selectors dedup
     overlap = engine.loki_series(['{app="error"}', '{level="error"}']).count()
     assert overlap == a  # level=error == app=error series
+
+
+def test_bounded_absent_over_time_grid_from_window(spark):
+    # with explicit start/end the absence grid derives from the request
+    # window (pure arithmetic), not a full-extent scan
+    from gigapipe_spark.logql.compiler import LogQLContext, query_range
+
+    lo = 1_600_000_000_000_000_000
+    hi = lo + 4 * 3_600_000_000_000  # 4h window, 1h range buckets
+    res = query_range(
+        LogQLContext(spark, SF),
+        'absent_over_time({app="nosuchapp"} [1h])',
+        start_ns=lo,
+        end_ns=hi,
+    )
+    rows = res.df.collect()
+    # selector matches nothing → every bucket in the window is absent
+    assert len(rows) == 4
+    assert all(lo <= r["timestamp_ns"] < hi for r in rows)
+    assert all(r["value"] == 1.0 for r in rows)
+
+
+def test_bounded_prom_absent_over_time_grid(spark):
+    from gigapipe_spark.api import Engine
+
+    lo = 1_600_000_000_000_000_000
+    hi = lo + 3 * 3_600_000_000_000
+    df = Engine(spark, SF).prom_query_range(
+        'absent_over_time({app="nosuchapp"}[1h])', start_ns=lo, end_ns=hi
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(lo <= r["timestamp_ns"] < hi for r in rows)

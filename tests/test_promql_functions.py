@@ -239,3 +239,18 @@ def test_scalar_fn(spark):
 
     bad = _q(spark, 'scalar(sum by (app) (count_over_time({level="info"}[1d])))')
     assert all(m.isnan(r["value"]) for r in bad.collect())
+
+
+def test_inverse_hyperbolic_fns(spark):
+    import math
+
+    # asinh is total; verify against math.asinh on a known sample
+    row = _q(spark, 'asinh(sgn(last_over_time({app="click"}[1h])))').select("value").first()
+    assert min(
+        abs(row["value"] - x) for x in (0.0, math.asinh(1.0), math.asinh(-1.0))
+    ) < 1e-12
+    # acosh(x>=1) / atanh(|x|<1) defined on the sgn outputs used
+    row = _q(spark, 'acosh(sgn(last_over_time({app="click"}[1h])) * 0 + 1)').first()
+    assert row["value"] == 0.0
+    row = _q(spark, 'atanh(sgn(last_over_time({app="click"}[1h])) * 0)').first()
+    assert row["value"] == 0.0
