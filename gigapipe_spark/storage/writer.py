@@ -79,6 +79,43 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     gin.write.mode("append").partitionBy("date").parquet(catalog.path("gin"))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    bucket_col: str = "fingerprint",
+    sort_cols: tuple[str, ...] = ("fingerprint", "timestamp_ns"),
+) -> None:
+    """Bucketed + sorted stored layout for the fact tables.
+
+    Hash-bucketing on fingerprint makes the scan report
+    HashPartitioning(fingerprint), so every per-series operator that
+    requires that distribution — counter windows (rate/increase/resets
+    lag), gap-fill forward-fills, holt_winters folds — runs with NO
+    Exchange: the shuffle that dominates those plans at 100 TB
+    disappears into the storage layout (the MergeTree ORDER BY analog,
+    SURVEY §1.2; same role as the reference's per-shard
+    ORDER BY (fingerprint, timestamp_ns)). In-file sort by
+    (fingerprint, timestamp_ns) additionally feeds parquet min/max
+    stats for row-group skipping.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read preserving the bucket spec (a plain
+    spark.read.parquet(path) would lose HashPartitioning)."""
+    return spark.table(table)
+
+
 def stream_fanout(decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
                   trigger_seconds: int = 5):
     """Streaming ingest: micro-batch fan-out via foreachBatch — the

@@ -117,3 +117,24 @@ def test_prom_query_range_bound_below_rate(spark, tmp_path):
         "timestamp_ns" in ln and ("GreaterThan" in ln or "LessThan" in ln)
         for ln in pushed
     ), pushed
+
+
+def test_bucketed_samples_window_no_exchange(spark, tmp_path):
+    # the bucketed stored layout must satisfy the per-series window's
+    # required distribution: NO Exchange in a counter-style lag plan
+    from pyspark.sql import Window
+
+    from gigapipe_spark.storage import writer
+
+    s = views.samples(spark, SF_DIR)
+    writer.write_bucketed(
+        s, "samples_bucketed_t", str(tmp_path / "sb"), buckets=8
+    )
+    t = writer.read_bucketed(spark, "samples_bucketed_t")
+    w = Window.partitionBy("fingerprint").orderBy("timestamp_ns")
+    out = t.select(
+        "fingerprint", "timestamp_ns", F.lag("value").over(w).alias("prev")
+    )
+    plan = _plan(out)
+    assert "Window" in plan and "Exchange" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS samples_bucketed_t")
