@@ -336,6 +336,17 @@ class Engine:
         compiler dispatches `| rate()` etc. to the metrics stage)."""
         return _traceql_query(self.tracectx(), q)
 
+    def tempo_metrics_query_instant(
+        self, q: str, start_ns: int | None = None, end_ns: int | None = None
+    ) -> DataFrame:
+        """/api/metrics/query — one aggregate per by-group over the whole
+        window (ref: MetricsQueryInstant tempo.go:528 +
+        BuildMetricsInstantQuery metrics_query.go:143)."""
+        from gigapipe_spark.traceql.compiler import metrics_instant
+        from gigapipe_spark.traceql.parser import parse
+
+        return metrics_instant(self.tracectx(), parse(q), start_ns, end_ns)
+
     # ------------------------------------------------------ Pyroscope
     def _profiles(self, service: str | None, selector: str | None = None) -> DataFrame:
         prof = views.profiles(self.spark, self.sf_dir)

@@ -996,6 +996,70 @@ register(
     ),
 )(_traceql('{ name = "item" } | rate()', cols=("timestamp_ns", "value"), round_cols=("value",)))
 
+register(
+    # metrics with by() grouping (metrics_query.go resolvedByLabels)
+    "traceql_metrics_by",
+    with_spans(
+        """
+        SELECT returnflag,
+               (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM spans WHERE name = 'item' GROUP BY 1, 2
+        """
+    ),
+)(
+    _traceql(
+        '{ name = "item" } | count_over_time() by (returnflag)',
+        cols=("returnflag", "timestamp_ns", "value"),
+    )
+)
+
+register(
+    # metrics over a NAMED attr target (buildAggExpr aggregates the
+    # selected attribute, not duration)
+    "traceql_metrics_avg_attr",
+    with_spans(
+        """
+        SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+               round(avg(CAST(quantity AS DOUBLE)), 6) AS value
+        FROM spans WHERE name = 'item' GROUP BY 1
+        """
+    ),
+)(
+    _traceql(
+        '{ name = "item" } | avg_over_time(quantity)',
+        cols=("timestamp_ns", "value"),
+        round_cols=("value",),
+    )
+)
+
+
+@register(
+    # instant metrics: ONE aggregate per by-group over the whole window
+    # (BuildMetricsInstantQuery metrics_query.go:143)
+    "traceql_metrics_instant",
+    with_spans(
+        """
+        SELECT returnflag,
+               round(count(*) / 315446400.0, 6) AS value
+        FROM spans
+        WHERE name = 'item' AND timestamp_ns >= 694224000000000000
+          AND timestamp_ns < 1009670400000000000
+        GROUP BY 1
+        """
+    ),
+)
+def traceql_metrics_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window: 1992-01-01 .. 2001-12-30 (fixed constants spanning the
+    # TPC-H date range) → window seconds = 315360000
+    df = Engine(spark, sf_dir).tempo_metrics_query_instant(
+        '{ name = "item" } | rate() by (returnflag)',
+        start_ns=694_224_000_000_000_000,
+        end_ns=1_009_670_400_000_000_000,
+    )
+    return df.select("returnflag", F.round("value", 6).alias("value"))
+
+
 @register(
     "traceql_metrics_quantile",
     with_spans(

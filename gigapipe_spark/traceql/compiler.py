@@ -434,37 +434,135 @@ def assemble_traces(ctx: TraceQLContext, spans: DataFrame) -> DataFrame:
     )
 
 
+def _attr_colname(attr: str) -> str:
+    return "__attr_" + attr.replace(".", "_")
+
+
+def _with_span_attrs(
+    ctx: TraceQLContext, spans: DataFrame, attrs: list[str]
+) -> DataFrame:
+    """Attach the NAMED (non-intrinsic) span attributes as columns via
+    ONE join against the per-span attr map."""
+    named = sorted({a for a in attrs if a and a not in _INTRINSIC_COLS})
+    if not named:
+        return spans
+    amap = views.span_attr_map(ctx.spark, ctx.sf_dir).select(
+        "trace_id",
+        "span_id",
+        *[F.col("attrs").getItem(a).alias(_attr_colname(a)) for a in named],
+    )
+    return spans.join(amap, ["trace_id", "span_id"], "left")
+
+
+def _attr_ref(attr: str) -> Column:
+    if attr in _INTRINSIC_COLS:
+        return F.col(_INTRINSIC_COLS[attr])
+    return F.col(_attr_colname(attr))
+
+
+def _metrics_prep(
+    ctx: TraceQLContext, spans: DataFrame, m: MetricsStage
+) -> tuple[DataFrame, Column, list[Column]]:
+    """(spans+needed attrs, target column, by-group columns) for a
+    metrics stage — the target is the NAMED attr when one is given
+    (ref: metrics_query.go buildAggExpr aggregates the selected attr)."""
+    needed = list(m.by)
+    if m.attr not in (None, "duration"):
+        needed.append(m.attr)
+    spans = _with_span_attrs(ctx, spans, needed)
+    target = (
+        F.col("duration_ns")
+        if m.attr in (None, "duration")
+        else _attr_ref(m.attr).cast("double")
+    )
+    by_cols = [_attr_ref(b).alias(b.replace(".", "_")) for b in m.by]
+    return spans, target, by_cols
+
+
+_METRICS_AGGS = {
+    "count_over_time": lambda target, win_s: F.count(F.lit(1)).cast("double"),
+    "rate": lambda target, win_s: F.count(F.lit(1)) / win_s,
+    "avg_over_time": lambda target, win_s: F.avg(target),
+    "min_over_time": lambda target, win_s: F.min(target).cast("double"),
+    "max_over_time": lambda target, win_s: F.max(target).cast("double"),
+    "sum_over_time": lambda target, win_s: F.sum(target).cast("double"),
+}
+
+
 def _metrics(ctx: TraceQLContext, spans: DataFrame, m: MetricsStage) -> DataFrame:
     step = m.step_ns or ctx.step_ns
     bucket = (
         F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(step))
     ).alias("timestamp_ns")
-    target = F.col("duration_ns")
-    if m.fn == "rate":
-        return spans.groupBy(bucket).agg(
-            (F.count(F.lit(1)) / F.lit(step / 1e9)).alias("value")
-        )
-    if m.fn == "count_over_time":
-        return spans.groupBy(bucket).agg(F.count(F.lit(1)).cast("double").alias("value"))
-    if m.fn == "avg_over_time":
-        return spans.groupBy(bucket).agg(F.avg(target).alias("value"))
-    if m.fn == "min_over_time":
-        return spans.groupBy(bucket).agg(F.min(target).cast("double").alias("value"))
-    if m.fn == "max_over_time":
-        return spans.groupBy(bucket).agg(F.max(target).cast("double").alias("value"))
+    spans, target, by_cols = _metrics_prep(ctx, spans, m)
+    group = [*by_cols, bucket]
+    if m.fn in _METRICS_AGGS:
+        agg = _METRICS_AGGS[m.fn](target, F.lit(step / 1e9))
+        return spans.groupBy(*group).agg(agg.alias("value"))
     if m.fn == "quantile_over_time":
-        return spans.groupBy(bucket).agg(
+        return spans.groupBy(*group).agg(
             F.percentile(target, F.lit(m.param)).alias("value")
         )
     if m.fn == "histogram_over_time":
-        # log2 duration buckets (ref: metrics_query.go:501)
+        # log2 buckets over the target (ref: metrics_query.go:501)
         exp = F.floor(F.log2(target.cast("double"))).cast("long")
         return (
             spans.withColumn("le", F.pow(F.lit(2.0), exp))
-            .groupBy(bucket, "le")
+            .groupBy(*group, "le")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
     raise NotImplementedError(f"metrics fn {m.fn}")
+
+
+def metrics_instant(
+    ctx: TraceQLContext,
+    script: TraceQLScript,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+) -> DataFrame:
+    """/api/metrics/query — ONE aggregate over the whole [start, end)
+    window per by-group (ref: BuildMetricsInstantQuery,
+    metrics_query.go:143: value = agg over the window; rate divides by
+    the window seconds). Without explicit bounds the window is the
+    matched spans' extent (derived lazily, no driver action)."""
+    from dataclasses import replace as _dc_replace
+
+    m = script.metrics
+    if m is None:
+        raise ValueError("instant metrics query needs a metrics stage")
+    bare = _dc_replace(script, metrics=None, topk=None, select_attrs=[])
+    spans = compile_script(ctx, bare)
+    if start_ns is not None:
+        spans = spans.filter(F.col("timestamp_ns") >= start_ns)
+    if end_ns is not None:
+        spans = spans.filter(F.col("timestamp_ns") < end_ns)
+    ext = spans.agg(
+        ((F.max("timestamp_ns") - F.min("timestamp_ns")) / 1e9).alias("__win_s")
+    )
+    spans, target, by_cols = _metrics_prep(ctx, spans, m)
+    by_names = [b.replace(".", "_") for b in m.by]
+    if m.fn == "rate":
+        cnt = (
+            spans.groupBy(*by_cols).agg(F.count(F.lit(1)).alias("__n"))
+            if by_cols
+            else spans.agg(F.count(F.lit(1)).alias("__n"))
+        )
+        if start_ns is not None and end_ns is not None:
+            win = F.lit(max((end_ns - start_ns) / 1e9, 1.0))
+        else:
+            # lazy extent: 1-row agg cross-joined in (no driver action)
+            cnt = cnt.crossJoin(F.broadcast(ext))
+            win = F.greatest(F.col("__win_s"), F.lit(1.0))
+        return cnt.select(*by_names, (F.col("__n") / win).alias("value"))
+    if m.fn in _METRICS_AGGS:
+        agg = _METRICS_AGGS[m.fn](target, F.lit(1.0))
+    elif m.fn == "quantile_over_time":
+        agg = F.percentile(target, F.lit(m.param))
+    else:
+        raise NotImplementedError(f"instant metrics fn {m.fn}")
+    if by_cols:
+        return spans.groupBy(*by_cols).agg(agg.alias("value"))
+    return spans.agg(agg.alias("value"))
 
 
 def compare_attrs(ctx: TraceQLContext, sel: SpanSelector, top_n: int = 10) -> DataFrame:

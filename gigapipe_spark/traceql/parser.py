@@ -225,6 +225,22 @@ class TraceQLParser:
             raise TraceQLSyntaxError(f"bad attr value {v!r}")
         return AttrCmp(attr=_norm_attr(attr), op=op, value=value, kind=k)
 
+    def _maybe_metrics_by(self, script: TraceQLScript) -> None:
+        """Optional `by (attr, ...)` grouping after a metrics function
+        (ref: metrics_query.go resolvedByLabels)."""
+        if not self.at("by"):
+            return
+        self.next()
+        self.expect("(")
+        labels: list[str] = []
+        while not self.at(")"):
+            _, lbl = self.next()
+            labels.append(_norm_attr(lbl))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        script.metrics.by = labels
+
     def parse_pipeline_stage(self, script: TraceQLScript) -> None:
         kind, fn = self.next()
         if fn == "select":
@@ -261,6 +277,7 @@ class TraceQLParser:
                 attr = _norm_attr(attr)
             self.expect(")")
             script.metrics = MetricsStage(fn=fn, attr=attr)
+            self._maybe_metrics_by(script)
             return
         if fn in ("quantile_over_time", "histogram_over_time"):
             self.expect("(")
@@ -272,6 +289,14 @@ class TraceQLParser:
                 param = float(p)
             self.expect(")")
             script.metrics = MetricsStage(fn=fn, attr=_norm_attr(attr), param=param)
+            self._maybe_metrics_by(script)
+            return
+        if fn == "sum_over_time":
+            self.expect("(")
+            _, attr = self.next()
+            self.expect(")")
+            script.metrics = MetricsStage(fn=fn, attr=_norm_attr(attr))
+            self._maybe_metrics_by(script)
             return
         if fn in ("topk", "bottomk"):
             # second stage over metrics series (ref: SecondPipelineStage,
