@@ -331,6 +331,38 @@ class Engine:
             .distinct()
         )
 
+    # classification rules for the v2 scoped-tags response
+    # (ref: controller/tempo.go TagsV2:231-258)
+    _RESOURCE_TAG_PREFIXES = (
+        "service.", "telemetry.", "deployment.", "host.", "os.", "process.",
+        "container.", "k8s.", "cloud.", "faas.", "device.", "webengine.",
+    )
+    _RESOURCE_TAG_EXACT = ("instance", "local_endpoint_service_name")
+    _INTRINSIC_TAGS = (
+        "duration", "name", "status", "statusMessage", "kind",
+        "rootName", "rootServiceName", "traceDuration",
+    )
+
+    def tempo_tags_v2(self) -> DataFrame:
+        """/api/v2/search/tags — tags grouped into resource / span /
+        intrinsic scopes (ref: TagsV2 tempo.go:181: known OTel resource
+        prefixes + exact names → resource, the rest → span, plus the
+        fixed intrinsic list)."""
+        keys = self.tracectx().attrs().select("key").distinct()
+        is_resource = F.col("key").isin(*self._RESOURCE_TAG_EXACT)
+        for p in self._RESOURCE_TAG_PREFIXES:
+            is_resource = is_resource | F.col("key").startswith(p)
+        scoped = keys.select(
+            F.when(is_resource, F.lit("resource")).otherwise(F.lit("span")).alias(
+                "scope"
+            ),
+            F.col("key").alias("tag"),
+        )
+        intrinsics = self.spark.createDataFrame(
+            [("intrinsic", t) for t in self._INTRINSIC_TAGS], "scope string, tag string"
+        )
+        return scoped.unionByName(intrinsics)
+
     def tempo_metrics_query_range(self, q: str) -> DataFrame:
         """/api/metrics/query_range — TraceQL metrics pipeline (the
         compiler dispatches `| rate()` etc. to the metrics stage)."""

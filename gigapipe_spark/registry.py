@@ -703,6 +703,25 @@ def traceql_tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # v2 scoped tags (ref: TagsV2 tempo.go:181): resource/span/intrinsic
+    "traceql_tags_v2",
+    """
+    SELECT * FROM (VALUES
+      ('resource', 'service.name'),
+      ('span', 'name'), ('span', 'status'), ('span', 'priority'),
+      ('span', 'returnflag'), ('span', 'linestatus'), ('span', 'quantity'),
+      ('intrinsic', 'duration'), ('intrinsic', 'name'), ('intrinsic', 'status'),
+      ('intrinsic', 'statusMessage'), ('intrinsic', 'kind'),
+      ('intrinsic', 'rootName'), ('intrinsic', 'rootServiceName'),
+      ('intrinsic', 'traceDuration')
+    ) t(scope, tag)
+    """,
+)
+def traceql_tags_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).tempo_tags_v2()
+
+
+@register(
     "traceql_tag_values",
     # values autocomplete for one key, filtered by a selector
     # (ref: select_values_planner.go)
