@@ -276,8 +276,11 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
         # parent chains resolved by iterative join to fixpoint with a
         # depth cap (fixture traces are depth ≤ 2, cap at 8 for safety).
         anc = _ancestors(ctx, right, spans)
+        # the matching-span set is selector output (dimension-sized) —
+        # broadcast it under the complexity gate so the closure never
+        # shuffles on (trace_id, anc_id)
         matched = anc.join(
-            left.withColumnRenamed("span_id", "anc_id"),
+            _small_side(ctx, left.withColumnRenamed("span_id", "anc_id")),
             ["trace_id", "anc_id"],
             "left_semi",
         ).select("trace_id", "span_id")
@@ -292,7 +295,7 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
         res = (
             anc.withColumnRenamed("span_id", "desc_id")
             .withColumnRenamed("anc_id", "span_id")
-            .join(right, ["trace_id", "span_id"], "left_semi")
+            .join(_small_side(ctx, right), ["trace_id", "span_id"], "left_semi")
             .select("trace_id", "span_id")
             .distinct()
         )
@@ -323,7 +326,7 @@ def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame) -> Da
     closure (views.span_ancestors) instead of an iterative per-query
     parent walk — the closure is the stored hierarchy index at scale."""
     closure = views.span_ancestors(ctx.spark, ctx.sf_dir)
-    return closure.join(span_set, ["trace_id", "span_id"], "left_semi")
+    return closure.join(_small_side(ctx, span_set), ["trace_id", "span_id"], "left_semi")
 
 
 _CMP = {
