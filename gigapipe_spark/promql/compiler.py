@@ -276,6 +276,22 @@ def _range_fn(
     if not isinstance(sel, VectorSelector) or sel.range_ns is None:
         raise ValueError(f"{fn.fn} expects a range vector selector")
     rng = sel.range_ns
+    if fn.fn in ("deriv", "predict_linear", "holt_winters",
+                 "double_exponential_smoothing"):
+        from gigapipe_spark.promql import functions as _pf
+
+        df = _selector_samples(ctx, sel)
+        if fn.fn == "deriv":
+            return _pf.deriv(df, rng)
+        if fn.fn == "predict_linear":
+            return _pf.predict_linear(df, rng, fn.param or 0.0)
+        out = _pf.holt_winters(df, fn.param, fn.param2, rng)
+        series = views.time_series(ctx.spark, ctx.sf_dir).select(
+            "fingerprint", "labels"
+        )
+        return out.join(F.broadcast(series), "fingerprint", "left").select(
+            "fingerprint", "labels", "timestamp_ns", "value"
+        )
     if fn.fn == "absent_over_time":
         # 1 for every range bucket (over the store's time extent) where
         # the selector matched nothing — same grid derivation as

@@ -47,6 +47,10 @@ RANGE_FNS = {
     "stddev_over_time",
     "stdvar_over_time",
     "quantile_over_time",
+    "deriv",
+    "predict_linear",
+    "holt_winters",
+    "double_exponential_smoothing",  # Prometheus 3 name for holt_winters
 }
 
 AGG_FNS = {

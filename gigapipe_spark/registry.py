@@ -1258,7 +1258,7 @@ from gigapipe_spark.sources import views  # noqa: E402
     """,
 )
 def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _pf.deriv(_metric_with_labels(spark, sf_dir), 3_600_000_000_000)
+    df = promql_query(PromQLContext(spark, sf_dir), "deriv({__name__=~\".*\"}[1h])")
     return df.select("fingerprint", "timestamp_ns", F.round("value", 6).alias("value"))
 
 
@@ -1274,7 +1274,9 @@ def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _pf.predict_linear(_metric_with_labels(spark, sf_dir), 3_600_000_000_000, 300.0)
+    df = promql_query(
+        PromQLContext(spark, sf_dir), "predict_linear({__name__=~\".*\"}[1h], 300)"
+    )
     return df.select("fingerprint", "timestamp_ns", F.round("value", 4).alias("value"))
 
 
@@ -1304,8 +1306,11 @@ def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = views.metric_samples(spark, sf_dir).select("fingerprint", "timestamp_ns", "value")
-    return _pf.holt_winters(m, sf=0.5, tf=0.5, range_ns=3_600_000_000_000)
+    df = promql_query(
+        PromQLContext(spark, sf_dir),
+        'holt_winters({__name__=~".*"}[1h], 0.5, 0.5)',
+    )
+    return df.select("fingerprint", "timestamp_ns", "value")
 
 
 @register(
