@@ -477,6 +477,18 @@ class Engine:
         rows = merge_trees(self._profiles(service, selector)).collect()
         return flamegraph_levels(rows)
 
+    # ------------------------------------------------------ misc
+    def buildinfo(self) -> dict:
+        """/api/v1/status/buildinfo (ref: controller/misc.go:44) — static
+        version envelope."""
+        from gigapipe_spark import __version__
+
+        return {"status": "success", "data": {"version": __version__}}
+
+    def tempo_echo(self) -> str:
+        """/api/echo (ref: router/tempo.go:21) — health probe."""
+        return "echo"
+
     def pyroscope_render_diff(self, left_service: str, right_service: str) -> DataFrame:
         """/pyroscope/render-diff — node-aligned left/right/self deltas."""
         from gigapipe_spark.prof.tree import diff_trees, merge_trees

@@ -197,3 +197,19 @@ def test_bounded_prom_absent_over_time_grid(spark):
     rows = df.collect()
     assert len(rows) == 3
     assert all(lo <= r["timestamp_ns"] < hi for r in rows)
+
+
+def test_misc_endpoints(engine):
+    info = engine.buildinfo()
+    assert info["status"] == "success" and "version" in info["data"]
+    assert engine.tempo_echo() == "echo"
+
+
+def test_tempo_tags_v2_scopes(engine):
+    rows = engine.tempo_tags_v2().collect()
+    scopes = {r["scope"] for r in rows}
+    assert scopes == {"resource", "span", "intrinsic"}
+    by_scope = {s: {r["tag"] for r in rows if r["scope"] == s} for s in scopes}
+    assert "service.name" in by_scope["resource"]
+    assert "duration" in by_scope["intrinsic"]
+    assert "returnflag" in by_scope["span"]
