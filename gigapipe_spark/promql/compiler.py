@@ -346,6 +346,8 @@ def _range_fn(
                 .select("fingerprint", "labels", "timestamp_ns", "value")
             )
         return out
+    if group is None and _counter_rollup_eligible(ctx, fn, sel):
+        return _counter_fn_rollup(ctx, fn, sel)
     df = _selector_samples(ctx, sel)
     if group is not None:
         # agg/range commute (ref: optimizer/vector_agg.go — the vector
@@ -391,6 +393,87 @@ def _range_fn(
         )
         return _counter_agg(df, b, bucket, rng, fn.fn)
     raise NotImplementedError(f"range fn {fn.fn}")
+
+
+_ROLLUP_COUNTERS = {"rate", "increase", "delta", "resets", "changes"}
+
+
+def _counter_rollup_eligible(ctx: PromQLContext, fn: FnCall, sel) -> bool:
+    return (
+        ctx.use_rollup
+        and fn.fn in _ROLLUP_COUNTERS
+        and isinstance(sel, VectorSelector)
+        and sel.range_ns is not None
+        and sel.range_ns % ROLLUP_NS == 0
+        and sel.offset_ns % ROLLUP_NS == 0
+        and sel.at_ns is None
+    )
+
+
+def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> DataFrame:
+    """Counter functions served from metrics_15s partials — exact, not
+    approximate: a range bucket's consecutive-sample pairs are the
+    intra-cell pairs (the rollup's reset_amt/resets/changes partials)
+    plus the cell-boundary pairs, recovered with ONE lag over the 15×
+    reduced cell rows. first/last per bucket come from the cells' own
+    first/last. Reads ~1/15th the rows of the raw path (ref shape:
+    prom_queryable.go downsample routing; partials beyond the reference's
+    set, same MV pattern)."""
+    from gigapipe_spark.logql import ast as LA
+    from gigapipe_spark.logql.compiler import fingerprints
+
+    matchers = list(sel.matchers)
+    if sel.name:
+        matchers.append(LA.Matcher(label="__name__", op="=", value=sel.name))
+    cells = ctx.bound_scan(ctx.rollup())
+    if matchers:
+        fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
+        cells = cells.join(F.broadcast(fps), "fingerprint", "inner")
+    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    cells = cells.join(F.broadcast(series), "fingerprint", "left")
+    if sel.offset_ns:
+        cells = cells.withColumn(
+            "timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns)
+        )
+    rng = sel.range_ns
+    bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
+    w = Window.partitionBy("fingerprint", _bucket(F.col("timestamp_ns"), rng)).orderBy(
+        "timestamp_ns"
+    )
+    prev_last = F.lag("last").over(w)
+    boundary_reset_amt = F.when(
+        prev_last > F.col("first"), prev_last
+    ).otherwise(F.lit(0.0))
+    boundary_reset = F.when(prev_last > F.col("first"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    boundary_change = F.when(
+        prev_last.isNotNull() & (prev_last != F.col("first")), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    df2 = (
+        cells.withColumn("__b_reset_amt", boundary_reset_amt)
+        .withColumn("__b_reset", boundary_reset)
+        .withColumn("__b_change", boundary_change)
+    )
+    grouped = df2.groupBy("fingerprint", bucket).agg(
+        F.min_by("first", "timestamp_ns").alias("__first"),
+        F.max_by("last", "timestamp_ns").alias("__last"),
+        (F.sum("reset_amt") + F.sum("__b_reset_amt")).alias("__resets_amt"),
+        (F.sum("resets") + F.sum("__b_reset")).alias("__resets"),
+        (F.sum("changes") + F.sum("__b_change")).alias("__changes"),
+        F.first("labels").alias("labels"),
+    )
+    increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
+    value = {
+        "increase": increase,
+        "rate": increase / F.lit(rng / 1e9),
+        "delta": F.col("__last") - F.col("__first"),
+        "resets": F.col("__resets"),
+        "changes": F.col("__changes"),
+    }[fn.fn]
+    return grouped.select(
+        "fingerprint", "labels", "timestamp_ns", value.alias("value")
+    )
 
 
 def _counter_agg(

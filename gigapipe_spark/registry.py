@@ -1208,28 +1208,43 @@ register(
 @register(
     "rollup_metrics_15s",
     """
-    SELECT fingerprint,
-           (timestamp_ns - timestamp_ns % 15000000000) AS timestamp_ns,
+    WITH raw AS (
+      SELECT user_id*8 + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS fingerprint,
+             epoch_ns(ts) AS timestamp_ns, CAST(value AS DOUBLE) AS value,
+             props AS string FROM events
+    ), d AS (
+      SELECT *, (timestamp_ns - timestamp_ns % 15000000000) AS cell,
+             lag(value) OVER (PARTITION BY fingerprint,
+                              (timestamp_ns - timestamp_ns % 15000000000)
+                              ORDER BY timestamp_ns, value) AS prev
+      FROM raw
+    )
+    SELECT fingerprint, cell AS timestamp_ns,
            round(max(value), 6) AS max, round(min(value), 6) AS min,
            count(*) AS count, round(sum(value), 6) AS sum,
            round(CAST(sum(length(string)) AS DOUBLE), 6) AS bytes,
-           round(max_by(value, timestamp_ns), 6) AS last
-    FROM (SELECT user_id*8 + CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
-                 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS fingerprint,
-                 epoch_ns(ts) AS timestamp_ns, CAST(value AS DOUBLE) AS value,
-                 props AS string FROM events)
-    GROUP BY 1, 2
+           round(max_by(value, timestamp_ns), 6) AS last,
+           round(min_by(value, timestamp_ns), 6) AS first,
+           round(sum(CASE WHEN prev > value THEN prev ELSE 0 END), 6) AS reset_amt,
+           CAST(sum(CASE WHEN prev > value THEN 1 ELSE 0 END) AS DOUBLE) AS resets,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev != value THEN 1 ELSE 0 END)
+                AS DOUBLE) AS changes
+    FROM d GROUP BY 1, 2
     """,
 )
 def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 15s downsample table build (ref: ClickHouse MV log.sql:96-107;
-    Spark = one groupBy with re-aggregable partials, streaming variant in
-    streaming/rollup.py)."""
+    Spark = one groupBy with re-aggregable partials — including the
+    counter partials that let rate/increase run from cells — streaming
+    variant in streaming/rollup.py)."""
     from gigapipe_spark.streaming.rollup import rollup_15s_batch
     from gigapipe_spark.sources import views
 
     df = rollup_15s_batch(views.samples(spark, sf_dir))
-    return _rounded(df.drop("type"), "max", "min", "sum", "bytes", "last")
+    return _rounded(
+        df.drop("type"), "max", "min", "sum", "bytes", "last", "first", "reset_amt"
+    )
 
 
 # ------------------------------------------------------- PromQL long tail

@@ -49,3 +49,39 @@ def test_rollup_plan_reads_partials(spark):
     )
     # the rollup path aggregates the partial columns, not raw value
     assert "sum#" in plan or "sum(" in plan.lower()
+
+
+def test_counter_rollup_path_matches_raw(spark):
+    # rate/increase/resets/changes served from the 15s cells must equal
+    # the raw-scan computation exactly (intra-cell partials + boundary
+    # pairs reconstruct every consecutive-sample pair)
+    from gigapipe_spark.promql.compiler import PromQLContext, query
+
+    for q in [
+        'rate({app="click"}[10m])',
+        'increase({app="click"}[1h])',
+        'resets({app="click"}[30m])',
+        'changes({app="click"}[30m])',
+        'delta({app="click"}[30m])',
+    ]:
+        via_rollup = query(PromQLContext(spark, SF_DIR), q)
+        raw = query(PromQLContext(spark, SF_DIR, use_rollup=False), q)
+        a = {
+            (r["fingerprint"], r["timestamp_ns"]): round(r["value"], 9)
+            for r in via_rollup.collect()
+        }
+        b = {
+            (r["fingerprint"], r["timestamp_ns"]): round(r["value"], 9)
+            for r in raw.collect()
+        }
+        assert a == b, q
+
+
+def test_counter_rollup_is_used(spark):
+    # plan sanity: the rollup route must actually engage (its plan reads
+    # the cell partials, visible as the reset_amt column reference)
+    from gigapipe_spark.promql.compiler import PromQLContext, query
+
+    m = query(PromQLContext(spark, SF_DIR), 'rate({app="click"}[10m])')
+    plan = m._jdf.queryExecution().optimizedPlan().toString()
+    assert "reset_amt" in plan
