@@ -64,6 +64,7 @@ def main() -> None:
     views.span_attrs(spark, sf_dir).count()
     views.span_ancestors(spark, sf_dir).count()
     views.span_attr_map(spark, sf_dir).count()
+    views.rollup_15s(spark, sf_dir).count()
     qs = registry.queries()
     # JIT warmup: run every headline query once at the smallest SF so the
     # JVM compiles the expression/codegen paths before timing. Nothing at

@@ -81,12 +81,11 @@ class PromQLContext:
         return self._metrics
 
     def rollup(self) -> DataFrame:
-        """The metrics_15s table (ref: log.sql:83-107). Derived here from
-        raw samples; a deployment reads the stored rollup parquet."""
+        """The metrics_15s table (ref: log.sql:83-107). Session-cached
+        derived table (views.rollup_15s) standing in for the stored
+        rollup parquet a deployment reads."""
         if self._rollup is None:
-            from gigapipe_spark.streaming.rollup import rollup_15s_batch
-
-            self._rollup = rollup_15s_batch(self.metrics())
+            self._rollup = views.rollup_15s(self.spark, self.sf_dir)
         return self._rollup
 
     def logctx(self) -> LogQLContext:

@@ -431,6 +431,20 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics_15s rollup as a cached derived table — at a real
+    deployment this is the STORED table the always-on stream maintains
+    (streaming/rollup.py); deriving it per session is fixture plumbing,
+    same as the other dimension/index caches."""
+
+    def build():
+        from gigapipe_spark.streaming.rollup import rollup_15s_batch
+
+        return rollup_15s_batch(metric_samples(spark, sf_dir))
+
+    return _cached(spark, sf_dir, "rollup_15s", build)
+
+
 def profiles_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiles series dimension (ref profiles_series, profiles.sql:46-57):
     one row per profile fingerprint with the queryable columns the
