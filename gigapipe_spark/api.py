@@ -275,8 +275,9 @@ class Engine:
     def prom_label_values(self, name: str) -> DataFrame:
         return self.loki_label_values(name)
 
-    def prom_series(self, match: str) -> DataFrame:
-        """/api/v1/series."""
+    def prom_series(self, match: str | list[str]) -> DataFrame:
+        """/api/v1/series — one or more match[] selectors, unioned like
+        the Loki twin (same unified store)."""
         return self.loki_series(match)
 
     def prom_query_exemplars(self, expr: str = "") -> DataFrame:

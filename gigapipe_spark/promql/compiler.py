@@ -394,7 +394,8 @@ def _range_fn(
     raise NotImplementedError(f"range fn {fn.fn}")
 
 
-_ROLLUP_COUNTERS = {"rate", "increase", "delta", "resets", "changes"}
+_ROLLUP_COUNTERS = {"rate", "increase", "delta", "resets", "changes",
+                    "irate", "idelta"}
 
 
 def _counter_rollup_eligible(ctx: PromQLContext, fn: FnCall, sel) -> bool:
@@ -449,10 +450,25 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
     boundary_change = F.when(
         prev_last.isNotNull() & (prev_last != F.col("first")), F.lit(1.0)
     ).otherwise(F.lit(0.0))
+    # most-recent valid pair per bucket (irate/idelta): the last cell's
+    # intra pair when it has ≥2 samples, else the boundary pair into it
+    prev_last_ts = F.lag("last_ts").over(w)
+    cand_delta = F.when(F.col("count") >= 2, F.col("last_delta")).otherwise(
+        F.col("last") - prev_last
+    )
+    cand_dt = F.when(F.col("count") >= 2, F.col("last_dt")).otherwise(
+        F.col("last_ts") - prev_last_ts
+    )
+    pair_ts = F.when(
+        (F.col("count") >= 2) | prev_last.isNotNull(), F.col("timestamp_ns")
+    )
     df2 = (
         cells.withColumn("__b_reset_amt", boundary_reset_amt)
         .withColumn("__b_reset", boundary_reset)
         .withColumn("__b_change", boundary_change)
+        .withColumn("__cand_delta", cand_delta)
+        .withColumn("__cand_dt", cand_dt)
+        .withColumn("__pair_ts", pair_ts)
     )
     grouped = df2.groupBy("fingerprint", bucket).agg(
         F.min_by("first", "timestamp_ns").alias("__first"),
@@ -460,6 +476,8 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
         (F.sum("reset_amt") + F.sum("__b_reset_amt")).alias("__resets_amt"),
         (F.sum("resets") + F.sum("__b_reset")).alias("__resets"),
         (F.sum("changes") + F.sum("__b_change")).alias("__changes"),
+        F.max_by("__cand_delta", "__pair_ts").alias("__last_delta"),
+        F.max_by("__cand_dt", "__pair_ts").alias("__last_dt"),
         F.first("labels").alias("labels"),
     )
     increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
@@ -469,6 +487,11 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
         "delta": F.col("__last") - F.col("__first"),
         "resets": F.col("__resets"),
         "changes": F.col("__changes"),
+        "idelta": F.col("__last_delta"),
+        "irate": F.when(
+            F.col("__last_dt") > 0,
+            F.col("__last_delta") / (F.col("__last_dt") / F.lit(1e9)),
+        ),
     }[fn.fn]
     return grouped.select(
         "fingerprint", "labels", "timestamp_ns", value.alias("value")

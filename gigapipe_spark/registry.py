@@ -1217,7 +1217,10 @@ register(
       SELECT *, (timestamp_ns - timestamp_ns % 15000000000) AS cell,
              lag(value) OVER (PARTITION BY fingerprint,
                               (timestamp_ns - timestamp_ns % 15000000000)
-                              ORDER BY timestamp_ns, value) AS prev
+                              ORDER BY timestamp_ns, value) AS prev,
+             lag(timestamp_ns) OVER (PARTITION BY fingerprint,
+                              (timestamp_ns - timestamp_ns % 15000000000)
+                              ORDER BY timestamp_ns, value) AS prev_ts
       FROM raw
     )
     SELECT fingerprint, cell AS timestamp_ns,
@@ -1229,7 +1232,12 @@ register(
            round(sum(CASE WHEN prev > value THEN prev ELSE 0 END), 6) AS reset_amt,
            CAST(sum(CASE WHEN prev > value THEN 1 ELSE 0 END) AS DOUBLE) AS resets,
            CAST(sum(CASE WHEN prev IS NOT NULL AND prev != value THEN 1 ELSE 0 END)
-                AS DOUBLE) AS changes
+                AS DOUBLE) AS changes,
+           min(timestamp_ns) AS first_ts, max(timestamp_ns) AS last_ts,
+           round(max_by(value - prev,
+                 CASE WHEN prev IS NOT NULL THEN timestamp_ns END), 6) AS last_delta,
+           max_by(timestamp_ns - prev_ts,
+                 CASE WHEN prev IS NOT NULL THEN timestamp_ns END) AS last_dt
     FROM d GROUP BY 1, 2
     """,
 )
@@ -1243,7 +1251,8 @@ def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = rollup_15s_batch(views.samples(spark, sf_dir))
     return _rounded(
-        df.drop("type"), "max", "min", "sum", "bytes", "last", "first", "reset_amt"
+        df.drop("type"),
+        "max", "min", "sum", "bytes", "last", "first", "reset_amt", "last_delta",
     )
 
 

@@ -70,12 +70,22 @@ def _with_counter_partials(grouped: DataFrame) -> DataFrame:
     changes = pair_sum(
         lambda p, c: F.when(p["value"] != c["value"], F.lit(1.0)).otherwise(F.lit(0.0))
     )
+    # last intra-cell pair (irate/idelta partials); first/last sample ts
+    # for boundary-pair reconstruction
+    last_el = F.try_element_at(arr, n)
+    prev_el = F.try_element_at(arr, n - 1)
     return grouped.select(
         "fingerprint", "timestamp_ns", "last", "first", "max", "min",
         "count", "sum", "bytes", "type",
         reset_amt.alias("reset_amt"),
         resets.alias("resets"),
         changes.alias("changes"),
+        F.try_element_at(arr, F.lit(1))["timestamp_ns"].alias("first_ts"),
+        last_el["timestamp_ns"].alias("last_ts"),
+        F.when(n >= 2, last_el["value"] - prev_el["value"]).alias("last_delta"),
+        F.when(n >= 2, last_el["timestamp_ns"] - prev_el["timestamp_ns"]).alias(
+            "last_dt"
+        ),
     )
 
 

@@ -63,15 +63,18 @@ def test_counter_rollup_path_matches_raw(spark):
         'resets({app="click"}[30m])',
         'changes({app="click"}[30m])',
         'delta({app="click"}[30m])',
+        'irate({app="click"}[30m])',
+        'idelta({app="click"}[30m])',
     ]:
         via_rollup = query(PromQLContext(spark, SF_DIR), q)
         raw = query(PromQLContext(spark, SF_DIR, use_rollup=False), q)
+        rnd = lambda v: None if v is None else round(v, 9)
         a = {
-            (r["fingerprint"], r["timestamp_ns"]): round(r["value"], 9)
+            (r["fingerprint"], r["timestamp_ns"]): rnd(r["value"])
             for r in via_rollup.collect()
         }
         b = {
-            (r["fingerprint"], r["timestamp_ns"]): round(r["value"], 9)
+            (r["fingerprint"], r["timestamp_ns"]): rnd(r["value"])
             for r in raw.collect()
         }
         assert a == b, q
