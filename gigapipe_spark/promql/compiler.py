@@ -1016,7 +1016,30 @@ def _max_lookback_ns(e) -> int:
     return 0
 
 
+def _resolve_at_refs(ctx: PromQLContext, e) -> None:
+    """`@ start()` / `@ end()` pin to the request window's edges
+    (upstream promql preprocessors): resolved before compilation."""
+    if isinstance(e, VectorSelector):
+        if e.at_ref:
+            t = ctx.start_ns if e.at_ref == "start" else ctx.end_ns
+            if t is None:
+                raise ValueError("@ start()/end() requires an explicit query window")
+            e.at_ns = t
+        return
+    if isinstance(e, P.Subquery):
+        _resolve_at_refs(ctx, e.inner)
+    elif isinstance(e, FnCall):
+        for a in e.args:
+            _resolve_at_refs(ctx, a)
+    elif isinstance(e, AggExpr):
+        _resolve_at_refs(ctx, e.inner)
+    elif isinstance(e, PromBinOp):
+        _resolve_at_refs(ctx, e.left)
+        _resolve_at_refs(ctx, e.right)
+
+
 def query(ctx: PromQLContext, text: str) -> DataFrame:
     expr = P.parse(text)
+    _resolve_at_refs(ctx, expr)
     ctx.set_scan_bounds(_max_lookback_ns(expr))
     return compile_expr(ctx, expr)

@@ -79,6 +79,7 @@ class VectorSelector:
     range_ns: int | None = None
     offset_ns: int = 0
     at_ns: int | None = None  # @-modifier: pin evaluation time
+    at_ref: str | None = None  # "start" | "end": resolve from the window
 
 
 @dataclass
@@ -279,11 +280,16 @@ class PromQLParser:
             if mod == "offset":
                 _, d = self.next()
                 sel.offset_ns = parse_duration_ns(d)
-            else:  # @ <unix seconds>
+            else:  # @ <unix seconds> | @ start() | @ end()
                 kind, v = self.next()
-                if kind != "number":
-                    raise LogQLSyntaxError("@ expects a unix timestamp")
-                sel.at_ns = int(float(v) * 1e9)
+                if kind == "ident" and v in ("start", "end"):
+                    self.expect("(")
+                    self.expect(")")
+                    sel.at_ref = v  # resolved against the request window
+                elif kind == "number":
+                    sel.at_ns = int(float(v) * 1e9)
+                else:
+                    raise LogQLSyntaxError("@ expects a unix timestamp or start()/end()")
         return sel
 
     def parse_fn(self) -> FnCall:

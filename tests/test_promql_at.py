@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from gigapipe_spark.promql import parser as P
 from gigapipe_spark.promql.compiler import PromQLContext, query
+from gigapipe_spark.sources import views
 from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE
 from tests.conftest import SF_DIR
 from tests.oracle_utils import assert_match
@@ -61,3 +62,26 @@ def test_at_produces_single_point(spark):
     res = query(PromQLContext(spark, SF_DIR), f'increase({{app="error"}}[1h] @ {AT_S})')
     per_series = res.groupBy("fingerprint").count().filter("count > 1").count()
     assert per_series == 0
+
+
+def test_at_start_end_refs(spark):
+    # @ start() / @ end() pin to the request window edges
+    from gigapipe_spark.promql.compiler import PromQLContext, query
+
+    import pytest
+
+    ctx = PromQLContext(spark, SF_DIR)
+    clicks = views.metric_samples(spark, SF_DIR).filter(F.col("fingerprint") % 8 == 0)
+    lo = clicks.agg(F.min("timestamp_ns")).first()[0]
+    hi = clicks.agg(F.max("timestamp_ns")).first()[0]
+    at_s = hi // 1_000_000_000 + 10  # integer seconds: exact in float
+    ctx.start_ns, ctx.end_ns = lo, at_s * 1_000_000_000
+    pinned_end = query(ctx, '{app="click"} @ end()')
+    explicit = query(
+        PromQLContext(spark, SF_DIR), f'{{app="click"}} @ {at_s}'
+    )
+    a = {(r["fingerprint"], r["value"]) for r in pinned_end.collect()}
+    b = {(r["fingerprint"], r["value"]) for r in explicit.collect()}
+    assert a == b and a
+    with pytest.raises(ValueError):
+        query(PromQLContext(spark, SF_DIR), '{app="click"} @ start()')
