@@ -27,8 +27,11 @@ from gigapipe_spark.model.fingerprint import fingerprint_col
 @dataclass
 class RecordingRule:
     name: str  # becomes __name__ of the written-back series
-    query: str  # LogQL metric query
+    query: str  # LogQL or PromQL metric query (see lang)
     interval_ns: int
+    # "logql" | "promql" — the reference ruler evaluates both rule kinds
+    # (ruler/manager.go:55-224, logql_evaluator.go:44)
+    lang: str = "logql"
 
 
 @dataclass
@@ -63,10 +66,16 @@ class Ruler:
     def evaluate(self, rule: RecordingRule, now_ns: int) -> RuleEvaluation:
         """One evaluation tick: run the rule, shape the matrix as
         writeback samples (ref: writeback.go:20-54 remote-write path)."""
-        from gigapipe_spark.logql.compiler import query as logql_query
-
         ctx = self.logctx_factory()
-        res = logql_query(ctx, rule.query)
+        if rule.lang == "promql":
+            from gigapipe_spark.promql.compiler import PromQLContext
+            from gigapipe_spark.promql.compiler import query as promql_query
+
+            matrix = promql_query(PromQLContext(ctx.spark, ctx.sf_dir), rule.query)
+        else:
+            from gigapipe_spark.logql.compiler import query as logql_query
+
+            matrix = logql_query(ctx, rule.query).df
         labels = F.map_concat(
             F.map_filter(
                 F.coalesce(F.col("labels"), F.expr("map()")),
@@ -74,7 +83,7 @@ class Ruler:
             ),
             F.create_map(F.lit("__name__"), F.lit(rule.name)),
         )
-        out = res.df.select(
+        out = matrix.select(
             labels.alias("labels"),
             F.col("timestamp_ns"),
             F.col("value").cast("double").alias("value"),

@@ -48,3 +48,30 @@ def test_tailer_polls_incrementally(spark):
     while tail.poll():
         pass
     assert tail.poll() == []
+
+
+def test_promql_recording_rule(spark):
+    # PromQL rule kind: evaluated via the PromQL compiler, written back
+    # with the rule name as __name__ like the LogQL kind
+    from gigapipe_spark.logql.compiler import LogQLContext
+    from gigapipe_spark.streaming.ruler import RecordingRule, Ruler
+
+    written = []
+    r = Ruler(
+        spark,
+        logctx_factory=lambda: LogQLContext(spark, SF_DIR),
+        sink=written.append,
+    )
+    r.add_rule(
+        RecordingRule(
+            name="job:click:rate10m",
+            query='rate({app="click"}[10m])',
+            interval_ns=60_000_000_000,
+            lang="promql",
+        )
+    )
+    evs = r.tick(now_ns=1)
+    assert len(evs) == 1 and evs[0].rows > 0
+    row = written[0].first()
+    assert row["labels"]["__name__"] == "job:click:rate10m"
+    assert row["type"] == 2 and row["string"] == ""
