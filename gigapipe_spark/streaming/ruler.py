@@ -30,8 +30,11 @@ class RecordingRule:
     query: str  # LogQL or PromQL metric query (see lang)
     interval_ns: int
     # "logql" | "promql" — the reference ruler evaluates both rule kinds
-    # (ruler/manager.go:55-224, logql_evaluator.go:44)
+    # (ruler/manager.go:55-224, logql_evaluator.go:44, prom_evaluator.go)
     lang: str = "logql"
+    # static rule labels merged into the written-back series
+    # (ref: manager.go:244 writer.Write(rule.Record, rule.Labels, ...))
+    static_labels: dict[str, str] | None = None
 
 
 @dataclass
@@ -76,12 +79,18 @@ class Ruler:
             from gigapipe_spark.logql.compiler import query as logql_query
 
             matrix = logql_query(ctx, rule.query).df
+        # __name__ + the rule's static labels override series labels
+        # (ref: manager.go:244)
+        extra = [F.lit("__name__"), F.lit(rule.name)]
+        for k, v in (rule.static_labels or {}).items():
+            extra += [F.lit(k), F.lit(v)]
+        drop_keys = ["__name__", *(rule.static_labels or {}).keys()]
         labels = F.map_concat(
             F.map_filter(
                 F.coalesce(F.col("labels"), F.expr("map()")),
-                lambda k, v: k != "__name__",
+                lambda k, v: ~k.isin(*drop_keys),
             ),
-            F.create_map(F.lit("__name__"), F.lit(rule.name)),
+            F.create_map(*extra),
         )
         out = matrix.select(
             labels.alias("labels"),

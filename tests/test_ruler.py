@@ -75,3 +75,60 @@ def test_promql_recording_rule(spark):
     row = written[0].first()
     assert row["labels"]["__name__"] == "job:click:rate10m"
     assert row["type"] == 2 and row["string"] == ""
+
+
+def test_rule_store_yaml_roundtrip_and_loader(spark):
+    from gigapipe_spark.logql.compiler import LogQLContext
+    from gigapipe_spark.streaming.rules_store import (
+        Rule,
+        RuleGroup,
+        RuleStore,
+        load_into_ruler,
+    )
+    from gigapipe_spark.streaming.ruler import Ruler
+
+    store = RuleStore()
+    store.load_yaml(
+        "team-a",
+        """
+groups:
+  - name: g1
+    interval: 5m
+    rules:
+      - record: job:click:count5m
+        expr: count_over_time({app="click"}[5m])
+        labels: {team: a}
+      - alert: NeverEvaluated
+        expr: count_over_time({app="error"}[5m]) > 100
+      - record: job:click:rate10m
+        expr: rate({app="click"}[10m])
+        lang: promql
+""",
+    )
+    # CRUD verbs (router.go:18-23)
+    assert set(store.all_rules()) == {"team-a"}
+    g = store.get_rule_group("team-a", "g1")
+    assert g is not None and g.interval_ns() == 300_000_000_000
+    assert len(g.rules) == 3
+    # YAML round-trip preserves the groups
+    text = store.to_yaml("team-a")
+    store2 = RuleStore()
+    store2.load_yaml("team-a", text)
+    assert store2.get_rule_group("team-a", "g1").rules[0].record == "job:click:count5m"
+
+    written = []
+    ruler = Ruler(
+        spark,
+        logctx_factory=lambda: LogQLContext(spark, SF_DIR),
+        sink=written.append,
+    )
+    # only the 2 recording rules are registered (manager.go:53)
+    assert load_into_ruler(store, ruler) == 2
+    evs = ruler.tick(now_ns=1)
+    assert len(evs) == 2
+    row = written[0].first()
+    assert row["labels"]["__name__"] == "job:click:count5m"
+    assert row["labels"]["team"] == "a"  # static rule label merged
+
+    store.delete_rule_group("team-a", "g1")
+    assert store.get_rule_group("team-a", "g1") is None
