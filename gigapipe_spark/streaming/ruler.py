@@ -54,6 +54,7 @@ class Ruler:
         self.sink = sink
         self.rules: list[RecordingRule] = []
         self.last_run_ns: dict[str, int] = {}
+        self.health: dict[str, dict] = {}
 
     def add_rule(self, rule: RecordingRule) -> None:
         self.rules.append(rule)
@@ -108,12 +109,53 @@ class Ruler:
         return RuleEvaluation(rule=rule, rows=out.count(), df=out)
 
     def tick(self, now_ns: int) -> list[RuleEvaluation]:
+        import time as _time
+
         evals = []
         for rule in self.due(now_ns):
-            ev = self.evaluate(rule, now_ns)
-            self.sink(ev.df)
+            t0 = _time.monotonic()
+            try:
+                ev = self.evaluate(rule, now_ns)
+                self.sink(ev.df)
+            except Exception as e:  # rule health, not a ruler crash
+                # (ref: manager.go:229-236 setRuleHealth "err")
+                self.health[rule.name] = {
+                    "health": "err",
+                    "lastError": str(e),
+                    "lastEvaluation": now_ns,
+                    "evaluationTime": _time.monotonic() - t0,
+                }
+                self.last_run_ns[rule.name] = now_ns
+                continue
+            self.health[rule.name] = {
+                "health": "ok",
+                "lastError": "",
+                "lastEvaluation": now_ns,
+                "evaluationTime": _time.monotonic() - t0,
+            }
             evals.append(ev)
         return evals
+
+    def prometheus_rules(self) -> list[dict]:
+        """/api/v1/rules listing in the Prometheus API shape, annotated
+        with last-evaluation health (ref: manager.go:251
+        GetPrometheusRules)."""
+        out = []
+        for r in self.rules:
+            h = self.health.get(r.name, {})
+            out.append(
+                {
+                    "name": r.name,
+                    "query": r.query,
+                    "type": "recording",
+                    "labels": dict(r.static_labels or {}),
+                    "health": h.get("health", "unknown"),
+                    "lastError": h.get("lastError", ""),
+                    "lastEvaluation": h.get("lastEvaluation"),
+                    "evaluationTime": h.get("evaluationTime"),
+                }
+            )
+        return out
 
 
 @dataclass

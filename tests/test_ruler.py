@@ -132,3 +132,24 @@ groups:
 
     store.delete_rule_group("team-a", "g1")
     assert store.get_rule_group("team-a", "g1") is None
+
+
+def test_prometheus_rules_listing_with_health(spark):
+    from gigapipe_spark.logql.compiler import LogQLContext
+    from gigapipe_spark.streaming.ruler import RecordingRule, Ruler
+
+    r = Ruler(
+        spark,
+        logctx_factory=lambda: LogQLContext(spark, SF_DIR),
+        sink=lambda df: None,
+    )
+    r.add_rule(RecordingRule("ok_rule", 'count_over_time({app="click"}[5m])', 60))
+    r.add_rule(RecordingRule("bad_rule", "not a query {{{", 60))
+    r.tick(now_ns=1)
+    listing = {x["name"]: x for x in r.prometheus_rules()}
+    assert listing["ok_rule"]["health"] == "ok"
+    assert listing["ok_rule"]["type"] == "recording"
+    assert listing["bad_rule"]["health"] == "err"
+    assert listing["bad_rule"]["lastError"]
+    # a failing rule must not starve the scheduler: it reran on schedule
+    assert "bad_rule" in r.last_run_ns
