@@ -322,15 +322,18 @@ class Engine:
         """/api/(v2/)search/tags."""
         return self.tracectx().attrs().select("key").distinct()
 
-    def tempo_tag_values(self, tag: str) -> DataFrame:
-        """/api/(v2/)search/tag/{tag}/values."""
-        return (
-            self.tracectx()
-            .attrs()
-            .filter(F.col("key") == tag)
-            .select("val")
-            .distinct()
-        )
+    def tempo_tag_values(self, tag: str, q: str | None = None) -> DataFrame:
+        """/api/(v2/)search/tag/{tag}/values — optionally restricted to
+        spans matching a TraceQL selector (ref: ValuesV2 tempo.go:251)."""
+        attrs = self.tracectx().attrs().filter(F.col("key") == tag)
+        if q:
+            from gigapipe_spark.traceql.compiler import select_spans
+            from gigapipe_spark.traceql.parser import TraceQLParser
+
+            sel = TraceQLParser(q).parse_spanset_atom()
+            ids = select_spans(self.tracectx(), sel)
+            attrs = attrs.join(ids, ["trace_id", "span_id"], "left_semi")
+        return attrs.select("val").distinct()
 
     # classification rules for the v2 scoped-tags response
     # (ref: controller/tempo.go TagsV2:231-258)
@@ -344,12 +347,21 @@ class Engine:
         "rootName", "rootServiceName", "traceDuration",
     )
 
-    def tempo_tags_v2(self) -> DataFrame:
+    def tempo_tags_v2(self, q: str | None = None) -> DataFrame:
         """/api/v2/search/tags — tags grouped into resource / span /
         intrinsic scopes (ref: TagsV2 tempo.go:181: known OTel resource
         prefixes + exact names → resource, the rest → span, plus the
-        fixed intrinsic list)."""
-        keys = self.tracectx().attrs().select("key").distinct()
+        fixed intrinsic list). `q` restricts to tags present on spans
+        matching the selector (TagsV2 tempo.go:203)."""
+        attrs = self.tracectx().attrs()
+        if q:
+            from gigapipe_spark.traceql.compiler import select_spans
+            from gigapipe_spark.traceql.parser import TraceQLParser
+
+            sel = TraceQLParser(q).parse_spanset_atom()
+            ids = select_spans(self.tracectx(), sel)
+            attrs = attrs.join(ids, ["trace_id", "span_id"], "left_semi")
+        keys = attrs.select("key").distinct()
         is_resource = F.col("key").isin(*self._RESOURCE_TAG_EXACT)
         for p in self._RESOURCE_TAG_PREFIXES:
             is_resource = is_resource | F.col("key").startswith(p)

@@ -213,3 +213,13 @@ def test_tempo_tags_v2_scopes(engine):
     assert "service.name" in by_scope["resource"]
     assert "duration" in by_scope["intrinsic"]
     assert "returnflag" in by_scope["span"]
+
+
+def test_tempo_tags_v2_with_selector(engine):
+    # q restricts the scoped listing to tags on matching spans: root
+    # spans (name=order) never carry returnflag
+    rows = engine.tempo_tags_v2(q='{ name = "order" }').collect()
+    span_tags = {r["tag"] for r in rows if r["scope"] == "span"}
+    assert "status" in span_tags and "returnflag" not in span_tags
+    vals = {r["val"] for r in engine.tempo_tag_values("name", q='{ name = "order" }').collect()}
+    assert vals == {"order"}
