@@ -303,11 +303,24 @@ class Engine:
         )
 
     # ------------------------------------------------------ Tempo
-    def tempo_search(self, q: str, limit: int = 20) -> DataFrame:
+    def tempo_search(
+        self,
+        q: str,
+        limit: int = 20,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """/api/search (ref: reader/service/tempo.go) — spansets for a
         TraceQL script; selector results are assembled into per-trace
-        summaries ordered newest-first like index_groupby.go."""
+        summaries ordered newest-first like index_groupby.go. start/end
+        bound the matched spans (GetQueryRequest tempo.go:53 emits the
+        same raw timestamp_ns predicates)."""
         out = _traceql_query(self.tracectx(), q)
+        if "timestamp_ns" in out.columns:
+            if start_ns is not None:
+                out = out.filter(F.col("timestamp_ns") >= start_ns)
+            if end_ns is not None:
+                out = out.filter(F.col("timestamp_ns") < end_ns)
         if set(out.columns) >= {"trace_id", "span_id", "timestamp_ns", "duration_ns"}:
             out = assemble_traces(self.tracectx(), out).orderBy(
                 F.col("end_ns").desc(), "trace_id"

@@ -223,3 +223,13 @@ def test_tempo_tags_v2_with_selector(engine):
     assert "status" in span_tags and "returnflag" not in span_tags
     vals = {r["val"] for r in engine.tempo_tag_values("name", q='{ name = "order" }').collect()}
     assert vals == {"order"}
+
+
+def test_tempo_search_time_bounds(engine):
+    allr = engine.tempo_search('{ returnflag = "R" }', limit=1000)
+    n_all = allr.count()
+    # bound to a window that excludes everything
+    none = engine.tempo_search(
+        '{ returnflag = "R" }', limit=1000, start_ns=1, end_ns=2
+    )
+    assert none.count() == 0 and n_all > 0
