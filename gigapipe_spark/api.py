@@ -335,16 +335,28 @@ class Engine:
         """/api/(v2/)search/tags."""
         return self.tracectx().attrs().select("key").distinct()
 
+    def _spanset_filter_ids(self, q: str) -> DataFrame:
+        """Parse an autocomplete `q` filter as a FULL spanset expression
+        (structural ops included) and evaluate it to span ids. A
+        trailing-token check rejects garbage instead of silently
+        filtering by the first selector only."""
+        from gigapipe_spark.traceql.compiler import eval_spanset
+        from gigapipe_spark.traceql.parser import TraceQLParser, TraceQLSyntaxError
+
+        p = TraceQLParser(q)
+        expr = p.parse_spanset_expr()
+        if p.peek()[0] != "eof":
+            raise TraceQLSyntaxError(
+                f"trailing input in tag filter: {p.peek()[1]!r}"
+            )
+        return eval_spanset(self.tracectx(), expr)
+
     def tempo_tag_values(self, tag: str, q: str | None = None) -> DataFrame:
         """/api/(v2/)search/tag/{tag}/values — optionally restricted to
         spans matching a TraceQL selector (ref: ValuesV2 tempo.go:251)."""
         attrs = self.tracectx().attrs().filter(F.col("key") == tag)
         if q:
-            from gigapipe_spark.traceql.compiler import select_spans
-            from gigapipe_spark.traceql.parser import TraceQLParser
-
-            sel = TraceQLParser(q).parse_spanset_atom()
-            ids = select_spans(self.tracectx(), sel)
+            ids = self._spanset_filter_ids(q)
             attrs = attrs.join(ids, ["trace_id", "span_id"], "left_semi")
         return attrs.select("val").distinct()
 
@@ -368,11 +380,7 @@ class Engine:
         matching the selector (TagsV2 tempo.go:203)."""
         attrs = self.tracectx().attrs()
         if q:
-            from gigapipe_spark.traceql.compiler import select_spans
-            from gigapipe_spark.traceql.parser import TraceQLParser
-
-            sel = TraceQLParser(q).parse_spanset_atom()
-            ids = select_spans(self.tracectx(), sel)
+            ids = self._spanset_filter_ids(q)
             attrs = attrs.join(ids, ["trace_id", "span_id"], "left_semi")
         keys = attrs.select("key").distinct()
         is_resource = F.col("key").isin(*self._RESOURCE_TAG_EXACT)

@@ -622,15 +622,21 @@ def apply_stages(
     return df, mutated
 
 
-_GO_DUR_PAT = r"(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+_GO_DUR_PAT = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+# the WHOLE value must be sign + a run of number+unit tokens, exactly as
+# time.ParseDuration requires — "abc5mxx" is rejected, not parsed as 5m
+_GO_DUR_FULL = r"^[-+]?(\d+(?:\.\d+)?(ns|us|µs|ms|s|m|h))+$"
 
 
 def _go_duration_seconds(raw: Column) -> Column:
     """`unwrap duration(lbl)`: Go duration string ("1h30m", "250ms") →
     seconds, as time.ParseDuration does (ref: unwrap.go:9). Pure column
-    expressions: extract (number, unit) components, fold their products.
+    expressions: anchor-validate the whole string, extract (number, unit)
+    components, fold their products; a leading sign negates the total.
     Unparseable values → NULL → the row is dropped (the reference tags
     __error__ and drops on aggregate)."""
+    valid = raw.rlike(_GO_DUR_FULL)
+    sign = F.when(raw.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
     nums = F.regexp_extract_all(raw, F.lit(_GO_DUR_PAT), 1)
     units = F.regexp_extract_all(raw, F.lit(_GO_DUR_PAT), 2)
 
@@ -649,7 +655,7 @@ def _go_duration_seconds(raw: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.when(F.size(nums) > 0, total)
+    return F.when(valid & (F.size(nums) > 0), sign * total)
 
 
 _BYTES_FACTORS = {

@@ -236,6 +236,17 @@ def _rollup_eligible(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> boo
         and sel.range_ns % ROLLUP_NS == 0
         and sel.offset_ns % ROLLUP_NS == 0
         and sel.at_ns is None  # pinned windows don't align to the grid
+        and _bounds_cell_aligned(ctx)
+    )
+
+
+def _bounds_cell_aligned(ctx: PromQLContext) -> bool:
+    """A 15s cell straddling a non-aligned start/end would contribute
+    partials computed from samples outside the window (the raw path cuts
+    those samples); only serve from the rollup when the request bounds
+    sit on the cell grid."""
+    return (ctx.start_ns is None or ctx.start_ns % ROLLUP_NS == 0) and (
+        ctx.end_ns is None or ctx.end_ns % ROLLUP_NS == 0
     )
 
 
@@ -407,6 +418,7 @@ def _counter_rollup_eligible(ctx: PromQLContext, fn: FnCall, sel) -> bool:
         and sel.range_ns % ROLLUP_NS == 0
         and sel.offset_ns % ROLLUP_NS == 0
         and sel.at_ns is None
+        and _bounds_cell_aligned(ctx)
     )
 
 

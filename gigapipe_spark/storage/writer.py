@@ -38,11 +38,23 @@ class Catalog:
         return spark.read.parquet(self.path(table))
 
     def read_series(self, spark: SparkSession) -> DataFrame:
-        """time_series with ReplacingMergeTree-style dedup on read."""
+        """time_series with ReplacingMergeTree-style dedup on read.
+
+        Latest-date labels win per fingerprint (the ReplacingMergeTree
+        "last version wins" contract, ref: ctrl/qryn/sql/log.sql
+        time_series ENGINE). max_by is deterministic across partitions,
+        unlike orderBy().dropDuplicates() whose kept row after the dedup
+        exchange is unspecified.
+        """
         return (
             self.read(spark, "time_series")
-            .orderBy(F.col("date").desc())
-            .dropDuplicates(["fingerprint"])
+            .groupBy("fingerprint")
+            .agg(
+                F.max_by("labels", "date").alias("labels"),
+                F.max_by("type", "date").alias("type"),
+                F.max("date").alias("date"),
+            )
+            .select("date", "fingerprint", "labels", "type")
         )
 
 

@@ -545,17 +545,20 @@ def metrics_instant(
     spans, target, by_cols = _metrics_prep(ctx, spans, m)
     by_names = [b.replace(".", "_") for b in m.by]
     if m.fn == "rate":
+        # rate is count/window-seconds and the reference's
+        # BuildMetricsInstantQuery ALWAYS has a request window — deriving
+        # one from the matched spans' own extent would make a
+        # single-span result report count/1s, an arbitrary number
+        if start_ns is None or end_ns is None:
+            raise ValueError(
+                "instant rate() requires explicit start/end bounds"
+            )
         cnt = (
             spans.groupBy(*by_cols).agg(F.count(F.lit(1)).alias("__n"))
             if by_cols
             else spans.agg(F.count(F.lit(1)).alias("__n"))
         )
-        if start_ns is not None and end_ns is not None:
-            win = F.lit(max((end_ns - start_ns) / 1e9, 1.0))
-        else:
-            # lazy extent: 1-row agg cross-joined in (no driver action)
-            cnt = cnt.crossJoin(F.broadcast(ext))
-            win = F.greatest(F.col("__win_s"), F.lit(1.0))
+        win = F.lit(max((end_ns - start_ns) / 1e9, 1.0))
         return cnt.select(*by_names, (F.col("__n") / win).alias("value"))
     if m.fn in _METRICS_AGGS:
         agg = _METRICS_AGGS[m.fn](target, F.lit(1.0))

@@ -233,3 +233,41 @@ def test_tempo_search_time_bounds(engine):
         '{ returnflag = "R" }', limit=1000, start_ns=1, end_ns=2
     )
     assert none.count() == 0 and n_all > 0
+
+
+def test_tempo_tag_filter_structural(engine):
+    """q filters parse as FULL spanset expressions: a structural query
+    filters by the evaluated span set, not silently by its first
+    selector; trailing garbage raises instead of being ignored."""
+    from gigapipe_spark.traceql.parser import TraceQLSyntaxError
+
+    # descendant spans of root order spans that carry returnflag=R are
+    # item spans → the only name value is "item"
+    vals = {
+        r["val"]
+        for r in engine.tempo_tag_values(
+            "name", q='{ name = "order" } &>> { returnflag = "R" }'
+        ).collect()
+    }
+    assert vals == {"item"}
+    # parenthesized structural no longer AttributeErrors
+    vals2 = {
+        r["val"]
+        for r in engine.tempo_tag_values(
+            "name", q='({ name = "order" } &>> { returnflag = "R" })'
+        ).collect()
+    }
+    assert vals2 == {"item"}
+    # tags_v2 with a structural q: returnflag appears (item spans carry it)
+    rows = engine.tempo_tags_v2(q='{ name = "order" } &>> { returnflag = "R" }').collect()
+    span_tags = {r["tag"] for r in rows if r["scope"] == "span"}
+    assert "returnflag" in span_tags
+    with pytest.raises(TraceQLSyntaxError):
+        engine.tempo_tag_values("name", q='{ name = "order" } garbage')
+
+
+def test_metrics_instant_rate_requires_window(engine):
+    # reference BuildMetricsInstantQuery always has a request window;
+    # deriving one from the data would make 1-span results arbitrary
+    with pytest.raises(ValueError):
+        engine.tempo_metrics_query_instant('{ name = "item" } | rate()')

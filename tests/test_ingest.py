@@ -161,3 +161,35 @@ def test_ingest_fanout_roundtrip(spark, tmp_path):
     # selector semi-join over the written store works end-to-end
     fp = series.collect()[0]["fingerprint"]
     assert samples.filter(F.col("fingerprint") == fp).count() == 2
+
+
+def test_read_series_latest_labels_win_deterministic(spark, tmp_path):
+    """ReplacingMergeTree contract: per fingerprint, the labels row from
+    the LATEST date must win — deterministically, across >1 partition.
+    (Regression: orderBy().dropDuplicates() did not guarantee this.)"""
+    import datetime
+
+    rows = []
+    # one fingerprint, 8 dates, labels carry a version marker; spread
+    # across many input partitions so the dedup runs through a shuffle
+    for day in range(1, 9):
+        rows.append(
+            (
+                datetime.date(2023, 11, day),
+                12345,
+                {"app": "web", "ver": f"v{day}"},
+                "logs",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "date date, fingerprint long, labels map<string,string>, type string"
+    ).repartition(8)
+    df.write.mode("overwrite").partitionBy("date").parquet(
+        str(tmp_path / "store" / "time_series")
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    for _ in range(3):  # stable across repeated evaluations
+        got = cat.read_series(spark).collect()
+        assert len(got) == 1
+        assert got[0]["labels"]["ver"] == "v8"
+        assert got[0]["date"] == datetime.date(2023, 11, 8)

@@ -309,3 +309,27 @@ def test_json_logfmt_adjacent_pair_cancels(spark):
     # non-adjacent / reversed order does NOT cancel
     parsed = query(c, '{app="click"} | logfmt | json').df
     assert parsed.columns == cancelled.columns
+
+
+def test_go_duration_seconds_anchored(spark):
+    """time.ParseDuration fidelity: malformed values are dropped (NULL),
+    not partially parsed; a leading sign negates the total."""
+    from gigapipe_spark.logql.compiler import _go_duration_seconds
+
+    cases = [
+        ("1h30m", 5400.0),
+        ("250ms", 0.25),
+        ("1.5s", 1.5),
+        ("-1h30m", -5400.0),
+        ("abc5mxx", None),   # was 300 before anchoring — must be NULL
+        ("5m garbage", None),
+        ("", None),
+        ("5", None),          # bare number without unit is invalid
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "v string")
+    got = {
+        r["v"]: r["secs"]
+        for r in df.withColumn("secs", _go_duration_seconds(F.col("v"))).collect()
+    }
+    for s, want in cases:
+        assert got[s] == want, (s, got[s], want)

@@ -88,3 +88,37 @@ def test_counter_rollup_is_used(spark):
     m = query(PromQLContext(spark, SF_DIR), 'rate({app="click"}[10m])')
     plan = m._jdf.queryExecution().optimizedPlan().toString()
     assert "reset_amt" in plan
+
+
+def test_unaligned_bounds_use_raw(spark):
+    """A 15s cell straddling a non-aligned end would contribute partials
+    from samples past the window; such requests must fall back to raw
+    and match it exactly."""
+    from gigapipe_spark.promql.compiler import (
+        _bounds_cell_aligned,
+        _counter_rollup_eligible,
+    )
+
+    lo, hi = (
+        spark.read.parquet(SF_DIR + "/events.parquet")
+        .select(
+            F.min(F.unix_timestamp("ts") * 1_000_000_000),
+            F.max(F.unix_timestamp("ts") * 1_000_000_000),
+        )
+        .collect()[0]
+    )
+    # end 7s past a cell edge — NOT 15s-aligned
+    start = lo - lo % 15_000_000_000
+    end = (lo + (hi - lo) // 2) - (lo + (hi - lo) // 2) % 15_000_000_000 + 7_000_000_000
+    assert end % 15_000_000_000 != 0
+    for q in ['rate({app="click"}[30m])', 'sum_over_time({app="click"}[30m])']:
+        routed = query(
+            PromQLContext(spark, SF_DIR, use_rollup=True, start_ns=start, end_ns=end), q
+        )
+        raw = query(
+            PromQLContext(spark, SF_DIR, use_rollup=False, start_ns=start, end_ns=end), q
+        )
+        assert out(routed) == out(raw), q
+    # and aligned bounds still take the shortcut
+    assert _bounds_cell_aligned(PromQLContext(spark, SF_DIR, start_ns=start, end_ns=end - 7_000_000_000))
+    assert not _bounds_cell_aligned(PromQLContext(spark, SF_DIR, start_ns=start, end_ns=end))
