@@ -413,6 +413,17 @@ class Engine:
 
         return metrics_instant(self.tracectx(), parse(q), start_ns, end_ns)
 
+    def tempo_metrics_exemplars(
+        self, q: str, start_ns: int | None = None, end_ns: int | None = None
+    ) -> DataFrame:
+        """Exemplar spans for a metrics query — one deterministic span
+        per series bucket (ref: BuildHistogramExemplarsQuery /
+        BuildGenericExemplarsQuery metrics_query.go:558,638)."""
+        from gigapipe_spark.traceql.compiler import metrics_exemplars
+        from gigapipe_spark.traceql.parser import parse
+
+        return metrics_exemplars(self.tracectx(), parse(q), start_ns, end_ns)
+
     # ------------------------------------------------------ Pyroscope
     def _profiles(self, service: str | None, selector: str | None = None) -> DataFrame:
         prof = views.profiles(self.spark, self.sf_dir)

@@ -1100,7 +1100,7 @@ register(
     with_spans(
         """
         SELECT (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
-               power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+               CASE WHEN duration_ns > 0 THEN power(2.0, ceil(log2(CAST(duration_ns AS DOUBLE)))) ELSE 0.0 END AS le,
                round(CAST(count(*) AS DOUBLE), 6) AS value
         FROM spans WHERE name = 'order' GROUP BY 1, 2
         """
@@ -1112,6 +1112,78 @@ register(
         round_cols=("value",),
     )
 )
+
+
+@register(
+    # generic metrics exemplars: ONE deterministic span per
+    # (ts bucket, by-group) — first by (timestamp_ns, trace_id, span_id);
+    # for rate() the exemplar value is the series value at that bucket
+    # (ref: BuildGenericExemplarsQuery metrics_query.go:638 +
+    # tsToValue lookup tempo_metrics.go:296)
+    "traceql_metrics_exemplars",
+    with_spans(
+        """
+        , f AS (
+          SELECT returnflag, trace_id, span_id, duration_ns, timestamp_ns,
+                 (timestamp_ns - timestamp_ns % 3600000000000) AS ts
+          FROM spans WHERE name = 'item'
+        ), ex AS (
+          SELECT returnflag, ts, trace_id, duration_ns AS dur_ns,
+                 timestamp_ns AS span_ts
+          FROM f
+          QUALIFY row_number() OVER (
+            PARTITION BY returnflag, ts
+            ORDER BY timestamp_ns, trace_id, span_id
+          ) = 1
+        ), m AS (
+          SELECT returnflag, ts, round(count(*) / 3600.0, 6) AS value
+          FROM f GROUP BY 1, 2
+        )
+        SELECT ex.returnflag, ex.ts AS timestamp_ns, ex.trace_id,
+               ex.dur_ns, ex.span_ts, m.value
+        FROM ex JOIN m ON ex.returnflag = m.returnflag AND ex.ts = m.ts
+        """
+    ),
+)
+def traceql_metrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = Engine(spark, sf_dir).tempo_metrics_exemplars(
+        '{ name = "item" } | rate() by (returnflag)'
+    )
+    return df.select(
+        "returnflag", "timestamp_ns", "trace_id", "dur_ns", "span_ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    # histogram exemplars: one deterministic span per (ts bucket, le
+    # bucket), value = 1 (ref: BuildHistogramExemplarsQuery
+    # metrics_query.go:558; response value tempo_metrics.go:630)
+    "traceql_metrics_histogram_exemplars",
+    with_spans(
+        """
+        , f AS (
+          SELECT trace_id, span_id, duration_ns, timestamp_ns,
+                 (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+                 CASE WHEN duration_ns > 0
+                      THEN power(2.0, ceil(log2(CAST(duration_ns AS DOUBLE))))
+                      ELSE 0.0 END AS le
+          FROM spans WHERE name = 'order'
+        )
+        SELECT ts AS timestamp_ns, le, trace_id,
+               duration_ns AS dur_ns, timestamp_ns AS span_ts,
+               1.0 AS value
+        FROM f
+        QUALIFY row_number() OVER (
+          PARTITION BY ts, le ORDER BY timestamp_ns, trace_id, span_id
+        ) = 1
+        """
+    ),
+)
+def traceql_metrics_histogram_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).tempo_metrics_exemplars(
+        '{ name = "order" } | histogram_over_time(duration)'
+    ).select("timestamp_ns", "le", "trace_id", "dur_ns", "span_ts", "value")
 
 
 @register(
@@ -1409,7 +1481,7 @@ def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(cnt) OVER (PARTITION BY timestamp_ns ORDER BY le) AS cum
             FROM (
               SELECT (timestamp_ns - timestamp_ns % 86400000000000) AS timestamp_ns,
-                     power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+                     CASE WHEN duration_ns > 0 THEN power(2.0, ceil(log2(CAST(duration_ns AS DOUBLE)))) ELSE 0.0 END AS le,
                      CAST(count(*) AS DOUBLE) AS cnt
               FROM spans WHERE name = 'order' GROUP BY 1, 2
             )

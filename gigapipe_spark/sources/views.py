@@ -151,7 +151,14 @@ _dim_cache: dict[tuple[int, str, str], DataFrame] = {}
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key not in _dim_cache:
-        _dim_cache[key] = build().cache()
+        # Compact the cached dimension to a few fat partitions: a build
+        # that ran through a shuffle inherits spark.sql.shuffle.partitions
+        # (200 under a vanilla session), and every later stage reading
+        # the cache would schedule one task per ~300-row sliver — pure
+        # scheduler overhead. One coalesce at build time fixes the read
+        # side for the whole session. (Dimensions are small by
+        # construction; fact-table views never pass through here.)
+        _dim_cache[key] = build().coalesce(16).cache()
     return _dim_cache[key]
 
 
@@ -254,9 +261,35 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded span attribute index (ref tempo_traces_attrs_gin,
-    traces.sql:21-31). Includes intrinsics (name, service.name) plus
-    per-kind custom attrs so =,!=,>,=~ and bitmask and/or have targets.
-    """
+    traces.sql:21-31). Derived from the cached per-span map with ONE
+    explode — the map and the GIN share a single underlying build, so a
+    cold session pays the expensive row_number/union pass once, not once
+    per layout (the old groupBy+collect_list rebuild of the map from the
+    exploded form was the dominant cold-start cost of every TraceQL
+    metrics entry)."""
+
+    def build():
+        return span_attr_map(spark, sf_dir).select(
+            "trace_id",
+            "span_id",
+            "timestamp_ns",
+            "duration",
+            F.explode("attrs").alias("key", "val"),
+        )
+
+    return _cached(spark, sf_dir, "span_attrs", build)
+
+
+def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span attribute map (trace_id, span_id, timestamp_ns, duration,
+    attrs map<string,string>) — the row-oriented twin of the exploded
+    span_attrs GIN. Selector evaluation over this layout is ONE cached
+    scan with zero shuffle (map lookups replace the groupBy-bitmask
+    collapse); the exploded index remains the layout for key/value
+    enumeration (tag autocomplete, compare). Built directly from the
+    base projections (shuffle-free) — at scale both layouts are stored
+    tables maintained at ingest, exactly like the reference's paired
+    tempo_traces / tempo_traces_attrs_gin (traces.sql:7-31)."""
     orders = load_table(spark, sf_dir, "orders")
     li = _lineitem_with_span_no(load_table(spark, sf_dir, "lineitem"))
     root = orders.select(
@@ -286,42 +319,7 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("quantity"), F.col("l_quantity").cast("string"),
         ).alias("attrs"),
     )
-    def build():
-        both = root.unionByName(child)
-        return both.select(
-            "trace_id",
-            "span_id",
-            "timestamp_ns",
-            "duration",
-            F.explode("attrs").alias("key", "val"),
-        )
-
-    return _cached(spark, sf_dir, "span_attrs", build)
-
-
-def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-span attribute map (trace_id, span_id, timestamp_ns, duration,
-    attrs map<string,string>) — the row-oriented twin of the exploded
-    span_attrs GIN. Selector evaluation over this layout is ONE cached
-    scan with zero shuffle (map lookups replace the groupBy-bitmask
-    collapse); the exploded index remains the layout for key/value
-    enumeration (tag autocomplete, compare). Cached like the other
-    dimension indexes — at scale both are stored tables maintained at
-    ingest, exactly like the reference's paired tempo_traces /
-    tempo_traces_attrs_gin (traces.sql:7-31)."""
-
-    def build():
-        return (
-            span_attrs(spark, sf_dir)
-            .groupBy("trace_id", "span_id", "timestamp_ns", "duration")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("key", "val"))
-                ).alias("attrs")
-            )
-        )
-
-    return _cached(spark, sf_dir, "span_attr_map", build)
+    return _cached(spark, sf_dir, "span_attr_map", lambda: root.unionByName(child))
 
 
 def span_ancestors(spark: SparkSession, sf_dir: str, max_depth: int = 8) -> DataFrame:

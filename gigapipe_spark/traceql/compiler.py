@@ -507,14 +507,103 @@ def _metrics(ctx: TraceQLContext, spans: DataFrame, m: MetricsStage) -> DataFram
             F.percentile(target, F.lit(m.param)).alias("value")
         )
     if m.fn == "histogram_over_time":
-        # log2 buckets over the target (ref: metrics_query.go:501)
-        exp = F.floor(F.log2(target.cast("double"))).cast("long")
         return (
-            spans.withColumn("le", F.pow(F.lit(2.0), exp))
+            spans.withColumn("le", _log2_upper_bucket(target))
             .groupBy(*group, "le")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
     raise NotImplementedError(f"metrics fn {m.fn}")
+
+
+def _log2_upper_bucket(target: Column) -> Column:
+    """log2 histogram bucket = the value's power-of-two UPPER bound
+    (ref: metrics_query.go:511 bucketExpr
+    `if(x > 0, 1 << ceil(log2(x)), 0)`)."""
+    t = target.cast("double")
+    return F.when(t > 0, F.pow(F.lit(2.0), F.ceil(F.log2(t)))).otherwise(F.lit(0.0))
+
+
+def metrics_exemplars(
+    ctx: TraceQLContext,
+    script: TraceQLScript,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+) -> DataFrame:
+    """Exemplar spans for a TraceQL metrics response — ONE deterministic
+    sampled span per series bucket, the dots Grafana overlays on Tempo
+    metrics panels.
+
+    histogram_over_time: one span per (ts_bucket, le bucket), value = 1
+    (ref: BuildHistogramExemplarsQuery metrics_query.go:558 + response
+    assembly tempo_metrics.go:585-636).
+    Other fns: one span per (ts_bucket, by-group); value = the span's
+    duration seconds, except rate/count_over_time where it is the
+    series' value at that bucket (ref: BuildGenericExemplarsQuery
+    metrics_query.go:638 + includeDuration rule tempo_metrics.go:245).
+
+    The reference samples with ClickHouse `any()`; here the pick is the
+    FIRST span by (timestamp_ns, trace_id, span_id) via one min_by
+    partial aggregate — deterministic (oracle-able) and shuffle-light at
+    scale: map-side combine reduces each partition to one candidate row
+    per bucket before the exchange.
+    """
+    from dataclasses import replace as _dc_replace
+
+    m = script.metrics
+    if m is None:
+        raise ValueError("exemplars need a metrics stage")
+    step = m.step_ns or ctx.step_ns
+    bare = _dc_replace(script, metrics=None, topk=None, select_attrs=[])
+    spans = compile_script(ctx, bare)
+    if start_ns is not None:
+        spans = spans.filter(F.col("timestamp_ns") >= start_ns)
+    if end_ns is not None:
+        spans = spans.filter(F.col("timestamp_ns") < end_ns)
+    spans, target, by_cols = _metrics_prep(ctx, spans, m)
+    bucket = (
+        F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(step))
+    ).alias("timestamp_ns")
+    pick_key = F.struct("timestamp_ns", "trace_id", "span_id")
+    picked = F.min_by(
+        F.struct(
+            F.col("trace_id"),
+            F.col("duration_ns").alias("dur_ns"),
+            F.col("timestamp_ns").alias("span_ts"),
+        ),
+        pick_key,
+    ).alias("__ex")
+    if m.fn == "histogram_over_time":
+        grouped = (
+            spans.withColumn("le", _log2_upper_bucket(target))
+            .groupBy(bucket, "le")
+            .agg(picked)
+        )
+        return grouped.select(
+            "timestamp_ns",
+            "le",
+            F.col("__ex.trace_id").alias("trace_id"),
+            F.col("__ex.dur_ns").alias("dur_ns"),
+            F.col("__ex.span_ts").alias("span_ts"),
+            F.lit(1.0).alias("value"),
+        )
+    by_names = [b.replace(".", "_") for b in m.by]
+    grouped = spans.groupBy(*by_cols, bucket).agg(picked)
+    out = grouped.select(
+        *by_names,
+        "timestamp_ns",
+        F.col("__ex.trace_id").alias("trace_id"),
+        F.col("__ex.dur_ns").alias("dur_ns"),
+        F.col("__ex.span_ts").alias("span_ts"),
+    )
+    if m.fn in ("rate", "count_over_time"):
+        # exemplar value = the series value at the exemplar's bucket
+        # (tempo_metrics.go:296-300 tsToValue lookup); spans is already
+        # attr-prepped so aggregate it directly rather than re-prepping
+        agg = _METRICS_AGGS[m.fn](target, F.lit(step / 1e9))
+        matrix = spans.groupBy(*by_cols, bucket).agg(agg.alias("value"))
+        return out.join(matrix, [*by_names, "timestamp_ns"], "left")
+    # includeDuration: value is the sampled span's own duration seconds
+    return out.withColumn("value", F.col("dur_ns") / F.lit(1e9))
 
 
 def metrics_instant(

@@ -257,7 +257,9 @@ def test_histogram_over_time(spark):
         with_spans(
             f"""
             SELECT (timestamp_ns - timestamp_ns % {step}) AS timestamp_ns,
-                   power(2.0, floor(log2(CAST(duration_ns AS DOUBLE)))) AS le,
+                   CASE WHEN duration_ns > 0
+                        THEN power(2.0, ceil(log2(CAST(duration_ns AS DOUBLE))))
+                        ELSE 0.0 END AS le,
                    round(CAST(count(*) AS DOUBLE), 6) AS value
             FROM spans WHERE name = 'order' GROUP BY 1, 2
             """
@@ -338,3 +340,23 @@ def test_compare_stage_from_text(spark):
     a = {(r["key"], r["val"]): (r["selection_count"], r["baseline_count"]) for r in text.collect()}
     b = {(r["key"], r["val"]): (r["selection_count"], r["baseline_count"]) for r in direct.collect()}
     assert a == b and len(a) == 5
+
+
+def test_metrics_exemplars_avg_duration_value(spark):
+    """Non-rate/count exemplars carry the sampled span's own duration
+    seconds as value (includeDuration rule, tempo_metrics.go:301-306),
+    and exactly one exemplar exists per (by-group, bucket)."""
+    from gigapipe_spark.traceql.compiler import metrics_exemplars
+    from gigapipe_spark.traceql.parser import parse
+
+    c = ctx(spark)
+    ex = metrics_exemplars(c, parse('{ name = "item" } | avg_over_time(duration) by (returnflag)'))
+    rows = ex.collect()
+    assert rows
+    for r in rows:
+        assert r["value"] == r["dur_ns"] / 1e9
+    assert len(rows) == len({(r["returnflag"], r["timestamp_ns"]) for r in rows})
+    # deterministic: re-evaluation samples the identical spans
+    again = {(r["returnflag"], r["timestamp_ns"]): r["trace_id"] for r in ex.collect()}
+    for r in rows:
+        assert again[(r["returnflag"], r["timestamp_ns"])] == r["trace_id"]
