@@ -425,14 +425,25 @@ class Engine:
         return metrics_exemplars(self.tracectx(), parse(q), start_ns, end_ns)
 
     # ------------------------------------------------------ Pyroscope
-    def _profiles(self, service: str | None, selector: str | None = None) -> DataFrame:
+    def _profiles(
+        self,
+        service: str | None,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
+    ) -> DataFrame:
         prof = views.profiles(self.spark, self.sf_dir)
-        if selector is not None:
+        if selector is not None or profile_type_id is not None:
             # PlanMergeProfiles path (transpiler.go:63): selector →
-            # fingerprints → broadcast semi-join into the fact scan
+            # fingerprints → broadcast semi-join into the fact scan;
+            # a type id appends its five pseudo-label matchers
+            # (populateTypeId, transpiler.go:115)
             from gigapipe_spark.prof import selector as psel
 
-            sels = psel.parse_profile_selector(selector)
+            sels = psel.parse_profile_selector(selector or "{}")
+            if profile_type_id is not None:
+                sels = psel.populate_type_id(
+                    sels, psel.parse_type_id(profile_type_id)
+                )
             fps = psel.profile_fingerprints(
                 self.spark, self.sf_dir, [sels] if sels else None
             )
@@ -501,6 +512,39 @@ class Engine:
 
         return psel.profile_stats(self.spark, self.sf_dir)
 
+    def pyroscope_settings(self) -> dict:
+        """/settings.v1.SettingsService/Get (ref: service/prof.go:427) —
+        static plugin-settings envelope; ModifiedAt is fixed (no wall
+        clock in the engine surface)."""
+        return {
+            "settings": [
+                {"name": "pluginSettings", "value": "{}", "modifiedAt": 0}
+            ]
+        }
+
+    def pyroscope_render_dot(
+        self,
+        service: str | None = None,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
+    ) -> str:
+        """/pyroscope/render?format=dot — Graphviz DOT of the merged
+        (optionally type-scoped) tree (ref: prof_tree.go:516)."""
+        from gigapipe_spark.prof import selector as psel
+        from gigapipe_spark.prof.tree import merge_trees, render_dot
+
+        stu = None
+        if profile_type_id is not None:
+            stu = psel.parse_type_id(profile_type_id).sample_type_unit
+        prof = self._profiles(service, selector, profile_type_id)
+        rows = merge_trees(prof, stu).collect()
+        fn_names = {
+            int(f["id"]): f["name"]
+            for r in prof.select("functions").limit(1).collect()
+            for f in r["functions"]
+        }
+        return render_dot(rows, fn_names)
+
     def pyroscope_analyze(self, selector: str) -> DataFrame:
         """/querier.v1.QuerierService/AnalyzeQuery (ref: transpiler.go:103
         PlanAnalyzeQuery): stored-bytes + series-count estimate for a
@@ -510,16 +554,31 @@ class Engine:
         return psel.analyze(self.spark, self.sf_dir, selector)
 
     def pyroscope_render(
-        self, service: str | None = None, selector: str | None = None
+        self,
+        service: str | None = None,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
     ) -> list:
         """/pyroscope/render — merged flamegraph as BFS levels
         (ref: prof_tree.go:145). Accepts a `{label op "val"}` selector
         (PlanMergeProfiles, transpiler.go:63) and/or a bare service name.
-        Returns levels (driver-side: a render response is small by
-        construction)."""
+        `profile_type_id` (`memory:alloc_space:bytes:space:bytes`) scopes
+        BOTH the series match (populateTypeId) and the merged value slot
+        (MergeStackTraces, service/prof.go:135-158). A combined
+        `type{selector}` query string also works — detachTypeId
+        (prof.go:686) splits it. Returns levels (driver-side: a render
+        response is small by construction)."""
+        from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import flamegraph_levels, merge_trees
 
-        rows = merge_trees(self._profiles(service, selector)).collect()
+        if selector is not None and profile_type_id is None and "{" in selector:
+            profile_type_id, selector = psel.detach_type_id(selector)
+        stu = None
+        if profile_type_id is not None:
+            stu = psel.parse_type_id(profile_type_id).sample_type_unit
+        rows = merge_trees(
+            self._profiles(service, selector, profile_type_id), stu
+        ).collect()
         return flamegraph_levels(rows)
 
     # ------------------------------------------------------ misc
@@ -534,11 +593,23 @@ class Engine:
         """/api/echo (ref: router/tempo.go:21) — health probe."""
         return "echo"
 
-    def pyroscope_render_diff(self, left_service: str, right_service: str) -> DataFrame:
-        """/pyroscope/render-diff — node-aligned left/right/self deltas."""
+    def pyroscope_render_diff(
+        self,
+        left_service: str,
+        right_service: str,
+        profile_type_id: str | None = None,
+    ) -> DataFrame:
+        """/pyroscope/render-diff — node-aligned left/right/self deltas,
+        optionally scoped to one profile type (both sides merge the same
+        sample-type slot, as the reference's diff merges via the same
+        typed getTree, service/prof.go:226)."""
+        from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import diff_trees, merge_trees
 
+        stu = None
+        if profile_type_id is not None:
+            stu = psel.parse_type_id(profile_type_id).sample_type_unit
         return diff_trees(
-            merge_trees(self._profiles(left_service)),
-            merge_trees(self._profiles(right_service)),
+            merge_trees(self._profiles(left_service, None, profile_type_id), stu),
+            merge_trees(self._profiles(right_service, None, profile_type_id), stu),
         )

@@ -111,6 +111,54 @@ def parse_profile_selector(text: str) -> list[Selector]:
     return sels
 
 
+@dataclass
+class TypeId:
+    """Parsed `tp:sample_type:sample_unit:period_type:period_unit`
+    (ref: shared.ParseTypeId, reader/prof/shared/types.go:20)."""
+
+    tp: str
+    sample_type: str
+    sample_unit: str
+    period_type: str
+    period_unit: str
+
+    @property
+    def sample_type_unit(self) -> str:
+        return f"{self.sample_type}:{self.sample_unit}"
+
+
+def parse_type_id(text: str) -> TypeId:
+    parts = text.split(":", 4)
+    if len(parts) != 5:
+        raise ProfSelectorError(f"invalid profile type id: {text!r}")
+    return TypeId(*parts)
+
+
+def populate_type_id(sels: list[Selector], tid: TypeId) -> list[Selector]:
+    """Append the five type-id pseudo-label matchers to a selector list
+    (ref: populateTypeId, prof_transpiler/transpiler.go:115-123) — the
+    planner-side scoping every type-id-aware endpoint applies."""
+    return sels + [
+        Selector(name="__name__", op="=", val=tid.tp),
+        Selector(name="__period_type__", op="=", val=tid.period_type),
+        Selector(name="__period_unit__", op="=", val=tid.period_unit),
+        Selector(name="__sample_type__", op="=", val=tid.sample_type),
+        Selector(name="__sample_unit__", op="=", val=tid.sample_unit),
+    ]
+
+
+def detach_type_id(query: str) -> tuple[str | None, str]:
+    """Split `tp:st:su:pt:pu{selector}` into (type_id, selector) — the
+    /pyroscope/render query format (ref: detachTypeId,
+    reader/service/prof.go:686). No `{` → the whole string is a
+    selector-less type id; no type part → (None, selector)."""
+    if "{" not in query:
+        return (query.strip() or None), "{}"
+    tid, sel = query.split("{", 1)
+    tid = tid.strip()
+    return (tid or None), "{" + sel.strip()
+
+
 def _cond(col: Column, sel: Selector) -> Column:
     if sel.op == "=":
         return col == sel.val
@@ -123,22 +171,31 @@ def _cond(col: Column, sel: Selector) -> Column:
     raise ProfSelectorError(f"bad op {sel.op!r}")
 
 
-def _global_col(sel: Selector) -> Column:
-    """Series-table column for a pseudo-label (planner_selector.go:
-    __name__/__period_type__/__period_unit__ are type_id parts)."""
+def _global_cond(sel: Selector) -> Column:
+    """Condition for a pseudo-label (planner_selector.go:44-106):
+    __name__/__period_type__/__period_unit__ match type_id parts;
+    __sample_type__/__sample_unit__/__profile_type__ are arrayExists
+    over the row's sample_types_units (one profile payload carries
+    several sample types, profiles.sql:23)."""
     if sel.name == "service_name":
-        return F.col("service_name")
+        return _cond(F.col("service_name"), sel)
     part = {"__name__": 0, "__period_type__": 1, "__period_unit__": 2}.get(sel.name)
     if part is not None:
-        return F.split(F.col("type_id"), ":").getItem(part)
-    # fixture profiles carry ONE sample type == the period type/unit
-    part = {"__sample_type__": 1, "__sample_unit__": 2}.get(sel.name)
-    if part is not None:
-        return F.split(F.col("type_id"), ":").getItem(part)
+        return _cond(F.split(F.col("type_id"), ":").getItem(part), sel)
+    if sel.name == "__sample_type__":
+        return F.exists("sample_types_units", lambda x: _cond(x["tp"], sel))
+    if sel.name == "__sample_unit__":
+        return F.exists("sample_types_units", lambda x: _cond(x["unit"], sel))
     # __profile_type__ = name:sample_type:sample_unit:period_type:period_unit
     p = F.split(F.col("type_id"), ":")
-    return F.concat_ws(
-        ":", p.getItem(0), p.getItem(1), p.getItem(2), p.getItem(1), p.getItem(2)
+    return F.exists(
+        "sample_types_units",
+        lambda x: _cond(
+            F.concat_ws(
+                ":", p.getItem(0), x["tp"], x["unit"], p.getItem(1), p.getItem(2)
+            ),
+            sel,
+        ),
     )
 
 
@@ -158,7 +215,7 @@ def profile_fingerprints(
         kv_neg = [s for s in sels if s.name not in _GLOBAL_LABELS and s.op in ("!=", "!~")]
         fps = series
         for s in glob:
-            fps = fps.filter(_cond(_global_col(s), s))
+            fps = fps.filter(_global_cond(s))
         fps = fps.select("fingerprint")
         gin = views.profiles_gin(spark, sf_dir)
         if kv_pos:

@@ -15,19 +15,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_trees(profiles: DataFrame) -> DataFrame:
+def merge_trees(profiles: DataFrame, sample_type_unit: str | None = None) -> DataFrame:
     """MergeTrie as a DataFrame agg (ref: prof_tree.go:80-143): explode
     every profile's tree and sum self/total per node identity
-    (id, parent, fn_id). Scales as one shuffle on the node key."""
+    (id, parent, fn_id). Scales as one shuffle on the node key.
+
+    A tree node carries one value slot per sample type;
+    `sample_type_unit` ("alloc_space:bytes") picks that slot — the
+    arrayFirst(y.1 == 'type:unit') projection of MergeRawPlanner
+    (planner_merge_raw.go:32-39); a profile without the slot contributes
+    zeros, as ClickHouse's arrayFirst default does. None selects each
+    node's FIRST slot (the single-valued v1 contract)."""
+    # try_element_at: ANSI mode (the driver default) errors on plain
+    # element_at when the filtered slot list is empty
+    if sample_type_unit is None:
+        v = F.try_element_at(F.col("n.values"), F.lit(1))
+    else:
+        v = F.try_element_at(
+            F.filter(F.col("n.values"), lambda x: x["name"] == sample_type_unit),
+            F.lit(1),
+        )
     nodes = profiles.select(F.explode("tree").alias("n")).select(
         F.col("n.id").alias("id"),
         F.col("n.parent").alias("parent"),
         F.col("n.fn_id").alias("fn_id"),
-        F.explode("n.values").alias("v"),
+        F.coalesce(v["self"], F.lit(0)).alias("self"),
+        F.coalesce(v["total"], F.lit(0)).alias("total"),
     )
     return nodes.groupBy("id", "parent", "fn_id").agg(
-        F.sum("v.self").alias("self"),
-        F.sum("v.total").alias("total"),
+        F.sum("self").alias("self"),
+        F.sum("total").alias("total"),
         F.count(F.lit(1)).alias("n_samples"),
     )
 

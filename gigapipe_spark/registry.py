@@ -1664,6 +1664,37 @@ def prof_merge_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_trees(views.profiles(spark, sf_dir))
 
 
+@register(
+    # type-id-scoped merge: the strTypeID parameter of MergeStackTraces
+    # (service/prof.go:135) appends five pseudo-label matchers
+    # (populateTypeId transpiler.go:115) and the merge reads that sample
+    # type's value slot (planner_merge_raw.go:32 arrayFirst). The
+    # alloc_space:bytes slot is the price×100 fixture series.
+    "prof_merge_typed",
+    """
+    SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS parent, CAST(0 AS BIGINT) AS fn_id,
+           CAST(0 AS BIGINT) AS self,
+           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS total,
+           count(*) AS n_samples
+    FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT CAST(code AS BIGINT), 0, CAST(code AS BIGINT),
+           CAST(s AS BIGINT), CAST(s AS BIGINT), n
+    FROM (
+      SELECT CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END AS code,
+             sum(floor(l_extendedprice * 100)) AS s,
+             count(DISTINCT (l_orderkey,
+                   CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2 ELSE 3 END)) AS n
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def prof_merge_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = Engine(spark, sf_dir)
+    tid = "process_cpu:alloc_space:bytes:cpu:nanoseconds"
+    return merge_trees(eng._profiles(None, None, tid), "alloc_space:bytes")
+
+
 def _merged_tree_cte(alias: str, priority: str) -> str:
     """Oracle-side merge_trees for one service selection (diff has no
     n_samples column, unlike prof_merge_trees)."""

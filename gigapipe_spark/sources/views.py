@@ -366,8 +366,12 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile fact table (ref profiles, profiles.sql:19-31) derived from
     orders/lineitem: one profile per order; call tree = root node (order
     total) + one child per distinct returnflag (summed item prices as
-    self/total). Deterministic and oracle-expressible — the merged tree
-    equals a direct lineitem aggregation.
+    self/total). Each node carries TWO named value slots — the pprof
+    multi-sample-type shape (profiles.sql tree column:
+    Array(Tuple(String, Int64, Int64)) values keyed "type:unit") —
+    "cpu:nanoseconds" (price×1000) and "alloc_space:bytes" (price×100),
+    so type-id-scoped merges (service/prof.go:135 strTypeID) have ≥2
+    types to discriminate. Deterministic and oracle-expressible.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -377,7 +381,8 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
     )
     per_flag = li.groupBy("l_orderkey", flag_code.alias("code")).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 1000)).cast("long").alias("val")
+        F.sum(F.floor(F.col("l_extendedprice") * 1000)).cast("long").alias("val"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("val_alloc"),
     )
     children = per_flag.groupBy("l_orderkey").agg(
         F.collect_list(
@@ -387,10 +392,15 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("code").cast("long").alias("fn_id"),
                 F.array(
                     F.struct(
-                        F.lit("samples").alias("name"),
+                        F.lit("cpu:nanoseconds").alias("name"),
                         F.col("val").alias("self"),
                         F.col("val").alias("total"),
-                    )
+                    ),
+                    F.struct(
+                        F.lit("alloc_space:bytes").alias("name"),
+                        F.col("val_alloc").alias("self"),
+                        F.col("val_alloc").alias("total"),
+                    ),
                 ).alias("values"),
             )
         ).alias("kids")
@@ -401,10 +411,15 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("fn_id"),
         F.array(
             F.struct(
-                F.lit("samples").alias("name"),
+                F.lit("cpu:nanoseconds").alias("name"),
                 F.lit(0).cast("long").alias("self"),
                 F.floor(F.col("o_totalprice") * 1000).cast("long").alias("total"),
-            )
+            ),
+            F.struct(
+                F.lit("alloc_space:bytes").alias("name"),
+                F.lit(0).cast("long").alias("self"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").alias("total"),
+            ),
         ).alias("values"),
     )
     fn_dict = F.array(
@@ -421,11 +436,21 @@ def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_orderkey").alias("fingerprint"),
             F.lit("process_cpu:cpu:nanoseconds").alias("type_id"),
+            _sample_types_units().alias("sample_types_units"),
             F.concat(F.lit("svc-"), F.col("o_orderpriority")).alias("service_name"),
             F.floor(F.col("o_totalprice") * 1000).cast("long").alias("duration_ns"),
             F.concat(F.array(root_node), F.col("kids")).alias("tree"),
             fn_dict.alias("functions"),
         )
+    )
+
+
+def _sample_types_units():
+    """profiles.sample_types_units (profiles.sql:23): the sample types
+    this profile payload carries."""
+    return F.array(
+        F.struct(F.lit("cpu").alias("tp"), F.lit("nanoseconds").alias("unit")),
+        F.struct(F.lit("alloc_space").alias("tp"), F.lit("bytes").alias("unit")),
     )
 
 
@@ -455,6 +480,7 @@ def profiles_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orders.select(
             F.col("o_orderkey").alias("fingerprint"),
             F.lit("process_cpu:cpu:nanoseconds").alias("type_id"),
+            _sample_types_units().alias("sample_types_units"),
             F.concat(F.lit("svc-"), F.col("o_orderpriority")).alias("service_name"),
             F.create_map(
                 F.lit("service_name"),

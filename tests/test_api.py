@@ -271,3 +271,53 @@ def test_metrics_instant_rate_requires_window(engine):
     # deriving one from the data would make 1-span results arbitrary
     with pytest.raises(ValueError):
         engine.tempo_metrics_query_instant('{ name = "item" } | rate()')
+
+
+def test_pyroscope_typed_merge_render(engine):
+    """Type-id scoping (service/prof.go:135 + detachTypeId :686): the
+    alloc_space:bytes slot merges the ×100 fixture series; the cpu slot
+    (and the un-typed default) merges the ×1000 series."""
+    cpu = engine.pyroscope_render(
+        profile_type_id="process_cpu:cpu:nanoseconds:cpu:nanoseconds"
+    )
+    alloc = engine.pyroscope_render(
+        profile_type_id="process_cpu:alloc_space:bytes:cpu:nanoseconds"
+    )
+    default = engine.pyroscope_render()
+    root_cpu = cpu[0][0]["total"]
+    root_alloc = alloc[0][0]["total"]
+    assert root_cpu == default[0][0]["total"]  # default = first slot = cpu
+    assert root_alloc < root_cpu  # ×100 vs ×1000 series
+    # combined `type{selector}` query string (detachTypeId)
+    combined = engine.pyroscope_render(
+        selector='process_cpu:alloc_space:bytes:cpu:nanoseconds{priority="1-URGENT"}'
+    )
+    assert combined[0][0]["total"] < root_alloc
+    # unknown sample type matches no series
+    import pytest as _pytest
+    from gigapipe_spark.prof.selector import ProfSelectorError
+
+    none = engine.pyroscope_render(
+        profile_type_id="process_cpu:heap:bytes:cpu:nanoseconds"
+    )
+    assert none == []
+    with _pytest.raises(ProfSelectorError):
+        engine.pyroscope_render(profile_type_id="not-a-type-id")
+
+
+def test_pyroscope_render_dot_and_settings(engine):
+    dot = engine.pyroscope_render_dot(service="svc-1-URGENT")
+    assert dot.startswith("digraph") and "root" in dot and "->" in dot
+    s = engine.pyroscope_settings()
+    assert s["settings"][0]["name"] == "pluginSettings"
+
+
+def test_pyroscope_render_diff_typed(engine):
+    typed = engine.pyroscope_render_diff(
+        "svc-1-URGENT", "svc-5-LOW",
+        profile_type_id="process_cpu:alloc_space:bytes:cpu:nanoseconds",
+    ).collect()
+    untyped = engine.pyroscope_render_diff("svc-1-URGENT", "svc-5-LOW").collect()
+    t_root = next(r for r in typed if r["id"] == 0)
+    u_root = next(r for r in untyped if r["id"] == 0)
+    assert t_root["total_left"] < u_root["total_left"]
