@@ -56,17 +56,60 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes):
-    """Placeholder for a real decoder (PIL/librosa/av). Not available in
-    this container — the pipeline stubs it with byte-level features."""
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; extract_features uses a deterministic byte-level stub"
-    )
+def decode_real(payload: bytes) -> dict:
+    """Real decoder for the formats decodable WITHOUT external media
+    libraries: binary PPM (P6, RGB) and PGM (P5, grayscale) — full
+    header parse (whitespace tokens, '#' comments, maxval check), pixel
+    array reshaped to (height, width, channels).
+
+    JPEG/PNG/audio/video still need PIL/librosa/av, which this container
+    does not ship — those payloads raise NotImplementedError and the
+    pipeline falls back to the byte-level stub features."""
+    import numpy as np
+
+    if payload[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "only PPM(P6)/PGM(P5) decode without media libraries; other "
+            "formats fall back to byte-level stub features"
+        )
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens, '#'-comments allowed between tokens
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixels
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = width * height * channels
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": pixels.reshape(height, width, channels),
+    }
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: 16-bin byte histogram per payload (deterministic).
+    """Decode stage: REAL decode for PPM/PGM payloads (decode_real),
+    byte-level stub features for everything else.
+
+    Real-decoded feature = [width, height, channels, mean(ch0),
+    mean(ch1), mean(ch2)] (grayscale repeats its single channel) —
+    deterministic and SQL-expressible, so the driver can oracle-check
+    the real path. Stub feature = 16-bin byte histogram.
 
     Arrow-batched: each pdf is a columnar batch; per-row Python cost is
     one numpy pass over the payload bytes.
@@ -78,12 +121,30 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sizes = []
         chunks = []
         for payload in pdf["payload"]:
-            b = np.frombuffer(payload if payload is not None else b"", dtype=np.uint8)
+            raw = payload if payload is not None else b""
+            sizes.append(len(raw))
+            chunks.append(int(np.ceil(len(raw) / _CHUNK)))
+            try:
+                img = decode_real(bytes(raw))
+                px = img["pixels"].astype("float64")
+                means = px.reshape(-1, img["channels"]).mean(axis=0)
+                if img["channels"] == 1:
+                    means = np.repeat(means, 3)
+                feats.append(
+                    [
+                        float(img["width"]),
+                        float(img["height"]),
+                        float(img["channels"]),
+                        *means.tolist(),
+                    ]
+                )
+                continue
+            except (NotImplementedError, ValueError):
+                pass
+            b = np.frombuffer(raw, dtype=np.uint8)
             hist = np.bincount(b >> 4, minlength=16).astype("float64")
             total = max(hist.sum(), 1.0)
             feats.append((hist / total).tolist())
-            sizes.append(len(b))
-            chunks.append(int(np.ceil(len(b) / _CHUNK)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -92,6 +153,30 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "feature": feats,
             }
         )
+
+
+PPM_W, PPM_H = 16, 4  # fixture image dims: 16×4 RGB = 192 pixel bytes
+
+
+def attach_ppm_payload(docs: DataFrame) -> DataFrame:
+    """documents → REAL image payloads: each text's first 192 bytes
+    (zero-padded) become the pixel data of a 16×4 binary PPM (P6) —
+    a deterministic real format the decode stage parses for real,
+    making the decode path oracle-checkable end-to-end."""
+    n = PPM_W * PPM_H * 3
+    pixels = F.rpad(F.substring(F.encode("text", "utf-8"), 1, n), n, F.lit(bytes([0])))
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "utf-8"), pixels
+    )
+    return docs.select(
+        F.col("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.length(payload).cast("long").alias("size_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
 
 
 def extract_features(multimodal: DataFrame) -> DataFrame:

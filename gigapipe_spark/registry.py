@@ -1924,6 +1924,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.extract_features(mm)
 
 
+def _ppm_mean_sql(channel: int) -> str:
+    """DuckDB mirror of the decoded channel mean: byte values recovered
+    from the hex of the text's first 192 bytes (zero-padded)."""
+    return (
+        "round(list_avg([ (strpos('0123456789ABCDEF', substr(h, 2*(3*j+{c})+1, 1))-1)*16"
+        " + strpos('0123456789ABCDEF', substr(h, 2*(3*j+{c})+2, 1))-1"
+        " FOR j IN generate_series(0, 63)]), 6)"
+    ).format(c=channel)
+
+
+@register(
+    # REAL image decode, oracle-checked: the 16×4 P6 payload built from
+    # each document's text is parsed by decode_real (full header parse +
+    # pixel reshape); features = dims + per-channel means, which DuckDB
+    # recovers from the same bytes via hex arithmetic
+    "multimodal_ppm_decode",
+    f"""
+    SELECT doc_id, 16.0 AS width, 4.0 AS height, 3.0 AS channels,
+           {_ppm_mean_sql(0)} AS mean_r,
+           {_ppm_mean_sql(1)} AS mean_g,
+           {_ppm_mean_sql(2)} AS mean_b
+    FROM (
+      SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '00') AS h
+      FROM documents
+    )
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _mm.attach_ppm_payload(_views.documents(spark, sf_dir))
+    feats = _mm.extract_features(mm)
+    return feats.select(
+        "doc_id",
+        F.col("feature").getItem(0).alias("width"),
+        F.col("feature").getItem(1).alias("height"),
+        F.col("feature").getItem(2).alias("channels"),
+        F.round(F.col("feature").getItem(3), 6).alias("mean_r"),
+        F.round(F.col("feature").getItem(4), 6).alias("mean_g"),
+        F.round(F.col("feature").getItem(5), 6).alias("mean_b"),
+    )
+
+
 # --- §2.1 ingestion decoders -------------------------------------------------
 # Deterministic wire payloads built inline, decoded through the real
 # ingest path, hash-checked against literal-row oracles. Fingerprints are

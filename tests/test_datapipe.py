@@ -301,3 +301,44 @@ def test_embedding_cosine_pairs_recall_and_precision(spark):
         assert len(got) >= 0.9 * len(want)
         for k, v in got.items():
             assert abs(v - want[k]) < 1e-4
+
+
+def test_decode_real_ppm_pgm():
+    """decode_real is a REAL parser for the library-free formats:
+    header whitespace + '#' comments, P6 RGB and P5 grayscale."""
+    import numpy as np
+    import pytest
+
+    from gigapipe_spark.datapipe.multimodal import decode_real
+
+    px = bytes(range(24))  # 2x4 RGB
+    img = decode_real(b"P6\n# a comment\n4 2\n255\n" + px)
+    assert (img["width"], img["height"], img["channels"]) == (4, 2, 3)
+    assert img["pixels"].shape == (2, 4, 3)
+    assert img["pixels"].reshape(-1).tolist() == list(range(24))
+    gray = decode_real(b"P5 3 2 255\n" + bytes(range(6)))
+    assert (gray["width"], gray["height"], gray["channels"]) == (3, 2, 1)
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit
+
+
+def test_extract_features_real_vs_stub(spark):
+    """PPM payloads take the real-decode path (dims+channel means);
+    non-image payloads keep the 16-bin histogram stub."""
+    from gigapipe_spark.datapipe import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s"), (2, "abc", "s")],
+        "doc_id long, text string, source string",
+    )
+    real = {r["doc_id"]: r for r in mm.extract_features(mm.attach_ppm_payload(docs)).collect()}
+    assert real[1]["feature"][:3] == [16.0, 4.0, 3.0]
+    import numpy as np
+
+    want = np.frombuffer(b"hello world".ljust(192, b"\0"), np.uint8).reshape(-1, 3)[:, 0].mean()
+    assert abs(real[1]["feature"][3] - want) < 1e-9
+    stub = {r["doc_id"]: r for r in mm.extract_features(mm.attach_payload(docs)).collect()}
+    assert len(stub[1]["feature"]) == 16  # histogram path
+    assert abs(sum(stub[1]["feature"]) - 1.0) < 1e-9
