@@ -512,6 +512,26 @@ class Engine:
 
         return psel.profile_stats(self.spark, self.sf_dir)
 
+    def pyroscope_merge_profiles(
+        self,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
+    ) -> DataFrame:
+        """/querier.v1.QuerierService/SelectMergeProfile — the merged
+        (selector- and type-scoped) profile as the engine's tree rows
+        (ref: MergeProfiles service/prof.go:226 + PlanMergeProfiles
+        transpiler.go:63: select payloads by fingerprint plan, merge
+        with sample-key dedup; here the stored representation is the
+        tree, so the merge is the same distributed node-key agg the
+        render path uses)."""
+        from gigapipe_spark.prof import selector as psel
+        from gigapipe_spark.prof.tree import merge_trees
+
+        stu = None
+        if profile_type_id is not None:
+            stu = psel.parse_type_id(profile_type_id).sample_type_unit
+        return merge_trees(self._profiles(None, selector, profile_type_id), stu)
+
     def pyroscope_settings(self) -> dict:
         """/settings.v1.SettingsService/Get (ref: service/prof.go:427) —
         static plugin-settings envelope; ModifiedAt is fixed (no wall
@@ -592,6 +612,17 @@ class Engine:
     def tempo_echo(self) -> str:
         """/api/echo (ref: router/tempo.go:21) — health probe."""
         return "echo"
+
+    def ready(self) -> str:
+        """/ready (ref: controller/misc.go Ready): the reference's
+        watchdog checks the datastore answers; here a 1-row probe over
+        the store plays that role — failure raises, mirroring the 500."""
+        views.time_series(self.spark, self.sf_dir).limit(1).collect()
+        return "OK"
+
+    def config(self) -> str:
+        """/config (ref: controller/misc.go Config) — static."""
+        return "Not supported"
 
     def pyroscope_render_diff(
         self,

@@ -1690,9 +1690,9 @@ def prof_merge_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def prof_merge_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = Engine(spark, sf_dir)
-    tid = "process_cpu:alloc_space:bytes:cpu:nanoseconds"
-    return merge_trees(eng._profiles(None, None, tid), "alloc_space:bytes")
+    return Engine(spark, sf_dir).pyroscope_merge_profiles(
+        profile_type_id="process_cpu:alloc_space:bytes:cpu:nanoseconds"
+    )
 
 
 def _merged_tree_cte(alias: str, priority: str) -> str:

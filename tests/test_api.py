@@ -321,3 +321,17 @@ def test_pyroscope_render_diff_typed(engine):
     t_root = next(r for r in typed if r["id"] == 0)
     u_root = next(r for r in untyped if r["id"] == 0)
     assert t_root["total_left"] < u_root["total_left"]
+
+
+def test_misc_ready_config_merge_profiles(engine):
+    assert engine.ready() == "OK"
+    assert engine.config() == "Not supported"
+    merged = engine.pyroscope_merge_profiles(
+        selector='{priority="1-URGENT"}',
+        profile_type_id="process_cpu:alloc_space:bytes:cpu:nanoseconds",
+    ).collect()
+    assert {r["id"] for r in merged} <= {0, 1, 2, 3}
+    untyped = engine.pyroscope_merge_profiles(selector='{priority="1-URGENT"}').collect()
+    t = {r["id"]: r["total"] for r in merged}
+    u = {r["id"]: r["total"] for r in untyped}
+    assert t[0] < u[0]  # alloc slot (×100) < cpu slot (×1000)
