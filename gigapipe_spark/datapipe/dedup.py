@@ -76,6 +76,79 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs → connected components: (doc_id, cluster_id,
+    is_canonical), cluster_id = the component's minimum doc id — the
+    step after pair generation in every dedup pipeline (keep one
+    canonical doc per cluster, drop the rest).
+
+    Distributed min-label propagation: each iteration one
+    edge-join + min-agg, converging in O(component diameter) rounds —
+    the standard Spark connected-components shape (GraphFrames/Pregel;
+    near-dup components are tiny in practice so a handful of rounds
+    suffice). Each round materializes via an isEmpty convergence probe
+    on the CHANGED set only, so a converged graph costs one empty check,
+    not a full relabel. Input `pairs` needs (doc_a, doc_b) columns.
+    """
+    # the propagation state is doc-id-sized (near-dup graphs are sparse:
+    # nodes = docs with ≥1 near-dup) — keep it in a handful of fat
+    # partitions so each round's stages don't pay one scheduler slot per
+    # shuffle-partition sliver; at true scale raise `state_partitions`
+    # with the graph, or swap in large-star/small-star for wide graphs
+    state_partitions = max(4, pairs.sparkSession.sparkContext.defaultParallelism // 4)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .repartition(state_partitions, "src")
+        .persist()
+    )
+    # labels hash-partitioned on id with the SAME partition count as
+    # edges(src): the per-round join is then exchange-free on both sides
+    # (matching HashPartitioning); only the min-propagation groupBy
+    # shuffles, which is the irreducible step of the algorithm
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .repartition(state_partitions, "id")
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id, "inner")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias(
+                    "__changed"
+                ),
+            )
+            .repartition(state_partitions, "id")  # keep the id-hash invariant
+            .persist()
+        )
+        changed = updated.filter("__changed")
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = updated.select("id", "cluster").persist()
+        if done:
+            break
+    out = labels.withColumn("is_canonical", F.col("id") == F.col("cluster")).select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster_id"), "is_canonical"
+    )
+    edges.unpersist()
+    return out
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))

@@ -1798,6 +1798,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_lsh_pairs(_views.documents(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    # pair list → connected components (cluster assignment + canonical
+    # doc): distributed min-label propagation vs a recursive-CTE oracle
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))*1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _dedup.minhash_lsh_pairs(_views.documents(spark, sf_dir), threshold=0.5)
+    return _dedup.dedup_components(pairs)
+
+
 @register("dedup_simhash")  # subset semantics — rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_pairs(

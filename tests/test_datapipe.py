@@ -342,3 +342,20 @@ def test_extract_features_real_vs_stub(spark):
     stub = {r["doc_id"]: r for r in mm.extract_features(mm.attach_payload(docs)).collect()}
     assert len(stub[1]["feature"]) == 16  # histogram path
     assert abs(sum(stub[1]["feature"]) - 1.0) < 1e-9
+
+
+def test_dedup_components_chain_and_convergence(spark):
+    """Min-label propagation: a 4-node chain (needs >1 round) collapses
+    to one cluster labeled by its minimum id; disjoint pair → own
+    cluster; canonical flag marks the representative."""
+    from gigapipe_spark.datapipe.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_components(pairs).collect()}
+    assert got == {
+        10: (10, True), 20: (10, False), 30: (10, False), 40: (10, False),
+        100: (100, True), 200: (100, False),
+    }
