@@ -587,23 +587,24 @@ def metrics_exemplars(
             F.lit(1.0).alias("value"),
         )
     by_names = [b.replace(".", "_") for b in m.by]
-    grouped = spans.groupBy(*by_cols, bucket).agg(picked)
-    out = grouped.select(
+    if m.fn in ("rate", "count_over_time"):
+        # exemplar value = the series value at the exemplar's bucket
+        # (tempo_metrics.go:296-300 tsToValue lookup). The series agg
+        # shares the exemplar pick's exact grouping, so it rides the
+        # SAME groupBy — one aggregation, no matrix join
+        value = _METRICS_AGGS[m.fn](target, F.lit(step / 1e9)).alias("value")
+    else:
+        # includeDuration: value is the sampled span's own duration s
+        value = (F.min_by(F.col("duration_ns"), pick_key) / F.lit(1e9)).alias("value")
+    grouped = spans.groupBy(*by_cols, bucket).agg(picked, value)
+    return grouped.select(
         *by_names,
         "timestamp_ns",
         F.col("__ex.trace_id").alias("trace_id"),
         F.col("__ex.dur_ns").alias("dur_ns"),
         F.col("__ex.span_ts").alias("span_ts"),
+        "value",
     )
-    if m.fn in ("rate", "count_over_time"):
-        # exemplar value = the series value at the exemplar's bucket
-        # (tempo_metrics.go:296-300 tsToValue lookup); spans is already
-        # attr-prepped so aggregate it directly rather than re-prepping
-        agg = _METRICS_AGGS[m.fn](target, F.lit(step / 1e9))
-        matrix = spans.groupBy(*by_cols, bucket).agg(agg.alias("value"))
-        return out.join(matrix, [*by_names, "timestamp_ns"], "left")
-    # includeDuration: value is the sampled span's own duration seconds
-    return out.withColumn("value", F.col("dur_ns") / F.lit(1e9))
 
 
 def metrics_instant(
