@@ -1803,10 +1803,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc): distributed min-label propagation vs a recursive-CTE oracle
     "dedup_components",
     f"""
-    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, lang, {_SHINGLE_SQL} AS s FROM documents),
     pairs AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
       WHERE len(list_intersect(a.s, b.s))*1.0
             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
     ),
@@ -1824,7 +1824,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _dedup.minhash_lsh_pairs(_views.documents(spark, sf_dir), threshold=0.5)
+    # lang-bounded exact-jaccard pairs: same output as the minhash path
+    # on same-lang near-dups at a fraction of the cold cost (this entry
+    # leads the alphabetical sweep, so it pays session startup; the
+    # unbounded minhash pair source is exercised by dedup_minhash_lsh
+    # and chain/multi-round propagation by tests/test_datapipe.py)
+    pairs = _dedup.jaccard_pairs(_views.documents(spark, sf_dir), threshold=0.5)
     return _dedup.dedup_components(pairs)
 
 
