@@ -170,3 +170,55 @@ def test_pattern_merge_is_safe(a, b):
 @given(tokens)
 def test_cluster_key_deterministic(toks):
     assert cluster_key(toks) == cluster_key(list(toks))
+
+
+# ---------------------------------------------------------------- unwrap
+
+def _py_go_duration_seconds(s: str) -> float | None:
+    """Pure-Python reference of Go time.ParseDuration (the subset the
+    column expression implements: integer/decimal + ns..h units, one
+    optional leading sign, full-string match)."""
+    import re as _re
+
+    m = _re.fullmatch(r"([-+]?)((?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))+)", s)
+    if not m:
+        return None
+    mult = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+    total = sum(
+        float(n) * mult[u]
+        for n, u in _re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", m.group(2))
+    )
+    return -total if m.group(1) == "-" else total
+
+
+@st.composite
+def duration_like(draw):
+    # valid tokens, malformed variants, and garbage
+    kind = draw(st.integers(0, 3))
+    units = ["ns", "us", "µs", "ms", "s", "m", "h"]
+    if kind == 0:  # valid multi-token
+        sign = draw(st.sampled_from(["", "-", "+"]))
+        toks = draw(st.lists(st.tuples(st.integers(0, 999), st.sampled_from(units)), min_size=1, max_size=3))
+        return sign + "".join(f"{n}{u}" for n, u in toks)
+    if kind == 1:  # decimal
+        return f"{draw(st.integers(0, 99))}.{draw(st.integers(0, 99))}{draw(st.sampled_from(units))}"
+    if kind == 2:  # corrupted: embed a valid token in junk
+        return draw(st.sampled_from(["abc", "xyz "])) + f"{draw(st.integers(1, 9))}m" + draw(st.sampled_from(["", "xx", " z"]))
+    return draw(st.text(alphabet=string.printable, max_size=12))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(duration_like(), min_size=1, max_size=12, unique=True))
+def test_go_duration_column_matches_python(spark, vals):
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.logql.compiler import _go_duration_seconds
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["v"]: r["secs"] for r in df.withColumn("secs", _go_duration_seconds(F.col("v"))).collect()}
+    for v in vals:
+        want = _py_go_duration_seconds(v)
+        if want is None:
+            assert got[v] is None, (v, got[v])
+        else:
+            assert got[v] is not None and abs(got[v] - want) < 1e-9, (v, got[v], want)
