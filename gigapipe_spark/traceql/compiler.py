@@ -340,10 +340,11 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
     if script.compare is not None:
-        # | compare({sel}[, N]): the stage's selector defines the
-        # selection, the baseline is everything else in the window
-        sel, n = script.compare
-        return compare_attrs(ctx, sel, top_n=n)
+        # | compare({sel}[, N[, baselineWindow]]): the stage's selector
+        # defines the selection, the baseline is everything else — in
+        # the explicit baseline window when one was given
+        sel, n, baseline = script.compare
+        return compare_attrs(ctx, sel, top_n=n, baseline=baseline)
     ctx.pending_spanset = script.spanset
     ids = eval_spanset(ctx, script.spanset)
     if script.sample is not None:
@@ -650,6 +651,12 @@ def metrics_instant(
         )
         win = F.lit(max((end_ns - start_ns) / 1e9, 1.0))
         return cnt.select(*by_names, (F.col("__n") / win).alias("value"))
+    if m.fn == "histogram_over_time":
+        # the reference's instant endpoint answers histogram queries
+        # with an EMPTY series set (tempo_metrics.go:391-393)
+        if by_cols:
+            return spans.groupBy(*by_cols).agg(F.lit(0.0).alias("value")).limit(0)
+        return spans.agg(F.lit(0.0).alias("value")).limit(0)
     if m.fn in _METRICS_AGGS:
         agg = _METRICS_AGGS[m.fn](target, F.lit(1.0))
     elif m.fn == "quantile_over_time":
@@ -661,16 +668,44 @@ def metrics_instant(
     return spans.agg(agg.alias("value"))
 
 
-def compare_attrs(ctx: TraceQLContext, sel: SpanSelector, top_n: int = 10) -> DataFrame:
+def compare_attrs(
+    ctx: TraceQLContext,
+    sel: SpanSelector,
+    top_n: int = 10,
+    baseline: tuple[int, int] | None = None,
+) -> DataFrame:
     """| compare({sel}): attribute frequency diff between the selection
     and the baseline (everything else) — ref: BuildCompareQuery
-    metrics_query.go:748. Returns per (key,val): selection count,
+    metrics_query.go:748. `baseline=(from_ns, to_ns)` restricts the
+    baseline population to that window (the explicit baselineStart/End
+    args of CompareSelector; the selection keeps the request window,
+    metrics_query.go:744-758). Returns per (key,val): selection count,
     baseline count."""
     ids = select_spans(ctx, sel)
     attrs = ctx.attrs()
     flagged = attrs.join(
         ids.withColumn("__sel", F.lit(1)), ["trace_id", "span_id"], "left"
     ).withColumn("__sel", F.coalesce(F.col("__sel"), F.lit(0)))
+    if baseline is not None:
+        bfrom, bto = baseline
+        in_baseline = (F.col("timestamp_ns") >= bfrom) & (F.col("timestamp_ns") < bto)
+        # rows outside the baseline window contribute to neither count
+        # unless they are selection rows
+        flagged = flagged.filter((F.col("__sel") == 1) | in_baseline)
+        counts = flagged.groupBy("key", "val").agg(
+            F.sum("__sel").alias("selection_count"),
+            F.sum(
+                F.when((F.col("__sel") == 0) & in_baseline, F.lit(1)).otherwise(F.lit(0))
+            ).alias("baseline_count"),
+        )
+        w = Window.orderBy(
+            F.col("selection_count").desc(), F.col("key"), F.col("val")
+        )
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_n)
+            .drop("__rn")
+        )
     counts = flagged.groupBy("key", "val").agg(
         F.sum("__sel").alias("selection_count"),
         F.sum(F.lit(1) - F.col("__sel")).alias("baseline_count"),

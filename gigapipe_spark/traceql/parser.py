@@ -107,7 +107,7 @@ class TraceQLScript:
     sample: float | None = None  # with(sample=0.1) hint
     select_attrs: list[str] = field(default_factory=list)  # | select(a, b)
     topk: tuple[str, int] | None = None  # | topk(n) / bottomk(n) second stage
-    compare: tuple | None = None  # | compare({sel}[, topN]) → (SpansetExpr, n)
+    compare: tuple | None = None  # compare({sel}[, topN[, bFrom, bTo]]) → (SpansetExpr, n, (bFrom, bTo)|None)
 
 
 def _norm_attr(name: str) -> str:
@@ -307,17 +307,26 @@ class TraceQLParser:
             script.topk = (fn, int(float(k)))
             return
         if fn == "compare":
-            # | compare({sel}[, topN]) — selection-vs-baseline attr
-            # frequency diff (ref: CompareSelector model_v2.go:209)
+            # | compare({sel}[, topN[, baselineStartNs, baselineEndNs]])
+            # — selection-vs-baseline attr frequency diff with an
+            # optional explicit baseline window
+            # (ref: CompareSelector model_v2.go:204-209)
             self.expect("(")
             sel = self.parse_spanset_atom()
-            n = 10
-            if self.at(","):
+            args: list[int] = []
+            while self.at(","):
                 self.next()
                 _, v = self.next()
-                n = int(float(v))
+                args.append(int(float(v)))
             self.expect(")")
-            script.compare = (sel, n)
+            if len(args) not in (0, 1, 3):
+                raise TraceQLSyntaxError(
+                    "compare() takes ({sel}), ({sel}, N) or"
+                    " ({sel}, N, baselineStartNs, baselineEndNs)"
+                )
+            n = args[0] if args else 10
+            baseline = (args[1], args[2]) if len(args) == 3 else None
+            script.compare = (sel, n, baseline)
             return
         raise TraceQLSyntaxError(f"unknown pipeline stage {fn!r}")
 

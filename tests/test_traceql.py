@@ -360,3 +360,30 @@ def test_metrics_exemplars_avg_duration_value(spark):
     again = {(r["returnflag"], r["timestamp_ns"]): r["trace_id"] for r in ex.collect()}
     for r in rows:
         assert again[(r["returnflag"], r["timestamp_ns"])] == r["trace_id"]
+
+
+def test_metrics_instant_histogram_empty(spark):
+    # reference MetricsQueryInstant returns an empty series set for
+    # histogram_over_time (tempo_metrics.go:391-393)
+    from gigapipe_spark.traceql.compiler import metrics_instant
+
+    out = metrics_instant(
+        ctx(spark), parse('{ name = "order" } | histogram_over_time(duration)')
+    )
+    assert out.count() == 0 and "value" in out.columns
+
+
+def test_compare_baseline_window(spark):
+    """compare({sel}, N, bFrom, bTo): the baseline population narrows to
+    the window while the selection keeps the request window
+    (CompareSelector model_v2.go:204-209 + BuildCompareQuery:744-758)."""
+    c = ctx(spark)
+    full = {(r["key"], r["val"]): r for r in query(c, '{ returnflag = "R" } | compare({ name = "order" }, 50)').collect()}
+    # baseline clamped to an empty window: baseline counts go to 0,
+    # selection counts unchanged
+    clamped = {(r["key"], r["val"]): r
+               for r in query(c, '{ returnflag = "R" } | compare({ name = "order" }, 50, 1, 2)').collect()}
+    assert clamped
+    for k, r in clamped.items():
+        assert r["baseline_count"] == 0
+        assert r["selection_count"] == full[k]["selection_count"]
