@@ -41,6 +41,7 @@ def main() -> None:
         )
     qs, os_ = e.queries(), e.oracle_sql()
     fails = []
+    results = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -56,9 +57,20 @@ def main() -> None:
             ok, msg = False, traceback.format_exc(limit=3).replace("\n", " | ")
         dt = round(time.monotonic() - t0, 2)
         status = "PASS" if ok else "FAIL"
+        results[name] = {"ok": ok, "oracle": name in os_, "sec": dt, "msg": msg}
         print(f"{status} {name} [{dt}s] {msg}", flush=True)
         if not ok:
             fails.append(name)
+    out_path = os.environ.get("SELFCHECK_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "total": len(results),
+                 "failures": fails, "results": results},
+                f, indent=1,
+            )
     print(f"\n{len(fails)} failures: {fails}")
     sys.exit(1 if fails else 0)
 
