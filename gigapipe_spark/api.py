@@ -143,20 +143,11 @@ class Engine:
             self.logctx(), query, None, time_ns, limit, "backward"
         ).df
 
-    def loki_labels(self) -> DataFrame:
-        """/loki/api/v1/labels — distinct label names from the GIN."""
-        gin = views.time_series_gin(self.spark, self.sf_dir)
-        return gin.select("key").distinct()
-
-    def loki_label_values(self, name: str) -> DataFrame:
-        """/loki/api/v1/label/{name}/values."""
-        gin = views.time_series_gin(self.spark, self.sf_dir)
-        return gin.filter(F.col("key") == name).select("val").distinct()
-
-    def loki_series(self, match: str | list[str]) -> DataFrame:
-        """/loki/api/v1/series — distinct label sets for one or more
-        match[] selectors; multiple selectors union (ref:
-        planner_multi_stream_select.go:8)."""
+    def _match_fps(self, match: str | list[str]) -> DataFrame:
+        """match[] selectors → unioned fingerprint set (ref:
+        QueryLabelsService.Labels query_abels.go:106-124: each match is
+        parsed as a LogQL selector and the label plan is scoped to the
+        union of their streams)."""
         from gigapipe_spark.logql.compiler import fingerprints
         from gigapipe_spark.logql.parser import parse
 
@@ -165,7 +156,32 @@ class Engine:
         for m in matches:
             f = fingerprints(self.logctx(), parse(m).selector)
             fps = f if fps is None else fps.unionByName(f)
-        fps = fps.distinct()
+        return fps.distinct()
+
+    def loki_labels(self, match: str | list[str] | None = None) -> DataFrame:
+        """/loki/api/v1/labels — distinct label names from the GIN,
+        optionally restricted to streams matching `match[]` selectors
+        (ref: query_abels.go:106)."""
+        gin = views.time_series_gin(self.spark, self.sf_dir)
+        if match:
+            gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
+        return gin.select("key").distinct()
+
+    def loki_label_values(
+        self, name: str, match: str | list[str] | None = None
+    ) -> DataFrame:
+        """/loki/api/v1/label/{name}/values, with the same optional
+        match[] scoping as labels."""
+        gin = views.time_series_gin(self.spark, self.sf_dir)
+        if match:
+            gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
+        return gin.filter(F.col("key") == name).select("val").distinct()
+
+    def loki_series(self, match: str | list[str]) -> DataFrame:
+        """/loki/api/v1/series — distinct label sets for one or more
+        match[] selectors; multiple selectors union (ref:
+        planner_multi_stream_select.go:8)."""
+        fps = self._match_fps(match)
         series = views.time_series(self.spark, self.sf_dir)
         return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
             "fingerprint", "labels"
@@ -268,12 +284,15 @@ class Engine:
             F.max("timestamp_ns").alias("timestamp_ns"), w_val.alias("value")
         )
 
-    def prom_labels(self) -> DataFrame:
-        """/api/v1/labels — same GIN as Loki (one unified store)."""
-        return self.loki_labels()
+    def prom_labels(self, match: str | list[str] | None = None) -> DataFrame:
+        """/api/v1/labels — same GIN as Loki (one unified store), same
+        optional match[] scoping."""
+        return self.loki_labels(match)
 
-    def prom_label_values(self, name: str) -> DataFrame:
-        return self.loki_label_values(name)
+    def prom_label_values(
+        self, name: str, match: str | list[str] | None = None
+    ) -> DataFrame:
+        return self.loki_label_values(name, match)
 
     def prom_series(self, match: str | list[str]) -> DataFrame:
         """/api/v1/series — one or more match[] selectors, unioned like

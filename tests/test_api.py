@@ -335,3 +335,15 @@ def test_misc_ready_config_merge_profiles(engine):
     t = {r["id"]: r["total"] for r in merged}
     u = {r["id"]: r["total"] for r in untyped}
     assert t[0] < u[0]  # alloc slot (×100) < cpu slot (×1000)
+
+
+def test_labels_match_scoping(engine):
+    """labels / label values accept match[] selectors that scope the
+    listing to matching streams (ref: query_abels.go:106)."""
+    allk = {r["key"] for r in engine.loki_labels().collect()}
+    scoped = {r["key"] for r in engine.loki_labels(match='{app="click"}').collect()}
+    assert scoped <= allk and scoped
+    vals = {r["val"] for r in engine.loki_label_values("app", match='{app="click"}').collect()}
+    assert vals == {"click"}
+    # prom twins share the implementation
+    assert {r["key"] for r in engine.prom_labels(match='{app="click"}').collect()} == scoped
