@@ -346,6 +346,54 @@ class Engine:
             )
         return out.limit(limit)
 
+    def tempo_search_tags(
+        self,
+        tags: str,
+        limit: int = 20,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        min_duration_ns: int | None = None,
+        max_duration_ns: int | None = None,
+    ) -> DataFrame:
+        """Legacy (pre-TraceQL) /api/search?tags= — logfmt-style
+        `name op value` pairs (ops = != =~ !~, values optionally
+        quoted), intersected per span, with optional duration bounds
+        (ref: SQLIndexQuery sql_index_query.go:30-110 + the tags
+        grammar tags.go:10-52). Compiled to the same spanset machinery
+        as TraceQL: the AND of the pairs is ONE selector evaluation."""
+        import re as _re
+
+        from gigapipe_spark.traceql.compiler import select_spans
+        from gigapipe_spark.traceql.parser import AttrCmp, AttrNode, SpanSelector
+
+        pat = _re.compile(r'([^\s!=~"]+)\s*(=~|!~|!=|=)\s*("(?:\\.|[^"\\])*"|\S+)')
+        pos, expr = 0, None
+        for m in pat.finditer(tags):
+            if tags[pos : m.start()].strip():
+                raise ValueError(f"bad tags segment: {tags[pos:m.start()]!r}")
+            pos = m.end()
+            val = m.group(3)
+            if val.startswith('"'):
+                val = val[1:-1].replace(r"\"", '"').replace(r"\\", "\\")
+            cmp_ = AttrCmp(attr=m.group(1), op=m.group(2), value=val, kind="string")
+            expr = cmp_ if expr is None else AttrNode(op="&&", left=expr, right=cmp_)
+        if tags[pos:].strip() or expr is None:
+            raise ValueError(f"invalid tags search string: {tags!r}")
+        ids = select_spans(self.tracectx(), SpanSelector(expr=expr))
+        spans = self.tracectx().spans().join(ids, ["trace_id", "span_id"], "left_semi")
+        if start_ns is not None:
+            spans = spans.filter(F.col("timestamp_ns") >= start_ns)
+        if end_ns is not None:
+            spans = spans.filter(F.col("timestamp_ns") < end_ns)
+        if min_duration_ns is not None:
+            spans = spans.filter(F.col("duration_ns") >= min_duration_ns)
+        if max_duration_ns is not None:
+            spans = spans.filter(F.col("duration_ns") < max_duration_ns)
+        out = assemble_traces(self.tracectx(), spans).orderBy(
+            F.col("end_ns").desc(), "trace_id"
+        )
+        return out.limit(limit)
+
     def tempo_trace(self, trace_id: str) -> DataFrame:
         """/api/traces/{traceId} — root-first span list."""
         return trace_by_id(self.tracectx(), trace_id)

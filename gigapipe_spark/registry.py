@@ -857,6 +857,28 @@ register(
     with_spans("SELECT trace_id, span_id FROM spans WHERE returnflag = 'R'"),
 )(_traceql('{ returnflag = "R" }'))
 
+
+@register(
+    # legacy (pre-TraceQL) tags= search: logfmt pairs + duration bound,
+    # trace-level assembly (ref: SQLIndexQuery sql_index_query.go:30 +
+    # GetTracesQuery traces_query.go)
+    "tempo_search_tags_legacy",
+    with_spans(
+        """
+        SELECT trace_id, count(*) AS span_count,
+               CAST(sum(duration_ns) AS BIGINT) AS total_duration_ns
+        FROM spans
+        WHERE returnflag = 'R' AND duration_ns >= 50000000
+        GROUP BY trace_id
+        """
+    ),
+)
+def tempo_search_tags_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = Engine(spark, sf_dir).tempo_search_tags(
+        'returnflag="R"', limit=1_000_000, min_duration_ns=50_000_000
+    )
+    return out.select("trace_id", "span_count", "total_duration_ns")
+
 register(
     "traceql_duration_filter",
     with_spans("SELECT trace_id, span_id FROM spans WHERE duration_ns > 50000000"),

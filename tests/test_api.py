@@ -347,3 +347,19 @@ def test_labels_match_scoping(engine):
     assert vals == {"click"}
     # prom twins share the implementation
     assert {r["key"] for r in engine.prom_labels(match='{app="click"}').collect()} == scoped
+
+
+def test_tempo_legacy_tags_search(engine):
+    """Legacy tags= search: logfmt pairs intersect per span; duration
+    bounds apply; results match the TraceQL equivalent."""
+    legacy = engine.tempo_search_tags(
+        'returnflag="R" linestatus=F', limit=1000, min_duration_ns=50_000_000
+    )
+    traceql = engine.tempo_search(
+        '{ returnflag = "R" && linestatus = "F" && duration >= 50ms }', limit=1000
+    )
+    assert sorted(r["trace_id"] for r in legacy.collect()) == sorted(
+        r["trace_id"] for r in traceql.collect()
+    )
+    with pytest.raises(ValueError):
+        engine.tempo_search_tags("===garbage===")
