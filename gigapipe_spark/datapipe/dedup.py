@@ -163,27 +163,51 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact shingle-Jaccard over same-partition pairs.
+    """Exact shingle-Jaccard pairs via an exploded-shingle equi-join.
 
-    O(pairs-within-partition) — usable as the verification/oracle path
-    and for bounded partitions; the unbounded path is minhash_lsh_pairs.
-    partition_col=None compares every pair (quadratic — oracle use only).
+    Shape: explode each doc's distinct shingles to (id, shingle) rows,
+    self-join on the shingle token, count matches per (doc_a, doc_b) —
+    that count IS |A∩B| because shingle sets are distinct — and recover
+    |A∪B| = |A|+|B|−|A∩B| from the per-doc sizes carried through the
+    aggregate. Only pairs that SHARE a shingle ever materialize (a pair
+    with no overlap has jaccard 0 < threshold by construction), so cost
+    is O(co-occurring shingle pairs), not O(n²) array intersections —
+    and the join key is the shingle itself, which distributes across the
+    cluster instead of skewing onto one partition per `partition_col`
+    value. A naive pair-join formulation also re-evaluates the inlined
+    shingle expression once per PAIR row (CollapseProject inlines the
+    projection under the join); here shingles are computed once per doc
+    on the explode side. partition_col additionally bounds pairs to
+    equal values (e.g. same lang); None compares across the whole corpus.
     """
-    part = F.col(partition_col) if partition_col else F.lit(0)
     sh = with_shingles(docs, text_col, "sh", n).select(
-        F.col(id_col).alias("id"), part.alias("part"), F.col("sh")
+        F.col(id_col).alias("id"),
+        (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
+        F.col("sh"),
     )
-    a = sh.select(
-        F.col("id").alias("doc_a"), F.col("part"), F.col("sh").alias("sh_a")
+    ex = sh.select(
+        "id", "part", F.size("sh").alias("n"), F.explode("sh").alias("tok")
     )
-    b = sh.select(
-        F.col("id").alias("doc_b"), F.col("part"), F.col("sh").alias("sh_b")
+    a = ex.select(
+        F.col("id").alias("doc_a"), "part", F.col("n").alias("na"), "tok"
     )
-    pairs = a.join(b, "part").filter(F.col("doc_a") < F.col("doc_b"))
+    b = ex.select(
+        F.col("id").alias("doc_b"), "part", F.col("n").alias("nb"), "tok"
+    )
+    inter = (
+        a.join(b, ["tok", "part"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        inter.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
