@@ -2032,6 +2032,155 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sampling / mixing / packing / scrubbing --------------------------------
+# The corpus-curation steps between "deduped docs" and "training
+# shards". All deterministic (md5-draw thresholds shared verbatim with
+# the oracles) — see datapipe/sampling.py and datapipe/scrub.py.
+
+from gigapipe_spark.datapipe import sampling as _samp  # noqa: E402
+from gigapipe_spark.datapipe import scrub as _scrub  # noqa: E402
+
+_T_25 = _samp.rate_threshold_hex(0.25)  # 40000000
+_T_EN, _T_FR, _T_DEF = (
+    _samp.rate_threshold_hex(0.2),
+    _samp.rate_threshold_hex(0.5),
+    _samp.rate_threshold_hex(0.1),
+)
+
+
+@register(
+    "sample_hash",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '{_T_25}'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% subsample — the md5-draw filter reaches the
+    scan as a predicate; the kept set is identical on any engine."""
+    return _samp.hash_sample(
+        _views.documents(spark, sf_dir), rate=0.25, seed="42"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE lang = 'de'
+       OR substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) <
+          CASE WHEN lang = 'de' THEN 'ffffffff'
+               WHEN lang = 'en' THEN '{_T_EN}'
+               WHEN lang = 'fr' THEN '{_T_FR}'
+               ELSE '{_T_DEF}' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang rates: downsample the head language, keep all of a
+    low-resource one — the language-rebalancing primitive."""
+    return _samp.stratified_sample(
+        _views.documents(spark, sf_dir),
+        rates={"en": 0.2, "de": 1.0, "fr": 0.5},
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_mixture_plan",
+    """
+    WITH c AS (
+      SELECT source AS stratum, count(*) AS n_docs,
+             CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+                              WHEN 'src2' THEN 0.1 END AS DOUBLE) AS w
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      GROUP BY source
+    )
+    SELECT stratum, n_docs, round(w, 6) AS weight,
+           round(w * 60.0, 6) AS target_n,
+           round(least(CAST(1.0 AS DOUBLE), w * 60.0 / n_docs), 6) AS rate
+    FROM c
+    """,
+)
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target mixture weights + doc budget → per-source sampling rates
+    (metadata-sized aggregate; rates feed stratified_sample)."""
+    return _samp.mixture_plan(
+        _views.documents(spark, sf_dir),
+        weights={"src0": 6.0, "src1": 3.0, "src2": 1.0},
+        budget=60,
+    )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(floor(token_offset * 1.0 / 256) AS BIGINT) AS seq_id,
+           n_tokens, token_offset
+    FROM (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+      FROM t
+    )
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing into 256-token training sequences over
+    8 parallel bucket streams (window partitions by bucket — no global
+    sort; raise n_buckets with the corpus)."""
+    return _samp.pack_sequences(
+        _views.documents(spark, sf_dir), budget_tokens=256, n_buckets=8
+    )
+
+
+@register("scrub_pii", _scrub.scrub_pii_oracle_sql("documents"))
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4/phone redaction with per-stage counts — pure regexp
+    column expressions (the synthetic corpus is PII-free, so counts are
+    0 here; tests/test_datapipe.py proves redaction on crafted rows
+    through the same function)."""
+    return _scrub.scrub_pii(_views.documents(spark, sf_dir))
+
+
+_NGRAM5_SQL = (
+    r"list_distinct(list_transform(range(1, greatest(len(ws) - 3, 1)),"
+    r" i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))"
+)
+
+
+@register(
+    "contamination_ngrams",
+    f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS ws
+      FROM documents
+    ),
+    ng AS (SELECT doc_id, {_NGRAM5_SQL} AS s FROM w),
+    bench AS (SELECT DISTINCT unnest(s) AS tok FROM ng WHERE doc_id < 25),
+    corpus AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ngrams, unnest(s) AS tok FROM ng)
+    SELECT c.doc_id, any_value(c.n_ngrams) AS n_ngrams, count(*) AS n_hits,
+           round(count(*) * 1.0 / any_value(c.n_ngrams), 6) AS contamination
+    FROM corpus c JOIN bench b ON c.tok = b.tok
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: docs sharing a 5-gram with the
+    benchmark set (here: doc_id < 25 stands in for an eval set). The
+    benchmark n-gram set broadcasts; the corpus never shuffles on
+    text."""
+    docs = _views.documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25)
+    return _scrub.contamination_ngrams(docs, bench, n=5)
+
+
 # --- §2.1 ingestion decoders -------------------------------------------------
 # Deterministic wire payloads built inline, decoded through the real
 # ingest path, hash-checked against literal-row oracles. Fingerprints are
