@@ -1,0 +1,191 @@
+"""Retention / tiering / settings — the ctrl-plane maintenance layer.
+
+The reference rotates data with ClickHouse TTL clauses: each table gets
+`TTL insert_time + INTERVAL ttl [TO DISK 'tier'], drop_expr` plus
+`ttl_only_drop_parts = 1` (whole parts only), and remembers the applied
+policy in a fingerprinted `settings` KV table read with
+`argMax(value, inserted_at)` (ref: ctrl/qryn/maintenance/rotate.go:48-95
+rotateTables, :17-46 get/putSetting; env surface SAMPLES_DAYS /
+STORAGE_POLICY docs/configuration.md:60-61).
+
+The Spark-native analog operates on the Catalog's date-partitioned
+parquet layout:
+
+  rotate()        whole DATE PARTITIONS are the "parts": partitions
+                  older than drop_days are deleted; partitions older
+                  than a policy's ttl_days move to that tier's root
+                  (cheap directory rename — the `TO DISK` analog; at
+                  cluster scale the same walk issues object-store
+                  copies/deletes, still metadata-sized: the walk is
+                  O(partitions), never O(rows))
+  read_tiered()   a reader spanning hot + tier roots (the storage-
+                  policy-aware merged view); partition pruning still
+                  applies per root because the date=... layout survives
+                  the move
+  put_setting/    append-only KV with latest-wins read via
+  get_setting     max_by(value, inserted_at) — the argMax contract,
+                  including the reference's "skip work when the stored
+                  policy already matches" fast path in rotate()
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from datetime import date as _date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapipe_spark.storage.writer import Catalog
+
+FACT_TABLES = ("samples", "time_series", "gin")
+
+
+@dataclass(frozen=True)
+class RotatePolicy:
+    """Mirror of rotate.go's RotatePolicy{TTL, MoveTo}: after ttl_days,
+    move the partition to tier `move_to` (e.g. "cold")."""
+
+    ttl_days: int
+    move_to: str
+
+
+def _partition_dates(table_path: str) -> list[tuple[str, str]]:
+    """[(iso_date, partition_dir)] for a date-partitioned table."""
+    if not os.path.isdir(table_path):
+        return []
+    out = []
+    for name in sorted(os.listdir(table_path)):
+        if name.startswith("date="):
+            out.append((name.split("=", 1)[1], os.path.join(table_path, name)))
+    return out
+
+
+def tier_root(catalog: Catalog, tier: str) -> str:
+    return catalog.root + "__tier_" + tier
+
+
+def rotate(
+    spark: SparkSession,
+    catalog: Catalog,
+    drop_days: int,
+    policies: tuple[RotatePolicy, ...] = (),
+    tables: tuple[str, ...] = FACT_TABLES,
+    today: _date | None = None,
+) -> dict[str, list[str]]:
+    """Apply retention to every table: drop partitions older than
+    `drop_days`, move older-than-policy partitions to their tier.
+
+    Whole partitions only (the ttl_only_drop_parts=1 contract — no
+    row-level rewrite ever happens here). Policies apply most-aged
+    first, so with (7d → cold, 30d → archive) a 40-day partition goes
+    to archive, a 10-day one to cold. Returns {action: [paths]} and
+    records the applied policy string under settings type="rotate" —
+    if the stored value already matches, the walk is skipped entirely
+    (rotate.go:74-76).
+    """
+    today = today or _date.today()
+    policy_str = f"drop:{drop_days};" + ";".join(
+        f"{p.ttl_days}->{p.move_to}" for p in sorted(policies, key=lambda p: -p.ttl_days)
+    )
+    if get_setting(spark, catalog, "rotate", "policy") == policy_str and not any(
+        _expired(today, drop_days, policies, table, catalog) for table in tables
+    ):
+        return {"dropped": [], "moved": [], "skipped": ["policy unchanged"]}
+    by_age = sorted(policies, key=lambda p: -p.ttl_days)
+    dropped: list[str] = []
+    moved: list[str] = []
+    for table in tables:
+        for iso, part_dir in _partition_dates(catalog.path(table)):
+            age = (today - _date.fromisoformat(iso)).days
+            if age > drop_days:
+                shutil.rmtree(part_dir)
+                dropped.append(part_dir)
+                continue
+            for pol in by_age:
+                if age > pol.ttl_days:
+                    dest_table = os.path.join(tier_root(catalog, pol.move_to), table)
+                    os.makedirs(dest_table, exist_ok=True)
+                    dest = os.path.join(dest_table, os.path.basename(part_dir))
+                    shutil.move(part_dir, dest)
+                    moved.append(dest)
+                    break
+    put_setting(spark, catalog, "rotate", "policy", policy_str)
+    return {"dropped": dropped, "moved": moved, "skipped": []}
+
+
+def _expired(
+    today: _date,
+    drop_days: int,
+    policies: tuple[RotatePolicy, ...],
+    table: str,
+    catalog: Catalog,
+) -> bool:
+    min_ttl = min([drop_days] + [p.ttl_days for p in policies])
+    return any(
+        (today - _date.fromisoformat(iso)).days > min_ttl
+        for iso, _ in _partition_dates(catalog.path(table))
+    )
+
+
+def read_tiered(
+    spark: SparkSession, catalog: Catalog, table: str, tiers: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union of the hot table and its tier copies — the reader's view of
+    a storage policy spanning disks. Each root keeps the date=...
+    layout, so time-bound predicates still prune partitions per root."""
+    paths = [catalog.path(table)] + [
+        os.path.join(tier_root(catalog, t), table) for t in tiers
+    ]
+    existing = [p for p in paths if os.path.isdir(p)]
+    if not existing:
+        raise FileNotFoundError(f"no data for table {table} in {paths}")
+    df = None
+    for p in existing:
+        part = spark.read.option("basePath", p).parquet(p)
+        df = part if df is None else df.unionByName(part)
+    return df
+
+
+# --- settings KV (ref: rotate.go getSetting/putSetting + argMax read) --------
+
+
+def put_setting(
+    spark: SparkSession, catalog: Catalog, tp: str, name: str, value: str
+) -> None:
+    fp = _setting_fp(tp, name)
+    row = spark.createDataFrame(
+        [(fp, tp, name, value, time.time_ns())],
+        "fingerprint long, type string, name string, value string, inserted_at long",
+    )
+    row.write.mode("append").parquet(catalog.path("settings"))
+
+
+def get_setting(
+    spark: SparkSession, catalog: Catalog, tp: str, name: str
+) -> str | None:
+    path = catalog.path("settings")
+    if not os.path.isdir(path):
+        return None
+    fp = _setting_fp(tp, name)
+    row = (
+        spark.read.parquet(path)
+        .filter(F.col("fingerprint") == fp)
+        .groupBy("fingerprint")
+        .agg(F.max_by("value", "inserted_at").alias("value"))
+        .collect()
+    )
+    return row[0]["value"] if row else None
+
+
+def _setting_fp(tp: str, name: str) -> int:
+    """Stable settings-row fingerprint. The reference hashes the
+    JSON-ish '{"type":..., "name":...' prefix with its DJB label hash
+    (rotate.go:17-19); equality semantics are all that matters, so
+    crc32 of the same canonical string serves here."""
+    import zlib
+
+    return zlib.crc32(f'{{"type":"{tp}", "name":"{name}"'.encode())

@@ -1,0 +1,100 @@
+"""Retention / tiering / settings (storage.maintenance) — the ctrl-plane
+rotate analog: whole-partition drops, tier moves, latest-wins settings."""
+
+import json
+import os
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from gigapipe_spark.sources import ingest
+from gigapipe_spark.storage.maintenance import (
+    RotatePolicy,
+    get_setting,
+    put_setting,
+    read_tiered,
+    rotate,
+    tier_root,
+)
+from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+
+def _day_ns(d: str) -> int:
+    from datetime import datetime, timezone
+
+    return int(datetime.fromisoformat(d + "T12:00:00+00:00").timestamp()) * 10**9
+
+
+def _store(spark, tmp_path, days):
+    """A catalog with one loki batch per day in `days`."""
+    cat = Catalog(str(tmp_path / "store"))
+    for d in days:
+        payload = json.dumps(
+            {
+                "streams": [
+                    {"stream": {"app": "web"}, "values": [[str(_day_ns(d)), f"line {d}"]]}
+                ]
+            }
+        )
+        decoded = ingest.loki_push(spark.createDataFrame([(payload,)], "payload string"))
+        ingest_fanout(decoded, cat)
+    return cat
+
+
+def test_rotate_drops_and_moves_whole_partitions(spark, tmp_path):
+    days = ["2026-01-01", "2026-02-01", "2026-02-10", "2026-03-01"]
+    cat = _store(spark, tmp_path, days)
+    today = date.fromisoformat("2026-03-02")
+    res = rotate(
+        spark,
+        cat,
+        drop_days=45,  # 2026-01-01 (60d) is gone
+        policies=(RotatePolicy(ttl_days=14, move_to="cold"),),  # 02-01 + 02-20 → cold
+        today=today,
+    )
+    assert len(res["dropped"]) == 3  # one partition per table
+    assert all("date=2026-01-01" in p for p in res["dropped"])
+    assert len(res["moved"]) == 6  # two dates × three tables
+    hot_dates = {
+        r["date"].isoformat() for r in cat.read(spark, "samples").select("date").collect()
+    }
+    assert hot_dates == {"2026-03-01"}
+    cold = spark.read.parquet(os.path.join(tier_root(cat, "cold"), "samples"))
+    assert cold.count() == 2  # the two moved days' rows
+
+
+def test_read_tiered_spans_hot_and_cold(spark, tmp_path):
+    cat = _store(spark, tmp_path, ["2026-02-01", "2026-03-01"])
+    rotate(
+        spark,
+        cat,
+        drop_days=365,
+        policies=(RotatePolicy(ttl_days=14, move_to="cold"),),
+        today=date.fromisoformat("2026-03-02"),
+    )
+    merged = read_tiered(spark, cat, "samples", tiers=("cold",))
+    assert merged.count() == 2  # both rows visible across roots
+    # partition pruning still applies per root: the date column survived
+    assert merged.filter(F.col("date") == "2026-03-01").count() == 1
+
+
+def test_rotate_policy_unchanged_is_noop(spark, tmp_path):
+    cat = _store(spark, tmp_path, ["2026-03-01"])
+    today = date.fromisoformat("2026-03-02")
+    first = rotate(spark, cat, drop_days=45, today=today)
+    assert first["skipped"] == []
+    again = rotate(spark, cat, drop_days=45, today=today)
+    assert again == {"dropped": [], "moved": [], "skipped": ["policy unchanged"]}
+    # a policy CHANGE re-runs the walk
+    changed = rotate(spark, cat, drop_days=30, today=today)
+    assert changed["skipped"] == []
+
+
+def test_settings_latest_wins(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "store"))
+    assert get_setting(spark, cat, "rotate", "policy") is None
+    put_setting(spark, cat, "rotate", "policy", "v1")
+    put_setting(spark, cat, "rotate", "policy", "v2")
+    put_setting(spark, cat, "other", "policy", "x")  # different fp, no clash
+    assert get_setting(spark, cat, "rotate", "policy") == "v2"
+    assert get_setting(spark, cat, "other", "policy") == "x"
