@@ -150,6 +150,58 @@ def read_tiered(
     return df
 
 
+def compact(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    target_files_per_partition: int = 1,
+    sort_cols: tuple[str, ...] = ("fingerprint", "timestamp_ns"),
+    codec: str | None = None,
+) -> dict[str, int]:
+    """Merge a table's small files per date partition — the MergeTree
+    background-merge analog, plus the codec-rewrite verb
+    (ctrl/qryn/maintenance/codec.go:9 UpdateTextCodec does it with
+    ALTER COLUMN ... CODEC; a parquet lake re-encodes by rewriting).
+
+    Streaming foreachBatch appends land one small file per micro-batch
+    per task — at 100 TB that's a metadata explosion (every query pays
+    per-file open + planning). Each date partition is rewritten to
+    `target_files_per_partition` files, re-sorted by `sort_cols` so the
+    rewrite RESTORES the row-group-skipping order that interleaved
+    appends destroyed (two sorted appends = a 2-way interleave; the
+    compacted file is globally sorted again, like a CH part merge).
+    Partitions at-or-under the target file count are left untouched —
+    compaction must be idempotent and cheap to re-run on a schedule.
+
+    Single-partition rewrites only (crash-safe unit = one date dir,
+    swapped via rename after the new files land); returns
+    {iso_date: files_before} for the partitions it rewrote.
+    """
+    done: dict[str, int] = {}
+    for iso, part_dir in _partition_dates(catalog.path(table)):
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        if len(files) <= target_files_per_partition:
+            continue
+        tmp_dir = part_dir + ".compact_tmp"
+        writer = (
+            spark.read.parquet(part_dir)
+            .repartition(target_files_per_partition)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+        )
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.parquet(tmp_dir)
+        old_dir = part_dir + ".compact_old"
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
+        done[iso] = len(files)
+    if codec:
+        put_setting(spark, catalog, "codec", table, codec)
+    return done
+
+
 # --- settings KV (ref: rotate.go getSetting/putSetting + argMax read) --------
 
 

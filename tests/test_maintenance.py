@@ -98,3 +98,32 @@ def test_settings_latest_wins(spark, tmp_path):
     put_setting(spark, cat, "other", "policy", "x")  # different fp, no clash
     assert get_setting(spark, cat, "rotate", "policy") == "v2"
     assert get_setting(spark, cat, "other", "policy") == "x"
+
+
+def test_compact_merges_small_files_and_restores_sort(spark, tmp_path):
+    from gigapipe_spark.storage.maintenance import compact
+
+    cat = _store(spark, tmp_path, ["2026-03-01"] * 4)  # 4 appended batches
+    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    before = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(before) >= 4  # one file per append at least
+    done = compact(spark, cat, "samples", target_files_per_partition=1)
+    assert done == {"2026-03-01": len(before)}
+    after = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(after) == 1
+    rows = spark.read.parquet(part).collect()
+    assert len(rows) == 4  # nothing lost
+    keys = [(r.fingerprint, r.timestamp_ns) for r in rows]
+    assert keys == sorted(keys)  # in-file sort restored
+    # idempotent: a second run is a no-op
+    assert compact(spark, cat, "samples", target_files_per_partition=1) == {}
+
+
+def test_compact_codec_rewrite_records_setting(spark, tmp_path):
+    from gigapipe_spark.storage.maintenance import compact
+
+    cat = _store(spark, tmp_path, ["2026-03-01"] * 2)
+    compact(spark, cat, "samples", target_files_per_partition=1, codec="zstd")
+    assert get_setting(spark, cat, "codec", "samples") == "zstd"
+    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    assert any(".zstd." in f for f in os.listdir(part))
