@@ -196,14 +196,51 @@ class Engine:
             F.sum(F.length("string")).cast("long").alias("bytes"),
         )
 
-    def loki_index_volume(self, by: str = "app") -> DataFrame:
-        """/loki/api/v1/index/volume (ref: controller/volume.go:17)."""
-        s = views.samples(self.spark, self.sf_dir)
-        series = views.time_series(self.spark, self.sf_dir)
+    def loki_index_volume(
+        self,
+        query: str | None = None,
+        target_labels: list[str] | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        step_ns: int = 15_000_000_000,
+        by: str = "app",
+    ) -> DataFrame:
+        """/loki/api/v1/index/volume (ref: controller/volume.go:17 +
+        service/query_range.go:166 QueryVolume).
+
+        With `query`, mirrors the reference exactly: the request is
+        rewritten to `sum(bytes_over_time(<query> [step])) by (<target
+        labels>)` and run through the engine (selector pruning, GIN,
+        time bounds all apply), then per-series bucket values sum
+        across the window into one volume per label set. Absent
+        targetLabels default to the selector's own matcher names
+        (getLabelsForVolume query_range.go:146). Without `query`, the
+        legacy single-label whole-store rollup stays."""
+        if query is None:
+            s = views.samples(self.spark, self.sf_dir)
+            series = views.time_series(self.spark, self.sf_dir)
+            return (
+                s.join(
+                    F.broadcast(series.select("fingerprint", "labels")), "fingerprint"
+                )
+                .groupBy(F.col("labels")[by].alias(by))
+                .agg(F.sum(F.length("string")).cast("long").alias("volume"))
+            )
+        from gigapipe_spark.logql.parser import parse as _parse_logql
+
+        if not target_labels:
+            target_labels = [m.label for m in _parse_logql(query).selector.matchers]
+        step_ms = max(step_ns // 1_000_000, 1)
+        text = (
+            f"sum(bytes_over_time({query} [{step_ms}ms]))"
+            f" by ({','.join(target_labels)})"
+        )
+        res = _logql_query_range(self.logctx(), text, start_ns, end_ns, None, "forward")
         return (
-            s.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
-            .groupBy(F.col("labels")[by].alias(by))
-            .agg(F.sum(F.length("string")).cast("long").alias("volume"))
+            res.df.groupBy(
+                *[F.col("labels")[lbl].alias(lbl) for lbl in target_labels]
+            )
+            .agg(F.sum("value").alias("volume"))
         )
 
     def loki_detected_labels(self) -> DataFrame:

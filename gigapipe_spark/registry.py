@@ -836,6 +836,23 @@ def meta_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "meta_volume_selector",
+    "SELECT event_type AS app, round(CAST(sum(length(props)) AS DOUBLE), 6) AS volume"
+    " FROM events WHERE event_type = 'view' GROUP BY 1",
+)
+def meta_volume_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-scoped volume via the reference's internal rewrite:
+    QueryVolume runs sum(bytes_over_time({sel} [step])) by (labels)
+    through the engine and totals buckets per label set (ref:
+    service/query_range.go:166-177; target labels default to the
+    selector's matcher names, :146). step==range tiles the window, so
+    every sample counts exactly once."""
+    from gigapipe_spark.api import Engine
+
+    return Engine(spark, sf_dir).loki_index_volume(query='{app="view"}')
+
+
 # --------------------------------------------------------------- TraceQL
 
 from gigapipe_spark.traceql.compiler import TraceQLContext  # noqa: E402

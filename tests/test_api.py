@@ -363,3 +363,16 @@ def test_tempo_legacy_tags_search(engine):
     )
     with pytest.raises(ValueError):
         engine.tempo_search_tags("===garbage===")
+
+
+def test_index_volume_selector_rewrite(engine):
+    """QueryVolume semantics (service/query_range.go:166): selector-
+    scoped, label-set grouped, totals equal the per-sample byte sum."""
+    out = engine.loki_index_volume(query='{app="view"}').collect()
+    assert [r["app"] for r in out] == ["view"]
+    # explicit targetLabels override the matcher-derived default
+    out2 = engine.loki_index_volume(
+        query='{app="view"}', target_labels=["app", "level"]
+    ).collect()
+    assert {tuple(r.asDict()) for r in out2} == {("app", "level", "volume")}
+    assert abs(sum(r["volume"] for r in out2) - out[0]["volume"]) < 1e-6
