@@ -243,16 +243,31 @@ class Engine:
             .agg(F.sum("value").alias("volume"))
         )
 
-    def loki_detected_labels(self) -> DataFrame:
-        """/loki/api/v1/detected_labels — per-label cardinality."""
+    def loki_detected_labels(self, query: str | None = None) -> DataFrame:
+        """/loki/api/v1/detected_labels — per-label cardinality. With a
+        `query`, scoped to the selector's stream set the way
+        QueryDetectedLabels plans the selector first and detects over
+        the matched fingerprints (ref: service/query_range.go:222 →
+        clickhouse_planner/planner.go:183 planDetectLabels: nil script
+        = whole store, else planTS then detect)."""
         gin = views.time_series_gin(self.spark, self.sf_dir)
+        if query is not None:
+            gin = gin.join(
+                F.broadcast(self._match_fps(query)), "fingerprint", "left_semi"
+            )
         return gin.groupBy("key").agg(F.countDistinct("val").alias("cardinality"))
 
-    def loki_detected_fields(self) -> DataFrame:
+    def loki_detected_fields(self, query: str | None = None) -> DataFrame:
         """/loki/api/v1/detected_fields — field names parsed out of the
         log lines themselves (ref: planner_labels_detect.go): keys of
-        the JSON payload, with how many lines carry each."""
+        the JSON payload, with how many lines carry each. `query`
+        scopes the scan to the selector's streams like the labels
+        twin."""
         s = views.samples(self.spark, self.sf_dir)
+        if query is not None:
+            s = s.join(
+                F.broadcast(self._match_fps(query)), "fingerprint", "left_semi"
+            )
         fields = s.select(
             F.explode(
                 F.map_keys(

@@ -376,3 +376,25 @@ def test_index_volume_selector_rewrite(engine):
     ).collect()
     assert {tuple(r.asDict()) for r in out2} == {("app", "level", "volume")}
     assert abs(sum(r["volume"] for r in out2) - out[0]["volume"]) < 1e-6
+
+
+def test_detected_labels_and_fields_selector_scoped(engine):
+    """QueryDetectedLabels/Fields accept a scoping selector
+    (service/query_range.go:222): cardinalities/line counts shrink to
+    the matched stream set and never exceed the unscoped ones."""
+    full = {r["key"]: r["cardinality"] for r in engine.loki_detected_labels().collect()}
+    scoped = {
+        r["key"]: r["cardinality"]
+        for r in engine.loki_detected_labels('{app="view"}').collect()
+    }
+    assert scoped  # the selector matches streams
+    assert set(scoped) <= set(full)
+    assert all(scoped[k] <= full[k] for k in scoped)
+    assert scoped["app"] == 1  # only the selected app remains
+    f_full = {r["field"]: r["lines"] for r in engine.loki_detected_fields().collect()}
+    f_scoped = {
+        r["field"]: r["lines"]
+        for r in engine.loki_detected_fields('{app="view"}').collect()
+    }
+    assert f_scoped and set(f_scoped) <= set(f_full)
+    assert all(f_scoped[k] <= f_full[k] for k in f_scoped)
