@@ -127,6 +127,36 @@ def mixture_plan(
     )
 
 
+def shuffle_order(
+    docs: DataFrame,
+    seed: str = "0",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    reproducible (bucket, pos) — read buckets in order, rows by pos
+    within each, and the corpus streams in a seed-keyed pseudo-random
+    order that is identical on any engine/partitioning (no rand(), no
+    zipWithIndex driver dependency).
+
+    bucket = first hex nibbles of the md5 draw (so buckets are
+    themselves random w.r.t. the input order); pos = rank of the draw
+    within the bucket. The rank window partitions by bucket —
+    n_buckets parallel streams, no global sort; a shard writer maps
+    bucket → output file. A new seed is a completely new order.
+    """
+    draw = hash_draw(F.col(id_col), seed)
+    bucket = (F.conv(F.substring(draw, 1, 4), 16, 10).cast("long") % n_buckets).alias(
+        "bucket"
+    )
+    w = Window.partitionBy("bucket").orderBy("draw", id_col)
+    return (
+        docs.select(F.col(id_col), bucket, draw.alias("draw"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "bucket", "pos")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int,

@@ -21,14 +21,26 @@ LANG_MARKERS = {
 }
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java and
+# RE2 evaluate identically (no lookahead): a token is an optionally
+# space-prefixed letter run, digit run, or symbol run. Real BPE then
+# splits INSIDE these pieces, so this count is the pre-tokenizer's
+# piece count — a much tighter budget estimate than chars/4.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (4 chars/token —
-    the common rule of thumb; real BPE runs as a Pandas-UDF stage)."""
+    """Whitespace tokens, a BPE pre-tokenizer piece count, and the
+    4-chars/token rule-of-thumb estimate (real BPE merges run as a
+    Pandas-UDF stage over the pre-tokenized pieces)."""
     ws = words_col(F.col(text_col))
     return docs.select(
         F.col(id_col),
         F.size(ws).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_pretokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_subwords_est"),
     )
 

@@ -1939,6 +1939,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
            length(text) AS n_chars,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_pretokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
     FROM documents
     """,
@@ -2154,6 +2155,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; raise n_buckets with the corpus)."""
     return _samp.pack_sequences(
         _views.documents(spark, sf_dir), budget_tokens=256, n_buckets=8
+    )
+
+
+@register(
+    "shuffle_order",
+    """
+    WITH d AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS draw
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST('0x' || substr(draw, 1, 4) AS BIGINT) % 16 AS bucket, draw
+      FROM d
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY draw, doc_id) AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seed-keyed (bucket, pos)
+    for every doc — 16 parallel rank streams, no global sort."""
+    return _samp.shuffle_order(
+        _views.documents(spark, sf_dir), seed="7", n_buckets=16
     )
 
 

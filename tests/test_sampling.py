@@ -166,3 +166,38 @@ def test_contamination_plan_broadcasts_benchmark(spark):
         d, d.filter(F.col("doc_id") < 25), n=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the benchmark side must broadcast
+
+
+def test_shuffle_order_deterministic_permutation(spark):
+    d = docs(spark)
+    n = d.count()
+    a = sampling.shuffle_order(d, seed="s", n_buckets=8).collect()
+    b = sampling.shuffle_order(d, seed="s", n_buckets=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # (bucket, pos) is a proper addressing: unique per doc, contiguous pos
+    addr = {(r.bucket, r.pos) for r in a}
+    assert len(addr) == n
+    by_bucket: dict[int, list[int]] = {}
+    for r in a:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a different order
+    c = sampling.shuffle_order(d, seed="t", n_buckets=8).collect()
+    assert {(r.doc_id, r.bucket, r.pos) for r in c} != {
+        (r.doc_id, r.bucket, r.pos) for r in a
+    }
+
+
+def test_bpe_pretoken_count(spark):
+    from gigapipe_spark.datapipe import textstats
+
+    d = spark.createDataFrame(
+        [(1, "Hello, world! x2"), (2, "  spaced   out  "), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.token_count(d).collect()}
+    # "Hello" ",", " world", "!", " x", "2" -> 6 pieces
+    assert out[1].n_bpe_pretokens == 6
+    assert out[2].n_bpe_pretokens == 2  # " spaced", " out"
+    assert out[3].n_bpe_pretokens == 0
