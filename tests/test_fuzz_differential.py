@@ -1,0 +1,193 @@
+"""Template-driven differential fuzzing: LogQL queries and their DuckDB
+oracles are BOTH mechanically derived from one random parameter draw, so
+every seed exercises a fresh combination of matcher ops / line filters /
+range functions / vector aggregations against the engine — the
+conformance net under the hand-paired registry entries (same idea as the
+reference's parser corpus tests, SURVEY §5, but end-to-end with values).
+
+Seeds are fixed: failures reproduce exactly, and a new seed range is a
+new corpus. Oracles compose the shared fingerprint/label mapping from
+sources/oracle.py so they stay in lockstep with the views contract.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql.compiler import LogQLContext
+from gigapipe_spark.logql.compiler import query as logql_query
+from gigapipe_spark.sources.oracle import TYPE_CODE_SQL
+from tests.conftest import SF_DIR
+from tests.oracle_utils import assert_match
+
+APPS = ["view", "click", "error", "signup", "purchase"]
+LEVEL_SQL = "CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END"
+FP_SQL = f"user_id*8 + {TYPE_CODE_SQL}"
+
+
+def gen_case(seed: int) -> tuple[str, str, list]:
+    """One draw → (logql_text, oracle_sql, spark_out_cols)."""
+    rng = random.Random(seed)
+
+    # --- stream selector -------------------------------------------------
+    op = rng.choice(["=", "!=", "=~", "!~"])
+    if op in ("=", "!="):
+        val = rng.choice(APPS)
+        matchers = [f'app{op}"{val}"']
+        where = [f"event_type {'=' if op == '=' else '!='} '{val}'"]
+    else:
+        rx = "|".join(rng.sample(APPS, 2))
+        matchers = [f'app{op}"{rx}"']
+        neg = "NOT " if op == "!~" else ""
+        where = [f"{neg}regexp_full_match(event_type, '{rx}')"]
+    if rng.random() < 0.5:
+        lv, lop = rng.choice(["info", "error"]), rng.choice(["=", "!="])
+        matchers.append(f'level{lop}"{lv}"')
+        where.append(f"{LEVEL_SQL} {'=' if lop == '=' else '!='} '{lv}'")
+    sel = "{" + ", ".join(matchers) + "}"
+
+    # --- line filter -----------------------------------------------------
+    if rng.random() < 0.5:
+        tok = rng.choice(["a", "e", "0", "k", "zz"])
+        lf = rng.choice(["|=", "!="])
+        sel += f' {lf} "{tok}"'
+        where.append(f"strpos(props, '{tok}') {'>' if lf == '|=' else '='} 0")
+
+    # --- range aggregation ----------------------------------------------
+    rng_min = rng.choice([1, 5, 10, 30])
+    rng_ns = rng_min * 60 * 10**9
+    fn = rng.choice(["count_over_time", "bytes_over_time", "rate"])
+    inner_val = {
+        "count_over_time": "CAST(count(*) AS DOUBLE)",
+        "bytes_over_time": "CAST(sum(length(props)) AS DOUBLE)",
+        "rate": f"count(*)/{rng_min * 60}.0",
+    }[fn]
+    text = f"{fn}({sel} [{rng_min}m])"
+    bucket = f"(epoch_ns(ts) - epoch_ns(ts) % {rng_ns})"
+    where_sql = " AND ".join(where)
+
+    # --- optional vector aggregation ------------------------------------
+    if rng.random() < 0.45:
+        agg = rng.choice(["sum", "max", "min", "avg", "count"])
+        text = f"{agg} by (app) ({text})"
+        outer_val = {
+            "sum": "sum(value)",
+            "max": "max(value)",
+            "min": "min(value)",
+            "avg": "avg(value)",
+            "count": "CAST(count(*) AS DOUBLE)",
+        }[agg]
+        sql = f"""
+        WITH per_series AS (
+          SELECT event_type AS app, {FP_SQL} AS fingerprint,
+                 {bucket} AS timestamp_ns, {inner_val} AS value
+          FROM events WHERE {where_sql} GROUP BY 1, 2, 3
+        )
+        SELECT app, timestamp_ns, {outer_val} AS value
+        FROM per_series GROUP BY 1, 2
+        """
+        cols = [lambda: F.col("labels")["app"].alias("app"), "timestamp_ns", "value"]
+    else:
+        sql = (
+            f"SELECT {FP_SQL} AS fingerprint, {bucket} AS timestamp_ns,"
+            f" {inner_val} AS value FROM events WHERE {where_sql} GROUP BY 1, 2"
+        )
+        cols = ["fingerprint", "timestamp_ns", "value"]
+    return text, sql, cols
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_logql_differential(spark, seed):
+    text, sql, cols = gen_case(seed)
+    res = logql_query(LogQLContext(spark, SF_DIR), text)
+    df = res.df.select(*[c() if callable(c) else c for c in cols])
+    assert_match(df, sql, SF_DIR)
+
+
+# --- PromQL: counter/gauge range functions over metric_samples ------------
+
+from gigapipe_spark.promql.compiler import PromQLContext
+from gigapipe_spark.promql.compiler import query as promql_query
+from gigapipe_spark.sources.oracle import counter_cte
+
+PROM_FNS = {
+    # fn -> (aggregate expr over the in-bucket pair window d, divide_by_range)
+    "rate": (
+        "(max_by(value, timestamp_ns) - min_by(value, timestamp_ns)"
+        " + sum(CASE WHEN prev > value THEN prev ELSE 0 END))",
+        True,
+    ),
+    "increase": (
+        "(max_by(value, timestamp_ns) - min_by(value, timestamp_ns)"
+        " + sum(CASE WHEN prev > value THEN prev ELSE 0 END))",
+        False,
+    ),
+    "delta": ("(max_by(value, timestamp_ns) - min_by(value, timestamp_ns))", False),
+    "resets": (
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND prev > value THEN 1 ELSE 0 END) AS DOUBLE)",
+        False,
+    ),
+    "changes": (
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND prev != value THEN 1 ELSE 0 END) AS DOUBLE)",
+        False,
+    ),
+    "sum_over_time": ("sum(value)", False),
+    "avg_over_time": ("avg(value)", False),
+    "min_over_time": ("min(value)", False),
+    "max_over_time": ("max(value)", False),
+    "count_over_time": ("CAST(count(*) AS DOUBLE)", False),
+}
+
+
+def gen_prom_case(seed: int) -> tuple[str, str, list]:
+    rng = random.Random(10_000 + seed)
+    op = rng.choice(["=", "=~", "!="])
+    if op == "=~":
+        rx = "|".join(rng.sample(APPS, 2))
+        matcher, where = f'app=~"{rx}"', f"regexp_full_match(app, '{rx}')"
+    else:
+        val = rng.choice(APPS)
+        matcher = f'app{op}"{val}"'
+        where = f"app {'=' if op == '=' else '!='} '{val}'"
+    rng_min = rng.choice([10, 30, 60])
+    rng_ns = rng_min * 60 * 10**9
+    fn = rng.choice(list(PROM_FNS))
+    val_expr, per_sec = PROM_FNS[fn]
+    if per_sec:
+        val_expr = f"{val_expr} / {rng_min * 60}.0"
+    text = f"{fn}({{{matcher}}}[{rng_min}m])"
+    base = counter_cte(rng_ns, where)
+    if rng.random() < 0.45:
+        agg = rng.choice(["sum", "max", "min", "avg"])
+        text = f"{agg} by (app) ({text})"
+        sql = (
+            base
+            + f""", per_series AS (
+              SELECT any_value(app) AS app, fingerprint, bucket AS timestamp_ns,
+                     {val_expr} AS value
+              FROM d GROUP BY 2, 3
+            )
+            SELECT app, timestamp_ns, {agg}(value) AS value
+            FROM per_series GROUP BY 1, 2
+            """
+        )
+        cols = [lambda: F.col("labels")["app"].alias("app"), "timestamp_ns", "value"]
+    else:
+        sql = (
+            base
+            + f"""
+            SELECT fingerprint, bucket AS timestamp_ns, {val_expr} AS value
+            FROM d GROUP BY 1, 2
+            """
+        )
+        cols = ["fingerprint", "timestamp_ns", "value"]
+    return text, sql, cols
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_promql_differential(spark, seed):
+    text, sql, cols = gen_prom_case(seed)
+    df = promql_query(PromQLContext(spark, SF_DIR, step_ns=60_000_000_000), text)
+    out = df.select(*[c() if callable(c) else c for c in cols])
+    assert_match(out, sql, SF_DIR)
