@@ -191,3 +191,51 @@ def test_promql_differential(spark, seed):
     df = promql_query(PromQLContext(spark, SF_DIR, step_ns=60_000_000_000), text)
     out = df.select(*[c() if callable(c) else c for c in cols])
     assert_match(out, sql, SF_DIR)
+
+
+# --- TraceQL: attr/intrinsic spanset selectors over the spans CTE ---------
+
+from gigapipe_spark.sources.oracle import with_spans
+from gigapipe_spark.traceql.compiler import TraceQLContext
+from gigapipe_spark.traceql.compiler import query as traceql_query
+
+# (traceql_atom_template, sql_condition_template) pairs over the span
+# attrs the fixture carries; {v} substituted per draw
+TRACE_ATOMS = [
+    ('returnflag = "{v}"', "returnflag = '{v}'", ["R", "A", "N"]),
+    ('returnflag != "{v}"', "returnflag IS NOT NULL AND returnflag != '{v}'", ["R", "A"]),
+    ('status = "{v}"', "status = '{v}'", ["F", "P", "O"]),
+    ('priority =~ "{v}"', "regexp_matches(priority, '{v}')", ["1-.*", "2-.*|3-.*"]),
+    ("duration > {v}ms", "duration_ns > {v}000000", ["50", "120", "200"]),
+    ("duration < {v}ms", "duration_ns < {v}000000", ["80", "150"]),
+    ('name = "{v}"', "name = '{v}'", ["order", "item"]),
+    ('linestatus = "{v}"', "linestatus = '{v}'", ["O", "F"]),
+]
+
+
+def gen_trace_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(20_000 + seed)
+    n_atoms = rng.choice([1, 2, 2, 3])
+    atoms = rng.sample(TRACE_ATOMS, n_atoms)
+    parts_q, parts_sql = [], []
+    for tq, tsql, vals in atoms:
+        v = rng.choice(vals)
+        parts_q.append(tq.format(v=v))
+        parts_sql.append("(" + tsql.format(v=v) + ")")
+    ops = [rng.choice(["&&", "||"]) for _ in range(n_atoms - 1)]
+    q_body, sql_body = parts_q[0], parts_sql[0]
+    for op, pq, ps in zip(ops, parts_q[1:], parts_sql[1:]):
+        q_body = f"{q_body} {op} {pq}"
+        sql_body = f"{sql_body} {'AND' if op == '&&' else 'OR'} {ps}"
+    text = "{ " + q_body + " }"
+    sql = with_spans(f"SELECT trace_id, span_id FROM spans WHERE {sql_body}")
+    return text, sql
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_traceql_differential(spark, seed):
+    text, sql = gen_trace_case(seed)
+    df = traceql_query(TraceQLContext(spark, SF_DIR), text).select(
+        "trace_id", "span_id"
+    )
+    assert_match(df, sql, SF_DIR)
