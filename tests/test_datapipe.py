@@ -101,10 +101,11 @@ def test_lsh_ann_recall(spark):
 
 def test_token_count(spark):
     df = textstats.token_count(docs(spark))
-    sql = """
+    sql = r"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
            length(text) AS n_chars,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_pretokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
     FROM documents
     """

@@ -239,3 +239,56 @@ def test_traceql_differential(spark, seed):
         "trace_id", "span_id"
     )
     assert_match(df, sql, SF_DIR)
+
+
+# --- LogQL json pipeline: numeric label filters + unwrap aggregations -----
+
+UNWRAP_FNS = {
+    "sum_over_time": "sum({v})",
+    "avg_over_time": "avg({v})",
+    "max_over_time": "max({v})",
+    "min_over_time": "min({v})",
+}
+NUM_OPS = {">": ">", ">=": ">=", "<": "<", "<=": "<=", "==": "="}
+
+
+def gen_json_case(seed: int) -> tuple[str, str, list]:
+    rng = random.Random(30_000 + seed)
+    app = rng.choice(APPS)
+    sel = f'{{app="{app}"}}'
+    where = [f"event_type = '{app}'"]
+    k_sql = "CAST(json_extract_string(props, '$.k') AS DOUBLE)"
+    flt = ""
+    if rng.random() < 0.6:
+        op = rng.choice(list(NUM_OPS))
+        n = rng.randrange(10, 90)
+        flt = f" | k {op} {n}"
+        where.append(f"{k_sql} {NUM_OPS[op]} {n}")
+    where_sql = " AND ".join(where)
+    if rng.random() < 0.5:
+        # log-line form: parser + numeric label filter
+        text = f"{sel} | json{flt}"
+        sql = (
+            f"SELECT {FP_SQL} AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
+            f" props AS string FROM events WHERE {where_sql}"
+        )
+        return text, sql, ["fingerprint", "timestamp_ns", "string"]
+    fn = rng.choice(list(UNWRAP_FNS))
+    rng_min = rng.choice([5, 10, 30])
+    rng_ns = rng_min * 60 * 10**9
+    text = f"{fn}({sel} | json{flt} | unwrap k [{rng_min}m]) by (app)"
+    val = UNWRAP_FNS[fn].format(v=k_sql)
+    sql = (
+        f"SELECT '{app}' AS app,"
+        f" (epoch_ns(ts) - epoch_ns(ts) % {rng_ns}) AS timestamp_ns,"
+        f" {val} AS value FROM events WHERE {where_sql} GROUP BY 2"
+    )
+    return text, sql, [lambda: F.col("labels")["app"].alias("app"), "timestamp_ns", "value"]
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_logql_json_differential(spark, seed):
+    text, sql, cols = gen_json_case(seed)
+    res = logql_query(LogQLContext(spark, SF_DIR), text)
+    df = res.df.select(*[c() if callable(c) else c for c in cols])
+    assert_match(df, sql, SF_DIR)
