@@ -292,3 +292,75 @@ def test_logql_json_differential(spark, seed):
     res = logql_query(LogQLContext(spark, SF_DIR), text)
     df = res.df.select(*[c() if callable(c) else c for c in cols])
     assert_match(df, sql, SF_DIR)
+
+
+# --- TraceQL structural ops: parent/child/sibling joins -------------------
+
+PARENT_CONDS = [
+    ('priority = "{v}"', "priority = '{v}'", ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+    ('status = "{v}"', "status = '{v}'", ["F", "O", "P"]),
+]
+CHILD_CONDS = [
+    ('returnflag = "{v}"', "returnflag = '{v}'", ["R", "A", "N"]),
+    ('linestatus = "{v}"', "linestatus = '{v}'", ["O", "F"]),
+]
+
+
+def _draw(rng, conds):
+    tq, tsql, vals = rng.choice(conds)
+    v = rng.choice(vals)
+    return tq.format(v=v), tsql.format(v=v)
+
+
+def gen_structural_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(40_000 + seed)
+    op = rng.choice(["&>>", "!>>", "<<&", "~"])
+    if op in ("&>>", "!>>"):
+        pq, psql = _draw(rng, PARENT_CONDS)
+        cq, csql = _draw(rng, CHILD_CONDS)
+        text = f"{{ {pq} }} {op} {{ {cq} }}"
+        pcond = psql if op == "&>>" else f"NOT ({psql})"
+        sql = with_spans(
+            f"""
+            SELECT c.trace_id, c.span_id FROM spans c
+            JOIN spans p ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE ({csql.replace("returnflag", "c.returnflag").replace("linestatus", "c.linestatus")})
+              AND ({pcond.replace("priority", "p.priority").replace("status", "p.status")})
+            """
+        )
+    elif op == "<<&":
+        cq, csql = _draw(rng, CHILD_CONDS)
+        pq, psql = _draw(rng, PARENT_CONDS)
+        text = f"{{ {cq} }} <<& {{ {pq} }}"
+        sql = with_spans(
+            f"""
+            SELECT DISTINCT p.trace_id, p.span_id FROM spans p
+            JOIN spans c ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE ({psql.replace("priority", "p.priority").replace("status", "p.status")})
+              AND ({csql.replace("returnflag", "c.returnflag").replace("linestatus", "c.linestatus")})
+            """
+        )
+    else:  # sibling: both sides child-attr conds
+        aq, asql = _draw(rng, CHILD_CONDS)
+        bq, bsql = _draw(rng, CHILD_CONDS)
+        text = f"{{ {aq} }} ~ {{ {bq} }}"
+        sql = with_spans(
+            f"""
+            SELECT DISTINCT b.trace_id, b.span_id FROM spans b
+            JOIN spans a ON a.trace_id = b.trace_id AND a.parent_id = b.parent_id
+                        AND a.span_id != b.span_id
+            WHERE ({bsql.replace("returnflag", "b.returnflag").replace("linestatus", "b.linestatus")})
+              AND ({asql.replace("returnflag", "a.returnflag").replace("linestatus", "a.linestatus")})
+              AND a.parent_id != '' AND b.parent_id != ''
+            """
+        )
+    return text, sql
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_traceql_structural_differential(spark, seed):
+    text, sql = gen_structural_case(seed)
+    df = traceql_query(TraceQLContext(spark, SF_DIR), text).select(
+        "trace_id", "span_id"
+    )
+    assert_match(df, sql, SF_DIR)
