@@ -108,3 +108,38 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         bag.alias("bag_digest"),
         shingle_digest.alias("shingle_digest"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style quality proxy: mean unigram log-probability of each
+    doc under the CORPUS's own word distribution (the "stupid LM"
+    perplexity filter — docs of improbable words score low, boilerplate
+    scores high; filter both tails).
+
+    Two aggregates, both scale-correct: (1) the unigram table is one
+    word-count groupBy — vocabulary-sized, millions of rows at 100 TB,
+    comfortably the BROADCAST side; (2) scoring is explode → broadcast
+    join → per-doc mean. No smoothing is needed because every doc word
+    is by construction in the corpus table.
+
+    Output: (doc_id, n_tokens, mean_logprob) — natural-log, rounded 6.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    # corpus word total as a lazy 1-row broadcast (no driver action)
+    totals = words.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+    )
+    scored = words.join(F.broadcast(vocab), "w").select(
+        id_col, F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

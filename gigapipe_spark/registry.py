@@ -2003,6 +2003,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS cnt, sum(count(*)) OVER () AS total
+      FROM w GROUP BY w
+    )
+    SELECT a.doc_id, count(*) AS n_tokens,
+           round(avg(ln(vocab.cnt / CAST(vocab.total AS DOUBLE))), 6) AS mean_logprob
+    FROM w a JOIN vocab ON a.w = vocab.w
+    GROUP BY a.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style 'stupid LM' quality proxy: mean unigram log-prob
+    under the corpus's own word distribution (vocabulary table
+    broadcasts; scoring is one explode + broadcast join)."""
+    return _ts.unigram_logprob(_views.documents(spark, sf_dir))
+
+
 @register("multimodal_features")  # Pandas-UDF stage — rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = _mm.attach_payload(_views.documents(spark, sf_dir))

@@ -201,3 +201,21 @@ def test_bpe_pretoken_count(spark):
     assert out[1].n_bpe_pretokens == 6
     assert out[2].n_bpe_pretokens == 2  # " spaced", " out"
     assert out[3].n_bpe_pretokens == 0
+
+
+def test_unigram_logprob_quality_signal(spark):
+    """Repeated-word docs score higher (more probable) than unique-word
+    docs under the corpus distribution; all probs are < 0."""
+    from gigapipe_spark.datapipe import textstats
+
+    d = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common rare1 rare2 rare3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.unigram_logprob(d).collect()}
+    assert out[1].mean_logprob > out[2].mean_logprob
+    assert all(r.mean_logprob < 0 for r in out.values())
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
