@@ -83,7 +83,14 @@ def stratified_sample(
         thr = F.when(
             F.col(strata_col) == value, F.lit(rate_threshold_hex(rate))
         ).otherwise(thr)
-    keep_all: Column = F.lit(False)
+    # rate >= 1.0 means keep EVERYTHING in that stratum (a pure
+    # threshold would drop the 1-in-2^32 draw equal to the max)
+    listed = list(sorted(rates))
+    keep_all: Column = (
+        F.lit(default_rate >= 1.0) & ~F.col(strata_col).isin(*listed)
+        if listed
+        else F.lit(default_rate >= 1.0)
+    )
     for value, rate in sorted(rates.items()):
         if rate >= 1.0:
             keep_all = keep_all | (F.col(strata_col) == value)

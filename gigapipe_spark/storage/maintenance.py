@@ -54,13 +54,22 @@ class RotatePolicy:
 
 
 def _partition_dates(table_path: str) -> list[tuple[str, str]]:
-    """[(iso_date, partition_dir)] for a date-partitioned table."""
+    """[(iso_date, partition_dir)] for a date-partitioned table.
+    Non-date names — including crash-leftover `.compact_tmp`/
+    `.compact_old` dirs from an interrupted compact() — are skipped, so
+    maintenance walks stay safe to re-run after any failure."""
     if not os.path.isdir(table_path):
         return []
     out = []
     for name in sorted(os.listdir(table_path)):
-        if name.startswith("date="):
-            out.append((name.split("=", 1)[1], os.path.join(table_path, name)))
+        if not name.startswith("date="):
+            continue
+        iso = name.split("=", 1)[1]
+        try:
+            _date.fromisoformat(iso)
+        except ValueError:
+            continue
+        out.append((iso, os.path.join(table_path, name)))
     return out
 
 

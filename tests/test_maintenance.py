@@ -127,3 +127,17 @@ def test_compact_codec_rewrite_records_setting(spark, tmp_path):
     assert get_setting(spark, cat, "codec", "samples") == "zstd"
     part = os.path.join(cat.path("samples"), "date=2026-03-01")
     assert any(".zstd." in f for f in os.listdir(part))
+
+
+def test_partition_walk_skips_crash_leftovers(spark, tmp_path):
+    """An interrupted compact() leaves .compact_tmp/.compact_old dirs;
+    rotate/compact must skip them instead of failing on date parse."""
+    from gigapipe_spark.storage.maintenance import compact, rotate
+
+    cat = _store(spark, tmp_path, ["2026-03-01"] * 2)
+    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    os.makedirs(part + ".compact_tmp")  # simulated crash leftover
+    res = rotate(spark, cat, drop_days=365, today=date.fromisoformat("2026-03-02"))
+    assert res["dropped"] == []
+    done = compact(spark, cat, "samples", target_files_per_partition=1)
+    assert done == {"2026-03-01": 2}

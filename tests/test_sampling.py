@@ -219,3 +219,14 @@ def test_unigram_logprob_quality_signal(spark):
     assert out[1].mean_logprob > out[2].mean_logprob
     assert all(r.mean_logprob < 0 for r in out.values())
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_stratified_default_rate_one_keeps_unlisted(spark):
+    d = docs(spark)
+    out = sampling.stratified_sample(d, rates={"en": 0.0}, default_rate=1.0)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in per  # rate 0 drops the listed stratum entirely
+    for lang in totals:
+        if lang != "en":
+            assert per[lang] == totals[lang]  # default 1.0 keeps ALL rows
