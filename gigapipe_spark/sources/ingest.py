@@ -89,20 +89,42 @@ def influx_line(raw: DataFrame, line_col: str = "line") -> DataFrame:
     Each field becomes one sample named measurement_field; tags become
     labels. Regex-based split — stays in JVM expressions.
     """
+    # Escape-aware tokenization (the reference parses with the official
+    # telegraf parser, which honors `\,` `\ ` `\=` `\\` in identifiers —
+    # influx.go:9): an "atom" is any char except the delimiter set, or a
+    # backslash-escaped char, so escaped delimiters never split.
     line = F.col(line_col)
-    meas_tags = F.regexp_extract(line, r"^([^ ]+) ", 1)
-    measurement = F.split(meas_tags, ",").getItem(0)
-    # tags: everything after the first comma in the first space-token
-    tags = F.when(
-        meas_tags.contains(","),
-        F.expr(
-            f"str_to_map(regexp_replace(regexp_extract({line_col}, '^([^ ]+) ', 1),"
-            f" '^[^,]*,', ''), ',', '=')"
-        ),
-    ).otherwise(F.expr("map()"))
+    atom_sp = r"(?:[^ \\]|\\.)"  # token atom: unescaped-space-free
+    sec1 = F.regexp_extract(line, rf"^({atom_sp}+) ", 1)  # measurement,tags
+    fields_tok = F.regexp_extract(line, rf"^{atom_sp}+ ({atom_sp}+)", 1)
+
+    def unescape(c):
+        return F.regexp_replace(c, r"\\([,= \\])", "$1")
+
+    measurement = unescape(F.regexp_extract(sec1, r"^((?:[^,\\]|\\.)+)", 1))
+    tags_str = F.regexp_extract(sec1, r"^(?:[^,\\]|\\.)+,(.*)$", 1)
+    tag_pairs = F.regexp_extract_all(tags_str, F.lit(r"((?:[^,\\]|\\.)+)"), 1)
+    tags = F.map_from_entries(
+        F.transform(
+            tag_pairs,
+            lambda p: F.struct(
+                unescape(F.regexp_extract(p, r"^((?:[^=\\]|\\.)+)=", 1)).alias("k"),
+                unescape(
+                    F.regexp_extract(p, r"^(?:[^=\\]|\\.)+=(.*)$", 1)
+                ).alias("v"),
+            ),
+        )
+    )
     ts = F.regexp_extract(line, r" (\d+)\s*$", 1).cast("long")
-    fields = F.expr(
-        f"str_to_map(regexp_extract({line_col}, '^[^ ]+ ([^ ]+)', 1), ',', '=')"
+    field_pairs = F.regexp_extract_all(fields_tok, F.lit(r"((?:[^,\\]|\\.)+)"), 1)
+    fields = F.map_from_entries(
+        F.transform(
+            field_pairs,
+            lambda p: F.struct(
+                unescape(F.regexp_extract(p, r"^((?:[^=\\]|\\.)+)=", 1)).alias("k"),
+                F.regexp_extract(p, r"^(?:[^=\\]|\\.)+=(.*)$", 1).alias("v"),
+            ),
+        )
     )
     exploded = raw.select(
         measurement.alias("meas"), tags.alias("tags"), ts.alias("ts"),

@@ -227,7 +227,15 @@ def decode_write_request(data: bytes) -> Iterator[tuple[dict, int, float]]:
                         ts_ms = _i64(v3)  # type: ignore[arg-type]
                 samples.append((ts_ms, val))
         for ts_ms, val in samples:
-            yield labels, ts_ms * 1_000_000, val
+            ts_ns = ts_ms * 1_000_000
+            # a hostile/garbage timestamp past int64-ns must not poison
+            # the whole Arrow batch at serialization time (numpy infers
+            # uint64 from large varints; the safe cast to the schema's
+            # int64 then fails for EVERY row in the batch) — drop the
+            # sample like any other malformed field
+            if not -(2**63) <= ts_ns < 2**63:
+                continue
+            yield labels, ts_ns, val
 
 
 _SAMPLES_OUT = (

@@ -1,0 +1,143 @@
+"""Decoder round-trip fuzz: randomly generated payloads are ENCODED by
+the test (following each protocol's public spec) and decoded by the real
+ingest path; the decoded rows must reproduce the generator's truth
+exactly. Hostile content — unicode, quotes, backslashes, newlines,
+emoji — rides in every batch. Seeded: failures replay exactly."""
+
+import json
+import random
+import struct
+
+from gigapipe_spark.sources import ingest
+from gigapipe_spark.sources import protowire as pw
+
+NASTY = [
+    "plain",
+    'with "quotes"',
+    "back\\slash",
+    "new\nline",
+    "tab\tsep",
+    "emoji \U0001f680\U0001f40d",
+    "ünïcødé αβγ 中文",
+    "{not json}",
+    " leading and trailing ",
+    "",
+]
+
+
+def _rand_labels(rng: random.Random) -> dict[str, str]:
+    n = rng.randrange(1, 4)
+    out = {}
+    for i in range(n):
+        out[f"l{i}_{rng.randrange(10)}"] = rng.choice(NASTY[:-1]) or "v"
+    out["app"] = rng.choice(["a", "b", "c"])
+    return out
+
+
+def test_loki_push_json_roundtrip_fuzz(spark):
+    rng = random.Random(1234)
+    truth = set()
+    payloads = []
+    for _ in range(30):
+        streams = []
+        for _s in range(rng.randrange(1, 3)):
+            labels = _rand_labels(rng)
+            values = []
+            for _v in range(rng.randrange(1, 4)):
+                ts = rng.randrange(1, 2**62)
+                line = rng.choice(NASTY)
+                values.append([str(ts), line])
+                truth.add((tuple(sorted(labels.items())), ts, line))
+            streams.append({"stream": labels, "values": values})
+        payloads.append((json.dumps({"streams": streams}),))
+    raw = spark.createDataFrame(payloads, "payload string")
+    rows = ingest.loki_push(raw).collect()
+    got = {
+        (tuple(sorted(r["labels"].items())), r["timestamp_ns"], r["string"])
+        for r in rows
+    }
+    assert got == truth
+
+
+def _influx_escape_tag(s: str) -> str:
+    return s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+
+def test_influx_line_roundtrip_fuzz(spark):
+    """Escaped tags per the line-protocol spec; simple field keys and
+    float values (the decoder's contract)."""
+    rng = random.Random(99)
+    truth = set()
+    lines = []
+    for i in range(40):
+        meas = rng.choice(["cpu", "mem", "disk_io"])
+        tagk, tagv = "host", rng.choice(["a b", "x,y", "p=q", "plain", "back\\slash"])
+        fieldk = rng.choice(["usage", "value"])
+        val = round(rng.uniform(0, 100), 3)
+        ts = rng.randrange(1, 2**60)
+        lines.append((f"{meas},{tagk}={_influx_escape_tag(tagv)} {fieldk}={val} {ts}",))
+        truth.add((f"{meas}_{fieldk}", tagv, float(val), ts))
+    raw = spark.createDataFrame(lines, "line string")
+    rows = ingest.influx_line(raw).collect()
+    got = {
+        (r["labels"]["__name__"], r["labels"]["host"], r["value"], r["timestamp_ns"])
+        for r in rows
+    }
+    assert got == truth
+
+
+def test_remote_write_pb_roundtrip_fuzz(spark):
+    rng = random.Random(7)
+
+    def lbl(n: str, v: str) -> bytes:
+        return pw.pb_encode([(1, 2, n.encode()), (2, 2, v.encode())])
+
+    def smp(val: float, ts_ms: int) -> bytes:
+        return pw.pb_encode([(1, 1, struct.pack("<d", val)), (2, 0, ts_ms)])
+
+    truth = set()
+    serieses = []
+    for i in range(25):
+        name = f"m{rng.randrange(5)}"
+        job = rng.choice(NASTY[:7]) or "j"
+        fields = [(1, 2, lbl("__name__", name)), (1, 2, lbl("job", job))]
+        for _ in range(rng.randrange(1, 4)):
+            v = round(rng.uniform(-1e6, 1e6), 4)
+            ts_ms = rng.randrange(1, 4 * 10**12)  # int64-ns-safe ms range
+            fields.append((2, 2, smp(v, ts_ms)))
+            truth.add((name, job, v, ts_ms * 1_000_000))
+        serieses.append((1, 2, pw.pb_encode(fields)))
+    payload = pw.snappy_compress(pw.pb_encode(serieses))
+    raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    rows = pw.remote_write(raw).collect()
+    got = {
+        (
+            r["labels"]["__name__"],
+            r["labels"]["job"],
+            r["value"],
+            r["timestamp_ns"],
+        )
+        for r in rows
+    }
+    assert got == truth
+
+
+def test_remote_write_overflow_ts_dropped_not_fatal(spark):
+    """A timestamp past int64-ns must drop that sample, not poison the
+    Arrow batch (numpy infers uint64 and the safe int64 cast fails for
+    every row in the batch otherwise)."""
+
+    def lbl(n, v):
+        return pw.pb_encode([(1, 2, n.encode()), (2, 2, v.encode())])
+
+    def smp(val, ts_ms):
+        return pw.pb_encode([(1, 1, struct.pack("<d", val)), (2, 0, ts_ms)])
+
+    ts1 = pw.pb_encode(
+        [(1, 2, lbl("__name__", "ok")), (2, 2, smp(1.0, 1000)),
+         (2, 2, smp(2.0, 10**15))]  # second sample overflows int64 ns
+    )
+    payload = pw.snappy_compress(pw.pb_encode([(1, 2, ts1)]))
+    raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    rows = pw.remote_write(raw).collect()
+    assert [(r["value"], r["timestamp_ns"]) for r in rows] == [(1.0, 10**9)]
