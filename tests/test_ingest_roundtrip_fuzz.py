@@ -141,3 +141,74 @@ def test_remote_write_overflow_ts_dropped_not_fatal(spark):
     raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
     rows = pw.remote_write(raw).collect()
     assert [(r["value"], r["timestamp_ns"]) for r in rows] == [(1.0, 10**9)]
+
+
+def test_zipkin_spans_roundtrip_fuzz(spark):
+    rng = random.Random(55)
+    truth = set()
+    payloads = []
+    for _ in range(10):
+        spans = []
+        for _s in range(rng.randrange(1, 4)):
+            tid = f"{rng.randrange(16**16):016x}"
+            sid = f"{rng.randrange(16**16):016x}"
+            name = rng.choice(NASTY[:7]) or "op"
+            ts_us = rng.randrange(1, 2**52)
+            dur_us = rng.randrange(1, 10**9)
+            svc = rng.choice(["a", "b", "üñî"])
+            spans.append(
+                {
+                    "traceId": tid,
+                    "id": sid,
+                    "name": name,
+                    "timestamp": ts_us,
+                    "duration": dur_us,
+                    "localEndpoint": {"serviceName": svc},
+                }
+            )
+            truth.add((tid, sid, name, ts_us * 1000, dur_us * 1000, svc))
+        payloads.append((json.dumps(spans),))
+    raw = spark.createDataFrame(payloads, "payload string")
+    rows = ingest.zipkin_spans(raw).collect()
+    got = {
+        (r["trace_id"], r["span_id"], r["name"], r["timestamp_ns"],
+         r["duration_ns"], r["service_name"])
+        for r in rows
+    }
+    assert got == truth
+    # NDJSON variant decodes the same spans (valid JSON has no raw newlines)
+    nd = "\n".join(json.dumps(s) for p in payloads for s in json.loads(p[0]))
+    nd_rows = ingest.zipkin_ndjson(
+        spark.createDataFrame([(nd,)], "payload string")
+    ).collect()
+    assert {
+        (r["trace_id"], r["span_id"], r["name"], r["timestamp_ns"],
+         r["duration_ns"], r["service_name"])
+        for r in nd_rows
+    } == truth
+
+
+def test_datadog_logs_roundtrip_fuzz(spark):
+    rng = random.Random(77)
+    truth = set()
+    payloads = []
+    for _ in range(12):
+        logs = []
+        for _l in range(rng.randrange(1, 4)):
+            msg = rng.choice(NASTY)
+            svc = rng.choice(["api", "web"])
+            ts_ms = rng.randrange(1, 4 * 10**12)
+            logs.append(
+                {"message": msg, "service": svc, "status": "info",
+                 "ddtags": "env:prod,team:x y", "timestamp": ts_ms}
+            )
+            truth.add((msg, svc, "prod", "x y", ts_ms * 1_000_000))
+        payloads.append((json.dumps(logs),))
+    raw = spark.createDataFrame(payloads, "payload string")
+    rows = ingest.datadog_logs(raw).collect()
+    got = {
+        (r["string"], r["labels"]["service"], r["labels"]["env"],
+         r["labels"]["team"], r["timestamp_ns"])
+        for r in rows
+    }
+    assert got == truth
