@@ -1,0 +1,112 @@
+"""Scale probe: replicate the sf0.1 tables F-fold (fresh series ids per
+copy, perturbed doc text so no cross-copy near-dups) and measure how the
+headline operators scale from 1x to Fx. The point is the RATIO: an
+operator whose runtime grows ~linearly with data (and stays flat per
+row) holds its plan shape at scale; a super-linear ratio is a red flag
+the small-SF bench can't see.
+
+Usage: python scripts/scaleprobe.py [factor] [sf_dir]
+Writes the replicated tables under /tmp/gigapipe_scaleprobe_{factor}x
+(reused if present) and prints one JSON line per query:
+{"query": ..., "sec_1x": ..., "sec_Fx": ..., "ratio": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(out_dir, "events.parquet")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    copies = spark.range(factor).withColumnRenamed("id", "__copy")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    (
+        ev.crossJoin(copies)
+        .withColumn("user_id", F.col("user_id") + F.col("__copy") * 1_000_000)
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * 1_000_000)
+        # per-copy token prefix: copies are NOT near-dups of each other,
+        # so pair volume scales with data instead of quadratically
+        .withColumn(
+            "text", F.concat(F.lit("c"), F.col("__copy").cast("string"), F.lit("x "), F.col("text"))
+        )
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(src) or os.path.isfile(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{t}.parquet")
+            )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = f"/tmp/gigapipe_scaleprobe_{factor}x"
+
+    from gigapipe_spark.session import get_spark
+
+    spark = get_spark("scaleprobe")
+    replicate(spark, sf_dir, out_dir, factor)
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    probes = [
+        "logql_rate",
+        "logql_sum_by_count_over_time",
+        "logql_selector_scan",
+        "promql_rate_counter_resets",
+        "promql_instant_sum_by",
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "text_quality_score",
+        "sample_hash",
+        "pack_sequences",
+        "rollup_metrics_15s",
+    ]
+
+    def run(name: str, d: str) -> float:
+        t0 = time.monotonic()
+        qs[name](spark, d).count()
+        return round(time.monotonic() - t0, 2)
+
+    for name in probes:
+        run(name, sf_dir)  # warm caches/JIT for the small side
+        s1 = run(name, sf_dir)
+        sf_big = run(name, out_dir)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "factor": factor,
+                    "sec_1x": s1,
+                    "sec_Fx": sf_big,
+                    "ratio": round(sf_big / max(s1, 1e-9), 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
