@@ -40,10 +40,19 @@ def replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     (
         docs.crossJoin(copies)
         .withColumn("doc_id", F.col("doc_id") + F.col("__copy") * 1_000_000)
-        # per-copy token prefix: copies are NOT near-dups of each other,
-        # so pair volume scales with data instead of quadratically
+        # interleave a per-copy token between EVERY pair of words: every
+        # word 3-gram then contains the copy token, so copies share NO
+        # shingles (a mere prefix token leaves cross-copy jaccard ~0.67
+        # — the corpus becomes 5k genuine 100-doc near-dup cliques and
+        # the pair OUTPUT itself is quadratic; correct, but it measures
+        # the data, not the operator)
         .withColumn(
-            "text", F.concat(F.lit("c"), F.col("__copy").cast("string"), F.lit("x "), F.col("text"))
+            "text",
+            F.regexp_replace(
+                F.col("text"),
+                " ",
+                F.concat(F.lit(" c"), F.col("__copy").cast("string"), F.lit(" ")),
+            ),
         )
         .drop("__copy")
         .write.mode("overwrite")

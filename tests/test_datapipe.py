@@ -360,3 +360,22 @@ def test_dedup_components_chain_and_convergence(spark):
         10: (10, True), 20: (10, False), 30: (10, False), 40: (10, False),
         100: (100, True), 200: (100, False),
     }
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpora(spark):
+    """One shared boilerplate signature must not turn candidates
+    quadratic: with a tiny cap the boilerplate bucket is skipped (its
+    members still pair via other bands / exact dedup), while genuinely
+    similar non-degenerate pairs survive."""
+    rows = [(i, "exact same boilerplate text repeated for every doc") for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(d, threshold=0.5, max_bucket=10)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in pairs  # normal near-dup still found
+    assert not any(a < 60 and b < 60 for a, b in pairs)  # boilerplate capped out
+    # uncapped keeps the old exhaustive behavior
+    full = dedup.minhash_lsh_pairs(d, threshold=0.5, max_bucket=None)
+    n_boiler = sum(1 for a, b in ((r.doc_a, r.doc_b) for r in full.collect()) if a < 60 and b < 60)
+    assert n_boiler == 60 * 59 // 2
