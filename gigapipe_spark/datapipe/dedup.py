@@ -317,19 +317,7 @@ def minhash_lsh_pairs(
         .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
         .persist()
     )
-    if max_bucket is not None:
-        # bucket-size cap: the count aggregate shares the (band, h)
-        # partitioning the join needs, so this adds no extra exchange
-        # of the banded index — only the small over-cap bucket list
-        ok_buckets = (
-            banded.groupBy("band", "h")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket)
-            .select("band", "h")
-        )
-        cand_src = banded.join(ok_buckets, ["band", "h"], "left_semi")
-    else:
-        cand_src = banded
+    cand_src = _cap_buckets(banded, ["band", "h"], max_bucket)
     cand = (
         cand_src.alias("l")
         .join(cand_src.alias("r"), ["band", "h"])
@@ -400,6 +388,25 @@ def _chunk_bounds(max_hamming: int, bits: int = 64) -> list[tuple[int, int]]:
     return bounds
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop candidate-generating buckets larger than max_bucket — the
+    shared guard against one degenerate signature turning the bucket
+    self-join quadratic (see minhash_lsh_pairs). The count aggregate
+    shares the self-join's key partitioning, so no extra exchange of
+    the banded index."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select(*keys)
+    )
+    return banded.join(ok, keys, "left_semi")
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
@@ -407,6 +414,7 @@ def simhash_pairs(
     text_col: str = "text",
     verify_threshold: float | None = None,
     shingle_n: int = 3,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into
     `max_hamming + 1` chunks (pigeonhole: a pair at Hamming distance
@@ -414,7 +422,8 @@ def simhash_pairs(
     of the max_hamming+1 chunks matches exactly — guaranteed recall),
     then filter by true Hamming distance via bit_count(xor). Chunk count
     derives from max_hamming so the default geometry cannot silently
-    drop pairs the distance bound promises."""
+    drop pairs the distance bound promises. max_bucket caps degenerate
+    chunk buckets (boilerplate; see minhash_lsh_pairs)."""
     # signature index (persisted barrier, same pattern as minhash)
     sig = (
         docs.withColumn("__ws", words_col(F.col(text_col)))
@@ -434,6 +443,7 @@ def simhash_pairs(
     chunks = sig.select(
         "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
     ).select("id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
+    chunks = _cap_buckets(chunks, ["chunk", "h"], max_bucket)
     left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -470,6 +480,7 @@ def embedding_cosine_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH bands
     generate candidates (bucket join, never all-pairs), exact cosine
@@ -508,6 +519,10 @@ def embedding_cosine_pairs(
             )
         ).alias("bh"),
     ).select("id", "v", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # zero/clustered embeddings collapse onto one signature — cap those
+    # buckets like the text-LSH paths (degenerate vectors are their own
+    # cleanup problem, not a pair-generation one)
+    banded = _cap_buckets(banded, ["band", "h"], max_bucket)
     left = banded.select(
         "band", "h", F.col("id").alias("doc_a"), F.col("v").alias("va")
     )
