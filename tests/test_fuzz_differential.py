@@ -364,3 +364,35 @@ def test_traceql_structural_differential(spark, seed):
         "trace_id", "span_id"
     )
     assert_match(df, sql, SF_DIR)
+
+
+# --- LogQL offset modifier over random ranges/apps ------------------------
+
+
+def gen_offset_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(50_000 + seed)
+    app = rng.choice(APPS)
+    rng_min = rng.choice([5, 10, 30])
+    off_min = rng.choice([1, 5, 60])
+    fn = rng.choice(["count_over_time", "rate", "bytes_over_time"])
+    inner_val = {
+        "count_over_time": "CAST(count(*) AS DOUBLE)",
+        "bytes_over_time": "CAST(sum(length(props)) AS DOUBLE)",
+        "rate": f"count(*)/{rng_min * 60}.0",
+    }[fn]
+    rng_ns, off_ns = rng_min * 60 * 10**9, off_min * 60 * 10**9
+    text = f'{fn}({{app="{app}"}} [{rng_min}m] offset {off_min}m)'
+    # ref bucket: (ts - offset) snapped to the range grid
+    sql = (
+        f"SELECT {FP_SQL} AS fingerprint,"
+        f" ((epoch_ns(ts) - {off_ns}) - (epoch_ns(ts) - {off_ns}) % {rng_ns}) AS timestamp_ns,"
+        f" {inner_val} AS value FROM events WHERE event_type = '{app}' GROUP BY 1, 2"
+    )
+    return text, sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_logql_offset_differential(spark, seed):
+    text, sql = gen_offset_case(seed)
+    res = logql_query(LogQLContext(spark, SF_DIR), text)
+    assert_match(res.df.select("fingerprint", "timestamp_ns", "value"), sql, SF_DIR)

@@ -222,3 +222,17 @@ def test_go_duration_column_matches_python(spark, vals):
             assert got[v] is None, (v, got[v])
         else:
             assert got[v] is not None and abs(got[v] - want) < 1e-9, (v, got[v], want)
+
+
+@given(st.floats(0.0, 1.0, allow_nan=False), st.floats(0.0, 1.0, allow_nan=False))
+def test_sampling_threshold_monotone(a, b):
+    """Higher rate → lexicographically >= threshold (keep sets nest),
+    and thresholds stay 8 lowercase hex chars (string-comparable)."""
+    from gigapipe_spark.datapipe.sampling import rate_threshold_hex
+
+    ta, tb = rate_threshold_hex(a), rate_threshold_hex(b)
+    assert len(ta) == 8 and ta == ta.lower()
+    if a <= b:
+        assert ta <= tb
+    assert rate_threshold_hex(0.0) == "00000000"
+    assert rate_threshold_hex(1.0) == "ffffffff"
