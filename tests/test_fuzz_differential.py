@@ -396,3 +396,37 @@ def test_logql_offset_differential(spark, seed):
     text, sql = gen_offset_case(seed)
     res = logql_query(LogQLContext(spark, SF_DIR), text)
     assert_match(res.df.select("fingerprint", "timestamp_ns", "value"), sql, SF_DIR)
+
+
+from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE
+
+
+def gen_prom_offset_case(seed: int) -> tuple[str, str]:
+    rng = random.Random(60_000 + seed)
+    app = rng.choice(APPS)
+    rng_min = rng.choice([10, 30])
+    off_min = rng.choice([5, 15, 60])
+    fn = rng.choice(["sum_over_time", "max_over_time", "count_over_time"])
+    val = {
+        "sum_over_time": "sum(value)",
+        "max_over_time": "max(value)",
+        "count_over_time": "CAST(count(*) AS DOUBLE)",
+    }[fn]
+    rng_ns, off_ns = rng_min * 60 * 10**9, off_min * 60 * 10**9
+    text = f'{fn}({{app="{app}"}}[{rng_min}m] offset {off_min}m)'
+    # PromQL offset shifts the series FORWARD: the sample surfaces at
+    # eval time ts+offset, then snaps to the range grid
+    sql = (
+        f"WITH {METRIC_SAMPLES_CTE} "
+        f"SELECT fingerprint,"
+        f" ((timestamp_ns + {off_ns}) - (timestamp_ns + {off_ns}) % {rng_ns}) AS timestamp_ns,"
+        f" {val} AS value FROM metric_samples WHERE app = '{app}' GROUP BY 1, 2"
+    )
+    return text, sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_promql_offset_differential(spark, seed):
+    text, sql = gen_prom_offset_case(seed)
+    df = promql_query(PromQLContext(spark, SF_DIR, step_ns=60_000_000_000), text)
+    assert_match(df.select("fingerprint", "timestamp_ns", "value"), sql, SF_DIR)
