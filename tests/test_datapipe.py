@@ -379,3 +379,27 @@ def test_minhash_bucket_cap_bounds_degenerate_corpora(spark):
     full = dedup.minhash_lsh_pairs(d, threshold=0.5, max_bucket=None)
     n_boiler = sum(1 for a, b in ((r.doc_a, r.doc_b) for r in full.collect()) if a < 60 and b < 60)
     assert n_boiler == 60 * 59 // 2
+
+
+def test_simhash_and_embedding_bucket_caps(spark):
+    """The shared _cap_buckets guard holds on the other two banded
+    paths: boilerplate chunks (SimHash) and collapsed signatures
+    (hyperplane LSH) stop generating candidates under a small cap."""
+    rows = [(i, "identical boilerplate words all the way down here") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.simhash_pairs(d, max_hamming=3, max_bucket=10)
+    assert not any(r.doc_a < 40 and r.doc_b < 40 for r in capped.collect())
+    full = dedup.simhash_pairs(d, max_hamming=3, max_bucket=None)
+    n_boiler = sum(1 for r in full.collect() if r.doc_a < 40 and r.doc_b < 40)
+    assert n_boiler == 40 * 39 // 2
+    # embedding path: identical vectors collapse onto one signature
+    vec = [1.0, 0.5] * 32
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    capped_e = dedup.embedding_cosine_pairs(emb, threshold=0.9, max_bucket=5)
+    assert capped_e.count() == 0
+    full_e = dedup.embedding_cosine_pairs(emb, threshold=0.9, max_bucket=None)
+    assert full_e.count() == 30 * 29 // 2
