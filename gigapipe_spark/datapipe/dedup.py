@@ -76,6 +76,52 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the Dolma-style
+    paragraph dedup pass, done with exact corpus counts instead of a
+    Bloom filter): split each document on newlines, hash every
+    non-empty paragraph, count occurrences CORPUS-WIDE, and report per
+    document how much of it is boilerplate seen elsewhere.
+
+    Output per doc: ``n_paras``, ``dup_para_frac`` (paragraphs whose
+    digest occurs >1 time in the corpus — in any doc, including this
+    one — over all paragraphs), ``dup_para_char_frac`` (same, weighted
+    by paragraph length). A curation pipeline drops/strips paragraphs
+    where these exceed a threshold.
+
+    Shape at 100 TB: explode → one shuffle keyed on the 128-bit digest
+    (near-uniform, no skew) for the global count → digest-keyed join
+    back → doc_id-keyed agg. The digest count table is the only
+    corpus-global state and it is itself partitioned by digest; nothing
+    funnels through fewer keys than the data has paragraphs.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\n"), lambda p: p != "")).alias(
+            "__p"
+        ),
+    ).select(
+        id_col, F.md5(F.col("__p")).alias("__digest"), F.length("__p").alias("__len")
+    )
+    counts = paras.groupBy("__digest").agg(F.count(F.lit(1)).alias("__global_cnt"))
+    joined = paras.join(counts, "__digest")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.round(
+            F.sum(F.when(F.col("__global_cnt") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_para_frac"),
+        F.round(
+            F.sum(F.when(F.col("__global_cnt") > 1, F.col("__len")).otherwise(0))
+            / F.greatest(F.sum("__len"), F.lit(1)),
+            6,
+        ).alias("dup_para_char_frac"),
+    )
+
+
 def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Near-dup pairs → connected components: (doc_id, cluster_id,
     is_canonical), cluster_id = the component's minimum doc id — the

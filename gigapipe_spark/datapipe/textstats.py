@@ -110,6 +110,198 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# Gopher (Rae et al. 2021, Table A1) stopword list for the
+# "has >= 2 stop words" quality rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def ngrams_from_words(ws: Column, n: int) -> Column:
+    """Non-distinct, order-preserving word n-grams via shifted-slice
+    zip_with (same CSE-safe formulation as shingles_from_words — `ws`
+    appears only as a per-ROW input, so Catalyst inlining cannot
+    re-tokenize per element)."""
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    parts = [F.slice(ws, j + 1, cnt) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat_ws(" ", x, y))
+    return acc
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the repetition-removal family):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line — ``(n_lines - n_distinct_lines) / n_lines``.
+    - ``dup_line_char_frac``: characters inside any line occurring more
+      than once, over all line characters.
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered by
+      the single most frequent word n-gram — ``count * nonspace_chars(
+      gram) / nonspace_chars(doc)`` (max over grams; ties yield the
+      same coverage value, so the result is deterministic).
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters covered by
+      n-grams occurring more than once (overlap-ignoring upper bound,
+      capped at 1.0 — the standard cheap surrogate for Gopher's exact
+      character-coverage scan).
+
+    Shape at 100 TB: one explode per granularity, every shuffle keyed by
+    (doc_id[, gram]) — embarrassingly parallel per document, no global
+    state. Final assembly is doc_id-keyed joins.
+    """
+    did = F.col(id_col)
+    text = F.col(text_col)
+    base = docs.select(
+        did,
+        text,
+        F.length(F.regexp_replace(text, r"\s+", "")).alias("__nonspace"),
+    )
+
+    # ---- line-level duplicates ----
+    lines = base.select(
+        did,
+        F.explode(F.filter(F.split(text, r"\n"), lambda l: l != "")).alias("__line"),
+    )
+    line_counts = (
+        lines.withColumn("__len", F.length("__line"))
+        .groupBy(id_col, "__line", "__len")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    line_stats = line_counts.groupBy(id_col).agg(
+        F.sum("__cnt").cast("long").alias("n_lines"),
+        F.round(
+            (F.sum("__cnt") - F.count(F.lit(1)))
+            / F.greatest(F.sum("__cnt"), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt") * F.col("__len")).otherwise(0))
+            / F.greatest(F.sum(F.col("__cnt") * F.col("__len")), F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    out = base.select(did, "__nonspace").join(line_stats, id_col, "left")
+
+    # ---- n-gram coverage ----
+    ws_docs = base.withColumn("__ws", words_col(text))
+    for n in tuple(top_ns) + tuple(dup_ns):
+        grams = ws_docs.select(
+            did,
+            F.col("__nonspace"),
+            F.explode(ngrams_from_words(F.col("__ws"), n)).alias("__g"),
+        )
+        counts = (
+            grams.withColumn(
+                "__glen", F.length(F.regexp_replace("__g", r"\s+", ""))
+            )
+            .groupBy(id_col, "__nonspace", "__g", "__glen")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        if n in top_ns:
+            stat = counts.groupBy(id_col).agg(
+                F.round(
+                    F.max(F.col("__cnt") * F.col("__glen"))
+                    / F.greatest(F.first("__nonspace"), F.lit(1)),
+                    6,
+                ).alias(f"top_{n}gram_char_frac")
+            )
+        else:
+            stat = counts.groupBy(id_col).agg(
+                F.round(
+                    F.least(
+                        F.sum(
+                            F.when(
+                                F.col("__cnt") > 1, F.col("__cnt") * F.col("__glen")
+                            ).otherwise(0)
+                        )
+                        / F.greatest(F.first("__nonspace"), F.lit(1)),
+                        F.lit(1.0),
+                    ),
+                    6,
+                ).alias(f"dup_{n}gram_char_frac")
+            )
+        out = out.join(stat, id_col, "left")
+
+    stat_cols = [c for c in out.columns if c not in (id_col, "__nonspace")]
+    return out.select(
+        did, *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) if c != "n_lines"
+               else F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+               for c in stat_cols]
+    )
+
+
+def gopher_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Table A1) as pure
+    column expressions — one narrow projection, no shuffle, scan-fused:
+
+    - 50 <= word count <= 100_000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#', '…', '...') <= 0.1
+    - fraction of lines starting with a bullet <= 0.9
+    - fraction of lines ending in an ellipsis <= 0.3
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the Gopher stop words
+
+    Emits each raw signal plus the combined ``gopher_pass`` flag so a
+    pipeline can re-threshold without recomputing.
+    """
+    text = F.col(text_col)
+    ws = words_col(text)
+    n_words = F.size(ws)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)) / safe_n
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / safe_n
+    lines = F.filter(F.split(text, r"\n"), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•‣◦])")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike(r"[A-Za-z]"))) / safe_n
+    stop_hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS)))
+    mean_wl_r = F.round(mean_wl, 6)
+    symbol_r = F.round(symbol_ratio, 6)
+    bullet_r = F.round(bullet_frac, 6)
+    ellipsis_r = F.round(ellipsis_frac, 6)
+    alpha_r = F.round(alpha_frac, 6)
+    gopher_pass = (
+        n_words.between(50, 100_000)
+        & mean_wl_r.between(3.0, 10.0)
+        & (symbol_r <= 0.1)
+        & (bullet_r <= 0.9)
+        & (ellipsis_r <= 0.3)
+        & (alpha_r >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl_r.alias("mean_word_len"),
+        symbol_r.alias("symbol_word_ratio"),
+        bullet_r.alias("bullet_line_frac"),
+        ellipsis_r.alias("ellipsis_line_frac"),
+        alpha_r.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2027,6 +2027,146 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.unigram_logprob(_views.documents(spark, sf_dir))
 
 
+def _rep_gram_cte(n: int) -> str:
+    """DuckDB n-gram coverage CTEs mirroring textstats.ngrams_from_words
+    (non-distinct, order-preserving word n-grams)."""
+    return rf"""
+    g{n} AS (
+      SELECT doc_id, nonspace,
+             unnest([array_to_string(ws[j:j+{n - 1}], ' ')
+                     FOR j IN generate_series(1, len(ws) - {n - 1})]) AS g
+      FROM rep_base
+    ),
+    c{n} AS (
+      SELECT doc_id, any_value(nonspace) AS nonspace, g, count(*) AS cnt,
+             length(regexp_replace(g, '\s+', '', 'g')) AS glen
+      FROM g{n} GROUP BY doc_id, g
+    )"""
+
+
+@register(
+    "text_repetition_stats",
+    rf"""
+    WITH rep_base AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws,
+             list_filter(string_split(text, chr(10)), l -> l != '') AS lns
+      FROM documents
+    ),
+    line_counts AS (
+      SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+      FROM (SELECT doc_id, unnest(lns) AS line FROM rep_base)
+      GROUP BY doc_id, line
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_lines,
+             round((sum(cnt) - count(*)) * 1.0 / greatest(sum(cnt), 1), 6) AS dup_line_frac,
+             round(sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) * 1.0
+                   / greatest(sum(cnt * len), 1), 6) AS dup_line_char_frac
+      FROM line_counts GROUP BY doc_id
+    ),
+    {_rep_gram_cte(2)},
+    {_rep_gram_cte(3)},
+    {_rep_gram_cte(4)},
+    {_rep_gram_cte(5)},
+    t2 AS (SELECT doc_id, round(max(cnt * glen) * 1.0 / greatest(any_value(nonspace), 1), 6) AS v FROM c2 GROUP BY doc_id),
+    t3 AS (SELECT doc_id, round(max(cnt * glen) * 1.0 / greatest(any_value(nonspace), 1), 6) AS v FROM c3 GROUP BY doc_id),
+    t4 AS (SELECT doc_id, round(max(cnt * glen) * 1.0 / greatest(any_value(nonspace), 1), 6) AS v FROM c4 GROUP BY doc_id),
+    d5 AS (SELECT doc_id, round(least(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) * 1.0
+                                      / greatest(any_value(nonspace), 1), 1.0), 6) AS v
+           FROM c5 GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(ls.n_lines, 0) AS n_lines,
+           coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           coalesce(t2.v, 0.0) AS top_2gram_char_frac,
+           coalesce(t3.v, 0.0) AS top_3gram_char_frac,
+           coalesce(t4.v, 0.0) AS top_4gram_char_frac,
+           coalesce(d5.v, 0.0) AS dup_5gram_char_frac
+    FROM rep_base b
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals (dup lines, top/dup n-gram
+    character coverage) — see datapipe.textstats.repetition_stats."""
+    return _ts.repetition_stats(_views.documents(spark, sf_dir))
+
+
+@register(
+    "text_gopher_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws,
+             list_filter(string_split(text, chr(10)), l -> l != '') AS lns
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) * 1.0
+                 / greatest(len(ws), 1), 6) AS mean_word_len,
+           round((length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0
+                 / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+           round(len(list_filter(lns, l -> regexp_matches(l, '^\s*([-*•‣◦])'))) * 1.0
+                 / greatest(len(lns), 1), 6) AS bullet_line_frac,
+           round(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0
+                 / greatest(len(lns), 1), 6) AS ellipsis_line_frac,
+           round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                 / greatest(len(ws), 1), 6) AS alpha_word_frac,
+           len(list_filter(ws, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) AS n_stop_hits,
+           (len(ws) BETWEEN 50 AND 100000)
+             AND (round(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) * 1.0
+                        / greatest(len(ws), 1), 6) BETWEEN 3.0 AND 10.0)
+             AND (round((length(text) - length(replace(text, '#', ''))
+                         + len(regexp_extract_all(text, '\.\.\.|…'))) * 1.0
+                        / greatest(len(ws), 1), 6) <= 0.1)
+             AND (round(len(list_filter(lns, l -> regexp_matches(l, '^\s*([-*•‣◦])'))) * 1.0
+                        / greatest(len(lns), 1), 6) <= 0.9)
+             AND (round(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) * 1.0
+                        / greatest(len(lns), 1), 6) <= 0.3)
+             AND (round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                        / greatest(len(ws), 1), 6) >= 0.8)
+             AND (len(list_filter(ws, w -> lower(w) IN ('the','be','to','of','and','that','have','with'))) >= 2)
+           AS gopher_pass
+    FROM t
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules as one shuffle-free projection —
+    see datapipe.textstats.gopher_quality."""
+    return _ts.gopher_quality(_views.documents(spark, sf_dir))
+
+
+@register(
+    "dedup_paragraph",
+    """
+    WITH paras AS (
+      SELECT doc_id, md5(p) AS digest, length(p) AS len
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), p -> p != '')) AS p
+            FROM documents)
+    ),
+    counts AS (SELECT digest, count(*) AS cnt FROM paras GROUP BY digest)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           round(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_para_frac,
+           round(sum(CASE WHEN c.cnt > 1 THEN p.len ELSE 0 END) * 1.0
+                 / greatest(sum(p.len), 1), 6) AS dup_para_char_frac
+    FROM paras p JOIN counts c USING (digest)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style cross-corpus paragraph dedup with exact global
+    counts — see datapipe.dedup.paragraph_dedup."""
+    return _dedup.paragraph_dedup(_views.documents(spark, sf_dir))
+
+
 @register("multimodal_features")  # Pandas-UDF stage — rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = _mm.attach_payload(_views.documents(spark, sf_dir))

@@ -403,3 +403,82 @@ def test_simhash_and_embedding_bucket_caps(spark):
     assert capped_e.count() == 0
     full_e = dedup.embedding_cosine_pairs(emb, threshold=0.9, max_bucket=None)
     assert full_e.count() == 30 * 29 // 2
+
+
+def test_repetition_stats_multiline_fixture(spark):
+    """Gopher repetition signals on a hand-computable multi-line doc:
+    duplicate lines and a dominant repeated 2-gram."""
+    text = "spam ham\nspam ham\neggs only"  # line 'spam ham' twice
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = textstats.repetition_stats(d).collect()[0]
+    assert row.n_lines == 3
+    # 3 lines, 2 distinct -> (3-2)/3
+    assert abs(row.dup_line_frac - round(1 / 3, 6)) < 1e-9
+    # duplicated line chars: 2*8 over 2*8+9
+    assert abs(row.dup_line_char_frac - round(16 / 25, 6)) < 1e-9
+    # words: spam ham spam ham eggs only; nonspace chars = 4+3+4+3+4+4 = 22
+    # top 2-gram 'spam ham' (2x, 7 nonspace chars) -> 14/22
+    assert abs(row.top_2gram_char_frac - round(14 / 22, 6)) < 1e-9
+    # no 5-gram repeats
+    assert row.dup_5gram_char_frac == 0.0
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    """Empty and single-word docs flow through as zeros, not nulls."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a a a a a a")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(d).collect()}
+    assert rows[1].n_lines == 0 and rows[1].top_2gram_char_frac == 0.0
+    assert rows[2].n_lines == 1 and rows[2].dup_line_frac == 0.0
+    # 'a a a a a a': top 2-gram 'a a' occurs 5x, covers 10/6 capped? top is
+    # not capped (it is a max, can exceed 1 only via overlap) -> 5*2/6
+    assert abs(rows[3].top_2gram_char_frac - round(10 / 6, 6)) < 1e-9
+    # dup 5-gram coverage is capped at 1.0
+    assert rows[3].dup_5gram_char_frac == 1.0
+
+
+def test_gopher_quality_rules(spark):
+    """One doc engineered to pass all Gopher rules; one failing several."""
+    good = " ".join(["the quick brown fox jumps over that lazy dog with glee"] * 6)
+    bad = "# " * 30  # only symbols: fails alpha, stopwords, mean length
+    d = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textstats.gopher_quality(d).collect()}
+    g, b = rows[1], rows[2]
+    assert g.n_words == 66 and g.gopher_pass
+    assert g.n_stop_hits >= 2 and g.alpha_word_frac == 1.0
+    assert not b.gopher_pass
+    assert b.alpha_word_frac == 0.0 and b.n_stop_hits == 0
+    assert b.symbol_word_ratio == 1.0
+
+
+def test_paragraph_dedup_cross_doc(spark):
+    """Paragraph counts are corpus-global: a paragraph shared by two
+    docs marks BOTH, and a within-doc repeat also counts."""
+    d = spark.createDataFrame(
+        [
+            (1, "shared boilerplate\nunique alpha"),
+            (2, "shared boilerplate\nunique beta"),
+            (3, "self repeat\nself repeat\nunique gamma"),
+            (4, "all original\nnothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.paragraph_dedup(d).collect()}
+    assert rows[1].n_paras == 2 and abs(rows[1].dup_para_frac - 0.5) < 1e-9
+    assert abs(rows[2].dup_para_frac - 0.5) < 1e-9
+    # doc 3: 2 of 3 paragraphs are the self-repeat
+    assert abs(rows[3].dup_para_frac - round(2 / 3, 6)) < 1e-9
+    assert rows[4].dup_para_frac == 0.0 and rows[4].dup_para_char_frac == 0.0
+    # char-weighted: doc 1 -> 18 shared chars / 30 total
+    assert abs(rows[1].dup_para_char_frac - round(18 / 30, 6)) < 1e-9
+
+
+def test_repetition_and_gopher_oracle_on_documents(spark):
+    """The sf-dir documents table matches the registry oracles (same
+    SQL the driver runs)."""
+    import __spark_entry__ as e
+
+    for name in ("text_repetition_stats", "text_gopher_quality", "dedup_paragraph"):
+        ok, msg = compare(e.queries()[name](spark, SF_DIR), e.oracle_sql()[name], SF_DIR)
+        assert ok, f"{name}: {msg}"
