@@ -430,3 +430,115 @@ def test_promql_offset_differential(spark, seed):
     text, sql = gen_prom_offset_case(seed)
     df = promql_query(PromQLContext(spark, SF_DIR, step_ns=60_000_000_000), text)
     assert_match(df.select("fingerprint", "timestamp_ns", "value"), sql, SF_DIR)
+
+
+# --- textstats / paragraph dedup: Python-reference differential -----------
+#
+# The repetition/quality/paragraph operators claim exact, closed-form
+# semantics; here an INDEPENDENT pure-Python implementation recomputes
+# them over random multi-line corpora with planted duplicate lines,
+# repeated n-grams and cross-doc boilerplate paragraphs.
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of",
+         "and", "x1", "y2", "#", "..."]
+
+
+def _gen_corpus(rng: random.Random, n_docs: int) -> list[tuple[int, str]]:
+    boiler = " ".join(rng.sample(WORDS, 4))
+    docs = []
+    for i in range(n_docs):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            ws = [rng.choice(WORDS) for _ in range(rng.randint(0, 12))]
+            if rng.random() < 0.4 and ws:  # plant a repeated bigram run
+                ws += ws[:2] * rng.randint(1, 3)
+            lines.append(" ".join(ws))
+        if rng.random() < 0.5:
+            lines.append(boiler)  # cross-doc boilerplate paragraph
+        if rng.random() < 0.4 and lines:
+            lines.append(rng.choice(lines))  # within-doc duplicate line
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+def _round6(x: float) -> float:
+    """Half-up rounding to 6 places (Spark/DuckDB semantics; Python's
+    round() is banker's and disagrees on exact ties like 13/128)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _py_repetition(text: str) -> dict:
+    import re
+
+    nonspace = len(re.sub(r"\s+", "", text))
+    lines = [l for l in text.split("\n") if l != ""]
+    from collections import Counter
+
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_line_frac = (n_lines - len(lc)) / max(n_lines, 1)
+    dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+    all_chars = sum(c * len(l) for l, c in lc.items())
+    out = {
+        "n_lines": n_lines,
+        "dup_line_frac": _round6(dup_line_frac),
+        "dup_line_char_frac": _round6(dup_chars / max(all_chars, 1)),
+    }
+    ws = [w for w in re.split(r"\s+", text) if w != ""]
+    for n in (2, 3, 4, 5):
+        grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+        gc = Counter(grams)
+        glen = {g: len(re.sub(r"\s+", "", g)) for g in gc}
+        if n < 5:
+            top = max((c * glen[g] for g, c in gc.items()), default=0)
+            out[f"top_{n}gram_char_frac"] = _round6(top / max(nonspace, 1))
+        else:
+            dup = sum(c * glen[g] for g, c in gc.items() if c > 1)
+            out["dup_5gram_char_frac"] = _round6(
+                min(dup / max(nonspace, 1), 1.0)
+            )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_textstats_repetition_python_differential(spark, seed):
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(40_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in textstats.repetition_stats(d).collect()}
+    for i, text in docs:
+        want = _py_repetition(text)
+        for k, v in want.items():
+            assert abs(got[i][k] - v) < 1e-9, (seed, i, k, got[i][k], v, text)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_paragraph_dedup_python_differential(spark, seed):
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import dedup as dd
+
+    rng = random.Random(50_000 + seed)
+    docs = _gen_corpus(rng, 15)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in dd.paragraph_dedup(d).collect()}
+    global_counts = Counter(
+        p for _, text in docs for p in text.split("\n") if p != ""
+    )
+    for i, text in docs:
+        paras = [p for p in text.split("\n") if p != ""]
+        if not paras:
+            assert i not in got
+            continue
+        n_dup = sum(1 for p in paras if global_counts[p] > 1)
+        dup_chars = sum(len(p) for p in paras if global_counts[p] > 1)
+        assert got[i]["n_paras"] == len(paras)
+        assert abs(got[i]["dup_para_frac"] - _round6(n_dup / len(paras))) < 1e-9
+        assert abs(
+            got[i]["dup_para_char_frac"]
+            - _round6(dup_chars / max(sum(len(p) for p in paras), 1))
+        ) < 1e-9
