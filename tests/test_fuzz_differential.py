@@ -542,3 +542,70 @@ def test_paragraph_dedup_python_differential(spark, seed):
             got[i]["dup_para_char_frac"]
             - _round6(dup_chars / max(sum(len(p) for p in paras), 1))
         ) < 1e-9
+
+
+# --- quantile functions: random φ against DuckDB quantile_cont ------------
+#
+# Spark percentile() and DuckDB quantile_cont() both implement linear
+# interpolation at rank φ·(n−1) — the Prometheus/Loki quantile contract —
+# so any (φ, selector, range) draw must agree to rounding.
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+def gen_quantile_case(seed: int) -> tuple[str, str, bool]:
+    rng = random.Random(60_000 + seed)
+    q = rng.choice(QS)
+    rng_min = rng.choice([10, 30, 60])
+    rng_ns = rng_min * 60 * 10**9
+    bucket = f"(epoch_ns(ts) - epoch_ns(ts) % {rng_ns})"
+    if rng.random() < 0.5:
+        # LogQL: unwrap a json field. Always regroup by (app): `| json`
+        # re-fingerprints streams on the parsed label set (unwrapped
+        # label removed — Loki semantics), so the bare per-series form
+        # has no closed-form oracle fingerprint.
+        apps = rng.sample(APPS, 2)
+        by = True
+        text = (
+            f"quantile_over_time({q}, {{app=~\"{'|'.join(apps)}\"}}"
+            f" | json | unwrap k [{rng_min}m]) by (app)"
+        )
+        sql = f"""
+        SELECT event_type AS app, {bucket} AS timestamp_ns,
+               round(quantile_cont(CAST(json_extract_string(props, '$.k') AS DOUBLE), {q}), 4) AS value
+        FROM events WHERE event_type IN ('{apps[0]}','{apps[1]}')
+        GROUP BY 1, 2
+        """
+        return text, sql, by
+    # PromQL over metric samples
+    val = rng.choice(APPS)
+    text = f'quantile_over_time({q}, {{app="{val}"}}[{rng_min}m])'
+    base = counter_cte(rng_ns, f"app = '{val}'")
+    sql = (
+        base
+        + f"""
+        SELECT fingerprint, bucket AS timestamp_ns,
+               round(quantile_cont(value, {q}), 4) AS value
+        FROM d GROUP BY 1, 2
+        """
+    )
+    return text, sql, None
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_quantile_differential(spark, seed):
+    text, sql, by = gen_quantile_case(seed)
+    if by is None:
+        df = promql_query(PromQLContext(spark, SF_DIR, step_ns=60_000_000_000), text)
+        out = df.select(
+            "fingerprint", "timestamp_ns", F.round("value", 4).alias("value")
+        )
+    else:
+        res = logql_query(LogQLContext(spark, SF_DIR), text)
+        key = (
+            F.col("labels")["app"].alias("app")
+            if by
+            else F.col("fingerprint")
+        )
+        out = res.df.select(key, "timestamp_ns", F.round("value", 4).alias("value"))
+    assert_match(out, sql, SF_DIR)
