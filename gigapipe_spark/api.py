@@ -743,6 +743,17 @@ class Engine:
         """/config (ref: controller/misc.go Config) — static."""
         return "Not supported"
 
+    def metrics(self) -> str:
+        """/metrics (ref: writer/router registers promhttp; counters in
+        writer/metric/variabels.go): Prometheus text exposition of the
+        engine's self-telemetry — sent_rows/sent_bytes per service,
+        json_parse_errors_count (decode-error accumulator snapshot),
+        tx_close_time_ms histogram with the reference's bucket bounds."""
+        from gigapipe_spark.telemetry import TELEMETRY
+
+        TELEMETRY.sync_decode_errors(self.spark)
+        return TELEMETRY.render()
+
     def pyroscope_render_diff(
         self,
         left_service: str,

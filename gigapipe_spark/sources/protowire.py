@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gigapipe_spark.model.fingerprint import fingerprint_col
+from gigapipe_spark.telemetry import TELEMETRY
 from gigapipe_spark.sources.ingest import sanitize_labels
 
 # ---------------------------------------------------------------------------
@@ -257,6 +258,8 @@ def remote_write(raw: DataFrame, payload_col: str = "payload",
     Python task; fingerprints attach JVM-side afterwards.
     """
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -268,6 +271,7 @@ def remote_write(raw: DataFrame, payload_col: str = "payload",
                     for labels, ts_ns, val in decode_write_request(buf):
                         rows.append((labels, ts_ns, val, "", 2))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
             yield pd.DataFrame(
                 rows, columns=["labels", "timestamp_ns", "value", "string", "type"]
@@ -340,6 +344,8 @@ def loki_push_pb(raw: DataFrame, payload_col: str = "payload",
     """Snappy+protobuf Loki push bodies → log samples rows — the protobuf
     twin of ingest.loki_push (ref: UnmarshalProtoV2, logs_protobuf.go:45)."""
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -349,6 +355,7 @@ def loki_push_pb(raw: DataFrame, payload_col: str = "payload",
                     for labels, ts_ns, line in decode_loki_push(buf):
                         rows.append((labels, ts_ns, 0.0, line, 1))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
             yield pd.DataFrame(
                 rows, columns=["labels", "timestamp_ns", "value", "string", "type"]
@@ -520,6 +527,8 @@ def otlp_traces_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """OTLP protobuf trace bodies → spans rows (+ attrs map for the GIN).
     The JSON path (ingest.otlp_traces) emits the same 10-column shape."""
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -527,6 +536,7 @@ def otlp_traces_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
                 try:
                     spans = list(decode_otlp_traces(bytes(body)))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
                 for s in spans:
                     rows.append(
@@ -587,6 +597,8 @@ def decode_otlp_logs(data: bytes) -> Iterator[tuple[dict, int, str]]:
 def otlp_logs_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """OTLP protobuf log bodies → log samples rows."""
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -594,6 +606,7 @@ def otlp_logs_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
                 try:
                     recs = list(decode_otlp_logs(bytes(body)))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
                 for labels, ts, line in recs:
                     rows.append((labels, ts, 0.0, line, 1))
@@ -794,6 +807,8 @@ def otlp_profiles_pb(raw: DataFrame, payload_col: str = "payload",
     """OTLP profile bodies → folded-stack lines (compose with
     ingest.collapsed_stacks for tree rows, like pprof_folded)."""
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -801,6 +816,7 @@ def otlp_profiles_pb(raw: DataFrame, payload_col: str = "payload",
                 try:
                     profs = list(decode_otlp_profiles(bytes(body)))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
                 for p in profs:
                     for stack, val in p["folded"]:
@@ -823,6 +839,8 @@ def pprof_folded(raw: DataFrame, payload_col: str = "payload",
     """pprof bodies → folded-stack lines; compose with
     `ingest.collapsed_stacks` for tree rows (one shared tree builder)."""
 
+    acc = TELEMETRY.decode_error_acc(raw.sparkSession)
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -830,6 +848,7 @@ def pprof_folded(raw: DataFrame, payload_col: str = "payload",
                 try:
                     stacks = decode_pprof(bytes(body))
                 except _DECODE_ERRORS:
+                    acc.add(1)
                     continue
                 for stack, val in stacks:
                     rows.append((pid, f"{stack} {val}"))

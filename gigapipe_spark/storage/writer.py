@@ -65,30 +65,46 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     type). Labels are peeled off into the dimension tables; the fact
     table stays narrow.
     """
+    from gigapipe_spark.telemetry import observed_write
+
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     with_date = batch.withColumn("date", date)
 
-    (
+    observed_write(
         with_date.select(
             "date", "fingerprint", "timestamp_ns", "value", "string", "type"
-        )
-        .sortWithinPartitions("fingerprint", "timestamp_ns")
+        ),
+        "samples",
+        lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
         .write.mode("append")
         .partitionBy("date")
-        .parquet(catalog.path("samples"))
+        .parquet(catalog.path("samples")),
+        bytes_col="string",
     )
 
     series = with_date.select("date", "fingerprint", "labels", "type").dropDuplicates(
         ["date", "fingerprint"]
     )
-    series.write.mode("append").partitionBy("date").parquet(
-        catalog.path("time_series")
+    observed_write(
+        series,
+        "time_series",
+        lambda df: df.write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("time_series")),
+        bytes_col=None,
     )
 
     gin = series.select(
         "date", "fingerprint", "type", F.explode("labels").alias("key", "val")
     )
-    gin.write.mode("append").partitionBy("date").parquet(catalog.path("gin"))
+    observed_write(
+        gin,
+        "gin",
+        lambda df: df.write.mode("append").partitionBy("date").parquet(
+            catalog.path("gin")
+        ),
+        bytes_col=None,
+    )
 
 
 def write_bucketed(
