@@ -350,20 +350,19 @@ def minhash_lsh_pairs(
     # ~6× the whole query's cost at sf0.1. The banded index is tiny
     # (bands rows of (id, band, h) per doc) and is the second artifact a
     # 100 TB deployment would store alongside the signature table.
-    banded = (
-        sig.select(
-            "id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), "
-                    f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
-                )
-            ).alias("bh"),
-        )
-        .select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-        .persist()
-    )
-    cand_src = _cap_buckets(banded, ["band", "h"], max_bucket)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', slice(sig, b*{rows}+1, {rows}))) AS h))"
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # the persisted artifact is the CAPPED banded index: the self-join
+    # consumes it twice, and persisting downstream of the cap runs the
+    # window count once instead of once per join side
+    cand_src = _cap_buckets(banded, ["band", "h"], max_bucket).persist()
     cand = (
         cand_src.alias("l")
         .join(cand_src.alias("r"), ["band", "h"])
@@ -444,13 +443,20 @@ def _cap_buckets(
     the banded index."""
     if max_bucket is None:
         return banded
-    ok = (
+    # Over-cap buckets are RARE by construction (each holds > max_bucket
+    # members, so there are at most N/max_bucket of them) — find them
+    # with one partial-agg-friendly count and BROADCAST anti-join, which
+    # leaves the banded index itself unshuffled at this stage. A window
+    # count or semi-join formulation forces a full sort/exchange of the
+    # index per consumer (measured ~2× the whole minhash query at
+    # sf0.1); this shape adds only the counting aggregate.
+    bad = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= max_bucket)
+        .filter(F.col("__bn") > max_bucket)
         .select(*keys)
     )
-    return banded.join(ok, keys, "left_semi")
+    return banded.join(F.broadcast(bad), keys, "left_anti")
 
 
 def simhash_pairs(

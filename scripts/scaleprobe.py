@@ -88,7 +88,10 @@ def main() -> None:
         "promql_instant_sum_by",
         "dedup_minhash_lsh",
         "dedup_exact",
+        "dedup_paragraph",
         "text_quality_score",
+        "text_repetition_stats",
+        "text_gopher_quality",
         "sample_hash",
         "pack_sequences",
         "rollup_metrics_15s",
