@@ -302,6 +302,58 @@ def gopher_quality(
     )
 
 
+def c4_filters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style document filters (Raffel et al. 2020 §2.2) as pure
+    column expressions — the second classic rule set next to
+    ``gopher_quality``:
+
+    - ``terminal_punct_line_frac``: lines ending in . ! ? or ".
+    - ``short_line_frac``: lines with fewer than 3 words (C4 drops
+      lines under 3 words).
+    - ``has_lorem_ipsum`` / ``has_brace``: boilerplate and code
+      markers ("lorem ipsum", '{').
+    - ``n_sentences``: terminal-punctuation runs, the sentence-count
+      proxy (C4 keeps docs with >= 3 sentences).
+    - ``c4_pass``: all-lines-terminal AND >=3 sentences AND no lorem
+      ipsum AND no brace.
+
+    Shuffle-free; fuses into the document scan like gopher_quality.
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    terminal = F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]\s*$'))) / n_lines
+    short = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+                < F.lit(3),
+            )
+        )
+        / n_lines
+    )
+    lorem = F.lower(text).contains("lorem ipsum")
+    brace = text.contains("{")
+    n_sentences = F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    terminal_r = F.round(terminal, 6)
+    short_r = F.round(short, 6)
+    c4_pass = (
+        (terminal_r == 1.0) & (n_sentences >= 3) & ~lorem & ~brace
+    )
+    return docs.select(
+        F.col(id_col),
+        terminal_r.alias("terminal_punct_line_frac"),
+        short_r.alias("short_line_frac"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_brace"),
+        n_sentences.alias("n_sentences"),
+        c4_pass.alias("c4_pass"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2144,6 +2144,36 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_c4_filters",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> l != '') AS lns
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(lns, l -> regexp_matches(l, '[.!?"]\s*$'))) * 1.0
+                 / greatest(len(lns), 1), 6) AS terminal_punct_line_frac,
+           round(len(list_filter(lns, l -> len(list_filter(string_split_regex(l, '\s+'), w -> w != '')) < 3)) * 1.0
+                 / greatest(len(lns), 1), 6) AS short_line_frac,
+           contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(text, '{') AS has_brace,
+           len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+           (round(len(list_filter(lns, l -> regexp_matches(l, '[.!?"]\s*$'))) * 1.0
+                  / greatest(len(lns), 1), 6) = 1.0)
+             AND (len(regexp_extract_all(text, '[.!?]+')) >= 3)
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{') AS c4_pass
+    FROM t
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule set (terminal punctuation, short lines, boilerplate
+    markers) — see datapipe.textstats.c4_filters."""
+    return _ts.c4_filters(_views.documents(spark, sf_dir))
+
+
+@register(
     "dedup_paragraph",
     """
     WITH paras AS (

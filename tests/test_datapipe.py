@@ -482,3 +482,27 @@ def test_repetition_and_gopher_oracle_on_documents(spark):
     for name in ("text_repetition_stats", "text_gopher_quality", "dedup_paragraph"):
         ok, msg = compare(e.queries()[name](spark, SF_DIR), e.oracle_sql()[name], SF_DIR)
         assert ok, f"{name}: {msg}"
+
+
+def test_c4_filters_fixture(spark):
+    """Hand-checkable C4 rules: a passing doc, a lorem-ipsum doc and a
+    short-line doc."""
+    d = spark.createDataFrame(
+        [
+            (1, 'First real sentence here.\nA second one follows!\nAnd "a third?"'),
+            (2, "Lorem Ipsum dolor sit amet.\nMore filler text here."),
+            (3, "short line\nonly two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.c4_filters(d).collect()}
+    assert rows[1].c4_pass and rows[1].terminal_punct_line_frac == 1.0
+    assert rows[1].n_sentences == 3 and rows[1].short_line_frac == 0.0
+    assert rows[2].has_lorem_ipsum and not rows[2].c4_pass
+    assert rows[3].short_line_frac == 1.0 and rows[3].n_sentences == 0
+    ok, msg = compare(
+        __import__("__spark_entry__").queries()["text_c4_filters"](spark, SF_DIR),
+        __import__("__spark_entry__").oracle_sql()["text_c4_filters"],
+        SF_DIR,
+    )
+    assert ok, msg
