@@ -321,15 +321,21 @@ def minhash_lsh_pairs(
     # small corpora arrive as one parquet partition and would build the
     # whole index on a single core
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # The index keeps ONLY the 64-bit shingle hashes — the shingle
+    # strings never enter the cache or any shuffle. Verification
+    # computes Jaccard on the hashed sets, which is value-identical to
+    # string-set Jaccard absent a 64-bit collision (~n²/2⁶⁵ per pair —
+    # negligible at any corpus size this engine targets); at 30×-sf0.1
+    # scale this halves the whole query (string arrays were ~8× the
+    # bytes of the hash arrays in cache and in the two verify joins).
     sh = (
         with_shingles(docs.repartition(par, id_col), text_col, "sh", n)
-        .select(F.col(id_col).alias("id"), F.col("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn(
-            "__h",
+        .select(
+            F.col(id_col).alias("id"),
             F.transform(
                 F.col("sh"), lambda s: F.pmod(F.abs(F.xxhash64(s)), F.lit(MERSENNE_P))
-            ),
+            ).alias("__h"),
         )
         .persist()
     )
@@ -370,8 +376,8 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # verification: join shingle sets back for candidates only
-    shingle_sets = sh.select("id", "sh")
+    # verification: join hashed shingle sets back for candidates only
+    shingle_sets = sh.select("id", F.col("__h").alias("sh"))
     verified = (
         cand.join(shingle_sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(shingle_sets.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
