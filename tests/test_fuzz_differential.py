@@ -609,3 +609,62 @@ def test_quantile_differential(spark, seed):
         )
         out = res.df.select(key, "timestamp_ns", F.round("value", 4).alias("value"))
     assert_match(out, sql, SF_DIR)
+
+
+# --- TraceQL metrics: random filter × agg × by() against SPANS_CTE -------
+
+from gigapipe_spark.sources.oracle import with_spans
+from gigapipe_spark.traceql.compiler import TraceQLContext
+from gigapipe_spark.traceql.compiler import query as traceql_query
+
+TM_AGGS = {
+    # metrics fn text -> (sql value expr, needs round)
+    "rate()": ("round(count(*) / {step_s}.0, 6)", True),
+    "count_over_time()": ("CAST(count(*) AS DOUBLE)", False),
+    "avg_over_time(quantity)": ("round(avg(CAST(quantity AS DOUBLE)), 6)", True),
+    "max_over_time(quantity)": ("round(CAST(max(CAST(quantity AS DOUBLE)) AS DOUBLE), 6)", True),
+    "min_over_time(duration)": ("round(CAST(min(duration_ns) AS DOUBLE), 6)", True),
+    "sum_over_time(quantity)": ("round(CAST(sum(CAST(quantity AS DOUBLE)) AS DOUBLE), 6)", True),
+}
+TM_BYS = [None, ("returnflag", "returnflag"), ("linestatus", "linestatus")]
+
+
+def gen_trace_metrics_case(seed: int):
+    rng = random.Random(70_000 + seed)
+    tq, tsql, vals = rng.choice(
+        [a for a in TRACE_ATOMS if not a[0].startswith("duration")]
+    )
+    v = rng.choice(vals)
+    fn = rng.choice(sorted(TM_AGGS))
+    # quantity/returnflag/linestatus live on 'item' spans only: pin name
+    # so attr targets and by() groups are non-null (null-group semantics
+    # are covered by the hand-paired registry entries)
+    sel = f'name = "item" && {tq.format(v=v)}'
+    where = f"name = 'item' AND ({tsql.format(v=v)})"
+    step_h = rng.choice([1, 2])
+    step_ns = step_h * 3600 * 10**9
+    by = rng.choice(TM_BYS)
+    val_sql, needs_round = TM_AGGS[fn]
+    val_sql = val_sql.format(step_s=step_h * 3600)
+    text = f"{{ {sel} }} | {fn}"
+    by_cols = ""
+    if by is not None:
+        text += f" by ({by[0]})"
+        by_cols = f"{by[1]}, "
+    sql = with_spans(
+        f"""
+        SELECT {by_cols}(timestamp_ns - timestamp_ns % {step_ns}) AS timestamp_ns,
+               {val_sql} AS value
+        FROM spans WHERE {where} GROUP BY {"1, 2" if by is not None else "1"}
+        """
+    )
+    cols = ([by[0]] if by is not None else []) + ["timestamp_ns"]
+    return text, sql, cols, needs_round, step_ns
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_traceql_metrics_differential(spark, seed):
+    text, sql, cols, needs_round, step_ns = gen_trace_metrics_case(seed)
+    df = traceql_query(TraceQLContext(spark, SF_DIR, step_ns=step_ns), text)
+    val = F.round("value", 6).alias("value") if needs_round else F.col("value")
+    assert_match(df.select(*cols, val), sql, SF_DIR)
