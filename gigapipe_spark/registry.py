@@ -1934,6 +1934,32 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    # IVF with nprobe = n_cells probes every cell, so the result is
+    # EXACT search routed through the full index machinery (fit, cell
+    # assignment, probe join, rerank) — oracle-able against the same
+    # brute-force SQL as sim_cosine_topk
+    "sim_ann_ivf_exact",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                                         e.vec_id) AS rn
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 5
+    """,
+)
+def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ivf_topk(
+        _views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5, n_cells=8, nprobe=8
+    )
+
+
+@register(
     "text_token_count",
     r"""
     SELECT doc_id,
