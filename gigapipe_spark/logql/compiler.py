@@ -404,15 +404,77 @@ def _template_col(tpl: str) -> Column:
     return F.concat(*[F.coalesce(p.cast("string"), F.lit("")) for p in parts])
 
 
-def _tpl_num(label: str) -> Column:
-    return F.col("labels").getItem(label).cast("double")
+def _tpl_int(tok: str) -> Column:
+    """sprig toInt64 semantics (ref: template_funcs.go wires add/sub/
+    mul/div/divide to sprig's INTEGER functions): a full-string base-10
+    integer parses, anything else — float strings, missing labels,
+    junk — coerces to 0."""
+    if re.fullmatch(r"-?\d+", tok):
+        return F.lit(int(tok)).cast("long")
+    v = F.col("labels").getItem(tok.lstrip("."))
+    return F.coalesce(
+        F.when(v.rlike(r"^-?\d+$"), v.cast("long")), F.lit(0).cast("long")
+    )
+
+
+def _tpl_float(tok: str) -> Column:
+    """sprig toFloat64 for the addf/subf/mulf/divf variants."""
+    if re.fullmatch(r"-?\d+(\.\d+)?", tok):
+        return F.lit(float(tok))
+    v = F.col("labels").getItem(tok.lstrip("."))
+    return F.coalesce(
+        F.when(v.rlike(r"^-?\d+(\.\d+)?$"), v.cast("double")), F.lit(0.0)
+    )
 
 
 def _fmt_num(c: Column) -> Column:
-    # Go templates print 4.0 as "4"; mimic for integral results
+    # Go templates print float64 via %v (shortest form): 4.0 -> "4",
+    # and the IEEE specials as +Inf/-Inf/NaN
+    return (
+        F.when(F.isnan(c), F.lit("NaN"))
+        .when(c == F.lit(float("inf")), F.lit("+Inf"))
+        .when(c == F.lit(float("-inf")), F.lit("-Inf"))
+        .when(c == F.floor(c), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    )
+
+
+# integer division truncating toward zero (Go semantics; Spark's double
+# cast to long truncates toward zero). Division by zero errors the
+# query, matching the reference: sprig div panics, template.Execute
+# returns the error, and the generic processor aborts
+# (internal/planner/line_format.go:23-26).
+def _int_div(ac: Column, bc: Column) -> Column:
     return F.when(
-        c == F.floor(c), c.cast("long").cast("string")
-    ).otherwise(c.cast("string"))
+        bc == 0,
+        F.raise_error(F.lit("line_format: integer divide by zero")).cast("long"),
+    ).otherwise((ac.cast("double") / bc).cast("long"))
+
+
+_TPL_INT_OPS = {
+    "divide": _int_div,
+    "div": _int_div,
+    "mul": lambda a, b: a * b,
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+}
+def _float_div(ac: Column, bc: Column) -> Column:
+    # Go float division: x/0 -> ±Inf, 0/0 -> NaN (no error, unlike the
+    # integer div); Spark's ANSI Divide would throw instead
+    return F.when(
+        bc == 0,
+        F.when(ac == 0, F.lit(float("nan"))).otherwise(
+            F.signum(ac) * F.lit(float("inf"))
+        ),
+    ).otherwise(ac / bc)
+
+
+_TPL_FLOAT_OPS = {
+    "divf": _float_div,
+    "mulf": lambda a, b: a * b,
+    "addf": lambda a, b: a + b,
+    "subf": lambda a, b: a - b,
+}
 
 
 def _tpl_expr(expr: str) -> Column:
@@ -424,12 +486,10 @@ def _tpl_expr(expr: str) -> Column:
     if len(toks) == 1:
         return F.coalesce(F.col("labels").getItem(expr), F.lit(""))
     fn = toks[0]
-    if fn in ("divide", "div", "mul", "add", "sub") and len(toks) == 3:
-        a, b = toks[1], toks[2]
-        ac = _tpl_num(a) if not re.fullmatch(r"-?\d+(\.\d+)?", a) else F.lit(float(a))
-        bc = _tpl_num(b) if not re.fullmatch(r"-?\d+(\.\d+)?", b) else F.lit(float(b))
-        ops = {"divide": ac / bc, "div": ac / bc, "mul": ac * bc, "add": ac + bc, "sub": ac - bc}
-        return _fmt_num(ops[fn])
+    if fn in _TPL_INT_OPS and len(toks) == 3:
+        return _TPL_INT_OPS[fn](_tpl_int(toks[1]), _tpl_int(toks[2])).cast("string")
+    if fn in _TPL_FLOAT_OPS and len(toks) == 3:
+        return _fmt_num(_TPL_FLOAT_OPS[fn](_tpl_float(toks[1]), _tpl_float(toks[2])))
     if fn == "ToLower" and len(toks) == 2:
         return F.lower(_tpl_expr(toks[1]))
     if fn == "ToUpper" and len(toks) == 2:
@@ -468,22 +528,52 @@ def _template_udf(tpl: str) -> Column:
                 return resolve(a)
 
             def num(a: str) -> float:
-                try:
-                    return float(val(a))
-                except ValueError:
-                    return 0.0
+                # sprig toFloat64: non-numeric coerces to 0
+                v = val(a)
+                return float(v) if re.fullmatch(r"-?\d+(\.\d+)?", v) else 0.0
+
+            def toint(a: str) -> int:
+                # sprig toInt64: full-string base-10 integers only
+                v = val(a)
+                return int(v) if re.fullmatch(r"-?\d+", v) else 0
 
             def fmt(x: float) -> str:
+                import math
+
+                if math.isnan(x):
+                    return "NaN"
+                if math.isinf(x):
+                    return "+Inf" if x > 0 else "-Inf"
                 return str(int(x)) if x == int(x) else str(x)
 
+            # add/sub/mul/div/divide are sprig's INTEGER functions
+            # (ref: template_funcs.go BaseTemplateFuncs); divide by
+            # zero errors the query like the reference's template
+            # panic (internal/planner/line_format.go:23)
             if fn in ("divide", "div") and len(args) == 2:
-                d = num(args[1])
-                return fmt(num(args[0]) / d) if d else ""
+                d = toint(args[1])
+                if d == 0:
+                    raise ValueError("line_format: integer divide by zero")
+                q = toint(args[0]) / d
+                return str(int(q))  # truncate toward zero, Go semantics
             if fn == "mul" and len(args) == 2:
-                return fmt(num(args[0]) * num(args[1]))
+                return str(toint(args[0]) * toint(args[1]))
             if fn == "add" and len(args) == 2:
-                return fmt(num(args[0]) + num(args[1]))
+                return str(toint(args[0]) + toint(args[1]))
             if fn == "sub" and len(args) == 2:
+                return str(toint(args[0]) - toint(args[1]))
+            if fn == "divf" and len(args) == 2:
+                import math
+
+                a, d = num(args[0]), num(args[1])
+                if d == 0:  # Go float semantics: ±Inf / NaN, no error
+                    return fmt(float("nan") if a == 0 else math.copysign(float("inf"), a))
+                return fmt(a / d)
+            if fn == "mulf" and len(args) == 2:
+                return fmt(num(args[0]) * num(args[1]))
+            if fn == "addf" and len(args) == 2:
+                return fmt(num(args[0]) + num(args[1]))
+            if fn == "subf" and len(args) == 2:
                 return fmt(num(args[0]) - num(args[1]))
             if fn == "ToLower":
                 return val(args[0]).lower()

@@ -52,3 +52,76 @@ def test_udf_fallback_function_surface(spark):
             "string", "cast(fingerprint / 8 as long) AS uid"
         ).limit(1).collect()[0]
         assert row["string"] == expect(row["uid"]), tpl
+
+
+def test_sprig_integer_arithmetic_semantics(spark):
+    """add/sub/mul/div/divide are sprig's INTEGER functions (ref:
+    template_funcs.go BaseTemplateFuncs): float strings and missing
+    labels coerce to 0, division truncates toward zero; the addf/subf/
+    mulf/divf variants do float math with Go's ±Inf/NaN division."""
+    import pyspark.sql.functions as F
+
+    from gigapipe_spark.logql.compiler import _template_col, _template_udf
+
+    d = spark.createDataFrame(
+        [("line1", {"i": "7", "neg": "-7", "f": "2.5", "junk": "x"})],
+        "string string, labels map<string,string>",
+    )
+    cases = {
+        "{{divide i 2}}": "3",          # 7/2 truncates
+        "{{divide neg 2}}": "-3",       # toward zero, not -inf
+        "{{add f 1}}": "1",             # "2.5" -> toInt64 0
+        "{{add junk 5}}": "5",
+        "{{mul i 3}}": "21",
+        "{{sub missing 2}}": "-2",      # missing label -> 0
+        "{{addf f 1}}": "3.5",
+        "{{mulf f 2}}": "5",            # 5.0 prints as 5
+        "{{divf i 2}}": "3.5",
+        "{{divf i 0}}": "+Inf",
+        "{{divf neg 0}}": "-Inf",
+    }
+    for tpl, want in cases.items():
+        fast = d.select(_template_col(tpl).alias("s")).collect()[0]["s"]
+        slow = d.select(_template_udf(tpl).alias("s")).collect()[0]["s"]
+        assert fast == want, (tpl, fast, want)
+        assert slow == want, (tpl, slow, want)
+
+
+def test_template_paths_differential_fuzz(spark):
+    """Random templates from the shared subset must render identically
+    through the compiled column path and the Arrow-UDF fallback."""
+    import random
+
+    from gigapipe_spark.logql.compiler import _template_col, _template_udf
+
+    rng = random.Random(80_000)
+    labels = {"i": "7", "j": "03", "neg": "-2", "f": "1.5", "s": "AbC", "e": ""}
+    d = spark.createDataFrame(
+        [("the line", labels)], "string string, labels map<string,string>"
+    )
+    lbls = list(labels) + ["missing"]
+    int_ops, float_ops = ["add", "sub", "mul", "divide"], ["addf", "subf", "mulf", "divf"]
+    for case in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.randrange(6)
+            if kind == 0:
+                parts.append(rng.choice(["txt ", "-", "| ", "x="]))
+            elif kind == 1:
+                parts.append("{{." + rng.choice(lbls) + "}}")
+            elif kind == 2:
+                parts.append("{{_entry}}")
+            elif kind == 3:
+                op = rng.choice(int_ops)
+                a, b = rng.choice(lbls + ["4", "10"]), rng.choice(["2", "3", "i"])
+                parts.append(f"{{{{{op} {a} {b}}}}}")
+            elif kind == 4:
+                op = rng.choice(float_ops)
+                a, b = rng.choice(lbls + ["4.5"]), rng.choice(["2", "0.5", "f", "neg"])
+                parts.append(f"{{{{{op} {a} {b}}}}}")
+            else:
+                parts.append("{{" + rng.choice(["ToLower", "ToUpper"]) + " .s}}")
+        tpl = "".join(parts)
+        fast = d.select(_template_col(tpl).alias("x")).collect()[0]["x"]
+        slow = d.select(_template_udf(tpl).alias("x")).collect()[0]["x"]
+        assert fast == slow, (case, tpl, fast, slow)
