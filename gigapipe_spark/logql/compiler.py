@@ -490,10 +490,55 @@ def _tpl_expr(expr: str) -> Column:
         return _TPL_INT_OPS[fn](_tpl_int(toks[1]), _tpl_int(toks[2])).cast("string")
     if fn in _TPL_FLOAT_OPS and len(toks) == 3:
         return _fmt_num(_TPL_FLOAT_OPS[fn](_tpl_float(toks[1]), _tpl_float(toks[2])))
-    if fn == "ToLower" and len(toks) == 2:
+    if fn in ("ToLower", "lower") and len(toks) == 2:
         return F.lower(_tpl_expr(toks[1]))
-    if fn == "ToUpper" and len(toks) == 2:
+    if fn in ("ToUpper", "upper") and len(toks) == 2:
         return F.upper(_tpl_expr(toks[1]))
+
+    def _lit(tok: str) -> str | None:
+        # a double-quoted string literal argument, or None
+        return tok[1:-1] if len(tok) >= 2 and tok[0] == '"' and tok[-1] == '"' else None
+
+    if fn == "trunc" and len(toks) == 3 and re.fullmatch(r"-?\d+", toks[1]):
+        # sprig trunc: first N chars; negative N keeps the LAST |N|
+        n, v = int(toks[1]), _tpl_expr(toks[2])
+        if n >= 0:
+            return F.substring(v, 1, n)
+        return F.substring(v, F.greatest(F.length(v) + n + 1, F.lit(1)), -n)
+    if (
+        fn == "substr"
+        and len(toks) == 4
+        and re.fullmatch(r"\d+", toks[1])
+        and re.fullmatch(r"\d+", toks[2])
+    ):
+        a, b = int(toks[1]), int(toks[2])
+        return F.substring(_tpl_expr(toks[3]), a + 1, max(b - a, 0))
+    if fn == "TrimSpace" and len(toks) == 2:
+        return F.regexp_replace(_tpl_expr(toks[1]), r"^\s+|\s+$", "")
+    if fn == "TrimPrefix" and len(toks) == 3 and _lit(toks[1]) is not None:
+        p, v = _lit(toks[1]), _tpl_expr(toks[2])
+        return F.when(
+            v.startswith(p), F.substring(v, len(p) + 1, 2**31 - 1)
+        ).otherwise(v)
+    if fn == "TrimSuffix" and len(toks) == 3 and _lit(toks[1]) is not None:
+        s, v = _lit(toks[1]), _tpl_expr(toks[2])
+        if s == "":
+            return v
+        return F.when(
+            v.endswith(s), F.substring(v, 1, F.length(v) - len(s))
+        ).otherwise(v)
+    if (
+        fn == "Replace"
+        and len(toks) == 4
+        and _lit(toks[1]) is not None
+        and _lit(toks[2]) is not None
+    ):
+        return F.replace(
+            _tpl_expr(toks[3]), F.lit(_lit(toks[1])), F.lit(_lit(toks[2]))
+        )
+    if fn == "default" and len(toks) == 3 and _lit(toks[1]) is not None:
+        v = _tpl_expr(toks[2])
+        return F.when(v == "", F.lit(_lit(toks[1]))).otherwise(v)
     raise NotImplementedError(f"line_format template construct {expr!r}")
 
 
@@ -594,7 +639,9 @@ def _template_udf(tpl: str) -> Column:
                 v, s = val(args[1]), val(args[0])
                 return v[: -len(s)] if s and v.endswith(s) else v
             if fn == "trunc" and len(args) == 2:
-                return val(args[1])[: int(num(args[0]))]
+                # sprig: first N chars; negative N keeps the LAST |N|
+                n, v = toint(args[0]), val(args[1])
+                return v[:n] if n >= 0 else v[n:]
             if fn == "substr" and len(args) == 3:
                 v = val(args[2])
                 return v[int(num(args[0])): int(num(args[1]))]

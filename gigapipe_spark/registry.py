@@ -288,14 +288,15 @@ register(
 
 register(
     "logql_line_format_udf",
-    # trunc/ToUpper exercise the Arrow-UDF template fallback (full
-    # template library, ref: shared/template_funcs.go)
+    # regexReplaceAll exercises the Arrow-UDF template fallback (full
+    # template library, ref: shared/template_funcs.go); trunc/ToUpper
+    # moved into the compiled column path in round 5
     "SELECT user_id*8+2 AS fingerprint, epoch_ns(ts) AS timestamp_ns,"
-    " substring('u' || CAST(user_id AS VARCHAR), 1, 2) || ':PURCHASE' AS string"
+    " 'id=' || CAST(user_id AS VARCHAR) || ':PURCHASE' AS string"
     " FROM events WHERE event_type='purchase'",
 )(
     _logql(
-        '{app="purchase"} | line_format "{{ trunc 2 .instance }}:{{ToUpper .app}}"',
+        '{app="purchase"} | line_format `{{ regexReplaceAll "u(\\d+)" "id=$1" .instance }}:{{ToUpper .app}}`',
         ["fingerprint", "timestamp_ns", "string"],
     )
 )

@@ -120,7 +120,23 @@ def test_template_paths_differential_fuzz(spark):
                 a, b = rng.choice(lbls + ["4.5"]), rng.choice(["2", "0.5", "f", "neg"])
                 parts.append(f"{{{{{op} {a} {b}}}}}")
             else:
-                parts.append("{{" + rng.choice(["ToLower", "ToUpper"]) + " .s}}")
+                parts.append(
+                    rng.choice(
+                        [
+                            "{{ToLower .s}}",
+                            "{{ToUpper .s}}",
+                            "{{trunc 2 .s}}",
+                            "{{trunc -2 .s}}",
+                            "{{substr 1 3 .s}}",
+                            "{{TrimSpace .s}}",
+                            '{{TrimPrefix "Ab" .s}}',
+                            '{{TrimSuffix "bC" .s}}',
+                            '{{Replace "b" "__" .s}}',
+                            '{{default "dflt" .e}}',
+                            '{{default "dflt" .s}}',
+                        ]
+                    )
+                )
         tpl = "".join(parts)
         fast = d.select(_template_col(tpl).alias("x")).collect()[0]["x"]
         slow = d.select(_template_udf(tpl).alias("x")).collect()[0]["x"]
