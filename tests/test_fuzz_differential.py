@@ -668,3 +668,59 @@ def test_traceql_metrics_differential(spark, seed):
     df = traceql_query(TraceQLContext(spark, SF_DIR, step_ns=step_ns), text)
     val = F.round("value", 6).alias("value") if needs_round else F.col("value")
     assert_match(df.select(*cols, val), sql, SF_DIR)
+
+
+# --- histogram_quantile: random bucket layouts vs a Python Prometheus ----
+#
+# Reference algorithm: prometheus/promql/quantile.go bucketQuantile —
+# rank = q·total over the cumulative counts, first bucket whose count
+# reaches the rank, linear interpolation inside it, +Inf bucket returns
+# the previous upper bound.
+
+
+def _py_bucket_quantile(q: float, les: list, counts: list) -> float:
+    total = counts[-1]  # +Inf cumulative = observation count
+    rank = q * total
+    for i, (le, c) in enumerate(zip(les, counts)):
+        if c >= rank:
+            prev_le = les[i - 1] if i > 0 else 0.0
+            prev_c = counts[i - 1] if i > 0 else 0.0
+            if les[i] == float("inf"):
+                return prev_le
+            denom = max(c - prev_c, 1e-12)
+            return prev_le + (le - prev_le) * (rank - prev_c) / denom
+    return les[-2] if len(les) > 1 else 0.0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_histogram_quantile_python_differential(spark, seed):
+    from gigapipe_spark.promql.functions import histogram_quantile
+
+    rng = random.Random(90_000 + seed)
+    q = rng.choice([0.5, 0.9, 0.95, 0.99, 0.1])
+    n_buckets = rng.randint(2, 6)
+    bounds = sorted(rng.sample([0.005, 0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 10.0], n_buckets))
+    les = bounds + [float("inf")]
+    rows, expected = [], {}
+    for series in ("api", "web"):
+        for ts in (0, 60_000_000_000):
+            counts, c = [], 0.0
+            for _ in les:
+                c += rng.randint(0, 20)
+                counts.append(c)
+            if counts[-1] == 0:
+                counts[-1] = 1.0
+            for le, cnt in zip(les, counts):
+                le_str = "+Inf" if le == float("inf") else str(le)
+                rows.append(({"job": series, "le": le_str}, ts, float(cnt)))
+            expected[(series, ts)] = _py_bucket_quantile(q, les, counts)
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp_ns long, value double"
+    )
+    got = {
+        (r["labels"]["job"], r["timestamp_ns"]): r["value"]
+        for r in histogram_quantile(df, q).collect()
+    }
+    assert set(got) == set(expected), (seed, sorted(got), sorted(expected))
+    for k, want in expected.items():
+        assert abs(got[k] - want) < 1e-9, (seed, k, got[k], want)
