@@ -102,7 +102,16 @@ def histogram_quantile(buckets: DataFrame, q: float) -> DataFrame:
     interp = lo + (F.col("__le") - lo) * (
         (F.col("__rank") - lo_count) / F.greatest(F.col("value") - lo_count, F.lit(1e-12))
     )
-    value = F.when(F.col("__le") == float("inf"), lo).otherwise(interp)
+    # upstream guards (prometheus promql/quantile.go bucketQuantile):
+    # q outside [0,1] yields ±Inf per series bucket-set, NaN stays NaN
+    if q != q:  # NaN
+        value = F.lit(float("nan"))
+        inbucket = F.col("__le") == float("inf")  # one row per series/ts
+    elif q < 0 or q > 1:
+        value = F.lit(float("-inf") if q < 0 else float("inf"))
+        inbucket = F.col("__le") == float("inf")
+    else:
+        value = F.when(F.col("__le") == float("inf"), lo).otherwise(interp)
     out = df.filter(inbucket).withColumn("value", value)
     return out.select(
         F.col("__grp").alias("fingerprint"),

@@ -724,3 +724,25 @@ def test_histogram_quantile_python_differential(spark, seed):
     assert set(got) == set(expected), (seed, sorted(got), sorted(expected))
     for k, want in expected.items():
         assert abs(got[k] - want) < 1e-9, (seed, k, got[k], want)
+
+
+def test_histogram_quantile_out_of_range_q(spark):
+    """Upstream bucketQuantile: q<0 -> -Inf, q>1 -> +Inf, NaN -> NaN,
+    one row per series/timestamp."""
+    import math
+
+    from gigapipe_spark.promql.functions import histogram_quantile
+
+    rows = [
+        ({"job": "api", "le": "1.0"}, 0, 3.0),
+        ({"job": "api", "le": "+Inf"}, 0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, timestamp_ns long, value double"
+    )
+    low = histogram_quantile(df, -0.5).collect()
+    assert len(low) == 1 and low[0]["value"] == float("-inf")
+    high = histogram_quantile(df, 1.5).collect()
+    assert len(high) == 1 and high[0]["value"] == float("inf")
+    nan = histogram_quantile(df, float("nan")).collect()
+    assert len(nan) == 1 and math.isnan(nan[0]["value"])
