@@ -40,6 +40,14 @@ _STAGES: list[tuple[str, str, str]] = [
 ]
 
 
+def scrub_text(text: Column) -> Column:
+    """The scrub as a plain column expression (streaming-composable)."""
+    cur = text
+    for _, pat, token in _STAGES:
+        cur = F.regexp_replace(cur, pat, token)
+    return cur
+
+
 def scrub_pii(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
