@@ -515,6 +515,11 @@ def _tpl_expr(expr: str) -> Column:
         return F.substring(_tpl_expr(toks[3]), a + 1, max(b - a, 0))
     if fn == "TrimSpace" and len(toks) == 2:
         return F.regexp_replace(_tpl_expr(toks[1]), r"^\s+|\s+$", "")
+    if fn in ("Trim", "TrimLeft", "TrimRight") and len(toks) == 3:
+        cutset = toks[1][1:-1] if toks[1].startswith('"') else None
+        if cutset is not None:
+            trimmer = {"Trim": F.trim, "TrimLeft": F.ltrim, "TrimRight": F.rtrim}[fn]
+            return trimmer(_tpl_expr(toks[2]), F.lit(cutset))
     if fn == "TrimPrefix" and len(toks) == 3 and _lit(toks[1]) is not None:
         p, v = _lit(toks[1]), _tpl_expr(toks[2])
         return F.when(

@@ -132,6 +132,9 @@ def test_template_paths_differential_fuzz(spark):
                             '{{TrimPrefix "Ab" .s}}',
                             '{{TrimSuffix "bC" .s}}',
                             '{{Replace "b" "__" .s}}',
+                            '{{Trim "A" .s}}',
+                            '{{TrimLeft "Ab" .s}}',
+                            '{{TrimRight "Cc" .s}}',
                             '{{default "dflt" .e}}',
                             '{{default "dflt" .s}}',
                         ]
