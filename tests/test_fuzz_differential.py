@@ -746,3 +746,36 @@ def test_histogram_quantile_out_of_range_q(spark):
     assert len(high) == 1 and high[0]["value"] == float("inf")
     nan = histogram_quantile(df, float("nan")).collect()
     assert len(nan) == 1 and math.isnan(nan[0]["value"])
+
+
+# --- deriv / predict_linear: random selector × range × horizon -----------
+
+from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_deriv_predict_linear_differential(spark, seed):
+    rng = random.Random(95_000 + seed)
+    val = rng.choice(APPS)
+    rng_min = rng.choice([30, 60, 120])
+    rng_ns = rng_min * 60 * 10**9
+    if rng.random() < 0.5:
+        horizon = rng.choice([60, 300, 900])
+        text = f'predict_linear({{app="{val}"}}[{rng_min}m], {horizon})'
+        val_sql = (
+            f"round(regr_intercept(value, timestamp_ns / 1e9)"
+            f" + regr_slope(value, timestamp_ns / 1e9)"
+            f" * (max(timestamp_ns / 1e9) + {horizon}.0), 4)"
+        )
+    else:
+        text = f'deriv({{app="{val}"}}[{rng_min}m])'
+        val_sql = "round(regr_slope(value, timestamp_ns / 1e9), 4)"
+    sql = f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % {rng_ns}) AS timestamp_ns,
+           {val_sql} AS value
+    FROM metric_samples WHERE app = '{val}' GROUP BY 1, 2
+    """
+    df = promql_query(PromQLContext(spark, SF_DIR, step_ns=rng_ns), text)
+    out = df.select("fingerprint", "timestamp_ns", F.round("value", 4).alias("value"))
+    assert_match(out, sql, SF_DIR)
