@@ -300,11 +300,18 @@ def _label_col(e: A.LabelExpr) -> Column:
             ">": num > v, ">=": num >= v, "<": num < v, "<=": num <= v,
         }
         return ops[e.op]
+    # ClickHouse map access yields '' for a missing key (ref:
+    # planner_label_filter.go:136 labels['x']), so a missing label
+    # compares as the empty string everywhere: lbl="" MATCHES a row
+    # without the label, lbl!="" does not, and =~ matches whatever the
+    # pattern says about ''. (This also makes `__error__=""` keep clean
+    # lines, the reference's documented error-filter idiom.)
+    s = F.coalesce(lbl, F.lit(""))
     ops = {
-        "=": lbl == e.value,
-        "!=": (lbl != e.value) | lbl.isNull(),
-        "=~": lbl.rlike(e.value),
-        "!~": ~F.coalesce(lbl.rlike(e.value), F.lit(False)),
+        "=": s == e.value,
+        "!=": s != e.value,
+        "=~": s.rlike(e.value),
+        "!~": ~s.rlike(e.value),
     }
     return ops[e.op]
 
@@ -334,6 +341,15 @@ def _merge_parsed(df: DataFrame, newmap: Column) -> DataFrame:
     return merged.drop("__parsed")
 
 
+# synthetic labels injected when a parser stage fails
+# (ref: shared/parser_errors.go + clickhouse_planner/sql_misc.go
+# sqlParserError: if(JSONType(string)='Object', parsed, error-map))
+_JSON_ERR_MAP_EXPR = (
+    "map('__error__', 'JSONParserErr',"
+    " '__error_details__', 'line is not a valid json object')"
+)
+
+
 def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
     if st.kind == "json":
         if st.params:
@@ -350,6 +366,14 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             # bare | json: merge every top-level scalar field
             # (ref runs this Go-side row-at-a-time; from_json is JVM-side)
             newmap = F.from_json("string", _JSON_MAP)
+        # a line that is not a JSON object gets the __error__ labels
+        # instead of parsed fields (the object check mirrors
+        # JSONType(string)='Object': from_json with a map schema parses
+        # exactly JSON objects, returning NULL otherwise)
+        valid = F.from_json("string", _JSON_MAP).isNotNull()
+        newmap = F.when(valid, F.coalesce(newmap, F.expr("map()"))).otherwise(
+            F.expr(_JSON_ERR_MAP_EXPR)
+        )
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
         newmap = F.expr(
@@ -712,7 +736,13 @@ def _apply_drop_keep(df: DataFrame, st: A.Drop | A.Keep) -> DataFrame:
             c = c | this
         return c
 
-    fn = (lambda k, v: match(k, v)) if keep else (lambda k, v: ~match(k, v))
+    if keep:
+        # `| keep` preserves the synthetic error labels unconditionally
+        # (ref: planner_keep.go:63 / internal/planner/keep.go:59);
+        # `| drop` CAN drop them explicitly.
+        fn = lambda k, v: match(k, v) | k.isin("__error__", "__error_details__")  # noqa: E731
+    else:
+        fn = lambda k, v: ~match(k, v)  # noqa: E731
     return df.withColumn("labels", F.map_filter(labels, fn))
 
 

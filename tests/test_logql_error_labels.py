@@ -1,0 +1,66 @@
+"""Parser error labels (__error__/__error_details__) and empty-string
+label-filter semantics (ref: shared/parser_errors.go,
+clickhouse_planner/sql_misc.go sqlParserError, planner_label_filter.go
+makeErrorLabelCond, planner_keep.go)."""
+
+import pyspark.sql.functions as F
+
+from gigapipe_spark.logql import ast as A
+from gigapipe_spark.logql.compiler import _apply_drop_keep, _apply_parser, _label_col
+
+
+def _df(spark):
+    rows = [
+        (1, '{"k": "5", "who": "alice"}', {"app": "web"}),
+        (2, "plain text, not json", {"app": "web"}),
+        (3, "[1, 2, 3]", {"app": "web"}),  # valid JSON, not an object
+    ]
+    return spark.createDataFrame(rows, "id long, string string, labels map<string,string>")
+
+
+def test_json_parser_injects_error_labels(spark):
+    out = _apply_parser(_df(spark), A.ParserStage("json", {}))
+    rows = {r.id: dict(r.labels) for r in out.collect()}
+    assert rows[1] == {"app": "web", "k": "5", "who": "alice"}
+    for bad in (2, 3):
+        assert rows[bad]["__error__"] == "JSONParserErr"
+        assert rows[bad]["__error_details__"] == "line is not a valid json object"
+        assert "k" not in rows[bad]
+
+
+def test_json_parameterized_also_flags_errors(spark):
+    out = _apply_parser(_df(spark), A.ParserStage("json", {"kk": "k"}))
+    rows = {r.id: dict(r.labels) for r in out.collect()}
+    assert rows[1]["kk"] == "5"
+    assert rows[2]["__error__"] == "JSONParserErr"
+
+
+def test_error_filter_idioms(spark):
+    parsed = _apply_parser(_df(spark), A.ParserStage("json", {}))
+    clean = parsed.filter(_label_col(A.LabelCmp("__error__", "=", "")))
+    assert {r.id for r in clean.collect()} == {1}
+    errored = parsed.filter(_label_col(A.LabelCmp("__error__", "!=", "")))
+    assert {r.id for r in errored.collect()} == {2, 3}
+    # no other error value is ever produced
+    none = parsed.filter(_label_col(A.LabelCmp("__error__", "=", "Other")))
+    assert none.count() == 0
+
+
+def test_missing_label_compares_as_empty_string(spark):
+    d = _df(spark)
+    # labels['nope'] behaves as '' (ClickHouse map-access semantics)
+    assert d.filter(_label_col(A.LabelCmp("nope", "=", ""))).count() == 3
+    assert d.filter(_label_col(A.LabelCmp("nope", "!=", ""))).count() == 0
+    assert d.filter(_label_col(A.LabelCmp("nope", "=~", ".*"))).count() == 3
+    assert d.filter(_label_col(A.LabelCmp("nope", "=~", ".+"))).count() == 0
+
+
+def test_keep_preserves_error_labels_drop_removes(spark):
+    parsed = _apply_parser(_df(spark), A.ParserStage("json", {}))
+    kept = _apply_drop_keep(parsed, A.Keep([("who", None)]))
+    rows = {r.id: dict(r.labels) for r in kept.collect()}
+    assert rows[1] == {"who": "alice"}
+    assert rows[2]["__error__"] == "JSONParserErr"  # kept unconditionally
+    dropped = _apply_drop_keep(parsed, A.Drop([("__error__", None), ("__error_details__", None)]))
+    rows = {r.id: dict(r.labels) for r in dropped.collect()}
+    assert "__error__" not in rows[2] and "__error_details__" not in rows[2]
