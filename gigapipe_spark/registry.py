@@ -2224,6 +2224,19 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.paragraph_dedup(_views.documents(spark, sf_dir))
 
 
+@register("text_bpe_tokenize")  # BPE apply is not SQL-expressible — rows-only
+# (Python-reference differential in tests/test_bpe.py)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE: train 30 merges on the corpus vocabulary (one
+    distributed word count + driver-side merge loop — an index build),
+    then count tokens per doc through the Arrow mapInPandas stage."""
+    from gigapipe_spark.datapipe import bpe as _bpe
+
+    docs = _views.documents(spark, sf_dir)
+    merges = _bpe.bpe_train(docs, num_merges=30)
+    return _bpe.bpe_token_count(docs, merges)
+
+
 @register("multimodal_features")  # Pandas-UDF stage — rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = _mm.attach_payload(_views.documents(spark, sf_dir))
