@@ -350,6 +350,52 @@ _JSON_ERR_MAP_EXPR = (
 )
 
 
+# one logfmt pair: key = anything but space/quote/equals; value = a
+# quoted string with backslash escapes, or a bare run to the next space
+_LOGFMT_PAIR = r'([^\s"=]+)=("(?:[^"\\]|\\.)*"|[^\s]*)'
+# a `="` whose quote never closes — kr/logfmt's Unmarshal error case
+_LOGFMT_BROKEN = r'="(?:[^"\\]|\\.)*$'
+_LOGFMT_ERR_MAP_EXPR = (
+    "map('__error__', 'LogfmtParserErr',"
+    " '__error_details__', 'logfmt syntax error')"
+)
+
+
+def _logfmt_map(line: Column) -> Column:
+    """`| logfmt` as pure column expressions, with the reference's Go
+    parser semantics (ref: internal/planner/parser_helpers.go, kr/logfmt):
+    quoted values lose their quotes and unescape \\\" and \\\\, keys
+    sanitize to [a-zA-Z0-9_] (sanitizeLabel), the LAST duplicate key
+    wins, and an unterminated quoted value flags LogfmtParserErr."""
+    pairs = F.regexp_extract_all(line, F.lit(_LOGFMT_PAIR), 0)
+    key = lambda p: F.regexp_replace(  # noqa: E731
+        F.regexp_extract(p, _LOGFMT_PAIR, 1), r"[^a-zA-Z0-9_]", "_"
+    )
+    rawv = lambda p: F.regexp_extract(p, _LOGFMT_PAIR, 2)  # noqa: E731
+
+    def val(p: Column) -> Column:
+        r = rawv(p)
+        unq = F.replace(
+            F.replace(F.substring(r, 2, F.length(r) - 2), F.lit('\\"'), F.lit('"')),
+            F.lit("\\\\"),
+            F.lit("\\"),
+        )
+        return F.when(r.startswith('"'), unq).otherwise(r)
+
+    # fold into a map with last-key-wins (map_from_arrays would throw on
+    # duplicate keys under the default dedup policy)
+    merged = F.aggregate(
+        pairs,
+        F.expr("map()").cast("map<string,string>"),
+        lambda acc, p: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != key(p)), F.create_map(key(p), val(p))
+        ),
+    )
+    return F.when(line.rlike(_LOGFMT_BROKEN), F.expr(_LOGFMT_ERR_MAP_EXPR)).otherwise(
+        merged
+    )
+
+
 def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
     if st.kind == "json":
         if st.params:
@@ -376,10 +422,7 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
         )
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
-        newmap = F.expr(
-            "map_filter(str_to_map(string, ' ', '='), (k, v) -> v IS NOT NULL AND k != '')"
-        )
-        return _merge_parsed(df, newmap)
+        return _merge_parsed(df, _logfmt_map(F.col("string")))
     if st.kind == "regexp":
         # RE2 named groups (?P<x>…) → Java (?<x>…); extract each group
         pat = st.pattern.replace("(?P<", "(?<")

@@ -64,3 +64,21 @@ def test_keep_preserves_error_labels_drop_removes(spark):
     dropped = _apply_drop_keep(parsed, A.Drop([("__error__", None), ("__error_details__", None)]))
     rows = {r.id: dict(r.labels) for r in dropped.collect()}
     assert "__error__" not in rows[2] and "__error_details__" not in rows[2]
+
+
+def test_logfmt_quoted_values_and_sanitization(spark):
+    """kr/logfmt semantics: quoted values unescape, keys sanitize,
+    last duplicate wins, broken quotes flag LogfmtParserErr."""
+    rows = [
+        (1, 'a=1 b="two words" c="say \\"hi\\"" d=', {}),
+        (2, "foo.bar=x foo:baz=y", {}),
+        (3, "a=1 a=2", {}),
+        (4, 'k="unterminated value', {}),
+    ]
+    d = spark.createDataFrame(rows, "id long, string string, labels map<string,string>")
+    out = _apply_parser(d, A.ParserStage("logfmt"))
+    got = {r.id: dict(r.labels) for r in out.collect()}
+    assert got[1] == {"a": "1", "b": "two words", "c": 'say "hi"', "d": ""}
+    assert got[2] == {"foo_bar": "x", "foo_baz": "y"}
+    assert got[3] == {"a": "2"}
+    assert got[4]["__error__"] == "LogfmtParserErr"
