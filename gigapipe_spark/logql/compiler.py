@@ -422,7 +422,20 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
         )
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
-        return _merge_parsed(df, _logfmt_map(F.col("string")))
+        parsed = _logfmt_map(F.col("string"))
+        if st.params:
+            # parameterized: keep only the requested logfmt keys,
+            # emitted under the sanitized KEY name (the reference's
+            # parameterLogfmtHelper ignores the alias label)
+            import re as _re
+
+            wanted = [
+                _re.sub(r"[^a-zA-Z0-9_]", "_", k) for k in st.params.values()
+            ]
+            parsed = F.map_filter(
+                parsed, lambda k, v: k.isin(*wanted) | k.startswith("__error")
+            )
+        return _merge_parsed(df, parsed)
     if st.kind == "regexp":
         # RE2 named groups (?P<x>…) → Java (?<x>…); extract each group
         pat = st.pattern.replace("(?P<", "(?<")

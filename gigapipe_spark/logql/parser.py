@@ -255,7 +255,25 @@ class Parser:
             return ParserStage(kind="json", params=params)
         if val == "logfmt":
             self.next()
-            return ParserStage(kind="logfmt")
+            # parameterized form: | logfmt key1, lbl="key2"
+            # (ref grammar model.go:269 ParserParams; the handler keys
+            # output by the LOGFMT key, ignoring any alias —
+            # parameterLogfmtHelper.HandleLogfmt)
+            params = {}
+            while self.peek()[0] == "ident":
+                if self.peek(1)[1] == "=" and self.peek(2)[0] == "string":
+                    _, lbl = self.next()
+                    self.next()
+                    _, key = self.next()
+                    params[lbl] = unquote(key)
+                else:
+                    _, key = self.next()
+                    params[key] = key
+                if self.at(","):
+                    self.next()
+                else:
+                    break
+            return ParserStage(kind="logfmt", params=params)
         if val == "regexp":
             self.next()
             kind, pat = self.next()

@@ -82,3 +82,28 @@ def test_logfmt_quoted_values_and_sanitization(spark):
     assert got[2] == {"foo_bar": "x", "foo_baz": "y"}
     assert got[3] == {"a": "2"}
     assert got[4]["__error__"] == "LogfmtParserErr"
+
+
+def test_logfmt_parameterized(spark):
+    """`| logfmt key1, lbl="key2"`: only requested keys merge, emitted
+    under the sanitized logfmt-key name (the alias is ignored —
+    parameterLogfmtHelper.HandleLogfmt keys by _key)."""
+    d = spark.createDataFrame(
+        [(1, 'a=1 b="two words" foo.bar=z', {"app": "w"})],
+        "id long, string string, labels map<string,string>",
+    )
+    out = _apply_parser(d, A.ParserStage("logfmt", {"b": "b", "x": "foo.bar"}))
+    got = dict(out.collect()[0].labels)
+    assert got == {"app": "w", "b": "two words", "foo_bar": "z"}
+
+
+def test_logfmt_parameterized_parses(spark):
+    from gigapipe_spark.logql.parser import parse
+
+    e = parse('{app="x"} | logfmt b, x="foo.bar"')
+    st = [s for s in e.stages if isinstance(s, A.ParserStage)][0]
+    assert st.kind == "logfmt" and st.params == {"b": "b", "x": "foo.bar"}
+    # bare logfmt still parses
+    e2 = parse('{app="x"} | logfmt | b="two words"')
+    st2 = [s for s in e2.stages if isinstance(s, A.ParserStage)][0]
+    assert st2.params == {}
