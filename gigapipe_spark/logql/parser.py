@@ -245,13 +245,21 @@ class Parser:
         if val == "json":
             self.next()
             params = {}
-            while self.peek()[0] == "ident" and self.peek(1)[1] == "=" and self.peek(2)[0] == "string":
-                _, lbl = self.next()
-                self.next()
-                _, path = self.next()
-                params[lbl] = unquote(path)
+            while self.peek()[0] == "ident":
+                if self.peek(1)[1] == "=" and self.peek(2)[0] == "string":
+                    _, lbl = self.next()
+                    self.next()
+                    _, path = self.next()
+                    params[lbl] = unquote(path)
+                else:
+                    # bare form: | json key (ref grammar ParserParam
+                    # with no alias — label = path = key)
+                    _, key = self.next()
+                    params[key] = key
                 if self.at(","):
                     self.next()
+                else:
+                    break
             return ParserStage(kind="json", params=params)
         if val == "logfmt":
             self.next()
