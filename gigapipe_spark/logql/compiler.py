@@ -353,8 +353,10 @@ _JSON_ERR_MAP_EXPR = (
 # one logfmt pair: key = anything but space/quote/equals; value = a
 # quoted string with backslash escapes, or a bare run to the next space
 _LOGFMT_PAIR = r'([^\s"=]+)=("(?:[^"\\]|\\.)*"|[^\s]*)'
-# a `="` whose quote never closes — kr/logfmt's Unmarshal error case
-_LOGFMT_BROKEN = r'="(?:[^"\\]|\\.)*$'
+# a complete quoted token (used to detect kr/logfmt's unterminated-
+# quote Unmarshal error: a captured value that STARTS with a quote but
+# is not a full quoted token means the closing quote never came)
+_LOGFMT_FULL_QUOTE = r'^"(?:[^"\\]|\\.)*"$'
 _LOGFMT_ERR_MAP_EXPR = (
     "map('__error__', 'LogfmtParserErr',"
     " '__error_details__', 'logfmt syntax error')"
@@ -391,9 +393,11 @@ def _logfmt_map(line: Column) -> Column:
             F.map_filter(acc, lambda k, v: k != key(p)), F.create_map(key(p), val(p))
         ),
     )
-    return F.when(line.rlike(_LOGFMT_BROKEN), F.expr(_LOGFMT_ERR_MAP_EXPR)).otherwise(
-        merged
+    broken = F.exists(
+        pairs,
+        lambda p: rawv(p).startswith('"') & ~rawv(p).rlike(_LOGFMT_FULL_QUOTE),
     )
+    return F.when(broken, F.expr(_LOGFMT_ERR_MAP_EXPR)).otherwise(merged)
 
 
 def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:

@@ -107,3 +107,34 @@ def test_logfmt_parameterized_parses(spark):
     e2 = parse('{app="x"} | logfmt | b="two words"')
     st2 = [s for s in e2.stages if isinstance(s, A.ParserStage)][0]
     assert st2.params == {}
+
+
+def test_logfmt_roundtrip_fuzz(spark):
+    """Random label maps -> Go-style logfmt encoding -> `| logfmt`
+    recovers exactly the original values."""
+    import random
+
+    rng = random.Random(777)
+    chars = "abc XYZ_09"
+    rows, want = [], {}
+    for i in range(40):
+        n = rng.randint(1, 5)
+        d = {}
+        for j in range(n):
+            k = f"k{j}"
+            v = "".join(rng.choice(chars + '"\\=') for _ in range(rng.randint(0, 8)))
+            d[k] = v
+        parts = []
+        for k, v in d.items():
+            if any(c in v for c in ' "=\\') or v == "":
+                q = v.replace("\\", "\\\\").replace('"', '\\"')
+                parts.append(f'{k}="{q}"')
+            else:
+                parts.append(f"{k}={v}")
+        rows.append((i, " ".join(parts), {}))
+        want[i] = d
+    df = spark.createDataFrame(rows, "id long, string string, labels map<string,string>")
+    out = _apply_parser(df, A.ParserStage("logfmt"))
+    got = {r.id: dict(r.labels) for r in out.collect()}
+    for i, d in want.items():
+        assert got[i] == d, (i, rows[i][1], got[i], d)
