@@ -221,6 +221,16 @@ class TraceQLParser:
             value, k = float(v), "number"
         elif vkind == "ident" and v in ("true", "false"):
             value, k = v == "true", "bool"
+        elif vkind == "ident":
+            # unquoted enum values: { status = error }, { kind != server }
+            # — string semantics, = / != only (ref: attr_condition.go:229
+            # "Unquoted enum values ... Respect the operator just like
+            # quoted strings", non-equality ops rejected)
+            if op not in ("=", "!="):
+                raise TraceQLSyntaxError(
+                    f"unsupported operator {op!r} for unquoted value {v!r}"
+                )
+            value, k = v, "string"
         else:
             raise TraceQLSyntaxError(f"bad attr value {v!r}")
         return AttrCmp(attr=_norm_attr(attr), op=op, value=value, kind=k)

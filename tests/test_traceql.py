@@ -387,3 +387,23 @@ def test_compare_baseline_window(spark):
     for k, r in clamped.items():
         assert r["baseline_count"] == 0
         assert r["selection_count"] == full[k]["selection_count"]
+
+
+def test_unquoted_enum_values(spark):
+    """{ status = error } parses as a string comparison (ref:
+    attr_condition.go unquoted enum values); non-equality ops reject."""
+    import pytest as _pytest
+
+    from gigapipe_spark.traceql.compiler import TraceQLContext, query
+    from gigapipe_spark.traceql.parser import TraceQLSyntaxError, parse
+
+    s = parse('{ status = error }')
+    cmp = s.spanset.expr
+    assert cmp.value == "error" and cmp.kind == "string" and cmp.op == "="
+    with _pytest.raises(TraceQLSyntaxError):
+        parse('{ status > error }')
+    # end-to-end equivalence with the quoted form
+    ctx = TraceQLContext(spark, SF_DIR)
+    unq = query(ctx, '{ name = item }').select("span_id")
+    q = query(ctx, '{ name = "item" }').select("span_id")
+    assert unq.count() == q.count() > 0
