@@ -380,18 +380,28 @@ class Engine:
         limit: int = 20,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        min_duration_ns: int | None = None,
+        max_duration_ns: int | None = None,
     ) -> DataFrame:
         """/api/search (ref: reader/service/tempo.go) — spansets for a
         TraceQL script; selector results are assembled into per-trace
         summaries ordered newest-first like index_groupby.go. start/end
         bound the matched spans (GetQueryRequest tempo.go:53 emits the
-        same raw timestamp_ns predicates)."""
+        same raw timestamp_ns predicates); minDuration/maxDuration use
+        the reference's ms-truncated comparison
+        (traces_query.go:39-44: duration_ms > min/1e6, <= max/1e6)."""
         out = _traceql_query(self.tracectx(), q)
         if "timestamp_ns" in out.columns:
             if start_ns is not None:
                 out = out.filter(F.col("timestamp_ns") >= start_ns)
             if end_ns is not None:
                 out = out.filter(F.col("timestamp_ns") < end_ns)
+        if "duration_ns" in out.columns:
+            dur_ms = (F.col("duration_ns") / 1_000_000).cast("long")
+            if min_duration_ns:
+                out = out.filter(dur_ms > min_duration_ns // 1_000_000)
+            if max_duration_ns:
+                out = out.filter(dur_ms <= max_duration_ns // 1_000_000)
         if set(out.columns) >= {"trace_id", "span_id", "timestamp_ns", "duration_ns"}:
             out = assemble_traces(self.tracectx(), out).orderBy(
                 F.col("end_ns").desc(), "trace_id"

@@ -398,3 +398,15 @@ def test_detected_labels_and_fields_selector_scoped(engine):
     }
     assert f_scoped and set(f_scoped) <= set(f_full)
     assert all(f_scoped[k] <= f_full[k] for k in f_scoped)
+
+
+def test_tempo_search_duration_bounds(engine):
+    """minDuration/maxDuration filter with the reference's ms-truncated
+    comparison (traces_query.go:39-44)."""
+    base = engine.tempo_search('{ name = "item" }', limit=10**6)
+    lo = engine.tempo_search('{ name = "item" }', limit=10**6,
+                             min_duration_ns=100_000_000)
+    hi = engine.tempo_search('{ name = "item" }', limit=10**6,
+                             max_duration_ns=100_000_000)
+    nb, nl, nh = base.count(), lo.count(), hi.count()
+    assert nl < nb and nh < nb and nl + nh >= nb - 1  # ms truncation boundary
