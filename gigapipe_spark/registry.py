@@ -2647,6 +2647,105 @@ def ingest_datadog_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_datadog_logs",
+    """
+    SELECT * FROM (VALUES
+      ('oom killed', 'prod', 'b:c', 'datadog', 'api', 'h1', 'agent',
+       1700000000000000000::BIGINT),
+      ('ok', NULL, NULL, 'datadog', NULL, NULL, NULL,
+       1700000001000000000::BIGINT)
+    ) AS t(string, env, a, type_label, service, hostname, source_type,
+           timestamp_ns)
+    """,
+)
+def ingest_datadog_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog v2 logs decode (ref: datadog_json.go:32-97). The ddtags
+    value exercises the tagPattern edge cases: "bad tag" (space) drops,
+    "a:b:c" keeps the colons in the value, and the reference's constant
+    type=datadog label lands on every row."""
+    import json as _json
+
+    from gigapipe_spark.sources.ingest import datadog_logs
+
+    payload = _json.dumps(
+        [
+            {
+                "message": "oom killed",
+                "hostname": "h1",
+                "service": "api",
+                "ddsource": "k8s",
+                "source_type": "agent",
+                "ddtags": "env:prod,bad tag,a:b:c",
+                "timestamp": 1700000000000,
+            },
+            {"message": "ok", "status": "info", "timestamp": 1700000001000},
+        ]
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    lbl = F.col("labels")
+    return datadog_logs(raw).select(
+        "string",
+        lbl.getItem("env").alias("env"),
+        lbl.getItem("a").alias("a"),
+        lbl.getItem("type").alias("type_label"),
+        lbl.getItem("service").alias("service"),
+        lbl.getItem("hostname").alias("hostname"),
+        lbl.getItem("source_type").alias("source_type"),
+        "timestamp_ns",
+    )
+
+
+@register(
+    "ingest_datadog_metrics",
+    """
+    SELECT * FROM (VALUES
+      ('system.cpu', 'h1', 'host', 1700000000000000000::BIGINT, 0.5),
+      ('system.cpu', 'h1', 'host', 1700000000000000000::BIGINT, 0.7),
+      ('system.cpu', 'h1', 'host', 1700000060000000000::BIGINT, 0.7),
+      ('system.mem', NULL, NULL, 1700000000000000000::BIGINT, 42.0)
+    ) AS t(name, resource1_name, resource1_type, timestamp_ns, value)
+    """,
+)
+def ingest_datadog_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog v2 series decode (ref: datadog_metrics_json.go:25-110):
+    resources[i] → resource{i+1}_{key} labels, point objects with the
+    decoder's loop-carried (timestamp, value) state — the second point
+    inherits its timestamp, the third its value."""
+    import json as _json
+
+    from gigapipe_spark.sources.ingest import datadog_metrics
+
+    payload = _json.dumps(
+        {
+            "series": [
+                {
+                    "metric": "system.cpu",
+                    "resources": [{"name": "h1", "type": "host"}],
+                    "points": [
+                        {"timestamp": 1700000000, "value": 0.5},
+                        {"value": 0.7},
+                        {"timestamp": 1700000060},
+                    ],
+                },
+                {
+                    "metric": "system.mem",
+                    "points": [{"timestamp": 1700000000, "value": 42.0}],
+                },
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    lbl = F.col("labels")
+    return datadog_metrics(raw).select(
+        lbl.getItem("__name__").alias("name"),
+        lbl.getItem("resource1_name").alias("resource1_name"),
+        lbl.getItem("resource1_type").alias("resource1_type"),
+        "timestamp_ns",
+        "value",
+    )
+
+
+@register(
     "ingest_loki_push_pb",
     """
     SELECT * FROM (VALUES

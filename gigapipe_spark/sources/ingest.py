@@ -234,46 +234,79 @@ def zipkin_ndjson(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 _DATADOG_LOGS_SCHEMA = (
     "array<struct<message: string, status: string, hostname: string,"
-    " service: string, ddsource: string, ddtags: string, timestamp: long>>"
+    " service: string, ddsource: string, ddtags: string, timestamp: long,"
+    " source_type: string>>"
 )
 
+# The reference's ddtags tagPattern (datadog_json.go:26): keys start with a
+# letter then letters/digits/_-./\ ; values additionally allow ':' and must
+# run to a ',' or end-of-string. Pairs that don't match are DROPPED, not
+# guessed at (e.g. "team:x y" yields no tag).
+_DD_TAG_PAT = r"([\p{L}][\p{L}_0-9\-.\\/]*):([\p{L}_0-9\-.\\/:]+)(,|$)"
 
-def datadog_logs(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Datadog logs JSON arrays → samples (ref: datadog_json.go:32).
-    ddtags ("k:v,k2:v2") explode into labels; ms timestamps → ns."""
+
+def _entries_map(entries: Column) -> Column:
+    """array<struct<key,value>> → map, duplicate keys last-wins (the
+    reference appends label pairs to a list; the stored model keeps the
+    last write). map_from_entries alone would throw under Spark's default
+    EXCEPTION dedup policy, so drop earlier duplicates first."""
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.greatest(F.size(entries), F.lit(1))),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(deduped)
+
+
+def datadog_logs(
+    raw: DataFrame, payload_col: str = "payload", now_ns: int = 0
+) -> DataFrame:
+    """Datadog v2 logs JSON arrays → samples (ref: datadog_json.go:32-97,
+    routed at /api/v2/logs, insert.go:13).
+
+    ddtags parse with the reference's tagPattern (malformed pairs drop);
+    then ddsource / service / hostname / source_type append when non-empty
+    plus the constant type=datadog. Unknown fields (e.g. status) are
+    skipped, exactly like the reference's decoder. timestamp is epoch ms;
+    0/absent stamps `now_ns` (the reference uses wall clock — a parameter
+    keeps the pipeline deterministic and replayable)."""
     logs = raw.select(
         F.explode(F.from_json(F.col(payload_col), _DATADOG_LOGS_SCHEMA)).alias("l")
     )
-    tags = F.when(
-        F.coalesce(F.col("l.ddtags"), F.lit("")) != "",
-        F.expr("str_to_map(l.ddtags, ',', ':')"),
-    ).otherwise(F.expr("map()"))
-    labels = F.map_concat(
-        tags,
-        F.map_filter(
-            F.create_map(
-                F.lit("status"), F.col("l.status"),
-                F.lit("hostname"), F.col("l.hostname"),
-                F.lit("service"), F.col("l.service"),
-                F.lit("ddsource"), F.col("l.ddsource"),
-            ),
-            lambda k, v: v.isNotNull(),
-        ),
+    ddtags = F.coalesce(F.col("l.ddtags"), F.lit(""))
+    tag_entries = F.zip_with(
+        F.regexp_extract_all(ddtags, F.lit(_DD_TAG_PAT), 1),
+        F.regexp_extract_all(ddtags, F.lit(_DD_TAG_PAT), 2),
+        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
     )
+
+    def _opt(key: str, val: Column) -> Column:
+        return F.struct(F.lit(key).alias("key"), val.alias("value"))
+
+    extra = F.filter(
+        F.array(
+            _opt("ddsource", F.col("l.ddsource")),
+            _opt("service", F.col("l.service")),
+            _opt("hostname", F.col("l.hostname")),
+            _opt("source_type", F.col("l.source_type")),
+            _opt("type", F.lit("datadog")),
+        ),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+    labels = _entries_map(F.concat(tag_entries, extra))
+    ts_ms = F.coalesce(F.col("l.timestamp"), F.lit(0))
+    ts_ns = F.when(ts_ms != 0, ts_ms * 1_000_000).otherwise(F.lit(now_ns))
     return logs.select(
-        *_normalize(
-            labels,
-            F.col("l.timestamp") * 1_000_000,
-            F.col("l.message"),
-            F.lit(0.0),
-            1,
-        )
+        *_normalize(labels, ts_ns, F.col("l.message"), F.lit(0.0), 1)
     )
 
 
 _DATADOG_METRICS_SCHEMA = (
-    "struct<series: array<struct<metric: string, host: string,"
-    " tags: array<string>, points: array<array<double>>>>>"
+    "struct<series: array<struct<metric: string,"
+    " resources: array<map<string,string>>,"
+    " points: array<struct<timestamp: long, value: double>>>>>"
 )
 
 
@@ -319,40 +352,76 @@ def datadog_cf(raw: DataFrame, line_col: str = "line",
     return parsed.select(*_normalize(labels, ts_ns, F.col("line"), F.lit(0.0), 1))
 
 
-def datadog_metrics(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Datadog metrics JSON → metric samples (ref: datadog_metrics_json.go).
-    tags ["k:v", ...] become labels; points are [epoch_s, value] pairs."""
+def datadog_metrics(
+    raw: DataFrame, payload_col: str = "payload", now_ns: int = 0
+) -> DataFrame:
+    """Datadog v2 metrics JSON → metric samples (ref:
+    datadog_metrics_json.go:25-110, routed at /api/v2/series, insert.go:12).
+
+    series[].metric → __name__; resources[i] objects contribute one label
+    per key named resource{i+1}_{key} (DecodeSeriesItem "resources");
+    points are {timestamp (epoch s → ns), value} objects. The reference
+    decoder holds (tsNs, val) in loop-carried state, so a point missing a
+    field inherits the PREVIOUS point's value (or now / 0.0 before any
+    point set them) — mirrored here with an array fold. Tags and host are
+    NOT parsed — the reference skips every other key."""
     series = raw.select(
-        F.explode(F.from_json(F.col(payload_col), _DATADOG_METRICS_SCHEMA)["series"]).alias("s")
+        F.explode(
+            F.from_json(F.col(payload_col), _DATADOG_METRICS_SCHEMA)["series"]
+        ).alias("s")
     )
-    tags = F.map_from_entries(
+    entry_t = "array<struct<key: string, value: string>>"
+    res_entries = F.flatten(
         F.transform(
-            F.coalesce(F.col("s.tags"), F.array()),
-            lambda t: F.struct(
-                F.split(t, ":").getItem(0).alias("key"),
-                F.split(t, ":").getItem(1).alias("value"),
-            ),
+            F.coalesce(F.col("s.resources"), F.array()),
+            lambda m, i: F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(
+                    F.concat(
+                        F.lit("resource"),
+                        (i + 1).cast("string"),
+                        F.lit("_"),
+                        e["key"],
+                    ).alias("key"),
+                    e["value"].alias("value"),
+                ),
+            ).cast(entry_t),
         )
     )
-    labels = F.map_concat(
-        tags,
-        F.map_filter(
-            F.create_map(
-                F.lit("__name__"), F.col("s.metric"),
-                F.lit("host"), F.col("s.host"),
-            ),
-            lambda k, v: v.isNotNull(),
+    name_entry = F.struct(
+        F.lit("__name__").alias("key"),
+        F.coalesce(F.col("s.metric"), F.lit("")).alias("value"),
+    )
+    labels = _entries_map(
+        F.concat(F.array(name_entry).cast(entry_t), res_entries)
+    )
+    acc0 = F.struct(
+        F.lit(now_ns).cast("long").alias("ts"),
+        F.lit(0.0).alias("val"),
+        F.array().cast("array<struct<ts: long, val: double>>").alias("out"),
+    )
+    pts = F.aggregate(
+        F.coalesce(F.col("s.points"), F.array()),
+        acc0,
+        lambda acc, p: F.struct(
+            F.coalesce(p["timestamp"] * 1_000_000_000, acc["ts"]).alias("ts"),
+            F.coalesce(p["value"], acc["val"]).alias("val"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        F.coalesce(
+                            p["timestamp"] * 1_000_000_000, acc["ts"]
+                        ).alias("ts"),
+                        F.coalesce(p["value"], acc["val"]).alias("val"),
+                    )
+                ),
+            ).alias("out"),
         ),
-    )
-    pts = series.select(labels.alias("labels"), F.explode("s.points").alias("p"))
-    return pts.select(
-        *_normalize(
-            F.col("labels"),
-            (F.get(F.col("p"), 0) * 1_000_000_000).cast("long"),
-            F.lit(""),
-            F.get(F.col("p"), 1),
-            2,
-        )
+    )["out"]
+    rows = series.select(labels.alias("labels"), F.explode(pts).alias("p"))
+    return rows.select(
+        *_normalize(F.col("labels"), F.col("p.ts"), F.lit(""), F.col("p.val"), 2)
     )
 
 

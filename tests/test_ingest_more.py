@@ -32,7 +32,9 @@ def test_datadog_logs(spark):
     assert r["timestamp_ns"] == 1700000000000 * 1_000_000
     assert r["labels"]["env"] == "prod" and r["labels"]["team"] == "core"
     assert r["labels"]["service"] == "api"
-    assert "service" not in out[1]["labels"]  # nulls filtered
+    assert r["labels"]["type"] == "datadog"  # constant label, datadog_json.go:85
+    assert "status" not in r["labels"]  # unknown keys are skipped
+    assert "service" not in out[1]["labels"]  # empty fields filtered
 
 
 def test_otlp_traces(spark):

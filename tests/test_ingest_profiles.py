@@ -6,30 +6,56 @@ from gigapipe_spark.sources import ingest
 
 
 def test_datadog_metrics(spark):
+    # v2 shape (datadog_metrics_json.go): resources → resource{i+1}_{key}
+    # labels, points as {timestamp, value} objects with loop-carried state
+    # for missing fields.
     payload = json.dumps(
         {
             "series": [
                 {
                     "metric": "system.cpu",
-                    "host": "h1",
-                    "tags": ["env:prod", "role:db"],
-                    "points": [[1700000000, 0.5], [1700000060, 0.7]],
+                    "resources": [{"name": "h1", "type": "host"}],
+                    "tags": ["env:prod"],  # skipped by the decoder
+                    "points": [
+                        {"timestamp": 1700000000, "value": 0.5},
+                        {"value": 0.7},  # ts carries from previous point
+                        {"timestamp": 1700000060},  # value carries (0.7)
+                    ],
                 },
-                {"metric": "system.mem", "points": [[1700000000, 42.0]]},
+                {"metric": "system.mem",
+                 "points": [{"timestamp": 1700000000, "value": 42.0}]},
             ]
         }
     )
     raw = spark.createDataFrame([(payload,)], "payload string")
     out = ingest.datadog_metrics(raw).collect()
-    assert len(out) == 3
-    cpu = [r for r in out if r["labels"]["__name__"] == "system.cpu"]
-    assert len(cpu) == 2
-    assert cpu[0]["labels"]["env"] == "prod"
+    assert len(out) == 4
+    cpu = sorted(
+        (r for r in out if r["labels"]["__name__"] == "system.cpu"),
+        key=lambda r: (r["timestamp_ns"], r["value"]),
+    )
+    assert [(r["timestamp_ns"], r["value"]) for r in cpu] == [
+        (1700000000 * 10**9, 0.5),
+        (1700000000 * 10**9, 0.7),
+        (1700000060 * 10**9, 0.7),
+    ]
+    assert cpu[0]["labels"]["resource1_name"] == "h1"
+    assert cpu[0]["labels"]["resource1_type"] == "host"
+    assert "env" not in cpu[0]["labels"]  # tags are not parsed in v2
     assert cpu[0]["type"] == 2
-    assert {r["value"] for r in cpu} == {0.5, 0.7}
-    assert cpu[0]["timestamp_ns"] % 1_000_000_000 == 0
     mem = [r for r in out if r["labels"]["__name__"] == "system.mem"][0]
-    assert "host" not in mem["labels"]
+    assert mem["value"] == 42.0
+
+
+def test_datadog_metrics_point_state_defaults(spark):
+    # Before any point sets them: ts ← now_ns param, value ← 0.0
+    payload = json.dumps(
+        {"series": [{"metric": "m", "points": [{}, {"timestamp": 5, "value": 1.5}]}]}
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    out = ingest.datadog_metrics(raw, now_ns=77).collect()
+    got = sorted((r["timestamp_ns"], r["value"]) for r in out)
+    assert got == [(77, 0.0), (5 * 10**9, 1.5)]
 
 
 def test_collapsed_stacks(spark):
