@@ -2746,6 +2746,53 @@ def ingest_datadog_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_finalize_labels",
+    """
+    SELECT * FROM (VALUES
+      ('hello', 'web', '{"type":"counter","help":"","unit":""}', 14,
+       1700000000000000000::BIGINT),
+      ('world', 'unknown', '', 0, 1700000001000000000::BIGINT)
+    ) AS t(string, service_name, metadata, ttl_days, timestamp_ns)
+    """,
+)
+def ingest_finalize_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side shared post-decode stage (ref: builder.go onEntries
+    :304-380): __metric_type__ → metadata JSON, __ttl_days__ → ttl,
+    service_name discovered from the app candidate / unknown fallback."""
+    import json as _json
+
+    from gigapipe_spark.sources.ingest import finalize_entries, loki_push
+
+    payload = _json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {
+                        "app": "web",
+                        "__metric_type__": "counter",
+                        "__ttl_days__": "14",
+                    },
+                    "values": [["1700000000000000000", "hello"]],
+                },
+                {
+                    "stream": {"region": "eu"},
+                    "values": [["1700000001000000000", "world"]],
+                },
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    fin = finalize_entries(loki_push(raw))
+    return fin.select(
+        "string",
+        F.col("labels").getItem("service_name").alias("service_name"),
+        "metadata",
+        "ttl_days",
+        "timestamp_ns",
+    )
+
+
+@register(
     "ingest_loki_push_pb",
     """
     SELECT * FROM (VALUES

@@ -64,6 +64,101 @@ def _normalize(labels: Column, ts_ns: Column, line: Column, value: Column, typ: 
     ]
 
 
+# Service-name discovery candidates, in the reference's source order
+# (builder.go:270-284).
+_SERVICE_NAME_CANDIDATES = [
+    "service",
+    "app",
+    "application",
+    "app_name",
+    "name",
+    "app_kubernetes_io_name",
+    "container",
+    "container_name",
+    "k8s_container_name",
+    "component",
+    "workload",
+    "job",
+    "k8s_job_name",
+]
+
+_METADATA_LABELS = ("__metric_type__", "__metric_help__", "__metric_unit__")
+
+
+def finalize_entries(df: DataFrame, ttl_days: int = 0) -> DataFrame:
+    """Writer-side shared post-decode stage (ref: builder.go onEntries
+    :304-380 + discoverServiceName :286-302): every wire format funnels
+    through this before the fan-out writer.
+
+    - `__metric_type__`/`__metric_help__`/`__metric_unit__` labels are
+      peeled into a `metadata` JSON column (empty string when none set,
+      matching Entry.ToJSON) and removed from the label set.
+    - `__ttl_days__` overrides the batch TTL when the writer-level
+      ttl_days is 0 and the value parses as a small int; the label is
+      always removed.
+    - service_name discovery: when no service_name label exists, the
+      first present candidate label (reference order; the reference takes
+      the last match in label append order, unobservable on a map) is
+      copied to service_name, falling back to "unknown" when no candidate
+      matches — every stored series has a service_name. A candidate
+      present with an EMPTY value suppresses the label entirely
+      (serviceName != "" check in the reference).
+    - fingerprint is recomputed over the filtered labels, so special
+      labels never split series.
+    """
+    lbl = F.col("labels")
+    has_meta = F.lit(False)
+    for k in _METADATA_LABELS:
+        has_meta = has_meta | lbl.getItem(k).isNotNull()
+    meta_json = F.when(
+        has_meta,
+        F.to_json(
+            F.struct(
+                F.coalesce(lbl.getItem("__metric_type__"), F.lit("")).alias("type"),
+                F.coalesce(lbl.getItem("__metric_help__"), F.lit("")).alias("help"),
+                F.coalesce(lbl.getItem("__metric_unit__"), F.lit("")).alias("unit"),
+            )
+        ),
+    ).otherwise(F.lit(""))
+    parsed_ttl = F.expr("try_cast(labels['__ttl_days__'] as smallint)")
+    ttl = (
+        F.when(F.lit(ttl_days) == 0, F.coalesce(parsed_ttl, F.lit(0)))
+        .otherwise(F.lit(ttl_days))
+        .cast("int")
+    )
+    special = set(_METADATA_LABELS) | {"__ttl_days__"}
+    filtered = F.map_filter(lbl, lambda k, v: ~k.isin(*special))
+    cand = F.coalesce(
+        *[lbl.getItem(k) for k in _SERVICE_NAME_CANDIDATES], F.lit("unknown")
+    )
+    filtered = F.when(
+        lbl.getItem("service_name").isNotNull() | (cand == ""), filtered
+    ).otherwise(
+        F.map_concat(filtered, F.create_map(F.lit("service_name"), cand))
+    )
+    # metadata/ttl extract against the ORIGINAL labels, then the map is
+    # replaced; fingerprint recomputes over the filtered map.
+    out = df.select(
+        "labels",
+        "timestamp_ns",
+        "value",
+        "string",
+        "type",
+        meta_json.alias("metadata"),
+        ttl.alias("ttl_days"),
+    ).withColumn("labels", filtered)
+    return out.select(
+        fingerprint_col(F.col("labels")).alias("fingerprint"),
+        "labels",
+        "timestamp_ns",
+        "value",
+        "string",
+        "type",
+        "metadata",
+        "ttl_days",
+    )
+
+
 def loki_push(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Loki push API JSON → samples rows (ref: unmarshal.go:36)."""
     parsed = raw.select(F.from_json(F.col(payload_col), _LOKI_SCHEMA).alias("p"))

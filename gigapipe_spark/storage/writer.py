@@ -46,15 +46,16 @@ class Catalog:
         unlike orderBy().dropDuplicates() whose kept row after the dedup
         exchange is unspecified.
         """
-        return (
-            self.read(spark, "time_series")
-            .groupBy("fingerprint")
-            .agg(
-                F.max_by("labels", "date").alias("labels"),
-                F.max_by("type", "date").alias("type"),
-                F.max("date").alias("date"),
-            )
-            .select("date", "fingerprint", "labels", "type")
+        df = self.read(spark, "time_series")
+        aggs = [
+            F.max_by("labels", "date").alias("labels"),
+            F.max_by("type", "date").alias("type"),
+            F.max("date").alias("date"),
+        ]
+        extra = [c for c in ("metadata", "ttl_days") if c in df.columns]
+        aggs += [F.max_by(c, "date").alias(c) for c in extra]
+        return df.groupBy("fingerprint").agg(*aggs).select(
+            "date", "fingerprint", "labels", "type", *extra
         )
 
 
@@ -63,16 +64,25 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
 
     The batch carries (fingerprint, labels, timestamp_ns, value, string,
     type). Labels are peeled off into the dimension tables; the fact
-    table stays narrow.
+    table stays narrow. Batches that haven't been through
+    ingest.finalize_entries (no metadata/ttl_days columns) pass through
+    it here, so the reference's shared onEntries behaviors — service_name
+    discovery, __ttl_days__, metric metadata → series (builder.go:304-380)
+    — apply to every write path.
     """
+    from gigapipe_spark.sources.ingest import finalize_entries
     from gigapipe_spark.telemetry import observed_write
+
+    if "metadata" not in batch.columns:
+        batch = finalize_entries(batch)
 
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     with_date = batch.withColumn("date", date)
 
     observed_write(
         with_date.select(
-            "date", "fingerprint", "timestamp_ns", "value", "string", "type"
+            "date", "fingerprint", "timestamp_ns", "value", "string", "type",
+            "ttl_days",
         ),
         "samples",
         lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
@@ -82,9 +92,9 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
         bytes_col="string",
     )
 
-    series = with_date.select("date", "fingerprint", "labels", "type").dropDuplicates(
-        ["date", "fingerprint"]
-    )
+    series = with_date.select(
+        "date", "fingerprint", "labels", "type", "metadata", "ttl_days"
+    ).dropDuplicates(["date", "fingerprint"])
     observed_write(
         series,
         "time_series",

@@ -157,7 +157,14 @@ def test_ingest_fanout_roundtrip(spark, tmp_path):
     series = cat.read_series(spark)
     assert series.count() == 1  # deduped on read
     gin = cat.read(spark, "gin")
-    assert {r["key"] for r in gin.select("key").distinct().collect()} == {"app"}
+    # service_name is discovered from the "app" candidate label on the
+    # writer path (builder.go discoverServiceName) and indexed like any
+    # other label
+    assert {r["key"] for r in gin.select("key").distinct().collect()} == {
+        "app",
+        "service_name",
+    }
+    assert series.collect()[0]["labels"]["service_name"] == "web"
     # selector semi-join over the written store works end-to-end
     fp = series.collect()[0]["fingerprint"]
     assert samples.filter(F.col("fingerprint") == fp).count() == 2
