@@ -58,6 +58,45 @@ class Catalog:
             "date", "fingerprint", "labels", "type", *extra
         )
 
+    def metadata(
+        self,
+        spark: SparkSession,
+        metric_filter: str = "",
+        limit: int = 0,
+        limit_per_metric: int = 1,
+    ) -> DataFrame:
+        """/api/v1/metadata over the store (ref: reader/service/
+        metadata.go:24-63): series rows with non-empty metadata, metric
+        name from the __name__ label, newest-first per metric with a
+        LIMIT BY analog (row_number window), optional exact metric filter
+        and total limit. The reference orders by updated_at_ns; the
+        stored analog here is the series date."""
+        from pyspark.sql import Window
+
+        df = (
+            self.read(spark, "time_series")
+            .filter(F.col("metadata") != "")
+            .select(
+                F.col("labels").getItem("__name__").alias("metric_name"),
+                F.col("metadata").alias("metadata_json"),
+                "date",
+            )
+        )
+        if metric_filter:
+            df = df.filter(F.col("metric_name") == metric_filter)
+        w = Window.partitionBy("metric_name").orderBy(
+            F.col("date").desc(), F.col("metadata_json")
+        )
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max(limit_per_metric, 1))
+            .drop("__rn", "date")
+            .orderBy("metric_name")
+        )
+        if limit > 0:
+            df = df.limit(limit)
+        return df
+
 
 def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """One decoded batch → samples + time_series + gin (the MV layer).

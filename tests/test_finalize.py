@@ -109,3 +109,45 @@ def test_fanout_carries_metadata_and_ttl(spark, tmp_path):
     }
     assert "__metric_type__" not in gin_keys and "__ttl_days__" not in gin_keys
     assert "service_name" in gin_keys
+
+
+def test_catalog_metadata_endpoint(spark, tmp_path):
+    """metadata.go:24-63: one newest entry per metric by default,
+    limit_per_metric returns several, metric filter is exact."""
+    cat = Catalog(str(tmp_path / "store"))
+    for day, (name, typ, help_) in [
+        ("2023-11-01", ("http_requests_total", "counter", "Total requests")),
+        ("2023-11-02", ("latency_seconds", "histogram", "Latency v1")),
+        ("2023-11-03", ("latency_seconds", "histogram", "Latency v2")),
+    ]:
+        decoded = _decoded(
+            spark,
+            {
+                "__name__": name,
+                "day": day,  # distinct labels → distinct fingerprints
+                "__metric_type__": typ,
+                "__metric_help__": help_,
+            },
+            ts=str(
+                int(
+                    __import__("datetime")
+                    .datetime.fromisoformat(day + "T00:00:00+00:00")
+                    .timestamp()
+                )
+                * 10**9
+            ),
+        )
+        ingest_fanout(decoded, cat)
+    one = cat.metadata(spark).collect()
+    assert {r["metric_name"] for r in one} == {
+        "http_requests_total",
+        "latency_seconds",
+    }
+    lat = [r for r in one if r["metric_name"] == "latency_seconds"]
+    assert len(lat) == 1  # default limit-per-metric = 1
+    assert json.loads(lat[0]["metadata_json"])["help"] == "Latency v2"  # newest
+    both = cat.metadata(spark, limit_per_metric=5)
+    assert both.filter(F.col("metric_name") == "latency_seconds").count() == 2
+    only = cat.metadata(spark, metric_filter="http_requests_total").collect()
+    assert len(only) == 1 and only[0]["metric_name"] == "http_requests_total"
+    assert cat.metadata(spark, limit=1).count() == 1
