@@ -49,6 +49,32 @@ from gigapipe_spark.traceql.compiler import TraceQLContext, assemble_traces, tra
 from gigapipe_spark.traceql.compiler import query as _traceql_query
 
 
+def _date_bounded(
+    dim: "DataFrame", start_ns: int | None, end_ns: int | None
+) -> "DataFrame":
+    """Date-bound a dimension scan the way every reference label planner
+    does (planner_label_names.go:26-29: date >= from - 30min, date <= to;
+    FormatFromDate sql_misc.go:245). On a date-partitioned stored
+    dimension this is partition pruning — at scale the labels endpoint
+    must not scan all history. The sf_dir-derived test dimensions carry
+    no date column (they are rebuilt from the fact table), so the bound
+    is a no-op there."""
+    if "date" not in dim.columns:
+        return dim
+    if start_ns is not None:
+        # the reference widens the from-date by 30 minutes so a series
+        # first seen just before midnight still resolves
+        dim = dim.filter(
+            F.col("date")
+            >= F.to_date(F.timestamp_micros(F.lit(start_ns // 1000 - 1800 * 10**6)))
+        )
+    if end_ns is not None:
+        dim = dim.filter(
+            F.col("date") <= F.to_date(F.timestamp_micros(F.lit(end_ns // 1000)))
+        )
+    return dim
+
+
 def _find_range_ns(query: str) -> int | None:
     """Range of the outermost range aggregation in a LogQL metric query
     (walks through vector aggs / topk / binops)."""
@@ -158,31 +184,51 @@ class Engine:
             fps = f if fps is None else fps.unionByName(f)
         return fps.distinct()
 
-    def loki_labels(self, match: str | list[str] | None = None) -> DataFrame:
+    def loki_labels(
+        self,
+        match: str | list[str] | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """/loki/api/v1/labels — distinct label names from the GIN,
         optionally restricted to streams matching `match[]` selectors
         (ref: query_abels.go:106)."""
-        gin = views.time_series_gin(self.spark, self.sf_dir)
+        gin = _date_bounded(
+            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
+        )
         if match:
             gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
         return gin.select("key").distinct()
 
     def loki_label_values(
-        self, name: str, match: str | list[str] | None = None
+        self,
+        name: str,
+        match: str | list[str] | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
         """/loki/api/v1/label/{name}/values, with the same optional
         match[] scoping as labels."""
-        gin = views.time_series_gin(self.spark, self.sf_dir)
+        gin = _date_bounded(
+            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
+        )
         if match:
             gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
         return gin.filter(F.col("key") == name).select("val").distinct()
 
-    def loki_series(self, match: str | list[str]) -> DataFrame:
+    def loki_series(
+        self,
+        match: str | list[str],
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """/loki/api/v1/series — distinct label sets for one or more
         match[] selectors; multiple selectors union (ref:
         planner_multi_stream_select.go:8)."""
         fps = self._match_fps(match)
-        series = views.time_series(self.spark, self.sf_dir)
+        series = _date_bounded(
+            views.time_series(self.spark, self.sf_dir), start_ns, end_ns
+        )
         return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
             "fingerprint", "labels"
         )
@@ -336,20 +382,34 @@ class Engine:
             F.max("timestamp_ns").alias("timestamp_ns"), w_val.alias("value")
         )
 
-    def prom_labels(self, match: str | list[str] | None = None) -> DataFrame:
+    def prom_labels(
+        self,
+        match: str | list[str] | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """/api/v1/labels — same GIN as Loki (one unified store), same
-        optional match[] scoping."""
-        return self.loki_labels(match)
+        optional match[] scoping and date bounds."""
+        return self.loki_labels(match, start_ns, end_ns)
 
     def prom_label_values(
-        self, name: str, match: str | list[str] | None = None
+        self,
+        name: str,
+        match: str | list[str] | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
-        return self.loki_label_values(name, match)
+        return self.loki_label_values(name, match, start_ns, end_ns)
 
-    def prom_series(self, match: str | list[str]) -> DataFrame:
+    def prom_series(
+        self,
+        match: str | list[str],
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+    ) -> DataFrame:
         """/api/v1/series — one or more match[] selectors, unioned like
         the Loki twin (same unified store)."""
-        return self.loki_series(match)
+        return self.loki_series(match, start_ns, end_ns)
 
     def prom_query_exemplars(self, expr: str = "") -> DataFrame:
         """/api/v1/query_exemplars — the reference wires this route to

@@ -410,3 +410,51 @@ def test_tempo_search_duration_bounds(engine):
                              max_duration_ns=100_000_000)
     nb, nl, nh = base.count(), lo.count(), hi.count()
     assert nl < nb and nh < nb and nl + nh >= nb - 1  # ms truncation boundary
+
+
+def test_labels_date_bound_prunes_store_partitions(engine, spark, tmp_path):
+    """Reference label planners bound the GIN scan by date
+    (planner_label_names.go:26-29). On a date-partitioned stored gin the
+    bound must land as a partition filter (pruned scan), and the sf_dir
+    views (no date column) must pass through unchanged."""
+    import datetime
+    import json
+
+    from gigapipe_spark.api import _date_bounded
+    from gigapipe_spark.sources import ingest
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+    # no date column → no-op, endpoint accepts the params
+    assert engine.loki_labels(
+        start_ns=0, end_ns=2 * 10**18
+    ).count() == engine.loki_labels().count()
+
+    cat = Catalog(str(tmp_path / "store"))
+    for day in (1, 2, 3):
+        ts = int(
+            datetime.datetime(2023, 11, day, tzinfo=datetime.timezone.utc).timestamp()
+        )
+        payload = json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": {"app": f"d{day}"},
+                        "values": [[str(ts * 10**9), "x"]],
+                    }
+                ]
+            }
+        )
+        raw = spark.createDataFrame([(payload,)], "payload string")
+        ingest_fanout(ingest.loki_push(raw), cat)
+    gin = cat.read(spark, "gin")
+    day2 = int(
+        datetime.datetime(2023, 11, 2, 12, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    bounded = _date_bounded(gin, day2 * 10**9, day2 * 10**9)
+    vals = {r["val"] for r in bounded.filter("key = 'app'").collect()}
+    assert vals == {"d2"}  # day 1 and 3 partitions pruned
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    # the date predicates must appear as partition filters, not data filters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "date" in seg
