@@ -26,8 +26,15 @@ from gigapipe_spark.model.fingerprint import fingerprint_col
 
 _LOKI_SCHEMA = (
     "struct<streams: array<struct<stream: map<string,string>,"
-    " values: array<array<string>>>>>"
+    " labels: string,"
+    " values: array<array<string>>,"
+    " entries: array<struct<ts: string, timestamp: string,"
+    " line: string, value: double>>>>>"
 )
+
+# parseLabelsLokiFormat (unmarshal.go:313-351): {ident="value",...} —
+# idents are Go scanner idents, values are quoted strings with escapes.
+_LOKI_LABELS_PAT = r'([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"'
 
 
 def sanitize_labels(labels: Column) -> Column:
@@ -159,21 +166,99 @@ def finalize_entries(df: DataFrame, ttl_days: int = 0) -> DataFrame:
     )
 
 
+def _unquote(raw: Column) -> Column:
+    """JSON-unescape a raw (already-matched) quoted-string body, JVM-side:
+    wrap it back into a one-element JSON array and let the parser handle
+    \\n, \\", \\\\, \\uXXXX — the same escapes strconv.Unquote resolves
+    in the reference."""
+    return F.get(
+        F.from_json(F.concat(F.lit('["'), raw, F.lit('"]')), "array<string>"), 0
+    )
+
+
 def loki_push(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Loki push API JSON → samples rows (ref: unmarshal.go:36)."""
+    """Loki push API JSON → samples rows (ref: unmarshal.go:36-236).
+
+    All four reference stream shapes decode:
+      - `stream` label map and/or legacy `labels` string
+        (parseLabelsLokiFormat, unmarshal.go:313) — both feed one label
+        set, later pairs winning;
+      - `values` triples [ts_ns, line, numeric?]: the optional third
+        element sets the METRIC bit with its value
+        (decodeStreamValue:127-165);
+      - `entries` objects {ts|timestamp, line, value} with RFC3339 or
+        integer-ns timestamps (decodeStreamEntry:185-230, parseTime:284).
+    Type algebra is the reference's: line → LOG(1), value → METRIC(2),
+    both → 0 ("tp == 3 → 0"). Rows whose timestamp fails to parse drop
+    (per-row isolation; the reference 400s the whole payload).
+    """
     parsed = raw.select(F.from_json(F.col(payload_col), _LOKI_SCHEMA).alias("p"))
     streams = parsed.select(F.explode("p.streams").alias("s"))
-    entries = streams.select(
-        F.col("s.stream").alias("labels"), F.explode("s.values").alias("v")
-    )
-    return entries.select(
-        *_normalize(
-            F.col("labels"),
-            F.get(F.col("v"), 0).cast("long"),
-            F.get(F.col("v"), 1),
-            F.lit(0.0),
-            1,
-        )
+
+    entry_t = "array<struct<key: string, value: string>>"
+    stream_entries = F.map_entries(
+        F.coalesce(F.col("s.stream"), F.expr("map()"))
+    ).cast(entry_t)
+    lbl_str = F.coalesce(F.col("s.labels"), F.lit(""))
+    label_entries = F.zip_with(
+        F.regexp_extract_all(lbl_str, F.lit(_LOKI_LABELS_PAT), 1),
+        F.transform(
+            F.regexp_extract_all(lbl_str, F.lit(_LOKI_LABELS_PAT), 2), _unquote
+        ),
+        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+    ).cast(entry_t)
+    labels = _entries_map(F.concat(stream_entries, label_entries))
+
+    row_t = "array<struct<ts: bigint, line: string, val: double, tp: int>>"
+    v_rows = F.transform(
+        F.coalesce(F.col("s.values"), F.array()),
+        lambda v: F.struct(
+            F.try_element_at(v, F.lit(1)).try_cast("long").alias("ts"),
+            F.coalesce(F.try_element_at(v, F.lit(2)), F.lit("")).alias("line"),
+            F.coalesce(
+                F.try_element_at(v, F.lit(3)).try_cast("double"), F.lit(0.0)
+            ).alias("val"),
+            (
+                F.when(F.size(v) >= 2, F.lit(1)).otherwise(F.lit(0))
+                + F.when(
+                    F.try_element_at(v, F.lit(3)).try_cast("double").isNotNull(),
+                    F.lit(2),
+                ).otherwise(F.lit(0))
+            ).alias("tp"),
+        ),
+    ).cast(row_t)
+
+    def _parse_time(c: Column) -> Column:
+        return F.when(
+            c.rlike("[:\\-TZ]"),
+            F.unix_micros(F.try_to_timestamp(c)) * 1000,
+        ).otherwise(c.try_cast("long"))
+
+    e_rows = F.transform(
+        F.coalesce(F.col("s.entries"), F.array()),
+        lambda e: F.struct(
+            _parse_time(F.coalesce(e["ts"], e["timestamp"])).alias("ts"),
+            F.coalesce(e["line"], F.lit("")).alias("line"),
+            F.coalesce(e["value"], F.lit(0.0)).alias("val"),
+            (
+                F.when(e["line"].isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                + F.when(e["value"].isNotNull(), F.lit(2)).otherwise(F.lit(0))
+            ).alias("tp"),
+        ),
+    ).cast(row_t)
+
+    rows = streams.select(
+        labels.alias("labels"), F.explode(F.concat(v_rows, e_rows)).alias("r")
+    ).filter(F.col("r.ts").isNotNull())
+    tp = F.when(F.col("r.tp") == 3, F.lit(0)).otherwise(F.col("r.tp"))
+    san = sanitize_labels(F.col("labels"))
+    return rows.select(
+        fingerprint_col(san).alias("fingerprint"),
+        san.alias("labels"),
+        F.col("r.ts").alias("timestamp_ns"),
+        F.col("r.val").alias("value"),
+        F.col("r.line").alias("string"),
+        tp.cast("byte").alias("type"),
     )
 
 

@@ -200,3 +200,57 @@ def test_read_series_latest_labels_win_deterministic(spark, tmp_path):
         assert len(got) == 1
         assert got[0]["labels"]["ver"] == "v8"
         assert got[0]["date"] == datetime.date(2023, 11, 8)
+
+
+def test_loki_push_all_reference_shapes(spark):
+    """unmarshal.go:71-236: legacy `labels` string, `entries` objects with
+    RFC3339/int-ns timestamps, numeric third `values` element, and the
+    tp==3→0 type algebra."""
+    payload = json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        ["1700000000000000000", "hello"],
+                        ["1700000000000000001", "both", 3.5],  # log+metric → 0
+                        ["1700000000000000002"],  # ts only → type 0
+                    ],
+                },
+                {
+                    "labels": '{job="j1", env="pr\\"od"}',
+                    "values": [["1700000000000000003", "legacy"]],
+                },
+                {
+                    # stream and labels merge; labels pairs win
+                    "stream": {"a": "1"},
+                    "labels": '{a="2"}',
+                    "values": [["1700000000000000004", "m"]],
+                },
+                {
+                    "stream": {"x": "y"},
+                    "entries": [
+                        {"ts": "2021-12-26T16:00:06.944Z", "line": "iso"},
+                        {"timestamp": "1700000000000000005", "value": 7.5},
+                        {"ts": "bogus", "line": "dropped"},
+                    ],
+                },
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    rows = {
+        r["timestamp_ns"]: r for r in ingest.loki_push(raw).collect()
+    }
+    assert rows[1700000000000000000]["type"] == 1
+    both = rows[1700000000000000001]
+    assert (both["type"], both["value"], both["string"]) == (0, 3.5, "both")
+    assert rows[1700000000000000002]["type"] == 0
+    legacy = rows[1700000000000000003]
+    assert legacy["labels"]["env"] == 'pr"od'  # strconv.Unquote escapes
+    assert rows[1700000000000000004]["labels"]["a"] == "2"
+    iso = rows[1640534406944000000]
+    assert iso["string"] == "iso" and iso["type"] == 1
+    metric_entry = rows[1700000000000000005]
+    assert (metric_entry["type"], metric_entry["value"]) == (2, 7.5)
+    assert len(rows) == 7  # the bogus-ts entry dropped
