@@ -2572,22 +2572,54 @@ def ingest_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_influx_line",
     """
     SELECT * FROM (VALUES
-      ('cpu_usage', 'east', 1000000000::BIGINT, 0.64),
-      ('cpu_idle', 'east', 1000000000::BIGINT, 0.3)
-    ) AS t(name, region, timestamp_ns, value)
+      ('cpu', 'usage', 'east', 1000000000::BIGINT, 0.64),
+      ('cpu', 'idle', 'east', 1000000000::BIGINT, 0.3)
+    ) AS t(measurement, name, region, timestamp_ns, value)
     """,
 )
 def ingest_influx_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference shape (influx.go:54,75-90): measurement is its own
+    label; __name__ is the bare sanitized field key."""
     from gigapipe_spark.sources.ingest import influx_line
 
     raw = spark.createDataFrame(
         [("cpu,region=east usage=0.64,idle=0.3 1000000000",)], "line string"
     )
     return influx_line(raw).select(
+        F.col("labels").getItem("measurement").alias("measurement"),
         F.col("labels").getItem("__name__").alias("name"),
         F.col("labels").getItem("region").alias("region"),
         "timestamp_ns",
         "value",
+    )
+
+
+@register(
+    "ingest_influx_message",
+    """
+    SELECT * FROM (VALUES
+      ('boot ok', 'web', 3000000000::BIGINT),
+      ('message="multi field" ok=true sev=3', 'web', 4000000000::BIGINT)
+    ) AS t(string, app, timestamp_ns)
+    """,
+)
+def ingest_influx_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influx log path (influx.go:62-73 + getMessage:15-35): a `message`
+    field yields ONE log row — bare when it is the only field, logfmt
+    `message=... k=v ...` otherwise."""
+    from gigapipe_spark.sources.ingest import influx_line
+
+    raw = spark.createDataFrame(
+        [
+            ('syslog,app=web message="boot ok" 3000000000',),
+            ('syslog,app=web message="multi field",sev=3i,ok=true 4000000000',),
+        ],
+        "line string",
+    )
+    return influx_line(raw).select(
+        "string",
+        F.col("labels").getItem("app").alias("app"),
+        "timestamp_ns",
     )
 
 

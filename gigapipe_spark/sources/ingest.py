@@ -262,19 +262,54 @@ def loki_push(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def influx_line(raw: DataFrame, line_col: str = "line") -> DataFrame:
-    """InfluxDB line protocol → metric samples (ref: influx.go:42).
+_INFLUX_PRECISION_NS = {"ns": 1, "n": 1, "us": 10**3, "u": 10**3,
+                        "ms": 10**6, "s": 10**9}
+
+
+def _logfmt_value(v: Column) -> Column:
+    """logfmt value encoding (go-logfmt EncodeKeyvals): quote when the
+    value contains a space, '=', '"' or is empty; escape backslash and
+    quote inside."""
+    needs = (v == "") | v.rlike('[ ="]')
+    esc = F.regexp_replace(F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"')
+    return F.when(needs, F.concat(F.lit('"'), esc, F.lit('"'))).otherwise(v)
+
+
+def influx_line(
+    raw: DataFrame, line_col: str = "line", precision: str = "ns",
+    now_ns: int = 0,
+) -> DataFrame:
+    """InfluxDB line protocol → samples (ref: influx.go:42-96).
 
     measurement[,tag=v...] field=value[,field2=v2...] [timestamp]
-    Each field becomes one sample named measurement_field; tags become
-    labels. Regex-based split — stays in JVM expressions.
+
+    Reference semantics, not the common composite-name shorthand:
+      - labels carry `measurement` as its OWN label plus the tags;
+        each numeric field emits a metric sample with `__name__` =
+        sanitizeMetricName(field key) (influx.go:54,75-90) — NOT
+        measurement_field;
+      - only int64 (`42i`) and float fields become metrics; string and
+        bool fields are skipped (influx.go:80-86);
+      - a `message` field switches the whole point to ONE log row
+        (influx.go:62-73): the line is the bare message when it is the
+        only field, else logfmt `message=... k=v ...` (getMessage:15-35;
+        the reference's field order after message is Go map order —
+        unobservable — so the remaining keys encode sorted here);
+      - `precision` scales epoch timestamps like the telegraf parser's
+        SetTimePrecision (influx.go:44); absent timestamps stamp
+        `now_ns` (reference uses wall clock).
+    Escape-aware tokenization (`\\,` `\\ ` `\\=` `\\\\`) stays in JVM
+    regex expressions.
     """
     # Escape-aware tokenization (the reference parses with the official
     # telegraf parser, which honors `\,` `\ ` `\=` `\\` in identifiers —
     # influx.go:9): an "atom" is any char except the delimiter set, or a
     # backslash-escaped char, so escaped delimiters never split.
     line = F.col(line_col)
-    atom_sp = r"(?:[^ \\]|\\.)"  # token atom: unescaped-space-free
+    # token atom: a quoted string (may contain raw spaces/commas) or an
+    # unescaped-space-free char; `\"...\"` strings in the field section
+    # keep their spaces without escaping in line protocol
+    atom_sp = r'(?:"(?:[^"\\]|\\.)*"|[^ \\]|\\.)'
     sec1 = F.regexp_extract(line, rf"^({atom_sp}+) ", 1)  # measurement,tags
     fields_tok = F.regexp_extract(line, rf"^{atom_sp}+ ({atom_sp}+)", 1)
 
@@ -295,8 +330,12 @@ def influx_line(raw: DataFrame, line_col: str = "line") -> DataFrame:
             ),
         )
     )
-    ts = F.regexp_extract(line, r" (\d+)\s*$", 1).cast("long")
-    field_pairs = F.regexp_extract_all(fields_tok, F.lit(r"((?:[^,\\]|\\.)+)"), 1)
+    ts = F.nullif(
+        F.regexp_extract(line, r" (\d+)\s*$", 1), F.lit("")
+    ).try_cast("long")
+    field_pairs = F.regexp_extract_all(
+        fields_tok, F.lit(r'((?:"(?:[^"\\]|\\.)*"|[^,\\]|\\.)+)'), 1
+    )
     fields = F.map_from_entries(
         F.transform(
             field_pairs,
@@ -306,20 +345,80 @@ def influx_line(raw: DataFrame, line_col: str = "line") -> DataFrame:
             ),
         )
     )
-    exploded = raw.select(
-        measurement.alias("meas"), tags.alias("tags"), ts.alias("ts"),
-        F.explode(fields).alias("fkey", "fval"),
+    mult = _INFLUX_PRECISION_NS.get(precision, 1)
+    ts_ns = F.coalesce(ts * F.lit(mult), F.lit(now_ns))
+
+    parsed = raw.select(
+        measurement.alias("meas"), tags.alias("tags"), ts_ns.alias("ts"),
+        fields.alias("fields"),
     )
-    labels = F.map_concat(
-        F.col("tags"),
-        F.create_map(
-            F.lit("__name__"), F.concat(F.col("meas"), F.lit("_"), F.col("fkey"))
+
+    def decoded_str(v: Column) -> Column:
+        # "quoted" string token → content with \" \\ unescaped
+        inner = F.regexp_extract(v, r'^"(.*)"$', 1)
+        return F.regexp_replace(inner, r'\\(["\\])', "$1")
+
+    def display_val(v: Column) -> Column:
+        # typed token → the string logfmt would print for it
+        return (
+            F.when(v.rlike('^".*"$'), decoded_str(v))
+            .when(v.rlike("^-?\\d+i$"), F.regexp_replace(v, "i$", ""))
+            .when(v.rlike("^(t|T|true|True|TRUE)$"), F.lit("true"))
+            .when(v.rlike("^(f|F|false|False|FALSE)$"), F.lit("false"))
+            .otherwise(v)
+        )
+
+    base_labels = F.map_concat(
+        F.create_map(F.lit("measurement"), F.col("meas")), F.col("tags")
+    )
+
+    # --- log path: a `message` field present (influx.go:62-73)
+    msg_raw = F.col("fields").getItem("message")
+    others = F.array_sort(
+        F.filter(F.map_keys(F.col("fields")), lambda k: k != "message")
+    )
+    logfmt_line = F.concat_ws(
+        " ",
+        F.concat(F.lit("message="), _logfmt_value(display_val(msg_raw))),
+        F.concat_ws(
+            " ",
+            F.transform(
+                others,
+                lambda k: F.concat(
+                    k,
+                    F.lit("="),
+                    _logfmt_value(display_val(F.col("fields").getItem(k))),
+                ),
+            ),
         ),
     )
-    value = F.regexp_replace(F.col("fval"), r"i$", "").cast("double")
-    return exploded.select(
+    log_line = F.when(
+        F.size(F.col("fields")) == 1, display_val(msg_raw)
+    ).otherwise(logfmt_line)
+    log_rows = parsed.filter(msg_raw.isNotNull()).select(
+        *_normalize(base_labels, F.col("ts"), log_line, F.lit(0.0), 1)
+    )
+
+    # --- metric path: one sample per int/float field (influx.go:75-90)
+    exploded = parsed.filter(msg_raw.isNull()).select(
+        "meas", "tags", "ts", F.explode("fields").alias("fkey", "fval")
+    )
+    numeric = F.col("fval").rlike(r"^-?\d+i$") | F.col("fval").rlike(
+        r"^-?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+    )
+    name = F.regexp_replace(
+        F.col("fkey"), "(^[^a-zA-Z_]|[^a-zA-Z0-9_])", "_"
+    )
+    labels = F.map_concat(
+        F.create_map(F.lit("measurement"), F.col("meas")),
+        F.col("tags"),
+        F.create_map(F.lit("__name__"), name),
+    )
+    value = F.regexp_replace(F.col("fval"), r"i$", "").try_cast("double")
+    metric_rows = exploded.filter(numeric).select(
         *_normalize(labels, F.col("ts"), F.lit(""), value, 2)
-    ).filter(F.col("value").isNotNull())
+    )
+    return metric_rows.unionByName(log_rows)
 
 
 def elastic_bulk(raw: DataFrame, line_col: str = "line") -> DataFrame:

@@ -43,19 +43,53 @@ def test_loki_push(spark):
 def test_influx_line(spark):
     lines = [
         ("cpu,host=h1,region=eu usage=0.55,idle=0.45 1700000000000000000",),
-        ("mem,host=h1 used=1024i 1700000001000000000",),
+        ("mem,host=h1 used=1024i,note=\"skip\",up=true 1700000001000000000",),
         ("disk free=99.5 1700000002000000000",),
     ]
     raw = spark.createDataFrame(lines, "line string")
     out = ingest.influx_line(raw).collect()
-    by_name = {r["labels"]["__name__"]: r for r in out}
-    assert set(by_name) == {"cpu_usage", "cpu_idle", "mem_used", "disk_free"}
-    assert by_name["cpu_usage"]["value"] == 0.55
-    assert by_name["cpu_usage"]["labels"]["host"] == "h1"
-    assert by_name["cpu_usage"]["labels"]["region"] == "eu"
-    assert by_name["mem_used"]["value"] == 1024.0  # i-suffix integer
-    assert by_name["disk_free"]["labels"].get("host") is None
-    assert by_name["disk_free"]["timestamp_ns"] == 1700000002000000000
+    # reference shape (influx.go:54,75-90): measurement label + bare
+    # field-key __name__; string/bool fields are skipped
+    by_name = {
+        (r["labels"]["measurement"], r["labels"]["__name__"]): r for r in out
+    }
+    assert set(by_name) == {
+        ("cpu", "usage"), ("cpu", "idle"), ("mem", "used"), ("disk", "free")
+    }
+    cpu = by_name[("cpu", "usage")]
+    assert cpu["value"] == 0.55
+    assert cpu["labels"]["host"] == "h1" and cpu["labels"]["region"] == "eu"
+    assert by_name[("mem", "used")]["value"] == 1024.0  # i-suffix integer
+    disk = by_name[("disk", "free")]
+    assert disk["labels"].get("host") is None
+    assert disk["timestamp_ns"] == 1700000002000000000
+
+
+def test_influx_line_message_logfmt(spark):
+    """A `message` field turns the point into ONE log row
+    (influx.go:62-73): bare message when it is the only field, logfmt
+    with message first otherwise (getMessage:15-35)."""
+    lines = [
+        ('syslog,app=web message="boot ok" 1700000003000000000',),
+        ('syslog,app=web message="multi field",sev=3i,ok=true 1700000004000000000',),
+    ]
+    raw = spark.createDataFrame(lines, "line string")
+    out = ingest.influx_line(raw).orderBy("timestamp_ns").collect()
+    assert len(out) == 2
+    assert out[0]["string"] == "boot ok" and out[0]["type"] == 1
+    assert out[1]["string"] == 'message="multi field" ok=true sev=3'
+    assert out[1]["labels"]["measurement"] == "syslog"
+    assert "__name__" not in out[1]["labels"]
+
+
+def test_influx_line_precision(spark):
+    """SetTimePrecision analog (influx.go:44): epoch timestamps scale by
+    the precision query param."""
+    raw = spark.createDataFrame([("cpu usage=1.0 1700000000",)], "line string")
+    out = ingest.influx_line(raw, precision="s").collect()
+    assert out[0]["timestamp_ns"] == 1700000000 * 10**9
+    out_ms = ingest.influx_line(raw, precision="ms").collect()
+    assert out_ms[0]["timestamp_ns"] == 1700000000 * 10**6
 
 
 def test_elastic_bulk(spark):

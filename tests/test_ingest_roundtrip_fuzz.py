@@ -76,11 +76,14 @@ def test_influx_line_roundtrip_fuzz(spark):
         val = round(rng.uniform(0, 100), 3)
         ts = rng.randrange(1, 2**60)
         lines.append((f"{meas},{tagk}={_influx_escape_tag(tagv)} {fieldk}={val} {ts}",))
-        truth.add((f"{meas}_{fieldk}", tagv, float(val), ts))
+        # reference shape (influx.go:54,88): measurement is its own label,
+        # __name__ is the bare field key
+        truth.add((meas, fieldk, tagv, float(val), ts))
     raw = spark.createDataFrame(lines, "line string")
     rows = ingest.influx_line(raw).collect()
     got = {
-        (r["labels"]["__name__"], r["labels"]["host"], r["value"], r["timestamp_ns"])
+        (r["labels"]["measurement"], r["labels"]["__name__"], r["labels"]["host"],
+         r["value"], r["timestamp_ns"])
         for r in rows
     }
     assert got == truth
