@@ -2624,6 +2624,41 @@ def ingest_influx_message(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_elastic_bulk",
+    """
+    SELECT * FROM (VALUES
+      ('{"message": "hello", "level": "info"}', 'logs', '7', 'elastic'),
+      ('{"message": "bye"}', 'audit', NULL, 'elastic')
+    ) AS t(string, idx, doc_id, type_label)
+    """,
+)
+def ingest_elastic_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful _bulk decode (ref: elastic.go:56-137): the action line's
+    labels govern following doc lines (raw line stored verbatim),
+    delete/update clear the state."""
+    from gigapipe_spark.sources.ingest import elastic_bulk
+
+    body = "\n".join(
+        [
+            '{"index": {"_index": "logs", "_id": "7"}}',
+            '{"message": "hello", "level": "info"}',
+            '{"create": {"_index": "audit"}}',
+            '{"message": "bye"}',
+            '{"delete": {"_index": "logs"}}',
+            '{"orphan": "dropped"}',
+        ]
+    )
+    raw = spark.createDataFrame([(body,)], "payload string")
+    lbl = F.col("labels")
+    return elastic_bulk(raw).select(
+        "string",
+        lbl.getItem("_index").alias("idx"),
+        lbl.getItem("_id").alias("doc_id"),
+        lbl.getItem("type").alias("type_label"),
+    )
+
+
+@register(
     # Elastic single-doc routes /{target}/_doc[/{id}] (ref: elastic.go:9-14):
     # whole body = line, labels {type: elastic, _index, _id?}
     "ingest_elastic_doc",

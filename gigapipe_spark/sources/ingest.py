@@ -421,25 +421,107 @@ def influx_line(
     return metric_rows.unionByName(log_rows)
 
 
-def elastic_bulk(raw: DataFrame, line_col: str = "line") -> DataFrame:
-    """Elastic _bulk NDJSON: action lines are dropped, doc lines become
-    log samples with @timestamp/message extracted, remaining top-level
-    scalars as labels (ref: elastic.go:29,56)."""
-    doc = F.from_json(F.col(line_col), "map<string,string>")
-    docs = raw.select(doc.alias("d")).filter(
-        F.col("d").isNotNull()
-        & ~F.map_contains_key("d", "index")
-        & ~F.map_contains_key("d", "create")
+_ELASTIC_ACTION_SCHEMA = (
+    "struct<`index`: map<string,string>, `create`: map<string,string>,"
+    " `delete`: map<string,string>, `update`: map<string,string>>"
+)
+
+
+def elastic_bulk(
+    raw: DataFrame,
+    payload_col: str = "payload",
+    target: str = "",
+    now_ns: int = 0,
+) -> DataFrame:
+    """Elastic `_bulk` NDJSON → log samples (ref: elastic.go:56-137).
+
+    The reference decoder is STATEFUL across lines: an `index`/`create`
+    action line sets the label state — {type: elastic} plus `_index`
+    from the route target when set, plus the action object's own string
+    fields (skipping `type`, and `_index` when the target already
+    provided it, decodeCreateObj:116-137) — and every following DOC line
+    emits one log row whose string is the RAW LINE (the document is
+    stored verbatim; its fields do NOT become labels) stamped at ingest
+    time (`now_ns` here). `delete`/`update` actions clear the state, so
+    their payload lines emit nothing; doc lines before any action are
+    dropped (decodeLine:105-108).
+
+    Input is one `_bulk` body per row; line order is preserved via
+    posexplode, and the label state propagates with a per-payload
+    last(ignoreNulls) window — the Spark expression of the reference's
+    line-scan state machine. Non-JSON-object doc lines drop (per-line
+    isolation; the reference fails the whole payload).
+    """
+    from pyspark.sql import Window
+
+    # payload id assigned BEFORE the explode (inside the same select it
+    # would evaluate once per exploded row and break the state window)
+    lines = (
+        raw.select(
+            F.monotonically_increasing_id().alias("__pid"),
+            F.col(payload_col).alias("__body"),
+        )
+        .select(
+            "__pid",
+            F.posexplode(F.split(F.col("__body"), "\n")).alias("__lno", "line"),
+        )
+        .filter(F.length("line") > 0)
     )
-    ts = F.coalesce(
-        F.to_timestamp(F.col("d").getItem("@timestamp")).cast("long") * 1_000_000_000,
-        F.lit(0),
+    act = F.from_json(F.col("line"), _ELASTIC_ACTION_SCHEMA)
+    entry_t = "array<struct<key: string, value: string>>"
+    base = [
+        F.struct(F.lit("type").alias("key"), F.lit("elastic").alias("value"))
+    ]
+    if target:
+        base.append(
+            F.struct(F.lit("_index").alias("key"), F.lit(target).alias("value"))
+        )
+
+    def action_entries(obj: Column) -> Column:
+        skip = ["type"] + (["_index"] if target else [])
+        return F.concat(
+            F.array(*base).cast(entry_t),
+            F.filter(
+                F.map_entries(obj), lambda e: ~e["key"].isin(*skip)
+            ).cast(entry_t),
+        )
+
+    create_obj = F.coalesce(act["index"], act["create"])
+    # state marker: entries for index/create, empty array for
+    # delete/update (reset), null for doc lines (no state change)
+    marker = (
+        F.when(create_obj.isNotNull(), action_entries(create_obj))
+        .when(
+            act["delete"].isNotNull() | act["update"].isNotNull(),
+            F.array().cast(entry_t),
+        )
+        .otherwise(F.lit(None).cast(entry_t))
     )
-    message = F.coalesce(F.col("d").getItem("message"), F.to_json(F.col("d")))
-    labels = F.map_filter(
-        F.col("d"), lambda k, v: ~k.isin("@timestamp", "message")
+    classified = lines.select(
+        "__pid", "__lno", "line", marker.alias("__marker")
     )
-    return docs.select(*_normalize(labels, ts, message, F.lit(0.0), 1))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__lno")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    state = F.last("__marker", ignorenulls=True).over(w)
+    docs = (
+        classified.withColumn("__state", state)
+        .filter(F.col("__marker").isNull())  # doc lines only
+        .filter(F.size(F.col("__state")) > 0)  # need a live action state
+        # doc must be a JSON object (the reference errors otherwise)
+        .filter(F.from_json(F.col("line"), "map<string,string>").isNotNull())
+    )
+    return docs.select(
+        *_normalize(
+            _entries_map(F.col("__state")),
+            F.lit(now_ns),
+            F.col("line"),
+            F.lit(0.0),
+            1,
+        )
+    )
 
 
 def elastic_doc(

@@ -93,18 +93,47 @@ def test_influx_line_precision(spark):
 
 
 def test_elastic_bulk(spark):
-    lines = [
-        ('{"index": {"_index": "logs"}}',),
-        ('{"@timestamp": "2024-01-01T00:00:00Z", "message": "hello", "level": "info"}',),
-        ('{"create": {"_index": "logs"}}',),
-        ('{"@timestamp": "2024-01-01T00:00:01Z", "message": "bye", "level": "warn"}',),
-    ]
-    raw = spark.createDataFrame(lines, "line string")
-    out = ingest.elastic_bulk(raw).orderBy("timestamp_ns").collect()
-    assert len(out) == 2  # action lines dropped
-    assert out[0]["string"] == "hello"
-    assert out[0]["labels"]["level"] == "info"
-    assert out[0]["timestamp_ns"] == 1704067200 * 1_000_000_000
+    """elastic.go:56-137: the action line's labels govern following doc
+    lines; docs are stored as the raw line; delete/update clear state."""
+    body = "\n".join(
+        [
+            '{"index": {"_index": "logs", "_id": "7"}}',
+            '{"message": "hello", "level": "info"}',
+            '{"create": {"_index": "audit"}}',
+            '{"message": "bye"}',
+            '{"delete": {"_index": "logs", "_id": "9"}}',
+            '{"orphan": "after delete, no state -> dropped"}',
+        ]
+    )
+    raw = spark.createDataFrame([(body,)], "payload string")
+    out = ingest.elastic_bulk(raw, now_ns=5).collect()
+    assert len(out) == 2
+    by_index = {r["labels"]["_index"]: r for r in out}
+    hello = by_index["logs"]
+    # the DOC line is stored verbatim; its fields are NOT labels
+    assert hello["string"] == '{"message": "hello", "level": "info"}'
+    assert "level" not in hello["labels"] and "message" not in hello["labels"]
+    assert hello["labels"]["_id"] == "7"  # action string fields -> labels
+    assert hello["labels"]["type"] == "elastic"
+    assert hello["timestamp_ns"] == 5  # ingest-time stamp, not @timestamp
+    assert by_index["audit"]["string"] == '{"message": "bye"}'
+
+
+def test_elastic_bulk_target_and_orphans(spark):
+    """Route target fills _index (and suppresses the action's own
+    _index); doc lines before any action are dropped."""
+    body = "\n".join(
+        [
+            '{"pre": "no action yet"}',
+            '{"index": {"_index": "other", "_id": "1"}}',
+            '{"m": "x"}',
+        ]
+    )
+    raw = spark.createDataFrame([(body,)], "payload string")
+    out = ingest.elastic_bulk(raw, target="routed").collect()
+    assert len(out) == 1
+    assert out[0]["labels"]["_index"] == "routed"
+    assert out[0]["labels"]["_id"] == "1"
 
 
 def test_zipkin_spans(spark):
