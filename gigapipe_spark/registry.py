@@ -2624,6 +2624,86 @@ def ingest_influx_message(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_otlp_logs",
+    """
+    SELECT * FROM (VALUES
+      ('boom', 'ERROR', 'api', '0af7651916cd43dd8448eb211c80319c',
+       '["1","x"]', 1700000000000000000::BIGINT),
+      ('{"a":"1.5","b":"true"}', NULL, 'api', NULL, NULL,
+       1700000009000000000::BIGINT)
+    ) AS t(string, level, service_name, trace_id, tags, timestamp_ns)
+    """,
+)
+def ingest_otlp_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON logs decode (ref: otlplogs.go:22-101): level label from
+    severity_text, trace context labels, AnyValue array/kvlist
+    stringification, observed-time fallback."""
+    import json as _json
+
+    from gigapipe_spark.sources.ingest import otlp_logs
+
+    payload = _json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "api"}}
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": "1700000000000000000",
+                                    "severityText": "ERROR",
+                                    "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                    "body": {"stringValue": "boom"},
+                                    "attributes": [
+                                        {
+                                            "key": "tags",
+                                            "value": {
+                                                "arrayValue": {
+                                                    "values": [
+                                                        {"intValue": "1"},
+                                                        {"stringValue": "x"},
+                                                    ]
+                                                }
+                                            },
+                                        }
+                                    ],
+                                },
+                                {
+                                    "observedTimeUnixNano": "1700000009000000000",
+                                    "body": {
+                                        "kvlistValue": {
+                                            "values": [
+                                                {"key": "b", "value": {"boolValue": True}},
+                                                {"key": "a", "value": {"doubleValue": 1.5}},
+                                            ]
+                                        }
+                                    },
+                                },
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    lbl = F.col("labels")
+    return otlp_logs(raw).select(
+        "string",
+        lbl.getItem("level").alias("level"),
+        lbl.getItem("service_name").alias("service_name"),
+        lbl.getItem("trace_id").alias("trace_id"),
+        lbl.getItem("tags").alias("tags"),
+        "timestamp_ns",
+    )
+
+
+@register(
     "ingest_elastic_bulk",
     """
     SELECT * FROM (VALUES

@@ -901,54 +901,153 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-_OTLP_LOGS_SCHEMA = """
+# Full AnyValue shape, one nesting level for array/kvlist values (the
+# reference recurses without bound via SanitizeValue; JSON schemas can't
+# recurse, and >1-deep attribute values don't occur in practice — deeper
+# levels stringify to "").
+_OTLP_ANYVAL_LEAF = (
+    "struct<stringValue: string, boolValue: boolean, intValue: string,"
+    " doubleValue: double, bytesValue: string>"
+)
+_OTLP_ANYVAL = (
+    "struct<stringValue: string, boolValue: boolean, intValue: string,"
+    " doubleValue: double, bytesValue: string,"
+    f" arrayValue: struct<values: array<{_OTLP_ANYVAL_LEAF}>>,"
+    f" kvlistValue: struct<values: array<struct<key: string,"
+    f" value: {_OTLP_ANYVAL_LEAF}>>>>"
+)
+_OTLP_ATTRS = f"array<struct<key: string, value: {_OTLP_ANYVAL}>>"
+
+_OTLP_LOGS_SCHEMA = f"""
 struct<resourceLogs: array<struct<
-  resource: struct<attributes: array<struct<key: string,
-    value: struct<stringValue: string>>>>,
-  scopeLogs: array<struct<logRecords: array<struct<
-    timeUnixNano: string, severityText: string,
-    body: struct<stringValue: string>,
-    attributes: array<struct<key: string, value: struct<stringValue: string>>>
-  >>>>
+  resource: struct<attributes: {_OTLP_ATTRS}>,
+  scopeLogs: array<struct<
+    scope: struct<attributes: {_OTLP_ATTRS}>,
+    logRecords: array<struct<
+      timeUnixNano: string, observedTimeUnixNano: string,
+      severityText: string, traceId: string, spanId: string,
+      body: {_OTLP_ANYVAL},
+      attributes: {_OTLP_ATTRS}
+    >>>>
 >>>
 """
 
 
-def otlp_logs(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """OTLP/JSON logs → samples (ref: otlplogs.go). Resource attributes
-    are flattened with dotted prefixes kept as-is (the reference prefixes
-    nested attrs the same way, otlp.go:135-154)."""
-    parsed = raw.select(F.from_json(F.col(payload_col), _OTLP_LOGS_SCHEMA).alias("p"))
-    rl = parsed.select(F.explode("p.resourceLogs").alias("rl"))
-    recs = (
-        rl.select(
+def _otlp_key(k: Column) -> Column:
+    """SanitizeKey (otlplogs.go:104-115): non-[a-zA-Z0-9_] → '_', and a
+    leading digit (or empty key) gets a '_' PREFIX — unlike the loki-path
+    sanitizer which replaces the offending leading char."""
+    s = F.regexp_replace(k, "[^a-zA-Z0-9_]", "_")
+    return F.when(s.rlike("^[0-9]") | (s == ""), F.concat(F.lit("_"), s)).otherwise(s)
+
+
+def _otlp_scalar(v: Column) -> Column:
+    return (
+        F.when(v["stringValue"].isNotNull(), v["stringValue"])
+        .when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))
+        .when(v["intValue"].isNotNull(), v["intValue"])
+        .when(v["doubleValue"].isNotNull(), v["doubleValue"].cast("string"))
+        .when(v["bytesValue"].isNotNull(), v["bytesValue"])
+    )
+
+
+def _otlp_value(v: Column) -> Column:
+    """SanitizeValue (otlplogs.go:117-145): scalars stringify; arrays →
+    JSON array of stringified items; kvlists → JSON object with sanitized
+    keys (sorted, as Go's json.Marshal of a map sorts keys)."""
+    arr = F.when(
+        v["arrayValue"].isNotNull(),
+        F.to_json(
+            F.transform(
+                F.coalesce(v["arrayValue"]["values"], F.array()),
+                lambda i: F.coalesce(_otlp_scalar(i), F.lit("")),
+            )
+        ),
+    )
+    kvl = F.when(
+        v["kvlistValue"].isNotNull(),
+        F.to_json(
             F.map_from_entries(
-                F.transform(
-                    F.coalesce(F.col("rl.resource.attributes"), F.array()),
-                    lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+                F.array_sort(
+                    F.transform(
+                        F.coalesce(v["kvlistValue"]["values"], F.array()),
+                        lambda e: F.struct(
+                            _otlp_key(e["key"]).alias("key"),
+                            F.coalesce(_otlp_scalar(e["value"]), F.lit("")).alias(
+                                "value"
+                            ),
+                        ),
+                    )
                 )
-            ).alias("res_attrs"),
+            )
+        ),
+    )
+    return F.coalesce(_otlp_scalar(v), arr, kvl, F.lit(""))
+
+
+def otlp_logs(
+    raw: DataFrame, payload_col: str = "payload", now_ns: int = 0
+) -> DataFrame:
+    """OTLP/JSON logs → samples (ref: otlplogs.go:22-101).
+
+    Resource, scope and record attributes merge in that order (later
+    wins); values stringify through the SanitizeValue algebra including
+    bool/int/double/bytes and one level of array/kvlist. severity_text
+    lands as the `level` label when non-empty (:49-51); valid non-zero
+    traceId/spanId become trace_id/span_id labels overriding same-named
+    attributes (:52-58); timestamp falls back timeUnixNano →
+    observedTimeUnixNano → `now_ns` (:69-75); the body is any AnyValue,
+    not only a string."""
+    parsed = raw.select(F.from_json(F.col(payload_col), _OTLP_LOGS_SCHEMA).alias("p"))
+    entry_t = "array<struct<key: string, value: string>>"
+
+    def attr_entries(attrs: Column) -> Column:
+        return F.transform(
+            F.coalesce(attrs, F.array()),
+            lambda a: F.struct(
+                _otlp_key(a["key"]).alias("key"),
+                _otlp_value(a["value"]).alias("value"),
+            ),
+        ).cast(entry_t)
+
+    recs = (
+        parsed.select(F.explode("p.resourceLogs").alias("rl"))
+        .select(
+            attr_entries(F.col("rl.resource.attributes")).alias("__res"),
             F.explode("rl.scopeLogs").alias("sl"),
         )
-        .select("res_attrs", F.explode("sl.logRecords").alias("r"))
-    )
-    rec_attrs = F.map_from_entries(
-        F.transform(
-            F.coalesce(F.col("r.attributes"), F.array()),
-            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+        .select(
+            "__res",
+            attr_entries(F.col("sl.scope.attributes")).alias("__scope"),
+            F.explode("sl.logRecords").alias("r"),
         )
     )
-    labels = F.map_concat(
-        F.col("res_attrs"),
-        rec_attrs,
-        F.create_map(F.lit("severity"), F.coalesce(F.col("r.severityText"), F.lit(""))),
+
+    def _lbl(key: str, val: Column, cond: Column) -> Column:
+        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
+        return F.when(cond, F.array(e)).otherwise(F.array().cast(entry_t))
+
+    sev = F.coalesce(F.col("r.severityText"), F.lit(""))
+    tid = F.lower(F.coalesce(F.col("r.traceId"), F.lit("")))
+    sid = F.lower(F.coalesce(F.col("r.spanId"), F.lit("")))
+    entries = F.concat(
+        F.col("__res"),
+        F.col("__scope"),
+        attr_entries(F.col("r.attributes")),
+        _lbl("level", sev, sev != ""),
+        _lbl("trace_id", tid, tid.rlike("^[0-9a-f]{32}$") & (~tid.rlike("^0+$"))),
+        _lbl("span_id", sid, sid.rlike("^[0-9a-f]{16}$") & (~sid.rlike("^0+$"))),
     )
-    return recs.select(
-        *_normalize(
-            labels,
-            F.col("r.timeUnixNano").cast("long"),
-            F.col("r.body.stringValue"),
-            F.lit(0.0),
-            1,
-        )
+    ts = F.coalesce(
+        F.nullif(F.coalesce(F.col("r.timeUnixNano"), F.lit("0")), F.lit("0")).try_cast(
+            "long"
+        ),
+        F.nullif(
+            F.coalesce(F.col("r.observedTimeUnixNano"), F.lit("0")), F.lit("0")
+        ).try_cast("long"),
+        F.lit(now_ns),
     )
+    body = F.when(F.col("r.body").isNotNull(), _otlp_value(F.col("r.body"))).otherwise(
+        F.lit("")
+    )
+    return recs.select(*_normalize(_entries_map(entries), ts, body, F.lit(0.0), 1))

@@ -561,8 +561,12 @@ def otlp_traces_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_otlp_logs(data: bytes) -> Iterator[tuple[dict, int, str]]:
-    """ExportLogsServiceRequest → (labels, ts_ns, body) (ref: otlplogs.go).
-    LogRecord: time=1 fixed64, severity_text=3, body=5, attrs=6."""
+    """ExportLogsServiceRequest → (labels, ts_ns, body) (ref:
+    otlplogs.go:22-101). LogRecord: time=1 fixed64, severity_text=3,
+    body=5, attrs=6, trace_id=9, span_id=10, observed_time=11 fixed64.
+    severity_text lands as the `level` label when non-empty (:49-51);
+    non-zero trace/span ids become trace_id/span_id labels (:52-58);
+    time falls back to observed_time (:69-75)."""
     for fno, _, rl in pb_fields(data):
         if fno != 1:
             continue
@@ -579,19 +583,31 @@ def decode_otlp_logs(data: bytes) -> Iterator[tuple[dict, int, str]]:
             for f3, _, rec in pb_fields(sl):
                 if f3 != 2:
                     continue
-                ts, sev, body = 0, "", ""
+                ts, obs_ts, sev, body = 0, 0, "", ""
+                tid = sid = b""
                 labels = dict(res_attrs)
                 for f4, _, v4 in pb_fields(rec):  # type: ignore[arg-type]
                     if f4 == 1:
                         ts = _fixed64(v4)
+                    elif f4 == 11:
+                        obs_ts = _fixed64(v4)
                     elif f4 == 3:
                         sev = v4.decode()  # type: ignore[union-attr]
                     elif f4 == 5:
                         body = _any_value(v4)  # type: ignore[arg-type]
                     elif f4 == 6:
                         labels.update(_kv_attrs([v4]))  # type: ignore[list-item]
-                labels["severity"] = sev
-                yield labels, ts, body
+                    elif f4 == 9:
+                        tid = v4  # type: ignore[assignment]
+                    elif f4 == 10:
+                        sid = v4  # type: ignore[assignment]
+                if sev:
+                    labels["level"] = sev
+                if len(tid) == 16 and any(tid):
+                    labels["trace_id"] = tid.hex()
+                if len(sid) == 8 and any(sid):
+                    labels["span_id"] = sid.hex()
+                yield labels, ts or obs_ts, body
 
 
 def otlp_logs_pb(raw: DataFrame, payload_col: str = "payload") -> DataFrame:

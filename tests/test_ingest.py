@@ -195,7 +195,76 @@ def test_otlp_logs(spark):
     # shared sanitize step (ref SanitizeKey, otlplogs.go:103): dots → _
     assert r["labels"]["service_name"] == "api"
     assert r["labels"]["http_method"] == "GET"
-    assert r["labels"]["severity"] == "ERROR"
+    assert "severity" not in r["labels"]
+    assert r["labels"]["level"] == "ERROR"  # severity_text → level label
+
+
+def test_otlp_logs_reference_semantics(spark):
+    """otlplogs.go:22-101: scope attrs merge, AnyValue algebra, trace
+    context labels, observed-time fallback."""
+    payload = json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "9bad.key", "value": {"intValue": "7"}}
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {
+                                "attributes": [
+                                    {"key": "lib", "value": {"stringValue": "sdk"}}
+                                ]
+                            },
+                            "logRecords": [
+                                {
+                                    "observedTimeUnixNano": "1700000009000000000",
+                                    "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                    "spanId": "b7ad6b7169203331",
+                                    "body": {
+                                        "kvlistValue": {
+                                            "values": [
+                                                {"key": "b", "value": {"boolValue": True}},
+                                                {"key": "a", "value": {"doubleValue": 1.5}},
+                                            ]
+                                        }
+                                    },
+                                    "attributes": [
+                                        {
+                                            "key": "tags",
+                                            "value": {
+                                                "arrayValue": {
+                                                    "values": [
+                                                        {"intValue": "1"},
+                                                        {"stringValue": "x"},
+                                                    ]
+                                                }
+                                            },
+                                        }
+                                    ],
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    r = ingest.otlp_logs(raw).collect()[0]
+    # SanitizeKey prefixes a leading digit (otlplogs.go:110-112)
+    assert r["labels"]["_9bad_key"] == "7"
+    assert r["labels"]["lib"] == "sdk"  # scope attrs merge
+    assert r["labels"]["tags"] == '["1","x"]'  # array → JSON of strings
+    assert r["labels"]["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert r["labels"]["span_id"] == "b7ad6b7169203331"
+    assert "level" not in r["labels"]  # empty severity adds no label
+    # kvlist body → sorted-key JSON object of stringified values
+    assert r["string"] == '{"a":"1.5","b":"true"}'
+    # timeUnixNano absent → observedTimeUnixNano
+    assert r["timestamp_ns"] == 1700000009000000000
 
 
 def test_ingest_fanout_roundtrip(spark, tmp_path):

@@ -133,7 +133,7 @@ def test_otlp_logs_pb(spark):
     # label names pass the shared sanitize step (ref sanitizeLabels /
     # SanitizeKey): '.' is not [a-zA-Z0-9_] so service.name → service_name
     assert r["labels"] == {
-        "service_name": "api", "app": "worker", "severity": "ERROR"
+        "service_name": "api", "app": "worker", "level": "ERROR"
     }
     assert r["type"] == 1
 
