@@ -2974,19 +2974,22 @@ def ingest_loki_push_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_zipkin_ndjson",
     """
     SELECT * FROM (VALUES
-      ('t1', 's1', 'fetch', 5000000::BIGINT, 2000000::BIGINT),
-      ('t1', 's2', 'store', 6000000::BIGINT, 1000000::BIGINT)
+      (lpad('a1', 32, '0'), lpad('b1', 16, '0'), 'fetch',
+       5000000::BIGINT, 2000000::BIGINT),
+      (lpad('a1', 32, '0'), lpad('b2', 16, '0'), 'store',
+       6000000::BIGINT, 1000000::BIGINT)
     ) AS t(trace_id, span_id, name, timestamp_ns, duration_ns)
     """,
 )
 def ingest_zipkin_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDJSON variant of the tempo native push (ref: tempo.go:21 ndjson
-    content type)."""
+    content type). Ids normalize through decodeHexStr (left-pad to
+    32/16 lowercase hex)."""
     from gigapipe_spark.sources.ingest import zipkin_ndjson
 
     body = (
-        '{"traceId":"t1","id":"s1","name":"fetch","timestamp":5000,"duration":2000}\n'
-        '{"traceId":"t1","id":"s2","name":"store","timestamp":6000,"duration":1000}\n'
+        '{"traceId":"a1","id":"b1","name":"fetch","timestamp":5000,"duration":2000}\n'
+        '{"traceId":"a1","id":"b2","name":"store","timestamp":6000,"duration":1000}\n'
     )
     raw = spark.createDataFrame([(body,)], "payload string")
     return zipkin_ndjson(raw).select(

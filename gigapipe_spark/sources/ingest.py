@@ -552,28 +552,84 @@ def elastic_doc(
 
 _ZIPKIN_SCHEMA = (
     "array<struct<id: string, traceId: string, parentId: string, name: string,"
-    " timestamp: long, duration: long, localEndpoint: struct<serviceName: string>,"
+    " timestamp: string, duration: string, kind: string,"
+    " localEndpoint: struct<serviceName: string>,"
+    " remoteEndpoint: struct<serviceName: string>,"
     " tags: map<string,string>>>"
 )
 
 
+def _zipkin_hex(c: Column, length: int) -> Column:
+    """decodeHexStr (zipkin_json.go:221-241): left-pad with '0' to
+    `length` hex chars, truncate beyond, reject non-hex (→ NULL → the row
+    drops; the reference 400s the payload)."""
+    padded = F.substring(F.lpad(c, length, "0"), 1, length)
+    return F.when(
+        (F.length(c) > 0) & padded.rlike("^[0-9a-fA-F]+$"), F.lower(padded)
+    )
+
+
 def zipkin_spans(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Zipkin v2 JSON span arrays → spans rows (ref: zipkin_json.go:42).
-    Zipkin timestamps/durations are µs → ns."""
+    """Zipkin v2 JSON span arrays → spans rows (ref: zipkin_json.go:42-167).
+
+    Reference fidelity notes:
+      - trace/span/parent ids normalize through decodeHexStr (left-pad,
+        truncate, hex-validate); timestamps/durations accept JSON number
+        or string (stringOrInt64 :169-182), µs → ns;
+      - span attrs collect exactly the reference's key/val pairs: `name`,
+        lowercased `kind`, string-valued tags, local/remote
+        `_endpoint_service_name`, the final `service.name`, and the
+        otel.status_code → `status` (error/ok) mapping TraceQL queries
+        against (:148-164);
+      - the remoteEndpoint quirk is preserved: its serviceName only
+        replaces a non-empty local one (:120-127) — a span with ONLY a
+        remoteEndpoint keeps service_name "".
+    """
     spans = raw.select(
         F.explode(F.from_json(F.col(payload_col), _ZIPKIN_SCHEMA)).alias("s")
     )
+    local = F.coalesce(F.col("s.localEndpoint.serviceName"), F.lit(""))
+    remote = F.coalesce(F.col("s.remoteEndpoint.serviceName"), F.lit(""))
+    service = F.when(
+        (local != "") & F.col("s.remoteEndpoint").isNotNull(), remote
+    ).otherwise(local)
+    status_code = F.col("s.tags").getItem("otel.status_code")
+    status = F.when(status_code == "ERROR", F.lit("error")).when(
+        status_code == "OK", F.lit("ok")
+    )
+    attrs = F.map_filter(
+        F.map_concat(
+            F.coalesce(F.col("s.tags"), F.expr("map()")),
+            F.map_filter(
+                F.create_map(
+                    F.lit("name"), F.col("s.name"),
+                    F.lit("kind"), F.lower(F.col("s.kind")),
+                    F.lit("local_endpoint_service_name"),
+                    F.col("s.localEndpoint.serviceName"),
+                    F.lit("remote_endpoint_service_name"),
+                    F.col("s.remoteEndpoint.serviceName"),
+                    F.lit("status"), status,
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+            F.create_map(F.lit("service.name"), service),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
     return spans.select(
-        F.col("s.traceId").alias("trace_id"),
-        F.col("s.id").alias("span_id"),
-        F.coalesce(F.col("s.parentId"), F.lit("")).alias("parent_id"),
+        _zipkin_hex(F.col("s.traceId"), 32).alias("trace_id"),
+        _zipkin_hex(F.col("s.id"), 16).alias("span_id"),
+        F.coalesce(_zipkin_hex(F.col("s.parentId"), 16), F.lit("")).alias(
+            "parent_id"
+        ),
         F.col("s.name").alias("name"),
-        (F.col("s.timestamp") * 1000).alias("timestamp_ns"),
-        (F.col("s.duration") * 1000).alias("duration_ns"),
-        F.col("s.localEndpoint.serviceName").alias("service_name"),
+        (F.col("s.timestamp").try_cast("long") * 1000).alias("timestamp_ns"),
+        (F.col("s.duration").try_cast("long") * 1000).alias("duration_ns"),
+        service.alias("service_name"),
         F.lit(1).cast("byte").alias("payload_type"),
         F.to_json(F.col("s")).alias("payload"),
-    )
+        attrs.alias("attrs"),
+    ).filter(F.col("trace_id").isNotNull() & F.col("span_id").isNotNull())
 
 
 def zipkin_ndjson(raw: DataFrame, payload_col: str = "payload") -> DataFrame:

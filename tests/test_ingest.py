@@ -140,13 +140,15 @@ def test_zipkin_spans(spark):
     payload = json.dumps(
         [
             {
-                "id": "b1", "traceId": "t1", "name": "get /",
+                "id": "b1", "traceId": "a1", "name": "get /",
                 "timestamp": 1700000000000000, "duration": 1500,
                 "localEndpoint": {"serviceName": "web"},
+                "kind": "SERVER",
+                "tags": {"http.path": "/", "otel.status_code": "ERROR"},
             },
             {
-                "id": "b2", "traceId": "t1", "parentId": "b1", "name": "select",
-                "timestamp": 1700000000000100, "duration": 900,
+                "id": "b2", "traceId": "a1", "parentId": "b1", "name": "select",
+                "timestamp": "1700000000000100", "duration": "900",  # string form
                 "localEndpoint": {"serviceName": "db"},
             },
         ]
@@ -154,9 +156,45 @@ def test_zipkin_spans(spark):
     raw = spark.createDataFrame([(payload,)], "payload string")
     out = ingest.zipkin_spans(raw).orderBy("span_id").collect()
     assert len(out) == 2
-    assert out[0]["parent_id"] == "" and out[1]["parent_id"] == "b1"
+    # ids normalize through decodeHexStr: left-padded lowercase hex
+    assert out[0]["trace_id"] == "a1".rjust(32, "0")
+    assert out[0]["span_id"] == "b1".rjust(16, "0")
+    assert out[0]["parent_id"] == "" and out[1]["parent_id"] == "b1".rjust(16, "0")
     assert out[0]["timestamp_ns"] == 1700000000000000000  # µs → ns
-    assert out[1]["duration_ns"] == 900000
+    assert out[1]["duration_ns"] == 900000  # stringOrInt64: string accepted
+    # span attrs collect the reference's key/val pairs (zipkin_json.go)
+    a = out[0]["attrs"]
+    assert a["kind"] == "server"  # lowercased
+    assert a["http.path"] == "/"
+    assert a["status"] == "error"  # otel.status_code → status mapping
+    assert a["service.name"] == "web"
+    assert a["local_endpoint_service_name"] == "web"
+
+
+def test_zipkin_remote_endpoint_quirk(spark):
+    """zipkin_json.go:120-127: remoteEndpoint's serviceName only replaces
+    a non-empty local one; a span with ONLY a remoteEndpoint keeps ""."""
+    payload = json.dumps(
+        [
+            {"id": "01", "traceId": "aa", "timestamp": 1, "duration": 1,
+             "localEndpoint": {"serviceName": "loc"},
+             "remoteEndpoint": {"serviceName": "rem"}},
+            {"id": "02", "traceId": "aa", "timestamp": 1, "duration": 1,
+             "remoteEndpoint": {"serviceName": "rem"}},
+        ]
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    out = {r["span_id"][-2:]: r for r in ingest.zipkin_spans(raw).collect()}
+    assert out["01"]["service_name"] == "rem"
+    assert out["02"]["service_name"] == ""
+
+
+def test_zipkin_invalid_hex_dropped(spark):
+    payload = json.dumps(
+        [{"id": "zz", "traceId": "a1", "timestamp": 1, "duration": 1}]
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    assert ingest.zipkin_spans(raw).count() == 0
 
 
 def test_otlp_logs(spark):

@@ -91,15 +91,15 @@ def test_trace_by_id(spark):
 
 def test_zipkin_ndjson(spark):
     body = (
-        '{"traceId":"t9","id":"a1","name":"get","timestamp":1000,"duration":50}\n'
+        '{"traceId":"f9","id":"a1","name":"get","timestamp":1000,"duration":50}\n'
         '\n'
-        '{"traceId":"t9","id":"a2","parentId":"a1","name":"db","timestamp":1200,"duration":20}\n'
+        '{"traceId":"f9","id":"a2","parentId":"a1","name":"db","timestamp":1200,"duration":20}\n'
     )
     raw = spark.createDataFrame([(body,)], "payload string")
     rows = ingest.zipkin_ndjson(raw).orderBy("span_id").collect()
     assert len(rows) == 2
     assert rows[0]["timestamp_ns"] == 1_000_000 and rows[0]["duration_ns"] == 50_000
-    assert rows[1]["parent_id"] == "a1"
+    assert rows[1]["parent_id"] == "a1".rjust(16, "0")
 
 
 def test_datadog_cf(spark):
