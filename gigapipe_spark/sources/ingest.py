@@ -898,42 +898,182 @@ def collapsed_stacks(raw: DataFrame, line_col: str = "line",
     )
 
 
-_OTLP_TRACES_SCHEMA = """
+def _otlp_traces_schema() -> str:
+    # late-bound: _OTLP_ATTRS is defined further down in the module
+    return f"""
 struct<resourceSpans: array<struct<
-  resource: struct<attributes: array<struct<key: string,
-    value: struct<stringValue: string>>>>,
+  resource: struct<attributes: {_OTLP_ATTRS}>,
   scopeSpans: array<struct<spans: array<struct<
     traceId: string, spanId: string, parentSpanId: string, name: string,
-    startTimeUnixNano: string, endTimeUnixNano: string,
-    attributes: array<struct<key: string, value: struct<stringValue: string>>>
+    startTimeUnixNano: string, endTimeUnixNano: string, kind: string,
+    status: struct<code: string>,
+    attributes: {_OTLP_ATTRS}
   >>>>
 >>>
 """
 
 
+# Local service-name candidates in priority order (otlp.go:27-57);
+# the remote list is the same minus peer.service.
+_OTLP_SVC_CANDIDATES = [
+    "peer.service",
+    "service.name",
+    "faas.name",
+    "k8s.deployment.name",
+    "process.executable.name",
+]
+
+_OTLP_ENTRY_T = "array<struct<key: string, value: string>>"
+
+
+def _otlp_trace_scalar(v: Column) -> Column:
+    """writeAttrValue formatting (otlp.go:135-154): bool %v, double %f
+    (six decimals), int %d, string as-is. Distinct from the logs path's
+    SanitizeValue (no bytes/base64; %f not minimal-digits)."""
+    return (
+        F.when(v["stringValue"].isNotNull(), v["stringValue"])
+        .when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))
+        .when(
+            v["doubleValue"].isNotNull(),
+            F.format_string("%f", v["doubleValue"]),
+        )
+        .when(v["intValue"].isNotNull(), v["intValue"])
+    )
+
+
+def _otlp_trace_attr_entries(attrs: Column) -> Column:
+    """KeyValue list → flat (key, value) entries with the reference's
+    dotted flattening: arrays become key.0, key.1, ...; kvlists become
+    key.subkey (otlp.go:144-151)."""
+    empty = F.array().cast(_OTLP_ENTRY_T)
+
+    def entry(k: Column, val: Column) -> Column:
+        return F.struct(k.alias("key"), val.alias("value"))
+
+    return F.flatten(
+        F.transform(
+            F.coalesce(attrs, F.array()),
+            lambda a: F.coalesce(
+                F.when(
+                    _otlp_trace_scalar(a["value"]).isNotNull(),
+                    F.array(entry(a["key"], _otlp_trace_scalar(a["value"]))).cast(
+                        _OTLP_ENTRY_T
+                    ),
+                ),
+                F.when(
+                    a["value"]["arrayValue"].isNotNull(),
+                    F.transform(
+                        F.coalesce(a["value"]["arrayValue"]["values"], F.array()),
+                        lambda item, i: entry(
+                            F.concat(a["key"], F.lit("."), i.cast("string")),
+                            F.coalesce(_otlp_trace_scalar(item), F.lit("")),
+                        ),
+                    ).cast(_OTLP_ENTRY_T),
+                ),
+                F.when(
+                    a["value"]["kvlistValue"].isNotNull(),
+                    F.transform(
+                        F.coalesce(a["value"]["kvlistValue"]["values"], F.array()),
+                        lambda e: entry(
+                            F.concat(a["key"], F.lit("."), e["key"]),
+                            F.coalesce(_otlp_trace_scalar(e["value"]), F.lit("")),
+                        ),
+                    ).cast(_OTLP_ENTRY_T),
+                ),
+                empty,
+            ),
+        )
+    )
+
+
+def _entries_first(entries: Column, key: str) -> Column:
+    """getOtlpAttr analog: value of the FIRST entry with `key`."""
+    return F.get(F.filter(entries, lambda e: e["key"] == key), 0)["value"]
+
+
 def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """OTLP/JSON traces → spans rows (ref: unmarshal/otlp.go:76;
-    nested attrs flattened with dotted prefixes like the reference,
-    otlp.go:135-154 — OTLP JSON keys already carry the dots)."""
-    parsed = raw.select(F.from_json(F.col(payload_col), _OTLP_TRACES_SCHEMA).alias("p"))
-    rs = parsed.select(F.explode("p.resourceSpans").alias("rs"))
-    res_attrs = F.map_from_entries(
-        F.transform(
-            F.coalesce(F.col("rs.resource.attributes"), F.array()),
-            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
-        )
+    """OTLP/JSON traces → spans rows (ref: unmarshal/otlp.go:76-130).
+
+    Reference semantics:
+      - resource attrs append AFTER span attrs; service-name resolution
+        (populateServiceNames :59-74) scans span-then-resource for the
+        first non-empty candidate — local falls back to
+        "OTLPResourceNoServiceName", remote (no peer.service) to "" —
+        and only fills service.name / remoteService.name when absent;
+      - the final attr map is built by iterating span-then-resource, so
+        RESOURCE values overwrite span values on key clash (:83-85 —
+        note the opposite precedence from the lookup);
+      - name, status (error/ok/unset) and kind
+        (server/client/producer/consumer/internal) always land as attrs
+        (:89-110), accepting both JSON enum-string and int encodings;
+      - attr values flatten with dotted array/kvlist suffixes and the
+        %f/%d/%v formatting of writeAttrValue.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(payload_col), _otlp_traces_schema()).alias("p")
     )
-    spans = rs.select(
-        res_attrs.alias("res_attrs"), F.explode("rs.scopeSpans").alias("ss")
-    ).select("res_attrs", F.explode("ss.spans").alias("s"))
-    start = F.col("s.startTimeUnixNano").cast("long")
-    end = F.col("s.endTimeUnixNano").cast("long")
-    span_attrs = F.map_from_entries(
-        F.transform(
-            F.coalesce(F.col("s.attributes"), F.array()),
-            lambda a: F.struct(a["key"].alias("key"), a["value"]["stringValue"].alias("value")),
+    spans = (
+        parsed.select(F.explode("p.resourceSpans").alias("rs"))
+        .select(
+            _otlp_trace_attr_entries(F.col("rs.resource.attributes")).alias(
+                "__res"
+            ),
+            F.explode("rs.scopeSpans").alias("ss"),
         )
+        .select("__res", F.explode("ss.spans").alias("s"))
     )
+    span_entries = _otlp_trace_attr_entries(F.col("s.attributes"))
+    combined = F.concat(span_entries, F.col("__res"))  # span first: lookups
+
+    def first_nonempty(keys: list[str]) -> Column:
+        return F.coalesce(
+            *[F.nullif(_entries_first(combined, k), F.lit("")) for k in keys]
+        )
+
+    local = F.coalesce(
+        first_nonempty(_OTLP_SVC_CANDIDATES), F.lit("OTLPResourceNoServiceName")
+    )
+    remote = F.coalesce(first_nonempty(_OTLP_SVC_CANDIDATES[1:]), F.lit(""))
+
+    def fill_absent(key: str, val: Column) -> Column:
+        e = F.struct(F.lit(key).alias("key"), val.alias("value"))
+        return F.when(
+            _entries_first(combined, key).isNull(), F.array(e)
+        ).otherwise(F.array().cast(_OTLP_ENTRY_T))
+
+    status_code = F.coalesce(F.col("s.status.code"), F.lit(""))
+    status = (
+        F.when(status_code.isin("STATUS_CODE_ERROR", "2"), F.lit("error"))
+        .when(status_code.isin("STATUS_CODE_OK", "1"), F.lit("ok"))
+        .otherwise(F.lit("unset"))
+    )
+    kind_raw = F.coalesce(F.col("s.kind"), F.lit(""))
+    kind = (
+        F.when(kind_raw.isin("SPAN_KIND_SERVER", "2"), F.lit("server"))
+        .when(kind_raw.isin("SPAN_KIND_CLIENT", "3"), F.lit("client"))
+        .when(kind_raw.isin("SPAN_KIND_PRODUCER", "4"), F.lit("producer"))
+        .when(kind_raw.isin("SPAN_KIND_CONSUMER", "5"), F.lit("consumer"))
+        .otherwise(F.lit("internal"))
+    )
+
+    def const_entry(key: str, val: Column) -> Column:
+        return F.array(F.struct(F.lit(key).alias("key"), val.alias("value")))
+
+    # last-wins assembly mirrors the reference's write order: span attrs,
+    # then resource attrs (overwrite), then the populated service names
+    # (only when absent), then name/status/kind (always overwrite)
+    all_entries = F.concat(
+        span_entries,
+        F.col("__res"),
+        fill_absent("service.name", local),
+        fill_absent("remoteService.name", remote),
+        const_entry("name", F.coalesce(F.col("s.name"), F.lit(""))),
+        const_entry("status", status),
+        const_entry("kind", kind),
+    )
+    attrs = _entries_map(all_entries)
+    start = F.col("s.startTimeUnixNano").try_cast("long")
+    end = F.col("s.endTimeUnixNano").try_cast("long")
     return spans.select(
         F.col("s.traceId").alias("trace_id"),
         F.col("s.spanId").alias("span_id"),
@@ -941,19 +1081,10 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.col("s.name").alias("name"),
         start.alias("timestamp_ns"),
         (end - start).alias("duration_ns"),
-        F.col("res_attrs").getItem("service.name").alias("service_name"),
+        attrs.getItem("service.name").alias("service_name"),
         F.lit(2).cast("byte").alias("payload_type"),
         F.to_json(F.col("s")).alias("payload"),
-        # resource + span attrs, span winning on key clash (filtered first:
-        # map_concat raises on duplicate keys) — same shape as the protobuf
-        # path so both ingest paths are union-compatible
-        F.map_concat(
-            F.map_filter(
-                F.col("res_attrs"),
-                lambda k, v: v.isNotNull() & ~F.map_contains_key(span_attrs, k),
-            ),
-            F.map_filter(span_attrs, lambda k, v: v.isNotNull()),
-        ).alias("attrs"),
+        attrs.alias("attrs"),
     )
 
 

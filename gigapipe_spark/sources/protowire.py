@@ -453,9 +453,23 @@ def _fixed64(v: object) -> int:
     return int(v)
 
 
+_OTLP_SVC_LOCAL = [
+    "peer.service", "service.name", "faas.name", "k8s.deployment.name",
+    "process.executable.name",
+]
+_OTLP_KIND = {2: "server", 3: "client", 4: "producer", 5: "consumer"}
+
+
 def decode_otlp_traces(data: bytes) -> Iterator[dict]:
-    """ExportTraceServiceRequest → span dicts (ref: unmarshal/otlp.go:76).
-    Span: trace_id=1, span_id=2, parent=4, name=5, start=7, end=8, attrs=9."""
+    """ExportTraceServiceRequest → span dicts (ref: unmarshal/otlp.go:76-130).
+    Span: trace_id=1, span_id=2, parent=4, name=5, kind=3 varint,
+    start=7, end=8, attrs=9, status=15{code=3 varint}.
+
+    Matches the JSON path's reference algebra: resource attrs overwrite
+    span attrs in the final map (write order), service-name lookups scan
+    span-then-resource (first match), populateServiceNames fills
+    service.name / remoteService.name when absent, and name/status/kind
+    always land as attrs."""
     for fno, _, rs in pb_fields(data):
         if fno != 1:
             continue
@@ -475,8 +489,10 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
                 rec = {
                     "trace_id": "", "span_id": "", "parent_id": "",
                     "name": "", "start": 0, "end": 0,
-                    "attrs": dict(res_attrs),
                 }
+                span_attrs: dict[str, str] = {}
+                kind_code = 0
+                status_code = 0
                 for f4, _, v4 in pb_fields(span):  # type: ignore[arg-type]
                     if f4 == 1:
                         rec["trace_id"] = v4.hex()  # type: ignore[union-attr]
@@ -486,12 +502,42 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
                         rec["parent_id"] = v4.hex()  # type: ignore[union-attr]
                     elif f4 == 5:
                         rec["name"] = v4.decode()  # type: ignore[union-attr]
+                    elif f4 == 3:
+                        kind_code = int(v4)  # type: ignore[arg-type]
                     elif f4 == 7:
                         rec["start"] = _fixed64(v4)
                     elif f4 == 8:
                         rec["end"] = _fixed64(v4)
                     elif f4 == 9:
-                        rec["attrs"].update(_kv_attrs([v4]))  # type: ignore[list-item]
+                        span_attrs.update(_kv_attrs([v4]))  # type: ignore[list-item]
+                    elif f4 == 15:  # Status{code=3}
+                        for f5, _, v5 in pb_fields(v4):  # type: ignore[arg-type]
+                            if f5 == 3:
+                                status_code = int(v5)  # type: ignore[arg-type]
+
+                def lookup(key: str) -> str:
+                    # getOtlpAttr order: span attrs first, then resource
+                    if key in span_attrs:
+                        return span_attrs[key]
+                    return res_attrs.get(key, "")
+
+                local = next(
+                    (v for v in (lookup(k) for k in _OTLP_SVC_LOCAL) if v),
+                    "OTLPResourceNoServiceName",
+                )
+                remote = next(
+                    (v for v in (lookup(k) for k in _OTLP_SVC_LOCAL[1:]) if v), ""
+                )
+                attrs = dict(span_attrs)
+                attrs.update(res_attrs)  # resource overwrites (write order)
+                if "service.name" not in attrs:
+                    attrs["service.name"] = local
+                if "remoteService.name" not in attrs:
+                    attrs["remoteService.name"] = remote
+                attrs["name"] = rec["name"]
+                attrs["status"] = {2: "error", 1: "ok"}.get(status_code, "unset")
+                attrs["kind"] = _OTLP_KIND.get(kind_code, "internal")
+                rec["attrs"] = attrs
                 yield rec
 
 
