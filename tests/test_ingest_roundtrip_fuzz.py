@@ -169,7 +169,8 @@ def test_zipkin_spans_roundtrip_fuzz(spark):
                     "localEndpoint": {"serviceName": svc},
                 }
             )
-            truth.add((tid, sid, name, ts_us * 1000, dur_us * 1000, svc))
+            # decodeHexStr pads 16-char trace ids to 32 (zipkin_json.go:221)
+            truth.add((tid.rjust(32, "0"), sid, name, ts_us * 1000, dur_us * 1000, svc))
         payloads.append((json.dumps(spans),))
     raw = spark.createDataFrame(payloads, "payload string")
     rows = ingest.zipkin_spans(raw).collect()
