@@ -220,3 +220,63 @@ def test_datadog_logs_roundtrip_fuzz(spark):
         for r in rows
     }
     assert got == truth
+
+
+def test_loki_push_shapes_roundtrip_fuzz(spark):
+    """All four unmarshal.go stream shapes, randomly mixed; truth computed
+    by an independent Python model of the reference's rules (type
+    algebra, labels-string parse, ts handling)."""
+    rng = random.Random(4242)
+    truth = set()
+    payloads = []
+    for _ in range(25):
+        streams = []
+        for _s in range(rng.randrange(1, 3)):
+            st = {}
+            labels = {}
+            mode = rng.choice(["stream", "labels", "both"])
+            if mode in ("stream", "both"):
+                st["stream"] = {"app": rng.choice(["a", "b"]),
+                                "env": rng.choice(["p", "q"])}
+                labels.update(st["stream"])
+            if mode in ("labels", "both"):
+                lv = rng.choice(["x", "y"])
+                st["labels"] = f'{{job="{lv}", env="z"}}'
+                labels.update({"job": lv, "env": "z"})  # labels pairs win
+            key = tuple(sorted(labels.items()))
+            if rng.random() < 0.5:
+                vals = []
+                for _v in range(rng.randrange(1, 3)):
+                    ts = rng.randrange(1, 2**61)
+                    line = rng.choice(NASTY[:7])
+                    if rng.random() < 0.4:
+                        num = round(rng.uniform(-10, 10), 3)
+                        vals.append([str(ts), line, num])
+                        truth.add((key, ts, line, num, 0))  # tp 3 → 0
+                    else:
+                        vals.append([str(ts), line])
+                        truth.add((key, ts, line, 0.0, 1))
+                st["values"] = vals
+            else:
+                ents = []
+                for _v in range(rng.randrange(1, 3)):
+                    ts = rng.randrange(1, 2**61)
+                    if rng.random() < 0.3:
+                        v = round(rng.uniform(0, 5), 2)
+                        ents.append({"ts": str(ts), "value": v})
+                        truth.add((key, ts, "", v, 2))
+                    else:
+                        line = rng.choice(NASTY[:7])
+                        ents.append({"timestamp": str(ts), "line": line})
+                        truth.add((key, ts, line, 0.0, 1))
+                st["entries"] = ents
+            streams.append(st)
+        payloads.append((json.dumps({"streams": streams}),))
+    raw = spark.createDataFrame(payloads, "payload string")
+    rows = ingest.loki_push(raw).collect()
+    got = {
+        (tuple(sorted(r["labels"].items())), r["timestamp_ns"], r["string"],
+         r["value"], r["type"])
+        for r in rows
+    }
+    assert got == truth
