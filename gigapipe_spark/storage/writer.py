@@ -156,6 +156,77 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
 
 
+def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
+    """Decoded spans batch → tempo_traces + attrs GIN + kv dictionary
+    (the trace MV layer; ref: ctrl/qryn/sql/traces.sql
+    traces_input_traces_mv / traces_input_tags_mv / tempo_traces_kv_mv).
+
+    The batch is a sources.ingest zipkin/otlp decoder output:
+    (trace_id, span_id, parent_id, name, timestamp_ns, duration_ns,
+    service_name, payload_type, payload, attrs).
+
+    Layout for 100 TB: the fact table partitions by date (the
+    reference's PARTITION BY toDate) and sorts in-file by
+    (trace_id, timestamp_ns) — the MergeTree ORDER BY analog; a
+    trace-by-id lookup prunes to the date range then row-group-skips on
+    the trace_id min/max stats. The GIN partitions by date and sorts by
+    (key, val, timestamp_ns) so a TraceQL attr selector reads only its
+    key/val row groups. The kv table mirrors tempo_traces_kv_mv's
+    val_id = cityHash64(val) % 10000 bucketing (xxhash64 here) used by
+    tag-value autocomplete."""
+    from gigapipe_spark.telemetry import observed_write
+
+    date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    with_date = batch.withColumn("date", date)
+
+    observed_write(
+        with_date.select(
+            "date", "trace_id", "span_id", "parent_id", "name",
+            "timestamp_ns", "duration_ns", "service_name", "payload_type",
+            "payload",
+        ),
+        "tempo_traces",
+        lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("tempo_traces")),
+        bytes_col="payload",
+    )
+
+    gin = with_date.select(
+        "date",
+        F.explode("attrs").alias("key", "val"),
+        "trace_id",
+        "span_id",
+        "timestamp_ns",
+        F.col("duration_ns").alias("duration"),
+    )
+    observed_write(
+        gin,
+        "tempo_traces_attrs_gin",
+        lambda df: df.sortWithinPartitions("key", "val", "timestamp_ns")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("tempo_traces_attrs_gin")),
+        bytes_col=None,
+    )
+
+    kv = gin.select(
+        "date",
+        "key",
+        (F.pmod(F.xxhash64("val"), F.lit(10000))).alias("val_id"),
+        "val",
+    ).dropDuplicates(["date", "key", "val_id", "val"])
+    observed_write(
+        kv,
+        "tempo_traces_kv",
+        lambda df: df.write.mode("append").partitionBy("date").parquet(
+            catalog.path("tempo_traces_kv")
+        ),
+        bytes_col=None,
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
