@@ -227,6 +227,138 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
 
 
+def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
+    """profiles_input batch → profiles + profiles_series +
+    profiles_series_gin + profiles_series_keys (the profiles MV layer;
+    ref: ctrl/qryn/sql/profiles.sql profiles_mv:34-50,
+    profiles_series_mv:65-79, profiles_series_gin_mv:89-98,
+    profiles_series_keys_mv:109+).
+
+    Input columns mirror the reference's Null-engine profiles_input
+    (:5-17): timestamp_ns, type, service_name, sample_types_units
+    array<struct<name,unit>>, period_type, period_unit, tags
+    map<string,string>, duration_ns, payload_type, payload, values_agg.
+
+    The fingerprint is the reference's recipe: a hash over the SORTED
+    tag pairs + ('__type__', type:period_type:period_unit) +
+    ('__sample_types_units__', sorted name:unit join) +
+    ('service_name', service): xxhash64 of the canonical JSON here vs
+    cityHash64 of the array — same identity semantics, different hash
+    family (documented engine-wide, fingerprint.py)."""
+    from gigapipe_spark.telemetry import observed_write
+
+    type_id = F.concat_ws(
+        ":", F.col("type"), F.col("period_type"), F.col("period_unit")
+    )
+    stu_join = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.col("sample_types_units"),
+                lambda s: F.concat_ws(":", s["name"], s["unit"]),
+            )
+        ),
+        ";",
+    )
+    entry_t = "array<struct<key: string, value: string>>"
+    fp_entries = F.array_sort(
+        F.concat(
+            F.map_entries(F.coalesce(F.col("tags"), F.expr("map()"))).cast(entry_t),
+            F.array(
+                F.struct(F.lit("__type__").alias("key"), type_id.alias("value")),
+                F.struct(
+                    F.lit("__sample_types_units__").alias("key"),
+                    stu_join.alias("value"),
+                ),
+                F.struct(
+                    F.lit("service_name").alias("key"),
+                    F.col("service_name").alias("value"),
+                ),
+            ).cast(entry_t),
+        )
+    )
+    fingerprint = F.xxhash64(F.to_json(fp_entries))
+    date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    enriched = batch.select(
+        "*",
+        type_id.alias("type_id"),
+        fingerprint.alias("fingerprint"),
+        date.alias("date"),
+    )
+
+    observed_write(
+        enriched.select(
+            "date", "timestamp_ns", "fingerprint", "type_id",
+            "sample_types_units", "service_name", "duration_ns",
+            "payload_type", "payload", "values_agg",
+        ),
+        "profiles",
+        lambda df: df.sortWithinPartitions(
+            "type_id", "service_name", "timestamp_ns"
+        )
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("profiles")),
+        bytes_col="payload",
+    )
+
+    # series tags = input tags + ('service_name', service) (:78)
+    series = enriched.select(
+        "date",
+        "type_id",
+        "sample_types_units",
+        "service_name",
+        "fingerprint",
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("tags"), F.expr("map()")),
+                lambda k, v: k != "service_name",
+            ),
+            F.create_map(F.lit("service_name"), F.col("service_name")),
+        ).alias("tags"),
+    ).dropDuplicates(["date", "type_id", "fingerprint"])
+    observed_write(
+        series,
+        "profiles_series",
+        lambda df: df.write.mode("append").partitionBy("date").parquet(
+            catalog.path("profiles_series")
+        ),
+        bytes_col=None,
+    )
+
+    gin = series.select(
+        "date",
+        F.explode("tags").alias("key", "val"),
+        "type_id",
+        "sample_types_units",
+        "service_name",
+        "fingerprint",
+    )
+    observed_write(
+        gin,
+        "profiles_series_gin",
+        lambda df: df.sortWithinPartitions("key", "val", "type_id")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("profiles_series_gin")),
+        bytes_col=None,
+    )
+
+    keys = gin.select(
+        "date",
+        "key",
+        "val",
+        F.pmod(F.xxhash64("val"), F.lit(10000)).alias("val_id"),
+    ).dropDuplicates(["date", "key", "val_id"])
+    observed_write(
+        keys,
+        "profiles_series_keys",
+        lambda df: df.write.mode("append").partitionBy("date").parquet(
+            catalog.path("profiles_series_keys")
+        ),
+        bytes_col=None,
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
