@@ -47,13 +47,22 @@ class Catalog:
         exchange is unspecified.
         """
         df = self.read(spark, "time_series")
+        # versioning column: updated_at_ns when stored (log.sql:192),
+        # else the partition date
+        ver = "updated_at_ns" if "updated_at_ns" in df.columns else "date"
         aggs = [
-            F.max_by("labels", "date").alias("labels"),
-            F.max_by("type", "date").alias("type"),
+            F.max_by("labels", ver).alias("labels"),
+            F.max_by("type", ver).alias("type"),
             F.max("date").alias("date"),
         ]
-        extra = [c for c in ("metadata", "ttl_days") if c in df.columns]
-        aggs += [F.max_by(c, "date").alias(c) for c in extra]
+        extra = [
+            c
+            for c in ("metadata", "ttl_days", "updated_at_ns")
+            if c in df.columns
+        ]
+        aggs += [
+            (F.max(c) if c == ver else F.max_by(c, ver)).alias(c) for c in extra
+        ]
         return df.groupBy("fingerprint").agg(*aggs).select(
             "date", "fingerprint", "labels", "type", *extra
         )
@@ -69,28 +78,31 @@ class Catalog:
         metadata.go:24-63): series rows with non-empty metadata, metric
         name from the __name__ label, newest-first per metric with a
         LIMIT BY analog (row_number window), optional exact metric filter
-        and total limit. The reference orders by updated_at_ns; the
-        stored analog here is the series date."""
+        and total limit. Ordered by updated_at_ns like the reference
+        (falling back to the partition date on stores written before the
+        column existed)."""
         from pyspark.sql import Window
 
-        df = (
-            self.read(spark, "time_series")
-            .filter(F.col("metadata") != "")
-            .select(
-                F.col("labels").getItem("__name__").alias("metric_name"),
-                F.col("metadata").alias("metadata_json"),
-                "date",
-            )
+        raw = self.read(spark, "time_series")
+        ver = (
+            F.col("updated_at_ns")
+            if "updated_at_ns" in raw.columns
+            else F.col("date").cast("timestamp").cast("long")
+        )
+        df = raw.filter(F.col("metadata") != "").select(
+            F.col("labels").getItem("__name__").alias("metric_name"),
+            F.col("metadata").alias("metadata_json"),
+            ver.alias("__ver"),
         )
         if metric_filter:
             df = df.filter(F.col("metric_name") == metric_filter)
         w = Window.partitionBy("metric_name").orderBy(
-            F.col("date").desc(), F.col("metadata_json")
+            F.col("__ver").desc(), F.col("metadata_json")
         )
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max(limit_per_metric, 1))
-            .drop("__rn", "date")
+            .drop("__rn", "__ver")
             .orderBy("metric_name")
         )
         if limit > 0:
@@ -131,9 +143,23 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
         bytes_col="string",
     )
 
-    series = with_date.select(
-        "date", "fingerprint", "labels", "type", "metadata", "ttl_days"
-    ).dropDuplicates(["date", "fingerprint"])
+    # updated_at_ns (log.sql:192 ALTER): the reference stamps wall clock;
+    # the batch's max sample timestamp per series is the deterministic
+    # analog — monotone across appends, and what metadata ordering uses
+    series = (
+        with_date.groupBy("date", "fingerprint")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.first("type").alias("type"),
+            F.first("metadata").alias("metadata"),
+            F.first("ttl_days").alias("ttl_days"),
+            F.max("timestamp_ns").alias("updated_at_ns"),
+        )
+        .select(
+            "date", "fingerprint", "labels", "type", "metadata", "ttl_days",
+            "updated_at_ns",
+        )
+    )
     observed_write(
         series,
         "time_series",
