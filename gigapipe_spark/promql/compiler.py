@@ -80,6 +80,11 @@ class PromQLContext:
             self._metrics = views.metric_samples(self.spark, self.sf_dir)
         return self._metrics
 
+    def series(self) -> DataFrame:
+        """Series dimension (fingerprint → labels); store-backed
+        contexts override this to read the written time_series table."""
+        return views.time_series(self.spark, self.sf_dir)
+
     def rollup(self) -> DataFrame:
         """The metrics_15s table (ref: log.sql:83-107). Session-cached
         derived table (views.rollup_15s) standing in for the stored
@@ -118,7 +123,7 @@ def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
     if matchers:
         fps = fingerprints(lctx, LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
-    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    series = ctx.series().select("fingerprint", "labels")
     df = df.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
@@ -264,7 +269,7 @@ def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> Dat
     if matchers:
         fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
-    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    series = ctx.series().select("fingerprint", "labels")
     df = df.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
@@ -296,7 +301,7 @@ def _range_fn(
         if fn.fn == "predict_linear":
             return _pf.predict_linear(df, rng, fn.param or 0.0)
         out = _pf.holt_winters(df, fn.param, fn.param2, rng)
-        series = views.time_series(ctx.spark, ctx.sf_dir).select(
+        series = ctx.series().select(
             "fingerprint", "labels"
         )
         return out.join(F.broadcast(series), "fingerprint", "left").select(
@@ -441,7 +446,7 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
     if matchers:
         fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
         cells = cells.join(F.broadcast(fps), "fingerprint", "inner")
-    series = views.time_series(ctx.spark, ctx.sf_dir).select("fingerprint", "labels")
+    series = ctx.series().select("fingerprint", "labels")
     cells = cells.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         cells = cells.withColumn(

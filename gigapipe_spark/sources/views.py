@@ -332,34 +332,43 @@ def span_ancestors(spark: SparkSession, sf_dir: str, max_depth: int = 8) -> Data
     query. Depth capped like the reference's recursion guards.
     """
 
-    def build():
-        sp = spans(spark, sf_dir).select("trace_id", "span_id", "parent_id")
-        cur = (
-            sp.filter(F.col("parent_id") != "")
-            .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
-        )
-        parents = sp.select(
-            "trace_id",
-            F.col("span_id").alias("anc_id"),
-            F.col("parent_id").alias("next_anc"),
-        )
-        levels = [cur]
-        for _ in range(max_depth - 1):
-            cur = cur.persist()
-            if cur.isEmpty():
-                break
-            cur = (
-                cur.join(parents, ["trace_id", "anc_id"], "inner")
-                .filter(F.col("next_anc") != "")
-                .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
-            )
-            levels.append(cur)
-        out = levels[0]
-        for lvl in levels[1:]:
-            out = out.unionByName(lvl)
-        return out.distinct()
+    return _cached(
+        spark,
+        sf_dir,
+        "span_ancestors",
+        lambda: ancestors_from_spans(spans(spark, sf_dir), max_depth),
+    )
 
-    return _cached(spark, sf_dir, "span_ancestors", build)
+
+def ancestors_from_spans(sp: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Closure builder over any spans DataFrame with (trace_id, span_id,
+    parent_id) — shared by the fixture view and the store-backed TraceQL
+    context (tempo_traces table)."""
+    sp = sp.select("trace_id", "span_id", "parent_id")
+    cur = (
+        sp.filter(F.col("parent_id") != "")
+        .select("trace_id", "span_id", F.col("parent_id").alias("anc_id"))
+    )
+    parents = sp.select(
+        "trace_id",
+        F.col("span_id").alias("anc_id"),
+        F.col("parent_id").alias("next_anc"),
+    )
+    levels = [cur]
+    for _ in range(max_depth - 1):
+        cur = cur.persist()
+        if cur.isEmpty():
+            break
+        cur = (
+            cur.join(parents, ["trace_id", "anc_id"], "inner")
+            .filter(F.col("next_anc") != "")
+            .select("trace_id", "span_id", F.col("next_anc").alias("anc_id"))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.distinct()
 
 
 def profiles(spark: SparkSession, sf_dir: str) -> DataFrame:

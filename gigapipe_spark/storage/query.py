@@ -1,0 +1,164 @@
+"""Store-backed query contexts: run LogQL/PromQL over a Catalog store.
+
+The sf_dir-based contexts read DERIVED views rebuilt from the TPC-H-ish
+fixtures; these subclasses bind the same compilers to the parquet tables
+`ingest_fanout` wrote — the full reference loop (wire payload → decoder
+→ MV fan-out → query) with no fixture in between (ref: the reader
+services query the writer's tables directly, reader/service/*).
+
+Scale shape: the stored fact table is date-partitioned and
+(fingerprint, timestamp_ns)-sorted, so the compilers' widened raw-ts
+bounds land as parquet partition + row-group pruning here — on the
+derived fixture views the same predicates stop at the in-memory
+transform. Type filtering follows the reference planners' `type IN
+(0, T)` (logs T=1, metrics T=2; 0 = rows ingested as both).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gigapipe_spark.logql.compiler import LogQLContext
+from gigapipe_spark.promql.compiler import PromQLContext
+from gigapipe_spark.sources.views import ancestors_from_spans
+from gigapipe_spark.traceql.compiler import TraceQLContext
+from gigapipe_spark.storage.writer import Catalog
+from gigapipe_spark.streaming.rollup import rollup_15s_batch
+
+
+def _bounded(df: DataFrame, lo: int | None, hi: int | None) -> DataFrame:
+    """Raw-ts bounds + the matching date partition prune."""
+    if lo is not None:
+        df = df.filter(F.col("timestamp_ns") >= lo).filter(
+            F.col("date")
+            >= F.to_date(F.timestamp_micros(F.lit(lo // 1000 - 86_400_000_000)))
+        )
+    if hi is not None:
+        df = df.filter(F.col("timestamp_ns") < hi).filter(
+            F.col("date") <= F.to_date(F.timestamp_micros(F.lit(hi // 1000)))
+        )
+    return df
+
+
+@dataclass
+class StoreLogQLContext(LogQLContext):
+    """LogQL over the stored samples/time_series/gin tables."""
+
+    catalog: Catalog | None = None
+
+    def samples(self) -> DataFrame:
+        if self._samples is None:
+            df = self.catalog.read(self.spark, "samples")
+            df = _bounded(df, *self._scan_bounds)
+            self._samples = df.filter(F.col("type").isin(0, 1)).select(
+                "fingerprint", "timestamp_ns", "value", "string", "type"
+            )
+        return self._samples
+
+    def series(self) -> DataFrame:
+        if self._series is None:
+            self._series = self.catalog.read_series(self.spark).select(
+                "fingerprint", "labels", "type"
+            )
+        return self._series
+
+    def gin(self) -> DataFrame:
+        if self._gin is None:
+            self._gin = (
+                self.catalog.read(self.spark, "gin")
+                .select("key", "val", "fingerprint", "type")
+                .dropDuplicates()
+            )
+        return self._gin
+
+
+@dataclass
+class StorePromQLContext(PromQLContext):
+    """PromQL over the stored tables; the 15s rollup computes from the
+    stored metric rows with the same batch builder the streaming sink
+    uses (one cell layout, both paths)."""
+
+    catalog: Catalog | None = None
+
+    def metrics(self) -> DataFrame:
+        if self._metrics is None:
+            df = self.catalog.read(self.spark, "samples")
+            self._metrics = df.filter(F.col("type").isin(0, 2)).select(
+                "fingerprint", "timestamp_ns", "value", "string", "type"
+            )
+        return self._metrics
+
+    def rollup(self) -> DataFrame:
+        if self._rollup is None:
+            self._rollup = rollup_15s_batch(self.metrics())
+        return self._rollup
+
+    def series(self) -> DataFrame:
+        return self.catalog.read_series(self.spark).select(
+            "fingerprint", "labels", "type"
+        )
+
+    def logctx(self) -> LogQLContext:
+        if self._logctx is None:
+            self._logctx = StoreLogQLContext(
+                self.spark, self.sf_dir, catalog=self.catalog
+            )
+        return self._logctx
+
+
+def store_logql_context(spark, catalog: Catalog, **kw) -> StoreLogQLContext:
+    return StoreLogQLContext(spark, catalog.root, catalog=catalog, **kw)
+
+
+def store_promql_context(spark, catalog: Catalog, **kw) -> StorePromQLContext:
+    return StorePromQLContext(spark, catalog.root, catalog=catalog, **kw)
+
+
+@dataclass
+class StoreTraceQLContext(TraceQLContext):
+    """TraceQL over the stored tempo_traces / tempo_traces_attrs_gin
+    tables written by `spans_fanout` (ref: the reader's tempo service
+    queries those tables directly, reader/service/tempo.go)."""
+
+    catalog: Catalog | None = None
+
+    def spans(self) -> DataFrame:
+        if self._spans is None:
+            self._spans = self.catalog.read(self.spark, "tempo_traces").select(
+                "trace_id", "span_id", "parent_id", "name",
+                "timestamp_ns", "duration_ns", "service_name",
+            )
+        return self._spans
+
+    def attrs(self) -> DataFrame:
+        if self._attrs is None:
+            self._attrs = self.catalog.read(
+                self.spark, "tempo_traces_attrs_gin"
+            ).select(
+                "trace_id", "span_id", "timestamp_ns", "duration", "key", "val"
+            )
+        return self._attrs
+
+    def attr_map(self) -> DataFrame:
+        # row-oriented twin of the GIN: rebuild the per-span map (at
+        # scale this is its own stored table maintained at ingest, like
+        # the paired layouts the fixture views model)
+        return (
+            self.attrs()
+            .groupBy("trace_id", "span_id", "timestamp_ns", "duration")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("key", "val"))
+                ).alias("attrs")
+            )
+        )
+
+    def ancestors(self) -> DataFrame:
+        return ancestors_from_spans(self.spans())
+
+
+def store_traceql_context(spark, catalog: Catalog, **kw) -> StoreTraceQLContext:
+    return StoreTraceQLContext(spark, catalog.root, catalog=catalog, **kw)

@@ -69,6 +69,14 @@ class TraceQLContext:
             self._attrs = views.span_attrs(self.spark, self.sf_dir)
         return self._attrs
 
+    def attr_map(self) -> DataFrame:
+        """Per-span attr map layout; store-backed contexts override."""
+        return views.span_attr_map(self.spark, self.sf_dir)
+
+    def ancestors(self) -> DataFrame:
+        """Transitive ancestor closure; store-backed contexts override."""
+        return views.span_ancestors(self.spark, self.sf_dir)
+
 
 # intrinsics resolvable on the spans table itself — selectors touching
 # only these skip the attrs index entirely (ref: attrless.go:9)
@@ -144,7 +152,7 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
     # → false, matching "no index row → bit unset". The map layout is the
     # Spark-first equivalent of ClickHouse's PREWHERE-on-GIN: the N-term
     # scan costs the same as a 1-term scan instead of an N-bit shuffle.
-    amap = views.span_attr_map(ctx.spark, ctx.sf_dir)
+    amap = ctx.attr_map()
     return amap.filter(_build_map_cond(sel.expr)).select("trace_id", "span_id")
 
 
@@ -325,7 +333,7 @@ def _ancestors(ctx: TraceQLContext, span_set: DataFrame, spans: DataFrame) -> Da
     span_set: one join against the cached query-independent ancestor
     closure (views.span_ancestors) instead of an iterative per-query
     parent walk — the closure is the stored hierarchy index at scale."""
-    closure = views.span_ancestors(ctx.spark, ctx.sf_dir)
+    closure = ctx.ancestors()
     return closure.join(_small_side(ctx, span_set), ["trace_id", "span_id"], "left_semi")
 
 
@@ -369,7 +377,7 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
             # clickhouse_transpiler/aggregator.go:12 — the aggregator
             # selects the attr expression). Resolved via the per-span
             # attr map: missing key -> NULL, which sum/avg/min/max skip.
-            amap = views.span_attr_map(ctx.spark, ctx.sf_dir).select(
+            amap = ctx.attr_map().select(
                 "trace_id", "span_id", F.col("attrs").getItem(af.attr).alias("__attr_val")
             )
             agg_src = spans.join(amap, ["trace_id", "span_id"], "left")
@@ -450,7 +458,7 @@ def _with_span_attrs(
     named = sorted({a for a in attrs if a and a not in _INTRINSIC_COLS})
     if not named:
         return spans
-    amap = views.span_attr_map(ctx.spark, ctx.sf_dir).select(
+    amap = ctx.attr_map().select(
         "trace_id",
         "span_id",
         *[F.col("attrs").getItem(a).alias(_attr_colname(a)) for a in named],
