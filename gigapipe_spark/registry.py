@@ -3158,6 +3158,61 @@ register(
 )
 
 
+@register(
+    "store_roundtrip_logql",
+    """
+    SELECT * FROM (VALUES
+      ('hit 0', 1700000000000000000::BIGINT),
+      ('hit 1', 1700000010000000000::BIGINT),
+      ('hit 2', 1700000020000000000::BIGINT)
+    ) AS t(string, timestamp_ns)
+    """,
+)
+def store_roundtrip_logql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference loop, driver-visible: wire payload → loki_push
+    decode → ingest_fanout MV layer (samples/time_series/gin parquet) →
+    LogQL selector over the STORED tables (storage/query.py). The store
+    rebuilds from scratch each run (idempotent)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.logql.compiler import query_range
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import store_logql_context
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_roundtrip")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    payload = _json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        [str(t0 + i * 10_000_000_000), f"hit {i}"]
+                        for i in range(3)
+                    ],
+                },
+                {
+                    "stream": {"app": "db"},
+                    "values": [[str(t0), "other stream"]],
+                },
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    cat = Catalog(root)
+    # a 4-row demo batch: one partition end-to-end, not 200 shuffle slivers
+    ingest_fanout(loki_push(raw).coalesce(1), cat)
+    res = query_range(
+        store_logql_context(spark, cat), '{app="web"}', direction="forward"
+    )
+    return res.df.select("string", "timestamp_ns")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

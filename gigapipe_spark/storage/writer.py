@@ -127,6 +127,15 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     if "metadata" not in batch.columns:
         batch = finalize_entries(batch)
 
+    # Materialize the decoded batch once and TRUNCATE its logical plan:
+    # the fan-out runs three write jobs over it, and each would otherwise
+    # re-analyze (and re-execute) the decoder's deep lambda tree — on a
+    # wire-decoder lineage that analysis alone cost ~4.5s per action.
+    # The reference buffers decoded rows in column pools before its
+    # inserts for the same reason (generic_insert.go); localCheckpoint is
+    # the Spark analog (executor-local, sized to one flush batch).
+    batch = batch.localCheckpoint(eager=True)
+
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     with_date = batch.withColumn("date", date)
 
@@ -202,6 +211,8 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     tag-value autocomplete."""
     from gigapipe_spark.telemetry import observed_write
 
+    # one materialization for three MV writes (see ingest_fanout)
+    batch = batch.localCheckpoint(eager=True)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     with_date = batch.withColumn("date", date)
 
@@ -304,6 +315,8 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
     fingerprint = F.xxhash64(F.to_json(fp_entries))
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    # one materialization for four MV writes (see ingest_fanout)
+    batch = batch.localCheckpoint(eager=True)
     enriched = batch.select(
         "*",
         type_id.alias("type_id"),
