@@ -3213,6 +3213,103 @@ def store_roundtrip_logql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select("string", "timestamp_ns")
 
 
+@register(
+    "store_roundtrip_traceql",
+    """
+    SELECT * FROM (VALUES
+      (lpad('b1', 16, '0'), 'get /', 1500000::BIGINT)
+    ) AS t(span_id, name, duration_ns)
+    """,
+)
+def store_roundtrip_traceql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipkin push → spans_fanout (tempo_traces + attrs GIN) → TraceQL
+    attr selector over the stored tables."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.sources.ingest import zipkin_spans
+    from gigapipe_spark.storage.query import store_traceql_context
+    from gigapipe_spark.storage.writer import Catalog, spans_fanout
+    from gigapipe_spark.traceql.compiler import query as traceql_query
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_traceql")
+    shutil.rmtree(root, ignore_errors=True)
+    payload = _json.dumps(
+        [
+            {
+                "id": "b1", "traceId": "a1", "name": "get /",
+                "timestamp": 1700000000000000, "duration": 1500,
+                "localEndpoint": {"serviceName": "web"},
+                "tags": {"otel.status_code": "ERROR"},
+            },
+            {
+                "id": "b2", "traceId": "a1", "parentId": "b1",
+                "name": "select", "timestamp": 1700000000000100,
+                "duration": 900, "localEndpoint": {"serviceName": "db"},
+            },
+        ]
+    )
+    cat = Catalog(root)
+    spans_fanout(
+        zipkin_spans(
+            spark.createDataFrame([(payload,)], "payload string")
+        ).coalesce(1),
+        cat,
+    )
+    ctx = store_traceql_context(spark, cat)
+    return traceql_query(ctx, "{ status = error }").select(
+        "span_id", "name", "duration_ns"
+    )
+
+
+@register(
+    "store_roundtrip_promql",
+    """
+    SELECT * FROM (VALUES (5.0)) AS t(value)
+    """,
+)
+def store_roundtrip_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki values-triples (type-0 rows) → ingest_fanout → PromQL
+    instant vector over the stored samples (type IN (0,2) planner
+    filter): the newest sample inside the lookback window wins."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.promql.compiler import query as promql_query
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import store_promql_context
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_promql")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    payload = _json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        [str(t0 + i * 10_000_000_000), f"hit {i}", float(i)]
+                        for i in range(6)
+                    ],
+                }
+            ]
+        }
+    )
+    raw = spark.createDataFrame([(payload,)], "payload string")
+    cat = Catalog(root)
+    ingest_fanout(loki_push(raw).coalesce(1), cat)
+    ctx = store_promql_context(
+        spark, cat, start_ns=t0, end_ns=t0 + 60_000_000_000
+    )
+    df = promql_query(ctx, '{app="web"}')
+    return df.agg(F.max("value").alias("value"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
