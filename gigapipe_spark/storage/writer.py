@@ -450,3 +450,39 @@ def stream_fanout(decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def stream_spans_fanout(
+    decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
+    trigger_seconds: int = 5,
+):
+    """Streaming trace ingest: decoded spans stream → the tempo MV layer
+    per micro-batch (same trigger-as-timer-flush shape as samples)."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        spans_fanout(batch_df, catalog)
+
+    return (
+        decoded_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def stream_profiles_fanout(
+    decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
+    trigger_seconds: int = 5,
+):
+    """Streaming profile ingest: profiles_input-shaped stream → the
+    profiles MV layer per micro-batch."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        profiles_fanout(batch_df, catalog)
+
+    return (
+        decoded_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

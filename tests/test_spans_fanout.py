@@ -62,3 +62,34 @@ def test_spans_fanout_gin_sorted_for_selector_skip(spark, tmp_path):
     gin = cat.read(spark, "tempo_traces_attrs_gin")
     sel = gin.filter((F.col("key") == "http.path") & (F.col("val") == "/"))
     assert sel.count() == 1
+
+
+def test_stream_spans_fanout(spark, tmp_path):
+    """Streaming trace ingest: raw payload stream → zipkin decode →
+    tempo MV layer per micro-batch (the decoders are from_json-based so
+    the same transform runs under readStream)."""
+    import json as _json
+
+    from gigapipe_spark.storage.writer import stream_spans_fanout
+
+    src = str(tmp_path / "payloads")
+    payload = _json.dumps(
+        [{"id": "b1", "traceId": "a1", "name": "s", "timestamp": 1,
+          "duration": 2, "localEndpoint": {"serviceName": "w"}}]
+    )
+    spark.createDataFrame([(payload,)], "payload string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("payload string").parquet(src)
+    decoded = ingest.zipkin_spans(stream)
+    cat = Catalog(str(tmp_path / "store"))
+    q = stream_spans_fanout(
+        decoded, cat, str(tmp_path / "ck"), trigger_seconds=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = cat.read(spark, "tempo_traces").collect()
+    assert len(rows) == 1 and rows[0]["span_id"] == "b1".rjust(16, "0")
+    assert cat.read(spark, "tempo_traces_attrs_gin").count() > 0
