@@ -184,18 +184,36 @@ class Engine:
             fps = f if fps is None else fps.unionByName(f)
         return fps.distinct()
 
+    def _gin_scoped(
+        self,
+        start_ns: int | None,
+        end_ns: int | None,
+        labels_type: int | None,
+    ) -> DataFrame:
+        """GIN scan with the reference label planners' scoping: date
+        bounds (planner_label_names.go:26-29) and `type IN (T, 0)`
+        (:25 — 0 = series ingested as both log and metric). labels_type
+        None skips the type filter: the fixture views carry one type, so
+        the endpoints stay unscoped there; store-backed callers pass 1
+        (Loki) / 2 (Prometheus) like the reference's labelsType param."""
+        gin = _date_bounded(
+            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
+        )
+        if labels_type is not None:
+            gin = gin.filter(F.col("type").isin(0, labels_type))
+        return gin
+
     def loki_labels(
         self,
         match: str | list[str] | None = None,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        labels_type: int | None = None,
     ) -> DataFrame:
         """/loki/api/v1/labels — distinct label names from the GIN,
         optionally restricted to streams matching `match[]` selectors
         (ref: query_abels.go:106)."""
-        gin = _date_bounded(
-            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
-        )
+        gin = self._gin_scoped(start_ns, end_ns, labels_type)
         if match:
             gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
         return gin.select("key").distinct()
@@ -206,12 +224,11 @@ class Engine:
         match: str | list[str] | None = None,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        labels_type: int | None = None,
     ) -> DataFrame:
         """/loki/api/v1/label/{name}/values, with the same optional
         match[] scoping as labels."""
-        gin = _date_bounded(
-            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
-        )
+        gin = self._gin_scoped(start_ns, end_ns, labels_type)
         if match:
             gin = gin.join(F.broadcast(self._match_fps(match)), "fingerprint", "left_semi")
         return gin.filter(F.col("key") == name).select("val").distinct()
@@ -387,10 +404,12 @@ class Engine:
         match: str | list[str] | None = None,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        labels_type: int | None = None,
     ) -> DataFrame:
         """/api/v1/labels — same GIN as Loki (one unified store), same
-        optional match[] scoping and date bounds."""
-        return self.loki_labels(match, start_ns, end_ns)
+        optional match[] scoping, date bounds and type scoping
+        (labelsType=2 on the reference's Prometheus routes)."""
+        return self.loki_labels(match, start_ns, end_ns, labels_type)
 
     def prom_label_values(
         self,
@@ -398,8 +417,9 @@ class Engine:
         match: str | list[str] | None = None,
         start_ns: int | None = None,
         end_ns: int | None = None,
+        labels_type: int | None = None,
     ) -> DataFrame:
-        return self.loki_label_values(name, match, start_ns, end_ns)
+        return self.loki_label_values(name, match, start_ns, end_ns, labels_type)
 
     def prom_series(
         self,

@@ -458,3 +458,12 @@ def test_labels_date_bound_prunes_store_partitions(engine, spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
     assert "date" in seg
+
+
+def test_labels_type_scoping(engine):
+    """planner_label_names.go:25: type IN (T, 0). The fixture gin is all
+    type 1 (logs), so Loki scoping keeps everything and metric scoping
+    returns nothing — while type-0 rows would serve both."""
+    all_keys = engine.loki_labels().count()
+    assert engine.loki_labels(labels_type=1).count() == all_keys
+    assert engine.prom_labels(labels_type=2).count() == 0
