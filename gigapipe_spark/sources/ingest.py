@@ -1012,22 +1012,37 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     parsed = raw.select(
         F.from_json(F.col(payload_col), _otlp_traces_schema()).alias("p")
     )
+    def top_str_entries(attrs: Column) -> Column:
+        return F.transform(
+            F.coalesce(attrs, F.array()),
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                F.coalesce(a["value"]["stringValue"], F.lit("")).alias("value"),
+            ),
+        ).cast(_OTLP_ENTRY_T)
+
     spans = (
         parsed.select(F.explode("p.resourceSpans").alias("rs"))
         .select(
             _otlp_trace_attr_entries(F.col("rs.resource.attributes")).alias(
                 "__res"
             ),
+            top_str_entries(F.col("rs.resource.attributes")).alias("__res_top"),
             F.explode("rs.scopeSpans").alias("ss"),
         )
-        .select("__res", F.explode("ss.spans").alias("s"))
+        .select("__res", "__res_top", F.explode("ss.spans").alias("s"))
     )
     span_entries = _otlp_trace_attr_entries(F.col("s.attributes"))
-    combined = F.concat(span_entries, F.col("__res"))  # span first: lookups
+
+    # candidate/presence lookups run over the TOP-LEVEL KeyValue lists
+    # (getOtlpAttr, otlp.go:18-25), span attrs first then resource, and
+    # GetStringValue() semantics: a non-string candidate value reads as
+    # "" and is skipped (otlpGetServiceNames :27-57)
+    top = F.concat(top_str_entries(F.col("s.attributes")), F.col("__res_top"))
 
     def first_nonempty(keys: list[str]) -> Column:
         return F.coalesce(
-            *[F.nullif(_entries_first(combined, k), F.lit("")) for k in keys]
+            *[F.nullif(_entries_first(top, k), F.lit("")) for k in keys]
         )
 
     local = F.coalesce(
@@ -1038,7 +1053,7 @@ def otlp_traces(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     def fill_absent(key: str, val: Column) -> Column:
         e = F.struct(F.lit(key).alias("key"), val.alias("value"))
         return F.when(
-            _entries_first(combined, key).isNull(), F.array(e)
+            _entries_first(top, key).isNull(), F.array(e)
         ).otherwise(F.array().cast(_OTLP_ENTRY_T))
 
     status_code = F.coalesce(F.col("s.status.code"), F.lit(""))

@@ -436,6 +436,10 @@ def _flatten_attr(key: str, buf: bytes | None, prefix: str, out: dict[str, str])
                     k2, v2 = _kv_pair(kv)  # type: ignore[arg-type]
                     _flatten_attr(k2, v2, prefix + key + ".", out)
             return
+        if fno == 4:  # double: writeAttrValue uses %f (otlp.go:142),
+            # unlike the logs path's minimal-digit FormatFloat
+            out[prefix + key] = "%f" % struct.unpack("<d", v)[0]
+            return
     out[prefix + key] = _any_value(buf)
 
 
@@ -474,12 +478,12 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
         if fno != 1:
             continue
         res_attrs: dict[str, str] = {}
+        res_kvs: list[bytes] = []
         scope_spans: list[bytes] = []
         for f2, _, v2 in pb_fields(rs):  # type: ignore[arg-type]
             if f2 == 1:  # Resource{attributes=1}
-                res_attrs = _kv_attrs(
-                    [v for f3, _, v in pb_fields(v2) if f3 == 1]  # type: ignore[arg-type]
-                )
+                res_kvs = [v for f3, _, v in pb_fields(v2) if f3 == 1]  # type: ignore[arg-type]
+                res_attrs = _kv_attrs(res_kvs)
             elif f2 == 2:
                 scope_spans.append(v2)  # type: ignore[arg-type]
         for ss in scope_spans:
@@ -491,6 +495,7 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
                     "name": "", "start": 0, "end": 0,
                 }
                 span_attrs: dict[str, str] = {}
+                span_kvs: list[bytes] = []
                 kind_code = 0
                 status_code = 0
                 for f4, _, v4 in pb_fields(span):  # type: ignore[arg-type]
@@ -509,17 +514,32 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
                     elif f4 == 8:
                         rec["end"] = _fixed64(v4)
                     elif f4 == 9:
+                        span_kvs.append(v4)  # type: ignore[arg-type]
                         span_attrs.update(_kv_attrs([v4]))  # type: ignore[list-item]
                     elif f4 == 15:  # Status{code=3}
                         for f5, _, v5 in pb_fields(v4):  # type: ignore[arg-type]
                             if f5 == 3:
                                 status_code = int(v5)  # type: ignore[arg-type]
 
+                # getOtlpAttr analog (otlp.go:18-25): FIRST top-level
+                # KeyValue with the key, span attrs then resource, with
+                # GetStringValue semantics — non-string values read ""
+                top_pairs: list[tuple[str, str]] = []
+                for kv in span_kvs + res_kvs:
+                    k, vbuf = _kv_pair(kv)
+                    sval = ""
+                    if vbuf is not None:
+                        for f5, _, v5 in pb_fields(vbuf):
+                            if f5 == 1:
+                                sval = v5.decode()  # type: ignore[union-attr]
+                            break
+                    top_pairs.append((k, sval))
+
                 def lookup(key: str) -> str:
-                    # getOtlpAttr order: span attrs first, then resource
-                    if key in span_attrs:
-                        return span_attrs[key]
-                    return res_attrs.get(key, "")
+                    for k, v in top_pairs:
+                        if k == key:
+                            return v
+                    return ""
 
                 local = next(
                     (v for v in (lookup(k) for k in _OTLP_SVC_LOCAL) if v),
@@ -530,9 +550,10 @@ def decode_otlp_traces(data: bytes) -> Iterator[dict]:
                 )
                 attrs = dict(span_attrs)
                 attrs.update(res_attrs)  # resource overwrites (write order)
-                if "service.name" not in attrs:
+                top_keys = {k for k, _ in top_pairs}
+                if "service.name" not in top_keys:
                     attrs["service.name"] = local
-                if "remoteService.name" not in attrs:
+                if "remoteService.name" not in top_keys:
                     attrs["remoteService.name"] = remote
                 attrs["name"] = rec["name"]
                 attrs["status"] = {2: "error", 1: "ok"}.get(status_code, "unset")

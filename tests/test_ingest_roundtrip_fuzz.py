@@ -280,3 +280,151 @@ def test_loki_push_shapes_roundtrip_fuzz(spark):
         for r in rows
     }
     assert got == truth
+
+
+def test_otlp_traces_json_pb_parity_fuzz(spark):
+    """Randomized spans encoded BOTH as OTLP-JSON and protobuf must
+    decode to identical rows through the two independent paths — the
+    attr algebra (service-name candidates, resource-overwrites-span,
+    dotted array/kvlist flatten, %f doubles, status/kind) has no
+    divergence budget."""
+    from gigapipe_spark.sources.ingest import otlp_traces
+
+    rng = random.Random(31337)
+
+    def rand_scalar():
+        kind = rng.choice(["s", "b", "i", "d"])
+        if kind == "s":
+            v = rng.choice(["x", "with space", "ünï"])
+            return {"stringValue": v}, pw.pb_encode([(1, 2, v.encode())])
+        if kind == "b":
+            v = rng.random() < 0.5
+            return {"boolValue": v}, pw.pb_encode([(2, 0, 1 if v else 0)])
+        if kind == "i":
+            v = rng.randrange(-1000, 1000)
+            return {"intValue": str(v)}, pw.pb_encode([(3, 0, v & (2**64 - 1))])
+        v = round(rng.uniform(-100, 100), 3)
+        return {"doubleValue": v}, pw.pb_encode(
+            [(4, 1, struct.pack("<d", v))]
+        )
+
+    def rand_value():
+        shape = rng.choice(["scalar", "scalar", "array", "kvlist"])
+        if shape == "scalar":
+            return rand_scalar()
+        if shape == "array":
+            items = [rand_scalar() for _ in range(rng.randrange(1, 3))]
+            jv = {"arrayValue": {"values": [j for j, _ in items]}}
+            pv = pw.pb_encode(
+                [(5, 2, pw.pb_encode([(1, 2, p) for _, p in items]))]
+            )
+            return jv, pv
+        items = [(f"k{i}", rand_scalar()) for i in range(rng.randrange(1, 3))]
+        jv = {
+            "kvlistValue": {
+                "values": [{"key": k, "value": j} for k, (j, _) in items]
+            }
+        }
+        pv = pw.pb_encode(
+            [
+                (
+                    6,
+                    2,
+                    pw.pb_encode(
+                        [
+                            (1, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+                            for k, (_, p) in items
+                        ]
+                    ),
+                )
+            ]
+        )
+        return jv, pv
+
+    json_spans, pb_rs = [], []
+    for i in range(15):
+        tid, sid = f"{rng.randrange(16**32):032x}", f"{rng.randrange(16**16):016x}"
+        n_attrs = rng.randrange(0, 3)
+        attrs = []
+        for j in range(n_attrs):
+            key = rng.choice(["a.b", "peer.service", "faas.name", "plain"])
+            attrs.append((key, rand_value()))
+        res_attrs = []
+        if rng.random() < 0.7:
+            res_attrs.append(
+                ("service.name", ({"stringValue": "svc"}, pw.pb_encode([(1, 2, b"svc")])))
+            )
+        kind = rng.choice([0, 1, 2, 3, 4, 5])
+        status = rng.choice([0, 1, 2])
+        start = rng.randrange(1, 2**60)
+        dur = rng.randrange(1, 10**9)
+        json_spans.append(
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": k, "value": j} for k, (j, _) in res_attrs
+                    ]
+                },
+                "span": {
+                    "traceId": tid,
+                    "spanId": sid,
+                    "name": f"op{i}",
+                    "kind": str(kind),
+                    "status": {"code": str(status)},
+                    "startTimeUnixNano": str(start),
+                    "endTimeUnixNano": str(start + dur),
+                    "attributes": [
+                        {"key": k, "value": j} for k, (j, _) in attrs
+                    ],
+                },
+            }
+        )
+        span_pb = pw.pb_encode(
+            [
+                (1, 2, bytes.fromhex(tid)),
+                (2, 2, bytes.fromhex(sid)),
+                (5, 2, f"op{i}".encode()),
+                (3, 0, kind),
+                (7, 1, struct.pack("<Q", start)),
+                (8, 1, struct.pack("<Q", start + dur)),
+                *[(9, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+                  for k, (_, p) in attrs],
+                (15, 2, pw.pb_encode([(3, 0, status)])),
+            ]
+        )
+        scope = pw.pb_encode([(2, 2, span_pb)])
+        resource = pw.pb_encode(
+            [(1, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+             for k, (_, p) in res_attrs]
+        )
+        pb_rs.append((1, 2, pw.pb_encode([(1, 2, resource), (2, 2, scope)])))
+
+    payload = json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": sp["resource"],
+                    "scopeSpans": [{"spans": [sp["span"]]}],
+                }
+                for sp in json_spans
+            ]
+        }
+    )
+    json_rows = otlp_traces(
+        spark.createDataFrame([(payload,)], "payload string")
+    ).collect()
+    pb_rows = pw.otlp_traces_pb(
+        spark.createDataFrame(
+            [(bytearray(pw.pb_encode(pb_rs)),)], "payload binary"
+        )
+    ).collect()
+
+    def norm(rows):
+        return sorted(
+            (r["trace_id"], r["span_id"], r["name"], r["timestamp_ns"],
+             r["duration_ns"], r["service_name"],
+             tuple(sorted(r["attrs"].items())))
+            for r in rows
+        )
+
+    assert norm(json_rows) == norm(pb_rows)
