@@ -1144,6 +1144,9 @@ def _otlp_key(k: Column) -> Column:
 
 
 def _otlp_scalar(v: Column) -> Column:
+    # doubles: Spark's cast renders scientific notation outside
+    # ~[1e-4, 1e16) where Go's FormatFloat('f', -1) never does — a
+    # documented divergence at the extremes of the double range
     return (
         F.when(v["stringValue"].isNotNull(), v["stringValue"])
         .when(v["boolValue"].isNotNull(), v["boolValue"].cast("string"))

@@ -443,6 +443,75 @@ def _flatten_attr(key: str, buf: bytes | None, prefix: str, out: dict[str, str])
     out[prefix + key] = _any_value(buf)
 
 
+def _sanitize_key_py(key: str) -> str:
+    """SanitizeKey (otlplogs.go:104-115): non-[a-zA-Z0-9_] → '_', leading
+    digit (or empty) gets a '_' PREFIX."""
+    out = re.sub(r"[^a-zA-Z0-9_]", "_", key)
+    if not out or out[0].isdigit():
+        out = "_" + out
+    return out
+
+
+def _go_float_str(v: float) -> str:
+    """strconv.FormatFloat(v, 'f', -1, 64): shortest round-trip digits,
+    never exponent notation."""
+    r = repr(v)
+    if "e" not in r and "E" not in r:
+        return r
+    from decimal import Decimal
+
+    return format(Decimal(r), "f")
+
+
+def _sanitize_value_pb(buf: bytes | None) -> str:
+    """SanitizeValue (otlplogs.go:117-145) over a raw AnyValue buffer:
+    scalars stringify (bytes → base64), arrays → JSON array of
+    stringified items, kvlists → JSON object with sanitized sorted keys.
+    The LOGS attr algebra — unlike the traces path, nothing flattens."""
+    import base64
+
+    if buf is None:
+        return ""
+    for fno, _, v in pb_fields(buf):
+        if fno == 1:
+            return v.decode()  # type: ignore[union-attr]
+        if fno == 2:
+            return "true" if v else "false"
+        if fno == 3:
+            return str(_i64(v))  # type: ignore[arg-type]
+        if fno == 4:
+            return _go_float_str(struct.unpack("<d", v)[0])  # type: ignore[arg-type]
+        if fno == 7:
+            return base64.b64encode(v).decode()  # type: ignore[arg-type]
+        if fno == 5:  # ArrayValue{values=1}
+            items = [
+                _sanitize_value_pb(v2)
+                for f2, _, v2 in pb_fields(v)  # type: ignore[arg-type]
+                if f2 == 1
+            ]
+            return json.dumps(items, separators=(",", ":"), ensure_ascii=False)
+        if fno == 6:  # KeyValueList{values=1}
+            kv_map = {}
+            for f2, _, kv in pb_fields(v):  # type: ignore[arg-type]
+                if f2 == 1:
+                    k2, v2 = _kv_pair(kv)  # type: ignore[arg-type]
+                    kv_map[_sanitize_key_py(k2)] = _sanitize_value_pb(v2)
+            return json.dumps(
+                kv_map, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+            )
+    return ""
+
+
+def _log_attrs(msgs: list[bytes]) -> dict[str, str]:
+    """KeyValue list → {SanitizeKey(k): SanitizeValue(v)} — the logs-path
+    attr map (otlplogs.go writeAttrValue :99-101; NO dotted flatten)."""
+    out: dict[str, str] = {}
+    for m in msgs:
+        key, val = _kv_pair(m)
+        out[_sanitize_key_py(key)] = _sanitize_value_pb(val)
+    return out
+
+
 def _kv_attrs(msgs: list[bytes]) -> dict[str, str]:
     out: dict[str, str] = {}
     for m in msgs:
@@ -641,18 +710,25 @@ def decode_otlp_logs(data: bytes) -> Iterator[tuple[dict, int, str]]:
         scope_logs: list[bytes] = []
         for f2, _, v2 in pb_fields(rl):  # type: ignore[arg-type]
             if f2 == 1:
-                res_attrs = _kv_attrs(
+                res_attrs = _log_attrs(
                     [v for f3, _, v in pb_fields(v2) if f3 == 1]  # type: ignore[arg-type]
                 )
             elif f2 == 2:
                 scope_logs.append(v2)  # type: ignore[arg-type]
         for sl in scope_logs:
+            scope_attrs: dict[str, str] = {}
+            for f3, _, v3 in pb_fields(sl):
+                if f3 == 1:  # InstrumentationScope{attributes=3}
+                    scope_attrs = _log_attrs(
+                        [v for f4, _, v in pb_fields(v3) if f4 == 3]  # type: ignore[arg-type]
+                    )
             for f3, _, rec in pb_fields(sl):
                 if f3 != 2:
                     continue
                 ts, obs_ts, sev, body = 0, 0, "", ""
                 tid = sid = b""
                 labels = dict(res_attrs)
+                labels.update(scope_attrs)
                 for f4, _, v4 in pb_fields(rec):  # type: ignore[arg-type]
                     if f4 == 1:
                         ts = _fixed64(v4)
@@ -661,9 +737,9 @@ def decode_otlp_logs(data: bytes) -> Iterator[tuple[dict, int, str]]:
                     elif f4 == 3:
                         sev = v4.decode()  # type: ignore[union-attr]
                     elif f4 == 5:
-                        body = _any_value(v4)  # type: ignore[arg-type]
+                        body = _sanitize_value_pb(v4)  # type: ignore[arg-type]
                     elif f4 == 6:
-                        labels.update(_kv_attrs([v4]))  # type: ignore[list-item]
+                        labels.update(_log_attrs([v4]))  # type: ignore[list-item]
                     elif f4 == 9:
                         tid = v4  # type: ignore[assignment]
                     elif f4 == 10:

@@ -428,3 +428,112 @@ def test_otlp_traces_json_pb_parity_fuzz(spark):
         )
 
     assert norm(json_rows) == norm(pb_rows)
+
+
+def test_otlp_logs_json_pb_parity_fuzz(spark):
+    """Randomized log records encoded as OTLP-JSON and protobuf decode to
+    identical rows: SanitizeKey/SanitizeValue algebra, level label, trace
+    context, observed-time fallback."""
+    from gigapipe_spark.sources.ingest import otlp_logs
+
+    rng = random.Random(2718)
+
+    def rand_scalar():
+        kind = rng.choice(["s", "b", "i", "d"])
+        if kind == "s":
+            v = rng.choice(["x", "sp ace", "üñî"])
+            return {"stringValue": v}, pw.pb_encode([(1, 2, v.encode())])
+        if kind == "b":
+            v = rng.random() < 0.5
+            return {"boolValue": v}, pw.pb_encode([(2, 0, 1 if v else 0)])
+        if kind == "i":
+            v = rng.randrange(-10**6, 10**6)
+            return {"intValue": str(v)}, pw.pb_encode([(3, 0, v & (2**64 - 1))])
+        v = round(rng.uniform(-1000, 1000), 4)
+        return {"doubleValue": v}, pw.pb_encode([(4, 1, struct.pack("<d", v))])
+
+    def rand_value():
+        shape = rng.choice(["scalar", "scalar", "array", "kvlist"])
+        if shape == "scalar":
+            return rand_scalar()
+        if shape == "array":
+            items = [rand_scalar() for _ in range(rng.randrange(1, 3))]
+            return (
+                {"arrayValue": {"values": [j for j, _ in items]}},
+                pw.pb_encode([(5, 2, pw.pb_encode([(1, 2, p) for _, p in items]))]),
+            )
+        items = [(f"9k.{i}", rand_scalar()) for i in range(rng.randrange(1, 3))]
+        return (
+            {"kvlistValue": {"values": [{"key": k, "value": j} for k, (j, _) in items]}},
+            pw.pb_encode(
+                [(6, 2, pw.pb_encode(
+                    [(1, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+                     for k, (_, p) in items]))]
+            ),
+        )
+
+    json_rls, pb_rls = [], []
+    for i in range(12):
+        attrs = [
+            (rng.choice(["a.b", "9lead", "plain"]), rand_value())
+            for _ in range(rng.randrange(0, 3))
+        ]
+        body_j, body_p = rand_value()
+        sev = rng.choice(["", "ERROR", "warn"])
+        ts = rng.randrange(1, 2**60)
+        tid = f"{rng.randrange(1, 16**32):032x}"
+        sid = f"{rng.randrange(1, 16**16):016x}"
+        rec_j = {
+            "timeUnixNano": str(ts),
+            "severityText": sev,
+            "traceId": tid,
+            "spanId": sid,
+            "body": body_j,
+            "attributes": [{"key": k, "value": j} for k, (j, _) in attrs],
+        }
+        rec_p = pw.pb_encode(
+            [
+                (1, 1, struct.pack("<Q", ts)),
+                (3, 2, sev.encode()),
+                (9, 2, bytes.fromhex(tid)),
+                (10, 2, bytes.fromhex(sid)),
+                (5, 2, body_p),
+                *[(6, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+                  for k, (_, p) in attrs],
+            ]
+        )
+        res = [("service.name", ({"stringValue": "api"},
+                pw.pb_encode([(1, 2, b"api")])))]
+        json_rls.append(
+            {
+                "resource": {
+                    "attributes": [{"key": k, "value": j} for k, (j, _) in res]
+                },
+                "scopeLogs": [{"logRecords": [rec_j]}],
+            }
+        )
+        resource = pw.pb_encode(
+            [(1, 2, pw.pb_encode([(1, 2, k.encode()), (2, 2, p)]))
+             for k, (_, p) in res]
+        )
+        scope = pw.pb_encode([(2, 2, rec_p)])
+        pb_rls.append((1, 2, pw.pb_encode([(1, 2, resource), (2, 2, scope)])))
+
+    json_rows = otlp_logs(
+        spark.createDataFrame(
+            [(json.dumps({"resourceLogs": json_rls}),)], "payload string"
+        )
+    ).collect()
+    pb_rows = pw.otlp_logs_pb(
+        spark.createDataFrame(
+            [(bytearray(pw.pb_encode(pb_rls)),)], "payload binary"
+        )
+    ).collect()
+
+    def norm(rows):
+        return sorted(
+            (r["timestamp_ns"], r["string"], tuple(sorted(r["labels"].items())))
+            for r in rows
+        )
+
+    assert norm(json_rows) == norm(pb_rows)
