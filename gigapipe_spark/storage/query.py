@@ -143,9 +143,15 @@ class StoreTraceQLContext(TraceQLContext):
         return self._attrs
 
     def attr_map(self) -> DataFrame:
-        # row-oriented twin of the GIN: rebuild the per-span map (at
-        # scale this is its own stored table maintained at ingest, like
-        # the paired layouts the fixture views model)
+        # row-oriented twin of the GIN — its own stored table maintained
+        # at ingest (spans_fanout); falls back to a rebuild for stores
+        # written before the table existed
+        import os
+
+        if os.path.isdir(self.catalog.path("tempo_traces_attr_map")):
+            return self.catalog.read(self.spark, "tempo_traces_attr_map").select(
+                "trace_id", "span_id", "timestamp_ns", "duration", "attrs"
+            )
         return (
             self.attrs()
             .groupBy("trace_id", "span_id", "timestamp_ns", "duration")

@@ -263,6 +263,27 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
         bytes_col=None,
     )
 
+    # row-oriented attr-map twin of the GIN (the layout TraceQL selector
+    # evaluation scans; maintained at ingest so queries never rebuild it
+    # — the promise the fixture views make, kept on the store)
+    amap = with_date.select(
+        "date",
+        "trace_id",
+        "span_id",
+        "timestamp_ns",
+        F.col("duration_ns").alias("duration"),
+        "attrs",
+    )
+    observed_write(
+        amap,
+        "tempo_traces_attr_map",
+        lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("tempo_traces_attr_map")),
+        bytes_col=None,
+    )
+
 
 def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """profiles_input batch → profiles + profiles_series +
