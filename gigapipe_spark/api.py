@@ -133,6 +133,22 @@ class Engine:
             )
         return self._tracectx
 
+    # ------------------------------------------------- table providers
+    # Every endpoint reads its tables through these, so a store-backed
+    # engine (storage/query.StoreEngine) redirects the WHOLE surface by
+    # overriding four methods.
+    def samples_table(self) -> DataFrame:
+        return views.samples(self.spark, self.sf_dir)
+
+    def metric_samples_table(self) -> DataFrame:
+        return views.metric_samples(self.spark, self.sf_dir)
+
+    def series_table(self) -> DataFrame:
+        return views.time_series(self.spark, self.sf_dir)
+
+    def gin_table(self) -> DataFrame:
+        return views.time_series_gin(self.spark, self.sf_dir)
+
     # ------------------------------------------------------ Loki
     def loki_query_range(
         self,
@@ -197,7 +213,7 @@ class Engine:
         the endpoints stay unscoped there; store-backed callers pass 1
         (Loki) / 2 (Prometheus) like the reference's labelsType param."""
         gin = _date_bounded(
-            views.time_series_gin(self.spark, self.sf_dir), start_ns, end_ns
+            self.gin_table(), start_ns, end_ns
         )
         if labels_type is not None:
             gin = gin.filter(F.col("type").isin(0, labels_type))
@@ -244,7 +260,7 @@ class Engine:
         planner_multi_stream_select.go:8)."""
         fps = self._match_fps(match)
         series = _date_bounded(
-            views.time_series(self.spark, self.sf_dir), start_ns, end_ns
+            self.series_table(), start_ns, end_ns
         )
         return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
             "fingerprint", "labels"
@@ -252,7 +268,7 @@ class Engine:
 
     def loki_index_stats(self) -> DataFrame:
         """/loki/api/v1/index/stats (ref: service/query_range.go:804)."""
-        s = views.samples(self.spark, self.sf_dir)
+        s = self.samples_table()
         return s.agg(
             F.countDistinct("fingerprint").alias("streams"),
             F.count(F.lit(1)).alias("entries"),
@@ -280,8 +296,8 @@ class Engine:
         (getLabelsForVolume query_range.go:146). Without `query`, the
         legacy single-label whole-store rollup stays."""
         if query is None:
-            s = views.samples(self.spark, self.sf_dir)
-            series = views.time_series(self.spark, self.sf_dir)
+            s = self.samples_table()
+            series = self.series_table()
             return (
                 s.join(
                     F.broadcast(series.select("fingerprint", "labels")), "fingerprint"
@@ -313,7 +329,7 @@ class Engine:
         the matched fingerprints (ref: service/query_range.go:222 →
         clickhouse_planner/planner.go:183 planDetectLabels: nil script
         = whole store, else planTS then detect)."""
-        gin = views.time_series_gin(self.spark, self.sf_dir)
+        gin = self.gin_table()
         if query is not None:
             gin = gin.join(
                 F.broadcast(self._match_fps(query)), "fingerprint", "left_semi"
@@ -326,7 +342,7 @@ class Engine:
         the JSON payload, with how many lines carry each. `query`
         scopes the scan to the selector's streams like the labels
         twin."""
-        s = views.samples(self.spark, self.sf_dir)
+        s = self.samples_table()
         if query is not None:
             s = s.join(
                 F.broadcast(self._match_fps(query)), "fingerprint", "left_semi"
@@ -344,7 +360,7 @@ class Engine:
         """/loki/api/v1/patterns (ref: SURVEY §2.7 read side)."""
         from gigapipe_spark.patterns.cluster import mine_patterns, read_patterns
 
-        return read_patterns(mine_patterns(views.samples(self.spark, self.sf_dir)))
+        return read_patterns(mine_patterns(self.samples_table()))
 
     def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
         """/loki/api/v1/tail — returns the poll-loop Tailer (the
@@ -445,8 +461,8 @@ class Engine:
     def prom_metadata(self) -> DataFrame:
         """/api/v1/metadata — metric names with sample counts (the
         closest stored analogue of Prometheus metadata)."""
-        m = views.metric_samples(self.spark, self.sf_dir)
-        series = views.time_series(self.spark, self.sf_dir)
+        m = self.metric_samples_table()
+        series = self.series_table()
         return (
             m.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
             .groupBy(F.col("labels")["app"].alias("metric"))
@@ -826,7 +842,7 @@ class Engine:
         """/ready (ref: controller/misc.go Ready): the reference's
         watchdog checks the datastore answers; here a 1-row probe over
         the store plays that role — failure raises, mirroring the 500."""
-        views.time_series(self.spark, self.sf_dir).limit(1).collect()
+        self.series_table().limit(1).collect()
         return "OK"
 
     def config(self) -> str:

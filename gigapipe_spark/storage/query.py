@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gigapipe_spark.api import Engine
 from gigapipe_spark.logql.compiler import LogQLContext
 from gigapipe_spark.promql.compiler import PromQLContext
 from gigapipe_spark.sources.views import ancestors_from_spans
@@ -168,3 +169,83 @@ class StoreTraceQLContext(TraceQLContext):
 
 def store_traceql_context(spark, catalog: Catalog, **kw) -> StoreTraceQLContext:
     return StoreTraceQLContext(spark, catalog.root, catalog=catalog, **kw)
+
+
+@dataclass
+class StoreEngine(Engine):
+    """The full endpoint facade over a written store: every loki_* /
+    prom_* / tempo_* route family reads the `*_fanout` tables instead of
+    the fixture views — the complete reference deployment shape (writer
+    tables + reader services) in one embeddable object.
+
+    The pyroscope render family is NOT wired to the store yet: the
+    stored profiles table carries payload/values_agg (profiles.sql:19)
+    while the render path consumes the fixture tree layout; those
+    methods raise with that explanation rather than silently reading
+    fixture views.
+    """
+
+    catalog: Catalog | None = None
+
+    # contexts → store-backed twins
+    def logctx(self) -> LogQLContext:
+        if self._logctx is None:
+            self._logctx = StoreLogQLContext(
+                self.spark, self.sf_dir, catalog=self.catalog
+            )
+        return self._logctx
+
+    def promctx(self) -> PromQLContext:
+        if self._promctx is None:
+            self._promctx = StorePromQLContext(
+                self.spark,
+                self.sf_dir,
+                step_ns=self.prom_step_ns,
+                catalog=self.catalog,
+            )
+        return self._promctx
+
+    def tracectx(self) -> TraceQLContext:
+        if self._tracectx is None:
+            self._tracectx = StoreTraceQLContext(
+                self.spark,
+                self.sf_dir,
+                step_ns=self.trace_step_ns,
+                catalog=self.catalog,
+            )
+        return self._tracectx
+
+    # table providers → stored tables (date columns flow through, so the
+    # label endpoints' _date_bounded becomes real partition pruning)
+    def samples_table(self) -> DataFrame:
+        return self.catalog.read(self.spark, "samples").filter(
+            F.col("type").isin(0, 1)
+        )
+
+    def metric_samples_table(self) -> DataFrame:
+        return self.catalog.read(self.spark, "samples").filter(
+            F.col("type").isin(0, 2)
+        )
+
+    def series_table(self) -> DataFrame:
+        return self.catalog.read_series(self.spark)
+
+    def gin_table(self) -> DataFrame:
+        return self.catalog.read(self.spark, "gin")
+
+    def prom_metadata(self) -> DataFrame:
+        """Real stored metadata (metadata.go) instead of the fixture's
+        sample-count approximation."""
+        return self.catalog.metadata(self.spark)
+
+    def _no_store_profiles(self):
+        raise NotImplementedError(
+            "pyroscope render over the store needs a stored tree layout; "
+            "the profiles fan-out stores payload/values_agg (profiles.sql)"
+        )
+
+    def pyroscope_render(self, *a, **kw):
+        self._no_store_profiles()
+
+    def pyroscope_render_diff(self, *a, **kw):
+        self._no_store_profiles()

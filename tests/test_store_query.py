@@ -137,3 +137,30 @@ def test_store_traceql(spark, tmp_path):
     # intrinsic-only fast path over the stored fact table
     dur = traceql_query(ctx, "{ duration > 1ms }").collect()
     assert {r["span_id"] for r in dur} == {"b1".rjust(16, "0")}
+
+
+def test_store_engine_endpoints(spark, tmp_path):
+    """The endpoint facade over a written store: labels/values/series/
+    query_range/index stats all read the fan-out tables."""
+    from gigapipe_spark.storage.query import StoreEngine
+
+    cat = _seed(spark, tmp_path)
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    keys = {r["key"] for r in eng.loki_labels().collect()}
+    assert {"app", "service_name"} <= keys
+    vals = {r["val"] for r in eng.loki_label_values("app").collect()}
+    assert vals == {"web", "db"}
+    assert eng.loki_series('{app="web"}').count() == 1
+    rows = eng.loki_query_range('{app="web"}', limit=2).collect()
+    assert len(rows) == 2
+    st = eng.loki_index_stats().collect()[0]
+    assert st["streams"] == 2 and st["entries"] == 7
+    # prometheus over the same store: type-0 rows serve as metrics
+    inst = eng.prom_query('{app="web"}')
+    assert inst.count() >= 1
+    # metadata comes from the STORED column (none ingested here → empty)
+    assert eng.prom_metadata().count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        eng.pyroscope_render()
