@@ -238,14 +238,57 @@ class StoreEngine(Engine):
         sample-count approximation."""
         return self.catalog.metadata(self.spark)
 
-    def _no_store_profiles(self):
-        raise NotImplementedError(
-            "pyroscope render over the store needs a stored tree layout; "
-            "the profiles fan-out stores payload/values_agg (profiles.sql)"
+    def _folded_tree(
+        self, service: str | None, profile_type_id: str | None
+    ) -> DataFrame:
+        """Merged tree rows from the stored folded-stack layout
+        (profiles_folded, written by folded_fanout)."""
+        from gigapipe_spark.prof import selector as psel
+        from gigapipe_spark.sources.ingest import collapsed_stacks
+
+        df = self.catalog.read(self.spark, "profiles_folded")
+        if service is not None:
+            df = df.filter(F.col("service_name") == service)
+        if profile_type_id is not None:
+            tid = psel.parse_type_id(profile_type_id)
+            stored = ":".join([tid.tp, tid.period_type, tid.period_unit])
+            df = df.filter(F.col("type_id") == stored)
+        merged = df.select(F.lit("all").alias("profile_id"), "line")
+        return collapsed_stacks(merged)
+
+    def pyroscope_render(
+        self,
+        service: str | None = None,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
+    ) -> list:
+        """/pyroscope/render over the STORE: merge the folded-stack
+        table scoped by service / type-id, then BFS levels — the same
+        response shape as the fixture engine. Label selectors need the
+        profiles series/gin scoping, not wired here yet."""
+        if selector is not None:
+            raise NotImplementedError(
+                "store render supports service/profile_type_id scoping; "
+                "label selectors need the profiles_series_gin join"
+            )
+        from gigapipe_spark.prof.tree import flamegraph_levels
+
+        rows = self._folded_tree(service, profile_type_id).collect()
+        return flamegraph_levels(rows)
+
+    def pyroscope_render_diff(
+        self,
+        left_service: str,
+        right_service: str,
+        profile_type_id: str | None = None,
+    ) -> DataFrame:
+        """/pyroscope/render-diff over the store: per-side merged trees,
+        full-outer diff (prof_tree.go:308)."""
+        from gigapipe_spark.prof.tree import diff_trees
+
+        left = self._folded_tree(left_service, profile_type_id)
+        right = self._folded_tree(right_service, profile_type_id)
+        return diff_trees(
+            left.drop("profile_id", "fn_name"),
+            right.drop("profile_id", "fn_name"),
         )
-
-    def pyroscope_render(self, *a, **kw):
-        self._no_store_profiles()
-
-    def pyroscope_render_diff(self, *a, **kw):
-        self._no_store_profiles()

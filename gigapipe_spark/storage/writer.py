@@ -507,3 +507,30 @@ def stream_profiles_fanout(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
+    """Folded-stack profile batch → profiles_folded (the queryable
+    flamegraph layout for the store; the pprof/collapsed ingest decoders
+    produce these lines — ref: go_pprof.go:82 folded conversion).
+
+    Input columns: timestamp_ns, service_name, type_id (tp:pt:pu like
+    profiles.sql), profile_id, line ("a;b;c 42"). Date-partitioned and
+    in-file sorted by (type_id, service_name) so a type-scoped render
+    reads only its row groups."""
+    from gigapipe_spark.telemetry import observed_write
+
+    batch = batch.localCheckpoint(eager=True)
+    date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    observed_write(
+        batch.withColumn("date", date).select(
+            "date", "timestamp_ns", "service_name", "type_id",
+            "profile_id", "line",
+        ),
+        "profiles_folded",
+        lambda df: df.sortWithinPartitions("type_id", "service_name")
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(catalog.path("profiles_folded")),
+        bytes_col="line",
+    )

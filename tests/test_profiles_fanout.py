@@ -82,3 +82,47 @@ def test_profiles_fingerprint_tag_order_invariant(spark, tmp_path):
     profiles_fanout(df, cat)
     prof = cat.read(spark, "profiles")
     assert prof.select("fingerprint").distinct().count() == 1
+
+
+def test_folded_fanout_store_render(spark, tmp_path):
+    """pprof/collapsed ingest → profiles_folded store → StoreEngine
+    render levels + diff over the stored layout."""
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import folded_fanout
+
+    rows = [
+        (1_700_000_000_000_000_000, "api", "memory:space:bytes", "p1",
+         "main;alloc 10"),
+        (1_700_000_000_000_000_000, "api", "memory:space:bytes", "p1",
+         "main;alloc;big 5"),
+        (1_700_000_000_000_000_000, "api", "process_cpu:cpu:ns", "p2",
+         "main;cpu 99"),
+        (1_700_000_000_000_000_000, "web", "memory:space:bytes", "p3",
+         "main;alloc 7"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "timestamp_ns long, service_name string, type_id string,"
+        " profile_id string, line string",
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    folded_fanout(batch, cat)
+
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    levels = eng.pyroscope_render(
+        service="api",
+        profile_type_id="memory:alloc_space:bytes:space:bytes",
+    )
+    # root level: main total = 15 (the cpu profile is type-scoped out)
+    assert levels[0][0]["fn_name"] == "main" and levels[0][0]["total"] == 15
+    alloc = [n for n in levels[1] if n["fn_name"] == "alloc"][0]
+    assert alloc["total"] == 15 and alloc["self"] == 10
+
+    diff = eng.pyroscope_render_diff(
+        "api", "web", profile_type_id="memory:alloc_space:bytes:space:bytes"
+    ).collect()
+    d = {r["id"]: r for r in diff}
+    # alloc: left 15 vs right 7 → total_delta -8
+    assert any(r["total_delta"] == -8 for r in diff)
+    # the big frame exists only on the left
+    assert any(r["total_left"] == 5 and r["total_right"] == 0 for r in diff)
