@@ -126,3 +126,38 @@ def test_folded_fanout_store_render(spark, tmp_path):
     assert any(r["total_delta"] == -8 for r in diff)
     # the big frame exists only on the left
     assert any(r["total_left"] == 5 and r["total_right"] == 0 for r in diff)
+
+
+def test_pprof_ingest_to_store_render(spark, tmp_path):
+    """Full profile loop: binary pprof body → pprof_folded decode →
+    folded_fanout store → StoreEngine flamegraph (the /ingest →
+    /pyroscope/render path over the written layout)."""
+    import gzip
+
+    from gigapipe_spark.sources import protowire as pw
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import folded_fanout
+    from tests.test_protowire import _pprof
+
+    raw = spark.createDataFrame(
+        [("p1", bytearray(gzip.compress(_pprof())))],
+        "profile_id string, payload binary",
+    )
+    folded = pw.pprof_folded(raw).select(
+        F.lit(1_700_000_000_000_000_000).alias("timestamp_ns"),
+        F.lit("api").alias("service_name"),
+        F.lit("process_cpu:cpu:nanoseconds").alias("type_id"),
+        "profile_id",
+        "line",
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    folded_fanout(folded, cat)
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    levels = eng.pyroscope_render(
+        service="api",
+        profile_type_id="process_cpu:samples:count:cpu:nanoseconds",
+    )
+    root = levels[0][0]
+    assert root["fn_name"] == "main" and root["total"] == 12
+    foo = [n for n in levels[1] if n["fn_name"] == "foo"][0]
+    assert foo["total"] == 12 and foo["self"] == 5
