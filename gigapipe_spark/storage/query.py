@@ -68,10 +68,14 @@ class StoreLogQLContext(LogQLContext):
 
     def gin(self) -> DataFrame:
         if self._gin is None:
-            self._gin = (
-                self.catalog.read(self.spark, "gin")
-                .select("key", "val", "fingerprint", "type")
-                .dropDuplicates()
+            # NO dedup shuffle: every consumer of the GIN is
+            # duplicate-tolerant (bit_or bitmask collapse, semi/anti
+            # joins, distinct on the label endpoints), so cross-date
+            # duplicate (key,val,fp) rows cost nothing — a
+            # dropDuplicates here would shuffle the whole index per
+            # query at scale for no semantic gain
+            self._gin = self.catalog.read(self.spark, "gin").select(
+                "key", "val", "fingerprint", "type"
             )
         return self._gin
 
