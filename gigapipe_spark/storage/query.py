@@ -247,9 +247,16 @@ class StoreEngine(Engine):
     ) -> DataFrame:
         """Merged tree rows from the stored folded-stack layout
         (profiles_folded, written by folded_fanout)."""
+        import os
+
         from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.sources.ingest import collapsed_stacks
 
+        if not os.path.isdir(self.catalog.path("profiles_folded")):
+            raise FileNotFoundError(
+                "no profiles_folded table in this store — ingest profiles "
+                "through folded_fanout first"
+            )
         df = self.catalog.read(self.spark, "profiles_folded")
         if service is not None:
             df = df.filter(F.col("service_name") == service)

@@ -162,5 +162,7 @@ def test_store_engine_endpoints(spark, tmp_path):
     assert eng.prom_metadata().count() == 0
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # no profiles were ingested into this store → clear error, not a
+    # silent fixture-view fallback
+    with _pytest.raises(FileNotFoundError, match="profiles_folded"):
         eng.pyroscope_render()
