@@ -19,6 +19,8 @@ fingerprinting: (labels map, timestamp_ns, string|value).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1256,3 +1258,31 @@ def otlp_logs(
         F.lit("")
     )
     return recs.select(*_normalize(_entries_map(entries), ts, body, F.lit(0.0), 1))
+
+
+def parse_pyroscope_name(name: str) -> tuple[str, dict[str, str]]:
+    """Pyroscope /ingest `name` query param: `service{k=v,k2=v2}` →
+    (service, tags) (ref: go_pprof.go:98-120 — the reference splits the
+    {...} body on '=' and ',' with no quoting, erroring on an odd word
+    count; mirrored exactly, quirks included)."""
+    i = name.find("{")
+    if i < 0:
+        return name, {}
+    body = name[i + 1 : len(name) - 1]
+    if not body:
+        return name[:i], {}
+    words = [w for w in _re.split(r"[=,]", body) if w != ""]
+    if not words or len(words) % 2 != 0:
+        raise ValueError("failed to compile labels")
+    return name[:i], dict(zip(words[::2], words[1::2]))
+
+
+def pyroscope_ingest_ns(timestamp: int) -> int:
+    """Normalize a /ingest from/until value to nanoseconds
+    (ref: binary_pprof.go:19-24: multiply by 10 until ns scale)."""
+    ts = int(timestamp)
+    if ts <= 0:
+        return ts
+    while ts < 1_000_000_000_000_000_000:
+        ts *= 10
+    return ts

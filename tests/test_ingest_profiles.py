@@ -84,3 +84,26 @@ def test_collapsed_stacks(spark):
         out.groupBy("id", "fn_name").sum("total").filter("fn_name = 'hash'").collect()
     )
     assert merged[0]["sum(total)"] == 17
+
+
+def test_pyroscope_ingest_params():
+    """go_pprof.go:98-120 name parse + binary_pprof.go:19 ns scaling."""
+    from gigapipe_spark.sources.ingest import (
+        parse_pyroscope_name,
+        pyroscope_ingest_ns,
+    )
+
+    assert parse_pyroscope_name("api.cpu") == ("api.cpu", {})
+    assert parse_pyroscope_name("api{env=prod,region=eu}") == (
+        "api",
+        {"env": "prod", "region": "eu"},
+    )
+    assert parse_pyroscope_name("api{}") == ("api", {})
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        parse_pyroscope_name("api{oddword}")
+    # seconds / ms / µs / ns all normalize to ns
+    assert pyroscope_ingest_ns(1700000000) == 1700000000 * 10**9
+    assert pyroscope_ingest_ns(1700000000000) == 1700000000 * 10**9
+    assert pyroscope_ingest_ns(1700000000000000000) == 1700000000 * 10**9
