@@ -42,6 +42,16 @@ from pyspark.sql import functions as F
 from gigapipe_spark.storage.writer import Catalog
 
 FACT_TABLES = ("samples", "time_series", "gin")
+# every date-partitioned table the fan-out writers maintain — rotation
+# and compaction apply uniformly (the reference's per-table TTL clauses,
+# rotate.go:48-95, cover the trace/profile tables the same way)
+ALL_TABLES = (
+    "samples", "time_series", "gin",
+    "tempo_traces", "tempo_traces_attrs_gin", "tempo_traces_kv",
+    "tempo_traces_attr_map",
+    "profiles", "profiles_series", "profiles_series_gin",
+    "profiles_series_keys", "profiles_folded",
+)
 
 
 @dataclass(frozen=True)

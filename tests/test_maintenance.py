@@ -141,3 +141,43 @@ def test_partition_walk_skips_crash_leftovers(spark, tmp_path):
     assert res["dropped"] == []
     done = compact(spark, cat, "samples", target_files_per_partition=1)
     assert done == {"2026-03-01": 2}
+
+
+def test_rotate_trace_tables(spark, tmp_path):
+    """TTL rotation applies uniformly to the trace MV tables (the
+    reference attaches the same TTL clause per table, rotate.go)."""
+    import datetime
+    import json
+
+    from gigapipe_spark.sources import ingest
+    from gigapipe_spark.storage.maintenance import rotate
+    from gigapipe_spark.storage.writer import Catalog, spans_fanout
+
+    cat = Catalog(str(tmp_path / "store"))
+    old_day = datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)
+    new_day = datetime.datetime(2023, 11, 1, tzinfo=datetime.timezone.utc)
+    for i, day in enumerate((old_day, new_day)):
+        ts_us = int(day.timestamp()) * 10**6
+        payload = json.dumps(
+            [{"id": f"b{i}", "traceId": "a1", "name": "s",
+              "timestamp": ts_us, "duration": 5,
+              "localEndpoint": {"serviceName": "w"}}]
+        )
+        spans_fanout(
+            ingest.zipkin_spans(
+                spark.createDataFrame([(payload,)], "payload string")
+            ),
+            cat,
+        )
+    assert cat.read(spark, "tempo_traces").count() == 2
+    rotate(
+        spark, cat, drop_days=365,
+        today=datetime.date(2023, 11, 2),
+        tables=("tempo_traces", "tempo_traces_attrs_gin", "tempo_traces_kv",
+                "tempo_traces_attr_map"),
+    )
+    remaining = cat.read(spark, "tempo_traces").collect()
+    assert len(remaining) == 1 and remaining[0]["date"].year == 2023
+    assert cat.read(spark, "tempo_traces_attrs_gin").filter(
+        "date < '2021-01-01'"
+    ).count() == 0
