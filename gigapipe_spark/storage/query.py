@@ -98,7 +98,13 @@ class StorePromQLContext(PromQLContext):
 
     def rollup(self) -> DataFrame:
         if self._rollup is None:
-            self._rollup = rollup_15s_batch(self.metrics())
+            import os
+
+            if os.path.isdir(self.catalog.path("metrics_15s")):
+                # stored rollup MV, partials merged on read
+                self._rollup = self.catalog.read_rollup(self.spark)
+            else:
+                self._rollup = rollup_15s_batch(self.metrics())
         return self._rollup
 
     def series(self) -> DataFrame:

@@ -109,6 +109,13 @@ class Catalog:
             df = df.limit(limit)
         return df
 
+    def read_rollup(self, spark: SparkSession) -> DataFrame:
+        """metrics_15s with partial-cell merge on read (the
+        AggregatingMergeTree contract; rollup.merge_cells)."""
+        from gigapipe_spark.streaming.rollup import merge_cells
+
+        return merge_cells(self.read(spark, "metrics_15s").drop("date"))
+
 
 def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """One decoded batch → samples + time_series + gin (the MV layer).
@@ -189,6 +196,29 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
         ),
         bytes_col=None,
     )
+
+    # metrics_15s rollup MV (log.sql:83-107): cells for this flush's
+    # metric rows; multiple flushes touching one cell store PARTIALS that
+    # rollup.merge_cells re-aggregates on read (AggregatingMergeTree)
+    metric_rows = batch.filter(F.col("type").isin(0, 2))
+    if not metric_rows.isEmpty():
+        from gigapipe_spark.streaming.rollup import rollup_15s_batch
+
+        cells = rollup_15s_batch(metric_rows).withColumn(
+            "date",
+            F.to_date(
+                F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long"))
+            ),
+        )
+        observed_write(
+            cells,
+            "metrics_15s",
+            lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(catalog.path("metrics_15s")),
+            bytes_col=None,
+        )
 
 
 def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:

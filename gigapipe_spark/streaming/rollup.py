@@ -95,6 +95,89 @@ def rollup_15s_batch(samples: DataFrame) -> DataFrame:
     )
 
 
+# struct field order doubles as the merge sort key (first_ts leads)
+_CELL_FIELDS = [
+    "first_ts", "last_ts", "first", "last", "max", "min", "count", "sum",
+    "bytes", "type", "reset_amt", "resets", "changes", "last_delta",
+    "last_dt",
+]
+
+
+def merge_cells(cells: DataFrame) -> DataFrame:
+    """Re-aggregate cell PARTIALS for the same (fingerprint, bucket)
+    written by different flushes — the AggregatingMergeTree merge the
+    reference's metrics_15s relies on (log.sql:83-107), extended to the
+    counter partials.
+
+    Gauge fields merge trivially (max/min/sum/count/bytes; first/last by
+    first_ts/last_ts order). The counter partials need ONE boundary pair
+    per adjacent flush-partial: folding in first_ts order, a partial
+    joining after `acc` contributes its own intra-flush pairs plus the
+    (acc.last → part.first) pair for reset_amt/resets/changes, and the
+    merged cell's final pair is the joiner's own last pair when it has
+    ≥2 samples, else the boundary pair. EXACT whenever flushes don't
+    interleave inside one 15s cell (time-ordered ingest; the same
+    assumption the reference's insert batching makes)."""
+    ps = F.sort_array(F.collect_list(F.struct(*_CELL_FIELDS)))
+
+    def merge(acc: Column, x: Column) -> Column:
+        boundary_reset = F.when(
+            acc["last"] > x["first"], acc["last"]
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            acc["first_ts"].alias("first_ts"),
+            x["last_ts"].alias("last_ts"),
+            acc["first"].alias("first"),
+            x["last"].alias("last"),
+            F.greatest(acc["max"], x["max"]).alias("max"),
+            F.least(acc["min"], x["min"]).alias("min"),
+            (acc["count"] + x["count"]).alias("count"),
+            (acc["sum"] + x["sum"]).alias("sum"),
+            (acc["bytes"] + x["bytes"]).alias("bytes"),
+            acc["type"].alias("type"),
+            (acc["reset_amt"] + x["reset_amt"] + boundary_reset).alias(
+                "reset_amt"
+            ),
+            (
+                acc["resets"]
+                + x["resets"]
+                + F.when(acc["last"] > x["first"], F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("resets"),
+            (
+                acc["changes"]
+                + x["changes"]
+                + F.when(acc["last"] != x["first"], F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("changes"),
+            F.when(x["count"] >= 2, x["last_delta"])
+            .otherwise(x["first"] - acc["last"])
+            .alias("last_delta"),
+            F.when(x["count"] >= 2, x["last_dt"])
+            .otherwise(x["first_ts"] - acc["last_ts"])
+            .alias("last_dt"),
+        )
+
+    grouped = cells.groupBy("fingerprint", "timestamp_ns").agg(ps.alias("__ps"))
+    merged = F.aggregate(
+        F.slice(F.col("__ps"), 2, F.greatest(F.size("__ps") - 1, F.lit(0))),
+        F.try_element_at(F.col("__ps"), F.lit(1)),
+        merge,
+    )
+    return grouped.select(
+        "fingerprint",
+        "timestamp_ns",
+        *[merged[f].alias(f) for f in _CELL_FIELDS if f not in ("first_ts",)],
+        merged["first_ts"].alias("first_ts"),
+    ).select(
+        "fingerprint", "timestamp_ns", "last", "first", "max", "min",
+        "count", "sum", "bytes", "type", "reset_amt", "resets", "changes",
+        "first_ts", "last_ts", "last_delta", "last_dt",
+    )
+
+
 def rollup_15s_stream(samples_stream: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
     """Streaming maintenance of the rollup (event time = timestamp_ns).
 

@@ -166,3 +166,39 @@ def test_store_engine_endpoints(spark, tmp_path):
     # silent fixture-view fallback
     with _pytest.raises(FileNotFoundError, match="profiles_folded"):
         eng.pyroscope_render()
+
+
+def test_store_rollup_partials_merge_across_flushes(spark, tmp_path):
+    """Two ingest flushes touching the SAME 15s cell store partials; the
+    read-side merge reconstructs the exact cell (counter partials
+    included) and PromQL's rollup path reads it."""
+    cat = Catalog(str(tmp_path / "store"))
+    for half in (range(0, 3), range(3, 6)):
+        streams = [
+            {
+                "stream": {"app": "web"},
+                "values": [
+                    [str(T0 + i * 2_000_000_000), f"v{i}", float(i)]
+                    for i in half
+                ],
+            }
+        ]
+        raw = spark.createDataFrame(
+            [(json.dumps({"streams": streams}),)], "payload string"
+        )
+        ingest_fanout(ingest.loki_push(raw), cat)
+    cells = cat.read_rollup(spark).collect()
+    bucket0 = T0 - T0 % 15_000_000_000  # T0 sits 5s into its cell
+    one = [c for c in cells if c["timestamp_ns"] == bucket0]
+    assert len(one) == 1
+    c = one[0]
+    # samples 0..4 (at +0..+8s) land in the first cell, crossing the
+    # flush boundary at sample 3 — the partials merged back exactly
+    assert c["count"] == 5 and c["first"] == 0.0 and c["last"] == 4.0
+    assert c["sum"] == 10.0 and c["resets"] == 0.0 and c["changes"] == 4.0
+    nxt = [c for c in cells if c["timestamp_ns"] == bucket0 + 15_000_000_000]
+    assert len(nxt) == 1 and nxt[0]["count"] == 1 and nxt[0]["last"] == 5.0
+    ctx = store_promql_context(
+        spark, cat, start_ns=T0, end_ns=T0 + 60_000_000_000
+    )
+    assert ctx.rollup().count() == len(cells)

@@ -53,3 +53,55 @@ def test_stream_matches_batch(spark, tmp_path):
     w_by_key = {t[:2]: t for t in w}
     for t in g:
         assert t == w_by_key[t[:2]]
+
+
+def test_merge_cells_equals_single_rollup(spark):
+    """Cell partials from split flushes merge EXACTLY to the one-shot
+    rollup — counters included (the AggregatingMergeTree contract the
+    stored metrics_15s relies on)."""
+    import random
+
+    from gigapipe_spark.streaming.rollup import merge_cells, rollup_15s_batch
+
+    rng = random.Random(11)
+    rows = []
+    for fp in (1, 2, 3):
+        v = 0.0
+        for i in range(40):
+            ts = 1_700_000_000_000_000_000 + i * 1_000_000_000
+            # counter-ish with deliberate resets
+            v = 0.0 if rng.random() < 0.15 else v + rng.random() * 5
+            rows.append((fp, ts, v, "x", 2))
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ns long, value double,"
+        " string string, type int"
+    )
+    whole = rollup_15s_batch(df)
+
+    for splits in ([13], [7, 23], [5, 17, 31]):
+        bounds = [0, *splits, 40]
+        parts = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            t_lo = 1_700_000_000_000_000_000 + lo * 1_000_000_000
+            t_hi = 1_700_000_000_000_000_000 + hi * 1_000_000_000
+            parts.append(
+                rollup_15s_batch(
+                    df.filter(
+                        (df.timestamp_ns >= t_lo) & (df.timestamp_ns < t_hi)
+                    )
+                )
+            )
+        from functools import reduce
+
+        merged = merge_cells(reduce(lambda a, b: a.unionByName(b), parts))
+
+        def norm(rows):
+            # float sums re-associate across the merge → compare rounded
+            return sorted(
+                tuple(
+                    round(x, 6) if isinstance(x, float) else x for x in r
+                )
+                for r in map(tuple, rows.collect())
+            )
+
+        assert norm(whole) == norm(merged), f"splits {splits}"
