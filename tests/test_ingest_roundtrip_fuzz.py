@@ -537,3 +537,124 @@ def test_otlp_logs_json_pb_parity_fuzz(spark):
         )
 
     assert norm(json_rows) == norm(pb_rows)
+
+
+def test_elastic_bulk_state_machine_fuzz(spark):
+    """Random action/doc/delete/update line sequences vs an independent
+    Python model of elastic.go's per-line state machine."""
+    rng = random.Random(909)
+    bodies, truth = [], set()
+    for _p in range(15):
+        lines = []
+        state = None  # None = no live labels
+        for _l in range(rng.randrange(2, 10)):
+            r = rng.random()
+            if r < 0.3:
+                idx = rng.choice(["logs", "audit", "app"])
+                doc_id = str(rng.randrange(100))
+                lines.append(
+                    json.dumps({"index": {"_index": idx, "_id": doc_id}})
+                )
+                state = {"type": "elastic", "_index": idx, "_id": doc_id}
+            elif r < 0.4:
+                lines.append(json.dumps({"delete": {"_index": "x"}}))
+                state = None
+            elif r < 0.5:
+                lines.append(json.dumps({"update": {"_id": "9"}}))
+                state = None
+            else:
+                doc = json.dumps({"m": rng.choice(NASTY[:7])})
+                lines.append(doc)
+                if state is not None:
+                    truth.add(
+                        (doc, state["_index"], state["_id"], "elastic")
+                    )
+        bodies.append(("\n".join(lines),))
+    raw = spark.createDataFrame(bodies, "payload string")
+    rows = ingest.elastic_bulk(raw).collect()
+    got = {
+        (r["string"], r["labels"].get("_index"), r["labels"].get("_id"),
+         r["labels"]["type"])
+        for r in rows
+    }
+    assert got == truth
+
+
+def test_datadog_metrics_point_state_fuzz(spark):
+    """Random point sequences with missing fields vs a Python model of
+    the decoder's loop-carried (timestamp, value) state."""
+    rng = random.Random(606)
+    payloads, truth = [], set()
+    for p in range(12):
+        series = []
+        for s in range(rng.randrange(1, 3)):
+            metric = f"m{p}_{s}"
+            pts = []
+            ts_state, val_state = 7777, 0.0  # now_ns=7777 below
+            for _ in range(rng.randrange(1, 5)):
+                pt = {}
+                if rng.random() < 0.7:
+                    t = rng.randrange(1, 2**30)
+                    pt["timestamp"] = t
+                    ts_state = t * 10**9
+                if rng.random() < 0.7:
+                    v = round(rng.uniform(-50, 50), 3)
+                    pt["value"] = v
+                    val_state = v
+                pts.append(pt)
+                truth.add((metric, ts_state, val_state))
+            series.append({"metric": metric, "points": pts})
+        payloads.append((json.dumps({"series": series}),))
+    raw = spark.createDataFrame(payloads, "payload string")
+    rows = ingest.datadog_metrics(raw, now_ns=7777).collect()
+    got = {
+        (r["labels"]["__name__"], r["timestamp_ns"], r["value"]) for r in rows
+    }
+    assert got == truth
+
+
+def test_influx_message_logfmt_fuzz(spark):
+    """Random message+field lines vs a Python logfmt model (sorted
+    non-message keys, reference quoting rules)."""
+    rng = random.Random(303)
+
+    def logfmt_val(v: str) -> str:
+        if v == "" or any(c in v for c in ' ="'):
+            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return v
+
+    lines, truth = [], set()
+    for i in range(25):
+        msg = rng.choice(["plain", "two words", 'q"uote', "a=b"])
+        extras = {}
+        for j in range(rng.randrange(0, 3)):
+            k = f"k{j}"
+            kind = rng.choice(["i", "f", "b", "s"])
+            if kind == "i":
+                n = rng.randrange(-99, 99)
+                extras[k] = (f"{n}i", str(n))
+            elif kind == "f":
+                f_ = round(rng.uniform(0, 9), 2)
+                extras[k] = (repr(f_), repr(f_))
+            elif kind == "b":
+                extras[k] = ("true", "true")
+            else:
+                extras[k] = ('"str val"', "str val")
+        enc_msg = '"' + msg.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        fields = ",".join(
+            [f"message={enc_msg}"] + [f"{k}={raw}" for k, (raw, _) in extras.items()]
+        )
+        ts = 1_000_000_000 + i
+        lines.append((f"app,env=t {fields} {ts}",))
+        if not extras:
+            expected = msg
+        else:
+            parts = [f"message={logfmt_val(msg)}"] + [
+                f"{k}={logfmt_val(disp)}"
+                for k, (_, disp) in sorted(extras.items())
+            ]
+            expected = " ".join(parts)
+        truth.add((expected, ts))
+    raw = spark.createDataFrame(lines, "line string")
+    rows = ingest.influx_line(raw).collect()
+    assert {(r["string"], r["timestamp_ns"]) for r in rows} == truth
