@@ -202,3 +202,38 @@ def test_store_rollup_partials_merge_across_flushes(spark, tmp_path):
         spark, cat, start_ns=T0, end_ns=T0 + 60_000_000_000
     )
     assert ctx.rollup().count() == len(cells)
+
+
+def test_store_engine_tempo(spark, tmp_path):
+    """tempo_search + trace-by-id through the StoreEngine read the
+    spans_fanout tables."""
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import spans_fanout
+
+    payload = json.dumps(
+        [
+            {"id": "b1", "traceId": "a1", "name": "root",
+             "timestamp": 1700000000000000, "duration": 2000,
+             "localEndpoint": {"serviceName": "web"},
+             "tags": {"otel.status_code": "ERROR"}},
+            {"id": "b2", "traceId": "a1", "parentId": "b1", "name": "leaf",
+             "timestamp": 1700000000000500, "duration": 700,
+             "localEndpoint": {"serviceName": "db"}},
+        ]
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    spans_fanout(
+        ingest.zipkin_spans(
+            spark.createDataFrame([(payload,)], "payload string")
+        ),
+        cat,
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    res = eng.tempo_search("{ status = error }").collect()
+    assert len(res) == 1
+    tid = res[0]["trace_id"]
+    assert tid == "a1".rjust(32, "0")
+    spans = eng.tempo_trace(tid).collect()
+    assert [r["name"] for r in spans] == ["root", "leaf"]  # root first
+    tags = {r["key"] for r in eng.tempo_tags().collect()}
+    assert {"status", "name", "service.name"} <= tags
