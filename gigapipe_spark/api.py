@@ -262,8 +262,12 @@ class Engine:
         series = _date_bounded(
             self.series_table(), start_ns, end_ns
         )
-        return series.join(F.broadcast(fps), "fingerprint", "left_semi").select(
-            "fingerprint", "labels"
+        # one row per stream even when the store keeps per-type series
+        # rows for a mixed log+metric fingerprint (labels identical)
+        return (
+            series.join(F.broadcast(fps), "fingerprint", "left_semi")
+            .select("fingerprint", "labels")
+            .dropDuplicates(["fingerprint"])
         )
 
     def loki_index_stats(self) -> DataFrame:

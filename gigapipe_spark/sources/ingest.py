@@ -29,7 +29,7 @@ from gigapipe_spark.model.fingerprint import fingerprint_col
 _LOKI_SCHEMA = (
     "struct<streams: array<struct<stream: map<string,string>,"
     " labels: string,"
-    " values: array<array<string>>,"
+    " values: array<array<variant>>,"
     " entries: array<struct<ts: string, timestamp: string,"
     " line: string, value: double>>>>>"
 )
@@ -104,7 +104,10 @@ def finalize_entries(df: DataFrame, ttl_days: int = 0) -> DataFrame:
       matching Entry.ToJSON) and removed from the label set.
     - `__ttl_days__` overrides the batch TTL when the writer-level
       ttl_days is 0 and the value parses as a small int; the label is
-      always removed.
+      removed ONLY in that ttl_days == 0 case — with a nonzero
+      writer-level TTL the reference keeps it in the label set and the
+      fingerprint (builder.go onEntries: the `continue` that drops the
+      label sits inside the `ttlDays == 0` branch).
     - service_name discovery: when no service_name label exists, the
       first present candidate label (reference order; the reference takes
       the last match in label append order, unobservable on a map) is
@@ -135,7 +138,9 @@ def finalize_entries(df: DataFrame, ttl_days: int = 0) -> DataFrame:
         .otherwise(F.lit(ttl_days))
         .cast("int")
     )
-    special = set(_METADATA_LABELS) | {"__ttl_days__"}
+    special = set(_METADATA_LABELS) | (
+        {"__ttl_days__"} if ttl_days == 0 else set()
+    )
     filtered = F.map_filter(lbl, lambda k, v: ~k.isin(*special))
     cand = F.coalesce(
         *[lbl.getItem(k) for k in _SERVICE_NAME_CANDIDATES], F.lit("unknown")
@@ -211,20 +216,44 @@ def loki_push(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     ).cast(entry_t)
     labels = _entries_map(F.concat(stream_entries, label_entries))
 
+    # values parse as array<array<variant>> so the third element's raw
+    # JSON token type survives from_json: the reference sets the METRIC
+    # bit only for a JSON Number (decodeStreamValue: `d.Next() !=
+    # jx.Number` → Skip), so ["ts","line","5"] must stay a LOG-only row
+    # while ["ts","line",5] is LOG+METRIC — indistinguishable under the
+    # old array<string> schema.
+    def _vstr(e: Column) -> Column:
+        return F.try_variant_get(e, "$", "string")
+
+    def _is_number(e: Column) -> Column:
+        return F.coalesce(
+            F.schema_of_variant(e).rlike(
+                "^(BIGINT|DOUBLE|FLOAT|DECIMAL|INT|SMALLINT|TINYINT)"
+            ),
+            F.lit(False),
+        )
+
     row_t = "array<struct<ts: bigint, line: string, val: double, tp: int>>"
     v_rows = F.transform(
         F.coalesce(F.col("s.values"), F.array()),
         lambda v: F.struct(
-            F.try_element_at(v, F.lit(1)).try_cast("long").alias("ts"),
-            F.coalesce(F.try_element_at(v, F.lit(2)), F.lit("")).alias("line"),
+            _vstr(F.try_element_at(v, F.lit(1))).try_cast("long").alias("ts"),
+            F.coalesce(_vstr(F.try_element_at(v, F.lit(2))), F.lit("")).alias(
+                "line"
+            ),
             F.coalesce(
-                F.try_element_at(v, F.lit(3)).try_cast("double"), F.lit(0.0)
+                F.when(
+                    _is_number(F.try_element_at(v, F.lit(3))),
+                    F.try_variant_get(
+                        F.try_element_at(v, F.lit(3)), "$", "double"
+                    ),
+                ),
+                F.lit(0.0),
             ).alias("val"),
             (
                 F.when(F.size(v) >= 2, F.lit(1)).otherwise(F.lit(0))
                 + F.when(
-                    F.try_element_at(v, F.lit(3)).try_cast("double").isNotNull(),
-                    F.lit(2),
+                    _is_number(F.try_element_at(v, F.lit(3))), F.lit(2)
                 ).otherwise(F.lit(0))
             ).alias("tp"),
         ),

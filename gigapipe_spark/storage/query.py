@@ -61,9 +61,12 @@ class StoreLogQLContext(LogQLContext):
 
     def series(self) -> DataFrame:
         if self._series is None:
-            self._series = self.catalog.read_series(self.spark).select(
-                "fingerprint", "labels", "type"
-            )
+            # planner type scoping (type IN (0,1)) BEFORE the dedup,
+            # then one row per fingerprint for the label join (labels
+            # are identical across a fingerprint's per-type rows)
+            self._series = self.catalog.read_series(
+                self.spark, types=(0, 1), per_fingerprint=True
+            ).select("fingerprint", "labels", "type")
         return self._series
 
     def gin(self) -> DataFrame:
@@ -108,9 +111,9 @@ class StorePromQLContext(PromQLContext):
         return self._rollup
 
     def series(self) -> DataFrame:
-        return self.catalog.read_series(self.spark).select(
-            "fingerprint", "labels", "type"
-        )
+        return self.catalog.read_series(
+            self.spark, types=(0, 2), per_fingerprint=True
+        ).select("fingerprint", "labels", "type")
 
     def logctx(self) -> LogQLContext:
         if self._logctx is None:

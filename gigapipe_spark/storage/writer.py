@@ -37,24 +37,44 @@ class Catalog:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
 
-    def read_series(self, spark: SparkSession) -> DataFrame:
+    def read_series(
+        self,
+        spark: SparkSession,
+        types: tuple[int, ...] | None = None,
+        per_fingerprint: bool = False,
+    ) -> DataFrame:
         """time_series with ReplacingMergeTree-style dedup on read.
 
-        Latest-date labels win per fingerprint (the ReplacingMergeTree
-        "last version wins" contract, ref: ctrl/qryn/sql/log.sql
-        time_series ENGINE). max_by is deterministic across partitions,
-        unlike orderBy().dropDuplicates() whose kept row after the dedup
+        The dedup key is (fingerprint, type) — the reference stores one
+        series row per sample type present under a fingerprint
+        (builder.go onEntries `for t := range tps`; log.sql ORDER BY
+        (fingerprint, type)) so `type IN (T, 0)` scoping works for
+        streams ingested as both log and metric. Latest labels win per
+        key (the ReplacingMergeTree "last version wins" contract, ref:
+        ctrl/qryn/sql/log.sql time_series ENGINE). max_by is
+        deterministic across partitions, unlike
+        orderBy().dropDuplicates() whose kept row after the dedup
         exchange is unspecified.
+
+        `types` applies the planner's `type IN (...)` filter BEFORE the
+        dedup; `per_fingerprint=True` additionally collapses to one row
+        per fingerprint (the label-join shape the compilers consume —
+        labels are identical across a fingerprint's type rows by
+        construction, the fingerprint IS the label hash).
         """
         df = self.read(spark, "time_series")
+        if types is not None:
+            df = df.filter(F.col("type").isin(*types))
         # versioning column: updated_at_ns when stored (log.sql:192),
         # else the partition date
         ver = "updated_at_ns" if "updated_at_ns" in df.columns else "date"
+        keys = ["fingerprint"] if per_fingerprint else ["fingerprint", "type"]
         aggs = [
             F.max_by("labels", ver).alias("labels"),
-            F.max_by("type", ver).alias("type"),
             F.max("date").alias("date"),
         ]
+        if per_fingerprint:
+            aggs.append(F.max_by("type", ver).alias("type"))
         extra = [
             c
             for c in ("metadata", "ttl_days", "updated_at_ns")
@@ -63,7 +83,7 @@ class Catalog:
         aggs += [
             (F.max(c) if c == ver else F.max_by(c, ver)).alias(c) for c in extra
         ]
-        return df.groupBy("fingerprint").agg(*aggs).select(
+        return df.groupBy(*keys).agg(*aggs).select(
             "date", "fingerprint", "labels", "type", *extra
         )
 
@@ -84,6 +104,12 @@ class Catalog:
         from pyspark.sql import Window
 
         raw = self.read(spark, "time_series")
+        if "metadata" not in raw.columns:
+            # stores written before the metadata column existed: empty
+            # result, not an AnalysisException on the missing column
+            return spark.createDataFrame(
+                [], "metric_name string, metadata_json string"
+            )
         ver = (
             F.col("updated_at_ns")
             if "updated_at_ns" in raw.columns
@@ -161,12 +187,16 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
 
     # updated_at_ns (log.sql:192 ALTER): the reference stamps wall clock;
     # the batch's max sample timestamp per series is the deterministic
-    # analog — monotone across appends, and what metadata ordering uses
+    # analog — monotone across appends, and what metadata ordering uses.
+    # One dimension row per (date, fingerprint, TYPE) — the reference
+    # writes one series row per sample type present in the batch
+    # (builder.go onEntries `for t := range tps`; log.sql ORDER BY
+    # (fingerprint, type)), so the label planners' `type IN (T, 0)`
+    # scoping never misses a mixed log+metric stream.
     series = (
-        with_date.groupBy("date", "fingerprint")
+        with_date.groupBy("date", "fingerprint", "type")
         .agg(
             F.first("labels").alias("labels"),
-            F.first("type").alias("type"),
             F.first("metadata").alias("metadata"),
             F.first("ttl_days").alias("ttl_days"),
             F.max("timestamp_ns").alias("updated_at_ns"),

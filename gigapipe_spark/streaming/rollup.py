@@ -43,7 +43,6 @@ def _cell_aggs() -> list[Column]:
         F.count(F.lit(1)).alias("count"),
         F.sum("value").alias("sum"),
         F.sum(F.length("string")).cast("double").alias("bytes"),
-        F.first("type").alias("type"),
         F.sort_array(F.collect_list(F.struct("timestamp_ns", "value"))).alias(
             "__arr"
         ),
@@ -90,15 +89,20 @@ def _with_counter_partials(grouped: DataFrame) -> DataFrame:
 
 
 def rollup_15s_batch(samples: DataFrame) -> DataFrame:
+    # type joins the grouping key — the reference's metrics_15s_mv
+    # groups by type (log.sql:95) so a mixed log+metric fingerprint
+    # keeps one cell per type rather than an arbitrary first("type")
     return _with_counter_partials(
-        samples.groupBy("fingerprint", _bucket("timestamp_ns")).agg(*_cell_aggs())
+        samples.groupBy("fingerprint", "type", _bucket("timestamp_ns")).agg(
+            *_cell_aggs()
+        )
     )
 
 
 # struct field order doubles as the merge sort key (first_ts leads)
 _CELL_FIELDS = [
     "first_ts", "last_ts", "first", "last", "max", "min", "count", "sum",
-    "bytes", "type", "reset_amt", "resets", "changes", "last_delta",
+    "bytes", "reset_amt", "resets", "changes", "last_delta",
     "last_dt",
 ]
 
@@ -134,7 +138,6 @@ def merge_cells(cells: DataFrame) -> DataFrame:
             (acc["count"] + x["count"]).alias("count"),
             (acc["sum"] + x["sum"]).alias("sum"),
             (acc["bytes"] + x["bytes"]).alias("bytes"),
-            acc["type"].alias("type"),
             (acc["reset_amt"] + x["reset_amt"] + boundary_reset).alias(
                 "reset_amt"
             ),
@@ -160,7 +163,10 @@ def merge_cells(cells: DataFrame) -> DataFrame:
             .alias("last_dt"),
         )
 
-    grouped = cells.groupBy("fingerprint", "timestamp_ns").agg(ps.alias("__ps"))
+    # per-(fingerprint, type) cells, matching the write-side grouping
+    grouped = cells.groupBy("fingerprint", "type", "timestamp_ns").agg(
+        ps.alias("__ps")
+    )
     merged = F.aggregate(
         F.slice(F.col("__ps"), 2, F.greatest(F.size("__ps") - 1, F.lit(0))),
         F.try_element_at(F.col("__ps"), F.lit(1)),
@@ -168,6 +174,7 @@ def merge_cells(cells: DataFrame) -> DataFrame:
     )
     return grouped.select(
         "fingerprint",
+        "type",
         "timestamp_ns",
         *[merged[f].alias(f) for f in _CELL_FIELDS if f not in ("first_ts",)],
         merged["first_ts"].alias("first_ts"),
@@ -191,7 +198,7 @@ def rollup_15s_stream(samples_stream: DataFrame, watermark_delay: str = "30 seco
     ).withWatermark("event_time", watermark_delay)
     grouped = (
         with_ts.groupBy(
-            "fingerprint", F.window("event_time", "15 seconds").alias("w")
+            "fingerprint", "type", F.window("event_time", "15 seconds").alias("w")
         )
         .agg(*_cell_aggs())
         .withColumn("timestamp_ns", F.unix_micros(F.col("w.start")) * 1000)
