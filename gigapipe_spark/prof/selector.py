@@ -202,10 +202,24 @@ def _global_cond(sel: Selector) -> Column:
 def profile_fingerprints(
     spark: SparkSession, sf_dir: str, scripts: list[list[Selector]] | None
 ) -> DataFrame:
-    """Selector scripts → DF[fingerprint] (StreamSelectorPlanner +
-    UnionAllPlanner, planner_selector.go:16 / planner_union_all.go).
-    None / empty → every profile series."""
-    series = views.profiles_series(spark, sf_dir)
+    """Selector scripts → DF[fingerprint] over the FIXTURE views
+    (StreamSelectorPlanner + UnionAllPlanner, planner_selector.go:16 /
+    planner_union_all.go). None / empty → every profile series."""
+    return profile_fingerprints_frames(
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        scripts,
+    )
+
+
+def profile_fingerprints_frames(
+    series: DataFrame, gin: DataFrame, scripts: list[list[Selector]] | None
+) -> DataFrame:
+    """Frame-based selector core shared by the fixture views and the
+    STORED profiles_series / profiles_series_gin tables (same planner,
+    planner_selector.go:12): global pseudo-labels filter the series
+    frame (needs type_id / sample_types_units / service_name columns),
+    kv matchers resolve through one GIN bitmask scan."""
     if not scripts:
         return series.select("fingerprint")
     outs: list[DataFrame] = []
@@ -217,7 +231,6 @@ def profile_fingerprints(
         for s in glob:
             fps = fps.filter(_global_cond(s))
         fps = fps.select("fingerprint")
-        gin = views.profiles_gin(spark, sf_dir)
         if kv_pos:
             # one GIN scan evaluates all positive kv matchers
             # (bitSetAnd == 2^n - 1, planner_selector.go:30-37)

@@ -3310,6 +3310,82 @@ def store_roundtrip_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(F.max("value").alias("value"))
 
 
+@register(
+    "store_roundtrip_pyroscope",
+    """
+    SELECT * FROM (VALUES
+      ('bar', 7::BIGINT, 7::BIGINT),
+      ('foo', 5::BIGINT, 12::BIGINT),
+      ('main', 0::BIGINT, 12::BIGINT)
+    ) AS t(fn_name, self, total)
+    """,
+)
+def store_roundtrip_pyroscope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pprof BYTES → pprof_folded decode → folded_profiles_input tree
+    layout → profiles_fanout (profiles + profiles_series +
+    profiles_series_gin, profiles.sql:118-119 tree columns) →
+    label-selector-scoped merge from the STORED trees — the full
+    reference render loop (planner_selector.go:12 fingerprints +
+    planner_merge_raw.go:11 tree merge). The dev-tagged profile must be
+    scoped out by the {env="prod"} selector."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.prof.tree import merge_trees, resolve_functions
+    from gigapipe_spark.sources import protowire as pw
+    from gigapipe_spark.sources.ingest import folded_profiles_input
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, profiles_fanout
+
+    strings = [b"", b"main", b"foo", b"bar"]
+    funcs = [pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)]) for i in range(3)]
+    locs = [
+        pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))])
+        for i in range(3)
+    ]
+    s1 = pw.pb_encode([(1, 0, 2), (1, 0, 1), (2, 0, 5)])
+    s2 = pw.pb_encode([(1, 0, 3), (1, 0, 2), (1, 0, 1), (2, 0, 7)])
+    fields = [(2, 2, s1), (2, 2, s2)]
+    fields += [(4, 2, loc) for loc in locs]
+    fields += [(5, 2, f) for f in funcs]
+    fields += [(6, 2, s) for s in strings]
+    body = gzip.compress(pw.pb_encode(fields))
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_pyroscope")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    raw = spark.createDataFrame(
+        [("p-prod", bytearray(body)), ("p-dev", bytearray(body))],
+        "profile_id string, payload binary",
+    )
+    folded = pw.pprof_folded(raw).select(
+        "profile_id",
+        F.lit(t0).alias("timestamp_ns"),
+        F.lit("process_cpu").alias("type"),
+        F.lit("api").alias("service_name"),
+        F.lit("cpu").alias("period_type"),
+        F.lit("nanoseconds").alias("period_unit"),
+        F.create_map(
+            F.lit("env"),
+            F.when(F.col("profile_id") == "p-prod", F.lit("prod")).otherwise(
+                F.lit("dev")
+            ),
+        ).alias("tags"),
+        F.lit(0).cast("long").alias("duration_ns"),
+        "line",
+    )
+    cat = Catalog(root)
+    profiles_fanout(
+        folded_profiles_input(folded, "cpu", "nanoseconds").coalesce(1), cat
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    prof = eng._stored_profiles(None, '{env="prod"}', None)
+    merged = resolve_functions(merge_trees(prof), prof)
+    return merged.select("fn_name", "self", "total").orderBy("fn_name")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

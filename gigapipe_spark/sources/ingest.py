@@ -929,6 +929,96 @@ def collapsed_stacks(raw: DataFrame, line_col: str = "line",
     )
 
 
+def folded_profiles_input(
+    folded: DataFrame,
+    sample_type: str = "cpu",
+    sample_unit: str = "nanoseconds",
+) -> DataFrame:
+    """Folded-stack lines → profiles_input rows WITH the stored tree
+    layout (ref: ctrl/qryn/sql/profiles.sql:5-17 input columns; the
+    :118-119 ALTER adds `tree`/`functions` to the stored table and the
+    :126-144 MV carries them from profiles_input — the layout
+    planner_merge_raw.go:11 merges from).
+
+    Input: one row per folded line with per-profile metadata columns
+    (profile_id, timestamp_ns, type, service_name, period_type,
+    period_unit, tags map, duration_ns, line). Output: ONE row per
+    profile_id shaped for storage.writer.profiles_fanout, the tree
+    built by the shared collapsed_stacks builder, each node carrying a
+    single named value slot f"{sample_type}:{sample_unit}".
+
+    Scale shape: collapsed_stacks is explode + one (profile, node)
+    groupBy; the reassembly here is one more groupBy(profile_id) —
+    tree size is bounded by a single profile's stack count, never the
+    corpus.
+    """
+    stu = f"{sample_type}:{sample_unit}"
+    nodes = collapsed_stacks(folded)
+    tree_nodes = nodes.groupBy("profile_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("parent").alias("parent"),
+                F.col("id").alias("id"),
+                F.col("fn_id").alias("fn_id"),
+                F.array(
+                    F.struct(
+                        F.lit(stu).alias("name"),
+                        F.col("self").alias("self"),
+                        F.col("total").alias("total"),
+                    )
+                ).alias("values"),
+            )
+        ).alias("tree"),
+        F.array_distinct(
+            F.collect_list(
+                F.struct(
+                    F.col("fn_id").alias("id"), F.col("fn_name").alias("name")
+                )
+            )
+        ).alias("functions"),
+        F.sum(F.when(F.col("parent") == 0, F.col("total")).otherwise(0)).alias(
+            "__root_total"
+        ),
+    )
+    meta = folded.select(
+        "profile_id",
+        "timestamp_ns",
+        "type",
+        "service_name",
+        "period_type",
+        "period_unit",
+        "tags",
+        "duration_ns",
+    ).dropDuplicates(["profile_id"])
+    return meta.join(tree_nodes, "profile_id", "inner").select(
+        "timestamp_ns",
+        "type",
+        "service_name",
+        F.array(
+            F.struct(
+                F.lit(sample_type).alias("name"), F.lit(sample_unit).alias("unit")
+            )
+        ).alias("sample_types_units"),
+        "period_type",
+        "period_unit",
+        "tags",
+        "duration_ns",
+        F.lit("folded").alias("payload_type"),
+        F.lit("").cast("binary").alias("payload"),
+        # values_agg (profiles.sql:16): (name, total, count) per sample
+        # type over the whole profile
+        F.array(
+            F.struct(
+                F.lit(stu).alias("name"),
+                F.col("__root_total").alias("value"),
+                F.size("tree").cast("int").alias("count"),
+            )
+        ).alias("values_agg"),
+        "tree",
+        "functions",
+    )
+
+
 def _otlp_traces_schema() -> str:
     # late-bound: _OTLP_ATTRS is defined further down in the module
     return f"""

@@ -30,6 +30,25 @@ from gigapipe_spark.storage.writer import Catalog
 from gigapipe_spark.streaming.rollup import rollup_15s_batch
 
 
+def _stu_tp_unit(df: DataFrame) -> DataFrame:
+    """Normalize sample_types_units struct field names to (tp, unit) —
+    what prof.selector._global_cond matches. The fan-out writer stores
+    the input batch's (name, unit) fields (profiles_input contract);
+    ClickHouse tuples are positional so the reference never faces the
+    mismatch."""
+    elem = df.schema["sample_types_units"].dataType.elementType
+    if elem.fieldNames()[0] == "tp":
+        return df
+    return df.withColumn(
+        "sample_types_units",
+        F.transform(
+            "sample_types_units",
+            lambda s: F.struct(s[elem.fieldNames()[0]].alias("tp"),
+                               s[elem.fieldNames()[1]].alias("unit")),
+        ),
+    )
+
+
 def _bounded(df: DataFrame, lo: int | None, hi: int | None) -> DataFrame:
     """Raw-ts bounds + the matching date partition prune."""
     if lo is not None:
@@ -200,6 +219,11 @@ class StoreEngine(Engine):
 
     catalog: Catalog | None = None
 
+    def _has_table(self, table: str) -> bool:
+        import os
+
+        return os.path.isdir(self.catalog.path(table))
+
     # contexts → store-backed twins
     def logctx(self) -> LogQLContext:
         if self._logctx is None:
@@ -276,23 +300,83 @@ class StoreEngine(Engine):
         merged = df.select(F.lit("all").alias("profile_id"), "line")
         return collapsed_stacks(merged)
 
+    def _store_profile_fps(self, scripts) -> DataFrame:
+        """Selector scripts → fingerprints over the STORED
+        profiles_series / profiles_series_gin tables (the
+        planner_selector.go:12 path the fixture engine runs over its
+        views)."""
+        from gigapipe_spark.prof.selector import profile_fingerprints_frames
+
+        series = _stu_tp_unit(self.catalog.read(self.spark, "profiles_series"))
+        gin = self.catalog.read(self.spark, "profiles_series_gin")
+        return profile_fingerprints_frames(series, gin, scripts)
+
+    def _stored_profiles(
+        self,
+        service: str | None,
+        selector: str | None,
+        profile_type_id: str | None,
+    ) -> DataFrame:
+        """Selector/type/service-scoped rows of the stored `profiles`
+        fact table with its tree layout (planner_merge_raw.go:11: scoped
+        fingerprints IN + global matchers on the fact scan, tree +
+        functions projected)."""
+        from gigapipe_spark.prof import selector as psel
+
+        prof = self.catalog.read(self.spark, "profiles")
+        if "tree" not in prof.columns:
+            raise FileNotFoundError(
+                "this store's profiles table has no tree layout — ingest "
+                "through profiles_fanout with tree/functions columns "
+                "(e.g. ingest.folded_profiles_input)"
+            )
+        prof = _stu_tp_unit(prof)
+        if selector is not None or profile_type_id is not None:
+            sels = psel.parse_profile_selector(selector or "{}")
+            if profile_type_id is not None:
+                sels = psel.populate_type_id(
+                    sels, psel.parse_type_id(profile_type_id)
+                )
+            fps = self._store_profile_fps([sels] if sels else None)
+            prof = prof.join(F.broadcast(fps), "fingerprint", "left_semi")
+        if service is not None:
+            prof = prof.filter(F.col("service_name") == service)
+        return prof
+
     def pyroscope_render(
         self,
         service: str | None = None,
         selector: str | None = None,
         profile_type_id: str | None = None,
     ) -> list:
-        """/pyroscope/render over the STORE: merge the folded-stack
-        table scoped by service / type-id, then BFS levels — the same
-        response shape as the fixture engine. Label selectors need the
-        profiles series/gin scoping, not wired here yet."""
-        if selector is not None:
-            raise NotImplementedError(
-                "store render supports service/profile_type_id scoping; "
-                "label selectors need the profiles_series_gin join"
-            )
-        from gigapipe_spark.prof.tree import flamegraph_levels
+        """/pyroscope/render over the STORE. Preferred path: the stored
+        `profiles` table's tree layout, scoped by label selector through
+        profiles_series_gin (planner_selector.go:12) and merged from the
+        stored trees (planner_merge_raw.go:11) with the type id picking
+        BOTH the series match (populateTypeId) and the merged value
+        slot. Falls back to the folded-stack layout (service/type
+        scoping only) for stores ingested via folded_fanout."""
+        from gigapipe_spark.prof import selector as psel
+        from gigapipe_spark.prof.tree import (
+            flamegraph_levels,
+            merge_trees,
+            resolve_functions,
+        )
 
+        if selector is not None and profile_type_id is None and "{" in selector:
+            profile_type_id, selector = psel.detach_type_id(selector)
+        if self._has_table("profiles"):
+            stu = None
+            if profile_type_id is not None:
+                stu = psel.parse_type_id(profile_type_id).sample_type_unit
+            prof = self._stored_profiles(service, selector, profile_type_id)
+            rows = resolve_functions(merge_trees(prof, stu), prof).collect()
+            return flamegraph_levels(rows)
+        if selector is not None and psel.parse_profile_selector(selector):
+            raise FileNotFoundError(
+                "label-selector render needs the profiles tree layout "
+                "(profiles_fanout); this store only has profiles_folded"
+            )
         rows = self._folded_tree(service, profile_type_id).collect()
         return flamegraph_levels(rows)
 
@@ -303,9 +387,25 @@ class StoreEngine(Engine):
         profile_type_id: str | None = None,
     ) -> DataFrame:
         """/pyroscope/render-diff over the store: per-side merged trees,
-        full-outer diff (prof_tree.go:308)."""
-        from gigapipe_spark.prof.tree import diff_trees
+        full-outer diff (prof_tree.go:308) — from the stored tree layout
+        when present, else the folded layout."""
+        from gigapipe_spark.prof import selector as psel
+        from gigapipe_spark.prof.tree import diff_trees, merge_trees
 
+        if self._has_table("profiles"):
+            stu = None
+            if profile_type_id is not None:
+                stu = psel.parse_type_id(profile_type_id).sample_type_unit
+            return diff_trees(
+                merge_trees(
+                    self._stored_profiles(left_service, None, profile_type_id),
+                    stu,
+                ),
+                merge_trees(
+                    self._stored_profiles(right_service, None, profile_type_id),
+                    stu,
+                ),
+            )
         left = self._folded_tree(left_service, profile_type_id)
         right = self._folded_tree(right_service, profile_type_id)
         return diff_trees(

@@ -405,11 +405,16 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
         date.alias("date"),
     )
 
+    # tree/functions columns (profiles.sql:118-119 ALTER; the later MV
+    # at :126-144 selects them from profiles_input) flow through when
+    # the decoder produced them — the layout the store render merges
+    # from (planner_merge_raw.go:11 reads `tree`, `functions`)
+    fact_extra = [c for c in ("tree", "functions") if c in batch.columns]
     observed_write(
         enriched.select(
             "date", "timestamp_ns", "fingerprint", "type_id",
             "sample_types_units", "service_name", "duration_ns",
-            "payload_type", "payload", "values_agg",
+            "payload_type", "payload", "values_agg", *fact_extra,
         ),
         "profiles",
         lambda df: df.sortWithinPartitions(

@@ -237,3 +237,141 @@ def test_store_engine_tempo(spark, tmp_path):
     assert [r["name"] for r in spans] == ["root", "leaf"]  # root first
     tags = {r["key"] for r in eng.tempo_tags().collect()}
     assert {"status", "name", "service.name"} <= tags
+
+
+def _folded_profiles_seed(spark, tmp_path):
+    """Two services × two envs of folded-stack profiles → profiles_fanout
+    with the stored tree layout (profiles.sql:118-119)."""
+    from gigapipe_spark.sources.ingest import folded_profiles_input
+    from gigapipe_spark.storage.writer import profiles_fanout
+
+    rows = []
+    for i, (svc, env) in enumerate(
+        [("api", "prod"), ("api", "dev"), ("worker", "prod")]
+    ):
+        pid = f"p{i}"
+        for line, mult in [("main;handle 10", 1), ("main;handle;db 5", 1)]:
+            stack, val = line.rsplit(" ", 1)
+            rows.append(
+                (
+                    pid,
+                    T0 + i * 1_000_000_000,
+                    "process_cpu",
+                    svc,
+                    "cpu",
+                    "nanoseconds",
+                    {"env": env, "svc": svc},
+                    1_000_000,
+                    f"{stack} {int(val) * (i + 1)}",
+                )
+            )
+    folded = spark.createDataFrame(
+        rows,
+        "profile_id string, timestamp_ns long, type string,"
+        " service_name string, period_type string, period_unit string,"
+        " tags map<string,string>, duration_ns long, line string",
+    )
+    batch = folded_profiles_input(folded, "cpu", "nanoseconds")
+    cat = Catalog(str(tmp_path / "profstore"))
+    profiles_fanout(batch.coalesce(1), cat)
+    return cat
+
+
+def test_store_pyroscope_selector_scoped_render(spark, tmp_path):
+    """Round-5 gap closed: label-selector scoping through the stored
+    profiles_series_gin + render from the stored tree layout
+    (planner_selector.go:12 + planner_merge_raw.go:11)."""
+    from gigapipe_spark.storage.query import StoreEngine
+
+    cat = _folded_profiles_seed(spark, tmp_path)
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+
+    def total(levels):
+        return sum(d["total"] for d in levels[0]) if levels else 0
+
+    # unscoped: all three profiles merge (10+5)*(1+2+3) at the root
+    assert total(eng.pyroscope_render()) == 90
+    # selector scoping via the stored GIN
+    assert total(eng.pyroscope_render(selector='{env="prod"}')) == 60
+    assert total(eng.pyroscope_render(selector='{env="dev"}')) == 30
+    # global pseudo-label + kv matcher combined
+    assert (
+        total(
+            eng.pyroscope_render(
+                selector='{service_name="api", env="prod"}'
+            )
+        )
+        == 15
+    )
+    # type id scopes series AND value slot; wrong type → empty
+    tid = "process_cpu:cpu:nanoseconds:cpu:nanoseconds"
+    assert total(eng.pyroscope_render(profile_type_id=tid)) == 90
+    wrong = "process_cpu:alloc:bytes:cpu:nanoseconds"
+    assert total(eng.pyroscope_render(profile_type_id=wrong)) == 0
+    # combined type{selector} query string (detachTypeId, prof.go:686)
+    assert total(eng.pyroscope_render(selector=tid + '{env="dev"}')) == 30
+    # function names survive to the merged rows
+    from gigapipe_spark.prof.tree import merge_trees, resolve_functions
+
+    prof = eng._stored_profiles(None, '{env="prod"}', None)
+    named = {
+        r["fn_name"]
+        for r in resolve_functions(merge_trees(prof), prof).collect()
+    }
+    assert named == {"main", "handle", "db"}
+    # diff over the stored tree layout
+    diff = {
+        r["fn_id"]: r
+        for r in eng.pyroscope_render_diff("api", "worker").collect()
+    }
+    assert len(diff) == 3
+
+
+def test_store_pyroscope_pprof_end_to_end(spark, tmp_path):
+    """pprof BYTES → pprof_folded → folded_profiles_input →
+    profiles_fanout → selector-scoped store render."""
+    import gzip
+
+    from gigapipe_spark.sources import protowire as pw
+    from gigapipe_spark.sources.ingest import folded_profiles_input
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import profiles_fanout
+
+    # reuse the wire-level fixture builder shape from test_protowire
+    strings = [b"", b"main", b"foo", b"bar"]
+    funcs = [pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)]) for i in range(3)]
+    locs = [
+        pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))])
+        for i in range(3)
+    ]
+    s1 = pw.pb_encode([(1, 0, 2), (1, 0, 1), (2, 0, 5)])
+    s2 = pw.pb_encode([(1, 0, 3), (1, 0, 2), (1, 0, 1), (2, 0, 7)])
+    fields = [(2, 2, s1), (2, 2, s2)]
+    fields += [(4, 2, l) for l in locs]
+    fields += [(5, 2, f) for f in funcs]
+    fields += [(6, 2, s) for s in strings]
+    body = gzip.compress(pw.pb_encode(fields))
+
+    raw = spark.createDataFrame(
+        [("p1", bytearray(body))], "profile_id string, payload binary"
+    )
+    folded = pw.pprof_folded(raw).select(
+        "profile_id",
+        F.lit(T0).alias("timestamp_ns"),
+        F.lit("process_cpu").alias("type"),
+        F.lit("api").alias("service_name"),
+        F.lit("cpu").alias("period_type"),
+        F.lit("nanoseconds").alias("period_unit"),
+        F.create_map(F.lit("env"), F.lit("prod")).alias("tags"),
+        F.lit(0).cast("long").alias("duration_ns"),
+        "line",
+    )
+    cat = Catalog(str(tmp_path / "pprofstore"))
+    profiles_fanout(
+        folded_profiles_input(folded, "cpu", "nanoseconds").coalesce(1), cat
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    levels = eng.pyroscope_render(selector='{env="prod"}')
+    by_name_total = sum(d["total"] for d in levels[0])
+    assert by_name_total == 12  # main subtree: 5 + 7
+    assert eng.pyroscope_render(selector='{env="staging"}') == []
