@@ -13,7 +13,10 @@ Shape at 100 TB, honestly split:
   distinct words and fuses the argmax pair. State is broadcast-scale,
   and every merge depends on the previous one, so this is an index
   BUILD on collected vocab (driver-side dict), exactly like fitting IVF
-  centroids — NOT a per-row operator. The corpus never moves.
+  centroids — NOT a per-row operator. The corpus never moves, and the
+  collected vocabulary is bounded (frequency floor + distributed
+  top-K TakeOrdered) so the driver never holds a web-scale distinct-
+  word table.
 - ``bpe_token_count``: applying learned merges is corpus-scale and
   embarrassingly parallel — merges broadcast to an Arrow-batched
   mapInPandas stage with a per-batch word→token-count memo (Zipf makes
@@ -71,12 +74,33 @@ def _merge_vocab(vocab: dict[tuple, int], pair: tuple) -> dict[tuple, int]:
 
 
 def bpe_train(
-    docs: DataFrame, num_merges: int = 50, text_col: str = "text"
+    docs: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab_words: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn `num_merges` merges from the corpus. The distributed part
     is the word count; the merge loop runs on the collected vocabulary
-    (see module docstring). Ties break lexicographically."""
-    wc = word_counts(docs, text_col).collect()
+    (see module docstring). Ties break lexicographically.
+
+    The driver-side collect is BOUNDED: a frequency floor (`min_count`)
+    plus a top-`max_vocab_words` cap, both applied DISTRIBUTED
+    (filter + orderBy().limit() = TakeOrdered, no full-vocab driver
+    materialization — the same fix the IVF trainer got). On a web-scale
+    corpus the distinct-word table is 10^8–10^9 rows; capping to the
+    most frequent million is standard BPE practice (merge counts are
+    dominated by frequent words under Zipf) and changes nothing on any
+    corpus whose vocabulary already fits the cap. Ties at the cap
+    boundary break deterministically by (cnt desc, word)."""
+    wc_df = word_counts(docs, text_col)
+    if min_count > 1:
+        wc_df = wc_df.filter(F.col("cnt") >= min_count)
+    wc = (
+        wc_df.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
     vocab = {tuple(r["w"]) + (END,): r["cnt"] for r in wc}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 # reader/logql/logql_transpiler/shared/types.go:12-14.
 SAMPLES = T.StructType(
     [
+        T.StructField("oid", T.StringType(), False),  # org id, default '0'
         T.StructField("fingerprint", T.LongType(), False),
         T.StructField("timestamp_ns", T.LongType(), False),
         T.StructField("value", T.DoubleType(), True),
@@ -30,6 +31,7 @@ SAMPLES = T.StructType(
 # ref: ctrl/qryn/sql/log.sql:16-23 (time_series) — series dimension.
 TIME_SERIES = T.StructType(
     [
+        T.StructField("oid", T.StringType(), False),
         T.StructField("date", T.DateType(), False),
         T.StructField("fingerprint", T.LongType(), False),
         T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
@@ -41,6 +43,7 @@ TIME_SERIES = T.StructType(
 # ref: ctrl/qryn/sql/log.sql:62-80 (time_series_gin) — label inverted index.
 TIME_SERIES_GIN = T.StructType(
     [
+        T.StructField("oid", T.StringType(), False),
         T.StructField("date", T.DateType(), False),
         T.StructField("key", T.StringType(), False),
         T.StructField("val", T.StringType(), False),
@@ -53,6 +56,7 @@ TIME_SERIES_GIN = T.StructType(
 # re-aggregable partials (AggregateFunction states become plain columns).
 METRICS_15S = T.StructType(
     [
+        T.StructField("oid", T.StringType(), False),
         T.StructField("fingerprint", T.LongType(), False),
         T.StructField("timestamp_ns", T.LongType(), False),
         T.StructField("last", T.DoubleType(), True),
@@ -69,6 +73,7 @@ METRICS_15S = T.StructType(
 # trace_id/span_id kept as hex strings (FixedString → String per §1.2).
 SPANS = T.StructType(
     [
+        T.StructField("oid", T.StringType(), False),
         T.StructField("trace_id", T.StringType(), False),
         T.StructField("span_id", T.StringType(), False),
         T.StructField("parent_id", T.StringType(), True),

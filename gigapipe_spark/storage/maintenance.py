@@ -64,22 +64,30 @@ class RotatePolicy:
 
 
 def _partition_dates(table_path: str) -> list[tuple[str, str]]:
-    """[(iso_date, partition_dir)] for a date-partitioned table.
-    Non-date names — including crash-leftover `.compact_tmp`/
-    `.compact_old` dirs from an interrupted compact() — are skipped, so
-    maintenance walks stay safe to re-run after any failure."""
+    """[(iso_date, partition_dir)] for a date-partitioned table,
+    descending the oid= tenant level when present (PARTITION BY
+    (oid, date), traces.sql:19). Non-date names — including
+    crash-leftover `.compact_tmp`/`.compact_old` dirs from an
+    interrupted compact() — are skipped, so maintenance walks stay safe
+    to re-run after any failure."""
     if not os.path.isdir(table_path):
         return []
+    roots = [
+        os.path.join(table_path, n)
+        for n in sorted(os.listdir(table_path))
+        if n.startswith("oid=") and os.path.isdir(os.path.join(table_path, n))
+    ] or [table_path]
     out = []
-    for name in sorted(os.listdir(table_path)):
-        if not name.startswith("date="):
-            continue
-        iso = name.split("=", 1)[1]
-        try:
-            _date.fromisoformat(iso)
-        except ValueError:
-            continue
-        out.append((iso, os.path.join(table_path, name)))
+    for root in roots:
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("date="):
+                continue
+            iso = name.split("=", 1)[1]
+            try:
+                _date.fromisoformat(iso)
+            except ValueError:
+                continue
+            out.append((iso, os.path.join(root, name)))
     return out
 
 
@@ -127,8 +135,10 @@ def rotate(
             for pol in by_age:
                 if age > pol.ttl_days:
                     dest_table = os.path.join(tier_root(catalog, pol.move_to), table)
-                    os.makedirs(dest_table, exist_ok=True)
-                    dest = os.path.join(dest_table, os.path.basename(part_dir))
+                    # preserve the oid level in the tier copy
+                    rel = os.path.relpath(part_dir, catalog.path(table))
+                    dest = os.path.join(dest_table, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
                     shutil.move(part_dir, dest)
                     moved.append(dest)
                     break

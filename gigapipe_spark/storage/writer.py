@@ -26,16 +26,31 @@ from pyspark.sql import functions as F
 
 
 class Catalog:
-    """Paths + readers/writers for the engine's tables under one root."""
+    """Paths + readers/writers for the engine's tables under one root.
 
-    def __init__(self, root: str):
+    `oid` is the reference's org-id multi-tenancy column (ref:
+    ctrl/qryn/sql/traces.sql:8 `oid String DEFAULT '0'`; log.sql:22;
+    every PARTITION BY / ORDER BY leads with it). One Catalog is bound
+    to one tenant, like the reference's per-request org context: the
+    fan-out writers stamp the column, and every read filters to it —
+    at scale the filter is partition pruning, since oid leads the
+    partition spec like the reference's PARTITION BY (oid, date)."""
+
+    def __init__(self, root: str, oid: str = "0"):
         self.root = root
+        self.oid = oid
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(table))
+        df = spark.read.parquet(self.path(table))
+        if "oid" in df.columns:
+            return df.filter(F.col("oid") == self.oid).drop("oid")
+        if self.oid != "0":
+            # pre-oid store: only the default tenant has data
+            return df.filter(F.lit(False))
+        return df
 
     def read_series(
         self,
@@ -170,17 +185,22 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     batch = batch.localCheckpoint(eager=True)
 
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
-    with_date = batch.withColumn("date", date)
+    # oid leads the partition spec, the reference's PARTITION BY
+    # (oid, date) (log.sql:22,41; traces.sql:19) — tenant reads prune
+    # whole partitions
+    with_date = batch.withColumn("date", date).withColumn(
+        "oid", F.lit(catalog.oid)
+    )
 
     observed_write(
         with_date.select(
-            "date", "fingerprint", "timestamp_ns", "value", "string", "type",
-            "ttl_days",
+            "oid", "date", "fingerprint", "timestamp_ns", "value", "string",
+            "type", "ttl_days",
         ),
         "samples",
         lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("samples")),
         bytes_col="string",
     )
@@ -194,7 +214,7 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     # (fingerprint, type)), so the label planners' `type IN (T, 0)`
     # scoping never misses a mixed log+metric stream.
     series = (
-        with_date.groupBy("date", "fingerprint", "type")
+        with_date.groupBy("oid", "date", "fingerprint", "type")
         .agg(
             F.first("labels").alias("labels"),
             F.first("metadata").alias("metadata"),
@@ -202,26 +222,27 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
             F.max("timestamp_ns").alias("updated_at_ns"),
         )
         .select(
-            "date", "fingerprint", "labels", "type", "metadata", "ttl_days",
-            "updated_at_ns",
+            "oid", "date", "fingerprint", "labels", "type", "metadata",
+            "ttl_days", "updated_at_ns",
         )
     )
     observed_write(
         series,
         "time_series",
         lambda df: df.write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("time_series")),
         bytes_col=None,
     )
 
     gin = series.select(
-        "date", "fingerprint", "type", F.explode("labels").alias("key", "val")
+        "oid", "date", "fingerprint", "type",
+        F.explode("labels").alias("key", "val"),
     )
     observed_write(
         gin,
         "gin",
-        lambda df: df.write.mode("append").partitionBy("date").parquet(
+        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
             catalog.path("gin")
         ),
         bytes_col=None,
@@ -234,18 +255,24 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     if not metric_rows.isEmpty():
         from gigapipe_spark.streaming.rollup import rollup_15s_batch
 
-        cells = rollup_15s_batch(metric_rows).withColumn(
-            "date",
-            F.to_date(
-                F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long"))
-            ),
+        cells = (
+            rollup_15s_batch(metric_rows)
+            .withColumn(
+                "date",
+                F.to_date(
+                    F.timestamp_micros(
+                        (F.col("timestamp_ns") / 1000).cast("long")
+                    )
+                ),
+            )
+            .withColumn("oid", F.lit(catalog.oid))
         )
         observed_write(
             cells,
             "metrics_15s",
             lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
             .write.mode("append")
-            .partitionBy("date")
+            .partitionBy("oid", "date")
             .parquet(catalog.path("metrics_15s")),
             bytes_col=None,
         )
@@ -274,23 +301,28 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     # one materialization for three MV writes (see ingest_fanout)
     batch = batch.localCheckpoint(eager=True)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
-    with_date = batch.withColumn("date", date)
+    # oid leads the partition spec (traces.sql:19 PARTITION BY
+    # (oid, toDate(...)))
+    with_date = batch.withColumn("date", date).withColumn(
+        "oid", F.lit(catalog.oid)
+    )
 
     observed_write(
         with_date.select(
-            "date", "trace_id", "span_id", "parent_id", "name",
+            "oid", "date", "trace_id", "span_id", "parent_id", "name",
             "timestamp_ns", "duration_ns", "service_name", "payload_type",
             "payload",
         ),
         "tempo_traces",
         lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("tempo_traces")),
         bytes_col="payload",
     )
 
     gin = with_date.select(
+        "oid",
         "date",
         F.explode("attrs").alias("key", "val"),
         "trace_id",
@@ -303,21 +335,22 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
         "tempo_traces_attrs_gin",
         lambda df: df.sortWithinPartitions("key", "val", "timestamp_ns")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("tempo_traces_attrs_gin")),
         bytes_col=None,
     )
 
     kv = gin.select(
+        "oid",
         "date",
         "key",
         (F.pmod(F.xxhash64("val"), F.lit(10000))).alias("val_id"),
         "val",
-    ).dropDuplicates(["date", "key", "val_id", "val"])
+    ).dropDuplicates(["oid", "date", "key", "val_id", "val"])
     observed_write(
         kv,
         "tempo_traces_kv",
-        lambda df: df.write.mode("append").partitionBy("date").parquet(
+        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
             catalog.path("tempo_traces_kv")
         ),
         bytes_col=None,
@@ -327,6 +360,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     # evaluation scans; maintained at ingest so queries never rebuild it
     # — the promise the fixture views make, kept on the store)
     amap = with_date.select(
+        "oid",
         "date",
         "trace_id",
         "span_id",
@@ -339,7 +373,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
         "tempo_traces_attr_map",
         lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("tempo_traces_attr_map")),
         bytes_col=None,
     )
@@ -403,6 +437,7 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
         type_id.alias("type_id"),
         fingerprint.alias("fingerprint"),
         date.alias("date"),
+        F.lit(catalog.oid).alias("oid"),
     )
 
     # tree/functions columns (profiles.sql:118-119 ALTER; the later MV
@@ -412,7 +447,7 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
     fact_extra = [c for c in ("tree", "functions") if c in batch.columns]
     observed_write(
         enriched.select(
-            "date", "timestamp_ns", "fingerprint", "type_id",
+            "oid", "date", "timestamp_ns", "fingerprint", "type_id",
             "sample_types_units", "service_name", "duration_ns",
             "payload_type", "payload", "values_agg", *fact_extra,
         ),
@@ -421,13 +456,14 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
             "type_id", "service_name", "timestamp_ns"
         )
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("profiles")),
         bytes_col="payload",
     )
 
     # series tags = input tags + ('service_name', service) (:78)
     series = enriched.select(
+        "oid",
         "date",
         "type_id",
         "sample_types_units",
@@ -440,17 +476,18 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
             ),
             F.create_map(F.lit("service_name"), F.col("service_name")),
         ).alias("tags"),
-    ).dropDuplicates(["date", "type_id", "fingerprint"])
+    ).dropDuplicates(["oid", "date", "type_id", "fingerprint"])
     observed_write(
         series,
         "profiles_series",
-        lambda df: df.write.mode("append").partitionBy("date").parquet(
+        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
             catalog.path("profiles_series")
         ),
         bytes_col=None,
     )
 
     gin = series.select(
+        "oid",
         "date",
         F.explode("tags").alias("key", "val"),
         "type_id",
@@ -463,21 +500,22 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
         "profiles_series_gin",
         lambda df: df.sortWithinPartitions("key", "val", "type_id")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("profiles_series_gin")),
         bytes_col=None,
     )
 
     keys = gin.select(
+        "oid",
         "date",
         "key",
         "val",
         F.pmod(F.xxhash64("val"), F.lit(10000)).alias("val_id"),
-    ).dropDuplicates(["date", "key", "val_id"])
+    ).dropDuplicates(["oid", "date", "key", "val_id"])
     observed_write(
         keys,
         "profiles_series_keys",
-        lambda df: df.write.mode("append").partitionBy("date").parquet(
+        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
             catalog.path("profiles_series_keys")
         ),
         bytes_col=None,
@@ -588,14 +626,16 @@ def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
     batch = batch.localCheckpoint(eager=True)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     observed_write(
-        batch.withColumn("date", date).select(
-            "date", "timestamp_ns", "service_name", "type_id",
+        batch.withColumn("date", date)
+        .withColumn("oid", F.lit(catalog.oid))
+        .select(
+            "oid", "date", "timestamp_ns", "service_name", "type_id",
             "profile_id", "line",
         ),
         "profiles_folded",
         lambda df: df.sortWithinPartitions("type_id", "service_name")
         .write.mode("append")
-        .partitionBy("date")
+        .partitionBy("oid", "date")
         .parquet(catalog.path("profiles_folded")),
         bytes_col="line",
     )

@@ -69,3 +69,27 @@ def test_bpe_registry_entry(spark):
     rows = df.collect()
     assert len(rows) == 500
     assert all(r.n_bpe_tokens > 0 for r in rows)
+
+
+def test_bpe_train_bounded_vocab_collect(spark):
+    """The driver-side vocabulary collect is bounded: with a cap wider
+    than the vocab the merges are unchanged; with a tight cap training
+    still succeeds on the most frequent words only (r5 scale finding)."""
+    docs = [
+        (0, "low low lower lowest"),
+        (1, "new newer newest low"),
+        (2, "wide wider low new"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    unbounded = bpe.bpe_train(d, num_merges=10)
+    assert bpe.bpe_train(d, num_merges=10, max_vocab_words=10**6) == unbounded
+    capped = bpe.bpe_train(d, num_merges=10, max_vocab_words=3)
+    # 3 words exhaust the pair space early but training stays sound
+    assert 0 < len(capped) <= 10
+    # the cap keeps the highest-count words: 'low' (4×) survives, so its
+    # end-of-word merge chain must appear
+    joined = ["".join(p) for p in capped]
+    assert any(s.startswith("lo") for s in joined)
+    # frequency floor drops hapax words before the collect
+    floored = bpe.bpe_train(d, num_merges=5, min_count=2)
+    assert len(floored) == 5

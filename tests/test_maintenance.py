@@ -104,7 +104,7 @@ def test_compact_merges_small_files_and_restores_sort(spark, tmp_path):
     from gigapipe_spark.storage.maintenance import compact
 
     cat = _store(spark, tmp_path, ["2026-03-01"] * 4)  # 4 appended batches
-    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    part = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
     before = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(before) >= 4  # one file per append at least
     done = compact(spark, cat, "samples", target_files_per_partition=1)
@@ -125,7 +125,7 @@ def test_compact_codec_rewrite_records_setting(spark, tmp_path):
     cat = _store(spark, tmp_path, ["2026-03-01"] * 2)
     compact(spark, cat, "samples", target_files_per_partition=1, codec="zstd")
     assert get_setting(spark, cat, "codec", "samples") == "zstd"
-    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    part = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
     assert any(".zstd." in f for f in os.listdir(part))
 
 
@@ -135,7 +135,7 @@ def test_partition_walk_skips_crash_leftovers(spark, tmp_path):
     from gigapipe_spark.storage.maintenance import compact, rotate
 
     cat = _store(spark, tmp_path, ["2026-03-01"] * 2)
-    part = os.path.join(cat.path("samples"), "date=2026-03-01")
+    part = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
     os.makedirs(part + ".compact_tmp")  # simulated crash leftover
     res = rotate(spark, cat, drop_days=365, today=date.fromisoformat("2026-03-02"))
     assert res["dropped"] == []

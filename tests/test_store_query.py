@@ -375,3 +375,89 @@ def test_store_pyroscope_pprof_end_to_end(spark, tmp_path):
     by_name_total = sum(d["total"] for d in levels[0])
     assert by_name_total == 12  # main subtree: 5 + 7
     assert eng.pyroscope_render(selector='{env="staging"}') == []
+
+
+def test_oid_multi_tenant_isolation(spark, tmp_path):
+    """Reference parity: every stored table carries the org id and
+    leads its partition spec with it (traces.sql:8,18-19; log.sql:22),
+    so one store root serves isolated tenants."""
+    root = str(tmp_path / "mt")
+
+    def push(oid, app, line):
+        payload = json.dumps(
+            {
+                "streams": [
+                    {"stream": {"app": app}, "values": [[str(T0), line]]}
+                ]
+            }
+        )
+        raw = spark.createDataFrame([(payload,)], "payload string")
+        cat = Catalog(root, oid=oid)
+        ingest_fanout(ingest.loki_push(raw).coalesce(1), cat)
+        return cat
+
+    cat_a = push("0", "web", "tenant a line")
+    cat_b = push("acme", "web", "tenant b line")
+
+    # physical layout: oid leads the partition dirs
+    import os
+
+    assert sorted(
+        n for n in os.listdir(cat_a.path("samples")) if n.startswith("oid=")
+    ) == ["oid=0", "oid=acme"]
+
+    # reads are tenant-scoped end-to-end
+    ctx_a = store_logql_context(spark, cat_a)
+    ctx_b = store_logql_context(spark, cat_b)
+    rows_a = query_range(ctx_a, '{app="web"}').df.collect()
+    rows_b = query_range(ctx_b, '{app="web"}').df.collect()
+    assert [r["string"] for r in rows_a] == ["tenant a line"]
+    assert [r["string"] for r in rows_b] == ["tenant b line"]
+    assert cat_a.read_series(spark).count() == 1
+    assert cat_b.read_series(spark).count() == 1
+    # unknown tenant sees nothing
+    assert Catalog(root, oid="ghost").read(spark, "samples").count() == 0
+
+
+def test_oid_rotation_preserves_tenant_level(spark, tmp_path):
+    """TTL rotation walks the oid-led layout and keeps the tenant level
+    in tier moves."""
+    import datetime
+    import os
+
+    from gigapipe_spark.storage.maintenance import (
+        RotatePolicy,
+        rotate,
+        tier_root,
+    )
+
+    root = str(tmp_path / "rotstore")
+    old_ns = int(
+        datetime.datetime(
+            2023, 1, 1, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1e9
+    )
+    for oid in ("0", "acme"):
+        payload = json.dumps(
+            {
+                "streams": [
+                    {"stream": {"app": "w"}, "values": [[str(old_ns), "x"]]}
+                ]
+            }
+        )
+        raw = spark.createDataFrame([(payload,)], "payload string")
+        ingest_fanout(
+            ingest.loki_push(raw).coalesce(1), Catalog(root, oid=oid)
+        )
+    cat = Catalog(root)
+    res = rotate(
+        spark,
+        cat,
+        drop_days=10_000,
+        policies=(RotatePolicy(ttl_days=30, move_to="cold"),),
+        tables=("samples",),
+    )
+    assert len(res["moved"]) == 2  # one date partition per tenant
+    cold = os.path.join(tier_root(cat, "cold"), "samples")
+    assert sorted(os.listdir(cold)) == ["oid=0", "oid=acme"]
