@@ -44,6 +44,38 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibration(spark, sf_dir: str) -> float | None:
+    """Fixed-work box-speed probe: scan+hash-agg over a frozen file
+    (sf0.1 lineitem — ~600k rows regardless of the bench SF). The
+    per-round totals in BENCH_r*.json moved ±15% on hardware drift
+    alone (BASELINE.md r3–r5 notes); `total/calibration` is the
+    box-independent number to compare across rounds. Median of 3 runs,
+    first run discarded as JIT warmup."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    if not os.path.isdir(path) and not os.path.isfile(path):
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        if not os.path.isdir(path) and not os.path.isfile(path):
+            return None
+    df = spark.read.parquet(path)
+
+    def probe() -> float:
+        t0 = time.monotonic()
+        df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"),
+            F.avg("l_extendedprice"),
+            F.avg("l_discount"),
+            F.count(F.lit(1)),
+        ).collect()
+        return time.monotonic() - t0
+
+    probe()  # warmup
+    return round(statistics.median(probe() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gigapipe_spark.session import get_spark
@@ -90,17 +122,18 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    cal = _calibration(spark, sf_dir)
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if cal:
+        out["calibration"] = cal
+        out["normalized"] = round(total / cal, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -365,9 +365,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # small-corpus gate: one cheap count on the persisted signature
+    # index (it materializes here anyway — the count is the eager
+    # trigger). When the corpus is within 32× the cap, even a fully
+    # degenerate bucket yields a candidate set the verify stage absorbs
+    # at interactive scale, so the cap machinery (a count aggregate +
+    # broadcast anti-join, ~25% of the whole query at sf0.1) is pure
+    # overhead; at the 30×+ scales the cap was built for (measured
+    # 96.4s→49.8s) the gate leaves it on.
+    if max_bucket is not None and sig.count() <= 32 * max_bucket:
+        max_bucket = None
     # the persisted artifact is the CAPPED banded index: the self-join
     # consumes it twice, and persisting downstream of the cap runs the
-    # window count once instead of once per join side
+    # count once instead of once per join side
     cand_src = _cap_buckets(banded, ["band", "h"], max_bucket).persist()
     cand = (
         cand_src.alias("l")
