@@ -48,9 +48,16 @@ class Ruler:
     """Evaluate rules over a samples context and write back
     (ref: ruler/manager.go evaluation loop + writeback.go)."""
 
-    def __init__(self, spark: SparkSession, logctx_factory: Callable, sink: Callable[[DataFrame], None]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        logctx_factory: Callable,
+        sink: Callable[[DataFrame], None],
+        promctx_factory: Callable | None = None,
+    ):
         self.spark = spark
         self.logctx_factory = logctx_factory
+        self.promctx_factory = promctx_factory
         self.sink = sink
         self.rules: list[RecordingRule] = []
         self.last_run_ns: dict[str, int] = {}
@@ -75,7 +82,12 @@ class Ruler:
             from gigapipe_spark.promql.compiler import PromQLContext
             from gigapipe_spark.promql.compiler import query as promql_query
 
-            matrix = promql_query(PromQLContext(ctx.spark, ctx.sf_dir), rule.query)
+            pctx = (
+                self.promctx_factory()
+                if self.promctx_factory is not None
+                else PromQLContext(ctx.spark, ctx.sf_dir)
+            )
+            matrix = promql_query(pctx, rule.query)
         else:
             from gigapipe_spark.logql.compiler import query as logql_query
 
@@ -156,6 +168,42 @@ class Ruler:
                 }
             )
         return out
+
+
+def store_ruler(spark: SparkSession, catalog) -> "Ruler":
+    """Ruler bound to a written store, closing the reference's writeback
+    loop (ruler/writeback.go:20-54): rules evaluate over the stored
+    tables and results append back THROUGH ingest_fanout — the same
+    remote-write-shaped path as any push, so onEntries behaviors
+    (service_name discovery, metadata peel, per-type series rows) apply
+    to recorded series exactly like ingested ones."""
+    from gigapipe_spark.storage.query import (
+        store_logql_context,
+        store_promql_context,
+    )
+    from gigapipe_spark.storage.writer import ingest_fanout
+
+    return Ruler(
+        spark,
+        logctx_factory=lambda: store_logql_context(spark, catalog),
+        promctx_factory=lambda: store_promql_context(spark, catalog),
+        sink=lambda df: ingest_fanout(df.coalesce(1), catalog),
+    )
+
+
+def store_tailer(
+    spark: SparkSession, catalog, query: str, **kw
+) -> "Tailer":
+    """Live tail over a written store: each poll re-runs the compiled
+    query against the stored tables from the last-seen timestamp
+    (query_range.go:670-760 over the writer's tables)."""
+    from gigapipe_spark.storage.query import store_logql_context
+
+    return Tailer(
+        logctx_factory=lambda: store_logql_context(spark, catalog),
+        query=query,
+        **kw,
+    )
 
 
 @dataclass
