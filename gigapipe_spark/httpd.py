@@ -1,0 +1,444 @@
+"""Thin HTTP/WebSocket façade over an Engine (ref: the reference's
+HTTP routers — reader/router/*.go for the query surface,
+writer/router/* for pushes, and the WebSocket live tail in
+reader/controller/query_range.go:158-245).
+
+Stdlib-only (this container has no aiohttp): a ThreadingHTTPServer
+mapping the reference's top route families onto the existing Engine
+methods, plus a real RFC6455 WebSocket upgrade for /loki/api/v1/tail.
+The façade serializes DataFrame results into the wire envelopes the
+reference emits (Loki streams/matrix, Prometheus vector/matrix, Tempo
+search traces, Pyroscope flamebearer levels); all query planning and
+execution stay in the engine — this layer is transport only.
+
+Push routes require a store-backed engine (StoreEngine with a Catalog):
+a POST body runs through the matching sources.ingest decoder and the MV
+fan-out writer, completing the reference loop over a socket.
+
+Scale note: the reference runs its readers/writers as horizontally
+scaled stateless HTTP pods over shared ClickHouse; this façade is the
+same shape over a shared Spark session / table store — N gateways can
+front one store because all state lives in the tables.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+_WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _labels_of(row) -> dict:
+    lab = row["labels"] if "labels" in row.__fields__ else {}
+    return dict(lab or {})
+
+
+def _loki_envelope(rows) -> dict:
+    """Rows → Loki query_range response body (streams or matrix by
+    shape, matching the reference's response builders)."""
+    if rows and "string" in rows[0].__fields__:
+        streams: dict[tuple, dict] = {}
+        for r in rows:
+            lab = _labels_of(r)
+            key = tuple(sorted(lab.items()))
+            s = streams.setdefault(key, {"stream": lab, "values": []})
+            s["values"].append([str(r["timestamp_ns"]), r["string"]])
+        return {
+            "status": "success",
+            "data": {"resultType": "streams", "result": list(streams.values())},
+        }
+    series: dict[tuple, dict] = {}
+    for r in rows:
+        lab = _labels_of(r)
+        key = tuple(sorted(lab.items()))
+        s = series.setdefault(key, {"metric": lab, "values": []})
+        s["values"].append([r["timestamp_ns"] / 1e9, str(r["value"])])
+    return {
+        "status": "success",
+        "data": {"resultType": "matrix", "result": list(series.values())},
+    }
+
+
+def _prom_envelope(rows, instant: bool) -> dict:
+    if instant:
+        result = [
+            {
+                "metric": _labels_of(r),
+                "value": [r["timestamp_ns"] / 1e9, str(r["value"])],
+            }
+            for r in rows
+        ]
+        rt = "vector"
+    else:
+        series: dict[tuple, dict] = {}
+        for r in rows:
+            lab = _labels_of(r)
+            key = tuple(sorted(lab.items()))
+            s = series.setdefault(key, {"metric": lab, "values": []})
+            s["values"].append([r["timestamp_ns"] / 1e9, str(r["value"])])
+        result = list(series.values())
+        rt = "matrix"
+    return {"status": "success", "data": {"resultType": rt, "result": result}}
+
+
+def _stream_labels(engine, df) -> list:
+    """Collect log rows with their stream labels attached. The compiler
+    skips the series join when the pipeline never reads labels (a
+    bare-selector fact scan stays pruned); the HTTP envelope needs them
+    — the reference's response builder attaches the stream's label set
+    (query_range response shaping). Broadcast join, filled only where
+    the compiler left labels null."""
+    from pyspark.sql import functions as F
+
+    if "string" not in df.columns or "fingerprint" not in df.columns:
+        return df.collect()
+    series = engine.series_table().select(
+        "fingerprint", F.col("labels").alias("__slabels")
+    ).dropDuplicates(["fingerprint"])
+    return (
+        df.join(F.broadcast(series), "fingerprint", "left")
+        .withColumn("labels", F.coalesce(F.col("labels"), F.col("__slabels")))
+        .drop("__slabels")
+        .collect()
+    )
+
+
+def _int_arg(q: dict, name: str) -> int | None:
+    v = q.get(name, [None])[0]
+    if v is None:
+        return None
+    f = float(v)
+    # Loki/Tempo pass ns; Prometheus passes (fractional) unix seconds.
+    # Disambiguate by magnitude like the reference's parsers do.
+    return int(f) if f > 1e15 else int(f * 1e9)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # engine injected by HttpGateway via subclassing
+    engine = None
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet test output
+        pass
+
+    # ------------------------------------------------------------ util
+    def _json(self, obj, code: int = 200) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _text(self, s: str, code: int = 200) -> None:
+        body = s.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", "0"))
+        return self.rfile.read(n) if n else b""
+
+    def _raw_df(self, payload: bytes):
+        return self.engine.spark.createDataFrame(
+            [(payload.decode("utf-8", "replace"),)], "payload string"
+        )
+
+    # ------------------------------------------------------------ GET
+    def do_GET(self) -> None:  # noqa: C901 - one router, like the reference's
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        path = url.path
+        e = self.engine
+        try:
+            if path == "/ready":
+                return self._text(e.ready())
+            if path == "/config":
+                return self._text(e.config())
+            if path == "/metrics":
+                return self._text(e.metrics())
+            if path == "/api/echo":
+                return self._text(e.tempo_echo())
+            if path == "/api/v1/status/buildinfo":
+                return self._json(e.buildinfo())
+
+            if path == "/loki/api/v1/query_range":
+                if "Upgrade" in self.headers.get("Connection", ""):
+                    return self._tail_ws(q)
+                df = e.loki_query_range(
+                    q["query"][0],
+                    _int_arg(q, "start"),
+                    _int_arg(q, "end"),
+                    int(q["limit"][0]) if "limit" in q else None,
+                    q.get("direction", ["backward"])[0],
+                )
+                return self._json(_loki_envelope(_stream_labels(e, df)))
+            if path == "/loki/api/v1/query":
+                df = e.loki_query(q["query"][0], _int_arg(q, "time"))
+                return self._json(_loki_envelope(_stream_labels(e, df)))
+            if path == "/loki/api/v1/tail":
+                return self._tail_ws(q)
+            if path == "/loki/api/v1/labels":
+                vals = [r["key"] for r in e.loki_labels(q.get("match[]")).collect()]
+                return self._json({"status": "success", "data": sorted(vals)})
+            if path.startswith("/loki/api/v1/label/") and path.endswith("/values"):
+                name = unquote(path.split("/")[-2])
+                vals = [
+                    r["val"]
+                    for r in e.loki_label_values(name, q.get("match[]")).collect()
+                ]
+                return self._json({"status": "success", "data": sorted(vals)})
+            if path == "/loki/api/v1/series":
+                rows = e.loki_series(q.get("match[]", q.get("match", []))).collect()
+                return self._json(
+                    {"status": "success", "data": [_labels_of(r) for r in rows]}
+                )
+            if path == "/loki/api/v1/index/stats":
+                r = e.loki_index_stats().collect()[0]
+                return self._json(
+                    {
+                        "streams": r["streams"],
+                        "entries": r["entries"],
+                        "bytes": r["bytes"],
+                        "chunks": 0,
+                    }
+                )
+            if path == "/loki/api/v1/patterns":
+                rows = e.loki_patterns().collect()
+                return self._json(
+                    {
+                        "status": "success",
+                        "data": [r.asDict(recursive=True) for r in rows],
+                    }
+                )
+
+            if path == "/api/v1/query":
+                rows = e.prom_query(q["query"][0], _int_arg(q, "time")).collect()
+                return self._json(_prom_envelope(rows, instant=True))
+            if path == "/api/v1/query_range":
+                step = q.get("step", [None])[0]
+                rows = e.prom_query_range(
+                    q["query"][0],
+                    _int_arg(q, "start"),
+                    _int_arg(q, "end"),
+                    int(float(step) * 1e9) if step else None,
+                ).collect()
+                return self._json(_prom_envelope(rows, instant=False))
+            if path == "/api/v1/labels":
+                vals = [r["key"] for r in e.prom_labels(q.get("match[]")).collect()]
+                return self._json({"status": "success", "data": sorted(vals)})
+            if path.startswith("/api/v1/label/") and path.endswith("/values"):
+                name = unquote(path.split("/")[-2])
+                vals = [
+                    r["val"]
+                    for r in e.prom_label_values(name, q.get("match[]")).collect()
+                ]
+                return self._json({"status": "success", "data": sorted(vals)})
+            if path == "/api/v1/metadata":
+                out: dict[str, list] = {}
+                for r in e.prom_metadata().collect():
+                    out.setdefault(r["metric_name"], []).append(
+                        json.loads(r["metadata_json"])
+                    )
+                return self._json({"status": "success", "data": out})
+
+            if path in ("/api/search", "/tempo/api/search"):
+                limit = int(q.get("limit", ["20"])[0])
+                if "tags" in q:  # legacy pre-TraceQL search
+                    df = e.tempo_search_tags(
+                        q["tags"][0],
+                        limit=limit,
+                        start_ns=_int_arg(q, "start"),
+                        end_ns=_int_arg(q, "end"),
+                    )
+                else:
+                    df = e.tempo_search(
+                        q.get("q", [None])[0] or q.get("query", [None])[0],
+                        limit=limit,
+                        start_ns=_int_arg(q, "start"),
+                        end_ns=_int_arg(q, "end"),
+                    )
+                return self._json(
+                    {"traces": [r.asDict(recursive=True) for r in df.collect()]}
+                )
+            if path.startswith(("/api/traces/", "/tempo/api/traces/")):
+                tid = path.rsplit("/", 1)[-1]
+                rows = e.tempo_trace(tid).collect()
+                return self._json(
+                    {"batches": [r.asDict(recursive=True) for r in rows]}
+                )
+            if path == "/api/search/tags":
+                rows = e.tempo_tags().collect()
+                return self._json({"tagNames": sorted(r["key"] for r in rows)})
+            if path == "/api/v2/search/tags":
+                rows = e.tempo_tags_v2(q.get("q", [None])[0]).collect()
+                scopes: dict[str, list] = {}
+                for r in rows:
+                    scopes.setdefault(r["scope"], []).append(r["tag"])
+                return self._json(
+                    {
+                        "scopes": [
+                            {"name": k, "tags": sorted(v)}
+                            for k, v in sorted(scopes.items())
+                        ]
+                    }
+                )
+            if path.startswith("/api/search/tag/") and path.endswith("/values"):
+                name = unquote(path.split("/")[-2])
+                rows = e.tempo_tag_values(name, q.get("q", [None])[0]).collect()
+                return self._json(
+                    {"tagValues": sorted(r["val"] for r in rows)}
+                )
+            if path == "/api/metrics/query_range":
+                rows = e.tempo_metrics_query_range(q["q"][0]).collect()
+                return self._json(
+                    {"series": [r.asDict(recursive=True) for r in rows]}
+                )
+
+            if path == "/pyroscope/render":
+                levels = e.pyroscope_render(
+                    service=q.get("service", [None])[0],
+                    selector=q.get("query", [None])[0],
+                    profile_type_id=q.get("profile_type_id", [None])[0],
+                )
+                return self._json(
+                    {
+                        "flamebearer": {
+                            "levels": [
+                                [
+                                    [d["id"], d["parent"], d["self"], d["total"]]
+                                    for d in lvl
+                                ]
+                                for lvl in levels
+                            ],
+                            "numTicks": sum(d["total"] for d in levels[0])
+                            if levels
+                            else 0,
+                        }
+                    }
+                )
+            return self._json({"error": f"unknown route {path}"}, 404)
+        except BrokenPipeError:
+            raise
+        except Exception as ex:  # one route fails, server survives
+            return self._json({"status": "error", "error": str(ex)}, 500)
+
+    # ------------------------------------------------------------ POST
+    def do_POST(self) -> None:
+        path = urlparse(self.path).path
+        e = self.engine
+        cat = getattr(e, "catalog", None)
+        try:
+            if cat is None:
+                return self._json(
+                    {"error": "push routes need a store-backed engine"}, 501
+                )
+            from gigapipe_spark.sources import ingest
+            from gigapipe_spark.storage.writer import (
+                ingest_fanout,
+                spans_fanout,
+            )
+
+            body = self._body()
+            if path == "/loki/api/v1/push":
+                ingest_fanout(
+                    ingest.loki_push(self._raw_df(body)).coalesce(1), cat
+                )
+                return self._json({}, 204)
+            if path.startswith(("/influx", "/write")):
+                ingest_fanout(
+                    ingest.influx_line(self._raw_df(body)).coalesce(1), cat
+                )
+                return self._json({}, 204)
+            if path in ("/tempo/spans", "/api/v2/spans"):
+                spans_fanout(
+                    ingest.zipkin_spans(self._raw_df(body)).coalesce(1), cat
+                )
+                return self._json({}, 204)
+            return self._json({"error": f"unknown push route {path}"}, 404)
+        except Exception as ex:
+            return self._json({"status": "error", "error": str(ex)}, 500)
+
+    # ------------------------------------------------------- WebSocket
+    def _tail_ws(self, q: dict) -> None:
+        """RFC6455 upgrade + poll loop — the reference's live tail is a
+        ticker re-running the transpiled query from the last-seen ts and
+        pushing stream frames (query_range.go:158-245,670-760)."""
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key:
+            return self._json({"error": "websocket upgrade required"}, 400)
+        accept = base64.b64encode(
+            hashlib.sha1((key + _WS_MAGIC).encode()).digest()
+        ).decode()
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept)
+        self.end_headers()
+
+        tailer = self.engine.loki_tail(q["query"][0])
+        conn = self.connection
+        conn.settimeout(0.05)
+        try:
+            while True:
+                rows = tailer.poll()
+                if rows:
+                    frame = json.dumps(
+                        _loki_envelope(rows)["data"] | {"dropped_entries": []}
+                    ).encode()
+                    self._ws_send(frame)
+                # detect client close frame / disconnect between polls
+                try:
+                    first = conn.recv(2)
+                    if not first or (first[0] & 0x0F) == 0x8:
+                        break
+                except socket.timeout:
+                    pass
+                time.sleep(0.2)
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            self.close_connection = True
+
+    def _ws_send(self, payload: bytes) -> None:
+        n = len(payload)
+        if n < 126:
+            header = struct.pack("!BB", 0x81, n)
+        elif n < (1 << 16):
+            header = struct.pack("!BBH", 0x81, 126, n)
+        else:
+            header = struct.pack("!BBQ", 0x81, 127, n)
+        self.connection.sendall(header + payload)
+
+
+class HttpGateway:
+    """Embeddable HTTP server over an Engine. Port 0 picks a free port;
+    `start()` returns the bound port."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        self.server = ThreadingHTTPServer((host, port), handler)
+        self.server.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.server.server_address[1]
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()

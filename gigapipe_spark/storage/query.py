@@ -275,6 +275,21 @@ class StoreEngine(Engine):
         sample-count approximation."""
         return self.catalog.metadata(self.spark)
 
+    def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
+        """Tail over the STORE with a FRESH context per poll: a cached
+        context's parquet scan snapshots the file listing at read time,
+        so appends landing after the first poll would be invisible
+        through it — rebinding per poll is what makes the tail live
+        (query_range.go:670 re-runs the transpiled query per tick)."""
+        from gigapipe_spark.streaming.ruler import store_tailer
+
+        return store_tailer(
+            self.spark,
+            self.catalog,
+            query,
+            max_rows_per_poll=max_rows_per_poll,
+        )
+
     def _folded_tree(
         self, service: str | None, profile_type_id: str | None
     ) -> DataFrame:

@@ -1,0 +1,216 @@
+"""HTTP/WebSocket façade e2e: pushes and queries over a real socket
+against a store-backed engine — the reference's router surface
+(reader/router/*, writer/router/*, WS tail query_range.go:158-245)."""
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+T0 = 1_700_000_000_000_000_000
+
+
+@pytest.fixture(scope="module")
+def gateway(spark, tmp_path_factory):
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog
+
+    root = str(tmp_path_factory.mktemp("httpstore") / "store")
+    cat = Catalog(root)
+    eng = StoreEngine(spark, root, catalog=cat)
+    gw = HttpGateway(eng)
+    port = gw.start()
+    yield f"http://127.0.0.1:{port}", port
+    gw.stop()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read() or b"{}")
+
+
+def _get_text(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, r.read().decode()
+
+
+def _post(base, path, body: bytes):
+    req = urllib.request.Request(base + path, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status
+
+
+def test_http_push_then_query_loop(gateway):
+    base, _ = gateway
+    payload = json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        [str(T0 + i * 1_000_000_000), f"hit {i}", float(i)]
+                        for i in range(4)
+                    ],
+                }
+            ]
+        }
+    ).encode()
+    assert _post(base, "/loki/api/v1/push", payload) == 204
+
+    # Loki streams envelope
+    st, body = _get(
+        base, "/loki/api/v1/query_range?query=%7Bapp%3D%22web%22%7D"
+    )
+    assert st == 200 and body["status"] == "success"
+    assert body["data"]["resultType"] == "streams"
+    stream = body["data"]["result"][0]
+    assert stream["stream"]["app"] == "web"
+    assert len(stream["values"]) == 4
+
+    # Prometheus instant vector over the same store (type-0 rows)
+    st, body = _get(base, "/api/v1/query?query=%7Bapp%3D%22web%22%7D")
+    assert st == 200 and body["data"]["resultType"] == "vector"
+    assert float(body["data"]["result"][0]["value"][1]) == 3.0
+
+    # label endpoints
+    st, body = _get(base, "/loki/api/v1/labels")
+    assert "app" in body["data"] and "service_name" in body["data"]
+    st, body = _get(base, "/loki/api/v1/label/app/values")
+    assert body["data"] == ["web"]
+
+    # index stats
+    st, body = _get(base, "/loki/api/v1/index/stats")
+    assert body["entries"] == 4 and body["streams"] == 1
+
+    # misc routes
+    assert _get_text(base, "/ready")[1] == "OK"
+    assert _get_text(base, "/api/echo")[1] == "echo"
+    assert _get(base, "/api/v1/status/buildinfo")[1]["status"] == "success"
+    assert "sent_rows" in _get_text(base, "/metrics")[1]
+    with pytest.raises(urllib.error.HTTPError):
+        _get(base, "/nope")
+
+
+def test_http_zipkin_push_then_tempo_search(gateway):
+    base, _ = gateway
+    spans = json.dumps(
+        [
+            {
+                "id": "c1", "traceId": "d1", "name": "get /x",
+                "timestamp": T0 // 1000, "duration": 1500,
+                "localEndpoint": {"serviceName": "web"},
+                "tags": {"otel.status_code": "ERROR"},
+            }
+        ]
+    ).encode()
+    assert _post(base, "/tempo/spans", spans) == 204
+    st, body = _get(
+        base, "/api/search?q=" + urllib.parse.quote("{ status = error }")
+    )
+    assert st == 200 and len(body["traces"]) == 1
+    tid = body["traces"][0]["trace_id"]
+    st, body = _get(base, f"/api/traces/{tid}")
+    assert st == 200 and body["batches"][0]["name"] == "get /x"
+    st, body = _get(base, "/api/search/tags")
+    assert "otel.status_code" in body["tagNames"]
+    st, body = _get(base, "/api/v2/search/tags")
+    scopes = {s["name"] for s in body["scopes"]}
+    assert "intrinsic" in scopes and "span" in scopes
+
+
+def _ws_connect(port: int, path: str) -> socket.socket:
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    key = base64.b64encode(os.urandom(16)).decode()
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\n"
+            f"Host: 127.0.0.1:{port}\r\n"
+            "Connection: Upgrade\r\n"
+            "Upgrade: websocket\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    hdr = b""
+    while b"\r\n\r\n" not in hdr:
+        hdr += s.recv(1024)
+    assert b"101" in hdr.split(b"\r\n", 1)[0]
+    want = base64.b64encode(
+        hashlib.sha1(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+        ).digest()
+    ).decode()
+    assert want.encode() in hdr
+    return s
+
+
+def _ws_read_frame(s: socket.socket) -> bytes:
+    head = b""
+    while len(head) < 2:
+        head += s.recv(2 - len(head))
+    ln = head[1] & 0x7F
+    if ln == 126:
+        ext = b""
+        while len(ext) < 2:
+            ext += s.recv(2 - len(ext))
+        ln = struct.unpack("!H", ext)[0]
+    elif ln == 127:
+        ext = b""
+        while len(ext) < 8:
+            ext += s.recv(8 - len(ext))
+        ln = struct.unpack("!Q", ext)[0]
+    out = b""
+    while len(out) < ln:
+        out += s.recv(ln - len(out))
+    return out
+
+
+def test_ws_tail_live(gateway):
+    """The WebSocket tail delivers existing rows, then NEW pushes
+    arriving while the socket stays open — the real live-tail loop."""
+    base, port = gateway
+    q = urllib.parse.quote('{app="tailme"}')
+    push = json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "tailme"},
+                    "values": [[str(T0), "first line"]],
+                }
+            ]
+        }
+    ).encode()
+    assert _post(base, "/loki/api/v1/push", push) == 204
+
+    s = _ws_connect(port, f"/loki/api/v1/tail?query={q}")
+    try:
+        frame = json.loads(_ws_read_frame(s))
+        lines = [v[1] for st in frame["result"] for v in st["values"]]
+        assert lines == ["first line"]
+
+        late = json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": {"app": "tailme"},
+                        "values": [[str(T0 + 5_000_000_000), "second line"]],
+                    }
+                ]
+            }
+        ).encode()
+        assert _post(base, "/loki/api/v1/push", late) == 204
+        frame2 = json.loads(_ws_read_frame(s))
+        lines2 = [v[1] for st in frame2["result"] for v in st["values"]]
+        assert lines2 == ["second line"]
+    finally:
+        # client close frame, then drop the socket
+        s.sendall(b"\x88\x80\x00\x00\x00\x00")
+        s.close()
