@@ -286,8 +286,13 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = 512,
+    cap_gate_docs: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, exact-verified.
+
+    `cap_gate_docs`: corpora at or below this doc count skip the
+    bucket-cap machinery entirely (see the gate comment below). None
+    derives 32×max_bucket; 0 forces the cap on at any corpus size.
 
     rows-per-band = num_hashes // bands. Candidate generation is a
     groupBy on (band, band_hash) — the only shuffle touching all docs;
@@ -373,7 +378,8 @@ def minhash_lsh_pairs(
     # broadcast anti-join, ~25% of the whole query at sf0.1) is pure
     # overhead; at the 30×+ scales the cap was built for (measured
     # 96.4s→49.8s) the gate leaves it on.
-    if max_bucket is not None and sig.count() <= 32 * max_bucket:
+    gate = 32 * (max_bucket or 0) if cap_gate_docs is None else cap_gate_docs
+    if max_bucket is not None and gate > 0 and sig.count() <= gate:
         max_bucket = None
     # the persisted artifact is the CAPPED banded index: the self-join
     # consumes it twice, and persisting downstream of the cap runs the

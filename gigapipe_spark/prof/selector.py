@@ -266,11 +266,22 @@ def profile_fingerprints_frames(
 def label_names(
     spark: SparkSession, sf_dir: str, scripts: list[list[Selector]] | None = None
 ) -> DataFrame:
+    """PlanLabelNames over the fixture views."""
+    return label_names_frames(
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        scripts,
+    )
+
+
+def label_names_frames(
+    series: DataFrame, gin: DataFrame, scripts: list[list[Selector]] | None = None
+) -> DataFrame:
     """PlanLabelNames (transpiler.go:10): distinct GIN keys, optionally
-    restricted to the selectors' fingerprints."""
-    gin = views.profiles_gin(spark, sf_dir)
+    restricted to the selectors' fingerprints. Frame-based core shared
+    by the fixture views and the stored profiles_series_gin table."""
     if scripts:
-        fps = profile_fingerprints(spark, sf_dir, scripts)
+        fps = profile_fingerprints_frames(series, gin, scripts)
         gin = gin.join(F.broadcast(fps), "fingerprint", "left_semi")
     return gin.select("key").distinct()
 
@@ -281,12 +292,26 @@ def label_values(
     label: str,
     scripts: list[list[Selector]] | None = None,
 ) -> DataFrame:
+    """PlanLabelValues over the fixture views."""
+    return label_values_frames(
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        label,
+        scripts,
+    )
+
+
+def label_values_frames(
+    series: DataFrame,
+    gin: DataFrame,
+    label: str,
+    scripts: list[list[Selector]] | None = None,
+) -> DataFrame:
     """PlanLabelValues (transpiler.go:18): distinct values of one key."""
-    gin = views.profiles_gin(spark, sf_dir).filter(F.col("key") == label)
     if scripts:
-        fps = profile_fingerprints(spark, sf_dir, scripts)
+        fps = profile_fingerprints_frames(series, gin, scripts)
         gin = gin.join(F.broadcast(fps), "fingerprint", "left_semi")
-    return gin.select("val").distinct()
+    return gin.filter(F.col("key") == label).select("val").distinct()
 
 
 def select_series(
@@ -303,13 +328,35 @@ def select_series(
     profile count (the reference's TIME_SERIES_AGGREGATION_TYPE_AVERAGE).
     The fingerprint set broadcasts into the fact scan; ONE shuffle on
     (group, bucket)."""
-    sels = parse_profile_selector(selector)
-    fps = profile_fingerprints(spark, sf_dir, [sels] if sels else None)
-    prof = views.profiles(spark, sf_dir).join(
-        F.broadcast(fps), "fingerprint", "left_semi"
+    return select_series_frames(
+        views.profiles(spark, sf_dir),
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        selector,
+        group_by,
+        step_ns,
+        agg,
     )
-    series = views.profiles_series(spark, sf_dir).select("fingerprint", "labels")
-    prof = prof.join(F.broadcast(series), "fingerprint", "left")
+
+
+def select_series_frames(
+    prof: DataFrame,
+    series: DataFrame,
+    gin: DataFrame,
+    selector: str,
+    group_by: list[str],
+    step_ns: int,
+    agg: str = "sum",
+) -> DataFrame:
+    """Frame-based core of PlanSelectSeries (planner_select_series.go)."""
+    sels = parse_profile_selector(selector)
+    fps = profile_fingerprints_frames(series, gin, [sels] if sels else None)
+    prof = prof.join(F.broadcast(fps), "fingerprint", "left_semi")
+    prof = prof.join(
+        F.broadcast(series.select("fingerprint", "labels")),
+        "fingerprint",
+        "left",
+    )
     bucket = (
         F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(step_ns))
     ).alias("timestamp_ns")
@@ -332,9 +379,24 @@ def series(
 ) -> DataFrame:
     """PlanSeries (transpiler.go:74): the label sets of matching series;
     `label_names` projects the maps down (FilterLabelsPlanner)."""
-    s = views.profiles_series(spark, sf_dir)
+    return series_frames(
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        scripts,
+        label_names,
+    )
+
+
+def series_frames(
+    series: DataFrame,
+    gin: DataFrame,
+    scripts: list[list[Selector]] | None = None,
+    label_names: list[str] | None = None,
+) -> DataFrame:
+    """Frame-based core of PlanSeries (transpiler.go:74)."""
+    s = series
     if scripts:
-        fps = profile_fingerprints(spark, sf_dir, scripts)
+        fps = profile_fingerprints_frames(series, gin, scripts)
         s = s.join(F.broadcast(fps), "fingerprint", "left_semi")
     s = s.select("fingerprint", "labels")
     if label_names:
@@ -368,10 +430,42 @@ def profile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_types_frames(series: DataFrame) -> DataFrame:
+    """ProfileTypes over a STORED profiles_series frame (service/
+    prof.go:33): distinct (type_id × carried sample type/unit) combos —
+    one profile payload carries several sample types (profiles.sql:23),
+    so the stu array explodes into one ProfileType per slot. (The
+    fixture wrapper above keeps its one-type simplification because its
+    oracle is locked to it.)"""
+    p = F.split(F.col("type_id"), ":")
+    return (
+        series.select("type_id", F.explode("sample_types_units").alias("stu"))
+        .select(
+            p.getItem(0).alias("name"),
+            F.col("stu")["tp"].alias("sample_type"),
+            F.col("stu")["unit"].alias("sample_unit"),
+            p.getItem(1).alias("period_type"),
+            p.getItem(2).alias("period_unit"),
+        )
+        .distinct()
+        .select(
+            "*",
+            F.concat_ws(
+                ":", "name", "sample_type", "sample_unit",
+                "period_type", "period_unit",
+            ).alias("profile_type_id"),
+        )
+    )
+
+
 def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QuerierService/GetProfileStats (ref: service/prof.go:334): one row
     (data_ingested, oldest/newest profile time in ms)."""
-    return views.profiles(spark, sf_dir).agg(
+    return profile_stats_frames(views.profiles(spark, sf_dir))
+
+
+def profile_stats_frames(prof: DataFrame) -> DataFrame:
+    return prof.agg(
         (F.count(F.lit(1)) > 0).alias("data_ingested"),
         (F.min("timestamp_ns") / F.lit(1_000_000)).cast("long").alias(
             "oldest_profile_time_ms"
@@ -387,12 +481,27 @@ def analyze(spark: SparkSession, sf_dir: str, selector: str) -> DataFrame:
     one row (profile_size, fingerprint_count) for the selection. The
     fixture's payload-size proxy is the tree node count (the stored
     payload is the serialized tree; length(payload) in the reference)."""
+    return analyze_frames(
+        views.profiles(spark, sf_dir),
+        views.profiles_series(spark, sf_dir),
+        views.profiles_gin(spark, sf_dir),
+        selector,
+    )
+
+
+def analyze_frames(
+    prof: DataFrame, series: DataFrame, gin: DataFrame, selector: str
+) -> DataFrame:
+    """Frame-based core of PlanAnalyzeQuery. Size proxy: tree node
+    count when the tree layout is present, else stored payload bytes
+    (length(payload) — what planner_profiles_size.go sums)."""
     sels = parse_profile_selector(selector)
-    fps = profile_fingerprints(spark, sf_dir, [sels] if sels else None)
-    prof = views.profiles(spark, sf_dir).join(
-        F.broadcast(fps), "fingerprint", "left_semi"
+    fps = profile_fingerprints_frames(series, gin, [sels] if sels else None)
+    prof = prof.join(F.broadcast(fps), "fingerprint", "left_semi")
+    size = (
+        F.size("tree") if "tree" in prof.columns else F.length("payload")
     )
     return prof.agg(
-        F.sum(F.size("tree")).cast("long").alias("profile_size"),
+        F.sum(size).cast("long").alias("profile_size"),
         F.count_distinct("fingerprint").alias("fingerprint_count"),
     )

@@ -3386,6 +3386,72 @@ def store_roundtrip_pyroscope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("fn_name", "self", "total").orderBy("fn_name")
 
 
+@register(
+    "store_roundtrip_ruler",
+    """
+    SELECT * FROM (VALUES ('web', 'obs', 5.0)) AS t(app, team, value)
+    """,
+)
+def store_roundtrip_ruler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's recording-rule writeback loop end-to-end
+    (ruler/manager.go evaluation + writeback.go:20-54): push 5 log
+    lines, evaluate a LogQL recording rule over the STORED tables,
+    append its samples back through ingest_fanout, then read the
+    recorded series via a PromQL instant query over the same store."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.promql.compiler import query as promql_query
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import store_promql_context
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+    from gigapipe_spark.streaming.ruler import RecordingRule, store_ruler
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_ruler")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    payload = _json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        [str(t0 + i * 1_000_000_000), f"hit {i}"]
+                        for i in range(5)
+                    ],
+                }
+            ]
+        }
+    )
+    cat = Catalog(root)
+    ingest_fanout(
+        loki_push(
+            spark.createDataFrame([(payload,)], "payload string")
+        ).coalesce(1),
+        cat,
+    )
+    ruler = store_ruler(spark, cat)
+    ruler.add_rule(
+        RecordingRule(
+            name="web:lines:count30s",
+            query='sum by (app) (count_over_time({app="web"}[30s]))',
+            interval_ns=60_000_000_000,
+            static_labels={"team": "obs"},
+        )
+    )
+    ruler.tick(now_ns=t0 + 10_000_000_000)
+    pctx = store_promql_context(
+        spark, cat, start_ns=t0, end_ns=t0 + 60_000_000_000
+    )
+    df = promql_query(pctx, '{__name__="web:lines:count30s"}')
+    return df.groupBy(
+        F.col("labels").getItem("app").alias("app"),
+        F.col("labels").getItem("team").alias("team"),
+    ).agg(F.max("value").alias("value"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

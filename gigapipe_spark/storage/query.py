@@ -358,6 +358,93 @@ class StoreEngine(Engine):
             prof = prof.filter(F.col("service_name") == service)
         return prof
 
+    def _prof_frames(self):
+        """(profiles fact, series, gin) frames over the stored tables,
+        normalized to the fixture column contract (tags→labels, stu
+        field names) so every frame-based planner runs unchanged."""
+        series = _stu_tp_unit(
+            self.catalog.read(self.spark, "profiles_series")
+        ).withColumnRenamed("tags", "labels")
+        gin = self.catalog.read(self.spark, "profiles_series_gin")
+        prof = _stu_tp_unit(self.catalog.read(self.spark, "profiles"))
+        return prof, series, gin
+
+    def _profiles(
+        self,
+        service: str | None,
+        selector: str | None = None,
+        profile_type_id: str | None = None,
+    ) -> DataFrame:
+        """Engine._profiles over the STORE: every inherited endpoint
+        that scopes through it (merge_profiles, render_dot, …) reads
+        the stored tree layout."""
+        return self._stored_profiles(service, selector, profile_type_id)
+
+    def pyroscope_label_names(self, queries: list | None = None) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        _, series, gin = self._prof_frames()
+        scripts = (
+            [psel.parse_profile_selector(q) for q in queries] if queries else None
+        )
+        return psel.label_names_frames(series, gin, scripts)
+
+    def pyroscope_label_values(
+        self, label: str, queries: list | None = None
+    ) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        _, series, gin = self._prof_frames()
+        scripts = (
+            [psel.parse_profile_selector(q) for q in queries] if queries else None
+        )
+        return psel.label_values_frames(series, gin, label, scripts)
+
+    def pyroscope_select_series(
+        self,
+        selector: str,
+        group_by: list[str],
+        step_ns: int,
+        agg: str = "sum",
+    ) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        prof, series, gin = self._prof_frames()
+        return psel.select_series_frames(
+            prof, series, gin, selector, group_by, step_ns, agg
+        )
+
+    def pyroscope_series(
+        self,
+        queries: list | None = None,
+        label_names: list[str] | None = None,
+    ) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        _, series, gin = self._prof_frames()
+        scripts = (
+            [psel.parse_profile_selector(q) for q in queries] if queries else None
+        )
+        return psel.series_frames(series, gin, scripts, label_names)
+
+    def pyroscope_profile_types(self) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        _, series, _ = self._prof_frames()
+        return psel.profile_types_frames(series)
+
+    def pyroscope_profile_stats(self) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        prof, _, _ = self._prof_frames()
+        return psel.profile_stats_frames(prof)
+
+    def pyroscope_analyze(self, selector: str) -> DataFrame:
+        from gigapipe_spark.prof import selector as psel
+
+        prof, series, gin = self._prof_frames()
+        return psel.analyze_frames(prof, series, gin, selector)
+
     def pyroscope_render(
         self,
         service: str | None = None,

@@ -371,7 +371,8 @@ def test_minhash_bucket_cap_bounds_degenerate_corpora(spark):
     rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
              (101, "alpha beta gamma delta epsilon zeta eta iota")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    capped = dedup.minhash_lsh_pairs(d, threshold=0.5, max_bucket=10)
+    # cap_gate_docs=0 forces the explicit cap on this tiny corpus
+    capped = dedup.minhash_lsh_pairs(d, threshold=0.5, max_bucket=10, cap_gate_docs=0)
     pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (100, 101) in pairs  # normal near-dup still found
     assert not any(a < 60 and b < 60 for a, b in pairs)  # boilerplate capped out

@@ -461,3 +461,58 @@ def test_oid_rotation_preserves_tenant_level(spark, tmp_path):
     assert len(res["moved"]) == 2  # one date partition per tenant
     cold = os.path.join(tier_root(cat, "cold"), "samples")
     assert sorted(os.listdir(cold)) == ["oid=0", "oid=acme"]
+
+
+def test_store_pyroscope_planner_endpoints(spark, tmp_path):
+    """Round-6: the full querier.v1 planner surface over the STORED
+    profiles tables (label names/values, select-series, series,
+    profile-types, stats, analyze, merge, dot)."""
+    from gigapipe_spark.storage.query import StoreEngine
+
+    cat = _folded_profiles_seed(spark, tmp_path)
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+
+    names = {r["key"] for r in eng.pyroscope_label_names().collect()}
+    # series tags + the writer-appended service_name (profiles.sql:78)
+    assert names == {"env", "svc", "service_name"}
+    vals = {r["val"] for r in eng.pyroscope_label_values("env").collect()}
+    assert vals == {"prod", "dev"}
+    scoped = {
+        r["val"]
+        for r in eng.pyroscope_label_values(
+            "env", ['{service_name="worker"}']
+        ).collect()
+    }
+    assert scoped == {"prod"}
+
+    rows = eng.pyroscope_series(['{env="prod"}']).collect()
+    assert len(rows) == 2  # api+prod, worker+prod
+    assert all(r["labels"]["env"] == "prod" for r in rows)
+
+    ss = eng.pyroscope_select_series(
+        '{env="prod"}', ["svc"], step_ns=10_000_000_000
+    ).collect()
+    assert {r["svc"] for r in ss} == {"api", "worker"}
+
+    pt = eng.pyroscope_profile_types().collect()
+    assert len(pt) == 1
+    assert pt[0]["profile_type_id"] == (
+        "process_cpu:cpu:nanoseconds:cpu:nanoseconds"
+    )
+
+    st = eng.pyroscope_profile_stats().collect()[0]
+    assert st["data_ingested"] is True
+    assert st["oldest_profile_time_ms"] == T0 // 1_000_000
+
+    an = eng.pyroscope_analyze('{env="prod"}').collect()[0]
+    assert an["fingerprint_count"] == 2
+    assert an["profile_size"] > 0
+
+    merged = {
+        r["fn_id"]: r
+        for r in eng.pyroscope_merge_profiles('{env="dev"}').collect()
+    }
+    assert len(merged) == 3  # main/handle/db of the dev profile only
+
+    dot = eng.pyroscope_render_dot(selector='{env="dev"}')
+    assert dot.startswith("digraph") and "handle" in dot
