@@ -2253,6 +2253,73 @@ def _ppm_mean_sql(channel: int) -> str:
     ).format(c=channel)
 
 
+_WAV_BYTE = (
+    "(strpos('0123456789ABCDEF', substr(h, 2*j+1, 1))-1)*16"
+    " + strpos('0123456789ABCDEF', substr(h, 2*j+2, 1))-1"
+)
+
+
+@register(
+    # REAL audio decode, oracle-checked: each text's first 256 bytes
+    # become an 8-bit mono PCM WAV parsed by the stdlib wave module;
+    # mean amplitude + RMS recovered by DuckDB from the same bytes
+    "multimodal_wav_features",
+    f"""
+    SELECT doc_id, 256::BIGINT AS n_frames, 8000::BIGINT AS sample_rate,
+           1::BIGINT AS channels, 32.0 AS duration_ms,
+           round(list_avg([{_WAV_BYTE} FOR j IN generate_series(0, 255)]), 6)
+             AS mean_amp,
+           round(sqrt(list_avg([({_WAV_BYTE} - 128.0)**2
+             FOR j IN generate_series(0, 255)])), 6) AS rms
+    FROM (
+      SELECT doc_id, rpad(substr(hex(encode(text)), 1, 512), 512, '00') AS h
+      FROM documents
+    )
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV pipeline: build genuine RIFF/PCM payloads from the
+    documents, decode them with the stdlib wave module in an
+    Arrow-batched stage, emit header + amplitude features."""
+    mm = _mm.attach_wav_payload(_views.documents(spark, sf_dir))
+    feats = _mm.audio_features(mm)
+    return feats.select(
+        "doc_id", "n_frames", "sample_rate", "channels",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    # REAL BMP decode: bottom-up BGR 24-bit pixel array — decoded means
+    # come back per RGB channel, so R reads file offset 2, B offset 0
+    "multimodal_bmp_decode",
+    f"""
+    SELECT doc_id, 16.0 AS width, 4.0 AS height, 3.0 AS channels,
+           {_ppm_mean_sql(2)} AS mean_r,
+           {_ppm_mean_sql(1)} AS mean_g,
+           {_ppm_mean_sql(0)} AS mean_b
+    FROM (
+      SELECT doc_id, rpad(substr(hex(encode(text)), 1, 384), 384, '00') AS h
+      FROM documents
+    )
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _mm.attach_bmp_payload(_views.documents(spark, sf_dir))
+    feats = _mm.extract_features(mm)
+    return feats.select(
+        "doc_id",
+        F.col("feature").getItem(0).alias("width"),
+        F.col("feature").getItem(1).alias("height"),
+        F.col("feature").getItem(2).alias("channels"),
+        F.round(F.col("feature").getItem(3), 6).alias("mean_r"),
+        F.round(F.col("feature").getItem(4), 6).alias("mean_g"),
+        F.round(F.col("feature").getItem(5), 6).alias("mean_b"),
+    )
+
+
 @register(
     # REAL image decode, oracle-checked: the 16×4 P6 payload built from
     # each document's text is parsed by decode_real (full header parse +

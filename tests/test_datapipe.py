@@ -507,3 +507,57 @@ def test_c4_filters_fixture(spark):
         SF_DIR,
     )
     assert ok, msg
+
+
+def test_bmp_decode_padding_and_flip():
+    """_decode_bmp handles 4-byte row padding, bottom-up storage and
+    BGR→RGB — verified against a hand-built 3×2 bitmap."""
+    import struct
+
+    import numpy as np
+
+    from gigapipe_spark.datapipe.multimodal import decode_real
+
+    w, h = 3, 2
+    row_size = (w * 3 + 3) & ~3  # 9 → 12 (3 pad bytes)
+    # bottom row first in file; pixel = (B, G, R)
+    bottom = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    top = [(10, 11, 12), (13, 14, 15), (16, 17, 18)]
+    data = b""
+    for rowpix in (bottom, top):
+        raw = b"".join(bytes(p) for p in rowpix)
+        data += raw + b"\x00" * (row_size - len(raw))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    img = decode_real(header + data)
+    assert (img["width"], img["height"], img["channels"]) == (3, 2, 3)
+    # decoded is top-down RGB: first pixel = top row's (R, G, B)
+    assert img["pixels"][0, 0].tolist() == [12, 11, 10]
+    assert img["pixels"][1, 2].tolist() == [9, 8, 7]
+    assert img["pixels"].shape == (2, 3, 3)
+    assert isinstance(img["pixels"], np.ndarray)
+
+
+def test_wav_decode_16bit_and_features():
+    """decode_wav parses real stdlib-written WAVs incl. 16-bit PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gigapipe_spark.datapipe.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    wav = decode_wav(buf.getvalue())
+    assert wav["sample_rate"] == 16000
+    assert wav["n_frames"] == 5
+    assert wav["samples"].tolist() == samples.tolist()
