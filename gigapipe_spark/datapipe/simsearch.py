@@ -294,3 +294,191 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def _subvectors(vec: Column, m: int) -> Column:
+    """Split a (dim-)vector into m contiguous subvectors —
+    array<struct<sub:int, sv:array<double>>>. Sub width derives from
+    the runtime array size so one expression serves any dimension."""
+    width = (F.size(vec) / F.lit(m)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(vec, s * width + 1, width).alias("sv"),
+        ),
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook: per-subspace k-means centroids as
+    one (sub, cid, c) DataFrame (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search").
+
+    All m subspaces train TOGETHER: each Lloyd round is one broadcast
+    assign + one shuffle keyed (sub, cid, pos) — the same two-exchange
+    shape as ivf_fit, independent of m. Deterministic seeds: per
+    subspace, the k vectors with the smallest xxhash64(id). The
+    codebook stays tiny (m × k × dim/m doubles = exactly dim × k)."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(_subvectors(_as_double(F.col(vec_col)), m)).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    w = Window.partitionBy("sub").orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    )
+    cents = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_centroids)
+        .select("sub", (F.col("__rn") - 1).alias("cid"), F.col("sv").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = (
+            base.join(F.broadcast(cents), "sub")
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "sv"), _sq_dist(F.col("sv"), F.col("c"))
+                ).alias("__b")
+            )
+            .select("sub", F.col("__b.cid").alias("cid"), F.col("__b.sv").alias("sv"))
+        )
+        cents = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("c")
+            )
+        )
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → PQ codes (vec_id, sub, code): per subvector, the id of
+    its nearest codebook centroid. ONE broadcast join over the exploded
+    subvectors — this is the stored index at scale (m small ints per
+    vector instead of dim floats, a 16–32× compression)."""
+    subs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(_subvectors(_as_double(F.col(vec_col)), m)).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    return (
+        subs.join(F.broadcast(codebook), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(F.col("cid"), _sq_dist(F.col("sv"), F.col("c"))).alias(
+                "code"
+            )
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    k_centroids: int = 16,
+    iters: int = 2,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k with asymmetric distance (ADC) + exact refine.
+
+    Per query, the distance table dot(q_sub, centroid) has m ×
+    k_centroids entries — it broadcasts against the stored codes, so
+    candidate scoring is a lookup-sum that never touches the original
+    vectors. The top k×refine ADC shortlist is then exact-cosine
+    reranked (the standard ADC+refine pipeline). The corpus moves
+    through exactly two shuffles: the (vec_id, sub) encode groupBy and
+    the per-query shortlist window; at 100 TB the codes table is the
+    persisted index and encode happens at ingest.
+
+    With k_centroids ≥ distinct subvectors, every subvector IS a
+    centroid, ADC equals the exact dot product, and the result matches
+    cosine_topk exactly — the oracle-able degenerate configuration
+    (sim_ann_pq_exact)."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    codebook = pq_fit(embeddings, m, k_centroids, iters, id_col, vec_col).persist()
+    codes = pq_encode(embeddings, codebook, m, id_col, vec_col)
+
+    qbase = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.explode(_subvectors(F.col("v"), m)).alias("s"),
+    ).select(
+        "query_id", "q", F.col("s.sub").alias("sub"), F.col("s.sv").alias("qs")
+    )
+    # ADC lookup table: (query_id, sub, cid) → partial dot
+    table = qbase.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        _dot(F.col("qs"), F.col("c")).alias("partial"),
+    )
+    adc = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").alias("adc_dot"), F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") == m)  # all subspaces matched the table
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") <= k * refine)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank on the shortlist only
+    cand = (
+        shortlist.join(base, "vec_id")
+        .join(
+            F.broadcast(
+                base.filter(F.col("vec_id").isin(query_ids)).select(
+                    F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+                )
+            ),
+            "query_id",
+        )
+    )
+    cos = _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

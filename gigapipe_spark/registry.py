@@ -1960,6 +1960,45 @@ def sim_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_pq")  # approximate — rows-only check (exactness at
+# k_centroids >= corpus tested in tests + sim_ann_pq_exact below)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    codebooks → m-byte codes → ADC lookup-sum → exact refine."""
+    return _sim.pq_topk(
+        _views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5,
+        m=8, k_centroids=32, iters=2, refine=8,
+    )
+
+
+@register(
+    # PQ with k_centroids >= corpus size keeps every subvector as its
+    # own centroid: ADC equals the exact dot product and the result is
+    # EXACT search routed through the full PQ machinery (fit, encode,
+    # ADC table join, refine) — same brute-force oracle as cosine_topk
+    "sim_ann_pq_exact",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                                         e.vec_id) AS rn
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= 5
+    """,
+)
+def sim_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _views.embeddings(spark, sf_dir)
+    n = emb.count()
+    return _sim.pq_topk(
+        emb, [0, 1, 2, 3, 4], k=5, m=4, k_centroids=n, iters=0
+    )
+
+
 @register(
     "text_token_count",
     r"""

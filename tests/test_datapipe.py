@@ -561,3 +561,38 @@ def test_wav_decode_16bit_and_features():
     assert wav["sample_rate"] == 16000
     assert wav["n_frames"] == 5
     assert wav["samples"].tolist() == samples.tolist()
+
+
+def test_pq_ann_recall_and_exact_degenerate(spark):
+    """PQ ADC+refine: the approximate config keeps good recall vs brute
+    force; with k_centroids >= corpus every subvector is its own
+    centroid and the result is exactly cosine_topk."""
+    from gigapipe_spark.datapipe import simsearch as sim
+
+    emb = views.embeddings(spark, SF_DIR)
+    queries = [0, 1, 2, 3]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(
+            emb, queries, k=5, m=8, k_centroids=32, iters=2, refine=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # synthetic uniform embeddings are the PQ worst case; 8 subspaces x
+    # 32 centroids with an 8x refine shortlist recovers most of top-5
+    assert recall >= 0.6, recall
+
+    n = emb.count()
+    degenerate = sim.pq_topk(emb, queries, k=5, m=4, k_centroids=n, iters=0)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine) for r in degenerate.collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    assert got == want
