@@ -58,8 +58,29 @@ def replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    (
+        # fresh vec_ids per copy; perturb the last component by the copy
+        # index so copies are distinct vectors (no degenerate exact ties)
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__copy") * 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == dim - 1,
+                    x + F.col("__copy").cast("float") / F.lit(1000.0),
+                ).otherwise(x),
+            ),
+        )
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "embeddings"):
+              "lineitem"):
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(src) or os.path.isfile(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
