@@ -317,6 +317,7 @@ def pq_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 65536,
 ) -> DataFrame:
     """Product-quantization codebook: per-subspace k-means centroids as
     one (sub, cid, c) DataFrame (Jégou et al. 2011, "Product
@@ -326,10 +327,26 @@ def pq_fit(
     assign + one shuffle keyed (sub, cid, pos) — the same two-exchange
     shape as ivf_fit, independent of m. Deterministic seeds: per
     subspace, the k vectors with the smallest xxhash64(id). The
-    codebook stays tiny (m × k × dim/m doubles = exactly dim × k)."""
+    codebook stays tiny (m × k × dim/m doubles = exactly dim × k).
+
+    `train_cap` bounds the TRAINING set with a deterministic hash
+    sample (standard PQ practice — codebooks converge on a bounded
+    sample; FAISS trains on ~256 vectors per centroid). At 100 TB the
+    fit therefore touches a fixed-size slice; encode remains the only
+    full corpus pass. 0/None disables the cap (the exact degenerate
+    config needs every subvector as a seed)."""
     from pyspark.sql import Window
 
-    base = embeddings.select(
+    train = embeddings
+    if train_cap:
+        n = train.count()
+        if n > train_cap:
+            # deterministic hash-threshold sample ≈ train_cap rows
+            train = train.filter(
+                F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n))
+                < F.lit(train_cap)
+            )
+    base = train.select(
         F.col(id_col).alias("vec_id"),
         F.explode(_subvectors(_as_double(F.col(vec_col)), m)).alias("s"),
     ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
@@ -403,6 +420,7 @@ def pq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 65536,
 ) -> DataFrame:
     """PQ ANN top-k with asymmetric distance (ADC) + exact refine.
 
@@ -424,7 +442,9 @@ def pq_topk(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    codebook = pq_fit(embeddings, m, k_centroids, iters, id_col, vec_col).persist()
+    codebook = pq_fit(
+        embeddings, m, k_centroids, iters, id_col, vec_col, train_cap
+    ).persist()
     codes = pq_encode(embeddings, codebook, m, id_col, vec_col)
 
     qbase = base.filter(F.col("vec_id").isin(query_ids)).select(
