@@ -334,6 +334,16 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as ex:  # one route fails, server survives
             return self._json({"status": "error", "error": str(ex)}, 500)
 
+    def _invalidate_contexts(self) -> None:
+        """A push appends parquet files; the engine's cached query
+        contexts hold DataFrames whose file listing snapshotted at
+        first read — drop them so the next query sees the new data
+        (the reader/writer are separate processes in the reference, so
+        it never caches across a write)."""
+        for attr in ("_logctx", "_promctx", "_tracectx"):
+            if hasattr(self.engine, attr):
+                setattr(self.engine, attr, None)
+
     # ------------------------------------------------------------ POST
     def do_POST(self) -> None:
         path = urlparse(self.path).path
@@ -351,20 +361,77 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
             body = self._body()
-            if path == "/loki/api/v1/push":
-                ingest_fanout(
-                    ingest.loki_push(self._raw_df(body)).coalesce(1), cat
+            ctype = self.headers.get("Content-Type", "")
+            is_pb = "protobuf" in ctype or "octet-stream" in ctype
+
+            def _raw_bin():
+                return self.engine.spark.createDataFrame(
+                    [(bytearray(body),)], "payload binary"
                 )
+
+            if path == "/loki/api/v1/push":
+                if is_pb:
+                    from gigapipe_spark.sources.protowire import loki_push_pb
+
+                    decoded = loki_push_pb(_raw_bin())
+                else:
+                    decoded = ingest.loki_push(self._raw_df(body))
+                ingest_fanout(decoded.coalesce(1), cat)
+                self._invalidate_contexts()
+                return self._json({}, 204)
+            if path in ("/api/prom/remote/write", "/api/v1/prom/remote/write"):
+                from gigapipe_spark.sources.protowire import remote_write
+
+                ingest_fanout(remote_write(_raw_bin()).coalesce(1), cat)
+                self._invalidate_contexts()
+                return self._json({}, 204)
+            if path == "/v1/logs":  # OTLP
+                if is_pb:
+                    from gigapipe_spark.sources.protowire import otlp_logs_pb
+
+                    decoded = otlp_logs_pb(_raw_bin())
+                else:
+                    decoded = ingest.otlp_logs(self._raw_df(body))
+                ingest_fanout(decoded.coalesce(1), cat)
+                self._invalidate_contexts()
+                return self._json({}, 204)
+            if path == "/v1/traces":  # OTLP
+                if is_pb:
+                    from gigapipe_spark.sources.protowire import otlp_traces_pb
+
+                    decoded = otlp_traces_pb(_raw_bin())
+                else:
+                    decoded = ingest.otlp_traces(self._raw_df(body))
+                spans_fanout(decoded.coalesce(1), cat)
+                self._invalidate_contexts()
+                return self._json({}, 204)
+            if path == "/api/v2/logs":  # Datadog
+                ingest_fanout(
+                    ingest.datadog_logs(self._raw_df(body)).coalesce(1), cat
+                )
+                self._invalidate_contexts()
+                return self._json({}, 204)
+            if path.endswith("/_bulk"):  # Elastic
+                target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
+                ingest_fanout(
+                    ingest.elastic_bulk(
+                        self._raw_df(body), target=target or "unknown"
+                    ).coalesce(1),
+                    cat,
+                )
+                self._invalidate_contexts()
                 return self._json({}, 204)
             if path.startswith(("/influx", "/write")):
                 ingest_fanout(
                     ingest.influx_line(self._raw_df(body)).coalesce(1), cat
                 )
+                self._invalidate_contexts()
                 return self._json({}, 204)
             if path in ("/tempo/spans", "/api/v2/spans"):
                 spans_fanout(
                     ingest.zipkin_spans(self._raw_df(body)).coalesce(1), cat
                 )
+                self._invalidate_contexts()
                 return self._json({}, 204)
             return self._json({"error": f"unknown push route {path}"}, 404)
         except Exception as ex:

@@ -214,3 +214,72 @@ def test_ws_tail_live(gateway):
         # client close frame, then drop the socket
         s.sendall(b"\x88\x80\x00\x00\x00\x00")
         s.close()
+
+
+def test_http_otlp_and_remote_write_push(gateway):
+    """The writer's other push families over the socket: OTLP JSON logs
+    and snappy-protobuf Prometheus remote-write, both landing in the
+    store through the MV fan-out."""
+    import struct
+
+    from gigapipe_spark.sources import protowire as pw
+
+    base, _ = gateway
+    otlp = json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {
+                                "key": "service.name",
+                                "value": {"stringValue": "otlp-svc"},
+                            }
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": str(T0),
+                                    "body": {"stringValue": "otlp line"},
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    ).encode()
+    assert _post(base, "/v1/logs", otlp) == 204
+    st, body = _get(
+        base,
+        "/loki/api/v1/query_range?query="
+        + urllib.parse.quote('{service_name="otlp-svc"}'),
+    )
+    vals = [v[1] for s in body["data"]["result"] for v in s["values"]]
+    assert vals == ["otlp line"]
+
+    # remote-write: one timeseries, one sample
+    lbl = lambda n, v: pw.pb_encode([(1, 2, n.encode()), (2, 2, v.encode())])
+    sample = pw.pb_encode([(1, 1, struct.pack("<d", 42.5)), (2, 0, T0 // 1_000_000)])
+    ts = pw.pb_encode(
+        [
+            (1, 2, lbl("__name__", "rw_metric")),
+            (1, 2, lbl("job", "rw")),
+            (2, 2, sample),
+        ]
+    )
+    wr = pw.snappy_compress(pw.pb_encode([(1, 2, ts)]))
+    req = urllib.request.Request(
+        base + "/api/prom/remote/write",
+        data=wr,
+        method="POST",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 204
+    st, body = _get(
+        base, "/api/v1/query?query=" + urllib.parse.quote('{job="rw"}')
+    )
+    assert float(body["data"]["result"][0]["value"][1]) == 42.5
