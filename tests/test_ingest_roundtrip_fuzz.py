@@ -249,10 +249,21 @@ def test_loki_push_shapes_roundtrip_fuzz(spark):
                 for _v in range(rng.randrange(1, 3)):
                     ts = rng.randrange(1, 2**61)
                     line = rng.choice(NASTY[:7])
-                    if rng.random() < 0.4:
+                    draw = rng.random()
+                    if draw < 0.3:
                         num = round(rng.uniform(-10, 10), 3)
                         vals.append([str(ts), line, num])
                         truth.add((key, ts, line, num, 0))  # tp 3 → 0
+                    elif draw < 0.5:
+                        # NON-Number third element: the reference only
+                        # sets the METRIC bit for a JSON Number token
+                        # (decodeStreamValue jx.Number) — strings/bools
+                        # stay LOG-only
+                        vals.append(
+                            [str(ts), line,
+                             rng.choice(["5", "x", True, False])]
+                        )
+                        truth.add((key, ts, line, 0.0, 1))
                     else:
                         vals.append([str(ts), line])
                         truth.add((key, ts, line, 0.0, 1))
