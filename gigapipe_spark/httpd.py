@@ -214,6 +214,37 @@ class _Handler(BaseHTTPRequestHandler):
                         "chunks": 0,
                     }
                 )
+            if path == "/loki/api/v1/index/volume":
+                rows = e.loki_index_volume(
+                    query=q.get("query", [None])[0],
+                    target_labels=(
+                        q["targetLabels"][0].split(",")
+                        if "targetLabels" in q
+                        else None
+                    ),
+                    start_ns=_int_arg(q, "start"),
+                    end_ns=_int_arg(q, "end"),
+                ).collect()
+                return self._json(
+                    {
+                        "status": "success",
+                        "data": [r.asDict(recursive=True) for r in rows],
+                    }
+                )
+            if path == "/loki/api/v1/detected_labels":
+                rows = e.loki_detected_labels(q.get("query", [None])[0]).collect()
+                return self._json(
+                    {
+                        "detectedLabels": [
+                            r.asDict(recursive=True) for r in rows
+                        ]
+                    }
+                )
+            if path == "/loki/api/v1/detected_fields":
+                rows = e.loki_detected_fields(q.get("query", [None])[0]).collect()
+                return self._json(
+                    {"fields": [r.asDict(recursive=True) for r in rows]}
+                )
             if path == "/loki/api/v1/patterns":
                 rows = e.loki_patterns().collect()
                 return self._json(
@@ -245,6 +276,23 @@ class _Handler(BaseHTTPRequestHandler):
                     for r in e.prom_label_values(name, q.get("match[]")).collect()
                 ]
                 return self._json({"status": "success", "data": sorted(vals)})
+            if path == "/api/v1/series":
+                rows = e.prom_series(
+                    q.get("match[]", q.get("match", [])),
+                    start_ns=_int_arg(q, "start"),
+                    end_ns=_int_arg(q, "end"),
+                ).collect()
+                return self._json(
+                    {"status": "success", "data": [_labels_of(r) for r in rows]}
+                )
+            if path == "/api/v1/query_exemplars":
+                rows = e.prom_query_exemplars(q.get("query", [""])[0]).collect()
+                return self._json(
+                    {
+                        "status": "success",
+                        "data": [r.asDict(recursive=True) for r in rows],
+                    }
+                )
             if path == "/api/v1/metadata":
                 out: dict[str, list] = {}
                 for r in e.prom_metadata().collect():
@@ -302,6 +350,13 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if path == "/api/metrics/query_range":
                 rows = e.tempo_metrics_query_range(q["q"][0]).collect()
+                return self._json(
+                    {"series": [r.asDict(recursive=True) for r in rows]}
+                )
+            if path == "/api/metrics/query":
+                rows = e.tempo_metrics_query_instant(
+                    q["q"][0], _int_arg(q, "start"), _int_arg(q, "end")
+                ).collect()
                 return self._json(
                     {"series": [r.asDict(recursive=True) for r in rows]}
                 )

@@ -283,3 +283,29 @@ def test_http_otlp_and_remote_write_push(gateway):
         base, "/api/v1/query?query=" + urllib.parse.quote('{job="rw"}')
     )
     assert float(body["data"]["result"][0]["value"][1]) == 42.5
+
+
+def test_http_meta_and_metrics_routes(gateway):
+    """The volume/detected/series/exemplar/tempo-metrics route family."""
+    base, _ = gateway
+    sel = urllib.parse.quote('{app="web"}')
+    try:
+        st, body = _get(base, f"/loki/api/v1/index/volume?query={sel}")
+    except urllib.error.HTTPError as ex:
+        raise AssertionError(ex.read()[:500])
+    assert st == 200 and body["status"] == "success" and body["data"]
+    st, body = _get(base, f"/loki/api/v1/detected_labels?query={sel}")
+    assert "detectedLabels" in body
+    st, body = _get(base, f"/loki/api/v1/detected_fields?query={sel}")
+    assert "fields" in body
+    st, body = _get(base, f"/api/v1/series?match[]={sel}")
+    assert any(d.get("app") == "web" for d in body["data"])
+    st, body = _get(base, f"/loki/api/v1/series?match[]={sel}")
+    assert any(d.get("app") == "web" for d in body["data"])
+    # instant rate() requires an explicit window (reference contract);
+    # count_over_time aggregates over the request window
+    tq = urllib.parse.quote("{ status = error } | count_over_time()")
+    st, body = _get(
+        base, f"/api/metrics/query?q={tq}&start={T0}&end={T0 + 60_000_000_000}"
+    )
+    assert st == 200 and "series" in body and body["series"]
