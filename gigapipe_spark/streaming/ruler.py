@@ -222,7 +222,22 @@ class Tailer:
 
         ctx = self.logctx_factory()
         res = logql_query(ctx, self.query)
-        newer = res.df.filter(F.col("timestamp_ns") > self.last_ts_ns).orderBy(
+        df = res.df
+        if "labels" in df.columns and "fingerprint" in df.columns:
+            # the compiler prunes the series join for bare selectors;
+            # tail frames carry the stream's label set (the reference's
+            # WS frames are keyed by stream, query_range.go:200)
+            series = ctx.series().select(
+                "fingerprint", F.col("labels").alias("__sl")
+            ).dropDuplicates(["fingerprint"])
+            df = (
+                df.join(F.broadcast(series), "fingerprint", "left")
+                .withColumn(
+                    "labels", F.coalesce(F.col("labels"), F.col("__sl"))
+                )
+                .drop("__sl")
+            )
+        newer = df.filter(F.col("timestamp_ns") > self.last_ts_ns).orderBy(
             "timestamp_ns"
         )
         rows = newer.limit(self.max_rows_per_poll + 1).collect()

@@ -195,6 +195,8 @@ def test_ws_tail_live(gateway):
         frame = json.loads(_ws_read_frame(s))
         lines = [v[1] for st in frame["result"] for v in st["values"]]
         assert lines == ["first line"]
+        # tail frames carry the stream's label set
+        assert frame["result"][0]["stream"].get("app") == "tailme"
 
         late = json.dumps(
             {
