@@ -311,3 +311,35 @@ def test_http_meta_and_metrics_routes(gateway):
         base, f"/api/metrics/query?q={tq}&start={T0}&end={T0 + 60_000_000_000}"
     )
     assert st == 200 and "series" in body and body["series"]
+
+
+def test_gateway_over_fixture_engine(spark):
+    """The façade works over the fixture Engine too (query routes only;
+    push routes 501 without a store)."""
+    from gigapipe_spark.api import Engine
+    from gigapipe_spark.httpd import HttpGateway
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    gw = HttpGateway(eng)
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        st, body = _get(
+            base,
+            "/loki/api/v1/query_range?query="
+            + urllib.parse.quote('{app="web"}')
+            + "&limit=5",
+        )
+        assert st == 200 and body["status"] == "success"
+        st, body = _get(base, "/loki/api/v1/labels")
+        assert "app" in body["data"]
+        req = urllib.request.Request(
+            base + "/loki/api/v1/push", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("push on fixture engine must 501")
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 501
+    finally:
+        gw.stop()
