@@ -196,6 +196,10 @@ def _build_direct_intrinsic(e) -> Column:
 # (ref: complexity_evaluator.go:29 COMPLEXITY_THRESHOLD).
 COMPLEXITY_THRESHOLD = 10_000_000
 
+# (session id, sf_dir, spanset repr) → probe verdict; the AST nodes are
+# dataclasses so repr is canonical for a query shape
+_COMPLEXITY_MEMO: dict[tuple, int] = {}
+
 
 def _selectors(e) -> list[SpanSelector]:
     if e is None:
@@ -252,7 +256,20 @@ def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
     with no forced-broadcast site (plain selectors, structural ops) pay
     no probe job at all."""
     if ctx.complexity is None and ctx.pending_spanset is not None:
-        ctx.complexity = eval_complexity(ctx, ctx.pending_spanset)
+        # session-level memo: dashboards re-issue the same spanset
+        # shapes, and the probe's inputs (the cached dims for one
+        # session+sf) don't change between calls — so the two probe
+        # count JOBS run once per shape, not once per query call.
+        # Store-backed contexts are excluded (their tables grow between
+        # pushes; the probe must re-run against fresh listings).
+        cacheable = type(ctx).__name__ == "TraceQLContext"
+        key = (id(ctx.spark), ctx.sf_dir, repr(ctx.pending_spanset))
+        if cacheable and key in _COMPLEXITY_MEMO:
+            ctx.complexity = _COMPLEXITY_MEMO[key]
+        else:
+            ctx.complexity = eval_complexity(ctx, ctx.pending_spanset)
+            if cacheable:
+                _COMPLEXITY_MEMO[key] = ctx.complexity
     if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD:
         return F.broadcast(df)
     return df
