@@ -160,6 +160,10 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         q = parse_qs(url.query)
         path = url.path
+        # /tempo/api/* aliases route to the same handlers (tempo.go
+        # registers both prefixes)
+        if path.startswith("/tempo/api/"):
+            path = "/api/" + path[len("/tempo/api/"):]
         e = self.engine
         try:
             if path == "/ready":
@@ -189,7 +193,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(_loki_envelope(_stream_labels(e, df)))
             if path == "/loki/api/v1/tail":
                 return self._tail_ws(q)
-            if path == "/loki/api/v1/labels":
+            if path in ("/loki/api/v1/labels", "/loki/api/v1/label"):
                 vals = [r["key"] for r in e.loki_labels(q.get("match[]")).collect()]
                 return self._json({"status": "success", "data": sorted(vals)})
             if path.startswith("/loki/api/v1/label/") and path.endswith("/values"):
@@ -301,7 +305,7 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                 return self._json({"status": "success", "data": out})
 
-            if path in ("/api/search", "/tempo/api/search"):
+            if path == "/api/search":
                 limit = int(q.get("limit", ["20"])[0])
                 if "tags" in q:  # legacy pre-TraceQL search
                     df = e.tempo_search_tags(
@@ -320,8 +324,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(
                     {"traces": [r.asDict(recursive=True) for r in df.collect()]}
                 )
-            if path.startswith(("/api/traces/", "/tempo/api/traces/")):
-                tid = path.rsplit("/", 1)[-1]
+            if path.startswith("/api/traces/"):
+                # /api/traces/{id} and its /json alias
+                tid = path.removesuffix("/json").rsplit("/", 1)[-1]
                 rows = e.tempo_trace(tid).collect()
                 return self._json(
                     {"batches": [r.asDict(recursive=True) for r in rows]}
@@ -342,7 +347,10 @@ class _Handler(BaseHTTPRequestHandler):
                         ]
                     }
                 )
-            if path.startswith("/api/search/tag/") and path.endswith("/values"):
+            if (
+                path.startswith(("/api/search/tag/", "/api/v2/search/tag/"))
+                and path.endswith("/values")
+            ):
                 name = unquote(path.split("/")[-2])
                 rows = e.tempo_tag_values(name, q.get("q", [None])[0]).collect()
                 return self._json(
@@ -361,6 +369,31 @@ class _Handler(BaseHTTPRequestHandler):
                     {"series": [r.asDict(recursive=True) for r in rows]}
                 )
 
+            if path == "/pyroscope/render-diff":
+                # left/right are service names (the engine's diff
+                # contract); a `{service_name="x"}`-shaped
+                # leftQuery/rightQuery also resolves
+                def _svc(side: str) -> str:
+                    if side in q:
+                        return q[side][0]
+                    from gigapipe_spark.prof import selector as psel
+
+                    sels = psel.parse_profile_selector(
+                        psel.detach_type_id(q[side + "Query"][0])[1]
+                    )
+                    for sel in sels:
+                        if sel.name == "service_name" and sel.op == "=":
+                            return sel.val
+                    raise ValueError(f"{side}Query needs service_name=")
+
+                rows = e.pyroscope_render_diff(
+                    _svc("left"),
+                    _svc("right"),
+                    q.get("profile_type_id", [None])[0],
+                ).collect()
+                return self._json(
+                    {"diff": [r.asDict(recursive=True) for r in rows]}
+                )
             if path == "/pyroscope/render":
                 levels = e.pyroscope_render(
                     service=q.get("service", [None])[0],

@@ -343,3 +343,55 @@ def test_gateway_over_fixture_engine(spark):
             assert ex.code == 501
     finally:
         gw.stop()
+
+
+def test_http_pyroscope_store_routes(spark, tmp_path):
+    """Render + render-diff over a store-backed gateway, incl. the
+    /tempo/api alias rewrite and trace-json alias."""
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.sources.ingest import folded_profiles_input
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, profiles_fanout
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, svc in enumerate(["api", "worker"]):
+        rows.append(
+            (
+                f"p{i}", T0, "process_cpu", svc, "cpu", "nanoseconds",
+                {"env": "prod"}, 0, f"main;run {10 * (i + 1)}",
+            )
+        )
+    folded = spark.createDataFrame(
+        rows,
+        "profile_id string, timestamp_ns long, type string,"
+        " service_name string, period_type string, period_unit string,"
+        " tags map<string,string>, duration_ns long, line string",
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    profiles_fanout(
+        folded_profiles_input(folded, "cpu", "nanoseconds").coalesce(1), cat
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    gw = HttpGateway(eng)
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        sel = urllib.parse.quote('{env="prod"}')
+        st, body = _get(base, f"/pyroscope/render?query={sel}")
+        fb = body["flamebearer"]
+        assert fb["numTicks"] == 30  # both services merged
+        st, body = _get(
+            base, "/pyroscope/render-diff?left=api&right=worker"
+        )
+        assert st == 200 and len(body["diff"]) == 2  # main + run nodes
+        lq = urllib.parse.quote('{service_name="api"}')
+        rq = urllib.parse.quote('{service_name="worker"}')
+        st, body = _get(
+            base, f"/pyroscope/render-diff?leftQuery={lq}&rightQuery={rq}"
+        )
+        assert len(body["diff"]) == 2
+        # /tempo/api alias rewrite
+        assert _get_text(base, "/tempo/api/echo")[1] == "echo"
+    finally:
+        gw.stop()
