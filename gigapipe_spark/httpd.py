@@ -432,12 +432,93 @@ class _Handler(BaseHTTPRequestHandler):
             if hasattr(self.engine, attr):
                 setattr(self.engine, attr, None)
 
+    def _querier_v1(self, method: str, req: dict):
+        """connect-protocol Pyroscope querier RPCs (reader/router/
+        prof.go:13-23 registers them as POST JSON routes)."""
+        e = self.engine
+        if method == "ProfileTypes":
+            rows = e.pyroscope_profile_types().collect()
+            return {
+                "profileTypes": [
+                    {
+                        "ID": r["profile_type_id"],
+                        "name": r["name"],
+                        "sampleType": r["sample_type"],
+                        "sampleUnit": r["sample_unit"],
+                        "periodType": r["period_type"],
+                        "periodUnit": r["period_unit"],
+                    }
+                    for r in rows
+                ]
+            }
+        if method == "LabelNames":
+            rows = e.pyroscope_label_names(req.get("matchers")).collect()
+            return {"names": sorted(r["key"] for r in rows)}
+        if method == "LabelValues":
+            rows = e.pyroscope_label_values(
+                req["name"], req.get("matchers")
+            ).collect()
+            return {"names": sorted(r["val"] for r in rows)}
+        if method == "Series":
+            rows = e.pyroscope_series(
+                req.get("matchers"), req.get("labelNames")
+            ).collect()
+            return {
+                "labelsSet": [
+                    {
+                        "labels": [
+                            {"name": k, "value": v}
+                            for k, v in sorted(_labels_of(r).items())
+                        ]
+                    }
+                    for r in rows
+                ]
+            }
+        if method == "SelectSeries":
+            rows = e.pyroscope_select_series(
+                req.get("labelSelector", "{}"),
+                req.get("groupBy", []),
+                int(float(req.get("step", 15)) * 1e9),
+                "avg" if str(req.get("aggregation", "")).endswith("AVERAGE") else "sum",
+            ).collect()
+            return {"series": [r.asDict(recursive=True) for r in rows]}
+        if method == "SelectMergeProfile":
+            rows = e.pyroscope_merge_profiles(
+                req.get("labelSelector"), req.get("profileTypeID")
+            ).collect()
+            return {"tree": [r.asDict(recursive=True) for r in rows]}
+        if method == "GetProfileStats":
+            r = e.pyroscope_profile_stats().collect()[0]
+            return {
+                "dataIngested": bool(r["data_ingested"]),
+                "oldestProfileTime": r["oldest_profile_time_ms"],
+                "newestProfileTime": r["newest_profile_time_ms"],
+            }
+        if method == "AnalyzeQuery":
+            r = e.pyroscope_analyze(req.get("query", "{}")).collect()[0]
+            return {
+                "queryImpact": {
+                    "totalBytesInTimeRange": r["profile_size"],
+                    "totalQueriedSeries": r["fingerprint_count"],
+                }
+            }
+        return None
+
     # ------------------------------------------------------------ POST
     def do_POST(self) -> None:
         path = urlparse(self.path).path
         e = self.engine
         cat = getattr(e, "catalog", None)
         try:
+            if path.startswith("/querier.v1.QuerierService/"):
+                body = self._body()
+                req = json.loads(body or b"{}")
+                out = self._querier_v1(path.rsplit("/", 1)[-1], req)
+                if out is None:
+                    return self._json({"error": f"unknown rpc {path}"}, 404)
+                return self._json(out)
+            if path == "/settings.v1.SettingsService/Get":
+                return self._json(e.pyroscope_settings())
             if cat is None:
                 return self._json(
                     {"error": "push routes need a store-backed engine"}, 501

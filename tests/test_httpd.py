@@ -395,3 +395,67 @@ def test_http_pyroscope_store_routes(spark, tmp_path):
         assert _get_text(base, "/tempo/api/echo")[1] == "echo"
     finally:
         gw.stop()
+
+
+def test_http_querier_v1_rpcs(spark, tmp_path):
+    """The connect-protocol Pyroscope querier RPCs (prof.go:13-23) over
+    the socket against a stored profiles layout."""
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.sources.ingest import folded_profiles_input
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, profiles_fanout
+
+    rows = [
+        (
+            "p0", T0, "process_cpu", "api", "cpu", "nanoseconds",
+            {"env": "prod"}, 0, "main;run 10",
+        )
+    ]
+    folded = spark.createDataFrame(
+        rows,
+        "profile_id string, timestamp_ns long, type string,"
+        " service_name string, period_type string, period_unit string,"
+        " tags map<string,string>, duration_ns long, line string",
+    )
+    cat = Catalog(str(tmp_path / "store"))
+    profiles_fanout(
+        folded_profiles_input(folded, "cpu", "nanoseconds").coalesce(1), cat
+    )
+    gw = HttpGateway(StoreEngine(spark, cat.root, catalog=cat))
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def rpc(method, req):
+        r = urllib.request.Request(
+            f"{base}/querier.v1.QuerierService/{method}",
+            data=json.dumps(req).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    try:
+        pt = rpc("ProfileTypes", {})
+        assert pt["profileTypes"][0]["ID"] == (
+            "process_cpu:cpu:nanoseconds:cpu:nanoseconds"
+        )
+        assert "env" in rpc("LabelNames", {})["names"]
+        assert rpc("LabelValues", {"name": "env"})["names"] == ["prod"]
+        series = rpc("Series", {"matchers": ['{env="prod"}']})
+        assert len(series["labelsSet"]) == 1
+        ss = rpc(
+            "SelectSeries",
+            {"labelSelector": '{env="prod"}', "groupBy": ["env"], "step": 10},
+        )
+        assert ss["series"]
+        merged = rpc(
+            "SelectMergeProfile", {"labelSelector": '{env="prod"}'}
+        )
+        assert len(merged["tree"]) == 2  # main + run
+        stats = rpc("GetProfileStats", {})
+        assert stats["dataIngested"] is True
+        aq = rpc("AnalyzeQuery", {"query": '{env="prod"}'})
+        assert aq["queryImpact"]["totalQueriedSeries"] == 1
+    finally:
+        gw.stop()
