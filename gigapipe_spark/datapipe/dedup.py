@@ -257,6 +257,64 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    partition_col: str | None = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-containment dedup: doc A is CONTAINED in doc B when
+    every distinct word n-gram of A also appears in B (|A∩B| == |A|) —
+    the "document fully covered by a longer document" curation step
+    (quotes, boilerplate-wrapped copies, truncated mirrors) that a
+    Jaccard threshold misses because the union term dilutes small docs.
+
+    Same 100 TB shape as jaccard_pairs: exploded-shingle equi-join —
+    only pairs sharing a shingle materialize, keyed by the shingle
+    (no per-partition skew). Direction is deterministic: the contained
+    doc is the one with the smaller shingle set, ties (identical sets)
+    flag the higher id, matching exact_dedup's keep-lowest-id rule.
+    Returns (doc_contained, doc_container).
+    """
+    sh = with_shingles(docs, text_col, "sh", n).select(
+        F.col(id_col).alias("id"),
+        (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
+        F.col("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = sh.select(
+        "id", "part", F.size("sh").alias("n"), F.explode("sh").alias("tok")
+    )
+    a = ex.select(
+        F.col("id").alias("doc_contained"), "part",
+        F.col("n").alias("na"), "tok",
+    )
+    b = ex.select(
+        F.col("id").alias("doc_container"), "part",
+        F.col("n").alias("nb"), "tok",
+    )
+    inter = (
+        a.join(b, ["tok", "part"])
+        .filter(F.col("doc_contained") != F.col("doc_container"))
+        .groupBy("doc_contained", "doc_container")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+        )
+    )
+    return inter.filter(
+        (F.col("i") == F.col("na"))
+        & (
+            (F.col("na") < F.col("nb"))
+            | (
+                (F.col("na") == F.col("nb"))
+                & (F.col("doc_contained") > F.col("doc_container"))
+            )
+        )
+    ).select("doc_contained", "doc_container")
+
+
 def _minhash_sig(hashes: Column, num_hashes: int) -> Column:
     """MinHash signature from a MATERIALIZED shingle-hash column: per
     permutation j, min over hashes of (a_j*h + b_j) mod p. Params are

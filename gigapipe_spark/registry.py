@@ -1836,6 +1836,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.jaccard_pairs(_views.documents(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    # containment dedup over a corpus augmented with 10-word snippet
+    # copies (doc_id+10^6): each snippet's 3-gram set is a subset of its
+    # source's, so the oracle has guaranteed deterministic hits; any
+    # organic containment in the base corpus is matched identically by
+    # both engines
+    "dedup_containment",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(string_split(text, ' ')[1:10], ' '), lang
+      FROM documents WHERE len(string_split(text, ' ')) >= 12
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, lang, {_SHINGLE_SQL} AS s FROM docs2),
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, len(s) AS n, unnest(s) AS tok FROM sh WHERE len(s) > 0
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+             count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id != b.doc_id
+                         AND a.lang = b.lang
+      GROUP BY 1, 2
+    )
+    SELECT doc_contained, doc_container FROM p
+    WHERE i = na AND (na < nb OR (na = nb AND doc_contained > doc_container))
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment pairs (see dedup.containment_pairs) over
+    the corpus plus derived 10-word snippet docs — the truncated-mirror
+    scenario this step exists to catch."""
+    docs = _views.documents(spark, sf_dir).select("doc_id", "text", "lang")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    snippets = (
+        docs.filter(F.size(words) >= 12)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 1, 10)).alias("text"),
+            "lang",
+        )
+    )
+    return _dedup.containment_pairs(docs.unionByName(snippets)).orderBy(
+        "doc_contained", "doc_container"
+    )
+
+
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL.format(part=""))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with exact verification: at threshold 0.5 with 32

@@ -596,3 +596,27 @@ def test_pq_ann_recall_and_exact_degenerate(spark):
         for r in sim.cosine_topk(emb, queries, k=5).collect()
     }
     assert got == want
+
+
+def test_containment_pairs_semantics(spark):
+    """Containment dedup: subsets flag against their superset with a
+    deterministic direction; identical sets flag the higher id; partial
+    overlap below full containment does NOT flag."""
+    docs = [
+        (1, "a b c d e f g h", "en"),          # superset
+        (2, "a b c d e", "en"),                # prefix → contained in 1
+        (3, "c d e f g", "en"),                # infix → contained in 1
+        (4, "a b c x y z", "en"),              # partial overlap only
+        (5, "a b c d e", "en"),                # identical to 2 → higher id flagged
+        (6, "a b c d e", "fr"),                # other lang partition
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_contained, r.doc_container)
+        for r in dedup.containment_pairs(d).collect()
+    }
+    assert (2, 1) in got and (3, 1) in got
+    assert (5, 1) in got          # identical-to-2 is also inside 1
+    assert (5, 2) in got and (2, 5) not in got  # tie → higher id contained
+    assert not any(a == 4 or b == 4 for a, b in got)
+    assert not any(a == 6 or b == 6 for a, b in got)  # lang-partitioned
