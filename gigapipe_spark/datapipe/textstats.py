@@ -387,3 +387,40 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+def word_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in nats — the
+    low-entropy filter of curation pipelines (boilerplate, keyword
+    stuffing and template spam all score low; Gopher/RefinedWeb-style
+    signal family).
+
+    Scale shape: one explode + two doc-keyed aggregations (word counts,
+    then the entropy fold) — the shuffles are keyed by (doc, word) and
+    doc, never global; map-side combine collapses repeated words before
+    either exchange."""
+    w = docs.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("word")
+    )
+    counts = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("__n"),
+            F.collect_list("cnt").alias("__cs"),
+        )
+        .select(
+            id_col,
+            F.round(
+                -F.aggregate(
+                    "__cs",
+                    F.lit(0.0),
+                    lambda acc, c: acc
+                    + (c / F.col("__n")) * F.log(c / F.col("__n")),
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )

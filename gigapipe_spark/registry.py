@@ -2049,6 +2049,26 @@ def sim_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_word_entropy",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY 1)
+    SELECT c.doc_id, round(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy
+    FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per doc (low-entropy spam/boilerplate
+    filter; see textstats.word_entropy)."""
+    return _ts.word_entropy(_views.documents(spark, sf_dir))
+
+
+@register(
     "text_token_count",
     r"""
     SELECT doc_id,
