@@ -301,7 +301,10 @@ class Engine:
         legacy single-label whole-store rollup stays."""
         if query is None:
             s = self.samples_table()
-            series = self.series_table()
+            # one row per fingerprint: StoreEngine's series table keeps a
+            # row per (fingerprint, type) — a mixed log+metric stream
+            # would double the byte sums through this join
+            series = self.series_table().dropDuplicates(["fingerprint"])
             return (
                 s.join(
                     F.broadcast(series.select("fingerprint", "labels")), "fingerprint"
@@ -466,7 +469,8 @@ class Engine:
         """/api/v1/metadata — metric names with sample counts (the
         closest stored analogue of Prometheus metadata)."""
         m = self.metric_samples_table()
-        series = self.series_table()
+        # per-(fingerprint, type) store rows would double sample counts
+        series = self.series_table().dropDuplicates(["fingerprint"])
         return (
             m.join(F.broadcast(series.select("fingerprint", "labels")), "fingerprint")
             .groupBy(F.col("labels")["app"].alias("metric"))

@@ -111,6 +111,26 @@ def _stream_labels(engine, df) -> list:
     )
 
 
+def _multipart_first_file(body: bytes, ctype: str) -> bytes:
+    """multipart/form-data → first part's payload (the reference's
+    /ingest MIME path reads the uploaded profile part,
+    binary_pprof.go UnmarshalProfileProtoV2 / go_pprof.go). Boundary
+    from the Content-Type; malformed bodies fall through unchanged so
+    the pprof parser reports the real error."""
+    m = [p.split("=", 1)[1].strip('"') for p in ctype.split(";")
+         if p.strip().startswith("boundary=")]
+    if not m:
+        return body
+    delim = b"--" + m[0].encode()
+    for part in body.split(delim):
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if sep and b"Content-Disposition" in head:
+            # exactly one CRLF precedes the next boundary; binary
+            # payloads may end in \r/\n/- bytes, so no blanket rstrip
+            return payload[:-2] if payload.endswith(b"\r\n") else payload
+    return body
+
+
 def _int_arg(q: dict, name: str) -> int | None:
     v = q.get(name, [None])[0]
     if v is None:
@@ -137,6 +157,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _push_ok(self, code: int = 204, body: bytes | None = None) -> None:
+        """Push-route success reply (the reference's withOkStatusAndBody
+        per writer/controller/*: loki/remote-write 204, datadog 202 {},
+        elastic 200 took/errors, tempo 202, profiles 200 {}). A 204/202
+        with no body sends headers only with Content-Length 0 — RFC
+        clients don't read a body on 204, so stray bytes would desync
+        the next response on an HTTP/1.1 keep-alive connection."""
+        self.send_response(code)
+        if body:
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
     def _text(self, s: str, code: int = 200) -> None:
         body = s.encode()
@@ -506,7 +543,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------ POST
     def do_POST(self) -> None:
-        path = urlparse(self.path).path
+        url = urlparse(self.path)
+        path, q = url.path, parse_qs(url.query)
         e = self.engine
         cat = getattr(e, "catalog", None)
         try:
@@ -523,88 +561,269 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(
                     {"error": "push routes need a store-backed engine"}, 501
                 )
-            from gigapipe_spark.sources import ingest
-            from gigapipe_spark.storage.writer import (
-                ingest_fanout,
-                spans_fanout,
-            )
-
-            body = self._body()
-            ctype = self.headers.get("Content-Type", "")
-            is_pb = "protobuf" in ctype or "octet-stream" in ctype
-
-            def _raw_bin():
-                return self.engine.spark.createDataFrame(
-                    [(bytearray(body),)], "payload binary"
-                )
-
-            if path == "/loki/api/v1/push":
-                if is_pb:
-                    from gigapipe_spark.sources.protowire import loki_push_pb
-
-                    decoded = loki_push_pb(_raw_bin())
-                else:
-                    decoded = ingest.loki_push(self._raw_df(body))
-                ingest_fanout(decoded.coalesce(1), cat)
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path in ("/api/prom/remote/write", "/api/v1/prom/remote/write"):
-                from gigapipe_spark.sources.protowire import remote_write
-
-                ingest_fanout(remote_write(_raw_bin()).coalesce(1), cat)
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path == "/v1/logs":  # OTLP
-                if is_pb:
-                    from gigapipe_spark.sources.protowire import otlp_logs_pb
-
-                    decoded = otlp_logs_pb(_raw_bin())
-                else:
-                    decoded = ingest.otlp_logs(self._raw_df(body))
-                ingest_fanout(decoded.coalesce(1), cat)
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path == "/v1/traces":  # OTLP
-                if is_pb:
-                    from gigapipe_spark.sources.protowire import otlp_traces_pb
-
-                    decoded = otlp_traces_pb(_raw_bin())
-                else:
-                    decoded = ingest.otlp_traces(self._raw_df(body))
-                spans_fanout(decoded.coalesce(1), cat)
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path == "/api/v2/logs":  # Datadog
-                ingest_fanout(
-                    ingest.datadog_logs(self._raw_df(body)).coalesce(1), cat
-                )
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path.endswith("/_bulk"):  # Elastic
-                target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
-                ingest_fanout(
-                    ingest.elastic_bulk(
-                        self._raw_df(body), target=target or "unknown"
-                    ).coalesce(1),
-                    cat,
-                )
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path.startswith(("/influx", "/write")):
-                ingest_fanout(
-                    ingest.influx_line(self._raw_df(body)).coalesce(1), cat
-                )
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            if path in ("/tempo/spans", "/api/v2/spans"):
-                spans_fanout(
-                    ingest.zipkin_spans(self._raw_df(body)).coalesce(1), cat
-                )
-                self._invalidate_contexts()
-                return self._json({}, 204)
-            return self._json({"error": f"unknown push route {path}"}, 404)
+            return self._push(path, q, cat)
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
+
+    def do_PUT(self) -> None:
+        """Elastic registers /{target}/_doc/{id} and /{target}/_create/
+        {id} for PUT as well (elastic.go:11-12); same handler."""
+        url = urlparse(self.path)
+        path, q = url.path, parse_qs(url.query)
+        cat = getattr(self.engine, "catalog", None)
+        try:
+            if cat is not None and ("/_doc" in path or "/_create/" in path):
+                return self._push(path, q, cat)
+            return self._json({"error": f"unknown route {path}"}, 404)
+        except Exception as ex:
+            return self._json({"status": "error", "error": str(ex)}, 500)
+
+    def _push(self, path: str, q: dict, cat) -> None:
+        """Push-route router (writer/router/insert.go, prom.go:9-14,
+        elastic.go:9-14, tempo.go:9-13, profile.go:10-12): body →
+        sources decoder → MV fan-out writer → per-route reference
+        status. The elastic catch-all patterns match LAST, like the
+        reference's route registration order."""
+        from gigapipe_spark.sources import ingest
+        from gigapipe_spark.storage.writer import ingest_fanout, spans_fanout
+
+        e = self.engine
+        body = self._body()
+        ctype = self.headers.get("Content-Type", "")
+        is_pb = "protobuf" in ctype or "octet-stream" in ctype
+
+        def _raw_bin():
+            return e.spark.createDataFrame(
+                [(bytearray(body),)], "payload binary"
+            )
+
+        if path == "/loki/api/v1/push":
+            if is_pb:
+                from gigapipe_spark.sources.protowire import loki_push_pb
+
+                decoded = loki_push_pb(_raw_bin())
+            else:
+                decoded = ingest.loki_push(self._raw_df(body))
+            ingest_fanout(decoded.coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(204)
+        if path in (
+            "/api/prom/remote/write",
+            "/api/v1/prom/remote/write",
+            "/v1/prom/remote/write",
+            "/prom/remote/write",
+            "/api/prom/push",  # legacy alias, prom.go:14
+        ):
+            from gigapipe_spark.sources.protowire import remote_write
+
+            ingest_fanout(remote_write(_raw_bin()).coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(204)
+        if path == "/v1/logs":  # OTLP
+            if is_pb:
+                from gigapipe_spark.sources.protowire import otlp_logs_pb
+
+                decoded = otlp_logs_pb(_raw_bin())
+            else:
+                decoded = ingest.otlp_logs(self._raw_df(body))
+            ingest_fanout(decoded.coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(204)
+        if path == "/v1/traces":  # OTLP
+            if is_pb:
+                from gigapipe_spark.sources.protowire import otlp_traces_pb
+
+                decoded = otlp_traces_pb(_raw_bin())
+            else:
+                decoded = ingest.otlp_traces(self._raw_df(body))
+            spans_fanout(decoded.coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(200, b"{}")
+        if path == "/api/v2/logs":  # Datadog logs
+            ingest_fanout(
+                ingest.datadog_logs(self._raw_df(body)).coalesce(1), cat
+            )
+            self._invalidate_contexts()
+            return self._push_ok(202, b"{}")
+        if path == "/api/v2/series":  # Datadog metrics, insert.go:12
+            decoded = ingest.datadog_metrics(
+                self._raw_df(body), now_ns=time.time_ns()
+            )
+            ingest_fanout(decoded.coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(202, b"{}")
+        if path == "/cf/v1/insert":  # Cloudflare via Datadog, insert.go:13
+            lines = e.spark.createDataFrame(
+                [(ln,) for ln in body.decode("utf-8", "replace").splitlines()
+                 if ln.strip()],
+                "line string",
+            )
+            decoded = ingest.datadog_cf(
+                lines, ddsource=q.get("ddsource", ["unknown"])[0]
+            )
+            ingest_fanout(decoded.coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(202, b"{}")
+        if path.startswith(("/influx", "/write")):
+            ingest_fanout(
+                ingest.influx_line(self._raw_df(body)).coalesce(1), cat
+            )
+            self._invalidate_contexts()
+            return self._push_ok(204)
+        if path in ("/tempo/spans", "/api/v2/spans", "/tempo/api/push"):
+            # content-type "ndjson" selects the line decoder (tempo.go:
+            # PushV2 withSimpleParser("ndjson", ...)); else JSON array
+            dec = (
+                ingest.zipkin_ndjson
+                if "ndjson" in ctype
+                else ingest.zipkin_spans
+            )
+            spans_fanout(dec(self._raw_df(body)).coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(202)
+        if path == "/ingest":  # Pyroscope, profile.go:10
+            return self._push_pyroscope(q, body, ctype, cat)
+        if path == "/v1development/profiles":  # OTLP profiles, profile.go:12
+            if "application/json" in ctype:
+                return self._json(
+                    {"error": "OTLP profiles: JSON not supported, "
+                              "use application/x-protobuf"},
+                    415,
+                )
+            return self._push_otlp_profiles(body, cat)
+        if path.endswith("/_bulk"):  # Elastic, elastic.go:13-14
+            target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
+            ingest_fanout(
+                ingest.elastic_bulk(
+                    self._raw_df(body), target=target or "unknown"
+                ).coalesce(1),
+                cat,
+            )
+            self._invalidate_contexts()
+            return self._push_ok(
+                200, json.dumps({"took": 0, "errors": False}).encode()
+            )
+        if "/_doc" in path or "/_create/" in path:  # elastic.go:9-12
+            parts = [p for p in path.split("/") if p]
+            target = parts[0] if parts else "unknown"
+            doc_id = (
+                parts[2]
+                if len(parts) > 2 and parts[1] in ("_doc", "_create")
+                else None
+            )
+            raw = e.spark.createDataFrame(
+                [(body.decode("utf-8", "replace"), target, doc_id,
+                  time.time_ns())],
+                "payload string, target string, doc_id string,"
+                " ingest_ts_ns long",
+            )
+            ingest_fanout(ingest.elastic_doc(raw).coalesce(1), cat)
+            self._invalidate_contexts()
+            return self._push_ok(
+                200, json.dumps({"took": 0, "errors": False}).encode()
+            )
+        return self._json({"error": f"unknown push route {path}"}, 404)
+
+    def _push_pyroscope(self, q: dict, body: bytes, ctype: str, cat) -> None:
+        """Pyroscope /ingest (writer/router/profile.go:10 →
+        binary_pprof.go:25-170): from/name/until query params required,
+        `name` is service{k=v,...}, body is a (gzip) pprof — multipart
+        bodies contribute their first file part. Lands through the
+        shared folded-tree pipeline into profiles_fanout."""
+        from pyspark.sql import functions as F
+
+        from gigapipe_spark.sources import protowire as pw
+        from gigapipe_spark.sources.ingest import (
+            folded_profiles_input,
+            parse_pyroscope_name,
+            pyroscope_ingest_ns,
+        )
+        from gigapipe_spark.storage.writer import profiles_fanout
+
+        for p in ("from", "name", "until"):
+            if p not in q:
+                return self._json(
+                    {"error": f"please provide {p} value"}, 400
+                )
+        try:
+            service, tags = parse_pyroscope_name(q["name"][0])
+        except ValueError as ex:
+            return self._json({"error": str(ex)}, 400)
+        start = pyroscope_ingest_ns(int(q["from"][0]))
+        end = pyroscope_ingest_ns(int(q["until"][0]))
+        if "multipart/form-data" in ctype:
+            body = _multipart_first_file(body, ctype)
+        raw = self.engine.spark.createDataFrame(
+            [(f"{service}-{start}", bytearray(body))],
+            "profile_id string, payload binary",
+        )
+        st, su = q.get("sampleType", ["cpu"])[0], q.get(
+            "sampleUnit", ["nanoseconds"]
+        )[0]
+        tag_cols = []
+        for k, v in tags.items():
+            tag_cols += [F.lit(k), F.lit(v)]
+        folded = pw.pprof_folded(raw).select(
+            "profile_id",
+            F.lit(start).alias("timestamp_ns"),
+            F.lit(q.get("spyName", ["process_cpu"])[0]).alias("type"),
+            F.lit(service).alias("service_name"),
+            F.lit(st).alias("period_type"),
+            F.lit(su).alias("period_unit"),
+            (F.create_map(*tag_cols) if tag_cols
+             else F.create_map().cast("map<string,string>")).alias("tags"),
+            F.lit(end - start).cast("long").alias("duration_ns"),
+            "line",
+        )
+        profiles_fanout(
+            folded_profiles_input(folded, st, su).coalesce(1), cat
+        )
+        self._invalidate_contexts()
+        return self._push_ok(200, b"{}")
+
+    def _push_otlp_profiles(self, body: bytes, cat) -> None:
+        """OTLP profiles push (profile.go:12 → otlp_profile.go): decode
+        once, then one folded-tree fanout per distinct profile type id
+        in the batch (bounded by the handful of sample types a single
+        push carries, never corpus-sized)."""
+        from pyspark.sql import functions as F
+
+        from gigapipe_spark.sources import protowire as pw
+        from gigapipe_spark.sources.ingest import folded_profiles_input
+        from gigapipe_spark.storage.writer import profiles_fanout
+
+        now = time.time_ns()
+        raw = self.engine.spark.createDataFrame(
+            [("otlp", bytearray(body))], "profile_id string, payload binary"
+        )
+        folded = pw.otlp_profiles_pb(raw).persist()
+        type_ids = [r["type_id"] for r in
+                    folded.select("type_id").distinct().collect()]
+        for tid in type_ids:
+            st, _, su = tid.partition(":")
+            rows = folded.filter(F.col("type_id") == tid).select(
+                F.concat_ws(
+                    "-", F.col("profile_id"), F.col("service_name"),
+                    F.lit(tid)
+                ).alias("profile_id"),
+                F.lit(now).alias("timestamp_ns"),
+                F.lit(st or "process_cpu").alias("type"),
+                F.col("service_name"),
+                F.lit(st or "cpu").alias("period_type"),
+                F.lit(su or "nanoseconds").alias("period_unit"),
+                F.create_map().cast("map<string,string>").alias("tags"),
+                F.lit(0).cast("long").alias("duration_ns"),
+                "line",
+            )
+            profiles_fanout(
+                folded_profiles_input(
+                    rows, st or "cpu", su or "nanoseconds"
+                ).coalesce(1),
+                cat,
+            )
+        folded.unpersist()
+        self._invalidate_contexts()
+        return self._push_ok(200, b"{}")
 
     # ------------------------------------------------------- WebSocket
     def _tail_ws(self, q: dict) -> None:
@@ -624,8 +843,11 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
         tailer = self.engine.loki_tail(q["query"][0])
-        conn = self.connection
-        conn.settimeout(0.05)
+        # client bytes that arrived with the upgrade request may already
+        # sit in rfile's buffer, invisible to raw conn.recv — drain them
+        # into our frame buffer before the loop starts
+        self._ws_buf = bytearray(self._ws_drain_rfile())
+        self.connection.settimeout(30)  # sends only; recv goes via select
         try:
             while True:
                 rows = tailer.poll()
@@ -634,18 +856,69 @@ class _Handler(BaseHTTPRequestHandler):
                         _loki_envelope(rows)["data"] | {"dropped_entries": []}
                     ).encode()
                     self._ws_send(frame)
-                # detect client close frame / disconnect between polls
-                try:
-                    first = conn.recv(2)
-                    if not first or (first[0] & 0x0F) == 0x8:
-                        break
-                except socket.timeout:
-                    pass
+                if self._ws_client_closed():
+                    break
                 time.sleep(0.2)
         except (BrokenPipeError, ConnectionResetError, OSError):
             pass
         finally:
             self.close_connection = True
+
+    def _ws_drain_rfile(self) -> bytes:
+        """Pull whatever the buffered rfile is still holding, without
+        blocking (a timed-out BufferedReader read would poison the
+        object — 'cannot read from timed out object' — so never let
+        rfile hit a timeout; one non-blocking read1 empties the buffer
+        and returns b'' when it's empty)."""
+        conn = self.connection
+        conn.setblocking(False)
+        try:
+            return self.rfile.read1(65536) or b""
+        except (BlockingIOError, ValueError, OSError):
+            return b""
+        finally:
+            conn.setblocking(True)
+
+    def _ws_client_closed(self) -> bool:
+        """Between polls: collect any newly arrived client bytes
+        (select-gated non-blocking recv), then parse COMPLETE RFC6455
+        frames out of the accumulated buffer — masked client frames are
+        ≥6 bytes, so a fixed 2-byte recv could land mid-frame. Returns
+        True on a close frame (opcode 0x8) or EOF/reset."""
+        import select
+
+        conn = self.connection
+        while True:
+            r, _, _ = select.select([conn], [], [], 0)
+            if not r:
+                break
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                return True
+            if not chunk:
+                return True  # EOF
+            self._ws_buf += chunk
+        buf = self._ws_buf
+        while len(buf) >= 2:
+            opcode = buf[0] & 0x0F
+            n, off = buf[1] & 0x7F, 2
+            if n == 126:
+                if len(buf) < 4:
+                    return False
+                n, off = int.from_bytes(buf[2:4], "big"), 4
+            elif n == 127:
+                if len(buf) < 10:
+                    return False
+                n, off = int.from_bytes(buf[2:10], "big"), 10
+            if buf[1] & 0x80:  # client frames are masked
+                off += 4
+            if len(buf) < off + n:
+                return False  # incomplete frame — wait for more bytes
+            del buf[: off + n]
+            if opcode == 0x8:
+                return True
+        return False
 
     def _ws_send(self, payload: bytes) -> None:
         n = len(payload)

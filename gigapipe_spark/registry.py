@@ -2043,8 +2043,11 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _views.embeddings(spark, sf_dir)
     n = emb.count()
+    # train_cap=0: the exact degenerate config needs EVERY subvector as
+    # a seed — the default 65536 cap would silently re-approximate the
+    # oracle once the table outgrows it (higher scale-probe factors)
     return _sim.pq_topk(
-        emb, [0, 1, 2, 3, 4], k=5, m=4, k_centroids=n, iters=0
+        emb, [0, 1, 2, 3, 4], k=5, m=4, k_centroids=n, iters=0, train_cap=0
     )
 
 

@@ -362,10 +362,19 @@ class StoreEngine(Engine):
         """(profiles fact, series, gin) frames over the stored tables,
         normalized to the fixture column contract (tags→labels, stu
         field names) so every frame-based planner runs unchanged."""
-        series = _stu_tp_unit(
-            self.catalog.read(self.spark, "profiles_series")
-        ).withColumnRenamed("tags", "labels")
-        gin = self.catalog.read(self.spark, "profiles_series_gin")
+        series = (
+            _stu_tp_unit(self.catalog.read(self.spark, "profiles_series"))
+            .withColumnRenamed("tags", "labels")
+            # the stored table is append-only (dropDuplicates at write is
+            # per-batch): a re-pushed series must collapse back to ONE
+            # row per fingerprint or the planners' per-fingerprint joins
+            # multiply fact rows (ReplacingMergeTree semantics, like
+            # Catalog.read_series for the log/metric series table)
+            .dropDuplicates(["fingerprint"])
+        )
+        gin = self.catalog.read(
+            self.spark, "profiles_series_gin"
+        ).dropDuplicates(["fingerprint", "key", "val"])
         prof = _stu_tp_unit(self.catalog.read(self.spark, "profiles"))
         return prof, series, gin
 

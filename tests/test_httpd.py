@@ -111,7 +111,8 @@ def test_http_zipkin_push_then_tempo_search(gateway):
             }
         ]
     ).encode()
-    assert _post(base, "/tempo/spans", spans) == 204
+    # tempo pushes reply 202 no-body (tempo.go PushV2 withOkStatusAndBody)
+    assert _post(base, "/tempo/spans", spans) == 202
     st, body = _get(
         base, "/api/search?q=" + urllib.parse.quote("{ status = error }")
     )
