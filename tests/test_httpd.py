@@ -460,3 +460,194 @@ def test_http_querier_v1_rpcs(spark, tmp_path):
         assert aq["queryImpact"]["totalQueriedSeries"] == 1
     finally:
         gw.stop()
+
+
+# ---------------------------------------------------------------- r7:
+# the seven remaining reference push routes (writer/router/profile.go,
+# insert.go:12-13, prom.go:14, elastic.go:9-12, tempo.go:10)
+
+
+def _post_full(base, path, body: bytes, headers=None, method="POST"):
+    req = urllib.request.Request(
+        base + path, data=body, method=method, headers=headers or {}
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_http_prom_push_alias(gateway):
+    """/api/prom/push is the legacy remote-write alias (prom.go:14)."""
+    from gigapipe_spark.sources import protowire as pw
+
+    def lbl(name, value):
+        return pw.pb_encode([(1, 2, name.encode()), (2, 2, value.encode())])
+
+    import struct as _struct
+
+    sample = pw.pb_encode(
+        [(1, 1, _struct.pack("<d", 33.0)), (2, 0, T0 // 1_000_000)]
+    )
+    ts = pw.pb_encode(
+        [(1, 2, lbl("__name__", "legacy_push")), (1, 2, lbl("job", "lp")),
+         (2, 2, sample)]
+    )
+    wr = pw.snappy_compress(pw.pb_encode([(1, 2, ts)]))
+    st, body = _post_full(
+        base := gateway[0], "/api/prom/push", wr,
+        {"Content-Type": "application/x-protobuf"},
+    )
+    assert st == 204 and body == b""
+    st, body = _get(
+        base, "/api/v1/query?query=" + urllib.parse.quote('{job="lp"}')
+    )
+    assert float(body["data"]["result"][0]["value"][1]) == 33.0
+
+
+def test_http_datadog_metrics_push(gateway):
+    """/api/v2/series (insert.go:12) → metric samples via PromQL."""
+    base, _ = gateway
+    payload = json.dumps({
+        "series": [{
+            "metric": "dd.req",
+            "resources": [{"host": "h1"}],
+            "points": [{"timestamp": T0 // 1_000_000_000, "value": 9.5}],
+        }]
+    }).encode()
+    st, body = _post_full(base, "/api/v2/series", payload,
+                          {"Content-Type": "application/json"})
+    assert st == 202 and body == b"{}"
+    st, body = _get(
+        base,
+        "/api/v1/query?query="
+        + urllib.parse.quote('{resource1_host="h1"}'),
+    )
+    assert float(body["data"]["result"][0]["value"][1]) == 9.5
+
+
+def test_http_datadog_cf_push(gateway):
+    """/cf/v1/insert (insert.go:13) NDJSON lines with ?ddsource."""
+    base, _ = gateway
+    lines = "\n".join(
+        json.dumps({"EventTimestampMs": (T0 // 1_000_000) + i,
+                    "Outcome": "ok", "ScriptName": "w"})
+        for i in range(2)
+    ).encode()
+    st, body = _post_full(base, "/cf/v1/insert?ddsource=cfpush", lines)
+    assert st == 202 and body == b"{}"
+    st, body = _get(
+        base,
+        "/loki/api/v1/query_range?query="
+        + urllib.parse.quote('{ddsource="cfpush"}'),
+    )
+    vals = [v for s in body["data"]["result"] for v in s["values"]]
+    assert len(vals) == 2
+
+
+def test_http_elastic_doc_routes(gateway):
+    """/{target}/_doc POST, /{target}/_create/{id} POST and
+    /{target}/_doc/{id} PUT (elastic.go:9-12)."""
+    base, _ = gateway
+    st, body = _post_full(base, "/books/_doc", b'{"title": "dune"}')
+    assert st == 200 and json.loads(body) == {"took": 0, "errors": False}
+    st, _b = _post_full(base, "/books/_create/b2", b'{"title": "solaris"}')
+    assert st == 200
+    st, _b = _post_full(
+        base, "/books/_doc/b3", b'{"title": "ubik"}', method="PUT"
+    )
+    assert st == 200
+    st, body = _get(
+        base,
+        "/loki/api/v1/query_range?query="
+        + urllib.parse.quote('{_index="books"}'),
+    )
+    lines = sorted(
+        v[1] for s in body["data"]["result"] for v in s["values"]
+    )
+    assert lines == ['{"title": "dune"}', '{"title": "solaris"}',
+                     '{"title": "ubik"}']
+    # the _id label rides only on the id-carrying routes
+    st, body = _get(
+        base,
+        "/loki/api/v1/query_range?query="
+        + urllib.parse.quote('{_id="b2"}'),
+    )
+    assert [v[1] for s in body["data"]["result"] for v in s["values"]] == [
+        '{"title": "solaris"}'
+    ]
+
+
+def test_http_tempo_api_push_ndjson(gateway):
+    """/tempo/api/push (tempo.go:10) with ndjson content-type."""
+    base, _ = gateway
+    span = json.dumps({
+        "id": "c9", "traceId": "d9", "name": "ndj op",
+        "timestamp": T0 // 1000, "duration": 700,
+        "localEndpoint": {"serviceName": "ndj"},
+    })
+    st, body = _post_full(
+        base, "/tempo/api/push", (span + "\n").encode(),
+        {"Content-Type": "application/x-ndjson"},
+    )
+    assert st == 202 and body == b""
+    tid = "d9".rjust(32, "0")
+    st, body = _get(base, f"/api/traces/{tid}")
+    assert st == 200 and body["batches"][0]["name"] == "ndj op"
+
+
+def test_http_pyroscope_ingest_push(gateway):
+    """/ingest (profile.go:10): gzip pprof + name{tags}/from/until →
+    stored tree → /pyroscope/render round-trip."""
+    import gzip
+
+    from gigapipe_spark.sources import protowire as pw
+
+    base, _ = gateway
+    strings = [b"", b"main", b"foo", b"bar"]
+    funcs = [pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)]) for i in range(3)]
+    locs = [
+        pw.pb_encode([(1, 0, i + 1), (4, 2, pw.pb_encode([(1, 0, i + 1)]))])
+        for i in range(3)
+    ]
+    s1 = pw.pb_encode([(1, 0, 2), (1, 0, 1), (2, 0, 5)])
+    s2 = pw.pb_encode([(1, 0, 3), (1, 0, 2), (1, 0, 1), (2, 0, 7)])
+    fields = [(2, 2, s1), (2, 2, s2)]
+    fields += [(4, 2, loc) for loc in locs]
+    fields += [(5, 2, f) for f in funcs]
+    fields += [(6, 2, s) for s in strings]
+    body = gzip.compress(pw.pb_encode(fields))
+
+    # missing params → 400 like the reference's parser context
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_full(base, "/ingest", body)
+    assert ei.value.code == 400
+
+    name = urllib.parse.quote("pushed.app{env=prodpush}")
+    st, rbody = _post_full(
+        base,
+        f"/ingest?name={name}&from=1700000000&until=1700000010",
+        body,
+        {"Content-Type": "binary/octet-stream"},
+    )
+    assert st == 200 and rbody == b"{}"
+    sel = urllib.parse.quote('{env="prodpush"}')
+    st, out = _get(base, f"/pyroscope/render?query={sel}")
+    assert out["flamebearer"]["numTicks"] == 12  # 5 + 7
+
+
+def test_http_otlp_profiles_push(gateway):
+    """/v1development/profiles (profile.go:12): pb in, JSON → 415."""
+    from test_protowire import _otlp_profile_body
+
+    base, _ = gateway
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post_full(base, "/v1development/profiles", b"{}",
+                   {"Content-Type": "application/json"})
+    assert ei.value.code == 415
+
+    st, body = _post_full(
+        base, "/v1development/profiles", _otlp_profile_body(),
+        {"Content-Type": "application/x-protobuf"},
+    )
+    assert st == 200 and body == b"{}"
+    st, out = _get(base, "/pyroscope/render?service=api")
+    assert out["flamebearer"]["numTicks"] == 8  # 5 + 3
