@@ -18,6 +18,8 @@ array_*) — no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -201,6 +203,54 @@ def _jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def _explode_shingles_bounded(
+    sh: DataFrame, max_shingle_df: int | None
+) -> DataFrame:
+    """Shared exploded-shingle frame for the exact pair generators:
+    (id, part, n, tok) rows, optionally with hot shingles removed.
+
+    A shingle appearing in D documents contributes D² rows to the
+    pair equi-join on that ONE key — at web scale a single boilerplate
+    trigram ("all rights reserved" class) is 10⁶+ docs → 10¹² join
+    rows, the skewed-key quadratic blow-up the MinHash path caps via
+    `_cap_buckets`. `max_shingle_df` drops shingles whose document
+    frequency exceeds the cap BEFORE the join and recomputes each
+    doc's shingle-set size over the kept universe, so jaccard /
+    containment stay internally consistent (computed over the
+    discriminative shingles only — df > cap shingles separate nothing).
+    Over-cap shingles are rare by construction (≤ corpus_docs/cap of
+    them), so the guard is a counting aggregate + BROADCAST anti-join,
+    same shape as `_cap_buckets`; the one real added cost is the
+    per-doc size recompute, a count shuffle keyed by doc id. The
+    dropped-shingle count is logged — never silently capped. Docs
+    whose every shingle is hot drop out entirely (nothing
+    discriminative left; exact_dedup is the right tool for pure
+    boilerplate). Pass None for the fully exact semantics."""
+    if max_shingle_df is None:
+        return sh.select(
+            "id", "part", F.size("sh").alias("n"),
+            F.explode("sh").alias("tok"),
+        )
+    ex = sh.select("id", "part", F.explode("sh").alias("tok"))
+    hot = (
+        ex.groupBy("part", "tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("part", "tok")
+        .persist()
+    )
+    n_hot = hot.count()  # materializes the tiny hot set for broadcast
+    if n_hot:
+        logging.getLogger(__name__).warning(
+            "exact-pair shingle join: dropped %d shingles with df > %d "
+            "(non-discriminative hot keys; pass max_shingle_df=None for "
+            "fully exact semantics)", n_hot, max_shingle_df,
+        )
+    kept = ex.join(F.broadcast(hot), ["part", "tok"], "left_anti")
+    sizes = kept.groupBy("id", "part").agg(F.count(F.lit(1)).alias("n"))
+    return kept.join(sizes, ["id", "part"]).select("id", "part", "n", "tok")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -208,6 +258,7 @@ def jaccard_pairs(
     partition_col: str | None = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs via an exploded-shingle equi-join.
 
@@ -225,15 +276,21 @@ def jaccard_pairs(
     projection under the join); here shingles are computed once per doc
     on the explode side. partition_col additionally bounds pairs to
     equal values (e.g. same lang); None compares across the whole corpus.
+
+    `max_shingle_df` bounds the one remaining hot-key exposure — a
+    boilerplate shingle shared by D docs costs D² join rows on its key —
+    by dropping shingles with document frequency above the cap and
+    measuring jaccard over the kept universe (see
+    _explode_shingles_bounded). Fully exact semantics: max_shingle_df=
+    None; the default cap only engages on corpora with >100k-doc
+    boilerplate keys, far above any fixture.
     """
     sh = with_shingles(docs, text_col, "sh", n).select(
         F.col(id_col).alias("id"),
         (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
         F.col("sh"),
     )
-    ex = sh.select(
-        "id", "part", F.size("sh").alias("n"), F.explode("sh").alias("tok")
-    )
+    ex = _explode_shingles_bounded(sh, max_shingle_df)
     a = ex.select(
         F.col("id").alias("doc_a"), "part", F.col("n").alias("na"), "tok"
     )
@@ -263,6 +320,7 @@ def containment_pairs(
     partition_col: str | None = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """Substring-containment dedup: doc A is CONTAINED in doc B when
     every distinct word n-gram of A also appears in B (|A∩B| == |A|) —
@@ -271,10 +329,14 @@ def containment_pairs(
     Jaccard threshold misses because the union term dilutes small docs.
 
     Same 100 TB shape as jaccard_pairs: exploded-shingle equi-join —
-    only pairs sharing a shingle materialize, keyed by the shingle
-    (no per-partition skew). Direction is deterministic: the contained
-    doc is the one with the smaller shingle set, ties (identical sets)
-    flag the higher id, matching exact_dedup's keep-lowest-id rule.
+    only pairs sharing a shingle materialize, keyed by the shingle.
+    `max_shingle_df` bounds the hot-key volume (a df-D boilerplate
+    shingle is D² join rows on one key): over-cap shingles are dropped
+    and containment is decided over the kept universe (see
+    _explode_shingles_bounded; None = fully exact). Direction is
+    deterministic: the contained doc is the one with the smaller
+    shingle set, ties (identical sets) flag the higher id, matching
+    exact_dedup's keep-lowest-id rule.
     Returns (doc_contained, doc_container).
     """
     sh = with_shingles(docs, text_col, "sh", n).select(
@@ -282,9 +344,7 @@ def containment_pairs(
         (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
         F.col("sh"),
     ).filter(F.size("sh") > 0)
-    ex = sh.select(
-        "id", "part", F.size("sh").alias("n"), F.explode("sh").alias("tok")
-    )
+    ex = _explode_shingles_bounded(sh, max_shingle_df)
     a = ex.select(
         F.col("id").alias("doc_contained"), "part",
         F.col("n").alias("na"), "tok",

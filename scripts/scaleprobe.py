@@ -116,6 +116,10 @@ def main() -> None:
         "sample_hash",
         "pack_sequences",
         "rollup_metrics_15s",
+        "dedup_containment",
+        "text_word_entropy",
+        "multimodal_bmp_decode",
+        "multimodal_wav_features",
     ]
 
     def run(name: str, d: str) -> float:
@@ -139,6 +143,48 @@ def main() -> None:
             ),
             flush=True,
         )
+
+    # Boilerplate-heavy containment: every doc carries the same
+    # 7-word boilerplate sentence, so its pure-boilerplate shingles
+    # have df == corpus size. Without the max_shingle_df cap the
+    # equi-join on those keys is D² (quadratic in corpus size); with
+    # the cap engaged at BOTH scales the ratio must stay ~linear.
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.datapipe.dedup import containment_pairs
+
+    def boiler_corpus(n_docs: int):
+        i = F.col("id").cast("string")
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("terms of service apply all rights reserved u"),
+                i, F.lit("a v"), i, F.lit("b w"), i, F.lit("c"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+
+    def run_boiler(n_docs: int) -> float:
+        t0 = time.monotonic()
+        containment_pairs(boiler_corpus(n_docs), max_shingle_df=10_000).count()
+        return round(time.monotonic() - t0, 2)
+
+    n1 = 20_000
+    run_boiler(n1)  # warm
+    s1 = run_boiler(n1)
+    sf_big = run_boiler(n1 * factor)
+    print(
+        json.dumps(
+            {
+                "query": "dedup_containment_boilerplate_capped",
+                "factor": factor,
+                "sec_1x": s1,
+                "sec_Fx": sf_big,
+                "ratio": round(sf_big / max(s1, 1e-9), 1),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

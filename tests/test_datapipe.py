@@ -620,3 +620,40 @@ def test_containment_pairs_semantics(spark):
     assert (5, 2) in got and (2, 5) not in got  # tie → higher id contained
     assert not any(a == 4 or b == 4 for a, b in got)
     assert not any(a == 6 or b == 6 for a, b in got)  # lang-partitioned
+
+
+def test_exact_pair_hot_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles from the exact-pair
+    join: the hot key no longer generates D^2 join rows, sizes are
+    recomputed over the kept universe, and cap=None restores the fully
+    exact result."""
+    boiler = "all rights reserved"  # one hot trigram in every doc
+    rows = [(i, f"{boiler} unique{i} tail{i} end{i}", "en")
+            for i in range(8)]
+    # two genuine near-dups sharing real content beyond the boilerplate
+    rows += [(100, f"{boiler} x y z w q", "en"),
+             (101, f"{boiler} x y z w q extra", "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # cap=None (exact): the pair must be found WITH the hot shingle
+    exact = {
+        (r.doc_contained, r.doc_container)
+        for r in dedup.containment_pairs(d, max_shingle_df=None).collect()
+    }
+    assert (100, 101) in exact
+
+    # cap=5: the boilerplate trigram has df=10 > 5 → dropped; the real
+    # containment still flags through the discriminative shingles, and
+    # no pair appears between boilerplate-only docs
+    capped = {
+        (r.doc_contained, r.doc_container)
+        for r in dedup.containment_pairs(d, max_shingle_df=5).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+    # jaccard: under the cap the shared-boilerplate pairs fall below
+    # threshold (their only common shingle is gone)
+    jac = dedup.jaccard_pairs(d, threshold=0.3, max_shingle_df=5)
+    pairs = {(r.doc_a, r.doc_b) for r in jac.collect()}
+    assert pairs == {(100, 101)}
