@@ -3630,6 +3630,66 @@ def store_roundtrip_ruler(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max("value").alias("value"))
 
 
+@register(
+    "store_roundtrip_patterns",
+    """
+    SELECT * FROM (VALUES
+      ('login ok', 3::BIGINT, 2::BIGINT),
+      ('logout done', 1::BIGINT, 1::BIGINT)
+    ) AS t(pattern, samples_count, n_streams)
+    """,
+)
+def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's inline pattern side-channel end-to-end
+    (writer/pattern/controller/controller.go:71 ClusterLines on every
+    push + RunFlush:132-187 appending to the stored `patterns` table,
+    read back via planner_patterns.go:10): one push of two streams,
+    then /loki/api/v1/patterns merges the stored clusters across
+    streams. 'login ok' appears twice in stream web and once in stream
+    api → count 3 over 2 streams. (Cross-FLUSH merging is covered by
+    tests/test_store_query.py — the oracle entry keeps one fanout call
+    so its cold cost stays inside the driver budget.)"""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_patterns")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    cat = Catalog(root)
+
+    def stream(app: str, lines: list[str]) -> dict:
+        return {
+            "stream": {"app": app},
+            "values": [
+                [str(t0 + i * 1_000_000_000), ln]
+                for i, ln in enumerate(lines)
+            ],
+        }
+
+    payload = _json.dumps(
+        {
+            "streams": [
+                stream("web", ["login ok", "login ok", "logout done"]),
+                stream("api", ["login ok"]),
+            ]
+        }
+    )
+    ingest_fanout(
+        loki_push(
+            spark.createDataFrame([(payload,)], "payload string")
+        ).coalesce(1),
+        cat,
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    return eng.loki_patterns().orderBy("pattern")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -275,6 +275,18 @@ class StoreEngine(Engine):
         sample-count approximation."""
         return self.catalog.metadata(self.spark)
 
+    def loki_patterns(self) -> DataFrame:
+        """/loki/api/v1/patterns over the STORE: merged clusters from
+        the stored `patterns` table the ingest side-channel appends to
+        (patterns_fanout; planner_patterns.go:10 reads the stored table
+        and merges iterations the same way). Falls back to on-demand
+        mining for stores written before the side-channel existed."""
+        if self._has_table("patterns"):
+            from gigapipe_spark.patterns.cluster import read_patterns
+
+            return read_patterns(self.catalog.read(self.spark, "patterns"))
+        return super().loki_patterns()
+
     def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
         """Tail over the STORE with a FRESH context per poll: a cached
         context's parquet scan snapshots the file listing at read time,

@@ -158,7 +158,9 @@ class Catalog:
         return merge_cells(self.read(spark, "metrics_15s").drop("date"))
 
 
-def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
+def ingest_fanout(
+    batch: DataFrame, catalog: Catalog, mine_patterns: bool = True
+) -> None:
     """One decoded batch → samples + time_series + gin (the MV layer).
 
     The batch carries (fingerprint, labels, timestamp_ns, value, string,
@@ -167,7 +169,9 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
     ingest.finalize_entries (no metadata/ttl_days columns) pass through
     it here, so the reference's shared onEntries behaviors — service_name
     discovery, __ttl_days__, metric metadata → series (builder.go:304-380)
-    — apply to every write path.
+    — apply to every write path. `mine_patterns` gates the inline
+    pattern side-channel (the reference's LogPatternsDownsampling=0
+    analog for callers that want the write path lean).
     """
     from gigapipe_spark.sources.ingest import finalize_entries
     from gigapipe_spark.telemetry import observed_write
@@ -276,6 +280,60 @@ def ingest_fanout(batch: DataFrame, catalog: Catalog) -> None:
             .parquet(catalog.path("metrics_15s")),
             bytes_col=None,
         )
+
+    # pattern side-channel (controller.go:71 ClusterLines clusters every
+    # pushed log line inline; RunFlush:132-187 appends the clusters to
+    # the stored `patterns` table) — mirrored as a per-batch mining pass
+    # over the flush's log rows
+    if mine_patterns:
+        patterns_fanout(batch, catalog)
+
+
+def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
+    """Log-typed rows of a decoded batch → stored `patterns` table
+    (ref: log.sql:174-187 schema; writer/pattern/controller/
+    controller.go:71,132-187 — the reference clusters every ingested
+    line and flushes per 10m bucket; here each flush batch IS the
+    clustering scope, and read_patterns merges clusters across flushes
+    the way the read side merges iterations, planner_patterns.go:10).
+
+    Scale shape: mine_patterns shards by (fingerprint, 10m bucket,
+    first-token cluster key) — the same keys the stored table orders by
+    (ORDER BY (timestamp_10m, fingerprint)) — singleton shards stay
+    pure JVM column algebra and only multi-line shards run the pandas
+    merge loop; the append is (oid, date)-partitioned like every
+    fan-out table."""
+    from gigapipe_spark.patterns.cluster import (
+        mine_patterns as _mine_patterns,
+    )
+    from gigapipe_spark.telemetry import observed_write
+
+    log_rows = batch.filter(
+        F.col("type").isin(0, 1) & (F.col("string") != "")
+    )
+    if log_rows.isEmpty():
+        return
+    pats = (
+        _mine_patterns(log_rows)
+        .withColumn(
+            "date",
+            F.to_date(
+                F.timestamp_micros(
+                    (F.col("timestamp_10m") / 1000).cast("long")
+                )
+            ),
+        )
+        .withColumn("oid", F.lit(catalog.oid))
+    )
+    observed_write(
+        pats,
+        "patterns",
+        lambda df: df.sortWithinPartitions("timestamp_10m", "fingerprint")
+        .write.mode("append")
+        .partitionBy("oid", "date")
+        .parquet(catalog.path("patterns")),
+        bytes_col=None,
+    )
 
 
 def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:

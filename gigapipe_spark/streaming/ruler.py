@@ -187,7 +187,12 @@ def store_ruler(spark: SparkSession, catalog) -> "Ruler":
         spark,
         logctx_factory=lambda: store_logql_context(spark, catalog),
         promctx_factory=lambda: store_promql_context(spark, catalog),
-        sink=lambda df: ingest_fanout(df.coalesce(1), catalog),
+        # no pattern mining on the writeback path: the reference's
+        # ClusterLines hook sits in doParse (builder.go:231), which the
+        # recording_writeback insert service bypasses
+        sink=lambda df: ingest_fanout(
+            df.coalesce(1), catalog, mine_patterns=False
+        ),
     )
 
 
@@ -221,6 +226,13 @@ class Tailer:
         from gigapipe_spark.logql.compiler import query as logql_query
 
         ctx = self.logctx_factory()
+        if self.last_ts_ns:
+            # thread the tail bound through the context so the store
+            # scan prunes raw-ts row groups AND (oid, date) partitions
+            # (StoreLogQLContext._bounded) — a year-deep store must not
+            # be re-scanned per poll (query_range.go:670 re-runs the
+            # transpiled query with the updated from-ts the same way)
+            ctx.start_ns = self.last_ts_ns + 1
         res = logql_query(ctx, self.query)
         df = res.df
         if "labels" in df.columns and "fingerprint" in df.columns:

@@ -651,3 +651,23 @@ def test_http_otlp_profiles_push(gateway):
     assert st == 200 and body == b"{}"
     st, out = _get(base, "/pyroscope/render?service=api")
     assert out["flamebearer"]["numTicks"] == 8  # 5 + 3
+
+
+def test_http_patterns_from_store(gateway):
+    """Pushed lines are clustered inline (controller.go:71) and
+    /loki/api/v1/patterns serves the STORED table."""
+    base, _ = gateway
+    payload = json.dumps({
+        "streams": [{
+            "stream": {"app": "patt"},
+            "values": [
+                [str(T0), "checkout started"],
+                [str(T0 + 1_000_000_000), "checkout started"],
+            ],
+        }]
+    }).encode()
+    assert _post(base, "/loki/api/v1/push", payload) == 204
+    st, body = _get(base, "/loki/api/v1/patterns")
+    assert st == 200 and body["status"] == "success"
+    pats = {p["pattern"]: p["samples_count"] for p in body["data"]}
+    assert pats.get("checkout started") == 2

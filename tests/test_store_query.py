@@ -516,3 +516,92 @@ def test_store_pyroscope_planner_endpoints(spark, tmp_path):
 
     dot = eng.pyroscope_render_dot(selector='{env="dev"}')
     assert dot.startswith("digraph") and "handle" in dot
+
+
+def test_store_patterns_side_channel_and_cross_flush_merge(spark, tmp_path):
+    """ingest_fanout mines every pushed log line into the stored
+    `patterns` table (controller.go:71,132-187); two separate flushes
+    merge on read (planner_patterns.go:10). The ruler writeback path
+    must NOT mine (the reference's ClusterLines hook sits in doParse,
+    which recording_writeback bypasses)."""
+    from gigapipe_spark.storage.query import StoreEngine
+
+    cat = Catalog(str(tmp_path / "pstore"))
+
+    def push(app, lines, t_off=0):
+        payload = json.dumps({
+            "streams": [{
+                "stream": {"app": app},
+                "values": [
+                    [str(T0 + t_off + i * 1_000_000_000), ln]
+                    for i, ln in enumerate(lines)
+                ],
+            }]
+        })
+        ingest_fanout(
+            ingest.loki_push(
+                spark.createDataFrame([(payload,)], "payload string")
+            ).coalesce(1),
+            cat,
+        )
+
+    push("web", ["login ok", "login ok", "logout done"])
+    push("api", ["login ok"], t_off=3_000_000_000)  # second flush
+
+    stored = cat.read(spark, "patterns")
+    assert stored.count() >= 3  # per-flush clusters present
+    assert {"tokens", "classes", "overall_cost", "generalized_cost",
+            "samples_count", "pattern_id", "timestamp_10m"} <= set(
+        stored.columns)
+
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    got = {(r["pattern"], r["samples_count"], r["n_streams"])
+           for r in eng.loki_patterns().collect()}
+    assert got == {("login ok", 3, 2), ("logout done", 1, 1)}
+
+    # metric-only flush adds no pattern rows
+    n_before = cat.read(spark, "patterns").count()
+    payload = json.dumps({
+        "streams": [{
+            "stream": {"app": "m"},
+            "entries": [{"ts": str(T0), "value": 1.5}],
+        }]
+    })
+    ingest_fanout(
+        ingest.loki_push(
+            spark.createDataFrame([(payload,)], "payload string")
+        ).coalesce(1),
+        cat,
+    )
+    assert cat.read(spark, "patterns").count() == n_before
+
+
+def test_store_tail_poll_prunes_scan(spark, tmp_path):
+    """Each tail poll after the first threads last_seen+1 into the
+    store context, so the samples scan carries BOTH the raw-ts
+    predicate and the (oid, date) partition filters — a year-deep
+    store is never re-scanned per poll (query_range.go:670)."""
+    from gigapipe_spark.streaming.ruler import Tailer
+
+    cat = _seed(spark, tmp_path)
+    created = []
+
+    def factory():
+        c = store_logql_context(spark, cat)
+        created.append(c)
+        return c
+
+    t = Tailer(logctx_factory=factory, query='{app="web"}')
+    first = t.poll()
+    assert len(first) == 6 and t.last_ts_ns == T0 + 50_000_000_000
+    assert t.poll() == []  # nothing new
+
+    ctx2 = created[-1]
+    assert ctx2.start_ns == t.last_ts_ns + 1
+    plan = ctx2.samples()._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "timestamp_ns" in plan
+    # the date partition filter is present (not an empty filter list)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1)
