@@ -604,7 +604,7 @@ class _Handler(BaseHTTPRequestHandler):
                 decoded = loki_push_pb(_raw_bin())
             else:
                 decoded = ingest.loki_push(self._raw_df(body))
-            ingest_fanout(decoded.coalesce(1), cat)
+            ingest_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(204)
         if path in (
@@ -616,7 +616,7 @@ class _Handler(BaseHTTPRequestHandler):
         ):
             from gigapipe_spark.sources.protowire import remote_write
 
-            ingest_fanout(remote_write(_raw_bin()).coalesce(1), cat)
+            ingest_fanout(remote_write(_raw_bin()), cat)
             self._invalidate_contexts()
             return self._push_ok(204)
         if path == "/v1/logs":  # OTLP
@@ -626,7 +626,7 @@ class _Handler(BaseHTTPRequestHandler):
                 decoded = otlp_logs_pb(_raw_bin())
             else:
                 decoded = ingest.otlp_logs(self._raw_df(body))
-            ingest_fanout(decoded.coalesce(1), cat)
+            ingest_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(204)
         if path == "/v1/traces":  # OTLP
@@ -636,12 +636,12 @@ class _Handler(BaseHTTPRequestHandler):
                 decoded = otlp_traces_pb(_raw_bin())
             else:
                 decoded = ingest.otlp_traces(self._raw_df(body))
-            spans_fanout(decoded.coalesce(1), cat)
+            spans_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(200, b"{}")
         if path == "/api/v2/logs":  # Datadog logs
             ingest_fanout(
-                ingest.datadog_logs(self._raw_df(body)).coalesce(1), cat
+                ingest.datadog_logs(self._raw_df(body)), cat
             )
             self._invalidate_contexts()
             return self._push_ok(202, b"{}")
@@ -649,7 +649,7 @@ class _Handler(BaseHTTPRequestHandler):
             decoded = ingest.datadog_metrics(
                 self._raw_df(body), now_ns=time.time_ns()
             )
-            ingest_fanout(decoded.coalesce(1), cat)
+            ingest_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(202, b"{}")
         if path == "/cf/v1/insert":  # Cloudflare via Datadog, insert.go:13
@@ -661,12 +661,12 @@ class _Handler(BaseHTTPRequestHandler):
             decoded = ingest.datadog_cf(
                 lines, ddsource=q.get("ddsource", ["unknown"])[0]
             )
-            ingest_fanout(decoded.coalesce(1), cat)
+            ingest_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(202, b"{}")
         if path.startswith(("/influx", "/write")):
             ingest_fanout(
-                ingest.influx_line(self._raw_df(body)).coalesce(1), cat
+                ingest.influx_line(self._raw_df(body)), cat
             )
             self._invalidate_contexts()
             return self._push_ok(204)
@@ -678,7 +678,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if "ndjson" in ctype
                 else ingest.zipkin_spans
             )
-            spans_fanout(dec(self._raw_df(body)).coalesce(1), cat)
+            spans_fanout(dec(self._raw_df(body)), cat)
             self._invalidate_contexts()
             return self._push_ok(202)
         if path == "/ingest":  # Pyroscope, profile.go:10
@@ -696,7 +696,7 @@ class _Handler(BaseHTTPRequestHandler):
             ingest_fanout(
                 ingest.elastic_bulk(
                     self._raw_df(body), target=target or "unknown"
-                ).coalesce(1),
+                ),
                 cat,
             )
             self._invalidate_contexts()
@@ -717,7 +717,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "payload string, target string, doc_id string,"
                 " ingest_ts_ns long",
             )
-            ingest_fanout(ingest.elastic_doc(raw).coalesce(1), cat)
+            ingest_fanout(ingest.elastic_doc(raw), cat)
             self._invalidate_contexts()
             return self._push_ok(
                 200, json.dumps({"took": 0, "errors": False}).encode()
@@ -776,7 +776,7 @@ class _Handler(BaseHTTPRequestHandler):
             "line",
         )
         profiles_fanout(
-            folded_profiles_input(folded, st, su).coalesce(1), cat
+            folded_profiles_input(folded, st, su), cat
         )
         self._invalidate_contexts()
         return self._push_ok(200, b"{}")
@@ -818,7 +818,7 @@ class _Handler(BaseHTTPRequestHandler):
             profiles_fanout(
                 folded_profiles_input(
                     rows, st or "cpu", su or "nanoseconds"
-                ).coalesce(1),
+                ),
                 cat,
             )
         folded.unpersist()

@@ -3384,7 +3384,7 @@ def store_roundtrip_logql(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.createDataFrame([(payload,)], "payload string")
     cat = Catalog(root)
     # a 4-row demo batch: one partition end-to-end, not 200 shuffle slivers
-    ingest_fanout(loki_push(raw).coalesce(1), cat)
+    ingest_fanout(loki_push(raw), cat)
     res = query_range(
         store_logql_context(spark, cat), '{app="web"}', direction="forward"
     )
@@ -3433,7 +3433,7 @@ def store_roundtrip_traceql(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans_fanout(
         zipkin_spans(
             spark.createDataFrame([(payload,)], "payload string")
-        ).coalesce(1),
+        ),
         cat,
     )
     ctx = store_traceql_context(spark, cat)
@@ -3480,7 +3480,7 @@ def store_roundtrip_promql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = spark.createDataFrame([(payload,)], "payload string")
     cat = Catalog(root)
-    ingest_fanout(loki_push(raw).coalesce(1), cat)
+    ingest_fanout(loki_push(raw), cat)
     ctx = store_promql_context(
         spark, cat, start_ns=t0, end_ns=t0 + 60_000_000_000
     )
@@ -3556,7 +3556,7 @@ def store_roundtrip_pyroscope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat = Catalog(root)
     profiles_fanout(
-        folded_profiles_input(folded, "cpu", "nanoseconds").coalesce(1), cat
+        folded_profiles_input(folded, "cpu", "nanoseconds"), cat
     )
     eng = StoreEngine(spark, cat.root, catalog=cat)
     prof = eng._stored_profiles(None, '{env="prod"}', None)
@@ -3607,7 +3607,7 @@ def store_roundtrip_ruler(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest_fanout(
         loki_push(
             spark.createDataFrame([(payload,)], "payload string")
-        ).coalesce(1),
+        ),
         cat,
     )
     ruler = store_ruler(spark, cat)
@@ -3683,7 +3683,7 @@ def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest_fanout(
         loki_push(
             spark.createDataFrame([(payload,)], "payload string")
-        ).coalesce(1),
+        ),
         cat,
     )
     eng = StoreEngine(spark, cat.root, catalog=cat)

@@ -158,6 +158,23 @@ class Catalog:
         return merge_cells(self.read(spark, "metrics_15s").drop("date"))
 
 
+def _checkpoint_flush(batch: DataFrame, small: int = 100_000) -> DataFrame:
+    """Materialize a flush batch and collapse a SMALL one to a single
+    partition AFTER the checkpoint, so each fan-out write emits one
+    file. Order matters: coalescing the decode plan itself makes the
+    one merged task re-initialize the whole decoder expression tree
+    once per parent partition (a 1-row push parallelized over 32
+    LocalRelation slices × ~150 ms init ≈ 5 s per push, measured);
+    checkpointing first runs those inits in parallel, and the coalesce
+    then merges already-materialized rows for ~free. Batches larger
+    than `small` keep their partitioning — a real micro-batch must not
+    squeeze through one write task at scale."""
+    batch = batch.localCheckpoint(eager=True)
+    if batch.rdd.getNumPartitions() > 1 and batch.count() <= small:
+        batch = batch.coalesce(1)
+    return batch
+
+
 def ingest_fanout(
     batch: DataFrame, catalog: Catalog, mine_patterns: bool = True
 ) -> None:
@@ -186,7 +203,7 @@ def ingest_fanout(
     # The reference buffers decoded rows in column pools before its
     # inserts for the same reason (generic_insert.go); localCheckpoint is
     # the Spark analog (executor-local, sized to one flush batch).
-    batch = batch.localCheckpoint(eager=True)
+    batch = _checkpoint_flush(batch)
 
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     # oid leads the partition spec, the reference's PARTITION BY
@@ -357,7 +374,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     from gigapipe_spark.telemetry import observed_write
 
     # one materialization for three MV writes (see ingest_fanout)
-    batch = batch.localCheckpoint(eager=True)
+    batch = _checkpoint_flush(batch)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     # oid leads the partition spec (traces.sql:19 PARTITION BY
     # (oid, toDate(...)))
@@ -489,7 +506,7 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
     fingerprint = F.xxhash64(F.to_json(fp_entries))
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     # one materialization for four MV writes (see ingest_fanout)
-    batch = batch.localCheckpoint(eager=True)
+    batch = _checkpoint_flush(batch)
     enriched = batch.select(
         "*",
         type_id.alias("type_id"),
@@ -681,7 +698,7 @@ def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
     reads only its row groups."""
     from gigapipe_spark.telemetry import observed_write
 
-    batch = batch.localCheckpoint(eager=True)
+    batch = _checkpoint_flush(batch)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
     observed_write(
         batch.withColumn("date", date)

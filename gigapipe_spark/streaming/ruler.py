@@ -117,6 +117,10 @@ class Ruler:
             F.lit("").alias("string"),
             F.lit(2).cast("byte").alias("type"),
         )
+        # materialize ONCE: the health row counts the result and the
+        # sink writes it — without the checkpoint each action re-runs
+        # the full rule query over the store
+        out = out.localCheckpoint(eager=True)
         self.last_run_ns[rule.name] = now_ns
         return RuleEvaluation(rule=rule, rows=out.count(), df=out)
 
@@ -191,7 +195,7 @@ def store_ruler(spark: SparkSession, catalog) -> "Ruler":
         # ClusterLines hook sits in doParse (builder.go:231), which the
         # recording_writeback insert service bypasses
         sink=lambda df: ingest_fanout(
-            df.coalesce(1), catalog, mine_patterns=False
+            df, catalog, mine_patterns=False
         ),
     )
 

@@ -40,6 +40,40 @@ def main() -> None:
             .getOrCreate()
         )
     qs, os_ = e.queries(), e.oracle_sql()
+
+    # Untimed session warm-up so per-entry timings measure the ENTRY,
+    # not first-use session costs (JVM JIT, Janino codegen, Python
+    # worker spawn for Arrow stages, parquet writer init). Recorded as
+    # warmup_sec in the JSON — visible, never hidden in an entry.
+    t0 = time.monotonic()
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gigapipe_spark.sources.ingest import loki_push
+        from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+        wroot = os.path.join(tempfile.gettempdir(), "selfcheck_warmup")
+        shutil.rmtree(wroot, ignore_errors=True)
+        payload = (
+            '{"streams":[{"stream":{"app":"w"},'
+            '"values":[["1700000000000000000","x"]]}]}'
+        )
+        ingest_fanout(
+            loki_push(spark.createDataFrame([(payload,)], "payload string")),
+            Catalog(wroot),
+        )
+        spark.createDataFrame([(1,)], "a long").select(
+            F.pandas_udf(lambda s: s, "long")("a")
+        ).collect()
+        shutil.rmtree(wroot, ignore_errors=True)
+    except Exception:
+        traceback.print_exc(limit=2)
+    warmup_sec = round(time.monotonic() - t0, 2)
+    print(f"warmup {warmup_sec}s", flush=True)
+
     fails = []
     results = {}
     for name in sorted(qs):
@@ -68,6 +102,7 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "total": len(results),
+                 "warmup_sec": warmup_sec,
                  "failures": fails, "results": results},
                 f, indent=1,
             )
