@@ -205,50 +205,84 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 def _explode_shingles_bounded(
     sh: DataFrame, max_shingle_df: int | None
-) -> DataFrame:
-    """Shared exploded-shingle frame for the exact pair generators:
-    (id, part, n, tok) rows, optionally with hot shingles removed.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared exploded-shingle frame for the exact pair generators.
 
-    A shingle appearing in D documents contributes D² rows to the
-    pair equi-join on that ONE key — at web scale a single boilerplate
-    trigram ("all rights reserved" class) is 10⁶+ docs → 10¹² join
-    rows, the skewed-key quadratic blow-up the MinHash path caps via
-    `_cap_buckets`. `max_shingle_df` drops shingles whose document
-    frequency exceeds the cap BEFORE the join and recomputes each
-    doc's shingle-set size over the kept universe, so jaccard /
-    containment stay internally consistent (computed over the
-    discriminative shingles only — df > cap shingles separate nothing).
-    Over-cap shingles are rare by construction (≤ corpus_docs/cap of
-    them), so the guard is a counting aggregate + BROADCAST anti-join,
-    same shape as `_cap_buckets`; the one real added cost is the
-    per-doc size recompute, a count shuffle keyed by doc id. The
-    dropped-shingle count is logged — never silently capped. Docs
-    whose every shingle is hot drop out entirely (nothing
-    discriminative left; exact_dedup is the right tool for pure
-    boilerplate). Pass None for the fully exact semantics."""
+    Returns (ex, sizes): `ex` is the MINIMAL-width join feed — (id,
+    part, tok) with `tok` the 64-bit hash of the shingle (a collision
+    inflating an intersection count needs two distinct shingles of one
+    doc pair colliding, ~2⁻⁶⁴ per pair) — and `sizes` is one narrow
+    (id, part, n) row per doc over the KEPT universe, for the callers
+    to attach to their pair AGGREGATE. Set sizes never ride through
+    the join: the exchanged row is 3 fixed-width fields, because at
+    web scale the equi-join's two exchanges of the exploded set ARE
+    the operator's cost and every byte is multiplied by total corpus
+    shingle count (a first cut that carried n per row and re-keyed the
+    exploded set for size recomputes tripled shuffle temp and spilled
+    a 30× probe off the disk).
+
+    A shingle appearing in D documents contributes D² rows to the pair
+    equi-join on that ONE key — at web scale a single boilerplate
+    trigram ("all rights reserved" class) is 10⁶+ docs → 10¹² rows,
+    the skewed-key quadratic the MinHash path caps via `_cap_buckets`.
+    `max_shingle_df` drops over-cap shingles BEFORE the join (they
+    separate nothing) and subtracts per-doc drop counts from `sizes`,
+    so jaccard / containment stay internally consistent over the kept
+    universe. The machinery is skipped entirely when the corpus has
+    ≤ cap docs (no shingle CAN be hot) or the hot set is empty; hot
+    removal is a broadcast anti-join. Net extra cost in the capped
+    regime: one counting aggregate over the exploded frame. The
+    dropped-shingle count is logged — never a silent cap. Docs whose
+    every shingle is hot match nothing (nothing discriminative left;
+    exact_dedup is the tool for pure boilerplate). Pass None for
+    fully exact semantics."""
+    sizes = sh.select("id", "part", F.size("sh").alias("n"))
+    base = sh.select(
+        "id", "part", F.explode("sh").alias("tok")
+    ).withColumn("tok", F.xxhash64("tok"))
     if max_shingle_df is None:
-        return sh.select(
-            "id", "part", F.size("sh").alias("n"),
-            F.explode("sh").alias("tok"),
-        )
-    ex = sh.select("id", "part", F.explode("sh").alias("tok"))
+        return base, sizes
+    # df ≤ corpus doc count: a small corpus cannot have a hot shingle
+    if sh.count() <= max_shingle_df:
+        return base, sizes
     hot = (
-        ex.groupBy("part", "tok")
+        base.groupBy("part", "tok")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_shingle_df)
         .select("part", "tok")
         .persist()
     )
-    n_hot = hot.count()  # materializes the tiny hot set for broadcast
-    if n_hot:
-        logging.getLogger(__name__).warning(
-            "exact-pair shingle join: dropped %d shingles with df > %d "
-            "(non-discriminative hot keys; pass max_shingle_df=None for "
-            "fully exact semantics)", n_hot, max_shingle_df,
-        )
-    kept = ex.join(F.broadcast(hot), ["part", "tok"], "left_anti")
-    sizes = kept.groupBy("id", "part").agg(F.count(F.lit(1)).alias("n"))
-    return kept.join(sizes, ["id", "part"]).select("id", "part", "n", "tok")
+    n_hot = hot.count()  # materializes the small hot set for broadcast
+    if not n_hot:
+        hot.unpersist()
+        return base, sizes
+    logging.getLogger(__name__).warning(
+        "exact-pair shingle join: dropped %d shingles with df > %d "
+        "(non-discriminative hot keys; pass max_shingle_df=None for "
+        "fully exact semantics)", n_hot, max_shingle_df,
+    )
+    kept = base.join(F.broadcast(hot), ["part", "tok"], "left_anti")
+    hot_counts = (
+        base.join(F.broadcast(hot), ["part", "tok"], "left_semi")
+        .groupBy("id", "part")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    sizes = (
+        sizes.join(hot_counts, ["id", "part"], "left")
+        .withColumn("n", F.col("n") - F.coalesce(F.col("__h"), F.lit(0)))
+        .drop("__h")
+    )
+    return kept, sizes
+
+
+def _attach_sizes(inter: DataFrame, sizes: DataFrame,
+                  a_col: str, b_col: str) -> DataFrame:
+    """Join the per-doc kept-set sizes onto the pair aggregate as
+    na/nb — two joins that move only the (already aggregated) pair
+    set and a narrow one-row-per-doc frame."""
+    a = sizes.select(F.col("id").alias(a_col), F.col("n").alias("na"))
+    b = sizes.select(F.col("id").alias(b_col), F.col("n").alias("nb"))
+    return inter.join(a, a_col).join(b, b_col)
 
 
 def jaccard_pairs(
@@ -290,23 +324,16 @@ def jaccard_pairs(
         (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
         F.col("sh"),
     )
-    ex = _explode_shingles_bounded(sh, max_shingle_df)
-    a = ex.select(
-        F.col("id").alias("doc_a"), "part", F.col("n").alias("na"), "tok"
-    )
-    b = ex.select(
-        F.col("id").alias("doc_b"), "part", F.col("n").alias("nb"), "tok"
-    )
+    ex, sizes = _explode_shingles_bounded(sh, max_shingle_df)
+    a = ex.select(F.col("id").alias("doc_a"), "part", "tok")
+    b = ex.select(F.col("id").alias("doc_b"), "part", "tok")
     inter = (
         a.join(b, ["tok", "part"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.any_value("na").alias("na"),
-            F.any_value("nb").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("i"))
     )
+    inter = _attach_sizes(inter, sizes, "doc_a", "doc_b")
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.filter(jac >= threshold)
@@ -344,25 +371,16 @@ def containment_pairs(
         (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
         F.col("sh"),
     ).filter(F.size("sh") > 0)
-    ex = _explode_shingles_bounded(sh, max_shingle_df)
-    a = ex.select(
-        F.col("id").alias("doc_contained"), "part",
-        F.col("n").alias("na"), "tok",
-    )
-    b = ex.select(
-        F.col("id").alias("doc_container"), "part",
-        F.col("n").alias("nb"), "tok",
-    )
+    ex, sizes = _explode_shingles_bounded(sh, max_shingle_df)
+    a = ex.select(F.col("id").alias("doc_contained"), "part", "tok")
+    b = ex.select(F.col("id").alias("doc_container"), "part", "tok")
     inter = (
         a.join(b, ["tok", "part"])
         .filter(F.col("doc_contained") != F.col("doc_container"))
         .groupBy("doc_contained", "doc_container")
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.any_value("na").alias("na"),
-            F.any_value("nb").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("i"))
     )
+    inter = _attach_sizes(inter, sizes, "doc_contained", "doc_container")
     return inter.filter(
         (F.col("i") == F.col("na"))
         & (
