@@ -750,3 +750,87 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal run of
+    word positions whose length-k word window also occurs elsewhere in
+    the corpus (another doc, or another offset of the same doc). The
+    reference treatment removes these spans from training data rather
+    than whole documents — the curation step whole-doc dedup cannot
+    express (licenses, quoted passages, templated sections inside
+    otherwise-unique docs).
+
+    Spark shape, suffix-array-free: positional k-grams are built
+    ARRAY-SIDE per doc (transform over an index sequence — the corpus
+    is never self-joined), a gram is "duplicated" when its corpus
+    occurrence count exceeds 1 (one groupBy on the gram hash — counts,
+    not pairs, so a hot boilerplate gram costs one counter, never a
+    quadratic blow-up), and marked positions merge into maximal spans
+    with the gaps-and-islands window (a new island starts where the
+    gap between consecutive duplicated positions exceeds k, since
+    fixed k-intervals [p, p+k) chain-overlap exactly up to that gap).
+    The only shuffles: the gram-count aggregate, the semi-join back,
+    and the per-doc window over the MARKED subset.
+
+    Returns (doc_id, start_word, n_words): 0-based start, span length
+    in words, k <= n_words for every row by construction.
+    """
+    from pyspark.sql import Window
+
+    ws = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), ws.alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    # (id, pos, gram-hash) — pos 0-based; the gram joins on its 64-bit
+    # hash for a fixed-width exchange (equality semantics; a collision
+    # needs two distinct grams at ~2^-64)
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice("ws", i + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("g")
+    )
+    marked = grams.join(dup, "g", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = marked.withColumn(
+        "__new",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > k, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "__island")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + k - F.min("pos")).alias("n_words"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "start_word",
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )

@@ -424,3 +424,86 @@ def word_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style 'stupid LM' quality proxy, one order up from
+    unigram_logprob: mean log-probability of each doc under the
+    CORPUS's own bigram model — log P(w₁) + Σ log P(wᵢ | wᵢ₋₁),
+    averaged over the doc's tokens. Repetitive boilerplate scores
+    high, token-salad spam scores low, and unlike the unigram score a
+    shuffled doc no longer scores like its original (word ORDER now
+    matters) — the practical gap this closes vs unigram filtering.
+
+    Model terms are MLE over the corpus itself, so no smoothing is
+    needed: every doc bigram is by construction in the count table.
+    P(w₂|w₁) = C(w₁w₂) / C(w₁·), with C(w₁·) the count of bigrams
+    starting with w₁ (not the raw unigram count — final words of docs
+    start no bigram); the start term P(w₁) is the corpus unigram
+    distribution.
+
+    100 TB shape, same as unigram_logprob one order up: the bigram
+    count table is one groupBy (bigram-vocabulary-sized — tens of
+    millions of rows at web scale, still the BROADCAST side or a
+    co-partitioned join at worst); scoring is explode → join →
+    per-doc mean. Bigrams are built array-side (zip of the words
+    array with its shift) — no positional self-join ever touches the
+    corpus. Docs with one word carry only the start term; empty docs
+    produce no row (no tokens to average).
+
+    Output: (doc_id, n_tokens, mean_logprob) — natural log, rounded 6.
+    """
+    ws = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    # start term: first word, scored under the corpus unigram model
+    firsts = base.select(id_col, F.element_at("ws", 1).alias("w"))
+    allwords = base.select(id_col, F.explode("ws").alias("w"))
+    totals = allwords.agg(
+        F.count(F.lit(1)).cast("double").alias("total")
+    )
+    uni = (
+        allwords.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+    )
+    # no forced broadcast: the vocab table is broadcast-sized at
+    # most scales but web-scale bigram vocab can exceed it — let AQE
+    # choose (it auto-broadcasts under the threshold)
+    start_lp = firsts.join(uni, "w").select(
+        id_col, F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    # bigram terms: zip ws with its shift, array-side
+    n = F.size("ws")
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.slice("ws", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    w1_totals = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(w1_totals, "w1")
+    )
+    pair_lp = pairs.join(bi, ["w1", "w2"]).select(
+        id_col, F.log(F.col("c12") / F.col("c1")).alias("lp")
+    )
+    return (
+        start_lp.unionByName(pair_lp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )

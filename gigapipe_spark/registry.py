@@ -3690,6 +3690,102 @@ def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.loki_patterns().orderBy("pattern")
 
 
+@register(
+    "text_bigram_logprob",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0
+    ),
+    allw AS (SELECT doc_id, unnest(ws) AS w FROM d2),
+    uni AS (
+      SELECT w, count(*) AS cnt, sum(count(*)) OVER () AS total
+      FROM allw GROUP BY w
+    ),
+    start_lp AS (
+      SELECT d2.doc_id, ln(uni.cnt / CAST(uni.total AS DOUBLE)) AS lp
+      FROM d2 JOIN uni ON d2.ws[1] = uni.w
+    ),
+    p2 AS (
+      SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := ws[j], w2 := ws[j+1])
+                       FOR j IN generate_series(1, len(ws) - 1)]) AS bg
+        FROM d2
+      )
+    ),
+    c1 AS (SELECT w1, count(*) AS c1 FROM p2 GROUP BY w1),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM p2 GROUP BY w1, w2),
+    pair_lp AS (
+      SELECT p2.doc_id, ln(c12.c12 / CAST(c1.c1 AS DOUBLE)) AS lp
+      FROM p2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    ),
+    u AS (SELECT * FROM start_lp UNION ALL SELECT * FROM pair_lp)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS mean_logprob
+    FROM u GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram 'stupid LM' quality score — word ORDER now
+    matters, unlike text_unigram_logprob (a shuffled doc scores
+    differently). Bigram count table broadcasts; scoring is array-side
+    zip + explode + join, no positional self-join."""
+    return _ts.bigram_logprob(_views.documents(spark, sf_dir))
+
+
+@register(
+    "dedup_repeated_substrings",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 10
+    ),
+    g2 AS (
+      SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([struct_pack(pos := j - 1,
+                                   g := array_to_string(ws[j:j+9], ' '))
+                       FOR j IN generate_series(1, len(ws) - 9)]) AS pg
+        FROM d2
+      )
+    ),
+    dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) > 1),
+    m AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM dup)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > 10 THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    i2 AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM i
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+           CAST(max(pos) + 10 - min(pos) AS BIGINT) AS n_words
+    FROM i2 GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022): maximal word-pos
+    runs whose 10-word window recurs anywhere in the corpus. Gram
+    counts (never pairs) + gaps-and-islands window merge."""
+    return _dedup.repeated_substring_spans(
+        _views.documents(spark, sf_dir), k=10
+    ).select(
+        "doc_id",
+        F.col("start_word").cast("long").alias("start_word"),
+        "n_words",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

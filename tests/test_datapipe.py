@@ -657,3 +657,56 @@ def test_exact_pair_hot_shingle_cap(spark):
     jac = dedup.jaccard_pairs(d, threshold=0.3, max_shingle_df=5)
     pairs = {(r.doc_a, r.doc_b) for r in jac.collect()}
     assert pairs == {(100, 101)}
+
+
+def test_bigram_logprob_semantics(spark):
+    """Bigram LM scores: a doc of corpus-common transitions outscores a
+    doc of rare transitions; word order changes the score (the gap vs
+    the unigram proxy); values match hand-computed MLE."""
+    import math
+
+    from gigapipe_spark.datapipe import textstats as ts
+
+    rows = [
+        (1, "a b"), (2, "a b"), (3, "a c"), (4, "b a"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in ts.bigram_logprob(d).collect()}
+    # corpus: 8 words, unigram P(a)=4/8, P(b)=3/8; bigrams: ab ab ac ba
+    # C(a.)=3 → P(b|a)=2/3, P(c|a)=1/3; C(b.)=1 → P(a|b)=1
+    lp1 = (math.log(4 / 8) + math.log(2 / 3)) / 2
+    assert got[1] == (2, round(lp1, 6)) and got[2] == got[1]
+    lp3 = (math.log(4 / 8) + math.log(1 / 3)) / 2
+    assert got[3] == (2, round(lp3, 6))
+    lp4 = (math.log(3 / 8) + math.log(1.0)) / 2
+    assert got[4] == (2, round(lp4, 6))
+    assert got[1][1] > got[3][1]  # common transition outscores rare
+    assert got[1][1] != got[4][1]  # order matters
+
+
+def test_repeated_substring_spans_semantics(spark):
+    """Marked spans: shared k-windows merge into maximal runs; unique
+    text is never flagged; same-doc repeats count."""
+    from gigapipe_spark.datapipe import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared words
+    rows = [
+        (1, f"u1a u1b {shared} u1c u1d"),
+        (2, f"v2a {shared} v2b v2c v2d v2e"),
+        (3, "w x y z " * 5),              # same-doc repetition
+        (4, " ".join(f"q{i}" for i in range(30))),  # all unique
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["start_word"], r["n_words"])
+           for r in dedup.repeated_substring_spans(d, k=4).collect()}
+    # doc 1: shared words at positions 2..13 → 4-windows at 2..10 →
+    # one span [2, 14)
+    assert (1, 2, 12) in got
+    # doc 2: shared at 1..12 → span [1, 13)
+    assert (2, 1, 12) in got
+    # doc 3: "w x y z" ×5 = 20 words, every 4-window w/ period-4 repeat
+    # occurs ≥2 times → one full-doc span
+    assert (3, 0, 20) in got
+    # doc 4 never flagged
+    assert not any(g[0] == 4 for g in got)
