@@ -363,11 +363,29 @@ class Engine:
         )
         return fields.groupBy("field").agg(F.count(F.lit(1)).alias("lines"))
 
-    def loki_patterns(self) -> DataFrame:
-        """/loki/api/v1/patterns (ref: SURVEY §2.7 read side)."""
-        from gigapipe_spark.patterns.cluster import mine_patterns, read_patterns
+    def loki_patterns(
+        self,
+        query: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        step_ns: int = 15_000_000_000,
+        limit: int = 100,
+    ) -> DataFrame:
+        """/loki/api/v1/patterns (ref: reader/controller/volume.go:130
+        Patterns + planner_patterns.go): selector-scoped, time-bounded,
+        step-bucketed pattern samples — on a fixture engine the
+        patterns are mined on demand from the scoped samples (no stored
+        side-channel to read)."""
+        from gigapipe_spark.patterns.cluster import (
+            mine_patterns,
+            patterns_response,
+        )
 
-        return read_patterns(mine_patterns(self.samples_table()))
+        fps = self._match_fps(query) if query else None
+        return patterns_response(
+            mine_patterns(self.samples_table()),
+            fps, start_ns, end_ns, step_ns, limit,
+        )
 
     def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
         """/loki/api/v1/tail — returns the poll-loop Tailer (the

@@ -287,11 +287,37 @@ class _Handler(BaseHTTPRequestHandler):
                     {"fields": [r.asDict(recursive=True) for r in rows]}
                 )
             if path == "/loki/api/v1/patterns":
-                rows = e.loki_patterns().collect()
+                # query is REQUIRED (volume.go:137-141); step defaults
+                # 15s, floored at 1s (volume.go:147-149)
+                if "query" not in q:
+                    return self._json(
+                        {"status": "error",
+                         "error": "query parameter is required"},
+                        400,
+                    )
+                step_ns = max(
+                    int(float(q.get("step", ["15"])[0]) * 1e9),
+                    1_000_000_000,
+                )
+                rows = e.loki_patterns(
+                    q["query"][0],
+                    _int_arg(q, "start"),
+                    _int_arg(q, "end"),
+                    step_ns,
+                ).collect()
                 return self._json(
                     {
                         "status": "success",
-                        "data": [r.asDict(recursive=True) for r in rows],
+                        "data": [
+                            {
+                                "pattern": r["pattern"],
+                                "samples": [
+                                    [s["timestamp_s"], s["count"]]
+                                    for s in r["samples"]
+                                ],
+                            }
+                            for r in rows
+                        ],
                     }
                 )
 

@@ -176,12 +176,13 @@ def mine_patterns(
     tokens_col = F.filter(F.split(F.col("string"), r"\s+"), lambda t: t != "")
     classes_col = F.transform(tokens_col, _cost_col)
     overall_col = F.aggregate(classes_col, F.lit(0), lambda a, x: a + x)
-    pid_col = (
-        F.crc32(F.concat_ws(" ", tokens_col).cast("binary"))
-        + F.shiftleft(F.col("fingerprint"), 32).bitwiseAND(
-            F.lit(0x7FFFFFFF00000000)
-        )
-    )
+    # pattern id = hash of the cluster's token pattern, with NO
+    # fingerprint component (ref: pattern.go:102 PatternId =
+    # cityHash64(seed line)) — identical patterns from different
+    # streams/flushes share an id, which is what the read side's
+    # per-pattern merge (planner_patterns.go GROUP BY pattern_id)
+    # depends on
+    pid_col = F.crc32(F.concat_ws(" ", tokens_col).cast("binary"))
     singles = (
         sized.filter(F.col("__n") == 1)
         .filter(F.size(tokens_col) > 0)
@@ -212,9 +213,8 @@ def mine_patterns(
                 ["fingerprint", "timestamp_10m", "ckey"], sort=False
             ):
                 for c in cluster_lines(list(grp["string"]), similarity):
-                    pid = zlib.crc32(" ".join(c.tokens).encode()) + (
-                        int(fp) << 32 & 0x7FFFFFFF00000000
-                    )
+                    # fp-free id like the singles path (pattern.go:102)
+                    pid = zlib.crc32(" ".join(c.tokens).encode())
                     rows.append(
                         {
                             "fingerprint": int(fp),
@@ -355,13 +355,100 @@ def stateful_mine_patterns(
 
 
 def read_patterns(patterns: DataFrame) -> DataFrame:
-    """Read-side shaping (ref: planner_patterns.go:10 — latest iteration
-    per pattern, sample counts): pattern string + totals."""
+    """Simple read-side rollup: pattern string + totals (the shaping
+    patterns_response wraps with the reference's full response
+    contract; kept for stats-style callers and tests)."""
     return (
         patterns.withColumn("pattern", F.concat_ws(" ", "tokens"))
         .groupBy("pattern")
         .agg(
             F.sum("samples_count").alias("samples_count"),
             F.countDistinct("fingerprint").alias("n_streams"),
+        )
+    )
+
+
+def build_pattern(tokens) -> Column:
+    """buildPattern (reader/service/query_range.go:366-377): join the
+    token array into the display pattern, collapsing CONSECUTIVE <_>
+    wildcards into one (our tokens are whitespace-split, so the join
+    separator is a space; the reference's lexer keeps separator tokens
+    inline and joins with none). One JVM fold, no UDF."""
+    tokens = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.aggregate(
+        tokens,
+        F.struct(F.lit("").alias("s"), F.lit("").alias("prev")),
+        lambda acc, t: F.struct(
+            F.when(
+                (t == GENERALIZED) & (acc["prev"] == GENERALIZED), acc["s"]
+            )
+            .otherwise(
+                F.when(acc["s"] == "", t).otherwise(
+                    F.concat_ws(" ", acc["s"], t)
+                )
+            )
+            .alias("s"),
+            t.alias("prev"),
+        ),
+        lambda acc: acc["s"],
+    )
+
+
+def patterns_response(
+    patterns: DataFrame,
+    fps: DataFrame | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    step_ns: int = 15_000_000_000,
+    limit: int = 100,
+) -> DataFrame:
+    """/loki/api/v1/patterns response shaping (ref:
+    planner_patterns.go:14-48 + QueryPatterns/scan/buildPattern,
+    reader/service/query_range.go:299-377): scope the patterns table to
+    the selector's fingerprints and the [start, end] window (the
+    coarse timestamp_10m prune is the partition-level filter), pregroup
+    per (pattern_id, step-bucketed second) summing samples_count with
+    latest-flush tokens (argMax(tokens, iteration_id) — our per-flush
+    rows version by flush bucket), regroup per pattern into a SORTED
+    (timestamp_s, count) samples array, keep patterns whose total count
+    exceeds 1, order by total descending, limit.
+
+    Returns (pattern, samples, total): samples is
+    array<struct<timestamp_s long, count long>>; `total` rides along
+    for stats callers, the HTTP layer serializes pattern+samples."""
+    df = patterns
+    if fps is not None:
+        df = df.join(F.broadcast(fps), "fingerprint", "left_semi")
+    if start_ns is not None:
+        df = df.filter(
+            F.col("timestamp_10m")
+            >= start_ns - (start_ns % 600_000_000_000)
+        )
+    if end_ns is not None:
+        df = df.filter(F.col("timestamp_10m") <= end_ns)
+    step_s = max(step_ns // 1_000_000_000, 1)
+    ts_s = (F.col("timestamp_10m") / 1_000_000_000).cast("long")
+    pre = df.groupBy(
+        "pattern_id",
+        (ts_s - F.pmod(ts_s, F.lit(step_s))).alias("timestamp_s"),
+    ).agg(
+        F.sum("samples_count").cast("long").alias("count"),
+        F.max_by("tokens", "timestamp_10m").alias("tokens"),
+        F.max("timestamp_10m").alias("__ver"),
+    )
+    return (
+        pre.groupBy("pattern_id")
+        .agg(
+            F.max_by("tokens", "__ver").alias("tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("timestamp_s", "count"))
+            ).alias("samples"),
+            F.sum("count").cast("long").alias("total"),
+        )
+        .filter(F.col("total") > 1)
+        .orderBy(F.col("total").desc(), "pattern_id")
+        .limit(limit)
+        .select(
+            build_pattern("tokens").alias("pattern"), "samples", "total"
         )
     )

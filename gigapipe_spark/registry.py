@@ -3633,22 +3633,22 @@ def store_roundtrip_ruler(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "store_roundtrip_patterns",
     """
-    SELECT * FROM (VALUES
-      ('login ok', 3::BIGINT, 2::BIGINT),
-      ('logout done', 1::BIGINT, 1::BIGINT)
-    ) AS t(pattern, samples_count, n_streams)
+    SELECT * FROM (VALUES ('login ok', 3::BIGINT)) AS t(pattern, total)
     """,
 )
 def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's inline pattern side-channel end-to-end
     (writer/pattern/controller/controller.go:71 ClusterLines on every
     push + RunFlush:132-187 appending to the stored `patterns` table,
-    read back via planner_patterns.go:10): one push of two streams,
-    then /loki/api/v1/patterns merges the stored clusters across
-    streams. 'login ok' appears twice in stream web and once in stream
-    api → count 3 over 2 streams. (Cross-FLUSH merging is covered by
-    tests/test_store_query.py — the oracle entry keeps one fanout call
-    so its cold cost stays inside the driver budget.)"""
+    read back via planner_patterns.go:14-48 with the selector fp scope,
+    step pregroup, total>1 HAVING and buildPattern collapse): one push
+    of two streams, then /loki/api/v1/patterns with a regex selector
+    merges the stored clusters across streams — 'login ok' appears
+    twice in stream web and once in stream api → total 3; the
+    single-occurrence 'logout done' is dropped by the reference's
+    HAVING total > 1. (Cross-FLUSH merging and the samples array are
+    covered by tests/test_store_query.py — the oracle entry keeps one
+    fanout call so its cold cost stays inside the driver budget.)"""
     import json as _json
     import os
     import shutil
@@ -3687,7 +3687,7 @@ def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat,
     )
     eng = StoreEngine(spark, cat.root, catalog=cat)
-    return eng.loki_patterns().orderBy("pattern")
+    return eng.loki_patterns('{app=~"web|api"}').select("pattern", "total")
 
 
 @register(

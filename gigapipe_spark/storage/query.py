@@ -275,17 +275,30 @@ class StoreEngine(Engine):
         sample-count approximation."""
         return self.catalog.metadata(self.spark)
 
-    def loki_patterns(self) -> DataFrame:
-        """/loki/api/v1/patterns over the STORE: merged clusters from
-        the stored `patterns` table the ingest side-channel appends to
-        (patterns_fanout; planner_patterns.go:10 reads the stored table
-        and merges iterations the same way). Falls back to on-demand
-        mining for stores written before the side-channel existed."""
-        if self._has_table("patterns"):
-            from gigapipe_spark.patterns.cluster import read_patterns
+    def loki_patterns(
+        self,
+        query: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        step_ns: int = 15_000_000_000,
+        limit: int = 100,
+    ) -> DataFrame:
+        """/loki/api/v1/patterns over the STORE: the stored `patterns`
+        table the ingest side-channel appends to, scoped by the
+        selector's fingerprints and time bounds, shaped per
+        planner_patterns.go:14-48. Falls back to on-demand mining for
+        stores written before the side-channel existed."""
+        if not self._has_table("patterns"):
+            return super().loki_patterns(
+                query, start_ns, end_ns, step_ns, limit
+            )
+        from gigapipe_spark.patterns.cluster import patterns_response
 
-            return read_patterns(self.catalog.read(self.spark, "patterns"))
-        return super().loki_patterns()
+        fps = self._match_fps(query) if query else None
+        return patterns_response(
+            self.catalog.read(self.spark, "patterns"),
+            fps, start_ns, end_ns, step_ns, limit,
+        )
 
     def loki_tail(self, query: str, max_rows_per_poll: int = 1000):
         """Tail over the STORE with a FRESH context per poll: a cached

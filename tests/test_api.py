@@ -59,7 +59,10 @@ def test_loki_detected(engine):
 
 def test_loki_patterns(engine):
     rows = engine.loki_patterns().limit(5).collect()
-    assert rows and all(r["samples_count"] >= 1 for r in rows)
+    # reference response shape: pattern + sorted (ts, count) samples,
+    # total > 1 by the planner's HAVING (planner_patterns.go:45)
+    assert rows and all(r["total"] > 1 for r in rows)
+    assert all(len(r["samples"]) >= 1 for r in rows)
 
 
 def test_loki_tail_poll(engine):

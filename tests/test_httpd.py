@@ -667,7 +667,16 @@ def test_http_patterns_from_store(gateway):
         }]
     }).encode()
     assert _post(base, "/loki/api/v1/push", payload) == 204
-    st, body = _get(base, "/loki/api/v1/patterns")
+    # query param is REQUIRED (volume.go:137-141)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base, "/loki/api/v1/patterns")
+    assert ei.value.code == 400
+    q = urllib.parse.quote('{app="patt"}')
+    st, body = _get(base, f"/loki/api/v1/patterns?query={q}")
     assert st == 200 and body["status"] == "success"
-    pats = {p["pattern"]: p["samples_count"] for p in body["data"]}
-    assert pats.get("checkout started") == 2
+    pats = {p["pattern"]: p["samples"] for p in body["data"]}
+    assert sum(c for _, c in pats["checkout started"]) == 2
+    # another stream's selector sees nothing (fp scoping)
+    q2 = urllib.parse.quote('{app="nosuch"}')
+    st, body = _get(base, f"/loki/api/v1/patterns?query={q2}")
+    assert body["data"] == []

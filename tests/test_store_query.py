@@ -555,9 +555,18 @@ def test_store_patterns_side_channel_and_cross_flush_merge(spark, tmp_path):
         stored.columns)
 
     eng = StoreEngine(spark, cat.root, catalog=cat)
-    got = {(r["pattern"], r["samples_count"], r["n_streams"])
-           for r in eng.loki_patterns().collect()}
-    assert got == {("login ok", 3, 2), ("logout done", 1, 1)}
+    rows = eng.loki_patterns('{app=~"web|api"}').collect()
+    # the reference HAVING drops single-occurrence patterns
+    # (planner_patterns.go:45), so only 'login ok' (2 web + 1 api)
+    assert [(r["pattern"], r["total"]) for r in rows] == [("login ok", 3)]
+    # samples: (step-bucketed second, count) sorted — both flushes land
+    # in the same 10m bucket here, so one merged cell of 3
+    assert [(s["timestamp_s"], s["count"]) for s in rows[0]["samples"]] \
+        == [(T0 // 1_000_000_000 - (T0 // 1_000_000_000) % 600, 3)]
+
+    # selector scoping: web-only sees its own two, still over the gate
+    rows = eng.loki_patterns('{app="web"}').collect()
+    assert [(r["pattern"], r["total"]) for r in rows] == [("login ok", 2)]
 
     # metric-only flush adds no pattern rows
     n_before = cat.read(spark, "patterns").count()
