@@ -175,6 +175,60 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
 
+    def _yaml(self, s: str, code: int = 200) -> None:
+        """Ruler API responses are YAML (ruler/controller/controller.go:24
+        writeYAML)."""
+        body = s.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/yaml")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _ruler_success(self) -> None:
+        """202 + the success envelope (controller.go:31 writeSuccessJSON)."""
+        self._json(
+            {"status": "success", "data": None, "errorType": "", "error": ""},
+            202,
+        )
+
+    @staticmethod
+    def _rules_route(path: str):
+        """Split a ruler CRUD path into (rule_type, [namespace, group]).
+
+        /loki/api/v1/rules and /api/prom/rules serve the Loki rule set,
+        /api/v1/rules the Prometheus one (ruler/router/router.go:15-34).
+        Returns None for non-ruler paths."""
+        from urllib.parse import unquote
+
+        for prefix, tp in (
+            ("/loki/api/v1/rules", "loki"),
+            ("/api/prom/rules", "loki"),
+            ("/api/v1/rules", "prom"),
+        ):
+            if path == prefix or path.startswith(prefix + "/"):
+                rest = path[len(prefix):].strip("/")
+                parts = [unquote(p) for p in rest.split("/") if p]
+                if len(parts) <= 2:
+                    return tp, parts
+        return None
+
+    def _rule_managers(self):
+        """The engine's two rule managers ("loki" LogQL / "prom"
+        PromQL), built once per engine so CRUD, evaluation ticks and
+        the health-annotated listing share state
+        (ruler/router/init.go:88-105). None without a store."""
+        e = self.engine
+        if getattr(e, "catalog", None) is None:
+            return None
+        if getattr(e, "_rule_managers_cache", None) is None:
+            from gigapipe_spark.streaming.rules import store_rule_managers
+
+            e._rule_managers_cache = store_rule_managers(
+                e.spark, e.catalog, e
+            )
+        return e._rule_managers_cache
+
     def _text(self, s: str, code: int = 200) -> None:
         body = s.encode()
         self.send_response(code)
@@ -479,6 +533,75 @@ class _Handler(BaseHTTPRequestHandler):
                         }
                     }
                 )
+            if path == "/prometheus/api/v1/rules" or (
+                path == "/api/v1/rules" and self._rules_route(path)
+            ):
+                # Prometheus-format listing: bare /api/v1/rules serves
+                # the prom rule set, /prometheus/api/v1/rules the Loki
+                # one in the same wire format (router.go:28,37)
+                mgrs = self._rule_managers()
+                if mgrs is None:
+                    return self._json(
+                        {"error": "ruler routes need a store-backed engine"},
+                        501,
+                    )
+                tp = "loki" if path.startswith("/prometheus/") else "prom"
+                return self._json(
+                    {
+                        "status": "success",
+                        "errorType": "",
+                        "error": "",
+                        "data": {"groups": mgrs[tp].get_prometheus_rules()},
+                    }
+                )
+            rr = self._rules_route(path)
+            if rr is not None:
+                mgrs = self._rule_managers()
+                if mgrs is None:
+                    return self._json(
+                        {"error": "ruler routes need a store-backed engine"},
+                        501,
+                    )
+                tp, parts = rr
+                store = mgrs[tp].store
+                import yaml as _yaml_mod
+
+                if len(parts) == 0:
+                    # AllRules (controller.go:100-117)
+                    groups = store.get_all_rule_groups()
+                    if not groups:
+                        return self._yaml("no rule groups found", 404)
+                    return self._yaml(
+                        _yaml_mod.safe_dump(
+                            {
+                                ns: [g.to_dict() for g in gs]
+                                for ns, gs in groups.items()
+                            },
+                            sort_keys=False,
+                        )
+                    )
+                if len(parts) == 1:
+                    # RulesByNamespace (controller.go:79-97)
+                    groups = store.list_rule_groups(parts[0])
+                    if not groups:
+                        return self._yaml('message: "no rule groups found"', 404)
+                    return self._yaml(
+                        _yaml_mod.safe_dump(
+                            {parts[0]: [g.to_dict() for g in groups]},
+                            sort_keys=False,
+                        )
+                    )
+                # GetRuleGroup (controller.go:59-76)
+                group = store.get_rule_group(parts[0], parts[1])
+                if group is None:
+                    return self._yaml(
+                        "message: \"group does not exist: namespace="
+                        f"{json.dumps(parts[0])}, name={json.dumps(parts[1])}\"",
+                        404,
+                    )
+                from gigapipe_spark.streaming.rules import group_to_yaml
+
+                return self._yaml(group_to_yaml(group))
             return self._json({"error": f"unknown route {path}"}, 404)
         except BrokenPipeError:
             raise
@@ -583,6 +706,26 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(out)
             if path == "/settings.v1.SettingsService/Get":
                 return self._json(e.pyroscope_settings())
+            rr = self._rules_route(path)
+            if rr is not None and len(rr[1]) == 1:
+                # SetRuleGroup: POST /rules/{namespace} with a YAML
+                # group body (controller.go:38-56)
+                mgrs = self._rule_managers()
+                if mgrs is None:
+                    return self._json(
+                        {"error": "ruler routes need a store-backed engine"},
+                        501,
+                    )
+                from gigapipe_spark.streaming.rules import group_from_yaml
+
+                try:
+                    group = group_from_yaml(self._body().decode("utf-8"))
+                except Exception:
+                    return self._yaml(
+                        "error: failed to parse rule group yaml", 400
+                    )
+                mgrs[rr[0]].store.set_rule_group(rr[1][0], group)
+                return self._ruler_success()
             if cat is None:
                 return self._json(
                     {"error": "push routes need a store-backed engine"}, 501
@@ -590,6 +733,32 @@ class _Handler(BaseHTTPRequestHandler):
             return self._push(path, q, cat)
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
+
+    def do_DELETE(self) -> None:
+        """Ruler deletes: DELETE /rules/{namespace} tombstones every
+        group in the namespace, DELETE /rules/{namespace}/{group} one
+        group (router.go:22-24, controller.go:120-140); both reply 202
+        with the success envelope."""
+        url = urlparse(self.path)
+        rr = self._rules_route(url.path)
+        try:
+            if rr is None or not rr[1]:
+                return self._json(
+                    {"error": f"unknown route {url.path}"}, 404
+                )
+            mgrs = self._rule_managers()
+            if mgrs is None:
+                return self._json(
+                    {"error": "ruler routes need a store-backed engine"}, 501
+                )
+            tp, parts = rr
+            if len(parts) == 1:
+                mgrs[tp].store.delete_namespace(parts[0])
+            else:
+                mgrs[tp].store.delete_rule_group(parts[0], parts[1])
+            return self._ruler_success()
+        except Exception as ex:
+            return self._json({"status": "error", "message": str(ex)}, 500)
 
     def do_PUT(self) -> None:
         """Elastic registers /{target}/_doc/{id} and /{target}/_create/
@@ -961,19 +1130,55 @@ class HttpGateway:
     """Embeddable HTTP server over an Engine. Port 0 picks a free port;
     `start()` returns the bound port."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        ruler_poll_sec: float | None = None,
+    ):
+        """`ruler_poll_sec` switches on the rule-evaluation loop — the
+        reference's manager ticker goroutines (ruler/manager.go:183-195,
+        enabled via QRYN_RULER_ENABLED, router/init.go:30). Each poll
+        ticks both rule sets; group intervals still gate which rules
+        actually evaluate. Off by default: CRUD works without it."""
         handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        self.engine = engine
         self.server = ThreadingHTTPServer((host, port), handler)
         self.server.daemon_threads = True
         self._thread: threading.Thread | None = None
+        self._ruler_poll_sec = ruler_poll_sec
+        self._ruler_stop = threading.Event()
+        self._ruler_thread: threading.Thread | None = None
+
+    def _ruler_loop(self) -> None:
+        from gigapipe_spark.streaming.rules import store_rule_managers
+
+        e = self.engine
+        if getattr(e, "_rule_managers_cache", None) is None:
+            e._rule_managers_cache = store_rule_managers(e.spark, e.catalog, e)
+        while not self._ruler_stop.wait(self._ruler_poll_sec):
+            for mgr in e._rule_managers_cache.values():
+                try:
+                    mgr.tick()
+                except Exception:  # rule health captures per-rule errors;
+                    pass  # a store-level failure must not kill the loop
 
     def start(self) -> int:
         self._thread = threading.Thread(
             target=self.server.serve_forever, daemon=True
         )
         self._thread.start()
+        if self._ruler_poll_sec and getattr(self.engine, "catalog", None):
+            self._ruler_thread = threading.Thread(
+                target=self._ruler_loop, daemon=True
+            )
+            self._ruler_thread.start()
         return self.server.server_address[1]
 
     def stop(self) -> None:
+        self._ruler_stop.set()
+        if self._ruler_thread is not None:
+            self._ruler_thread.join(timeout=5)
         self.server.shutdown()
         self.server.server_close()

@@ -3691,6 +3691,87 @@ def store_roundtrip_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_roundtrip_rules",
+    """
+    SELECT * FROM (VALUES ('web', 'obs', 5.0, 'ok'))
+      AS t(app, team, value, health)
+    """,
+)
+def store_roundtrip_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ruler MANAGEMENT surface end-to-end (ruler/service.go YAML
+    rule-group storage with ReplacingMergeTree versioning +
+    manager.go:197-249 per-cycle store re-read, interval gating, health
+    + writeback.go in-process write): push 5 log lines, store a rule
+    group through the CRUD layer, run one manager tick, then read the
+    recorded series via a PromQL instant query over the same store and
+    join the rule's health from the manager. Distinct from
+    store_roundtrip_ruler, which drives the in-memory Ruler directly —
+    this path goes through YAML persistence and the scheduler."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+    from gigapipe_spark.streaming.rules import (
+        Rule,
+        RuleGroup,
+        store_rule_managers,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "gigapipe_store_rules")
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = 1_700_000_000_000_000_000
+    payload = _json.dumps(
+        {
+            "streams": [
+                {
+                    "stream": {"app": "web"},
+                    "values": [
+                        [str(t0 + i * 1_000_000_000), f"hit {i}"]
+                        for i in range(5)
+                    ],
+                }
+            ]
+        }
+    )
+    cat = Catalog(root)
+    ingest_fanout(
+        loki_push(spark.createDataFrame([(payload,)], "payload string")),
+        cat,
+    )
+    mgrs = store_rule_managers(spark, cat)
+    mgrs["loki"].store.set_rule_group(
+        "obs-ns",
+        RuleGroup(
+            name="g",
+            interval="1m",
+            rules=[
+                Rule(
+                    record="web:lines:rules",
+                    expr='sum by (app) (count_over_time({app="web"}[30s]))',
+                    labels={"team": "obs"},
+                )
+            ],
+        ),
+    )
+    mgrs["loki"].tick(t0 + 10_000_000_000)
+    health = mgrs["loki"].health.get("obs-ns:g:web:lines:rules", {}).get(
+        "health", "missing"
+    )
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    df = eng.prom_query('{__name__="web:lines:rules"}', t0 + 60_000_000_000)
+    return df.select(
+        F.col("labels").getItem("app").alias("app"),
+        F.col("labels").getItem("team").alias("team"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(health).alias("health"),
+    )
+
+
+@register(
     "text_bigram_logprob",
     r"""
     WITH d2 AS (
