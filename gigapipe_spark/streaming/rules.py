@@ -168,12 +168,6 @@ def group_from_yaml(text: str) -> RuleGroup:
 
 # --------------------------------------------------------------- store
 
-_RULES_SCHEMA = (
-    "namespace string, group_name string, config string, "
-    "updated_at_ns long, is_valid int, type string"
-)
-
-
 class RuleStore:
     """Rule-group persistence for one rule type ("loki" or "prom"),
     so both rule sets coexist in one table (ref: ruler/service.go:22).
@@ -181,10 +175,18 @@ class RuleStore:
     Append-only parquet + last-version-wins read = ReplacingMergeTree
     keyed (namespace, group_name, type) (service.go:43). Single-tenant
     like the reference: no org/oid column participates (service.go:24).
-    """
+
+    I/O is DRIVER-SIDE pyarrow, not Spark jobs: rules are config-plane
+    data — kilobytes bounded by rule count, not data volume — and the
+    reference likewise writes them with a single-row INSERT outside any
+    query pipeline. A Spark job per CRUD call would put multi-second
+    scheduler overhead on every gateway POST /rules. The on-disk layout
+    stays ordinary parquet in the catalog, so Spark (or anything else)
+    can still read the table. Appends write to a temp name then
+    os.rename, so a concurrent reader never sees a partial file."""
 
     def __init__(self, spark: SparkSession, catalog, rule_type: str):
-        self.spark = spark
+        self.spark = spark  # kept for API symmetry; config I/O is driver-side
         self.catalog = catalog
         self.rule_type = rule_type
 
@@ -192,9 +194,28 @@ class RuleStore:
         return self.catalog.path("rules")
 
     def _append(self, rows: list[tuple]) -> None:
-        self.spark.createDataFrame(rows, _RULES_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self._path())
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                "namespace": pa.array(cols[0], pa.string()),
+                "group_name": pa.array(cols[1], pa.string()),
+                "config": pa.array(cols[2], pa.string()),
+                "updated_at_ns": pa.array(cols[3], pa.int64()),
+                "is_valid": pa.array(cols[4], pa.int32()),
+                "type": pa.array(cols[5], pa.string()),
+            }
+        )
+        os.makedirs(self._path(), exist_ok=True)
+        name = f"part-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = os.path.join(self._path(), "." + name + ".tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self._path(), name))
 
     def set_rule_group(self, namespace: str, group: RuleGroup) -> None:
         """Insert the latest version of a group (service.go:43-60).
@@ -228,8 +249,12 @@ class RuleStore:
         """Tombstone every currently-valid group in the namespace in a
         single append — the reference's one INSERT ... SELECT keeps the
         delete atomic (service.go:76-88)."""
-        current = self._current().filter(F.col("namespace") == namespace)
-        names = [r["group_name"] for r in current.select("group_name").collect()]
+        current = self._current()
+        names = [
+            r["group_name"]
+            for r in current
+            if r["namespace"] == namespace
+        ]
         if not names:
             return
         now = time.time_ns()
@@ -237,70 +262,58 @@ class RuleStore:
             [(namespace, n, "", now, 0, self.rule_type) for n in names]
         )
 
-    def _current(self) -> DataFrame:
+    def _current(self) -> list[dict]:
         """Live groups: last updated_at wins per (namespace, group_name,
         type), tombstones filtered AFTER the dedup so a newer tombstone
         hides the older live row (the FINAL + is_valid=1 read shape,
-        service.go:94-100)."""
+        service.go:94-100). Driver-side read — see the class docstring."""
         import os
 
-        if not os.path.isdir(self._path()):
-            return self.spark.createDataFrame([], _RULES_SCHEMA)
-        try:
-            raw = self.spark.read.parquet(self._path())
-            raw.schema  # force footer read under the try
-        except Exception:
-            # a concurrent first append may have created the directory
-            # but not committed a data file yet (only _temporary): the
-            # manager's poll thread reads while the HTTP thread writes,
-            # so treat schema-inference failure as "no rules yet"
-            return self.spark.createDataFrame([], _RULES_SCHEMA)
-        df = raw.filter(F.col("type") == self.rule_type)
-        return (
-            df.groupBy("namespace", "group_name", "type")
-            .agg(
-                F.max_by("config", "updated_at_ns").alias("config"),
-                F.max_by("is_valid", "updated_at_ns").alias("is_valid"),
-                F.max("updated_at_ns").alias("updated_at_ns"),
-            )
-            .filter(F.col("is_valid") == 1)
-        )
+        import pyarrow.parquet as pq
+
+        path = self._path()
+        if not os.path.isdir(path):
+            return []
+        latest: dict[tuple[str, str], dict] = {}
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                tbl = pq.read_table(os.path.join(path, fname))
+            except Exception:
+                continue  # partial file from a crashed writer: skip
+            for r in tbl.to_pylist():
+                if r["type"] != self.rule_type:
+                    continue
+                key = (r["namespace"], r["group_name"])
+                prev = latest.get(key)
+                if prev is None or r["updated_at_ns"] >= prev["updated_at_ns"]:
+                    latest[key] = r
+        return [r for r in latest.values() if r["is_valid"] == 1]
 
     def get_rule_group(
         self, namespace: str, group_name: str
     ) -> RuleGroup | None:
-        rows = (
-            self._current()
-            .filter(
-                (F.col("namespace") == namespace)
-                & (F.col("group_name") == group_name)
-            )
-            .select("config")
-            .limit(1)
-            .collect()
-        )
-        return group_from_yaml(rows[0]["config"]) if rows else None
+        for r in self._current():
+            if r["namespace"] == namespace and r["group_name"] == group_name:
+                return group_from_yaml(r["config"])
+        return None
 
     def list_rule_groups(self, namespace: str) -> list[RuleGroup]:
         """All active groups in a namespace, newest first
         (service.go:117 ORDER BY updated_at DESC)."""
-        rows = (
-            self._current()
-            .filter(F.col("namespace") == namespace)
-            .orderBy(F.col("updated_at_ns").desc())
-            .select("config")
-            .collect()
+        rows = sorted(
+            (r for r in self._current() if r["namespace"] == namespace),
+            key=lambda r: -r["updated_at_ns"],
         )
         return [group_from_yaml(r["config"]) for r in rows]
 
     def get_all_rule_groups(self) -> dict[str, list[RuleGroup]]:
         """All active groups for this rule type, by namespace
         (service.go:147 ORDER BY namespace, updated_at DESC)."""
-        rows = (
-            self._current()
-            .orderBy("namespace", F.col("updated_at_ns").desc())
-            .select("namespace", "config")
-            .collect()
+        rows = sorted(
+            self._current(),
+            key=lambda r: (r["namespace"], -r["updated_at_ns"]),
         )
         out: dict[str, list[RuleGroup]] = {}
         for r in rows:
@@ -584,6 +597,11 @@ def writeback_writer(catalog) -> Callable[[str, dict, DataFrame], None]:
             F.lit("").alias("string"),
             F.lit(2).cast("byte").alias("type"),
         )
+        # materialize ONCE: the rule query's lineage reads the whole
+        # store — without the checkpoint the empty-check and the
+        # fan-out would each re-run it (writeback.go:56 writes nothing
+        # for an empty vector)
+        out = out.localCheckpoint(eager=True)
         if not out.isEmpty():
             ingest_fanout(out, catalog, mine_patterns=False)
 
