@@ -867,8 +867,17 @@ class Engine:
     def ready(self) -> str:
         """/ready (ref: controller/misc.go Ready): the reference's
         watchdog checks the datastore answers; here a 1-row probe over
-        the store plays that role — failure raises, mirroring the 500."""
-        self.series_table().limit(1).collect()
+        the store plays that role — failure raises, mirroring the 500.
+        A store whose tables haven't materialized yet (parquet dirs are
+        created lazily by the first push) is empty, not down — the
+        reference's freshly-provisioned ClickHouse answers the probe
+        with zero rows the same way."""
+        try:
+            self.series_table().limit(1).collect()
+        except Exception as e:
+            if "Path does not exist" in str(e):
+                return "OK"
+            raise
         return "OK"
 
     def config(self) -> str:

@@ -145,9 +145,33 @@ class _Handler(BaseHTTPRequestHandler):
     # engine injected by HttpGateway via subclassing
     engine = None
     protocol_version = "HTTP/1.1"
+    allow_origin = "*"
 
     def log_message(self, *a):  # quiet test output
         pass
+
+    def end_headers(self) -> None:
+        """Every response carries the CORS headers and OPTIONS
+        preflights short-circuit to 200 — the reference wraps the whole
+        router in one CORS middleware (reader/utils/middleware/
+        cors_middleware.go:5-22, allowOrigin '' → '*')."""
+        self.send_header(
+            "Access-Control-Allow-Headers",
+            "Origin,Content-Type,Accept,Content-Length,Accept-Language,"
+            "Accept-Encoding,Connection,Access-Control-Allow-Origin",
+        )
+        self.send_header("Access-Control-Allow-Origin", self.allow_origin)
+        self.send_header(
+            "Access-Control-Allow-Methods",
+            "GET,POST,HEAD,PUT,DELETE,PATCH,OPTIONS",
+        )
+        self.send_header("Access-Control-Allow-Credentials", "true")
+        super().end_headers()
+
+    def do_OPTIONS(self) -> None:
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
     # ------------------------------------------------------------ util
     def _json(self, obj, code: int = 200) -> None:
@@ -1136,13 +1160,19 @@ class HttpGateway:
         host: str = "127.0.0.1",
         port: int = 0,
         ruler_poll_sec: float | None = None,
+        allow_origin: str = "*",
     ):
         """`ruler_poll_sec` switches on the rule-evaluation loop — the
         reference's manager ticker goroutines (ruler/manager.go:183-195,
         enabled via QRYN_RULER_ENABLED, router/init.go:30). Each poll
         ticks both rule sets; group intervals still gate which rules
-        actually evaluate. Off by default: CRUD works without it."""
-        handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        actually evaluate. Off by default: CRUD works without it.
+        `allow_origin` is the CORS origin (cors_middleware.go:6)."""
+        handler = type(
+            "BoundHandler",
+            (_Handler,),
+            {"engine": engine, "allow_origin": allow_origin},
+        )
         self.engine = engine
         self.server = ThreadingHTTPServer((host, port), handler)
         self.server.daemon_threads = True

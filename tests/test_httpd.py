@@ -680,3 +680,18 @@ def test_http_patterns_from_store(gateway):
     q2 = urllib.parse.quote('{app="nosuch"}')
     st, body = _get(base, f"/loki/api/v1/patterns?query={q2}")
     assert body["data"] == []
+
+
+def test_cors_middleware(gateway):
+    """Every response carries the CORS headers and OPTIONS preflights
+    short-circuit to 200 (cors_middleware.go:5-22)."""
+    base, _ = gateway
+    req = urllib.request.Request(base + "/ready", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "OPTIONS" in r.headers["Access-Control-Allow-Methods"]
+        assert r.headers["Access-Control-Allow-Credentials"] == "true"
+    with urllib.request.urlopen(base + "/ready", timeout=30) as r:
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        assert "Content-Type" in r.headers["Access-Control-Allow-Headers"]
