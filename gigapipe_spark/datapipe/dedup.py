@@ -645,7 +645,9 @@ def simhash_pairs(
         F.struct(
             F.lit(i).alias("chunk"),
             F.shiftrightunsigned(F.col("sig"), start)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            # width 64 (max_hamming=0, one chunk) needs the all-ones
+            # mask as int64: (1<<64)-1 overflows the long literal
+            .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
             .alias("h"),
         )
         for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
@@ -833,4 +835,110 @@ def repeated_substring_spans(
             "start_word",
             F.col("n_words").cast("long").alias("n_words"),
         )
+    )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering the embedding space, then
+    dropping all but one member of every within-cluster group of
+    semantically-identical points (pairwise cosine ≥ threshold).
+
+    The kept member of each duplicate group is the one FARTHEST from
+    its cluster centroid — the paper's keep-hard-examples choice (§3:
+    "we keep the examples with low cosine similarity to the cluster
+    centroid"). Distinct from pairwise embedding dedup
+    (embedding_cosine_pairs): candidate pairs are scoped to a cluster,
+    so the candidate volume is Σ|cluster|² instead of corpus², and the
+    operator emits a kept/dropped verdict rather than raw pairs.
+
+    100 TB shape: the centroid fit is `ivf_fit` (broadcast-join Lloyd
+    rounds, centroid table stays cells × dim); assignment is one
+    broadcast join; the only per-cluster work runs in applyInPandas
+    over cluster-id partitions with members capped at `max_cluster`
+    (rows past the cap are KEPT untouched and counted in the
+    `overflow` column — a deliberate, visible cap, never a silent
+    drop; the paper's own clusters are sized corpus/k for exactly this
+    reason). Within a cluster the greedy scan walks members from
+    farthest-to-nearest-centroid, dropping any member whose cosine to
+    an already-kept member reaches the threshold — numpy matrix ops on
+    a bounded group, the documented Pandas-UDF seam.
+
+    Returns (vec_id, cluster, keep, overflow) — `overflow` marks rows
+    kept only because their cluster exceeded max_cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from gigapipe_spark.datapipe.simsearch import _as_double, _sq_dist, ivf_fit
+
+    cents = ivf_fit(
+        embeddings, n_cells=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "v", _sq_dist(F.col("v"), F.col("c")).alias("d")),
+                _sq_dist(F.col("v"), F.col("c")),
+            ).alias("__best")
+        )
+        .select(
+            "vec_id",
+            F.col("__best.cid").alias("cluster"),
+            F.col("__best.v").alias("v"),
+            F.col("__best.d").alias("dist"),
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # farthest-from-centroid first: earlier rows win ties, so the
+        # kept representative is the paper's low-centroid-similarity
+        # member; vec_id breaks exact-distance ties deterministically
+        pdf = pdf.sort_values(
+            ["dist", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        overflow = pdf.index >= max_cluster
+        work = pdf[~overflow]
+        mat = np.array(work["v"].tolist(), dtype="float64")
+        keep = np.ones(len(work), dtype=bool)
+        if len(work):
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            unit = mat / norms[:, None]
+            kept_rows: list[int] = []
+            for i in range(len(work)):
+                if kept_rows:
+                    sims = unit[kept_rows] @ unit[i]
+                    if float(sims.max()) >= threshold:
+                        keep[i] = False
+                        continue
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "keep": np.concatenate(
+                    [keep, np.ones(int(overflow.sum()), dtype=bool)]
+                ),
+                "overflow": overflow,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _greedy, schema="vec_id long, cluster int, keep boolean, overflow boolean"
     )

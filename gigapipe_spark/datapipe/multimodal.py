@@ -434,3 +434,124 @@ def frame_sample(multimodal: DataFrame, every_n: int = 4) -> DataFrame:
         .select("doc_id", F.col("c.chunk_no").alias("chunk_no"), F.col("c.chunk").alias("chunk"))
         .filter(F.pmod(F.col("chunk_no"), F.lit(every_n)) == 0)
     )
+
+
+# --------------------------------------------------------- perceptual hash
+
+
+def _phash_one(payload: bytes) -> int | None:
+    """64-bit DCT perceptual hash of one decodable image payload.
+
+    The classic pHash recipe: grayscale → fixed 32×32 resample →
+    2-D DCT-II → keep the 8×8 low-frequency block (minus the DC term)
+    → threshold each coefficient at the block median → 64 bits. Near-
+    duplicate images (re-encodes, small edits, brightness shifts) land
+    within a small Hamming distance; unrelated images are ~32 bits
+    apart. None for payloads `decode_real` can't decode — at scale
+    those rows are logged and skipped, never silently hashed."""
+    import numpy as np
+
+    img = decode_real(payload)  # raises for undecodable formats
+    px = img["pixels"].astype("float64").reshape(
+        img["height"], img["width"], img["channels"]
+    )
+    gray = px.mean(axis=2)
+    # deterministic nearest-neighbor resample to 32×32 (a real deploy
+    # swaps in PIL/antialiased area resize at this exact seam)
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    g = gray[np.ix_(ys, xs)]
+    n = 32
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (m + 0.5) * k / n)
+    d[0, :] = np.sqrt(1.0 / n)
+    coef = d @ g @ d.T
+    block = coef[:8, :8].flatten()[1:]  # drop DC: it's just mean brightness
+    bits = block > np.median(block)
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:  # two's-complement into int64
+        val -= 1 << 64
+    return val
+
+
+def phash64(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, phash) for every decodable payload.
+
+    Arrow-batched mapInPandas like the other decode stages — the numpy
+    DCT runs per row inside a columnar batch, and undecodable payloads
+    are dropped with per-payload error isolation (same policy as
+    `_decode_batch`'s real-decode path)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    h = _phash_one(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": pd.array(hashes, dtype="int64")})
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        _batch, schema="doc_id long, phash long"
+    )
+
+
+def phash_pairs(
+    multimodal: DataFrame,
+    max_hamming: int = 10,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: pHash signatures banded
+    into `max_hamming + 1` chunks (the pigeonhole guarantee — a pair
+    within the distance bound shares at least one exact chunk), then
+    verified by true Hamming distance. The banding/bucket-cap/verify
+    machinery is shared with SimHash text dedup (datapipe/dedup.py) —
+    the 100 TB shape is identical: signatures shuffle, pixels don't.
+
+    Returns (doc_a, doc_b, hamming)."""
+    from gigapipe_spark.datapipe.dedup import _cap_buckets, _chunk_bounds
+
+    sig = phash64(multimodal).select(
+        F.col("doc_id").alias("id"), F.col("phash").alias("sig")
+    ).persist()
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("sig"), start)
+            # width 64 (max_hamming=0, one chunk) needs the all-ones
+            # mask as int64: (1<<64)-1 overflows the long literal
+            .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
+            .alias("h"),
+        )
+        for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
+    ]
+    chunks = sig.select(
+        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select(
+        "id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h")
+    )
+    chunks = _cap_buckets(chunks, ["chunk", "h"], max_bucket)
+    left = chunks.select(
+        "chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    right = chunks.select(
+        "chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["chunk", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

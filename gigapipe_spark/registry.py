@@ -3867,6 +3867,45 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DCT perceptual hashing is not SQL-expressible — rows-only by the
+# driver contract; determinism is pinned by tests (identical runs,
+# banding recall == brute force) in test_datapipe
+@register("multimodal_phash_dedup")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 64-bit DCT pHash over the
+    real-decoded BMP payloads, banded into max_hamming+1 chunks
+    (pigeonhole recall guarantee) with degenerate-bucket caps, verified
+    by true Hamming distance — the image-side twin of SimHash text
+    dedup, sharing its banding machinery and 100 TB shape (signatures
+    shuffle, pixels don't)."""
+    mm = _mm.attach_bmp_payload(_views.documents(spark, sf_dir))
+    return (
+        _mm.phash_pairs(mm, max_hamming=16)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# k-means init/assignment is iterative — rows-only by the driver
+# contract; keep/overflow semantics are pinned by hand-computed tests
+@register("dedup_semantic_clusters")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    the embeddings table — k-means via ivf_fit, then a per-cluster
+    greedy scan keeps the farthest-from-centroid member of every
+    cosine-duplicate group. The synthetic embeddings carry no true
+    near-dups (max cos ≈ 0.51), so the threshold sits at the top-pairs
+    level to exercise the drop path; returns per-vector verdicts."""
+    out = _dedup.semdedup(
+        _views.embeddings(spark, sf_dir),
+        n_clusters=4,
+        threshold=0.45,
+        iters=2,
+    )
+    return out.select(
+        "vec_id", "cluster", "keep", "overflow"
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

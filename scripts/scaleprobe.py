@@ -120,7 +120,12 @@ def main() -> None:
         "text_word_entropy",
         "multimodal_bmp_decode",
         "multimodal_wav_features",
+        "multimodal_phash_dedup",
+        "dedup_semantic_clusters",
     ]
+    if os.environ.get("SCALEPROBE_ONLY"):
+        sel = set(os.environ["SCALEPROBE_ONLY"].split(","))
+        probes = [p for p in probes if p in sel]
 
     def run(name: str, d: str) -> float:
         t0 = time.monotonic()

@@ -710,3 +710,156 @@ def test_repeated_substring_spans_semantics(spark):
     assert (3, 0, 20) in got
     # doc 4 never flagged
     assert not any(g[0] == 4 for g in got)
+
+
+# ------------------------------------------------------------ pHash dedup
+
+
+def _bmp_docs(spark, texts):
+    from gigapipe_spark.datapipe.multimodal import attach_bmp_payload
+
+    docs = spark.createDataFrame(
+        [(i, t, "test") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    return attach_bmp_payload(docs)
+
+
+def test_phash_identical_images_distance_zero(spark):
+    from gigapipe_spark.datapipe.multimodal import phash64, phash_pairs
+
+    mm = _bmp_docs(spark, ["the quick brown fox " * 10] * 2 + ["zzz" * 64])
+    hashes = {r["doc_id"]: r["phash"] for r in phash64(mm).collect()}
+    assert hashes[0] == hashes[1]
+    pairs = phash_pairs(mm, max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_phash_determinism_and_small_perturbation(spark):
+    from gigapipe_spark.datapipe.multimodal import phash64
+
+    base = "an image made of text bytes " * 8
+    changed = base[:-1] + "!"  # one byte → one pixel channel
+    mm = _bmp_docs(spark, [base, changed])
+    h1 = {r["doc_id"]: r["phash"] for r in phash64(mm).collect()}
+    h2 = {r["doc_id"]: r["phash"] for r in phash64(mm).collect()}
+    assert h1 == h2  # deterministic
+    ham = bin((h1[0] ^ h1[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16  # perceptually near
+
+
+def test_phash_banding_recall_matches_bruteforce(spark):
+    """Pigeonhole guarantee: banded candidates find EVERY pair within
+    max_hamming — compare against all-pairs bit_count."""
+    import itertools
+
+    from gigapipe_spark.datapipe.multimodal import phash64, phash_pairs
+
+    texts = [f"document number {i} with shared boilerplate " * 4 for i in range(12)]
+    mm = _bmp_docs(spark, texts)
+    hashes = {r["doc_id"]: r["phash"] for r in phash64(mm).collect()}
+    max_h = 12
+    expect = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_h:
+            expect.add((a, b, ham))
+    got = {
+        (p["doc_a"], p["doc_b"], p["hamming"])
+        for p in phash_pairs(mm, max_hamming=max_h, max_bucket=None).collect()
+    }
+    assert got == expect
+
+
+def test_phash_undecodable_payloads_skipped(spark):
+    from gigapipe_spark.datapipe.multimodal import phash64
+
+    mm = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    assert phash64(mm).collect() == []
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_farthest_representative(spark):
+    from gigapipe_spark.datapipe.dedup import semdedup
+
+    # cluster A: three near-identical vectors near (1, 0) and one
+    # distinct; cluster B: two distinct vectors near (0, 1)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),   # dup of 1
+        (3, [0.999, 0.0]),   # dup of 1 (same direction)
+        (4, [0.7, 0.3]),     # same cluster, distinct direction
+        (10, [0.0, 1.0]),
+        (11, [0.3, 0.8]),
+    ]
+    out = semdedup(
+        _emb_df(spark, rows), n_clusters=2, threshold=0.999, iters=3
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 6
+    a_cluster = {by_id[i]["cluster"] for i in (1, 2, 3, 4)}
+    b_cluster = {by_id[i]["cluster"] for i in (10, 11)}
+    assert len(a_cluster) == 1 and len(b_cluster) == 1 and a_cluster != b_cluster
+    # exactly one of the duplicate trio {1,2,3} survives; 4 is distinct
+    trio_kept = [i for i in (1, 2, 3) if by_id[i]["keep"]]
+    assert len(trio_kept) == 1
+    assert by_id[4]["keep"]
+    # the kept duplicate is the one farthest from the cluster centroid
+    import numpy as np
+
+    vecs = {i: np.array(v) for i, v in rows}
+    members = np.array([vecs[i] for i in (1, 2, 3, 4)])
+    centroid = members.mean(axis=0)
+    dists = {i: float(np.sum((vecs[i] - centroid) ** 2)) for i in (1, 2, 3)}
+    assert trio_kept[0] == max(dists, key=dists.get)
+    # cluster B: nothing within threshold, both kept
+    assert by_id[10]["keep"] and by_id[11]["keep"]
+    assert not any(r["overflow"] for r in out)
+
+
+def test_semdedup_overflow_cap_keeps_untouched(spark):
+    from gigapipe_spark.datapipe.dedup import semdedup
+
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(10)]
+    out = semdedup(
+        _emb_df(spark, rows), n_clusters=1, threshold=0.9, iters=1, max_cluster=4
+    ).collect()
+    overflow = [r for r in out if r["overflow"]]
+    examined = [r for r in out if not r["overflow"]]
+    assert len(overflow) == 6 and len(examined) == 4
+    # overflow rows are kept, not silently dropped
+    assert all(r["keep"] for r in overflow)
+    # the examined near-identical group keeps exactly one
+    assert sum(r["keep"] for r in examined) == 1
+
+
+def test_semdedup_deterministic(spark):
+    from gigapipe_spark.datapipe.dedup import semdedup
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4)]) for i in range(40)]
+    df = _emb_df(spark, rows)
+    a = sorted(map(tuple, semdedup(df, n_clusters=3, threshold=0.98).collect()))
+    b = sorted(map(tuple, semdedup(df, n_clusters=3, threshold=0.98).collect()))
+    assert a == b
+
+
+def test_simhash_single_chunk_mask(spark):
+    """max_hamming=0 → one 64-bit chunk: the all-ones mask must fit
+    int64 (regression: (1<<64)-1 overflowed the long literal)."""
+    from gigapipe_spark.datapipe.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "else")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(docs, max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
