@@ -507,3 +507,106 @@ def bigram_logprob(
             F.round(F.avg("lp"), 6).alias("mean_logprob"),
         )
     )
+
+
+def nb_classifier(
+    docs: DataFrame,
+    label_col: str = "source",
+    max_vocab: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear document classifier, trained in-pipeline:
+    multinomial Naive Bayes over a bounded unigram vocabulary, the
+    classical quality/domain classifier of curation pipelines (label
+    with a trusted-source tag, score the open crawl).
+
+    Train and apply in one pass over the corpus:
+    - vocabulary = the `max_vocab` globally most frequent words, ties
+      broken by the word itself (a deterministic distributed
+      TakeOrdered, the same bound discipline as bpe_train — never the
+      raw web-scale vocabulary);
+    - per-class word likelihoods with add-one smoothing over the
+      vocabulary, P(w|c) = (C(w,c)+1)/(C(·,c)+V); class priors from
+      document counts;
+    - score(doc, c) = log P(c) + Σ_{w ∈ doc ∩ vocab} log P(w|c);
+      out-of-vocabulary tokens are skipped on BOTH train and apply
+      sides (the documented bounded-vocab tradeoff; a doc with no
+      in-vocab tokens falls back to the prior).
+
+    100 TB shape: the likelihood grid is labels × vocab — broadcast-
+    sized by construction — so scoring is explode → broadcast join →
+    one doc-keyed aggregation; nothing label-cross-joins the corpus.
+    Prediction ties break toward the greater label (max_by on a
+    (score, label) struct), mirroring the oracle's ORDER BY.
+
+    Output: (doc_id, label, predicted, score) — natural-log score of
+    the predicted class, rounded 6.
+    """
+    ws = words_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.col(label_col).alias("label"), ws.alias("ws")
+    ).filter(F.size("ws") > 0)
+    tok = base.select(id_col, "label", F.explode("ws").alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_vocab)
+        .select("w")
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    labels = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("double").alias("docs")
+    )
+    total_docs = base.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    in_vocab = tok.join(F.broadcast(vocab), "w")
+    wl = in_vocab.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    ltot = wl.groupBy("label").agg(F.sum("c").cast("double").alias("tot"))
+    grid = (
+        labels.select("label")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsize))
+        .join(ltot, "label")
+        .join(wl, ["label", "w"], "left")
+        .select(
+            "label",
+            "w",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    tok_scores = (
+        in_vocab.select(id_col, "w")
+        .join(F.broadcast(grid.withColumnRenamed("label", "cand")), "w")
+        .groupBy(id_col, "cand")
+        .agg(F.sum("ll").alias("s"))
+    )
+    full = (
+        base.select(id_col, "label")
+        .crossJoin(
+            F.broadcast(
+                labels.crossJoin(total_docs).select(
+                    F.col("label").alias("cand"),
+                    F.log(F.col("docs") / F.col("t")).alias("prior"),
+                )
+            )
+        )
+        .join(tok_scores, [id_col, "cand"], "left")
+        .select(
+            id_col,
+            "label",
+            "cand",
+            (F.col("prior") + F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+    )
+    return full.groupBy(id_col, "label").agg(
+        F.max_by("cand", F.struct(F.col("score"), F.col("cand"))).alias(
+            "predicted"
+        ),
+        F.round(F.max("score"), 6).alias("score"),
+    )

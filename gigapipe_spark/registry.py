@@ -3867,6 +3867,73 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_nb_classifier",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source AS label,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0
+    ),
+    tok AS (SELECT doc_id, label, unnest(ws) AS w FROM d),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT 300
+      )
+    ),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    labels AS (SELECT label, count(*) AS docs FROM d GROUP BY label),
+    total_docs AS (SELECT count(*) AS t FROM d),
+    iv AS (SELECT doc_id, label, w FROM tok JOIN vocab USING (w)),
+    wl AS (SELECT label, w, count(*) AS c FROM iv GROUP BY label, w),
+    ltot AS (SELECT label, sum(c) AS tot FROM wl GROUP BY label),
+    grid AS (
+      SELECT l.label AS cand, v.w,
+             ln((coalesce(wl.c, 0) + 1.0) / (ltot.tot + vsize.v)) AS ll
+      FROM (SELECT DISTINCT label FROM labels) l
+      CROSS JOIN vocab v CROSS JOIN vsize
+      JOIN ltot ON ltot.label = l.label
+      LEFT JOIN wl ON wl.label = l.label AND wl.w = v.w
+    ),
+    tok_scores AS (
+      SELECT iv.doc_id, g.cand, sum(g.ll) AS s
+      FROM (SELECT doc_id, w FROM iv) iv JOIN grid g USING (w)
+      GROUP BY iv.doc_id, g.cand
+    ),
+    full_scores AS (
+      SELECT d.doc_id, d.label, lb.label AS cand,
+             ln(lb.docs / t.t) + coalesce(s.s, 0) AS score
+      FROM d CROSS JOIN labels lb CROSS JOIN total_docs t
+      LEFT JOIN tok_scores s
+        ON s.doc_id = d.doc_id AND s.cand = lb.label
+    )
+    SELECT doc_id, label, cand AS predicted, round(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, cand DESC
+      ) AS rn
+      FROM full_scores
+    )
+    WHERE rn = 1
+    """,
+)
+def text_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style in-pipeline document classifier: multinomial
+    Naive Bayes over a bounded (top-300 here, to exercise the OOV
+    path) unigram vocabulary, trained on the corpus's own source
+    labels — the quality/domain classifier shape of curation
+    pipelines. Exact oracle: the full train+apply computation
+    re-derived in SQL (vocabulary bound, add-one smoothing, priors,
+    per-class log-likelihood sums, deterministic argmax)."""
+    from gigapipe_spark.datapipe.textstats import nb_classifier
+
+    return nb_classifier(
+        _views.documents(spark, sf_dir), max_vocab=300
+    ).orderBy("doc_id")
+
+
 # DCT perceptual hashing is not SQL-expressible — rows-only by the
 # driver contract; determinism is pinned by tests (identical runs,
 # banding recall == brute force) in test_datapipe

@@ -863,3 +863,81 @@ def test_simhash_single_chunk_mask(spark):
     )
     pairs = simhash_pairs(docs, max_hamming=0).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+# ------------------------------------------------------- NB classifier
+
+
+def test_nb_classifier_hand_computed(spark):
+    """2 classes, tiny vocab: every term (priors, add-one likelihoods,
+    OOV skip, prior-only fallback) recomputed by hand in numpy."""
+    import math
+
+    from gigapipe_spark.datapipe.textstats import nb_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam eggs", "junk"),
+            (2, "spam spam spam", "junk"),
+            (3, "eggs ham ham", "good"),
+            (4, "ham eggs ham ham", "good"),
+            (5, "spam ham", "good"),
+            # all-OOV doc with max_vocab=3: prior-only fallback
+            (6, "quux corge", "junk"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_classifier(docs, max_vocab=3).collect()
+    }
+    # vocab = top-3 by (count desc, word): ham(6) spam(6) eggs(3)
+    # [count ties ham/spam broken by word]
+    counts = {
+        ("junk", "spam"): 5,
+        ("junk", "eggs"): 1,
+        ("good", "ham"): 6,
+        ("good", "eggs"): 2,
+        ("good", "spam"): 1,
+    }
+    ltot = {"junk": 6, "good": 9}
+    pri = {"junk": math.log(3 / 6), "good": math.log(3 / 6)}
+    v = 3
+
+    def ll(lab, w):
+        return math.log((counts.get((lab, w), 0) + 1) / (ltot[lab] + v))
+
+    def score(lab, words):
+        return pri[lab] + sum(
+            ll(lab, w) for w in words if w in ("ham", "spam", "eggs")
+        )
+
+    for doc_id, text in [
+        (1, "spam spam eggs"),
+        (3, "eggs ham ham"),
+        (5, "spam ham"),
+    ]:
+        words = text.split()
+        exp = {lab: score(lab, words) for lab in ("junk", "good")}
+        want = max(exp, key=lambda lab: (exp[lab], lab))
+        assert out[doc_id]["predicted"] == want, (doc_id, exp)
+        assert abs(out[doc_id]["score"] - exp[want]) < 1e-6
+    assert out[1]["predicted"] == "junk"
+    assert out[3]["predicted"] == "good"
+    # all-OOV: both classes at prior-only (equal) → tie to greater label
+    assert abs(out[6]["score"] - pri["junk"]) < 1e-6
+    assert out[6]["predicted"] == "junk"
+    # labels column carries the true label for downstream confusion
+    assert out[2]["label"] == "junk" and out[4]["label"] == "good"
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark):
+    from gigapipe_spark.datapipe.textstats import nb_classifier
+
+    rows = [(i, "alpha beta gamma delta", "a") for i in range(10)]
+    rows += [(100 + i, "epsilon zeta eta theta", "b") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = nb_classifier(docs).collect()
+    assert all(r["predicted"] == r["label"] for r in out)
