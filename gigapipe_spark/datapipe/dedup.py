@@ -617,6 +617,51 @@ def _cap_buckets(
     return banded.join(F.broadcast(bad), keys, "left_anti")
 
 
+def hamming_pairs(
+    sig: DataFrame, max_hamming: int, max_bucket: int | None = 512
+) -> DataFrame:
+    """Shared 64-bit-signature near-dup core: band each signature into
+    `max_hamming + 1` chunks (pigeonhole: a pair within the distance
+    bound differs in at most max_hamming chunks, so at least one chunk
+    matches exactly — guaranteed recall), cap degenerate buckets, then
+    verify by true Hamming distance. Consumed by SimHash text dedup,
+    pHash image dedup and the audio fingerprint — one candidate
+    machine, three signature producers. Input: (id, sig int64) rows.
+    Output: (doc_a, doc_b, hamming)."""
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("sig"), start)
+            # width 64 (max_hamming=0, one chunk) needs the all-ones
+            # mask as int64: (1<<64)-1 overflows the long literal
+            .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
+            .alias("h"),
+        )
+        for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
+    ]
+    chunks = sig.select(
+        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select(
+        "id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h")
+    )
+    chunks = _cap_buckets(chunks, ["chunk", "h"], max_bucket)
+    left = chunks.select(
+        "chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    right = chunks.select(
+        "chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["chunk", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)  # before dedup: shrink early
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
@@ -641,32 +686,7 @@ def simhash_pairs(
         .select(F.col(id_col).alias("id"), _simhash(F.col("__th")).alias("sig"))
         .persist()
     )
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk"),
-            F.shiftrightunsigned(F.col("sig"), start)
-            # width 64 (max_hamming=0, one chunk) needs the all-ones
-            # mask as int64: (1<<64)-1 overflows the long literal
-            .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
-            .alias("h"),
-        )
-        for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
-    ]
-    chunks = sig.select(
-        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
-    ).select("id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h"))
-    chunks = _cap_buckets(chunks, ["chunk", "h"], max_bucket)
-    left = chunks.select("chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    right = chunks.select("chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    cand = (
-        left.join(right, ["chunk", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)  # before dedup: shrink early
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-    )
+    cand = hamming_pairs(sig, max_hamming, max_bucket)
     if verify_threshold is not None:
         # verify against precomputed shingle sets (candidates only)
         sets = with_shingles(docs, text_col, "sh", shingle_n).select(

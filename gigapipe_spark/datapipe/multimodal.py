@@ -519,39 +519,98 @@ def phash_pairs(
     the 100 TB shape is identical: signatures shuffle, pixels don't.
 
     Returns (doc_a, doc_b, hamming)."""
-    from gigapipe_spark.datapipe.dedup import _cap_buckets, _chunk_bounds
+    from gigapipe_spark.datapipe.dedup import hamming_pairs
 
     sig = phash64(multimodal).select(
         F.col("doc_id").alias("id"), F.col("phash").alias("sig")
     ).persist()
-    chunk_structs = [
-        F.struct(
-            F.lit(i).alias("chunk"),
-            F.shiftrightunsigned(F.col("sig"), start)
-            # width 64 (max_hamming=0, one chunk) needs the all-ones
-            # mask as int64: (1<<64)-1 overflows the long literal
-            .bitwiseAND(F.lit((1 << width) - 1 if width < 64 else -1))
-            .alias("h"),
-        )
-        for i, (start, width) in enumerate(_chunk_bounds(max_hamming))
-    ]
-    chunks = sig.select(
-        "id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
-    ).select(
-        "id", "sig", F.col("ch.chunk").alias("chunk"), F.col("ch.h").alias("h")
+    return hamming_pairs(sig, max_hamming, max_bucket)
+
+
+# ---------------------------------------------------- audio fingerprint
+
+
+def _afp_one(payload: bytes) -> int | None:
+    """64-bit spectral fingerprint of one WAV payload — a single-block
+    Haitsma-Kalker (Philips robust hash, ISMIR 2002) signature: frame
+    the signal, per frame take FFT band energies on a coarse log-ish
+    grid, then bit(f, b) = sign of the band-energy DIFFERENCE delta
+    between consecutive frames — robust to gain changes (energy
+    differences, not levels) and small edits. 17 frames × 5 bands →
+    16×4 = 64 difference bits."""
+    import numpy as np
+
+    wav = decode_wav(payload)
+    s = wav["samples"].astype("float64")
+    if s.size == 0:
+        return None
+    mid = 128.0 if wav["sample_width"] == 1 else 0.0
+    s = s - mid
+    n_frames, n_bands = 17, 5
+    # frame the signal (truncate the tail remainder, pad tiny inputs)
+    flen = max(s.size // n_frames, 1)
+    need = flen * n_frames
+    if s.size < need:
+        s = np.pad(s, (0, need - s.size))
+    frames = s[:need].reshape(n_frames, flen)
+    spec = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    if spec.shape[1] < n_bands:
+        spec = np.pad(spec, ((0, 0), (0, n_bands - spec.shape[1])))
+    # coarse band grid over the magnitude spectrum
+    edges = np.linspace(0, spec.shape[1], n_bands + 1).astype(int)
+    e = np.stack(
+        [spec[:, a:b].sum(axis=1) for a, b in zip(edges, edges[1:])], axis=1
     )
-    chunks = _cap_buckets(chunks, ["chunk", "h"], max_bucket)
-    left = chunks.select(
-        "chunk", "h", F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")
+    # bit(f, b): E(f,b)−E(f,b+1) − (E(f−1,b)−E(f−1,b+1)) > 0
+    d = e[:, :-1] - e[:, 1:]
+    bits = (d[1:] - d[:-1]) > 0
+    val = 0
+    for i, b in enumerate(bits.flatten()):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def afp64(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, afp) audio fingerprints — same Arrow-batched seam and
+    per-payload error isolation as phash64."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    h = _afp_one(bytes(payload))
+                except Exception:
+                    continue
+                if h is None:
+                    continue
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "afp": pd.array(hashes, dtype="int64")}
+            )
+
+    return multimodal.select("doc_id", "payload").mapInPandas(
+        _batch, schema="doc_id long, afp long"
     )
-    right = chunks.select(
-        "chunk", "h", F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        left.join(right, ["chunk", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+
+def afp_pairs(
+    multimodal: DataFrame,
+    max_hamming: int = 10,
+    max_bucket: int | None = 512,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the spectral fingerprints —
+    third consumer of the shared pigeonhole banding core
+    (dedup.hamming_pairs). Returns (doc_a, doc_b, hamming)."""
+    from gigapipe_spark.datapipe.dedup import hamming_pairs
+
+    sig = afp64(multimodal).select(
+        F.col("doc_id").alias("id"), F.col("afp").alias("sig")
+    ).persist()
+    return hamming_pairs(sig, max_hamming, max_bucket)

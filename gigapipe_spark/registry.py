@@ -3952,6 +3952,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FFT band energies are not SQL-expressible — rows-only by the driver
+# contract; determinism/gain-invariance/recall pinned in test_datapipe
+@register("multimodal_afp_dedup")
+def multimodal_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: single-block Haitsma-Kalker spectral
+    fingerprints (frame FFT band-energy difference bits — gain-robust)
+    over the real-decoded WAV payloads, through the same pigeonhole
+    banding core as SimHash/pHash."""
+    mm = _mm.attach_wav_payload(_views.documents(spark, sf_dir))
+    return _mm.afp_pairs(mm, max_hamming=12).orderBy("doc_a", "doc_b")
+
+
 # k-means init/assignment is iterative — rows-only by the driver
 # contract; keep/overflow semantics are pinned by hand-computed tests
 @register("dedup_semantic_clusters")

@@ -122,6 +122,8 @@ def main() -> None:
         "multimodal_wav_features",
         "multimodal_phash_dedup",
         "dedup_semantic_clusters",
+        "multimodal_afp_dedup",
+        "text_nb_classifier",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))

@@ -941,3 +941,77 @@ def test_nb_classifier_separates_disjoint_vocab(spark):
     )
     out = nb_classifier(docs).collect()
     assert all(r["predicted"] == r["label"] for r in out)
+
+
+# ---------------------------------------------------- audio fingerprint
+
+
+def _wav_docs(spark, texts):
+    from gigapipe_spark.datapipe.multimodal import attach_wav_payload
+
+    docs = spark.createDataFrame(
+        [(i, t, "test") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    return attach_wav_payload(docs)
+
+
+def test_afp_identical_audio_distance_zero(spark):
+    from gigapipe_spark.datapipe.multimodal import afp64, afp_pairs
+
+    mm = _wav_docs(spark, ["waveform from text bytes " * 12] * 2 + ["x" * 256])
+    fps = {r["doc_id"]: r["afp"] for r in afp64(mm).collect()}
+    assert fps[0] == fps[1]
+    pairs = afp_pairs(mm, max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_afp_gain_invariance(spark):
+    """Energy-DIFFERENCE bits are robust to uniform gain: scaling all
+    samples leaves every bit unchanged."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gigapipe_spark.datapipe.multimodal import _afp_one
+
+    rng = np.random.RandomState(7)
+    base = (rng.rand(2048) * 80 + 60).astype(np.uint8)
+    louder = np.clip((base.astype(np.float64) - 128) * 1.5 + 128, 0, 255).astype(
+        np.uint8
+    )
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    a, b = _afp_one(wav_bytes(base)), _afp_one(wav_bytes(louder))
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4  # clipping can flip a stray bit; gain alone flips none
+
+
+def test_afp_banding_recall_matches_bruteforce(spark):
+    import itertools
+
+    from gigapipe_spark.datapipe.multimodal import afp64, afp_pairs
+
+    texts = [f"audio clip {i} shared preamble tone " * 6 for i in range(10)]
+    mm = _wav_docs(spark, texts)
+    fps = {r["doc_id"]: r["afp"] for r in afp64(mm).collect()}
+    max_h = 12
+    expect = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_h:
+            expect.add((a, b, ham))
+    got = {
+        (p["doc_a"], p["doc_b"], p["hamming"])
+        for p in afp_pairs(mm, max_hamming=max_h, max_bucket=None).collect()
+    }
+    assert got == expect
