@@ -46,7 +46,15 @@ class RuleEvaluation:
 
 class Ruler:
     """Evaluate rules over a samples context and write back
-    (ref: ruler/manager.go evaluation loop + writeback.go)."""
+    (ref: ruler/manager.go evaluation loop + writeback.go).
+
+    This is the EMBEDDED layer: rules registered in code, full-matrix
+    writeback — the shape notebooks and tests drive directly. The
+    reference's full management surface (YAML rule groups persisted
+    with ReplacingMergeTree semantics, per-cycle store re-read,
+    instant-query evaluation, HTTP CRUD) lives in
+    streaming/rules.py::RuleStore/RuleManager and is what the gateway
+    serves; both write back through the same ingest_fanout path."""
 
     def __init__(
         self,
