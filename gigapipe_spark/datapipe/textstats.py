@@ -567,7 +567,11 @@ def nb_classifier(
         labels.select("label")
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(vsize))
-        .join(ltot, "label")
+        # LEFT join + 0: a class whose documents contain no in-vocab
+        # words still needs grid rows — its smoothed likelihoods are
+        # log(1/V) per token, not a silent prior-only score
+        .join(ltot, "label", "left")
+        .withColumn("tot", F.coalesce(F.col("tot"), F.lit(0.0)))
         .join(wl, ["label", "w"], "left")
         .select(
             "label",

@@ -3891,10 +3891,11 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ltot AS (SELECT label, sum(c) AS tot FROM wl GROUP BY label),
     grid AS (
       SELECT l.label AS cand, v.w,
-             ln((coalesce(wl.c, 0) + 1.0) / (ltot.tot + vsize.v)) AS ll
+             ln((coalesce(wl.c, 0) + 1.0)
+                / (coalesce(ltot.tot, 0) + vsize.v)) AS ll
       FROM (SELECT DISTINCT label FROM labels) l
       CROSS JOIN vocab v CROSS JOIN vsize
-      JOIN ltot ON ltot.label = l.label
+      LEFT JOIN ltot ON ltot.label = l.label
       LEFT JOIN wl ON wl.label = l.label AND wl.w = v.w
     ),
     tok_scores AS (

@@ -1015,3 +1015,32 @@ def test_afp_banding_recall_matches_bruteforce(spark):
         for p in afp_pairs(mm, max_hamming=max_h, max_bucket=None).collect()
     }
     assert got == expect
+
+
+def test_nb_classifier_label_without_vocab_tokens(spark):
+    """A class whose docs contain no in-vocab words must score
+    log(1/V) per token, not a silent prior-only score (regression:
+    inner join to the per-class totals dropped its grid rows)."""
+    import math
+
+    from gigapipe_spark.datapipe.textstats import nb_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common", "big"),
+            (2, "common common", "big"),
+            (3, "rare", "tiny"),  # 'rare' falls outside max_vocab=1
+            (4, "common common", "probe"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in nb_classifier(docs, max_vocab=1).collect()}
+    # vocab = {common}; class 'tiny' has zero in-vocab tokens:
+    # score(4, tiny) = ln(1/4) + 2*ln((0+1)/(0+1)) = ln(1/4)
+    # score(4, big)  = ln(2/4) + 2*ln((5+1)/(5+1)) = ln(2/4)
+    assert out[4]["predicted"] == "big"
+    exp_tiny = math.log(1 / 4)
+    # 'tiny' must NOT beat 'probe' by dodging its likelihood terms:
+    # both prior ln(1/4), tiny's tokens are all smoothed log(1/V)=0 here
+    # (V=1), so equal scores tie toward the greater label
+    assert abs(out[3]["score"] - exp_tiny) < 1e-6 or out[3]["score"] < 0

@@ -779,3 +779,124 @@ def test_deriv_predict_linear_differential(spark, seed):
     df = promql_query(PromQLContext(spark, SF_DIR, step_ns=rng_ns), text)
     out = df.select("fingerprint", "timestamp_ns", F.round("value", 4).alias("value"))
     assert_match(out, sql, SF_DIR)
+
+
+# --- curation-operator differentials: random corpora vs pure-Python -------
+#
+# The registry oracles pin these ops at sf0.01; these seeds re-derive the
+# math in plain Python over random corpora so corpus shape (empty docs,
+# boilerplate, one-word docs, label skew) can't hide a semantics drift.
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_word_entropy_python_differential(spark, seed):
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(60_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["entropy"] for r in textstats.word_entropy(d).collect()}
+    for i, text in docs:
+        ws = [w for w in re.split(r"\s+", text) if w]
+        if not ws:
+            assert i not in got
+            continue
+        c = Counter(ws)
+        n = len(ws)
+        want = -sum((k / n) * math.log(k / n) for k in c.values())
+        assert abs(got[i] - _round6(want)) < 1e-9, (seed, i)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_bigram_logprob_python_differential(spark, seed):
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(70_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.bigram_logprob(d).collect()
+    }
+    tokenized = {
+        i: [w for w in re.split(r"\s+", text) if w] for i, text in docs
+    }
+    uni = Counter(w for ws in tokenized.values() for w in ws)
+    total = sum(uni.values())
+    bg = Counter(
+        (ws[j], ws[j + 1])
+        for ws in tokenized.values()
+        for j in range(len(ws) - 1)
+    )
+    starts = Counter(w1 for (w1, _), c in bg.items() for _ in range(c))
+    for i, ws in tokenized.items():
+        if not ws:
+            assert i not in got
+            continue
+        lp = math.log(uni[ws[0]] / total)
+        for j in range(len(ws) - 1):
+            lp += math.log(bg[(ws[j], ws[j + 1])] / starts[ws[j]])
+        want = lp / len(ws)
+        assert got[i]["n_tokens"] == len(ws), (seed, i)
+        assert abs(got[i]["mean_logprob"] - _round6(want)) < 1e-6, (seed, i)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_nb_classifier_python_differential(spark, seed):
+    """Full NB train+apply re-derived in Python: bounded vocabulary with
+    (count desc, word) tie-break, add-one smoothing, OOV skip,
+    prior-only fallback, (score, label) argmax."""
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(80_000 + seed)
+    corpus = _gen_corpus(rng, 14)
+    labels = {i: rng.choice(["good", "junk", "meh"]) for i, _ in corpus}
+    rows = [(i, text, labels[i]) for i, text in corpus]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    max_vocab = 8  # small: exercises the bound and the OOV path hard
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.nb_classifier(d, max_vocab=max_vocab).collect()
+    }
+    tokenized = {
+        i: [w for w in re.split(r"\s+", t) if w]
+        for i, t in corpus
+        if [w for w in re.split(r"\s+", t) if w]
+    }
+    uni = Counter(w for ws in tokenized.values() for w in ws)
+    vocab = {
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    }
+    v = len(vocab)
+    lab_docs = Counter(labels[i] for i in tokenized)
+    t = sum(lab_docs.values())
+    wl = Counter(
+        (labels[i], w) for i, ws in tokenized.items() for w in ws if w in vocab
+    )
+    ltot = Counter()
+    for (lab, _), c in wl.items():
+        ltot[lab] += c
+    for i, ws in tokenized.items():
+        scores = {}
+        for lab in lab_docs:
+            s = math.log(lab_docs[lab] / t)
+            for w in ws:
+                if w in vocab:
+                    s += math.log((wl[(lab, w)] + 1) / (ltot[lab] + v))
+            scores[lab] = s
+        want = max(scores, key=lambda lab: (scores[lab], lab))
+        assert got[i]["predicted"] == want, (seed, i, scores, got[i])
+        assert abs(got[i]["score"] - _round6(scores[want])) < 1e-6, (seed, i)
+        assert got[i]["label"] == labels[i]
