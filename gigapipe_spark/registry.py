@@ -3953,6 +3953,32 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# contains the MinHash near-dup stage — rows-only by the driver
+# contract; every component stage has its own exact-oracle entry and
+# the composed verdict logic is pinned by planted-doc tests
+@register("curate_corpus")
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed one-call curation pass (Dolma/RefinedWeb shape):
+    exact dedup → MinHash near-dup components (keep canonical) →
+    Gopher+C4 quality → language allowlist → PII scrub, emitting
+    per-document kept/drop_reason verdicts. Each stage is this
+    package's individually-oracled operator; the composition is
+    doc-keyed left joins only."""
+    from gigapipe_spark.datapipe.pipeline import curate_corpus as _cc
+
+    # lighter signature geometry for the check (32 hashes / 8 bands of
+    # 4 rows: same r=4 per-band selectivity, half the signature work —
+    # miss probability at j>=0.8 is (1-j^4)^8 ~ 1.4%, fine for a
+    # fixture corpus whose near-dup verdicts the tests pin exactly)
+    out = _cc(
+        _views.documents(spark, sf_dir),
+        near_dup_threshold=0.8,
+        num_hashes=32,
+        bands=8,
+    )
+    return out.select("doc_id", "kept", "drop_reason", "n_pii")
+
+
 # FFT band energies are not SQL-expressible — rows-only by the driver
 # contract; determinism/gain-invariance/recall pinned in test_datapipe
 @register("multimodal_afp_dedup")

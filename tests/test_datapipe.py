@@ -1044,3 +1044,81 @@ def test_nb_classifier_label_without_vocab_tokens(spark):
     # both prior ln(1/4), tiny's tokens are all smoothed log(1/V)=0 here
     # (V=1), so equal scores tie toward the greater label
     assert abs(out[3]["score"] - exp_tiny) < 1e-6 or out[3]["score"] < 0
+
+
+# ------------------------------------------------------- curate_corpus
+
+
+def test_curate_corpus_verdicts(spark):
+    """Planted docs exercising every drop reason in pipeline order,
+    plus a survivor whose PII is scrubbed."""
+    from gigapipe_spark.datapipe.pipeline import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away. "
+        * 10
+    ).strip()
+    near = good.replace("lazy dog", "sleepy dog")  # high-overlap near-dup
+    short = "the tiny one."  # fails Gopher's 50-word floor
+    # passes Gopher/C4 (50+ words, mean word length >= 3 via long
+    # French words, "the"/"of" twice for the stopword rule, terminal
+    # punctuation + 3 sentences) but the fr marker score (le/et/les)
+    # beats en (the/and/of) -> dropped by the language allowlist
+    french = (
+        "le grand chateau magnifique et les montagnes splendides "
+        "dominent le paysage tranquille et les villages anciens. "
+        "le fleuve traverse les collines verdoyantes et le soleil "
+        "illumine les forets profondes pres the ancient history of "
+        "provence. le vent souffle sur les chemins et le crepuscule "
+        "enveloppe les maisons the stories of evenings et les "
+        "lumieres brillent doucement sur le vieux pont de pierre."
+    )
+    # textually distinct from `good` (otherwise the near-dup stage
+    # correctly claims it first) with an email for the scrubber
+    pii = (
+        "every morning the harbour wakes with fishing boats and the "
+        "smell of salt drifting over quiet streets of the old town. "
+        "merchants open their stalls and children run between crates "
+        "of bright fruit while gulls argue above the painted rooftops. "
+        "for questions about the market schedule contact "
+        "admin@example.com and the office will answer with details."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),        # exact duplicate of 1
+            (3, near),        # near-duplicate of 1 (not identical)
+            (4, short),       # quality
+            (5, french),      # language
+            (6, pii),         # kept, with an email to scrub
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate_corpus(docs, near_dup_threshold=0.5).collect()
+    }
+    assert out[1]["kept"] and out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "exact_duplicate"
+    assert out[3]["drop_reason"] == "near_duplicate"
+    assert out[4]["drop_reason"] == "quality"
+    assert out[5]["drop_reason"] == "language"
+    assert out[6]["kept"]
+    assert out[6]["n_pii"] >= 1
+    assert "admin@example.com" not in out[6]["clean_text"]
+    assert "<EMAIL>" in out[6]["clean_text"]
+    # dropped docs carry no cleaned text
+    assert out[2]["clean_text"] is None and out[4]["n_pii"] is None
+
+
+def test_curate_corpus_reason_precedence(spark):
+    """An exact duplicate that also fails quality reports the FIRST
+    stage (exact_duplicate), like a real pipeline's stage order."""
+    from gigapipe_spark.datapipe.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "tiny."), (2, "tiny.")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert out[1]["drop_reason"] == "quality"
+    assert out[2]["drop_reason"] == "exact_duplicate"
