@@ -356,6 +356,10 @@ def ancestors_from_spans(sp: DataFrame, max_depth: int = 8) -> DataFrame:
     )
     levels = [cur]
     for _ in range(max_depth - 1):
+        # persist + a partial isEmpty probe is safe HERE (unlike
+        # dedup_components): levels are never unpersisted, so the final
+        # union's full action fills each level's cache exactly once —
+        # measured identical to an eager localCheckpoint formulation
         cur = cur.persist()
         if cur.isEmpty():
             break
