@@ -614,3 +614,152 @@ def nb_classifier(
         ),
         F.round(F.max("score"), 6).alias("score"),
     )
+
+
+def trigram_backoff_logprob(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff trigram LM score (Brants et al. 2007, §4): mean
+    log S(w_i | w_{i-2} w_{i-1}) under the corpus's own PRUNED n-gram
+    tables — the top of the unigram → bigram → trigram quality-proxy
+    ladder. Pruning (`min_count`) is what makes backoff real: a
+    corpus-trained unpruned model contains every doc n-gram by
+    construction, and web-scale trigram tables are count-pruned anyway
+    (Brants §3), so n-grams below the floor are treated as unseen and
+    the score backs off with the paper's fixed α=0.4 per level:
+
+      S(w|u,v) = c(uvw)/c(uv)        if c(uvw) ≥ min_count
+               = 0.4·S(w|v)          otherwise
+      S(w|v)   = c(vw)/c(v)          if c(vw) ≥ min_count
+               = 0.4·S(w)            otherwise
+      S(w)     = c(w)/N              (never pruned)
+
+    Position 1 scores S(w₁), position 2 S(w₂|w₁). Denominators use
+    RAW counts (pruning gates presence, not mass). Backed-off scores
+    are not normalized probabilities — the paper's point; the mean
+    log score is still a monotone quality signal.
+
+    100 TB shape, one order up from bigram_logprob: three count
+    groupBys (vocab-sized tables — the broadcast side or
+    co-partitioned at worst; min_count prunes the trigram table's
+    singleton long tail, which is most of it), then explode → join →
+    per-doc mean. N-grams build array-side; no positional self-join
+    touches the corpus.
+
+    Output: (doc_id, n_tokens, mean_logprob) — natural log, rounded 6.
+    """
+    ws = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") > 0)
+    allw = base.select(id_col, F.explode("ws").alias("w"))
+    totals = allw.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    uni = allw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n = F.size("ws")
+    bg_all = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1),
+                F.slice("ws", 2, n - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+            )
+        ).alias("g")
+    ).select("g.u", "g.v")
+    bi = bg_all.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c2"))
+    tg_all = base.select(
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice("ws", 1, n - 2),
+                    F.slice("ws", 2, n - 2),
+                    lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+                ),
+                F.slice("ws", 3, n - 2),
+                lambda p, c: F.struct(
+                    p["u"].alias("u"), p["v"].alias("v"), c.alias("w")
+                ),
+            )
+        ).alias("g")
+    ).select("g.u", "g.v", "g.w")
+    tri = tg_all.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+
+    # per-position frame: (doc, pos, u=prev2, v=prev, w); u/v null at
+    # the doc start — ws stays in scope so prev words come from the
+    # array, never a positional self-join
+    pos = base.select(
+        F.col(id_col),
+        F.size("ws").alias("n_tokens"),
+        "ws",
+        F.posexplode("ws").alias("i", "w"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "w",
+        # 0-based i: prev = ws[i-1], prev2 = ws[i-2]
+        F.when(F.col("i") >= 2, F.element_at("ws", F.col("i") - 1)).alias("u"),
+        F.when(F.col("i") >= 1, F.element_at("ws", F.col("i"))).alias("v"),
+        "i",
+    )
+    scored = (
+        pos.join(
+            tri.select(
+                F.col("u").alias("__tu"),
+                F.col("v").alias("__tv"),
+                F.col("w").alias("__tw"),
+                "c3",
+            ),
+            (F.col("u") == F.col("__tu"))
+            & (F.col("v") == F.col("__tv"))
+            & (F.col("w") == F.col("__tw")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("u").alias("__bu"), F.col("v").alias("__bv"),
+                F.col("c2").alias("c2_uv"),
+            ),
+            (F.col("u") == F.col("__bu")) & (F.col("v") == F.col("__bv")),
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("u").alias("__cu"), F.col("v").alias("__cv"),
+                F.col("c2").alias("c2_vw"),
+            ),
+            (F.col("v") == F.col("__cu")) & (F.col("w") == F.col("__cv")),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("__uv"), F.col("c1").alias("c1_v")),
+            F.col("v") == F.col("__uv"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("__uw"), F.col("c1").alias("c1_w")),
+            F.col("w") == F.col("__uw"),
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    mc = F.lit(min_count)
+    s_uni = F.col("c1_w") / F.col("n")
+    s_bi = F.when(
+        F.coalesce(F.col("c2_vw"), F.lit(0)) >= mc,
+        F.col("c2_vw") / F.col("c1_v"),
+    ).otherwise(0.4 * s_uni)
+    s_tri = F.when(
+        F.coalesce(F.col("c3"), F.lit(0)) >= mc,
+        F.col("c3") / F.col("c2_uv"),
+    ).otherwise(0.4 * s_bi)
+    lp = (
+        F.when(F.col("i") == 0, F.log(s_uni))
+        .when(F.col("i") == 1, F.log(s_bi))
+        .otherwise(F.log(s_tri))
+    )
+    return (
+        scored.select(id_col, "n_tokens", lp.alias("lp"))
+        .groupBy(id_col, "n_tokens")
+        .agg(F.round(F.sum("lp") / F.col("n_tokens"), 6).alias("mean_logprob"))
+        .select(id_col, F.col("n_tokens").cast("long"), "mean_logprob")
+    )

@@ -3953,6 +3953,84 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_trigram_backoff",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    p2 AS (
+      SELECT bg['u'] AS u, bg['v'] AS v FROM (
+        SELECT unnest([struct_pack(u := ws[j], v := ws[j+1])
+                       FOR j IN generate_series(1, len(ws) - 1)]) AS bg
+        FROM d
+      )
+    ),
+    bi AS (SELECT u, v, count(*) AS c2 FROM p2 GROUP BY u, v),
+    p3 AS (
+      SELECT tg['u'] AS u, tg['v'] AS v, tg['w'] AS w FROM (
+        SELECT unnest([struct_pack(u := ws[j], v := ws[j+1], w := ws[j+2])
+                       FOR j IN generate_series(1, len(ws) - 2)]) AS tg
+        FROM d
+      )
+    ),
+    tri AS (SELECT u, v, w, count(*) AS c3 FROM p3 GROUP BY u, v, w),
+    pos AS (
+      SELECT doc_id, len(ws) AS n_tokens, j,
+             CASE WHEN j >= 3 THEN ws[j-2] END AS u,
+             CASE WHEN j >= 2 THEN ws[j-1] END AS v,
+             ws[j] AS w
+      FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS j FROM d
+      )
+    ),
+    sc AS (
+      SELECT pos.doc_id, pos.n_tokens,
+        CASE
+          WHEN pos.j = 1 THEN ln(u1.c1 / nt.n)
+          WHEN pos.j = 2 THEN
+            CASE WHEN coalesce(b_vw.c2, 0) >= 2
+                 THEN ln(b_vw.c2 * 1.0 / u_v.c1)
+                 ELSE ln(0.4 * u1.c1 / nt.n) END
+          ELSE
+            CASE WHEN coalesce(t.c3, 0) >= 2
+                 THEN ln(t.c3 * 1.0 / b_uv.c2)
+                 WHEN coalesce(b_vw.c2, 0) >= 2
+                 THEN ln(0.4 * b_vw.c2 / u_v.c1)
+                 ELSE ln(0.16 * u1.c1 / nt.n) END
+        END AS lp
+      FROM pos
+      CROSS JOIN nt
+      LEFT JOIN tri t ON t.u = pos.u AND t.v = pos.v AND t.w = pos.w
+      LEFT JOIN bi b_uv ON b_uv.u = pos.u AND b_uv.v = pos.v
+      LEFT JOIN bi b_vw ON b_vw.u = pos.v AND b_vw.v = pos.w
+      LEFT JOIN uni u_v ON u_v.w = pos.v
+      JOIN uni u1 ON u1.w = pos.w
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sum(lp) / n_tokens, 6) AS mean_logprob
+    FROM sc GROUP BY doc_id, n_tokens
+    """,
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (Brants et al. 2007)
+    with a count-pruning floor — the top of the unigram → bigram →
+    trigram 'stupid LM' ladder; pruning makes the backoff path real on
+    a corpus-trained model. Exact oracle: the same pruned-count tables
+    and per-position CASE ladder in SQL."""
+    from gigapipe_spark.datapipe.textstats import trigram_backoff_logprob
+
+    return trigram_backoff_logprob(
+        _views.documents(spark, sf_dir), min_count=2
+    )
+
+
 # contains the MinHash near-dup stage — rows-only by the driver
 # contract; every component stage has its own exact-oracle entry and
 # the composed verdict logic is pinned by planted-doc tests

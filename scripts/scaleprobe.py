@@ -124,6 +124,7 @@ def main() -> None:
         "dedup_semantic_clusters",
         "multimodal_afp_dedup",
         "text_nb_classifier",
+        "curate_corpus",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))

@@ -900,3 +900,67 @@ def test_nb_classifier_python_differential(spark, seed):
         assert got[i]["predicted"] == want, (seed, i, scores, got[i])
         assert abs(got[i]["score"] - _round6(scores[want])) < 1e-6, (seed, i)
         assert got[i]["label"] == labels[i]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_trigram_backoff_python_differential(spark, seed):
+    """Stupid backoff (Brants 2007) with a count-pruning floor,
+    re-derived in Python: trigram MLE when the trigram count clears
+    min_count, else 0.4 x bigram level, else 0.16 x unigram."""
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(90_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    mc = 2
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.trigram_backoff_logprob(d, min_count=mc).collect()
+    }
+    tokenized = {
+        i: [w for w in re.split(r"\s+", t) if w] for i, t in docs
+    }
+    uni = Counter(w for ws in tokenized.values() for w in ws)
+    n = sum(uni.values())
+    bi = Counter(
+        (ws[j], ws[j + 1])
+        for ws in tokenized.values()
+        for j in range(len(ws) - 1)
+    )
+    tri = Counter(
+        (ws[j], ws[j + 1], ws[j + 2])
+        for ws in tokenized.values()
+        for j in range(len(ws) - 2)
+    )
+
+    def s_uni(w):
+        return uni[w] / n
+
+    def s_bi(v, w):
+        if bi[(v, w)] >= mc:
+            return bi[(v, w)] / uni[v]
+        return 0.4 * s_uni(w)
+
+    def s_tri(u, v, w):
+        if tri[(u, v, w)] >= mc:
+            return tri[(u, v, w)] / bi[(u, v)]
+        return 0.4 * s_bi(v, w)
+
+    for i, ws in tokenized.items():
+        if not ws:
+            assert i not in got
+            continue
+        lp = math.log(s_uni(ws[0]))
+        if len(ws) > 1:
+            lp += math.log(s_bi(ws[0], ws[1]))
+        for j in range(2, len(ws)):
+            lp += math.log(s_tri(ws[j - 2], ws[j - 1], ws[j]))
+        want = lp / len(ws)
+        assert got[i]["n_tokens"] == len(ws), (seed, i)
+        assert abs(got[i]["mean_logprob"] - _round6(want)) < 1e-6, (
+            seed, i, got[i]["mean_logprob"], want,
+        )
