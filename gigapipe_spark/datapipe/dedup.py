@@ -969,3 +969,52 @@ def semdedup(
     return assigned.groupBy("cluster").applyInPandas(
         _greedy, schema="vec_id long, cluster int, keep boolean, overflow boolean"
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span-level dedup: drop every word whose 0-based position
+    falls inside a (start_word, n_words) span, rejoin the survivors
+    with single spaces — the REMOVAL half of Lee et al. 2022's
+    exact-substring treatment (repeated_substring_spans detects; this
+    transforms the training text). Whitespace is canonicalized to the
+    word grid the spans were computed on, so span positions and text
+    positions can never drift apart.
+
+    Scale shape: spans collapse to one array per doc (a doc has FEW
+    maximal spans by construction — islands of duplicated k-grams),
+    then one doc-keyed left join and a per-row array filter; the
+    corpus text never shuffles on anything but doc_id.
+
+    Returns (doc_id, clean_text, n_removed_words).
+    """
+    per_doc = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_word").cast("long").alias("s"),
+                F.col("n_words").cast("long").alias("n"),
+            )
+        ).alias("__spans")
+    )
+    ws = words_col(F.col(text_col))
+    out = (
+        docs.select(F.col(id_col), ws.alias("__ws"))
+        .join(per_doc, id_col, "left")
+        .withColumn("__spans", F.coalesce("__spans", F.array()))
+    )
+    kept = F.filter(
+        F.col("__ws"),
+        lambda w, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (sp["s"] <= i) & (i < sp["s"] + sp["n"]),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__ws") - F.size(kept)).cast("long").alias("n_removed_words"),
+    )

@@ -3954,6 +3954,82 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 10
+    ),
+    g2 AS (
+      SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([struct_pack(pos := j - 1,
+                                   g := array_to_string(ws[j:j+9], ' '))
+                       FOR j IN generate_series(1, len(ws) - 9)]) AS pg
+        FROM d2
+      )
+    ),
+    dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) > 1),
+    m AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM dup)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > 10 THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    i2 AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM i
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 10 - min(pos) AS n
+      FROM i2 GROUP BY doc_id, island
+    ),
+    sp AS (
+      SELECT doc_id, list(struct_pack(s := s, n := n)) AS sps
+      FROM spans GROUP BY doc_id
+    ),
+    allw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+    )
+    SELECT a.doc_id,
+           -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws
+           -- gives '' for a fully-removed doc — normalize to ''
+           coalesce(array_to_string(
+             list_filter(a.ws, (x, i) ->
+               len(list_filter(coalesce(sp.sps, []),
+                               v -> v.s <= i - 1 AND i - 1 < v.s + v.n)) = 0
+             ), ' '), '') AS clean_text,
+           CAST(len(a.ws) -
+             len(list_filter(a.ws, (x, i) ->
+               len(list_filter(coalesce(sp.sps, []),
+                               v -> v.s <= i - 1 AND i - 1 < v.s + v.n)) = 0
+             )) AS BIGINT) AS n_removed_words
+    FROM allw a LEFT JOIN sp ON sp.doc_id = a.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022):
+    detected repeated-10-gram spans are cut from the word grid and the
+    survivors rejoined — span-level curation whole-doc dedup cannot
+    express. Exact oracle: the spans CTE chain from
+    dedup_repeated_substrings composed with an index-lambda removal."""
+    from gigapipe_spark.datapipe.dedup import (
+        remove_spans,
+        repeated_substring_spans,
+    )
+
+    d = _views.documents(spark, sf_dir)
+    return remove_spans(d, repeated_substring_spans(d, k=10))
+
+
+@register(
     "text_trigram_backoff",
     r"""
     WITH d AS (

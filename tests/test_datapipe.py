@@ -1122,3 +1122,57 @@ def test_curate_corpus_reason_precedence(spark):
     out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
     assert out[1]["drop_reason"] == "quality"
     assert out[2]["drop_reason"] == "exact_duplicate"
+
+
+# --------------------------------------------------------- remove_spans
+
+
+def test_remove_spans_planted(spark):
+    from gigapipe_spark.datapipe.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x  y\n z")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (1, 5, 2)],  # drop b c and f g
+        "doc_id long, start_word long, n_words long",
+    )
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "a d e h"
+    assert out[1]["n_removed_words"] == 4
+    # doc without spans: whitespace canonicalized, nothing removed
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_removed_words"] == 0
+
+
+def test_remove_spans_roundtrip_with_detection(spark):
+    """Detection -> removal: after removing every repeated 10-gram span
+    the corpus contains no repeated 10-gram (the Lee et al. fixpoint
+    property on a single pass for non-adjacent duplicates)."""
+    from gigapipe_spark.datapipe.dedup import (
+        remove_spans,
+        repeated_substring_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 u3 {boiler} u4 u5"),
+            (2, f"v1 v2 {boiler} v3"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(docs, k=10)
+    cleaned = remove_spans(docs, spans).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    again = repeated_substring_spans(cleaned, k=10)
+    assert again.count() == 0
+    got = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    # the unique words survive
+    assert got[1]["clean_text"].startswith("u1 u2 u3")
+    assert got[1]["clean_text"].endswith("u4 u5")
+    assert got[2]["n_removed_words"] == 12
+    assert got[3]["n_removed_words"] == 0
