@@ -763,3 +763,82 @@ def trigram_backoff_logprob(
         .agg(F.round(F.sum("lp") / F.col("n_tokens"), 6).alias("mean_logprob"))
         .select(id_col, F.col("n_tokens").cast("long"), "mean_logprob")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson-Spärck Jones,
+    the Lucene-default scoring shape) — the lexical search primitive a
+    curation stack needs next to embedding ANN (e.g. contamination
+    audits: "which training docs score highest against this benchmark
+    question").
+
+      score(q,d) = Σ_{t∈q} IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+      IDF(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene's +1 form)
+
+    100 TB shape: the postings build is one (term, doc) groupBy; df and
+    avgdl are term-table / scalar aggregates; the query side is a tiny
+    literal frame BROADCAST against the postings of matching terms
+    only, so the join touches the inverted-index slice for the query
+    vocabulary, never the corpus. Ranking rounds BEFORE ordering so
+    cross-engine float-sum noise cannot flip a rank (ties break by
+    doc id).
+
+    Returns (query_id, rank, doc_id, score) — top-k per query.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    ws = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") > 0)
+    lens = base.select(id_col, F.size("ws").alias("dl"))
+    n_avg = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, F.explode("ws").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        spark.createDataFrame(queries, "query_id long, q string")
+        .select("query_id", F.explode(words_col(F.col("q"))).alias("t"))
+        .distinct()
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(df_t, "t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(n_avg))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long"), id_col, "score")
+    )

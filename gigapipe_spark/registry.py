@@ -3953,6 +3953,69 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (1, "spark query join"),
+    (2, "window sort merge"),
+    (3, "fast table scan"),
+]
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0
+    ),
+    lens AS (SELECT doc_id, len(ws) AS dl FROM base),
+    na AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, w AS t, count(*) AS tf FROM (
+        SELECT doc_id, unnest(ws) AS w FROM base
+      ) GROUP BY doc_id, w
+    ),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    q AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS t
+      FROM (VALUES (1, 'spark query join'), (2, 'window sort merge'),
+                   (3, 'fast table scan')) AS v(query_id, qtext)
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln((na.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / na.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN q ON q.t = tf.t
+      JOIN dft ON dft.t = tf.t
+      JOIN lens ON lens.doc_id = tf.doc_id
+      CROSS JOIN na
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene-default scoring, k1=1.2 b=0.75):
+    top-10 documents per query for three fixed corpus-vocabulary
+    queries — the lexical search primitive next to embedding ANN
+    (contamination audits, targeted corpus exploration). Exact oracle:
+    the same postings/df/avgdl tables and the identical
+    round-before-rank ordering in SQL."""
+    from gigapipe_spark.datapipe.textstats import bm25_topk
+
+    return bm25_topk(_views.documents(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
 @register(
     "dedup_span_removal",
     r"""

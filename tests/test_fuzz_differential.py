@@ -964,3 +964,59 @@ def test_trigram_backoff_python_differential(spark, seed):
         assert abs(got[i]["mean_logprob"] - _round6(want)) < 1e-6, (
             seed, i, got[i]["mean_logprob"], want,
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bm25_python_differential(spark, seed):
+    """BM25 (k1=1.2, b=0.75, Lucene +1 IDF) re-derived in Python over
+    random corpora and random 2-3 word queries; ranks compare on the
+    rounded score with doc-id ties, exactly the operator's contract."""
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(95_000 + seed)
+    docs = _gen_corpus(rng, 15)
+    queries = [
+        (qid, " ".join(rng.sample(WORDS, rng.randint(2, 3))))
+        for qid in range(3)
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 5
+    got = [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in textstats.bm25_topk(d, queries, k=k).collect()
+    ]
+    tokenized = {
+        i: [w for w in re.split(r"\s+", t) if w]
+        for i, t in docs
+        if [w for w in re.split(r"\s+", t) if w]
+    }
+    n = len(tokenized)
+    avgdl = sum(len(ws) for ws in tokenized.values()) / n
+    df = Counter()
+    for ws in tokenized.values():
+        for t in set(ws):
+            df[t] += 1
+    want = []
+    for qid, q in queries:
+        scores = {}
+        for i, ws in tokenized.items():
+            tf = Counter(ws)
+            s = 0.0
+            hit = False
+            for t in set(q.split()):
+                if tf[t] == 0:
+                    continue
+                hit = True
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (tf[t] * 2.2) / (
+                    tf[t] + 1.2 * (1 - 0.75 + 0.75 * len(ws) / avgdl)
+                )
+            if hit:
+                scores[i] = _round6(s)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        want += [(qid, r + 1, i, s) for r, (i, s) in enumerate(ranked)]
+    assert sorted(got) == sorted(want), (seed, got, want)
