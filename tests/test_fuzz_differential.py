@@ -1020,3 +1020,42 @@ def test_bm25_python_differential(spark, seed):
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         want += [(qid, r + 1, i, s) for r, (i, s) in enumerate(ranked)]
     assert sorted(got) == sorted(want), (seed, got, want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_span_removal_python_differential(spark, seed):
+    """detect+remove re-derived in Python: mark every position whose
+    k-gram recurs corpus-wide, merge marked positions into maximal
+    covered intervals, drop covered words, rejoin."""
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe.dedup import (
+        remove_spans,
+        repeated_substring_spans,
+    )
+
+    k = 4  # small k so random corpora actually contain repeats
+    rng = random.Random(97_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_spans(d, repeated_substring_spans(d, k=k)).collect()
+    }
+    tokenized = {
+        i: [w for w in re.split(r"\s+", t) if w] for i, t in docs
+    }
+    grams = Counter(
+        tuple(ws[j:j + k])
+        for ws in tokenized.values()
+        for j in range(len(ws) - k + 1)
+    )
+    for i, ws in tokenized.items():
+        covered = set()
+        for j in range(len(ws) - k + 1):
+            if grams[tuple(ws[j:j + k])] > 1:
+                covered.update(range(j, j + k))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        assert got[i]["clean_text"] == " ".join(kept), (seed, i)
+        assert got[i]["n_removed_words"] == len(covered), (seed, i)
