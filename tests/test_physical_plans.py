@@ -138,3 +138,77 @@ def test_bucketed_samples_window_no_exchange(spark, tmp_path):
     plan = _plan(out)
     assert "Window" in plan and "Exchange" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS samples_bucketed_t")
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """The query-term frame must broadcast against the postings slice —
+    at 100 TB the corpus-sized postings never shuffle for a search."""
+    from gigapipe_spark.datapipe.textstats import bm25_topk
+
+    df = bm25_topk(
+        views.documents(spark, SF_DIR), [(1, "spark query join")], k=5
+    )
+    assert "BroadcastExchange" in _plan(df)
+
+
+def test_nb_classifier_grid_broadcasts_no_cartesian(spark):
+    """The labels x vocab likelihood grid is broadcast-sized by
+    construction; the corpus must never cartesian-join the label set."""
+    from gigapipe_spark.datapipe.textstats import nb_classifier
+
+    plan = _plan(nb_classifier(views.documents(spark, SF_DIR), max_vocab=300))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curate_corpus_no_cartesian(spark):
+    """The composed pipeline is doc-keyed joins only — no stage may
+    degrade to a cartesian product."""
+    from gigapipe_spark.datapipe.pipeline import curate_corpus
+
+    plan = _plan(
+        curate_corpus(
+            views.documents(spark, SF_DIR), num_hashes=32, bands=8
+        )
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_remove_spans_single_doc_keyed_join(spark):
+    """Span application joins the span arrays per doc — the corpus text
+    shuffles on doc_id only (one SortMergeJoin/Exchange pair at most,
+    nothing keyed by span or gram)."""
+    from gigapipe_spark.datapipe.dedup import remove_spans
+
+    docs = views.documents(spark, SF_DIR)
+    spans = spark.createDataFrame(
+        [(1, 0, 3)], "doc_id long, start_word long, n_words long"
+    )
+    plan = _plan(remove_spans(docs, spans))
+    assert "CartesianProduct" not in plan
+
+
+def test_rules_tail_poll_scan_bounds(spark, tmp_path):
+    """The ruler evaluators' store reads must carry raw timestamp
+    predicates into the scan (the same pruning contract as the tail
+    poll) — a year-deep store is not re-scanned per evaluation."""
+    import json
+
+    from gigapipe_spark.sources.ingest import loki_push
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+    t0 = 1_700_000_000_000_000_000
+    root = str(tmp_path / "rulesplan")
+    cat = Catalog(root)
+    payload = json.dumps(
+        {"streams": [{"stream": {"app": "p"},
+                      "values": [[str(t0), "x"]]}]}
+    )
+    ingest_fanout(
+        loki_push(spark.createDataFrame([(payload,)], "payload string")), cat
+    )
+    eng = StoreEngine(spark, root, catalog=cat)
+    df = eng.loki_query('{app="p"}', t0 + 1_000)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
