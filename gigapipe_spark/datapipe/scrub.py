@@ -124,3 +124,78 @@ def contamination_ngrams(
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contamination"),
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: the word-position spans of each
+    training doc covered by a length-k word window that appears
+    VERBATIM in the benchmark set — the excise-don't-drop counterpart
+    to contamination_ngrams' doc-level flag (pipe the output into
+    dedup.remove_spans to cut leaked benchmark text while keeping the
+    rest of the document, the Lee et al. 2022 treatment applied to
+    decontamination).
+
+    Shape: positional k-gram hashes build ARRAY-SIDE per doc (same
+    formulation as dedup.repeated_substring_spans — the corpus never
+    self-joins); the benchmark's DISTINCT gram hashes are the small
+    side of a semi-join (broadcast-sized for any real eval set); marked
+    positions merge into maximal spans with the gaps-and-islands window
+    over the MARKED subset only.
+
+    Returns (doc_id, start_word, n_words), 0-based start.
+    """
+    from pyspark.sql import Window
+
+    from gigapipe_spark.datapipe.dedup import words_col
+
+    def positional_grams(df: DataFrame, idc) -> DataFrame:
+        ws = words_col(F.col(text_col))
+        base = df.select(idc, ws.alias("ws")).filter(F.size("ws") >= k)
+        return base.select(
+            idc,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("ws", i + 1, k))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        ).select(idc, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+
+    grams = positional_grams(docs, F.col(id_col))
+    bench = (
+        positional_grams(benchmark, F.lit(0).alias("__b"))
+        .select("g")
+        .distinct()
+    )
+    marked = grams.join(F.broadcast(bench), "g", "left_semi").select(
+        id_col, "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("n_words"),
+        )
+        .select(id_col, F.col("start_word").cast("long"), "n_words")
+    )

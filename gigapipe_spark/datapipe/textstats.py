@@ -842,3 +842,49 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long"), id_col, "score")
     )
+
+
+def corpus_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus profile — the summary a training run reads before
+    touching the data: document/token/character totals, vocabulary
+    size, type-token ratio, and the document-length distribution
+    (mean / median / max tokens).
+
+    Two aggregates total: a per-doc token count (scan-fused) feeding
+    the global rollup, and one distinct-word count (the only
+    vocabulary-sized shuffle). Median uses percentile's linear
+    interpolation — the same contract as DuckDB's quantile_cont, so the
+    number is oracle-exact."""
+    ws = words_col(F.col(text_col))
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(ws).alias("__nt"),
+        F.length(text_col).alias("__nc"),
+    )
+    vocab = (
+        docs.select(F.explode(ws).alias("w")).agg(
+            F.count_distinct("w").alias("vocab_size")
+        )
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+        F.round(F.avg("__nt"), 6).alias("mean_doc_tokens"),
+        F.percentile("__nt", F.lit(0.5)).alias("median_doc_tokens"),
+        F.max("__nt").cast("long").alias("max_doc_tokens"),
+    )
+    return agg.crossJoin(vocab).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        "mean_doc_tokens",
+        "median_doc_tokens",
+        "max_doc_tokens",
+    )

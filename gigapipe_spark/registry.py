@@ -3953,6 +3953,93 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_corpus_stats",
+    r"""
+    WITH per AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+               AS nt,
+             length(text) AS nc
+      FROM documents
+    ),
+    vocab AS (
+      SELECT count(DISTINCT w) AS vocab_size FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x != '')) AS w
+        FROM documents
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(vocab.vocab_size AS BIGINT) AS vocab_size,
+           round(vocab.vocab_size * 1.0 / sum(nt), 6) AS type_token_ratio,
+           round(avg(nt), 6) AS mean_doc_tokens,
+           quantile_cont(nt, 0.5) AS median_doc_tokens,
+           CAST(max(nt) AS BIGINT) AS max_doc_tokens
+    FROM per CROSS JOIN vocab GROUP BY vocab.vocab_size
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile (docs/tokens/chars, vocabulary size,
+    type-token ratio, doc-length mean/median/max) — the pre-training
+    summary pass. Exact oracle incl. the interpolated median."""
+    from gigapipe_spark.datapipe.textstats import corpus_stats
+
+    return corpus_stats(_views.documents(spark, sf_dir))
+
+
+@register(
+    "contamination_spans",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) >= 10
+    ),
+    g2 AS (
+      SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+        SELECT doc_id,
+               unnest([struct_pack(pos := j - 1,
+                                   g := array_to_string(ws[j:j+9], ' '))
+                       FOR j IN generate_series(1, len(ws) - 9)]) AS pg
+        FROM d2
+      )
+    ),
+    bg AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 25),
+    m AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM bg)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > 10 THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    i2 AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM i
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+           CAST(max(pos) + 10 - min(pos) AS BIGINT) AS n_words
+    FROM i2 GROUP BY doc_id, island
+    """,
+)
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (excise-don't-drop counterpart to
+    contamination_ngrams): word-position spans covered by a 10-gram
+    that appears verbatim in the benchmark slice (doc_id < 25, the same
+    convention as contamination_ngrams); pipe into remove_spans to cut
+    the leak. Exact oracle: positional-gram + gaps-and-islands CTEs
+    with the benchmark gram set."""
+    from gigapipe_spark.datapipe.scrub import contamination_spans as _cs
+
+    d = _views.documents(spark, sf_dir)
+    return _cs(d, d.filter(F.col("doc_id") < 25), k=10)
+
+
 _BM25_QUERIES = [
     (1, "spark query join"),
     (2, "window sort merge"),

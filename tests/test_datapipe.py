@@ -1176,3 +1176,50 @@ def test_remove_spans_roundtrip_with_detection(spark):
     assert got[1]["clean_text"].endswith("u4 u5")
     assert got[2]["n_removed_words"] == 12
     assert got[3]["n_removed_words"] == 0
+
+
+# ------------------------------------------------- contamination spans
+
+
+def test_contamination_spans_excise_roundtrip(spark):
+    """Benchmark text leaked into a training doc is found as a span and
+    excised by remove_spans; clean docs are untouched."""
+    from gigapipe_spark.datapipe.dedup import remove_spans
+    from gigapipe_spark.datapipe.scrub import contamination_spans
+
+    bench_q = " ".join(f"q{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {bench_q} outro trailing words"),
+            (2, "totally unrelated text with enough words to pass " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"some eval preamble {bench_q} answer choices")],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(docs, bench, k=10)
+    got = [(r["doc_id"], r["start_word"], r["n_words"]) for r in spans.collect()]
+    assert got == [(1, 3, 10)]
+    cleaned = {
+        r["doc_id"]: r for r in remove_spans(docs, spans).collect()
+    }
+    assert cleaned[1]["clean_text"] == "intro words here outro trailing words"
+    assert cleaned[1]["n_removed_words"] == 10
+    assert cleaned[2]["n_removed_words"] == 0
+
+
+def test_contamination_spans_merge_adjacent(spark):
+    """Two overlapping leaked windows merge into one maximal span."""
+    from gigapipe_spark.datapipe.scrub import contamination_spans
+
+    leak = " ".join(f"q{i}" for i in range(12))  # 12 words: 3 windows of 10
+    docs = spark.createDataFrame(
+        [(1, f"a b {leak} z")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, leak)], "doc_id long, text string"
+    )
+    got = contamination_spans(docs, bench, k=10).collect()
+    assert [(r["start_word"], r["n_words"]) for r in got] == [(2, 12)]
