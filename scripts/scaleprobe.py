@@ -125,6 +125,11 @@ def main() -> None:
         "multimodal_afp_dedup",
         "text_nb_classifier",
         "curate_corpus",
+        "contamination_spans",
+        "text_corpus_stats",
+        "text_trigram_backoff",
+        "text_bm25_topk",
+        "dedup_span_removal",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))
