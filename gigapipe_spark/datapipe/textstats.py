@@ -888,3 +888,58 @@ def corpus_stats(
         "median_doc_tokens",
         "max_doc_tokens",
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    the corpus-exploration primitive next to BM25 (what is this doc
+    about; which docs does a domain term dominate):
+
+      tfidf(t,d) = (tf / |d|) · ln(N / df(t)) + 0  (natural log,
+                   raw df — every doc term exists, so no smoothing
+                   constant is needed)
+
+    Same table shapes as bm25_topk: one (term, doc) groupBy for tf,
+    a term-keyed df aggregate, a scalar N. Ranking rounds BEFORE
+    ordering (ties then break by term) so cross-engine float noise
+    cannot flip a rank.
+
+    Returns (doc_id, rank, term, tfidf)."""
+    from pyspark.sql import Window
+
+    ws = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") > 0)
+    lens = base.select(id_col, F.size("ws").alias("dl"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tf = (
+        base.select(id_col, F.explode("ws").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_t, "t")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("t").alias("term"),
+            F.round(
+                (F.col("tf") / F.col("dl")) * F.log(F.col("n") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long"), "term", "tfidf")
+    )

@@ -3954,6 +3954,47 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_keywords",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+      FROM documents
+      WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0
+    ),
+    lens AS (SELECT doc_id, len(ws) AS dl FROM base),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(ws) AS w FROM base
+      ) GROUP BY doc_id, w
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.tf * 1.0 / lens.dl) * ln(nd.n / dft.df), 6) AS tfidf
+      FROM tf
+      JOIN dft USING (term)
+      JOIN lens ON lens.doc_id = tf.doc_id
+      CROSS JOIN nd
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF — corpus
+    exploration next to BM25 retrieval. Exact oracle with the same
+    round-before-rank determinism."""
+    from gigapipe_spark.datapipe.textstats import tfidf_keywords
+
+    return tfidf_keywords(_views.documents(spark, sf_dir), k=5)
+
+
+@register(
     "text_corpus_stats",
     r"""
     WITH per AS (

@@ -130,6 +130,7 @@ def main() -> None:
         "text_trigram_backoff",
         "text_bm25_topk",
         "dedup_span_removal",
+        "text_tfidf_keywords",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))

@@ -1059,3 +1059,41 @@ def test_span_removal_python_differential(spark, seed):
         kept = [w for p, w in enumerate(ws) if p not in covered]
         assert got[i]["clean_text"] == " ".join(kept), (seed, i)
         assert got[i]["n_removed_words"] == len(covered), (seed, i)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tfidf_keywords_python_differential(spark, seed):
+    import math
+    import re
+    from collections import Counter
+
+    from gigapipe_spark.datapipe import textstats
+
+    rng = random.Random(98_000 + seed)
+    docs = _gen_corpus(rng, 12)
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 4
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tfidf"])
+        for r in textstats.tfidf_keywords(d, k=k).collect()
+    ]
+    tokenized = {
+        i: [w for w in re.split(r"\s+", t) if w]
+        for i, t in docs
+        if [w for w in re.split(r"\s+", t) if w]
+    }
+    n = len(tokenized)
+    df = Counter()
+    for ws in tokenized.values():
+        for t in set(ws):
+            df[t] += 1
+    want = []
+    for i, ws in tokenized.items():
+        tf = Counter(ws)
+        scores = {
+            t: _round6((c / len(ws)) * math.log(n / df[t]))
+            for t, c in tf.items()
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        want += [(i, r + 1, t, s) for r, (t, s) in enumerate(ranked)]
+    assert sorted(got) == sorted(want), (seed,)
