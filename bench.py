@@ -44,15 +44,20 @@ BENCH_QUERIES = [
 ]
 
 
-def _calibration(spark, sf_dir: str) -> float | None:
+def _make_probe(spark, sf_dir: str):
     """Fixed-work box-speed probe: scan+hash-agg over a frozen file
     (sf0.1 lineitem — ~600k rows regardless of the bench SF). The
     per-round totals in BENCH_r*.json moved ±15% on hardware drift
     alone (BASELINE.md r3–r5 notes); `total/calibration` is the
-    box-independent number to compare across rounds. Median of 3 runs,
-    first run discarded as JIT warmup."""
-    import statistics
+    box-independent number to compare across rounds.
 
+    A single median-of-3 up-front probe proved too noisy: recorded
+    calibrations swung 0.222 → 0.251 → 0.182 (±30%) across rounds
+    while query times moved <10%, making `normalized` unfalsifiable
+    (VERDICT r7 task 1). The probe is therefore run INTERLEAVED with
+    the query set — one probe every 2 queries, ≥7 samples — and the
+    output records median + MAD so round-over-round comparisons can
+    bound probe drift explicitly."""
     from pyspark.sql import functions as F
 
     path = "/root/testdata/sf0.1/lineitem.parquet"
@@ -72,8 +77,7 @@ def _calibration(spark, sf_dir: str) -> float | None:
         ).collect()
         return time.monotonic() - t0
 
-    probe()  # warmup
-    return round(statistics.median(probe() for _ in range(3)), 3)
+    return probe
 
 
 def main() -> None:
@@ -110,9 +114,16 @@ def main() -> None:
                     qs[name](spark, warm_dir).count()
                 except Exception:
                     pass
+    import statistics
+
+    probe = _make_probe(spark, sf_dir)
+    cal_runs: list[float] = []
+    if probe is not None:
+        probe()  # JIT warmup, discarded
+        cal_runs.append(probe())
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         if name not in qs:
             continue
         t0 = time.monotonic()
@@ -121,8 +132,14 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        # Interleave a calibration sample every 2 queries so box-speed
+        # drift DURING the run (thermal, co-tenant load) is sampled, not
+        # just the state of the box before the first query.
+        if probe is not None and i % 2 == 1:
+            cal_runs.append(probe())
+    if probe is not None:
+        cal_runs.append(probe())
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    cal = _calibration(spark, sf_dir)
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -130,9 +147,23 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if cal:
-        out["calibration"] = cal
+    if cal_runs:
+        cal = statistics.median(cal_runs)
+        mad = statistics.median(abs(x - cal) for x in cal_runs)
+        out["calibration"] = round(cal, 3)
+        out["calibration_mad"] = round(mad, 4)
+        out["calibration_runs"] = [round(x, 3) for x in cal_runs]
         out["normalized"] = round(total / cal, 2)
+        # Probe drift bound: how far `normalized` could move on probe
+        # noise alone (half-width from MAD), for falsifiable comparisons.
+        if cal > mad:
+            out["normalized_band"] = [
+                round(total / (cal + mad), 2),
+                round(total / (cal - mad), 2),
+            ]
+        out["queries_normalized"] = {
+            k: round(v / cal, 2) for k, v in timings.items()
+        }
     print(json.dumps(out))
 
 
