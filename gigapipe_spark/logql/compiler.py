@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 
 from gigapipe_spark.logql import ast as A
 from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.model.re2java import group_index as _re2_groups
+from gigapipe_spark.model.re2java import translate as _re2
 from gigapipe_spark.sources import views
 
 
@@ -103,7 +105,9 @@ def _matcher_cond(key_col: Column, val_col: Column, m: A.Matcher) -> Column:
     if m.op == "=":
         return cond & (val_col == m.value)
     if m.op == "=~":
-        return cond & val_col.rlike(m.value)
+        # user regexes are RE2 (ref: sql_misc.go:33 match()); translate
+        # to Java-with-RE2-semantics before rlike
+        return cond & val_col.rlike(_re2(m.value))
     raise ValueError(f"positive matcher expected, got {m.op}")
 
 
@@ -278,9 +282,9 @@ def _lf_col(op: str, e: A.LFExpr) -> Column:
     if op == "!=":
         return ~s.contains(v)
     if op == "|~":
-        return s.rlike(v)
+        return s.rlike(_re2(v))
     if op == "!~":
-        return ~s.rlike(v)
+        return ~s.rlike(_re2(v))
     if op == "|>":  # Loki pattern filter: <_> wildcards
         rx = ".*".join(re.escape(p) for p in v.split("<_>"))
         return s.rlike("^" + rx + "$")
@@ -310,8 +314,8 @@ def _label_col(e: A.LabelExpr) -> Column:
     ops = {
         "=": s == e.value,
         "!=": s != e.value,
-        "=~": s.rlike(e.value),
-        "!~": ~s.rlike(e.value),
+        "=~": s.rlike(_re2(e.value)),
+        "!~": ~s.rlike(_re2(e.value)),
     }
     return ops[e.op]
 
@@ -441,9 +445,11 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             )
         return _merge_parsed(df, parsed)
     if st.kind == "regexp":
-        # RE2 named groups (?P<x>…) → Java (?<x>…); extract each group
-        pat = st.pattern.replace("(?P<", "(?<")
-        groups = re.compile(pat.replace("(?<", "(?P<")).groupindex
+        # RE2 pattern → Java with RE2 semantics; named groups become
+        # plain groups (Java rejects RE2-legal names like foo_bar), so
+        # extraction is by index computed lexically from the original
+        pat = _re2(st.pattern)
+        groups = _re2_groups(st.pattern)
         pairs = []
         for name, idx in groups.items():
             pairs += [

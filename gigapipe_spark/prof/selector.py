@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gigapipe_spark.model.re2java import translate as _re2
 from gigapipe_spark.sources import views
 
 
@@ -165,9 +166,9 @@ def _cond(col: Column, sel: Selector) -> Column:
     if sel.op == "!=":
         return col != sel.val
     if sel.op == "=~":
-        return col.rlike(sel.val)
+        return col.rlike(_re2(sel.val))
     if sel.op == "!~":
-        return ~col.rlike(sel.val)
+        return ~col.rlike(_re2(sel.val))
     raise ProfSelectorError(f"bad op {sel.op!r}")
 
 

@@ -124,8 +124,12 @@ def histogram_quantile(buckets: DataFrame, q: float) -> DataFrame:
 def label_replace(matrix: DataFrame, dst: str, replacement: str, src: str, regex: str) -> DataFrame:
     """PromQL label_replace: dst ← replacement with $1…$n substituted
     from regex captures of src (full-anchor match, else unchanged)."""
+    from gigapipe_spark.model.re2java import translate as _re2
+
     src_col = F.coalesce(F.col("labels").getItem(src), F.lit(""))
-    anchored = f"^(?:{regex})$"
+    # Prometheus compiles ^(?:regex)$ in RE2 ($ = end of text): anchor
+    # the translated body with \z so a trailing newline can't match
+    anchored = f"^(?:{_re2(regex)})\\z"
     java_repl = re.sub(r"\$(\d)", r"$\1", replacement)
     newval = F.regexp_replace(src_col, anchored, java_repl)
     matched = src_col.rlike(anchored)

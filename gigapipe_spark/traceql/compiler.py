@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gigapipe_spark.model.re2java import translate as _re2
 from gigapipe_spark.sources import views
 from gigapipe_spark.traceql import parser as P
 from gigapipe_spark.traceql.parser import (
@@ -103,8 +104,8 @@ def _term_cond_on_attrs(t: AttrCmp) -> Column:
         ops = {
             "=": val == t.value,
             "!=": val != t.value,
-            "=~": val.rlike(str(t.value)),
-            "!~": ~val.rlike(str(t.value)),
+            "=~": val.rlike(_re2(str(t.value))),
+            "!~": ~val.rlike(_re2(str(t.value))),
         }
         return key & ops[t.op]
     if t.kind == "bool":
@@ -166,7 +167,7 @@ def _build_map_cond(e) -> Column:
         if e.kind == "string":
             return {
                 "=": v == e.value, "!=": v != e.value,
-                "=~": v.rlike(str(e.value)), "!~": ~v.rlike(str(e.value)),
+                "=~": v.rlike(_re2(str(e.value))), "!~": ~v.rlike(_re2(str(e.value))),
             }[e.op]
         if e.kind == "bool":
             return v == F.lit("true" if e.value else "false")
@@ -183,7 +184,7 @@ def _build_direct_intrinsic(e) -> Column:
             return _duration_cond(e, col)
         ops = {
             "=": col == e.value, "!=": col != e.value,
-            "=~": col.rlike(str(e.value)), "!~": ~col.rlike(str(e.value)),
+            "=~": col.rlike(_re2(str(e.value))), "!~": ~col.rlike(_re2(str(e.value))),
         }
         return ops[e.op]
     left = _build_direct_intrinsic(e.left)
