@@ -196,7 +196,10 @@ class StoreTraceQLContext(TraceQLContext):
         )
 
     def ancestors(self) -> DataFrame:
-        return ancestors_from_spans(self.spans())
+        from gigapipe_spark.sources.views import ANCESTOR_DEPTH_CONF
+
+        depth = int(self.spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))
+        return ancestors_from_spans(self.spans(), depth)
 
 
 def store_traceql_context(spark, catalog: Catalog, **kw) -> StoreTraceQLContext:
