@@ -407,6 +407,30 @@ def _range_fn(
             else _bucket(F.col("timestamp_ns"), rng)
         )
         return _counter_agg(df, b, bucket, rng, fn.fn)
+    if fn.fn == "mad_over_time":
+        # median(|v - median(v)|) per window (upstream experimental
+        # functions.go funcMadOverTime: quantile 0.5 with linear
+        # interpolation, twice). One shuffle: the window median and the
+        # groupBy share the (fingerprint, bucket) partitioning, so the
+        # second aggregation adds no exchange.
+        b = (
+            F.lit(sel.at_ns)
+            if sel.at_ns is not None
+            else _bucket(F.col("timestamp_ns"), rng)
+        )
+        w = Window.partitionBy("fingerprint", b)
+        med = F.percentile("value", F.lit(0.5)).over(w)
+        out = (
+            df.withColumn("__med", med)
+            .groupBy("fingerprint", bucket)
+            .agg(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("__med")), F.lit(0.5)
+                ).alias("value"),
+                F.first("labels").alias("labels"),
+            )
+        )
+        return out.select("fingerprint", "labels", "timestamp_ns", "value")
     raise NotImplementedError(f"range fn {fn.fn}")
 
 

@@ -51,6 +51,24 @@ RANGE_FNS = {
     "predict_linear",
     "holt_winters",
     "double_exponential_smoothing",  # Prometheus 3 name for holt_winters
+    "mad_over_time",  # experimental upstream; native here
+}
+
+# Upstream --enable-feature=promql-experimental-functions surface the
+# reference inherits from its embedded engine
+# (reader/router/prometheus_query_range.go:24-45 just proxies the
+# engine, so whatever the linked Prometheus build enables works there).
+# The rebuild implements mad_over_time natively; the remainder raise a
+# CLEAR unsupported error instead of mis-parsing as a metric selector.
+EXPERIMENTAL_FNS = {
+    "mad_over_time",
+    "sort_by_label",
+    "sort_by_label_desc",
+    "limitk",
+    "limit_ratio",
+    "ts_of_min_over_time",
+    "ts_of_max_over_time",
+    "ts_of_last_over_time",
 }
 
 AGG_FNS = {
@@ -245,6 +263,14 @@ class PromQLParser:
                 return self.parse_fn()
             if val in AGG_FNS:
                 return self.parse_agg()
+            if val in EXPERIMENTAL_FNS and self.peek(1)[1] == "(":
+                # unimplemented experimental fns would otherwise parse
+                # as a metric SELECTOR named like the function and
+                # silently return empty — fail loudly instead
+                raise LogQLSyntaxError(
+                    f"experimental PromQL function {val!r} is not "
+                    "supported by this engine"
+                )
             return self.parse_selector(None if self.peek(1)[1] == "(" else val)
         raise LogQLSyntaxError(f"unexpected token {val!r}")
 

@@ -3232,6 +3232,26 @@ register(
 )(_promql('quantile_over_time(0.9, {app="click"}[1h])', _FPV))
 
 register(
+    "promql_mad_over_time",
+    # upstream experimental funcMadOverTime: median(|v - median(v)|),
+    # both medians linearly interpolated (quantile_cont)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT fingerprint,
+             (timestamp_ns - timestamp_ns % 3600000000000) AS ts, value,
+             median(value) OVER (
+               PARTITION BY fingerprint,
+                            (timestamp_ns - timestamp_ns % 3600000000000)
+             ) AS med
+      FROM metric_samples WHERE app = 'view'
+    )
+    SELECT fingerprint, ts AS timestamp_ns,
+           round(quantile_cont(abs(value - med), 0.5), 6) AS value
+    FROM m GROUP BY 1, 2
+    """,
+)(_promql('mad_over_time({app="view"}[1h])', _FPV))
+
+register(
     "promql_topk",
     # rank on the UNROUNDED value like the engine; tiebreak mirrors the
     # canonical key-sorted label string (chr(30) separator)

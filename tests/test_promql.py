@@ -189,3 +189,53 @@ def test_agg_range_commute_matches_regroup(spark):
     a = {(r["labels"]["app"], r["timestamp_ns"]): r["value"] for r in commuted.collect()}
     b = {(r["app"], r["timestamp_ns"]): r["value"] for r in expected.collect()}
     assert a == b
+
+
+def test_mad_over_time_matches_oracle(spark):
+    q = 'mad_over_time({app="purchase"}[30m])'
+    sql = f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT fingerprint,
+             (timestamp_ns - timestamp_ns % 1800000000000) AS ts, value,
+             median(value) OVER (
+               PARTITION BY fingerprint,
+                            (timestamp_ns - timestamp_ns % 1800000000000)
+             ) AS med
+      FROM metric_samples WHERE app = 'purchase'
+    )
+    SELECT fingerprint, ts AS timestamp_ns,
+           round(quantile_cont(abs(value - med), 0.5), 6) AS value
+    FROM m GROUP BY 1, 2
+    """
+    assert_match(out(query(ctx(spark), q)), sql, SF_DIR)
+
+
+def test_mad_over_time_single_exchange(spark):
+    """The window median and the groupBy share (fingerprint, bucket)
+    partitioning — the MAD plan must not add a second exchange after
+    the window's."""
+    plan = query(
+        ctx(spark), 'mad_over_time({app="view"}[1h])'
+    )._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    after_window = plan.split("Window", 1)[0]
+    # exchanges above the window node: only AQE/result-stage shuffles
+    # introduced by the final projection would show; the aggregation
+    # itself must reuse the window's hashpartitioning
+    n_exchange_above_agg = len(
+        _re.findall(r"Exchange hashpartitioning", after_window)
+    )
+    assert n_exchange_above_agg == 0, plan
+
+
+def test_unimplemented_experimental_fn_clear_error(spark):
+    import pytest as _pytest
+
+    from gigapipe_spark.logql.parser import LogQLSyntaxError
+
+    with _pytest.raises(LogQLSyntaxError, match="experimental"):
+        query(ctx(spark), 'ts_of_max_over_time({app="view"}[1h])')
+    # a plain metric that HAPPENS to be named like an experimental fn
+    # (no parens) still parses as a selector
+    query(ctx(spark), "limitk")
