@@ -19,6 +19,7 @@ bounded by per-key line volume, with AQE skew handling for hot keys.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterator
 
@@ -254,9 +255,14 @@ def stream_mine_patterns(
     reference's iteration_id/argMax merge model."""
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        mine_patterns(batch_df, similarity, bucket_ns).write.mode("append").parquet(
-            out_path
-        )
+        from gigapipe_spark.storage.writer import store_write_lock
+
+        # same _temporary staging-dir discipline as the batch fan-outs:
+        # a concurrent gateway push must not overlap this append
+        with store_write_lock(os.path.dirname(out_path)):
+            mine_patterns(batch_df, similarity, bucket_ns).write.mode(
+                "append"
+            ).parquet(out_path)
 
     return (
         samples_stream.writeStream.foreachBatch(_sink)

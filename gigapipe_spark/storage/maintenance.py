@@ -238,11 +238,14 @@ def put_setting(
     spark: SparkSession, catalog: Catalog, tp: str, name: str, value: str
 ) -> None:
     fp = _setting_fp(tp, name)
+    from gigapipe_spark.storage.writer import store_write_lock
+
     row = spark.createDataFrame(
         [(fp, tp, name, value, time.time_ns())],
         "fingerprint long, type string, name string, value string, inserted_at long",
     )
-    row.write.mode("append").parquet(catalog.path("settings"))
+    with store_write_lock(catalog.root):
+        row.write.mode("append").parquet(catalog.path("settings"))
 
 
 def get_setting(

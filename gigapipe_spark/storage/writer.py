@@ -20,9 +20,45 @@ Layout decisions for 100 TB (SURVEY §1.2):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Concurrent parquet APPENDS to one table directory race on the Hadoop
+# FileOutputCommitter's shared `_temporary/0` staging dir: the first
+# job to commit deletes `_temporary`, clobbering every other in-flight
+# job's task files (observed as FileNotFoundException under 8 parallel
+# gateway pushes — tests/test_httpd_concurrency.py). The reference
+# never has this problem because ONE writer service owns each table
+# and batches inserts (writer/service/*.go); the Spark analog is a
+# per-store-root re-entrant lock held for the duration of a fan-out.
+# Cross-PROCESS writers need the same discipline (single writer
+# process per store root) — that is the deployment contract, as it is
+# for the reference's writer.
+_ROOT_LOCKS: dict[str, threading.RLock] = {}
+_ROOT_LOCKS_GUARD = threading.Lock()
+
+
+def store_write_lock(root: str) -> threading.RLock:
+    """The per-store-root writer lock (re-entrant: ingest_fanout takes
+    it and calls patterns_fanout, which takes it again)."""
+    with _ROOT_LOCKS_GUARD:
+        return _ROOT_LOCKS.setdefault(root, threading.RLock())
+
+
+def _locked_fanout(fn):
+    """Hold the store-root writer lock for the whole fan-out (see
+    _ROOT_LOCKS above — parquet appends to one dir must not overlap)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(batch, catalog, *a, **kw):
+        with store_write_lock(catalog.root):
+            return fn(batch, catalog, *a, **kw)
+
+    return wrapper
+
 
 
 class Catalog:
@@ -175,6 +211,7 @@ def _checkpoint_flush(batch: DataFrame, small: int = 100_000) -> DataFrame:
     return batch
 
 
+@_locked_fanout
 def ingest_fanout(
     batch: DataFrame, catalog: Catalog, mine_patterns: bool = True
 ) -> None:
@@ -306,6 +343,7 @@ def ingest_fanout(
         patterns_fanout(batch, catalog)
 
 
+@_locked_fanout
 def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """Log-typed rows of a decoded batch → stored `patterns` table
     (ref: log.sql:174-187 schema; writer/pattern/controller/
@@ -353,6 +391,7 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
 
 
+@_locked_fanout
 def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """Decoded spans batch → tempo_traces + attrs GIN + kv dictionary
     (the trace MV layer; ref: ctrl/qryn/sql/traces.sql
@@ -454,6 +493,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
 
 
+@_locked_fanout
 def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """profiles_input batch → profiles + profiles_series +
     profiles_series_gin + profiles_series_keys (the profiles MV layer;
@@ -687,6 +727,7 @@ def stream_profiles_fanout(
     )
 
 
+@_locked_fanout
 def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
     """Folded-stack profile batch → profiles_folded (the queryable
     flamegraph layout for the store; the pprof/collapsed ingest decoders
