@@ -319,8 +319,20 @@ def translate(pattern: str) -> str:
             continue
         if c == "$":
             # RE2 $ (no m-flag) = end of text; Java $ also matches
-            # before a final line terminator
-            out.append("$" if multiline else r"\z")
+            # before a final line terminator → \z. With (?m), RE2 $
+            # matches only before \n (or at end) while Java's also
+            # fires before \r\n / U+0085 / U+2028 / U+2029 — the exact
+            # RE2 semantics ARE expressible in Java as a lookahead
+            # (lookaround is a Java-side construct; the USER pattern
+            # still can't contain one, translate() rejects that above).
+            out.append(r"(?=\n|\z)" if multiline else r"\z")
+            i += 1
+            prev_quant = False
+            continue
+        if c == "^" and multiline:
+            # same story at line starts: Java (?m)^ fires after every
+            # line terminator, RE2 only after \n
+            out.append(r"(?:\A|(?<=\n))")
             i += 1
             prev_quant = False
             continue

@@ -91,6 +91,10 @@ PATTERNS = [
     "3$",
     "(?m)line1$",
     "(?m)^line2$",
+    "(?m)foo$",
+    "(?m)^bar",
+    "(?m)^foo$",
+    "(?m)3$",
     "e $",
     # POSIX classes
     "[[:digit:]]+",
