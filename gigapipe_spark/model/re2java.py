@@ -22,7 +22,7 @@ is pinned by tests/test_regex_dialect.py against DuckDB's RE2):
 |----------------------|---------------------------|---------------------|
 | ``(?P<name>…)``      | syntax error              | → plain ``(…)``     |
 | ``(?<name>…)``       | named group (no ``_``)    | → plain ``(…)``     |
-| ``.`` (no ``(?s)``)  | also excludes \r …  | → ``[^\n]``         |
+| ``.`` (no ``(?s)``)  | also excludes \r …        | → ``[^\n]``         |
 | ``$`` (no ``(?m)``)  | matches before final \n   | → ``\z``            |
 | ``[[:alpha:]]`` etc. | literal chars ``[:alph…`` | → ``\p{Alpha}``     |
 | ``[a&&b]``           | class intersection        | → ``&`` escaped     |
@@ -35,19 +35,20 @@ is pinned by tests/test_regex_dialect.py against DuckDB's RE2):
 | ``(?=…)`` lookaround | lookaround                | raise (RE2 rejects) |
 | ``\Z``               | before final terminator   | raise (RE2 rejects) |
 
-Residual (documented, not translated): with ``(?m)``, Java ``$`` also
-matches before ``\r\n``/````/``U+2028`` while RE2 only before
-``\n``; with ``(?s)`` both dots match everything (no rewrite needed);
-flag-scoped ``(?s:…)``/(?m:…) subgroups disable the dot/$ rewrite for
-the WHOLE pattern (conservative — scoped tracking isn't worth the
-parser), which only matters for patterns mixing flagged and unflagged
-dots/anchors.
+Inline flags are tracked with their exact RE2 scope: ``(?m)`` applies
+from its position to the end of the enclosing group, ``(?m:…)`` only
+inside that group — so a pattern mixing flagged and unflagged dots or
+anchors rewrites each occurrence under the flags active at ITS
+position.  The ``s``/``m`` flags are consumed by the rewrites and
+stripped from the emitted Java pattern (a leaked ``(?m)`` would
+re-widen Java's ``$`` to fire before ``\r\n``/U+0085/U+2028 where RE2
+only fires before ``\n``).  Flag-like text inside a character class or
+a ``\Q…\E`` literal span is data, not a flag.
 """
 
 from __future__ import annotations
 
 import functools
-import re
 
 __all__ = ["translate", "group_index", "Re2UnsupportedError"]
 
@@ -82,23 +83,20 @@ _POSIX_NEG = {
     "word": r"\W",
 }
 
-# Java accepts 1–2 letter Unicode general categories verbatim (\p{L},
-# \p{Lu}, …); longer names are RE2 script names that Java spells
-# \p{IsGreek}.  Java-specific long names RE2 also accepts:
-_CATEGORY_PASS = {"Any"}
+# Unicode general-category names Java accepts verbatim (\p{L}, \p{Lu},
+# …).  Anything NOT in this set is an RE2 script name — including the
+# two-letter scripts Yi and Vai — which Java spells \p{IsGreek}.
+_GENERAL_CATEGORIES = frozenset(
+    "C L M N P S Z "
+    "Cc Cf Cn Co Cs Ll Lm Lo Lt Lu Mc Me Mn Nd Nl No "
+    "Pc Pd Pe Pf Pi Po Ps Sc Sk Sm So Zl Zp Zs".split()
+)
 
-_REPETITION = re.compile(r"\{\d+(,\d*)?\}")
-_FLAG_GROUP = re.compile(r"\(\?([a-zA-Z-]+)[:)]")
+import re as _re
 
-
-def _flags_anywhere(pattern: str) -> set[str]:
-    """Flags set by any inline group (conservative: scope ignored)."""
-    out: set[str] = set()
-    for m in _FLAG_GROUP.finditer(pattern):
-        spec = m.group(1)
-        on = spec.split("-", 1)[0]
-        out.update(on)
-    return out
+_REPETITION = _re.compile(r"\{\d+(,\d*)?\}")
+# (?flags) or (?flags:  or plain (?:  — spec may be empty (for "(?:").
+_FLAG_GROUP = _re.compile(r"\(\?([a-zA-Z]*(?:-[a-zA-Z]*)?)([:)])")
 
 
 def _translate_p_class(pattern: str, i: int, out: list[str]) -> int:
@@ -122,8 +120,10 @@ def _translate_p_class(pattern: str, i: int, out: list[str]) -> int:
     if name == "Any":
         out.append(r"[\s\S]" if kind == "p" else r"[^\s\S]")
         return end + 1
-    if len(name) > 2:
-        # RE2 script name (Greek, Han, …) → Java \p{IsGreek}
+    if name not in _GENERAL_CATEGORIES:
+        # RE2 script name (Greek, Han, two-letter Yi/Vai, …) →
+        # Java \p{IsGreek}.  Membership in the general-category set,
+        # not name length, decides: \p{Yi} is a script, \p{Lu} is not.
         name = "Is" + name
     out.append("\\" + kind + "{" + name + "}")
     return end + 1
@@ -136,7 +136,9 @@ def group_index(pattern: str) -> dict[str, int]:
     Python ``re`` cannot compile RE2 patterns containing ``\\pL`` etc.,
     so the index is computed lexically: every unescaped ``(`` that is a
     capturing group (plain, ``(?P<name>`` or ``(?<name>``) increments
-    the index; ``(?:``/``(?i)``-style groups do not.
+    the index; ``(?:``/``(?i)``-style groups do not.  ``\\Q…\\E``
+    literal spans are skipped whole — a literal ``(`` inside one is
+    data, not a group (mirrors translate()'s handling).
     """
     out: dict[str, int] = {}
     idx = 0
@@ -146,6 +148,10 @@ def group_index(pattern: str) -> dict[str, int]:
     while i < n:
         c = pattern[i]
         if c == "\\":
+            if pattern.startswith("\\Q", i):
+                end = pattern.find("\\E", i + 2)
+                i = n if end < 0 else end + 2
+                continue
             i += 2
             continue
         if in_class:
@@ -191,22 +197,17 @@ def translate(pattern: str) -> str:
     backreferences, possessive quantifiers, ``\\Z``) or that Java cannot
     express with the same meaning (``(?U)`` ungreedy-toggle).
     """
-    flags = _flags_anywhere(pattern)
-    if "U" in flags:
-        raise Re2UnsupportedError(
-            "RE2 (?U) ungreedy flag has no Java equivalent "
-            "(Java (?U) means unicode character classes)"
-        )
-    dotall = "s" in flags
-    multiline = "m" in flags
-
     out: list[str] = []
     i = 0
     n = len(pattern)
     in_class = False
     prev_quant = False  # previous token was a quantifier (possessive check)
+    flags: frozenset[str] = frozenset()  # flags active at this position
+    stack: list[frozenset[str]] = []  # enclosing groups' flag states
     while i < n:
         c = pattern[i]
+        dotall = "s" in flags
+        multiline = "m" in flags
         if c == "\\":
             if i + 1 >= n:
                 raise Re2UnsupportedError("trailing backslash")
@@ -239,7 +240,7 @@ def translate(pattern: str) -> str:
             continue
         if in_class:
             if c == "[":
-                m = re.match(r"\[:(\^?)([a-z]+):\]", pattern[i:])
+                m = _re.match(r"\[:(\^?)([a-z]+):\]", pattern[i:])
                 if m:
                     neg, name = m.group(1), m.group(2)
                     if name not in _POSIX:
@@ -289,11 +290,12 @@ def translate(pattern: str) -> str:
             ):
                 # named group → plain group: Java rejects RE2-legal names
                 # (underscores); callers that extract by name compute the
-                # group INDEX from the original pattern (Python re).
+                # group INDEX from the original pattern (group_index).
                 close = pattern.find(">", i)
                 if close < 0:
                     raise Re2UnsupportedError("unterminated group name")
                 out.append("(")
+                stack.append(flags)
                 i = close + 1
                 prev_quant = False
                 continue
@@ -306,14 +308,64 @@ def translate(pattern: str) -> str:
                 raise Re2UnsupportedError("lookaround is not valid RE2")
             if pattern.startswith("(?P=", i):
                 raise Re2UnsupportedError("backreference is not valid RE2")
+            m = _FLAG_GROUP.match(pattern, i)
+            if m:
+                spec, term = m.group(1), m.group(2)
+                if term == ")" and spec == "":
+                    raise Re2UnsupportedError("(?) is not valid RE2")
+                on, _, off = spec.partition("-")
+                if "U" in on:
+                    raise Re2UnsupportedError(
+                        "RE2 (?U) ungreedy flag has no Java equivalent "
+                        "(Java (?U) means unicode character classes)"
+                    )
+                new = frozenset((flags | set(on)) - set(off))
+                # s/m are consumed by our dot/$/^ rewrites — strip them
+                # from the emitted Java flags (leaking (?m) would widen
+                # Java's own $ behind the rewrite's back).
+                emit_on = "".join(sorted(set(on) - {"s", "m"}))
+                emit_off = "".join(sorted(set(off) - {"s", "m"}))
+                if term == ")":
+                    # (?flags): applies to end of the enclosing group
+                    flags = new
+                    if emit_on or emit_off:
+                        out.append(
+                            "(?"
+                            + emit_on
+                            + ("-" + emit_off if emit_off else "")
+                            + ")"
+                        )
+                else:
+                    # (?flags:…) — scoped: push, restore at ')'
+                    stack.append(flags)
+                    flags = new
+                    out.append(
+                        "(?"
+                        + emit_on
+                        + ("-" + emit_off if emit_off else "")
+                        + ":"
+                    )
+                i += m.end() - m.start()
+                prev_quant = False
+                continue
             out.append("(")
+            stack.append(flags)
+            i += 1
+            prev_quant = False
+            continue
+        if c == ")":
+            if stack:
+                flags = stack.pop()
+            out.append(")")
             i += 1
             prev_quant = False
             continue
         if c == ".":
             # RE2 dot excludes only \n; Java dot also excludes \r,
-            # , U+2028,
-            out.append("." if dotall else "[^\n]")
+            # U+0085, U+2028, U+2029.  With (?s) RE2's dot matches any
+            # char — spelled [\s\S] since the s-flag itself is
+            # stripped from the emitted pattern (scope handling).
+            out.append(r"[\s\S]" if dotall else "[^\n]")
             i += 1
             prev_quant = False
             continue

@@ -34,17 +34,82 @@ from pyspark.sql import functions as F
 # and batches inserts (writer/service/*.go); the Spark analog is a
 # per-store-root re-entrant lock held for the duration of a fan-out.
 # Cross-PROCESS writers need the same discipline (single writer
-# process per store root) — that is the deployment contract, as it is
-# for the reference's writer.
+# process per store root) — that contract is ENFORCED by an advisory
+# fcntl lock file `<root>/.writer.lock` taken the first time a process
+# touches a store root for writing: a second writer process fails fast
+# with StoreWriterConflict instead of silently racing on `_temporary`
+# (tests/test_writer_lockfile.py). The flock is held for the process
+# lifetime, exactly the reference's one-writer-service-per-table model
+# (writer/service/*.go).
 _ROOT_LOCKS: dict[str, threading.RLock] = {}
 _ROOT_LOCKS_GUARD = threading.Lock()
+_ROOT_FLOCKS: dict[str, object] = {}  # key → held open lock-file handle
+
+
+class StoreWriterConflict(RuntimeError):
+    """Another process already owns this store root for writing."""
+
+
+def _acquire_process_lock(key: str) -> None:
+    """Take the cross-process advisory flock for a store root (once per
+    process; held until release_store_process_lock or process exit).
+
+    Advisory fcntl locks are per-(process, file): every thread in this
+    process shares the one grant, so the in-process RLock still does
+    the intra-process serialization. On filesystems without flock
+    support (or non-POSIX hosts) this degrades to the documented
+    deployment contract."""
+    if key in _ROOT_FLOCKS:
+        return
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: documented contract only
+        return
+    os.makedirs(key, exist_ok=True)
+    path = os.path.join(key, ".writer.lock")
+    fh = open(path, "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        fh.seek(0)
+        owner = fh.read().strip() or "unknown pid"
+        fh.close()
+        raise StoreWriterConflict(
+            f"store root {key!r} already has a writer process "
+            f"({owner}); one writer process per store root — "
+            "concurrent parquet appends race on the FileOutputCommitter "
+            "_temporary staging dir (see storage/writer.py)"
+        ) from None
+    fh.seek(0)
+    fh.truncate()
+    fh.write(f"{os.getpid()}\n")
+    fh.flush()
+    _ROOT_FLOCKS[key] = fh
+
+
+def release_store_process_lock(root: str) -> None:
+    """Release the cross-process writer flock for a store root (tests /
+    graceful writer handover; normally held until process exit)."""
+    key = os.path.abspath(os.path.normpath(root))
+    fh = _ROOT_FLOCKS.pop(key, None)
+    if fh is not None:
+        fh.close()  # closing drops the flock
 
 
 def store_write_lock(root: str) -> threading.RLock:
     """The per-store-root writer lock (re-entrant: ingest_fanout takes
-    it and calls patterns_fanout, which takes it again)."""
+    it and calls patterns_fanout, which takes it again).
+
+    The key is normalized (abspath) HERE so every caller converges on
+    one lock per physical store root — a trailing slash or relative
+    path from one call site must not silently mint a second lock and
+    void the mutual exclusion (ADVICE r8: the streaming patterns sink
+    keys by ``os.path.dirname(out_path)`` while ingest keys by
+    ``Catalog.root``)."""
+    key = os.path.abspath(os.path.normpath(root))
     with _ROOT_LOCKS_GUARD:
-        return _ROOT_LOCKS.setdefault(root, threading.RLock())
+        _acquire_process_lock(key)
+        return _ROOT_LOCKS.setdefault(key, threading.RLock())
 
 
 def _locked_fanout(fn):

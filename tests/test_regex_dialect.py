@@ -139,6 +139,20 @@ PATTERNS = [
     "(?i:foo)bar",
     "(?i)(?-i:foo)",
     "(?is)a.c",
+    # flag SCOPE: the rewrite must track where a flag is active —
+    # (?m:…) must not widen an unflagged trailing $, (?s:…) must not
+    # leak dotall onto a dot outside the group (ADVICE r8)
+    "(?m:^line2$)|foo$",
+    "(?m:3$)|foo$",
+    "(?s:foo.)x|foo.",
+    "(?s:.).",
+    "(?m)x$|(?-m)foo$",
+    "a(?s)..",
+    "((?s).).",
+    # flag-like text inside \Q…\E or a char class is data, not a flag
+    "\\Q(?s)\\E.",
+    "[(?s)].",
+    "[(?m)$]*foo$",
     # named groups (match-only semantics here)
     "(?P<name>foo|bar) (?P<rest>.*)",
     "(?P<under_score>\\d+)",
@@ -257,6 +271,19 @@ def test_group_index_lexical():
     assert group_index("(?<k>v)(plain)(?P<z>w)") == {"k": 1, "z": 3}
     # RE2-legal names Java would reject still index fine
     assert group_index("(?P<foo_bar>x)") == {"foo_bar": 1}
+    # \Q…\E literal spans: a literal '(' inside one is data (ADVICE r8)
+    assert group_index(r"\Q(\E(?P<x>a)") == {"x": 1}
+    assert group_index(r"\Q((\E(a)(?P<y>b)") == {"y": 2}
+    assert group_index(r"\Q(") == {}
+
+
+def test_two_letter_script_names():
+    # Yi/Vai are two-letter RE2 SCRIPT names (not general categories)
+    # and need Java's Is prefix; \p{Lu} etc. must stay bare (ADVICE r8)
+    assert translate(r"\p{Yi}") == r"\p{IsYi}"
+    assert translate(r"\p{Vai}+") == r"\p{IsVai}+"
+    assert translate(r"\p{Lu}") == r"\p{Lu}"
+    assert translate(r"\p{Zs}") == r"\p{Zs}"
 
 
 def test_logql_user_regex_paths(spark, duck):
