@@ -407,6 +407,33 @@ def _range_fn(
             else _bucket(F.col("timestamp_ns"), rng)
         )
         return _counter_agg(df, b, bucket, rng, fn.fn)
+    if fn.fn in (
+        "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time"
+    ):
+        # upstream experimental ts_of_* (functions.go funcTsOf*OverTime):
+        # the sample TIMESTAMP (unix seconds) of the window's extreme;
+        # upstream scans with >= / <= so the LATEST tied sample wins —
+        # mirrored here by max(struct(±value, ts)).ts. One shuffle, all
+        # JVM (struct min/max is a codegen'd agg).
+        if fn.fn == "ts_of_last_over_time":
+            agg = F.max("timestamp_ns")
+        else:
+            v = (
+                F.col("value")
+                if fn.fn == "ts_of_max_over_time"
+                else -F.col("value")
+            )
+            agg = F.max(
+                F.struct(v.alias("v"), F.col("timestamp_ns").alias("t"))
+            ).getField("t")
+        out = (
+            df.groupBy("fingerprint", bucket)
+            .agg(
+                (agg / F.lit(1e9)).cast("double").alias("value"),
+                F.first("labels").alias("labels"),
+            )
+        )
+        return out.select("fingerprint", "labels", "timestamp_ns", "value")
     if fn.fn == "mad_over_time":
         # median(|v - median(v)|) per window (upstream experimental
         # functions.go funcMadOverTime: quantile 0.5 with linear
@@ -687,6 +714,25 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             return sort_matrix(
                 compile_expr(ctx, e.args[0]), descending=e.fn == "sort_desc"
             )
+        if e.fn in ("sort_by_label", "sort_by_label_desc"):
+            # upstream experimental sort_by_label(v, "l1", "l2", …):
+            # order elements by the given label VALUES (missing label
+            # sorts as ""), full canonical label string as the final
+            # tiebreak (upstream uses labels.Compare). Presentation
+            # order only — values untouched.
+            inner = compile_expr(ctx, e.args[0])
+            desc = e.fn.endswith("_desc")
+            keys = [
+                F.coalesce(F.col("labels").getItem(l), F.lit(""))
+                for l in e.str_args
+            ]
+            keys.append(
+                canonical_labels_str(
+                    F.coalesce(F.col("labels"), F.expr("map()"))
+                )
+            )
+            order = [k.desc() if desc else k.asc() for k in keys]
+            return inner.orderBy(F.col("timestamp_ns").asc(), *order)
         if e.fn == "histogram_quantile":
             from gigapipe_spark.promql.functions import histogram_quantile
 
@@ -755,17 +801,51 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
         ):
             return _range_fn(ctx, e.inner, group=(e.by, e.without, e.fn))
         inner = compile_expr(ctx, e.inner)
-        if e.fn in ("topk", "bottomk"):
-            order = [
-                F.col("value").desc() if e.fn == "topk" else F.col("value").asc(),
-                canonical_labels_str(F.coalesce(F.col("labels"), F.expr("map()"))).asc(),
-            ]
-            w = Window.partitionBy("timestamp_ns").orderBy(*order)
-            return (
-                inner.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= int(e.param))
-                .drop("__rn")
-            )
+        if e.fn in ("topk", "bottomk", "limitk", "limit_ratio"):
+            # all four SELECT series per evaluation step (values and
+            # labels pass through unchanged); by/without scopes the
+            # selection to each group like upstream's per-group heaps
+            parts: list = [F.col("timestamp_ns")]
+            if e.by is not None or e.without is not None:
+                parts.append(
+                    F.xxhash64(
+                        canonical_labels_str(_group_labels_col(e.by, e.without))
+                    )
+                )
+            tiebreak = canonical_labels_str(
+                F.coalesce(F.col("labels"), F.expr("map()"))
+            ).asc()
+            if e.fn in ("topk", "bottomk"):
+                order = [
+                    F.col("value").desc()
+                    if e.fn == "topk"
+                    else F.col("value").asc(),
+                    tiebreak,
+                ]
+            else:
+                # upstream experimental limitk/limit_ratio pick a
+                # hash-ordered sample and document the pick as unstable;
+                # here the pick is DETERMINISTIC: canonical-label-string
+                # order (stable across engines, so the DuckDB oracle
+                # reproduces it). limit_ratio r>0 keeps the first
+                # ceil-free r·n prefix; r<0 keeps the complement suffix,
+                # so limitk_ratio(r) ∪ limit_ratio(-(1-r)) == everything
+                # (upstream's complement contract).
+                order = [tiebreak]
+            w = Window.partitionBy(*parts).orderBy(*order)
+            df2 = inner.withColumn("__rn", F.row_number().over(w))
+            if e.fn == "limit_ratio":
+                r = float(e.param)
+                df2 = df2.withColumn(
+                    "__n", F.count(F.lit(1)).over(Window.partitionBy(*parts))
+                )
+                cond = (
+                    F.col("__rn") <= F.lit(r) * F.col("__n")
+                    if r >= 0
+                    else F.col("__rn") > F.lit(1.0 + r) * F.col("__n")
+                )
+                return df2.filter(cond).drop("__rn", "__n")
+            return df2.filter(F.col("__rn") <= int(e.param)).drop("__rn")
         if e.fn == "count_values":
             # count_values("l", v): series count per distinct sample value;
             # the value joins the label set as label `l`. Default grouping

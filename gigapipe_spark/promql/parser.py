@@ -52,14 +52,20 @@ RANGE_FNS = {
     "holt_winters",
     "double_exponential_smoothing",  # Prometheus 3 name for holt_winters
     "mad_over_time",  # experimental upstream; native here
+    "ts_of_min_over_time",  # experimental upstream; native here
+    "ts_of_max_over_time",
+    "ts_of_last_over_time",
 }
 
 # Upstream --enable-feature=promql-experimental-functions surface the
 # reference inherits from its embedded engine
 # (reader/router/prometheus_query_range.go:24-45 just proxies the
 # engine, so whatever the linked Prometheus build enables works there).
-# The rebuild implements mad_over_time natively; the remainder raise a
-# CLEAR unsupported error instead of mis-parsing as a metric selector.
+# ALL of it is now implemented natively (each name is also a member of
+# RANGE_FNS / SCALAR_FNS / AGG_FNS, which parse first); the set is kept
+# as the guard for any FUTURE upstream experimental name so an
+# unimplemented one raises a CLEAR unsupported error instead of
+# mis-parsing as a metric selector named like the function.
 EXPERIMENTAL_FNS = {
     "mad_over_time",
     "sort_by_label",
@@ -74,6 +80,7 @@ EXPERIMENTAL_FNS = {
 AGG_FNS = {
     "sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
     "topk", "bottomk", "count_values", "quantile",
+    "limitk", "limit_ratio",  # experimental parametric aggs; native
 }
 
 SCALAR_FNS = {
@@ -84,7 +91,7 @@ SCALAR_FNS = {
     # sample-timestamp / value-as-unix-seconds extractors
     "timestamp", "hour", "minute", "month", "year",
     "day_of_month", "day_of_week", "day_of_year", "days_in_month",
-    "sort", "sort_desc",
+    "sort", "sort_desc", "sort_by_label", "sort_by_label_desc",
     "histogram_quantile", "label_replace", "label_join", "absent",
     "time", "scalar", "vector", "pi",
 }
@@ -363,9 +370,13 @@ class PromQLParser:
             by, without = self._grouping()
         self.expect("(")
         sparam = None
-        if fn in ("topk", "bottomk", "quantile"):
+        if fn in ("topk", "bottomk", "quantile", "limitk", "limit_ratio"):
             _, k = self.next()
-            param = float(k)
+            if k == "-":  # limit_ratio(-0.3, v): complement selection
+                _, k = self.next()
+                param = -float(k)
+            else:
+                param = float(k)
             self.expect(",")
         elif fn == "count_values":
             kind, lbl = self.next()

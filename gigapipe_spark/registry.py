@@ -4377,6 +4377,162 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --------------------------------------------- round-9 experimental fns
+# The remaining upstream --enable-feature=promql-experimental-functions
+# surface (VERDICT r8 task 2): the reference inherits these from its
+# embedded engine (ref: reader/router/prometheus_query_range.go:24-45);
+# native branches live in promql/compiler.py.
+
+register(
+    "promql_ts_of_max_over_time",
+    # timestamp (unix sec) of the window max; ties → latest sample,
+    # like upstream's >= scan (functions.go funcTsOfMaxOverTime)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, g AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS b,
+             max(value) AS mv
+      FROM metric_samples WHERE app = 'view' GROUP BY 1, 2
+    )
+    SELECT m.fingerprint, g.b AS timestamp_ns,
+           round(max(m.timestamp_ns) / 1e9, 6) AS value
+    FROM metric_samples m
+    JOIN g ON m.fingerprint = g.fingerprint
+          AND (m.timestamp_ns - m.timestamp_ns % 3600000000000) = g.b
+          AND m.value = g.mv
+    WHERE m.app = 'view' GROUP BY 1, 2
+    """,
+)(_promql('ts_of_max_over_time({app="view"}[1h])', _FPV))
+
+register(
+    "promql_ts_of_min_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, g AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS b,
+             min(value) AS mv
+      FROM metric_samples WHERE app = 'click' GROUP BY 1, 2
+    )
+    SELECT m.fingerprint, g.b AS timestamp_ns,
+           round(max(m.timestamp_ns) / 1e9, 6) AS value
+    FROM metric_samples m
+    JOIN g ON m.fingerprint = g.fingerprint
+          AND (m.timestamp_ns - m.timestamp_ns % 3600000000000) = g.b
+          AND m.value = g.mv
+    WHERE m.app = 'click' GROUP BY 1, 2
+    """,
+)(_promql('ts_of_min_over_time({app="click"}[1h])', _FPV))
+
+register(
+    "promql_ts_of_last_over_time",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}
+    SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
+           round(max(timestamp_ns) / 1e9, 6) AS value
+    FROM metric_samples WHERE app = 'purchase' GROUP BY 1, 2
+    """,
+)(_promql('ts_of_last_over_time({app="purchase"}[1h])', _FPV))
+
+
+def _sorted_head(q: str, limit: int) -> QueryFn:
+    """sort_by_label is presentation ORDER; the driver compare is
+    order-insensitive, so pin the order by taking the sorted head —
+    an order-SENSITIVE selection both engines must agree on."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = promql_query(PromQLContext(spark, sf_dir), q).limit(limit)
+        return df.select(
+            _lbl("app")(), _lbl("instance")(), "timestamp_ns",
+            F.round("value", 6).alias("value"),
+        )
+
+    return fn
+
+
+_SORT_ORACLE = f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT any_value(app) AS app, any_value(instance) AS instance,
+             'app=' || any_value(app) || chr(30) || 'instance=' ||
+               any_value(instance) || chr(30) || 'level=' ||
+               any_value(level) AS lbl,
+             fingerprint,
+             (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             max(value) AS value
+      FROM metric_samples WHERE app IN ('click','view')
+      GROUP BY fingerprint, 5
+    )
+    SELECT app, instance, ts AS timestamp_ns, round(value, 6) AS value
+    FROM m ORDER BY ts ASC, instance {{dir}}, lbl {{dir}} LIMIT 40
+"""
+
+register(
+    "promql_sort_by_label",
+    _SORT_ORACLE.format(dir="ASC"),
+)(
+    _sorted_head(
+        'sort_by_label(max_over_time({app=~"click|view"}[1h]), "instance")',
+        40,
+    )
+)
+
+register(
+    "promql_sort_by_label_desc",
+    _SORT_ORACLE.format(dir="DESC"),
+)(
+    _sorted_head(
+        'sort_by_label_desc(max_over_time({app=~"click|view"}[1h]), "instance")',
+        40,
+    )
+)
+
+register(
+    "promql_limitk",
+    # deterministic pick: canonical-label-string order per (step, group)
+    # — upstream's hash-order pick is documented as unstable, so the
+    # engine defines a stable rule the oracle reproduces
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             any_value(app) AS app, max(value) AS value,
+             'app=' || any_value(app) || chr(30) || 'instance=' ||
+               any_value(instance) || chr(30) || 'level=' ||
+               any_value(level) AS lbl
+      FROM metric_samples WHERE app IN ('click','view','error') GROUP BY 1, 2
+    )
+    SELECT fingerprint, ts AS timestamp_ns, round(value, 6) AS value FROM (
+      SELECT *, row_number() OVER (PARTITION BY ts, app ORDER BY lbl ASC) AS rn
+      FROM m
+    ) WHERE rn <= 2
+    """,
+)(
+    _promql(
+        'limitk(2, max_over_time({app=~"click|view|error"}[1h])) by (app)',
+        _FPV,
+    )
+)
+
+register(
+    "promql_limit_ratio",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, m AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
+             max(value) AS value,
+             'app=' || any_value(app) || chr(30) || 'instance=' ||
+               any_value(instance) || chr(30) || 'level=' ||
+               any_value(level) AS lbl
+      FROM metric_samples WHERE app IN ('click','view') GROUP BY 1, 2
+    )
+    SELECT fingerprint, ts AS timestamp_ns, round(value, 6) AS value FROM (
+      SELECT *, row_number() OVER (PARTITION BY ts ORDER BY lbl ASC) AS rn,
+             count(*) OVER (PARTITION BY ts) AS n
+      FROM m
+    ) WHERE rn <= 0.4 * n
+    """,
+)(
+    _promql(
+        'limit_ratio(0.4, max_over_time({app=~"click|view"}[1h]))', _FPV
+    )
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

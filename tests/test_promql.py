@@ -230,12 +230,23 @@ def test_mad_over_time_single_exchange(spark):
 
 
 def test_unimplemented_experimental_fn_clear_error(spark):
+    # every KNOWN experimental fn is native now (r9); the allowlist
+    # guard stays armed for future upstream names
     import pytest as _pytest
 
     from gigapipe_spark.logql.parser import LogQLSyntaxError
+    from gigapipe_spark.promql import parser as PP
 
-    with _pytest.raises(LogQLSyntaxError, match="experimental"):
-        query(ctx(spark), 'ts_of_max_over_time({app="view"}[1h])')
-    # a plain metric that HAPPENS to be named like an experimental fn
-    # (no parens) still parses as a selector
-    query(ctx(spark), "limitk")
+    PP.EXPERIMENTAL_FNS.add("info")  # e.g. upstream's experimental info()
+    try:
+        with _pytest.raises(LogQLSyntaxError, match="experimental"):
+            query(ctx(spark), 'info({app="view"})')
+        # a plain metric that HAPPENS to be named like an experimental
+        # fn (no parens) still parses as a selector
+        query(ctx(spark), "info")
+    finally:
+        PP.EXPERIMENTAL_FNS.discard("info")
+    # limitk/limit_ratio are aggregation KEYWORDS now (upstream reserves
+    # aggregation operator names too) — bare use is a parse error
+    with _pytest.raises(LogQLSyntaxError):
+        query(ctx(spark), "limitk")

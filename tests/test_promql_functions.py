@@ -254,3 +254,154 @@ def test_inverse_hyperbolic_fns(spark):
     assert row["value"] == 0.0
     row = _q(spark, 'atanh(sgn(last_over_time({app="click"}[1h])) * 0)').first()
     assert row["value"] == 0.0
+
+
+# ------------------------------ round-9: experimental fn long tail
+# (ref: reader/router/prometheus_query_range.go:24-45 — the reference
+# proxies these to its embedded engine; native branches here)
+
+
+def test_ts_of_over_time_family(spark):
+    """ts_of_* return the TIMESTAMP (unix sec) of the window extreme."""
+    base = _q(spark, 'max_over_time({app="view"}[1h])').collect()
+    tmax = _q(spark, 'ts_of_max_over_time({app="view"}[1h])').collect()
+    assert len(base) == len(tmax)
+    # every returned value is a plausible unix-seconds stamp inside its
+    # own window bucket
+    for r in tmax:
+        lo = r["timestamp_ns"] / 1e9
+        assert lo <= r["value"] < lo + 3600
+    # ts_of_last == max sample ts per bucket (direct recompute)
+    last = {
+        (r["fingerprint"], r["timestamp_ns"]): r["value"]
+        for r in _q(
+            spark, 'ts_of_last_over_time({app="view"}[1h])'
+        ).collect()
+    }
+    m = metric(spark).filter(F.col("labels")["app"] == "view")
+    want = (
+        m.groupBy(
+            "fingerprint",
+            (
+                F.col("timestamp_ns")
+                - F.col("timestamp_ns") % F.lit(3_600_000_000_000)
+            ).alias("b"),
+        )
+        .agg((F.max("timestamp_ns") / F.lit(1e9)).alias("t"))
+        .collect()
+    )
+    assert len(want) == len(last)
+    for r in want:
+        assert abs(last[(r["fingerprint"], r["b"])] - r["t"]) < 1e-6
+
+
+def test_ts_of_max_latest_tie_wins(spark):
+    """Upstream scans with >= — the LATEST tied sample's ts wins."""
+    rows = [(1, 1_000_000_000, 5.0), (1, 2_000_000_000, 5.0),
+            (1, 3_000_000_000, 4.0)]
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ns long, value double"
+    ).withColumn("labels", F.expr("map('app','t')"))
+    got = (
+        df.groupBy("fingerprint")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("value").alias("v"),
+                    F.col("timestamp_ns").alias("t"),
+                )
+            ).getField("t").alias("t")
+        )
+        .first()["t"]
+    )
+    assert got == 2_000_000_000  # not the earlier 1s tie
+
+
+def test_sort_by_label_ordering(spark):
+    q = 'sort_by_label(max_over_time({app=~"click|view"}[1h]), "instance", "app")'
+    rows = _q(spark, q).collect()
+    keys = [
+        (
+            r["timestamp_ns"],
+            r["labels"].get("instance", ""),
+            r["labels"].get("app", ""),
+        )
+        for r in rows
+    ]
+    assert keys == sorted(keys)
+    rows_d = _q(
+        spark,
+        'sort_by_label_desc(max_over_time({app=~"click|view"}[1h]), "instance", "app")',
+    ).collect()
+    keys_d = [
+        (
+            r["timestamp_ns"],
+            r["labels"].get("instance", ""),
+            r["labels"].get("app", ""),
+        )
+        for r in rows_d
+    ]
+    # within each timestamp the desc order is the exact reverse of asc
+    # (the ordering key is total: requested labels + canonical string)
+    from itertools import groupby
+
+    asc_by_ts = {
+        ts: [k[1:] for k in grp]
+        for ts, grp in groupby(keys, key=lambda k: k[0])
+    }
+    for ts, grp in groupby(keys_d, key=lambda k: k[0]):
+        assert [k[1:] for k in grp] == list(reversed(asc_by_ts[ts]))
+    # same multiset of elements either way
+    assert sorted(keys) == sorted(keys_d)
+
+
+def test_limitk_per_group_and_passthrough(spark):
+    out = _q(
+        spark,
+        'limitk(2, max_over_time({app=~"click|view|error"}[1h])) by (app)',
+    )
+    base = _q(spark, 'max_over_time({app=~"click|view|error"}[1h])')
+    # ≤ 2 series per (step, app) group
+    per = (
+        out.groupBy("timestamp_ns", F.col("labels")["app"].alias("app"))
+        .count()
+        .collect()
+    )
+    assert per and all(r["count"] <= 2 for r in per)
+    # selection is a pure filter: every kept row exists in the base
+    assert out.join(
+        base, ["fingerprint", "timestamp_ns", "value"], "left_anti"
+    ).count() == 0
+
+
+def test_limit_ratio_complement_contract(spark):
+    """limit_ratio(r) ∪ limit_ratio(-(1-r)) == the full vector, disjoint
+    (upstream's documented complement property)."""
+    base = 'max_over_time({app=~"click|view"}[1h])'
+    pos = _q(spark, f"limit_ratio(0.3, {base})")
+    neg = _q(spark, f"limit_ratio(-0.7, {base})")
+    full = _q(spark, base)
+    n_pos, n_neg, n_full = pos.count(), neg.count(), full.count()
+    assert n_pos + n_neg == n_full
+    assert (
+        pos.select("fingerprint", "timestamp_ns")
+        .intersect(neg.select("fingerprint", "timestamp_ns"))
+        .count()
+        == 0
+    )
+
+
+def test_experimental_unknown_still_raises(spark):
+    """The allowlist guard must keep failing loudly for any FUTURE
+    experimental name (none of the known set raises anymore)."""
+    import pytest as _pt
+
+    from gigapipe_spark.logql.parser import LogQLSyntaxError
+    from gigapipe_spark.promql import parser as PP
+
+    PP.EXPERIMENTAL_FNS.add("frobnicate_over_time")
+    try:
+        with _pt.raises(LogQLSyntaxError, match="experimental"):
+            PP.parse('frobnicate_over_time({app="x"}[5m])')
+    finally:
+        PP.EXPERIMENTAL_FNS.discard("frobnicate_over_time")
