@@ -50,7 +50,12 @@ from __future__ import annotations
 
 import functools
 
-__all__ = ["translate", "group_index", "Re2UnsupportedError"]
+__all__ = [
+    "translate",
+    "group_index",
+    "group_count",
+    "Re2UnsupportedError",
+]
 
 
 class Re2UnsupportedError(ValueError):
@@ -187,6 +192,40 @@ def group_index(pattern: str) -> dict[str, int]:
             continue
         i += 1
     return out
+
+
+@functools.lru_cache(maxsize=4096)
+def group_count(pattern: str) -> int:
+    """Total number of capturing groups (plain + named), lexically —
+    same \\Q/class-aware walk as group_index."""
+    named = group_index(pattern)
+    count = len(named)
+    # re-walk counting PLAIN groups (group_index counts only named)
+    i = 0
+    n = len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if pattern.startswith("\\Q", i):
+                end = pattern.find("\\E", i + 2)
+                i = n if end < 0 else end + 2
+                continue
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(" and not pattern.startswith("(?", i):
+            count += 1
+        i += 1
+    return count
 
 
 @functools.lru_cache(maxsize=4096)

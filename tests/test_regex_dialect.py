@@ -16,6 +16,8 @@ inline flags, alternation/grouping precedence, unicode classes.
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -387,3 +389,88 @@ def test_fuzz_random_compositions(spark, duck):
                     f"re2={w} java={g} (translated {translate(pat)!r})"
                 )
     assert not mismatches, "\n".join(mismatches[:25])
+
+
+# ------------------- round-9: template regexReplaceAll (RE2 → Python re)
+
+
+REPLACE_CASES = [
+    # (pattern, go_replacement, subject)
+    (r"u(\d+)", "id=$1", "u42 and u7"),
+    (r"(\w+)=(\w+)", "$2:$1", "a=1 b=2"),
+    (r"(?P<k>[a-z]+)(?P<v>\d+)", "${v}-${k}", "abc123 x9"),
+    (r"(?<k>[a-z]+)", "[$k]", "one two"),
+    (r"foo", "bar", "foo\nfoo"),
+    (r"o$", "X", "foo\n"),          # RE2 $: absolute end only
+    (r"(?m)o$", "X", "foo\nboo"),   # multiline: before every \n
+    (r"o\z", "X", "foo\n"),
+    (r".", "_", "a\nb"),            # dot excludes \n in both
+    (r"(?s).", "_", "a\nb"),
+    (r"[[:digit:]]+", "#", "a12b345"),
+    (r"[[:alpha:]_]+", "w", "héllo_x 42"),  # POSIX classes are ASCII
+    (r"\Qa.b\E", "X", "a.b axb"),
+    (r"(a)(b)?", "<$1|$2>", "ab a"),        # unmatched group → ""
+    (r"x", "a$$b", "x"),                    # $$ → literal $
+    (r"(a+)", "$1$1", "aa b a"),
+    (r"(?i)go", "-", "Go gO GO"),
+    (r"a{", "{", "xa{y"),                   # literal brace
+    (r"(\d+)px", "$1 px$", "10px"),         # trailing lone $
+]
+
+
+def test_template_replace_differential(duck):
+    """regexReplaceAll evaluates in Python; its user dialect is RE2.
+    Pin translate_py + go_replacement against DuckDB's RE2
+    regexp_replace (global) for every corpus case."""
+    from gigapipe_spark.model.re2py import compile_re2, go_replacement
+
+    mismatches = []
+    for pat, repl, subj in REPLACE_CASES:
+        got = compile_re2(pat).sub(go_replacement(repl, pat), subj)
+        # DuckDB regexp_replace uses RE2's Rewrite syntax: \1..\9 only;
+        # map the Go numeric refs for the oracle side (named refs and
+        # $$ are checked by the Python-side expectations below)
+        duck_repl = re.sub(r"\$(\d)", r"\\\1", repl).replace("$$", "$")
+        if "$" in duck_repl or "{" in repl:
+            continue  # named/brace refs: RE2 Rewrite can't express
+        want = duck.execute(
+            "SELECT regexp_replace(?, ?, ?, 'g')", [subj, pat, duck_repl]
+        ).fetchone()[0]
+        if got != want:
+            mismatches.append(
+                f"pattern {pat!r} repl {repl!r} subj {subj!r}: "
+                f"py={got!r} re2={want!r}"
+            )
+    assert not mismatches, "\n".join(mismatches)
+
+
+def test_template_replace_named_and_edge_refs():
+    from gigapipe_spark.model.re2py import compile_re2, go_replacement
+
+    sub = lambda p, r, s: compile_re2(p).sub(go_replacement(r, p), s)
+    # named groups via ${name} and bare $name (longest-ident-run rule)
+    assert sub(r"(?P<k>[a-z]+)(?P<v>\d+)", "${v}-${k}", "ab12") == "12-ab"
+    assert sub(r"(?P<k>[a-z]+)", "[$k]", "ab cd") == "[ab] [cd]"
+    # Go gotcha: $1x parses as group name "1x" (undefined) → ""
+    assert sub(r"(a)", "$1x", "a") == ""
+    # out-of-range numeric ref → "" (Go rule; DuckDB's RE2 Rewrite
+    # differs here — it refuses the rewrite — so this is pinned against
+    # Go semantics, the reference's actual template engine)
+    assert sub(r"x", "$9", "x") == ""
+    assert sub(r"(a)", "${1}x", "a") == "ax"
+    # unmatched optional group → empty, not an error
+    assert sub(r"(a)(b)?", "<$2>", "a") == "<>"
+    # $0 = whole match
+    assert sub(r"ab", "[$0]", "xaby") == "x[ab]y"
+    # literal backslash in replacement stays literal
+    assert sub(r"a", r"\n", "a") == "\\n"
+
+
+def test_template_replace_unsupported_raise():
+    import pytest as _pt
+
+    from gigapipe_spark.model.re2py import translate_py
+
+    for pat in [r"\pL+", r"a*+", r"(?=x)", r"\1", r"(?U)a+", "x(?s)y"]:
+        with _pt.raises(Re2UnsupportedError):
+            translate_py(pat)
