@@ -273,19 +273,25 @@ def stream_mine_patterns(
 
 
 def stateful_mine_patterns(
-    samples_stream: DataFrame, similarity: float = 0.6
+    samples_stream: DataFrame, similarity: float = 0.6, shards: int = 256
 ) -> DataFrame:
     """Cross-batch ONLINE clustering via applyInPandasWithState — the
     true streaming twin of the reference's resident controller state
     (ref: writer/pattern/controller/controller.go:71-187: clusters live
     in memory across requests and keep absorbing lines until flush).
 
-    Keyed by (fingerprint, cluster key) like the reference's shard map;
-    the state value is the serialized cluster list, so a line arriving
-    in batch N merges into a cluster opened in batch N-1 — something the
-    per-batch foreachBatch variant (stream_mine_patterns) only
-    approximates by re-merging at read time. Output mode `update`: each
-    batch re-emits the keys it touched with refreshed counts.
+    Logical clustering key is (fingerprint, first word), like the
+    reference's shard map — but the STATE key is a hash SHARD of it.
+    Keying state directly by (fingerprint, ckey) is the classic
+    applyInPandasWithState per-key trap: at 30× the r8 probe saw 225k
+    tiny Python state groups, each paying its own pandas frame +
+    state (de)serialization round-trip, a 14.2× cost blow-up. One
+    shard's state holds the cluster table for MANY logical keys, so
+    the per-invocation Python overhead amortizes and the group count
+    is capped at `shards` regardless of series cardinality (state
+    BYTES are unchanged — same clusters, coarser packing). Output mode
+    `update`: each batch re-emits the logical keys it touched with
+    refreshed counts.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -296,6 +302,8 @@ def stateful_mine_patterns(
         "fingerprint",
         F.coalesce(first_word, F.lit("")).alias("ckey"),
         F.col("string"),
+        F.pmod(F.xxhash64("fingerprint", F.coalesce(first_word, F.lit(""))),
+               F.lit(shards)).alias("shard"),
     )
 
     out_schema = (
@@ -307,20 +315,30 @@ def stateful_mine_patterns(
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         import json
 
-        clusters: list[Pattern] = []
+        # shard state: [{"f": fp, "k": ckey, "cl": [{t,c,n}, …]}, …]
+        table: dict[tuple[int, str], list[Pattern]] = {}
         if state.exists:
             (raw,) = state.get
-            for item in json.loads(raw):
-                p = Pattern.__new__(Pattern)
-                p.tokens = item["t"]
-                p.costs = item["c"]
-                p.samples_count = item["n"]
-                clusters.append(p)
+            for ent in json.loads(raw):
+                cl = []
+                for item in ent["cl"]:
+                    p = Pattern.__new__(Pattern)
+                    p.tokens = item["t"]
+                    p.costs = item["c"]
+                    p.samples_count = item["n"]
+                    cl.append(p)
+                table[(int(ent["f"]), ent["k"])] = cl
+        touched: set[tuple[int, str]] = set()
         for pdf in pdfs:
-            for line in pdf["string"]:
+            for fp, ck, line in zip(
+                pdf["fingerprint"], pdf["ckey"], pdf["string"]
+            ):
                 tokens = line.split()
                 if not tokens:
                     continue
+                lk = (int(fp), ck)
+                clusters = table.setdefault(lk, [])
+                touched.add(lk)
                 for c in clusters:
                     if c.try_merge(tokens, similarity):
                         break
@@ -330,32 +348,45 @@ def stateful_mine_patterns(
             (
                 json.dumps(
                     [
-                        {"t": c.tokens, "c": c.costs, "n": c.samples_count}
-                        for c in clusters
+                        {
+                            "f": fp,
+                            "k": ck,
+                            "cl": [
+                                {
+                                    "t": c.tokens,
+                                    "c": c.costs,
+                                    "n": c.samples_count,
+                                }
+                                for c in cl
+                            ],
+                        }
+                        for (fp, ck), cl in table.items()
                     ]
                 ),
             )
         )
-        fp, ck = key
-        yield pd.DataFrame(
-            [
-                {
-                    "fingerprint": int(fp),
-                    "ckey": ck,
-                    "pattern": " ".join(c.tokens),
-                    "overall_cost": c.overall_cost,
-                    "generalized_cost": c.generalized_cost,
-                    "samples_count": c.samples_count,
-                }
-                for c in clusters
-            ],
-            columns=[
-                "fingerprint", "ckey", "pattern",
-                "overall_cost", "generalized_cost", "samples_count",
-            ],
-        )
+        rows = [
+            {
+                "fingerprint": fp,
+                "ckey": ck,
+                "pattern": " ".join(c.tokens),
+                "overall_cost": c.overall_cost,
+                "generalized_cost": c.generalized_cost,
+                "samples_count": c.samples_count,
+            }
+            for (fp, ck) in sorted(touched)
+            for c in table[(fp, ck)]
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fingerprint", "ckey", "pattern",
+                    "overall_cost", "generalized_cost", "samples_count",
+                ],
+            )
 
-    return prepared.groupBy("fingerprint", "ckey").applyInPandasWithState(
+    return prepared.groupBy("shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
