@@ -241,11 +241,21 @@ def _regression_verdict(cur: dict) -> dict:
     ) or 0.10
     margin = max(0.30, 2.0 * (h_prev + h_cur))
     flagged = []
+    cal = float(cur.get("calibration", 0.0)) or None
+    warm50 = cur.get("warm_queries_p50") or {}
     for name, c in (cur.get("queries_normalized") or {}).items():
         p = prev_qn.get(name)
         if p is None or p <= 0:
             continue
         if c > p * (1.0 + margin) and c - p > 1.0:
+            # cold single-shot timings carry GC/first-touch noise the
+            # probe band can't see (measured: logql_json_label_filter
+            # cold swung 1.52–2.16 s while its A/B median IMPROVED).
+            # A real regression slows the warm path too — confirm
+            # against warm p50 before declaring one.
+            w = warm50.get(name)
+            if cal and w is not None and (w / cal) <= p * (1.0 + margin):
+                continue
             flagged.append(f"{name}: {p} -> {c} normalized")
     cur_norm = cur.get("normalized")
     if (
