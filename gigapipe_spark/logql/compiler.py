@@ -745,16 +745,14 @@ def _template_udf(tpl: str) -> Column:
             if fn == "regexReplaceAll" and len(args) == 3:
                 # evaluated in Python, but the USER dialect is RE2 (Go
                 # regexp; ref: shared/template_funcs.go) — translate
-                # pattern + Go $-replacement instead of trusting the
-                # dialects to agree (docs/REGEX.md, closed in r9)
-                from gigapipe_spark.model.re2py import (
-                    compile_re2,
-                    go_replacement,
-                )
+                # the pattern + Go $-replacement AND apply Go's
+                # global-replace loop (empty-match handling differs
+                # from re.sub) instead of trusting the dialects to
+                # agree (docs/REGEX.md, closed in r9)
+                from gigapipe_spark.model.re2py import replace_all
 
-                pat = val(args[0])
-                return compile_re2(pat).sub(
-                    go_replacement(val(args[1]), pat), val(args[2])
+                return replace_all(
+                    val(args[0]), val(args[1]), val(args[2])
                 )
             if fn == "default" and len(args) == 2:
                 v = val(args[1])

@@ -42,7 +42,12 @@ from gigapipe_spark.model.re2java import (
     group_index,
 )
 
-__all__ = ["translate_py", "compile_re2", "go_replacement"]
+__all__ = [
+    "translate_py",
+    "compile_re2",
+    "go_replacement",
+    "replace_all",
+]
 
 # RE2 POSIX classes are ASCII-only; Python has no [[:name:]], so expand
 # to explicit ASCII ranges valid INSIDE a character class.
@@ -323,6 +328,38 @@ def _m_active(pattern: str, pos: int) -> bool:
 def compile_re2(pattern: str) -> "re.Pattern[str]":
     """Compile an RE2 pattern for Python execution with RE2 semantics."""
     return re.compile(translate_py(pattern))
+
+
+def replace_all(pattern: str, go_repl: str, subject: str) -> str:
+    """Go ``regexp.ReplaceAllString`` over an RE2 pattern, evaluated in
+    Python with GO's global-replace semantics.
+
+    Python ``re.sub`` (≥3.7) REPLACES an empty match that abuts the end
+    of the previous non-empty match; Go/RE2 skip it (regexp/regexp.go
+    replaceAll: the replacement fires only when ``a[1] > lastMatchEnd
+    || a[1] == 0``) — found by the replace fuzz: ``([a-c]+)?`` over
+    ``"aab1"`` is ``X1X`` in RE2 but ``XX1X`` under re.sub. The manual
+    scan below mirrors Go's loop exactly; everything else (pattern
+    dialect, $-replacement syntax) goes through translate_py /
+    go_replacement."""
+    cre = compile_re2(pattern)
+    template = go_replacement(go_repl, pattern)
+    out: list[str] = []
+    last_match_end = 0
+    search_pos = 0
+    n = len(subject)
+    while search_pos <= n:
+        m = cre.search(subject, search_pos)
+        if not m:
+            break
+        a0, a1 = m.span()
+        out.append(subject[last_match_end:a0])
+        if a1 > last_match_end or a1 == 0:
+            out.append(m.expand(template))
+        last_match_end = a1
+        search_pos = a0 + 1 if a0 == a1 else a1
+    out.append(subject[last_match_end:])
+    return "".join(out)
 
 
 _GO_REF = re.compile(r"\$(\$|\{([^}]*)\}|[0-9A-Za-z_]+)?")

@@ -415,6 +415,10 @@ REPLACE_CASES = [
     (r"(?i)go", "-", "Go gO GO"),
     (r"a{", "{", "xa{y"),                   # literal brace
     (r"(\d+)px", "$1 px$", "10px"),         # trailing lone $
+    # Go/RE2 skip an empty match abutting the previous non-empty match;
+    # Python re.sub replaces it — replace_all mirrors Go's loop
+    (r"([a-c]+)?", "X", "aab1"),
+    (r"x*", "-", "axbxx"),
 ]
 
 
@@ -422,11 +426,11 @@ def test_template_replace_differential(duck):
     """regexReplaceAll evaluates in Python; its user dialect is RE2.
     Pin translate_py + go_replacement against DuckDB's RE2
     regexp_replace (global) for every corpus case."""
-    from gigapipe_spark.model.re2py import compile_re2, go_replacement
+    from gigapipe_spark.model.re2py import replace_all
 
     mismatches = []
     for pat, repl, subj in REPLACE_CASES:
-        got = compile_re2(pat).sub(go_replacement(repl, pat), subj)
+        got = replace_all(pat, repl, subj)
         # DuckDB regexp_replace uses RE2's Rewrite syntax: \1..\9 only;
         # map the Go numeric refs for the oracle side (named refs and
         # $$ are checked by the Python-side expectations below)
@@ -445,9 +449,7 @@ def test_template_replace_differential(duck):
 
 
 def test_template_replace_named_and_edge_refs():
-    from gigapipe_spark.model.re2py import compile_re2, go_replacement
-
-    sub = lambda p, r, s: compile_re2(p).sub(go_replacement(r, p), s)
+    from gigapipe_spark.model.re2py import replace_all as sub
     # named groups via ${name} and bare $name (longest-ident-run rule)
     assert sub(r"(?P<k>[a-z]+)(?P<v>\d+)", "${v}-${k}", "ab12") == "12-ab"
     assert sub(r"(?P<k>[a-z]+)", "[$k]", "ab cd") == "[ab] [cd]"
@@ -474,3 +476,63 @@ def test_template_replace_unsupported_raise():
     for pat in [r"\pL+", r"a*+", r"(?=x)", r"\1", r"(?U)a+", "x(?s)y"]:
         with _pt.raises(Re2UnsupportedError):
             translate_py(pat)
+
+
+def test_fuzz_template_replace(duck):
+    """Seeded random (pattern, replacement, subject) triples: every
+    pattern BOTH dialects accept must substitute identically to
+    DuckDB's RE2 regexp_replace('g')."""
+    import random
+
+    from gigapipe_spark.model.re2java import Re2UnsupportedError as _Err
+    from gigapipe_spark.model.re2py import compile_re2, replace_all
+
+    rng = random.Random(0x9E2B)
+    ATOMS = [
+        "a", "b", "fo", "1", ".", "\\d", "\\w", "[[:digit:]]",
+        "[a-c]", "[^x]", "(a)", "(b|1)", "([a-c]+)", "\\.", "$",
+    ]
+    QUANT = ["", "", "*", "+", "?", "+?"]
+    REPLS = ["<$1>", "$1$1", "X", "", "$1-", "a$$b", "[$0]"]
+    subjects = ["aab1", "foo\nfo", "a b c", "", "111", "fo.a", "xa\n"]
+    checked = 0
+    for _ in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            a = rng.choice(ATOMS)
+            q = rng.choice(QUANT)
+            if a == "$" and q:
+                q = ""
+            parts.append(a + q)
+        pat = "".join(parts)
+        repl = rng.choice(REPLS)
+        try:
+            duck.execute("SELECT regexp_matches('x', ?)", [pat]).fetchone()
+        except Exception:
+            continue  # RE2 itself rejects → reference errors the query
+        try:
+            compile_re2(pat)
+        except _Err:
+            continue
+        duck_repl = re.sub(r"\$(\d)", r"\\\1", repl).replace("$$", "$")
+        # DuckDB's Rewrite refuses out-of-range refs (Go yields "");
+        # only compare when every numeric ref is in range
+        from gigapipe_spark.model.re2java import group_count
+
+        max_ref = max(
+            (int(m) for m in re.findall(r"\$(\d)", repl)), default=0
+        )
+        if max_ref > group_count(pat):
+            continue
+        for subj in subjects:
+            got = replace_all(pat, repl, subj)
+            want = duck.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [subj, pat, duck_repl],
+            ).fetchone()[0]
+            assert got == want, (
+                f"pattern {pat!r} repl {repl!r} subj {subj!r}: "
+                f"py={got!r} re2={want!r}"
+            )
+            checked += 1
+    assert checked > 500, f"fuzz mostly skipped: {checked}"
