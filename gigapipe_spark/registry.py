@@ -3254,13 +3254,15 @@ register(
 register(
     "promql_topk",
     # rank on the UNROUNDED value like the engine; tiebreak mirrors the
-    # canonical key-sorted label string (chr(30) separator)
+    # canonical key-sorted label string (chr(255) = the engine's 0xFF
+    # separator — chr(255) orders differently when one label value is a
+    # prefix of another, e.g. instance u1 vs u10)
     f"""
     WITH {METRIC_SAMPLES_CTE}, m AS (
       SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
              max(value) AS value,
-             'app=' || any_value(app) || chr(30) || 'instance=' || any_value(instance)
-               || chr(30) || 'level=' || any_value(level) AS lbl
+             'app=' || any_value(app) || chr(255) || 'instance=' || any_value(instance)
+               || chr(255) || 'level=' || any_value(level) AS lbl
       FROM metric_samples WHERE app IN ('click','view','error') GROUP BY 1, 2
     )
     SELECT fingerprint, ts AS timestamp_ns, round(value, 6) AS value FROM (
@@ -4450,8 +4452,8 @@ def _sorted_head(q: str, limit: int) -> QueryFn:
 _SORT_ORACLE = f"""
     WITH {METRIC_SAMPLES_CTE}, m AS (
       SELECT any_value(app) AS app, any_value(instance) AS instance,
-             'app=' || any_value(app) || chr(30) || 'instance=' ||
-               any_value(instance) || chr(30) || 'level=' ||
+             'app=' || any_value(app) || chr(255) || 'instance=' ||
+               any_value(instance) || chr(255) || 'level=' ||
                any_value(level) AS lbl,
              fingerprint,
              (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
@@ -4492,8 +4494,8 @@ register(
     WITH {METRIC_SAMPLES_CTE}, m AS (
       SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
              any_value(app) AS app, max(value) AS value,
-             'app=' || any_value(app) || chr(30) || 'instance=' ||
-               any_value(instance) || chr(30) || 'level=' ||
+             'app=' || any_value(app) || chr(255) || 'instance=' ||
+               any_value(instance) || chr(255) || 'level=' ||
                any_value(level) AS lbl
       FROM metric_samples WHERE app IN ('click','view','error') GROUP BY 1, 2
     )
@@ -4515,8 +4517,8 @@ register(
     WITH {METRIC_SAMPLES_CTE}, m AS (
       SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS ts,
              max(value) AS value,
-             'app=' || any_value(app) || chr(30) || 'instance=' ||
-               any_value(instance) || chr(30) || 'level=' ||
+             'app=' || any_value(app) || chr(255) || 'instance=' ||
+               any_value(instance) || chr(255) || 'level=' ||
                any_value(level) AS lbl
       FROM metric_samples WHERE app IN ('click','view') GROUP BY 1, 2
     )
