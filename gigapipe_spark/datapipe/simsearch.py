@@ -369,16 +369,30 @@ def pq_fit(
             )
             .select("sub", F.col("__b.cid").alias("cid"), F.col("__b.sv").alias("sv"))
         )
+        # element-wise centroid mean in ONE (sub, cid) shuffle: fold the
+        # collected member subvectors with zip_with instead of the old
+        # posexplode → (sub,cid,pos) agg → regroup (2 shuffles + an
+        # explode of every training float). The collect is bounded:
+        # ≤ train_cap/k_centroids subvectors of dim/m doubles per group.
+        lst = F.collect_list("sv")
         cents = (
-            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.avg("x").alias("mval"))
-            .groupBy("sub", "cid")
-            .agg(
+            assigned.groupBy("sub", "cid")
+            .agg(lst.alias("__svs"))
+            .select(
+                "sub",
+                "cid",
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "mval"))),
-                    lambda s: s["mval"],
-                ).alias("c")
+                    F.aggregate(
+                        F.slice(
+                            F.col("__svs"), 2, F.size("__svs") - 1
+                        ),
+                        F.element_at(F.col("__svs"), 1),
+                        lambda acc, x: F.zip_with(
+                            acc, x, lambda a, b: a + b
+                        ),
+                    ),
+                    lambda s: s / F.size("__svs"),
+                ).alias("c"),
             )
         )
     return cents
@@ -442,6 +456,11 @@ def pq_topk(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # persist, not eager localCheckpoint: A/B-measured (r9) — the lazy
+    # persist lets the fit run inside the first broadcast's job with
+    # full AQE stage coalescing (cold 5.1s/warm 2.2s at sf0.01 vanilla)
+    # while an eager checkpoint re-pays the un-coalesced fit every call
+    # (warm 4.5s)
     codebook = pq_fit(
         embeddings, m, k_centroids, iters, id_col, vec_col, train_cap
     ).persist()
