@@ -384,6 +384,7 @@ def ancestors_from_spans(sp: DataFrame, max_depth: int = 8) -> DataFrame:
     closure = edges.persist()
     frontier = closure  # pairs at EXACT depth r
     r = 1
+    rounds = 0
     capped = r >= max_depth
     while r < max_depth:
         # persist + a partial isEmpty probe is safe HERE (unlike
@@ -411,9 +412,17 @@ def ancestors_from_spans(sp: DataFrame, max_depth: int = 8) -> DataFrame:
             .persist()
         )
         r += step
+        rounds += 1
         frontier = new.filter(F.col("depth") == r)
         closure = closure.unionByName(new)
         capped = True
+    from gigapipe_spark.telemetry import TELEMETRY
+
+    # observability for the doubling property: rounds == ⌈log₂ r⌉, the
+    # number of compose joins actually planned (pinned by the plan test)
+    TELEMETRY.inc(
+        "ancestor_closure_rounds", {"max_depth": str(max_depth)}, float(rounds)
+    )
     if capped:
         parents = sp.select(
             "trace_id",
@@ -428,8 +437,6 @@ def ancestors_from_spans(sp: DataFrame, max_depth: int = 8) -> DataFrame:
         n_trunc = deeper.select("span_id").distinct().count()
         if n_trunc:
             import logging
-
-            from gigapipe_spark.telemetry import TELEMETRY
 
             TELEMETRY.inc(
                 "ancestor_closure_truncated_spans",
