@@ -131,6 +131,11 @@ def main() -> None:
         "text_bm25_topk",
         "dedup_span_removal",
         "text_tfidf_keywords",
+        # r9: experimental PromQL fns (single-shuffle windows/aggs)
+        "promql_limitk",
+        "promql_limit_ratio",
+        "promql_ts_of_max_over_time",
+        "promql_mad_over_time",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))
