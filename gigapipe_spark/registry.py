@@ -998,6 +998,30 @@ register(
 )(_traceql("{} | count() > 45"))
 
 register(
+    # pipeline-level union with a PER-SELECTOR aggregator (ref:
+    # model_v2.go Selector{AttrSelector, Aggregator} + script-level
+    # Head Op Tail, lexer And=&& Or=|| — the shape the reference's own
+    # planner_test.go exercises): item spans of traces with >40 items,
+    # union ALL order spans
+    "traceql_scripted_union",
+    with_spans(
+        """
+        , f AS (
+          SELECT trace_id, span_id FROM spans
+          WHERE name = 'item' AND trace_id IN (
+            SELECT trace_id FROM spans WHERE name = 'item'
+            GROUP BY trace_id HAVING count(*) > 40
+          )
+        ), o AS (
+          SELECT trace_id, span_id FROM spans WHERE name = 'order'
+        )
+        SELECT DISTINCT trace_id, span_id
+        FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+        """
+    ),
+)(_traceql('{ name = "item" } | count() > 40 || { name = "order" }'))
+
+register(
     "traceql_spanset_avg_duration",
     with_spans(
         """

@@ -41,6 +41,7 @@ from gigapipe_spark.traceql.parser import (
     AttrCmp,
     AttrNode,
     MetricsStage,
+    ScriptedSpanset,
     SpanSelector,
     Structural,
     TraceQLScript,
@@ -207,6 +208,8 @@ def _selectors(e) -> list[SpanSelector]:
         return []
     if isinstance(e, SpanSelector):
         return [e]
+    if isinstance(e, ScriptedSpanset):
+        return _selectors(e.spanset)
     return _selectors(e.left) + _selectors(e.right)
 
 
@@ -280,6 +283,15 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
     """Spanset expr → DF[trace_id, span_id]."""
     if isinstance(e, SpanSelector):
         return select_spans(ctx, e)
+    if isinstance(e, ScriptedSpanset):
+        # selector + its OWN aggregate filters as one operand
+        # (model_v2.go Selector{…, Aggregator}): filter, then shrink
+        # back to ids for the enclosing op
+        ids = eval_spanset(ctx, e.spanset)
+        spans = ctx.spans().join(ids, ["trace_id", "span_id"], "left_semi")
+        return _agg_filter_spans(ctx, spans, e.agg_filters).select(
+            "trace_id", "span_id"
+        )
     left = eval_spanset(ctx, e.left)
     right = eval_spanset(ctx, e.right)
     spans = ctx.spans().select("trace_id", "span_id", "parent_id")
@@ -362,6 +374,36 @@ _CMP = {
 }
 
 
+def _agg_filter_spans(ctx: TraceQLContext, spans: DataFrame, agg_filters) -> DataFrame:
+    """Apply spanset aggregate filters (| count() > N, | avg(attr) cmp X)
+    to full span rows — shared by compile_script and ScriptedSpanset
+    operands (the reference's Aggregator attaches to the Selector)."""
+    for af in agg_filters:
+        if af.attr in (None, "duration"):
+            agg_src, target = spans, F.col("duration_ns")
+        else:
+            # aggregate the NAMED attribute, not duration (ref:
+            # clickhouse_transpiler/aggregator.go:12 — the aggregator
+            # selects the attr expression). Resolved via the per-span
+            # attr map: missing key -> NULL, which sum/avg/min/max skip.
+            amap = ctx.attr_map().select(
+                "trace_id", "span_id", F.col("attrs").getItem(af.attr).alias("__attr_val")
+            )
+            agg_src = spans.join(amap, ["trace_id", "span_id"], "left")
+            target = F.col("__attr_val").cast("double")
+        aggs = {
+            "count": F.count(F.lit(1)).cast("double"),
+            "sum": F.sum(target), "min": F.min(target),
+            "max": F.max(target), "avg": F.avg(target),
+        }
+        per_trace = agg_src.groupBy("trace_id").agg(aggs[af.fn].alias("__agg"))
+        good = per_trace.filter(_CMP[af.op](F.col("__agg"), F.lit(af.value))).select(
+            "trace_id"
+        )
+        spans = spans.join(_small_side(ctx, good), "trace_id", "left_semi")
+    return spans
+
+
 def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
     metrics matrix depending on the stages."""
@@ -387,29 +429,7 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         else ids
     )
     spans = ctx.spans().join(fetch_ids, ["trace_id", "span_id"], "left_semi")
-    for af in script.agg_filters:
-        if af.attr in (None, "duration"):
-            agg_src, target = spans, F.col("duration_ns")
-        else:
-            # aggregate the NAMED attribute, not duration (ref:
-            # clickhouse_transpiler/aggregator.go:12 — the aggregator
-            # selects the attr expression). Resolved via the per-span
-            # attr map: missing key -> NULL, which sum/avg/min/max skip.
-            amap = ctx.attr_map().select(
-                "trace_id", "span_id", F.col("attrs").getItem(af.attr).alias("__attr_val")
-            )
-            agg_src = spans.join(amap, ["trace_id", "span_id"], "left")
-            target = F.col("__attr_val").cast("double")
-        aggs = {
-            "count": F.count(F.lit(1)).cast("double"),
-            "sum": F.sum(target), "min": F.min(target),
-            "max": F.max(target), "avg": F.avg(target),
-        }
-        per_trace = agg_src.groupBy("trace_id").agg(aggs[af.fn].alias("__agg"))
-        good = per_trace.filter(_CMP[af.op](F.col("__agg"), F.lit(af.value))).select(
-            "trace_id"
-        )
-        spans = spans.join(_small_side(ctx, good), "trace_id", "left_semi")
+    spans = _agg_filter_spans(ctx, spans, script.agg_filters)
     if script.metrics is not None:
         out = _metrics(ctx, spans, script.metrics)
         if script.topk is not None:

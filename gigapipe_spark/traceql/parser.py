@@ -79,7 +79,19 @@ class Structural:
     right: "SpansetExpr"
 
 
-SpansetExpr = SpanSelector | Structural
+@dataclass
+class ScriptedSpanset:
+    """A selector together with ITS OWN aggregate-filter stage, usable
+    as one operand of a spanset op — the reference attaches Aggregator
+    to Selector (model_v2.go:63-66 `Selector{AttrSelector, Aggregator,
+    …}`; script level is Head Op Tail), so
+    ``{A} | count() > 2 || {B}`` is (filtered-A) union B."""
+
+    spanset: "SpansetExpr"
+    agg_filters: list  # list[AggFilter]
+
+
+SpansetExpr = SpanSelector | Structural | ScriptedSpanset
 
 
 @dataclass
@@ -142,7 +154,54 @@ class TraceQLParser:
     def at(self, v: str) -> bool:
         return self.peek()[1] == v
 
+    _SPANSET_OPS = ("&>>", "<<&", "~", "and", "or", "!>>", "<<~", "&&", "||")
+
     def parse(self) -> TraceQLScript:
+        script = self._parse_unit()
+        # reference grammar is Head Op Tail at SCRIPT level
+        # (model_v2.go:9-17, lexer And=`&&` Or=`||`): the unit parsed so
+        # far — selector PLUS its aggregate filters — can be the left
+        # operand of a spanset op, and the Tail is a full script whose
+        # trailing metrics/hints apply to the combination
+        # (ResolvedMetricsFn). Right-recursive like the reference.
+        if self.peek()[1] in self._SPANSET_OPS:
+            _, op = self.next()
+            op = {"&&": "and", "||": "or"}.get(op, op)
+            if (
+                script.metrics is not None
+                or script.compare is not None
+                or script.select_attrs
+                or script.topk is not None
+            ):
+                raise TraceQLSyntaxError(
+                    "metrics/select/topk stage cannot precede a spanset "
+                    f"op {op!r} — put it after the combined expression"
+                )
+            left = (
+                ScriptedSpanset(script.spanset, script.agg_filters)
+                if script.agg_filters
+                else script.spanset
+            )
+            rhs = self.parse()  # consumes the rest incl. eof check
+            right = (
+                ScriptedSpanset(rhs.spanset, rhs.agg_filters)
+                if rhs.agg_filters
+                else rhs.spanset
+            )
+            return TraceQLScript(
+                spanset=Structural(op=op, left=left, right=right),
+                agg_filters=[],
+                metrics=rhs.metrics,
+                sample=rhs.sample if rhs.sample is not None else script.sample,
+                select_attrs=rhs.select_attrs,
+                topk=rhs.topk,
+                compare=rhs.compare,
+            )
+        if self.peek()[0] != "eof":
+            raise TraceQLSyntaxError(f"trailing input {self.peek()[1]!r}")
+        return script
+
+    def _parse_unit(self) -> TraceQLScript:
         spanset = self.parse_spanset_expr()
         script = TraceQLScript(spanset=spanset)
         while self.at("|"):
@@ -159,14 +218,20 @@ class TraceQLParser:
             _, v = self.next()
             script.sample = float(v)
             self.expect(")")
-        if self.peek()[0] != "eof":
-            raise TraceQLSyntaxError(f"trailing input {self.peek()[1]!r}")
         return script
 
-    def parse_spanset_expr(self) -> SpansetExpr:
+    def parse_spanset_expr(self, allow_symbols: bool = False) -> SpansetExpr:
+        # `&&`/`||` (the reference's And/Or lexemes) are consumed here
+        # only INSIDE parens; at top level they bind looser than a
+        # selector's aggregate filter (Selector{…, Aggregator} Op Tail,
+        # model_v2.go:9-17,63-66) and are handled by parse()
+        ops = ("&>>", "<<&", "~", "and", "or", "!>>", "<<~")
+        if allow_symbols:
+            ops = ops + ("&&", "||")
         left = self.parse_spanset_atom()
-        while self.peek()[1] in ("&>>", "<<&", "~", "and", "or", "!>>", "<<~"):
+        while self.peek()[1] in ops:
             _, op = self.next()
+            op = {"&&": "and", "||": "or"}.get(op, op)
             right = self.parse_spanset_atom()
             left = Structural(op=op, left=left, right=right)
         return left
@@ -174,7 +239,7 @@ class TraceQLParser:
     def parse_spanset_atom(self) -> SpansetExpr:
         if self.at("("):
             self.next()
-            e = self.parse_spanset_expr()
+            e = self.parse_spanset_expr(allow_symbols=True)
             self.expect(")")
             return e
         self.expect("{")
