@@ -637,144 +637,39 @@ def _tpl_expr(expr: str) -> Column:
     raise NotImplementedError(f"line_format template construct {expr!r}")
 
 
-def _template_udf(tpl: str) -> Column:
+def _template_udf(tpl: str, ts_in_scope: bool = False) -> Column:
     """Arrow-batched fallback for the FULL template surface (ref:
-    shared/template_funcs.go): trunc, substr, Trim*, Replace,
-    regexReplaceAll, default, alignment with pipelines etc. Used only
+    shared/template_funcs.go:29-66 — Go Trim*/Replace/regexReplaceAll*
+    builtins plus the registered sprig allowlist, :17-25 the per-entry
+    __line__/__timestamp__ bindings): typed Go-template pipelines,
+    date/duration/json helpers, RE2-dialect regexReplaceAll. Used only
     when the column compiler can't express the template — keeps the
-    common path codegen'd while covering the long tail.
+    common path codegen'd while covering the long tail. The evaluator
+    lives in logql/template.py (pure Python, differentially tested).
     """
-    token_re = _TPL_TOKEN
-
-    def render_one(line: str, labels: dict | None) -> str:
-        labels = labels or {}
-
-        def resolve(expr: str) -> str:
-            expr = expr.strip()
-            if expr in ("_entry", "__line__", "."):
-                return line if line is not None else ""
-            if expr.startswith("."):
-                return labels.get(expr[1:], "")
-            toks = expr.split()
-            if len(toks) == 1:
-                return labels.get(expr, "")
-            fn, args = toks[0], toks[1:]
-
-            def val(a: str) -> str:
-                if a.startswith('"') and a.endswith('"'):
-                    return a[1:-1]
-                if re.fullmatch(r"-?\d+(\.\d+)?", a):
-                    return a
-                return resolve(a)
-
-            def num(a: str) -> float:
-                # sprig toFloat64: non-numeric coerces to 0
-                v = val(a)
-                return float(v) if re.fullmatch(r"-?\d+(\.\d+)?", v) else 0.0
-
-            def toint(a: str) -> int:
-                # sprig toInt64: full-string base-10 integers only
-                v = val(a)
-                return int(v) if re.fullmatch(r"-?\d+", v) else 0
-
-            def fmt(x: float) -> str:
-                import math
-
-                if math.isnan(x):
-                    return "NaN"
-                if math.isinf(x):
-                    return "+Inf" if x > 0 else "-Inf"
-                return str(int(x)) if x == int(x) else str(x)
-
-            # add/sub/mul/div/divide are sprig's INTEGER functions
-            # (ref: template_funcs.go BaseTemplateFuncs); divide by
-            # zero errors the query like the reference's template
-            # panic (internal/planner/line_format.go:23)
-            if fn in ("divide", "div") and len(args) == 2:
-                d = toint(args[1])
-                if d == 0:
-                    raise ValueError("line_format: integer divide by zero")
-                q = toint(args[0]) / d
-                return str(int(q))  # truncate toward zero, Go semantics
-            if fn == "mul" and len(args) == 2:
-                return str(toint(args[0]) * toint(args[1]))
-            if fn == "add" and len(args) == 2:
-                return str(toint(args[0]) + toint(args[1]))
-            if fn == "sub" and len(args) == 2:
-                return str(toint(args[0]) - toint(args[1]))
-            if fn == "divf" and len(args) == 2:
-                import math
-
-                a, d = num(args[0]), num(args[1])
-                if d == 0:  # Go float semantics: ±Inf / NaN, no error
-                    return fmt(float("nan") if a == 0 else math.copysign(float("inf"), a))
-                return fmt(a / d)
-            if fn == "mulf" and len(args) == 2:
-                return fmt(num(args[0]) * num(args[1]))
-            if fn == "addf" and len(args) == 2:
-                return fmt(num(args[0]) + num(args[1]))
-            if fn == "subf" and len(args) == 2:
-                return fmt(num(args[0]) - num(args[1]))
-            if fn == "ToLower":
-                return val(args[0]).lower()
-            if fn == "ToUpper":
-                return val(args[0]).upper()
-            if fn == "Trim" and len(args) == 2:
-                return val(args[1]).strip(val(args[0]))
-            if fn == "TrimLeft" and len(args) == 2:
-                return val(args[1]).lstrip(val(args[0]))
-            if fn == "TrimRight" and len(args) == 2:
-                return val(args[1]).rstrip(val(args[0]))
-            if fn == "TrimSpace":
-                return val(args[0]).strip()
-            if fn == "TrimPrefix" and len(args) == 2:
-                v, p = val(args[1]), val(args[0])
-                return v[len(p):] if v.startswith(p) else v
-            if fn == "TrimSuffix" and len(args) == 2:
-                v, s = val(args[1]), val(args[0])
-                return v[: -len(s)] if s and v.endswith(s) else v
-            if fn == "trunc" and len(args) == 2:
-                # sprig: first N chars; negative N keeps the LAST |N|
-                n, v = toint(args[0]), val(args[1])
-                return v[:n] if n >= 0 else v[n:]
-            if fn == "substr" and len(args) == 3:
-                v = val(args[2])
-                return v[int(num(args[0])): int(num(args[1]))]
-            if fn == "Replace" and len(args) == 3:
-                return val(args[2]).replace(val(args[0]), val(args[1]))
-            if fn == "regexReplaceAll" and len(args) == 3:
-                # evaluated in Python, but the USER dialect is RE2 (Go
-                # regexp; ref: shared/template_funcs.go) — translate
-                # the pattern + Go $-replacement AND apply Go's
-                # global-replace loop (empty-match handling differs
-                # from re.sub) instead of trusting the dialects to
-                # agree (docs/REGEX.md, closed in r9)
-                from gigapipe_spark.model.re2py import replace_all
-
-                return replace_all(
-                    val(args[0]), val(args[1]), val(args[2])
-                )
-            if fn == "default" and len(args) == 2:
-                v = val(args[1])
-                return v if v else val(args[0])
-            return ""
-
-        out = []
-        pos = 0
-        for m in token_re.finditer(tpl):
-            out.append(tpl[pos : m.start()])
-            out.append(resolve(m.group(1)))
-            pos = m.end()
-        out.append(tpl[pos:])
-        return "".join(out)
+    from gigapipe_spark.logql.template import render_template
 
     @F.pandas_udf("string")
-    def render(lines: pd.Series, labels: pd.Series) -> pd.Series:
+    def render(
+        lines: pd.Series, labels: pd.Series, ts: pd.Series
+    ) -> pd.Series:
         return pd.Series(
-            [render_one(l, lab) for l, lab in zip(lines, labels)]
+            [
+                render_template(tpl, l, lab, int(t) if pd.notna(t) else None)
+                for l, lab, t in zip(lines, labels, ts)
+            ]
         )
 
-    return render(F.col("string"), F.coalesce(F.col("labels"), F.expr("map()")))
+    # pipeline rows always carry timestamp_ns; unit-test frames and
+    # label_format templates may not — __timestamp__ then renders empty
+    ts_col = (
+        F.col("timestamp_ns") if ts_in_scope else F.lit(None).cast("long")
+    )
+    return render(
+        F.col("string"),
+        F.coalesce(F.col("labels"), F.expr("map()")),
+        ts_col,
+    )
 
 
 def _apply_label_format(df: DataFrame, st: A.LabelFormat) -> DataFrame:
@@ -841,7 +736,9 @@ def apply_stages(
                 tpl_col = _template_col(st.template)
             except NotImplementedError:
                 # full template surface via the Arrow-batched fallback
-                tpl_col = _template_udf(st.template)
+                tpl_col = _template_udf(
+                    st.template, ts_in_scope="timestamp_ns" in df.columns
+                )
             df = df.withColumn("string", tpl_col)
         elif isinstance(st, A.LabelFormat):
             df = _apply_label_format(df, st)

@@ -296,7 +296,7 @@ register(
     " FROM events WHERE event_type='purchase'",
 )(
     _logql(
-        '{app="purchase"} | line_format `{{ regexReplaceAll "u(\\d+)" "id=$1" .instance }}:{{ToUpper .app}}`',
+        '{app="purchase"} | line_format `{{ regexReplaceAll "u(\\d+)" .instance "id=$1" }}:{{ToUpper .app}}`',
         ["fingerprint", "timestamp_ns", "string"],
     )
 )

@@ -42,7 +42,9 @@ def test_udf_fallback_function_surface(spark):
         ('{{ TrimPrefix "u" .instance }}', lambda uid: str(uid)),
         ('{{ Replace "u" "user-" .instance }}', lambda uid: f"user-{uid}"),
         ('{{ default "none" .missing }}', lambda uid: "none"),
-        ('{{ regexReplaceAll "u(\\d+)" "id=$1" .instance }}', lambda uid: f"id={uid}"),
+        # reference arg order: (regex, subject, replacement) —
+        # template_funcs.go:40 func(regex, s, repl), same as Loki docs
+        ('{{ regexReplaceAll "u(\\d+)" .instance "id=$1" }}', lambda uid: f"id={uid}"),
     ]
     ctx = LogQLContext(spark, SF_DIR)
     for tpl, expect in cases:

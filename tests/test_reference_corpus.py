@@ -81,6 +81,9 @@ LOGQL_PARSER_CORPUS = [
     '{k8s_object_kind="Node"} | line_format '
     "`{{.k8s_object_name}} - {{__line__}}`",
     'count_over_time({test_id="${testID}_json"} [1m] offset 1m)',
+    # template_funcs_test.go:9,33 template anchors as full queries
+    '{test_id="${testID}"} | line_format '
+    "`{{ __timestamp__ | unixEpoch }}`",
 ]
 
 # parser_test.go:86-90 (TestLineFilterBool)
