@@ -568,6 +568,11 @@ _TPL_FLOAT_OPS = {
 
 
 def _tpl_expr(expr: str) -> Column:
+    # Go-template PIPELINES and per-entry time bindings are the UDF
+    # path's job — without this check ".app | upper" would silently
+    # resolve as a label literally named "app | upper" (empty)
+    if "|" in re.sub(r'"(?:\\.|[^"\\])*"', "", expr) or "__timestamp__" in expr:
+        raise NotImplementedError("template pipelines run in the UDF path")
     if expr in ("_entry", "__line__", "."):
         return F.col("string")
     if expr.startswith("."):
@@ -681,7 +686,16 @@ def _apply_label_format(df: DataFrame, st: A.LabelFormat) -> DataFrame:
             pairs += [F.lit(new), labels.getItem(src)]
             drop_keys.append(src)  # rename semantics: source is dropped
         else:
-            pairs += [F.lit(new), _template_col(src)]
+            try:
+                tcol = _template_col(src)
+            except NotImplementedError:
+                # same full-surface fallback as line_format — the
+                # reference registers ONE function set for both stages
+                # (shared/template_funcs.go BaseTemplateFuncs)
+                tcol = _template_udf(
+                    src, ts_in_scope="timestamp_ns" in df.columns
+                )
+            pairs += [F.lit(new), tcol]
     newmap = F.map_filter(
         F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
         lambda k, v: v.isNotNull(),

@@ -129,3 +129,18 @@ def test_divide_by_zero_still_errors():
 
 def test_parenthesized_subexpressions():
     assert r('{{ trunc 2 (upper .app) }}', labels={"app": "view"}) == "VI"
+
+
+def test_label_format_exotic_template_falls_back(spark):
+    """label_format shares the full template surface with line_format
+    (BaseTemplateFuncs registers one set for both) — an exotic template
+    routes through the Arrow fallback instead of failing."""
+    from gigapipe_spark.logql.compiler import LogQLContext, query
+    from tests.conftest import SF_DIR
+
+    res = query(
+        LogQLContext(spark, SF_DIR),
+        '{app="click"} | label_format shout=`{{ .app | upper | trunc 2 }}`',
+    )
+    row = res.df.select("labels").first()
+    assert row["labels"]["shout"] == "CL"
