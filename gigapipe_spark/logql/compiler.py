@@ -610,18 +610,21 @@ def _tpl_expr(expr: str) -> Column:
         return F.substring(_tpl_expr(toks[3]), a + 1, max(b - a, 0))
     if fn == "TrimSpace" and len(toks) == 2:
         return F.regexp_replace(_tpl_expr(toks[1]), r"^\s+|\s+$", "")
+    # Go strings.* builtins are registered DIRECTLY in the reference
+    # (template_funcs.go:31-39), so the SUBJECT comes FIRST and the
+    # cutset/prefix/old literal second — mirrored in template.py _FNS
     if fn in ("Trim", "TrimLeft", "TrimRight") and len(toks) == 3:
-        cutset = toks[1][1:-1] if toks[1].startswith('"') else None
+        cutset = _lit(toks[2])
         if cutset is not None:
             trimmer = {"Trim": F.trim, "TrimLeft": F.ltrim, "TrimRight": F.rtrim}[fn]
-            return trimmer(_tpl_expr(toks[2]), F.lit(cutset))
-    if fn == "TrimPrefix" and len(toks) == 3 and _lit(toks[1]) is not None:
-        p, v = _lit(toks[1]), _tpl_expr(toks[2])
+            return trimmer(_tpl_expr(toks[1]), F.lit(cutset))
+    if fn == "TrimPrefix" and len(toks) == 3 and _lit(toks[2]) is not None:
+        p, v = _lit(toks[2]), _tpl_expr(toks[1])
         return F.when(
             v.startswith(p), F.substring(v, len(p) + 1, 2**31 - 1)
         ).otherwise(v)
-    if fn == "TrimSuffix" and len(toks) == 3 and _lit(toks[1]) is not None:
-        s, v = _lit(toks[1]), _tpl_expr(toks[2])
+    if fn == "TrimSuffix" and len(toks) == 3 and _lit(toks[2]) is not None:
+        s, v = _lit(toks[2]), _tpl_expr(toks[1])
         if s == "":
             return v
         return F.when(
@@ -629,16 +632,16 @@ def _tpl_expr(expr: str) -> Column:
         ).otherwise(v)
     if (
         fn == "Replace"
-        and len(toks) == 4
-        and _lit(toks[1]) is not None
+        and len(toks) == 5
         and _lit(toks[2]) is not None
+        and _lit(toks[3]) is not None
+        and toks[4] == "-1"
     ):
+        # strings.Replace(s, old, new, n): only the replace-ALL count
+        # compiles to F.replace; bounded n runs in the UDF path
         return F.replace(
-            _tpl_expr(toks[3]), F.lit(_lit(toks[1])), F.lit(_lit(toks[2]))
+            _tpl_expr(toks[1]), F.lit(_lit(toks[2])), F.lit(_lit(toks[3]))
         )
-    if fn == "default" and len(toks) == 3 and _lit(toks[1]) is not None:
-        v = _tpl_expr(toks[2])
-        return F.when(v == "", F.lit(_lit(toks[1]))).otherwise(v)
     raise NotImplementedError(f"line_format template construct {expr!r}")
 
 
@@ -652,7 +655,11 @@ def _template_udf(tpl: str, ts_in_scope: bool = False) -> Column:
     common path codegen'd while covering the long tail. The evaluator
     lives in logql/template.py (pure Python, differentially tested).
     """
-    from gigapipe_spark.logql.template import render_template
+    from gigapipe_spark.logql.template import render_template, validate_template
+
+    # fail unknown-function templates at PLAN time like the reference's
+    # text/template Parse (PrepareLineFormatTemplate), not per-row
+    validate_template(tpl)
 
     @F.pandas_udf("string")
     def render(

@@ -34,7 +34,7 @@ from datetime import datetime, timezone
 
 from gigapipe_spark.logql.parser import parse_duration_ns
 
-__all__ = ["render_template", "TOKEN_RE"]
+__all__ = ["render_template", "validate_template", "TOKEN_RE"]
 
 TOKEN_RE = re.compile(r"\{\{\s*([^}]*?)\s*\}\}")
 
@@ -93,20 +93,61 @@ def _to_float(v) -> float:
 
 
 def _go_duration(seconds) -> str:
-    """sprig `duration`: integer seconds → Go duration string."""
+    """sprig `duration`: integer seconds → Go ``time.Duration.String()``.
+
+    Go prints the leading unit only when non-zero, but once a higher
+    unit appears every LOWER unit is always printed: 3600 → "1h0m0s",
+    60 → "1m0s", 95 → "1m35s", 0 → "0s" (time/format.go fmtFrac rules
+    for whole-second durations).
+    """
     total = _to_int(seconds)
     sign = "-" if total < 0 else ""
     total = abs(total)
     h, rem = divmod(total, 3600)
     m, s = divmod(rem, 60)
-    out = ""
     if h:
-        out += f"{h}h"
-    if m or (h and s):
-        out += f"{m}m"
-    if s or not out:
-        out += f"{s}s"
-    return sign + out
+        return f"{sign}{h}h{m}m{s}s"
+    if m:
+        return f"{sign}{m}m{s}s"
+    return f"{sign}{s}s"
+
+
+def _go_title(s: str) -> str:
+    """Go ``strings.Title``: upper-case any letter that follows a
+    non-letter (not just whitespace) — "foo-bar" → "Foo-Bar"; letters
+    inside a word are left unchanged ("fOO" → "FOO")."""
+    out = []
+    prev_letter = False
+    for ch in s:
+        is_letter = ch.isalpha()
+        out.append(ch.upper() if is_letter and not prev_letter else ch)
+        prev_letter = is_letter
+    return "".join(out)
+
+
+def _go_replace(ev, a):
+    # Go strings.Replace(s, old, new, n) registered DIRECTLY
+    # (template_funcs.go:33) — subject FIRST, and the count arg is
+    # REQUIRED (n<0 → all, n≥0 → at most n). Wrong arity is a
+    # text/template execute error → the reference fails the query.
+    if len(a) != 4:
+        raise ValueError(
+            "template: wrong number of args for Replace: want 4 got "
+            f"{len(a)}"
+        )
+    s, old, new, n = _s(a[0]), _s(a[1]), _s(a[2]), _to_int(a[3])
+    return s.replace(old, new) if n < 0 else s.replace(old, new, n)
+
+
+def _fn_unix_epoch(ev, a):
+    # sprig unixEpoch(date time.Time) — a non-time argument is a
+    # text/template execute error in the reference, not a coercion
+    if not isinstance(a[0], datetime):
+        raise ValueError(
+            "template: unixEpoch: expected time.Time argument, got "
+            f"{type(a[0]).__name__}"
+        )
+    return str(int(a[0].timestamp()))
 
 
 def _tokenize(expr: str) -> list[str]:
@@ -200,9 +241,15 @@ class _Evaluator:
         fn = toks[0]
         if fn not in _FNS:
             if len(toks) == 1 and piped is not None:
-                # `x | label` is not a call; Go would error — render ""
-                return ""
-            return self.atom(fn) if len(toks) == 1 else ""
+                # `x | .label` etc: not a registered function; Go
+                # text/template fails Parse → the reference errors the
+                # whole query (PrepareLineFormatTemplate caller)
+                raise ValueError(
+                    f"template: function {fn!r} not defined"
+                )
+            if len(toks) == 1:
+                return self.atom(fn)
+            raise ValueError(f"template: function {fn!r} not defined")
         args = [self.atom(t) for t in toks[1:]]
         if piped is not None:
             args.append(piped)
@@ -223,6 +270,38 @@ def render_template(
     tpl: str, line: str, labels: dict, ts_ns: int | None = None
 ) -> str:
     return _Evaluator(line, labels, ts_ns).render(tpl)
+
+
+def _validate_expr(text: str) -> None:
+    toks = _tokenize(text)
+    segs: list[list[str]] = [[]]
+    for t in toks:
+        if t == "|":
+            segs.append([])
+        else:
+            segs[-1].append(t)
+    for i, seg in enumerate(segs):
+        for t in seg:
+            if t.startswith("(") and t.endswith(")"):
+                _validate_expr(t[1:-1])
+        if not seg:
+            continue
+        head = seg[0]
+        is_call = len(seg) > 1 or i > 0  # has args, or is a pipe target
+        if is_call and head not in _FNS and not head.startswith("("):
+            raise ValueError(f"template: function {head!r} not defined")
+
+
+def validate_template(tpl: str) -> None:
+    """Plan-time mirror of Go ``text/template`` Parse errors: raise for
+    any call-position name outside the registered function set
+    (template_funcs.go:29-66 allowlist — e.g. sprig ``default`` is NOT
+    in it), so a bad template fails the query at compile time exactly
+    like the reference (PrepareLineFormatTemplate returns the parse
+    error before any entry is processed), instead of per-row inside the
+    Arrow UDF."""
+    for m in TOKEN_RE.finditer(tpl):
+        _validate_expr(m.group(1))
 
 
 # ---- function table (the reference's registered set) -----------------
@@ -317,28 +396,28 @@ def _fn_indent(ev, a, leading_nl: bool):
 
 
 _FNS = {
-    # Go strings.* builtins (template_funcs.go:31-39; Go arg order)
+    # Go strings.* builtins registered DIRECTLY (template_funcs.go:31-39)
+    # — Go signatures, so the SUBJECT string comes FIRST (the sprig
+    # lowercase twins below keep sprig's subject-last order)
     "ToLower": lambda ev, a: _s(a[0]).lower(),
     "ToUpper": lambda ev, a: _s(a[0]).upper(),
-    "Replace": lambda ev, a: _s(a[2]).replace(_s(a[0]), _s(a[1])),
-    "Trim": lambda ev, a: _s(a[1]).strip(_s(a[0])),
-    "TrimLeft": lambda ev, a: _s(a[1]).lstrip(_s(a[0])),
-    "TrimRight": lambda ev, a: _s(a[1]).rstrip(_s(a[0])),
-    "TrimPrefix": lambda ev, a: _s(a[1])[len(_s(a[0])):]
-    if _s(a[1]).startswith(_s(a[0]))
-    else _s(a[1]),
-    "TrimSuffix": lambda ev, a: _s(a[1])[: -len(_s(a[0]))]
-    if _s(a[0]) and _s(a[1]).endswith(_s(a[0]))
-    else _s(a[1]),
+    "Replace": _go_replace,
+    "Trim": lambda ev, a: _s(a[0]).strip(_s(a[1])),
+    "TrimLeft": lambda ev, a: _s(a[0]).lstrip(_s(a[1])),
+    "TrimRight": lambda ev, a: _s(a[0]).rstrip(_s(a[1])),
+    "TrimPrefix": lambda ev, a: _s(a[0])[len(_s(a[1])):]
+    if _s(a[0]).startswith(_s(a[1]))
+    else _s(a[0]),
+    "TrimSuffix": lambda ev, a: _s(a[0])[: -len(_s(a[1]))]
+    if _s(a[1]) and _s(a[0]).endswith(_s(a[1]))
+    else _s(a[0]),
     "TrimSpace": lambda ev, a: _s(a[0]).strip(),
     "regexReplaceAll": lambda ev, a: _fn_regex_replace(ev, a, False),
     "regexReplaceAllLiteral": lambda ev, a: _fn_regex_replace(ev, a, True),
     # sprig allowlist (template_funcs.go:51-57; sprig arg order)
     "lower": lambda ev, a: _s(a[0]).lower(),
     "upper": lambda ev, a: _s(a[0]).upper(),
-    "title": lambda ev, a: re.sub(
-        r"(^|\s)(\S)", lambda m: m.group(1) + m.group(2).upper(), _s(a[0])
-    ),
+    "title": lambda ev, a: _go_title(_s(a[0])),
     "trunc": lambda ev, a: _s(a[1])[: _to_int(a[0])]
     if _to_int(a[0]) >= 0
     else _s(a[1])[_to_int(a[0]):],
@@ -389,9 +468,7 @@ _FNS = {
     "date": _fn_date,
     "toDate": _fn_to_date,
     "toDateInZone": _fn_to_date_zone,
-    "unixEpoch": lambda ev, a: str(int(a[0].timestamp()))
-    if isinstance(a[0], datetime)
-    else str(_to_int(a[0])),
+    "unixEpoch": _fn_unix_epoch,
     "duration": lambda ev, a: _go_duration(a[0]),
     "duration_seconds": _fn_duration_seconds,
     "len": lambda ev, a: len(a[0])
@@ -402,6 +479,8 @@ _FNS = {
     "and": lambda ev, a: a[1] if a[0] else a[0],
     "or": lambda ev, a: a[0] if a[0] else a[1],
     "not": lambda ev, a: not a[0],
-    # LogQL extra (upstream loki template): default
-    "default": lambda ev, a: a[1] if len(a) > 1 and _s(a[1]) else a[0],
+    # NOTE: sprig `default` is deliberately ABSENT — it is not in the
+    # reference's allowlist (template_funcs.go:50-55); a template using
+    # it fails text/template Parse there, so using it here must error
+    # too (segment() raises for unknown call-position names).
 }

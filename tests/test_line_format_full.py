@@ -39,9 +39,11 @@ def test_udf_fallback_matches_oracle(spark):
 
 def test_udf_fallback_function_surface(spark):
     cases = [
-        ('{{ TrimPrefix "u" .instance }}', lambda uid: str(uid)),
-        ('{{ Replace "u" "user-" .instance }}', lambda uid: f"user-{uid}"),
-        ('{{ default "none" .missing }}', lambda uid: "none"),
+        # Go strings.* builtins: SUBJECT FIRST (template_funcs.go:31-39
+        # registers strings.TrimPrefix / strings.Replace directly)
+        ('{{ TrimPrefix .instance "u" }}', lambda uid: str(uid)),
+        ('{{ Replace .instance "u" "user-" -1 }}', lambda uid: f"user-{uid}"),
+        ('{{ Replace .instance "u" "user-" 0 }}', lambda uid: f"u{uid}"),
         # reference arg order: (regex, subject, replacement) —
         # template_funcs.go:40 func(regex, s, repl), same as Loki docs
         ('{{ regexReplaceAll "u(\\d+)" .instance "id=$1" }}', lambda uid: f"id={uid}"),
@@ -131,14 +133,12 @@ def test_template_paths_differential_fuzz(spark):
                             "{{trunc -2 .s}}",
                             "{{substr 1 3 .s}}",
                             "{{TrimSpace .s}}",
-                            '{{TrimPrefix "Ab" .s}}',
-                            '{{TrimSuffix "bC" .s}}',
-                            '{{Replace "b" "__" .s}}',
-                            '{{Trim "A" .s}}',
-                            '{{TrimLeft "Ab" .s}}',
-                            '{{TrimRight "Cc" .s}}',
-                            '{{default "dflt" .e}}',
-                            '{{default "dflt" .s}}',
+                            '{{TrimPrefix .s "Ab"}}',
+                            '{{TrimSuffix .s "bC"}}',
+                            '{{Replace .s "b" "__" -1}}',
+                            '{{Trim .s "A"}}',
+                            '{{TrimLeft .s "Ab"}}',
+                            '{{TrimRight .s "Cc"}}',
                         ]
                     )
                 )

@@ -65,6 +65,9 @@ def test_sprig_string_fns():
     assert r('{{ trimPrefix "he" .w }}', labels=labels) == "llo world"
     assert r('{{ trimSuffix "ld" .w }}', labels=labels) == "hello wor"
     assert r("{{ title .w }}", labels=labels) == "Hello World"
+    # strings.Title: a letter after ANY non-letter starts a word
+    assert r('{{ title "foo-bar baz" }}') == "Foo-Bar Baz"
+    assert r('{{ title "fOO" }}') == "FOO"  # inner letters untouched
     assert r('{{ repeat 3 "ab" }}') == "ababab"
     assert r('{{ contains "lo w" .w }}', labels=labels) == "true"
     assert r('{{ hasSuffix "rld" .w }}', labels=labels) == "true"
@@ -94,6 +97,12 @@ def test_sprig_math_fns():
 def test_duration_fns():
     assert r("{{ duration 95 }}") == "1m35s"
     assert r("{{ duration 3695 }}") == "1h1m35s"
+    # Go time.Duration.String(): zero LOWER units are always printed
+    # once a higher unit appears
+    assert r("{{ duration 3600 }}") == "1h0m0s"
+    assert r("{{ duration 60 }}") == "1m0s"
+    assert r("{{ duration 0 }}") == "0s"
+    assert r("{{ duration -3600 }}") == "-1h0m0s"
     assert r('{{ duration_seconds "1m35s" }}') == "95"
 
 
@@ -125,6 +134,48 @@ def test_missing_label_renders_empty():
 def test_divide_by_zero_still_errors():
     with pytest.raises(ValueError, match="divide by zero"):
         r("{{ divide 4 0 }}")
+
+
+def test_go_builtins_subject_first():
+    # template_funcs.go:31-39 registers strings.* DIRECTLY: Go
+    # signatures, subject string FIRST (sprig lowercase twins keep
+    # sprig's subject-last order — both pinned here)
+    labels = {"s": "AbCbA", "w": "hello world"}
+    assert r('{{ Trim .s "A" }}', labels=labels) == "bCb"
+    assert r('{{ TrimLeft .s "Ab" }}', labels=labels) == "CbA"
+    assert r('{{ TrimRight .s "Ab" }}', labels=labels) == "AbC"
+    assert r('{{ TrimPrefix .s "Ab" }}', labels=labels) == "CbA"
+    assert r('{{ TrimSuffix .s "bA" }}', labels=labels) == "AbC"
+    assert r('{{ trimAll "A" .s }}', labels=labels) == "bCb"
+    assert r('{{ trimPrefix "Ab" .s }}', labels=labels) == "CbA"
+
+
+def test_go_replace_requires_and_honors_count():
+    # strings.Replace(s, old, new, n): n is REQUIRED; n=1 replaces only
+    # the first occurrence, n<0 replaces all
+    assert r('{{ Replace "aaa" "a" "b" 1 }}') == "baa"
+    assert r('{{ Replace "aaa" "a" "b" 2 }}') == "bba"
+    assert r('{{ Replace "aaa" "a" "b" -1 }}') == "bbb"
+    assert r('{{ Replace "aaa" "a" "b" 0 }}') == "aaa"
+    with pytest.raises(ValueError, match="wrong number of args"):
+        r('{{ Replace "aaa" "a" "b" }}')
+
+
+def test_unknown_function_errors_like_reference_parse():
+    # sprig `default` is NOT in the reference's allowlist
+    # (template_funcs.go:50-55) — text/template Parse fails there, so
+    # the template must error here instead of silently evaluating
+    with pytest.raises(ValueError, match="not defined"):
+        r('{{ default "none" .missing }}')
+    with pytest.raises(ValueError, match="not defined"):
+        r("{{ .x | nosuchfn }}", labels={"x": "v"})
+
+
+def test_unixepoch_rejects_non_time():
+    # sprig unixEpoch takes time.Time; a string arg is an execute error
+    # in the reference, not a coercion
+    with pytest.raises(ValueError, match="unixEpoch"):
+        r('{{ unixEpoch "12345" }}')
 
 
 def test_parenthesized_subexpressions():
