@@ -146,6 +146,9 @@ class _Handler(BaseHTTPRequestHandler):
     engine = None
     protocol_version = "HTTP/1.1"
     allow_origin = "*"
+    # per-request Spark deadline — the reference's PromQL engine runs
+    # with Timeout: 30s (reader/router/prometheus_query_range.go:32)
+    query_timeout_s: float | None = 30.0
 
     def log_message(self, *a):  # quiet test output
         pass
@@ -265,6 +268,41 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", "0"))
         return self.rfile.read(n) if n else b""
 
+    def _guard(self, desc: str):
+        """Per-request RequestGuard: 30s Spark deadline + cancel-on-
+        client-disconnect (ref: prometheus_query_range.go:32 engine
+        Timeout, PlannerContext ctx threading in shared/types.go)."""
+        from gigapipe_spark.cancel import RequestGuard
+
+        return RequestGuard(
+            self.engine.spark,
+            self.query_timeout_s,
+            sock=self.connection,
+            desc=desc,
+        )
+
+    def _guard_error(self, guard, ex: Exception):
+        """Map a guard-cancelled Spark error to the reference's
+        envelope: engine timeout → HTTP 503 errorType=timeout (the
+        Prometheus API contract the reference inherits from api_v1);
+        client disconnect → drop the connection, nobody is reading."""
+        if guard is not None and guard.reason == "timeout":
+            return self._json(
+                {
+                    "status": "error",
+                    "errorType": "timeout",
+                    "error": (
+                        "query timed out in expression evaluation after "
+                        f"{guard.timeout_s}s"
+                    ),
+                },
+                503,
+            )
+        if guard is not None and guard.reason == "disconnect":
+            self.close_connection = True
+            return None
+        return self._json({"status": "error", "error": str(ex)}, 500)
+
     def _raw_df(self, payload: bytes):
         return self.engine.spark.createDataFrame(
             [(payload.decode("utf-8", "replace"),)], "payload string"
@@ -280,7 +318,23 @@ class _Handler(BaseHTTPRequestHandler):
         if path.startswith("/tempo/api/"):
             path = "/api/" + path[len("/tempo/api/"):]
         e = self.engine
+        # live tail runs an unbounded loop with its own disconnect
+        # detection — exempt from the 30s query deadline (the reference
+        # likewise scopes the engine timeout to query evaluation, not
+        # the tail WebSocket)
+        if path == "/loki/api/v1/tail" or (
+            path == "/loki/api/v1/query_range"
+            and "Upgrade" in self.headers.get("Connection", "")
+        ):
+            try:
+                return self._tail_ws(q)
+            except BrokenPipeError:
+                raise
+            except Exception as ex:
+                return self._json({"status": "error", "error": str(ex)}, 500)
+        guard = self._guard(f"GET {path}")
         try:
+          with guard:
             if path == "/ready":
                 return self._text(e.ready())
             if path == "/config":
@@ -630,7 +684,7 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             raise
         except Exception as ex:  # one route fails, server survives
-            return self._json({"status": "error", "error": str(ex)}, 500)
+            return self._guard_error(guard, ex)
 
     def _invalidate_contexts(self) -> None:
         """A push appends parquet files; the engine's cached query
@@ -724,7 +778,14 @@ class _Handler(BaseHTTPRequestHandler):
             if path.startswith("/querier.v1.QuerierService/"):
                 body = self._body()
                 req = json.loads(body or b"{}")
-                out = self._querier_v1(path.rsplit("/", 1)[-1], req)
+                # querier RPCs are reads — same per-request deadline +
+                # disconnect cancellation as the GET query surface
+                guard = self._guard(f"POST {path}")
+                try:
+                    with guard:
+                        out = self._querier_v1(path.rsplit("/", 1)[-1], req)
+                except Exception as ex:
+                    return self._guard_error(guard, ex)
                 if out is None:
                     return self._json({"error": f"unknown rpc {path}"}, 404)
                 return self._json(out)
@@ -1161,6 +1222,7 @@ class HttpGateway:
         port: int = 0,
         ruler_poll_sec: float | None = None,
         allow_origin: str = "*",
+        query_timeout_s: float | None = 30.0,
     ):
         """`ruler_poll_sec` switches on the rule-evaluation loop — the
         reference's manager ticker goroutines (ruler/manager.go:183-195,
@@ -1171,7 +1233,13 @@ class HttpGateway:
         handler = type(
             "BoundHandler",
             (_Handler,),
-            {"engine": engine, "allow_origin": allow_origin},
+            {
+                "engine": engine,
+                "allow_origin": allow_origin,
+                # matches the reference's 30s engine Timeout
+                # (prometheus_query_range.go:32); None disables
+                "query_timeout_s": query_timeout_s,
+            },
         )
         self.engine = engine
         self.server = ThreadingHTTPServer((host, port), handler)
