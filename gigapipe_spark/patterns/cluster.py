@@ -79,12 +79,15 @@ def cluster_key(tokens: list[str]) -> str:
 
 
 class Pattern:
-    __slots__ = ("tokens", "costs", "samples_count")
+    # last_seen: newest event ts absorbed — drives the stateful
+    # stream's idle eviction (reference cleanup, pattern.go:306-313)
+    __slots__ = ("tokens", "costs", "samples_count", "last_seen")
 
     def __init__(self, tokens: list[str]):
         self.tokens = list(tokens)
         self.costs = [token_cost(t) for t in tokens]
         self.samples_count = 1
+        self.last_seen = 0
 
     @property
     def overall_cost(self) -> int:
@@ -273,7 +276,10 @@ def stream_mine_patterns(
 
 
 def stateful_mine_patterns(
-    samples_stream: DataFrame, similarity: float = 0.6, shards: int = 256
+    samples_stream: DataFrame,
+    similarity: float = 0.6,
+    shards: int = 256,
+    idle_evict_ns: int = 300_000_000_000,
 ) -> DataFrame:
     """Cross-batch ONLINE clustering via applyInPandasWithState — the
     true streaming twin of the reference's resident controller state
@@ -288,10 +294,24 @@ def stateful_mine_patterns(
     state (de)serialization round-trip, a 14.2× cost blow-up. One
     shard's state holds the cluster table for MANY logical keys, so
     the per-invocation Python overhead amortizes and the group count
-    is capped at `shards` regardless of series cardinality (state
-    BYTES are unchanged — same clusters, coarser packing). Output mode
+    is capped at `shards` regardless of series cardinality. Output mode
     `update`: each batch re-emits the logical keys it touched with
     refreshed counts.
+
+    State BYTES are bounded by idle eviction, mirroring the reference's
+    cleanup: its controller ticks Cleanup every 30s and drops clusters
+    untouched for 5 minutes (writer/pattern/controller/controller.go:
+    118-131 RunCleanup, clustering/pattern.go:306-313 `time.Since(
+    lastFlush) > time.Minute*5`), so the resident map holds only
+    RECENTLY-ACTIVE clusters while the patterns TABLE keeps the full
+    history. Here each cluster carries a last-seen event timestamp and
+    a per-shard event-time high-water mark; clusters idle for more than
+    `idle_evict_ns` (default 5m, the reference's horizon) are dropped
+    from state at the end of each batch. Counts were already emitted on
+    every touch (`update` mode), so eviction loses no output — exactly
+    the reference's flush-then-forget contract. Under series churn the
+    state size tracks the live-horizon working set instead of growing
+    monotonically with every key ever seen.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -302,6 +322,7 @@ def stateful_mine_patterns(
         "fingerprint",
         F.coalesce(first_word, F.lit("")).alias("ckey"),
         F.col("string"),
+        F.coalesce(F.col("timestamp_ns"), F.lit(0)).alias("__ts"),
         F.pmod(F.xxhash64("fingerprint", F.coalesce(first_word, F.lit(""))),
                F.lit(shards)).alias("shard"),
     )
@@ -315,56 +336,66 @@ def stateful_mine_patterns(
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         import json
 
-        # shard state: [{"f": fp, "k": ckey, "cl": [{t,c,n}, …]}, …]
+        # shard state: {"now": hw_ts, "rows": [{"f": fp, "k": ckey,
+        # "cl": [{t,c,n,ls}, …]}, …]} — ls = cluster last-seen event ts
         table: dict[tuple[int, str], list[Pattern]] = {}
+        high_water = 0
         if state.exists:
             (raw,) = state.get
-            for ent in json.loads(raw):
+            obj = json.loads(raw)
+            high_water = int(obj.get("now", 0))
+            for ent in obj["rows"]:
                 cl = []
                 for item in ent["cl"]:
                     p = Pattern.__new__(Pattern)
                     p.tokens = item["t"]
                     p.costs = item["c"]
                     p.samples_count = item["n"]
+                    p.last_seen = int(item.get("ls", 0))
                     cl.append(p)
                 table[(int(ent["f"]), ent["k"])] = cl
+        # materialize the shard's batch once (one hash-group of one
+        # micro-batch) so eviction can run BEFORE merging: the
+        # reference's Cleanup ticks on a wall clock independent of
+        # arrivals — a cluster idle past the horizon is gone even if
+        # the very next line would have matched it, which then starts
+        # a FRESH cluster (controller.go:118-131 + pattern.go:306-313)
+        chunks = [
+            pdf[["fingerprint", "ckey", "string", "__ts"]] for pdf in pdfs
+        ]
+        for pdf in chunks:
+            m = pdf["__ts"].max()
+            if pd.notna(m):
+                high_water = max(high_water, int(m))
+        floor = high_water - idle_evict_ns
+        for lk in list(table):
+            kept = [
+                c for c in table[lk] if getattr(c, "last_seen", 0) >= floor
+            ]
+            if kept:
+                table[lk] = kept
+            else:
+                del table[lk]
         touched: set[tuple[int, str]] = set()
-        for pdf in pdfs:
-            for fp, ck, line in zip(
-                pdf["fingerprint"], pdf["ckey"], pdf["string"]
+        for pdf in chunks:
+            for fp, ck, line, ts in zip(
+                pdf["fingerprint"], pdf["ckey"], pdf["string"], pdf["__ts"]
             ):
                 tokens = line.split()
                 if not tokens:
                     continue
+                ts = int(ts)
                 lk = (int(fp), ck)
                 clusters = table.setdefault(lk, [])
                 touched.add(lk)
                 for c in clusters:
                     if c.try_merge(tokens, similarity):
+                        c.last_seen = max(getattr(c, "last_seen", 0), ts)
                         break
                 else:
-                    clusters.append(Pattern(tokens))
-        state.update(
-            (
-                json.dumps(
-                    [
-                        {
-                            "f": fp,
-                            "k": ck,
-                            "cl": [
-                                {
-                                    "t": c.tokens,
-                                    "c": c.costs,
-                                    "n": c.samples_count,
-                                }
-                                for c in cl
-                            ],
-                        }
-                        for (fp, ck), cl in table.items()
-                    ]
-                ),
-            )
-        )
+                    fresh = Pattern(tokens)
+                    fresh.last_seen = ts
+                    clusters.append(fresh)
         rows = [
             {
                 "fingerprint": fp,
@@ -377,6 +408,31 @@ def stateful_mine_patterns(
             for (fp, ck) in sorted(touched)
             for c in table[(fp, ck)]
         ]
+        state.update(
+            (
+                json.dumps(
+                    {
+                        "now": high_water,
+                        "rows": [
+                            {
+                                "f": fp,
+                                "k": ck,
+                                "cl": [
+                                    {
+                                        "t": c.tokens,
+                                        "c": c.costs,
+                                        "n": c.samples_count,
+                                        "ls": getattr(c, "last_seen", 0),
+                                    }
+                                    for c in cl
+                                ],
+                            }
+                            for (fp, ck), cl in table.items()
+                        ],
+                    }
+                ),
+            )
+        )
         if rows:
             yield pd.DataFrame(
                 rows,

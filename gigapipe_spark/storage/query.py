@@ -196,6 +196,16 @@ class StoreTraceQLContext(TraceQLContext):
         )
 
     def ancestors(self) -> DataFrame:
+        # stored ancestor-closure index maintained at ingest
+        # (writer._maintain_ancestor_index) — structural queries scan it
+        # instead of rebuilding the closure per session; falls back to
+        # an on-the-fly build for stores written before the index
+        import os
+
+        if os.path.isdir(self.catalog.path("tempo_traces_anc")):
+            return self.catalog.read(self.spark, "tempo_traces_anc").select(
+                "trace_id", "span_id", "anc_id"
+            )
         from gigapipe_spark.sources.views import ANCESTOR_DEPTH_CONF
 
         depth = int(self.spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))

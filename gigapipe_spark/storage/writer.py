@@ -557,6 +557,76 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
         bytes_col=None,
     )
 
+    _maintain_ancestor_index(batch, catalog)
+
+
+def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
+    """Incrementally maintain the stored ancestor-closure index
+    `tempo_traces_anc` (trace_id, span_id, anc_id) that structural
+    TraceQL ops (&>> <<& ~ !>> <<~) semi-join against — the design the
+    session-cache docstring promises (sources/views.py span_ancestors:
+    "at scale it is a stored index maintained at ingest, not recomputed
+    per query").
+
+    Incrementality is TRACE-SCOPED: closure pairs live entirely within
+    one trace, so a batch only dirties the traces it touches. For those
+    traces the closure is recomputed over their now-complete span set
+    (stored + just-appended — one partition-pruned semi-join against
+    tempo_traces) with the same ⌈log₂D⌉ frontier-doubling builder the
+    query path uses, then anti-joined against the already-stored pairs
+    so only NEW pairs append. Because the span store is append-only, a
+    closure pair once true never retracts — out-of-order arrival (a
+    parent landing batches after its children) only ADDS pairs, so an
+    append-only index with duplicate-insensitive consumers (semi-join /
+    distinct, views.py:454-458) is exact, no tombstones or rewrite
+    needed.
+
+    100-TB shape: cost per batch is O(spans of touched traces × log
+    depth), independent of table size — the touched-trace span lookup
+    prunes on (oid, date) partitions + trace_id row-group stats, the
+    closure build shuffles only the touched traces' spans, and the
+    anti-join reads only the index rows of those traces (same
+    pruning). Depth uses the session cap (ANCESTOR_DEPTH_CONF, default
+    8) with the builder's counted-truncation contract."""
+    import os
+
+    from gigapipe_spark.sources.views import (
+        ANCESTOR_DEPTH_CONF,
+        ancestors_from_spans,
+    )
+    from gigapipe_spark.telemetry import observed_write
+
+    spark = batch.sparkSession
+    depth = int(spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))
+    touched = batch.select("trace_id").distinct()
+    try:
+        # fresh read includes the rows this fan-out just appended
+        stored = catalog.read(spark, "tempo_traces")
+    except Exception:
+        return  # zero-row store so far (only _SUCCESS on disk)
+    scope = stored.select("trace_id", "span_id", "parent_id").join(
+        F.broadcast(touched), "trace_id", "left_semi"
+    )
+    closure = ancestors_from_spans(scope, depth)
+    anc_path = catalog.path("tempo_traces_anc")
+    if os.path.isdir(anc_path):
+        existing = (
+            catalog.read(spark, "tempo_traces_anc")
+            .join(F.broadcast(touched), "trace_id", "left_semi")
+        )
+        closure = closure.join(
+            existing, ["trace_id", "span_id", "anc_id"], "left_anti"
+        )
+    observed_write(
+        closure.withColumn("oid", F.lit(catalog.oid)),
+        "tempo_traces_anc",
+        lambda df: df.sortWithinPartitions("trace_id")
+        .write.mode("append")
+        .partitionBy("oid")
+        .parquet(anc_path),
+        bytes_col=None,
+    )
+
 
 @_locked_fanout
 def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:

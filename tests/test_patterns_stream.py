@@ -69,3 +69,55 @@ def test_stateful_mine_patterns_cross_batch(spark, tmp_path):
     # the two lines generalized into one pattern with both samples counted
     assert final["samples_count"] == 2
     assert "<_>" in final["pattern"] and final["pattern"].startswith("login user")
+
+
+def test_stateful_patterns_idle_eviction_bounds_state(spark, tmp_path):
+    """State bytes are BOUNDED: clusters idle past the event-time
+    horizon are dropped, mirroring the reference controller's cleanup
+    (controller.go:118-131 RunCleanup + pattern.go:306-313 5m idle
+    evict). Three single-file batches: shape A at t0, shape B at
+    t0+10m (pushes the high-water past A's horizon -> A evicted), then
+    shape A again — if A had survived, its count would continue at 2;
+    a fresh count of 1 proves the old cluster left the state."""
+    from gigapipe_spark.patterns.cluster import stateful_mine_patterns
+
+    schema = (
+        "fingerprint long, timestamp_ns long, value double, "
+        "string string, type tinyint"
+    )
+    t0 = 1_000_000_000_000
+    m10 = 600_000_000_000
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, t0, 0.0, "login user alice from 10.0.0.1", 1)],
+        [(2, t0 + m10, 0.0, "disk full on /dev/sda1", 1)],
+        [(1, t0 + m10 + 1_000, 0.0, "login user bob from 10.0.0.2", 1)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_mine_patterns(stream, similarity=0.6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_evict").collect()
+    login_counts = sorted(
+        r["samples_count"] for r in rows if r["pattern"].startswith("login")
+    )
+    # batch 1 emits count 1; batch 3 emits count 1 AGAIN (fresh cluster
+    # — the t0 cluster was evicted when the high-water hit t0+10m).
+    # Without eviction batch 3 would merge and emit count 2.
+    assert login_counts == [1, 1], login_counts

@@ -93,3 +93,88 @@ def test_stream_spans_fanout(spark, tmp_path):
     rows = cat.read(spark, "tempo_traces").collect()
     assert len(rows) == 1 and rows[0]["span_id"] == "b1".rjust(16, "0")
     assert cat.read(spark, "tempo_traces_attrs_gin").count() > 0
+
+
+def _zipkin_batch(spark, spans: list[dict]):
+    payload = json.dumps(spans)
+    return ingest.zipkin_spans(
+        spark.createDataFrame([(payload,)], "payload string")
+    )
+
+
+def test_ancestor_index_incremental_equals_scratch(spark, tmp_path):
+    """The ingest-maintained closure index (tempo_traces_anc) after TWO
+    incremental appends — including an OUT-OF-ORDER parent (c2's parent
+    c1 lands in batch 2, extending batch-1 spans' chains) — equals the
+    closure built from scratch over the final span set, with no
+    lingering duplicates beyond the duplicate-insensitive contract."""
+    from gigapipe_spark.sources.views import ancestors_from_spans
+
+    base = {"timestamp": 1_700_000_000_000_000, "duration": 10,
+            "localEndpoint": {"serviceName": "w"}}
+    # batch 1: root a, child b(a); plus orphan c2 whose parent c1 is
+    # not yet ingested (out-of-order arrival)
+    b1 = [
+        {"id": "a0", "traceId": "aa01", "name": "root", **base},
+        {"id": "b0", "traceId": "aa01", "parentId": "a0", "name": "mid", **base},
+        {"id": "c2", "traceId": "aa01", "parentId": "c1", "name": "leaf", **base},
+    ]
+    # batch 2: c1 arrives with parent b0 -> c2's chain now reaches a0;
+    # plus a second trace to prove trace scoping
+    b2 = [
+        {"id": "c1", "traceId": "aa01", "parentId": "b0", "name": "late", **base},
+        {"id": "d0", "traceId": "bb02", "name": "other-root", **base},
+        {"id": "d1", "traceId": "bb02", "parentId": "d0", "name": "other", **base},
+    ]
+    cat = Catalog(str(tmp_path / "store"))
+    spans_fanout(_zipkin_batch(spark, b1), cat)
+    spans_fanout(_zipkin_batch(spark, b2), cat)
+
+    stored = {
+        (r["trace_id"], r["span_id"], r["anc_id"])
+        for r in cat.read(spark, "tempo_traces_anc").collect()
+    }
+    scratch_df = ancestors_from_spans(
+        cat.read(spark, "tempo_traces").select(
+            "trace_id", "span_id", "parent_id"
+        ),
+        8,
+    )
+    scratch = {
+        (r["trace_id"], r["span_id"], r["anc_id"])
+        for r in scratch_df.collect()
+    }
+    assert stored == scratch
+    # the out-of-order chain resolved: c2 ->{c1, b0, a0}
+    sid = lambda s: s.rjust(16, "0")
+    tid = "aa01".rjust(32, "0")
+    c2_anc = {a for (t, s, a) in stored if t == tid and s == sid("c2")}
+    assert c2_anc == {sid("c1"), sid("b0"), sid("a0")}
+    # anti-join kept the index lean: no duplicate pairs materialized
+    rows = cat.read(spark, "tempo_traces_anc").count()
+    assert rows == len(stored)
+
+
+def test_store_traceql_ancestors_uses_index(spark, tmp_path):
+    """StoreTraceQLContext.ancestors() reads the stored index when it
+    exists (no closure build in the query path)."""
+    from gigapipe_spark.storage.query import store_traceql_context
+
+    base = {"timestamp": 1_700_000_000_000_000, "duration": 10,
+            "localEndpoint": {"serviceName": "w"}}
+    b = [
+        {"id": "a0", "traceId": "aa01", "name": "root", **base},
+        {"id": "b0", "traceId": "aa01", "parentId": "a0", "name": "mid", **base},
+    ]
+    cat = Catalog(str(tmp_path / "store"))
+    spans_fanout(_zipkin_batch(spark, b), cat)
+    ctx = store_traceql_context(spark, cat)
+    anc = ctx.ancestors()
+    # the plan is a bare index-table scan — a from-scratch closure
+    # build would plan compose Joins/Unions
+    plan = anc._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan and "parquet" in plan
+    assert "Join" not in plan and "Union" not in plan
+    got = {(r["span_id"], r["anc_id"]) for r in anc.collect()}
+    sid = lambda s: s.rjust(16, "0")
+    assert got == {(sid("b0"), sid("a0"))}
