@@ -185,15 +185,27 @@ _COMMUTABLE_PROM = {
 }
 
 
+_SUBQUERY_FNS = (
+    set(_SIMPLE_RANGE)
+    | _COUNTER_FNS
+    | {
+        "quantile_over_time", "mad_over_time",
+        "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time",
+        "deriv", "predict_linear", "holt_winters",
+        "double_exponential_smoothing",
+    }
+)
+
+
 def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
-    """over_time agg over a subquery: evaluate the inner expression on
-    the subquery's step grid, then re-bucket the resulting points by the
-    outer range. The inner evaluation runs at sq.step_ns."""
-    if (
-        fn.fn not in _SIMPLE_RANGE
-        and fn.fn != "quantile_over_time"
-        and fn.fn not in _COUNTER_FNS
-    ):
+    """Range fn over a subquery: evaluate the inner expression on the
+    subquery's step grid, then apply the same per-bucket aggregate the
+    raw path uses over those step-grid points — upstream (and hence the
+    reference) accepts ANY range function over a subquery, so the full
+    dispatcher surface routes here (simple/counter/quantile plus
+    mad/ts_of_*/deriv/predict_linear/holt_winters). The inner
+    evaluation runs at sq.step_ns."""
+    if fn.fn not in _SUBQUERY_FNS:
         raise NotImplementedError(f"{fn.fn} over a subquery")
     import dataclasses
 
@@ -205,6 +217,67 @@ def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
         # same window/reset formula as the raw path
         wb = _bucket(F.col("timestamp_ns"), sq.range_ns)
         return _counter_agg(inner, wb, bucket, sq.range_ns, fn.fn)
+    if fn.fn == "deriv":
+        from gigapipe_spark.promql import functions as _pf
+
+        return _pf.deriv(inner, sq.range_ns)
+    if fn.fn == "predict_linear":
+        from gigapipe_spark.promql import functions as _pf
+
+        return _pf.predict_linear(inner, sq.range_ns, fn.param or 0.0)
+    if fn.fn in ("holt_winters", "double_exponential_smoothing"):
+        from gigapipe_spark.promql import functions as _pf
+
+        out = _pf.holt_winters(inner, fn.param, fn.param2, sq.range_ns)
+        # holt_winters drops labels; the inner's labels may be DERIVED
+        # (e.g. sum by(...)), so rehydrate from the inner matrix itself,
+        # not from ctx.series()
+        lab = inner.select("fingerprint", "labels").dropDuplicates(
+            ["fingerprint"]
+        )
+        return out.join(F.broadcast(lab), "fingerprint", "left").select(
+            "fingerprint", "labels", "timestamp_ns", "value"
+        )
+    if fn.fn in (
+        "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time"
+    ):
+        # same tie-break contract as the raw path (:413): latest wins
+        if fn.fn == "ts_of_last_over_time":
+            agg = F.max("timestamp_ns")
+        else:
+            v = (
+                F.col("value")
+                if fn.fn == "ts_of_max_over_time"
+                else -F.col("value")
+            )
+            agg = F.max(
+                F.struct(v.alias("v"), F.col("timestamp_ns").alias("t"))
+            ).getField("t")
+        return (
+            inner.groupBy("fingerprint", bucket)
+            .agg(
+                (agg / F.lit(1e9)).cast("double").alias("value"),
+                F.first("labels").alias("labels"),
+            )
+            .select("fingerprint", "labels", "timestamp_ns", "value")
+        )
+    if fn.fn == "mad_over_time":
+        # window median + regroup share the (fingerprint, bucket)
+        # partitioning — one exchange, like the raw path (:437)
+        wb = _bucket(F.col("timestamp_ns"), sq.range_ns)
+        w = Window.partitionBy("fingerprint", wb)
+        med = F.percentile("value", F.lit(0.5)).over(w)
+        return (
+            inner.withColumn("__med", med)
+            .groupBy("fingerprint", bucket)
+            .agg(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("__med")), F.lit(0.5)
+                ).alias("value"),
+                F.first("labels").alias("labels"),
+            )
+            .select("fingerprint", "labels", "timestamp_ns", "value")
+        )
     if fn.fn == "quantile_over_time":
         agg = F.percentile("value", F.lit(fn.param))
     else:

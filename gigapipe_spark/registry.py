@@ -4559,6 +4559,105 @@ register(
 )
 
 
+# ------------------------------------------ round-10 subquery coverage
+# Upstream (and hence the reference's embedded engine) accepts ANY
+# range function over a subquery; these close the dispatcher gap the
+# r9 verdict flagged (promql/compiler.py _range_fn_subquery now routes
+# mad/ts_of_*/deriv/predict_linear/holt_winters). Inner evaluation is
+# the instant vector on the subquery's step grid, mirrored by the
+# `inst` CTE (same shape as promql_subquery_max_over_time).
+
+_INST_1M = """inst AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 60000000000) AS step_b,
+             max_by(value, timestamp_ns) AS value
+      FROM metric_samples WHERE app='{app}' GROUP BY 1, 2
+    )"""
+
+register(
+    "promql_mad_subquery",
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, {_INST_1M.format(app='click')}, m AS (
+      SELECT fingerprint, (step_b - step_b % 3600000000000) AS ts, value,
+             median(value) OVER (
+               PARTITION BY fingerprint, (step_b - step_b % 3600000000000)
+             ) AS med
+      FROM inst
+    )
+    SELECT fingerprint, ts AS timestamp_ns,
+           round(quantile_cont(abs(value - med), 0.5), 6) AS value
+    FROM m GROUP BY 1, 2
+    """,
+)(_promql('mad_over_time({app="click"}[1h:1m])', _FPV))
+
+register(
+    "promql_ts_of_max_subquery",
+    # window max's timestamp over the inner step-grid points; ties →
+    # latest, the upstream >= scan contract
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, {_INST_1M.format(app='view')}, g AS (
+      SELECT fingerprint, (step_b - step_b % 3600000000000) AS b,
+             max(value) AS mv
+      FROM inst GROUP BY 1, 2
+    )
+    SELECT i.fingerprint, g.b AS timestamp_ns,
+           round(max(i.step_b) / 1e9, 6) AS value
+    FROM inst i
+    JOIN g ON i.fingerprint = g.fingerprint
+          AND (i.step_b - i.step_b % 3600000000000) = g.b
+          AND i.value = g.mv
+    GROUP BY 1, 2
+    """,
+)(_promql('ts_of_max_over_time({app="view"}[1h:1m])', _FPV))
+
+register(
+    "promql_deriv_subquery",
+    # deriv over a RANGE-FN inner (max_over_time on 10m buckets):
+    # regr_slope over the inner's bucket points per 1h window
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, inner10 AS (
+      SELECT fingerprint, (timestamp_ns - timestamp_ns % 600000000000) AS ts10,
+             max(value) AS value
+      FROM metric_samples WHERE app='purchase' GROUP BY 1, 2
+    )
+    SELECT fingerprint, (ts10 - ts10 % 3600000000000) AS timestamp_ns,
+           round(regr_slope(value, ts10 / 1e9), 6) AS value
+    FROM inner10 GROUP BY 1, 2
+    """,
+)(_promql('deriv(max_over_time({app="purchase"}[10m])[1h:10m])', _FPV))
+
+
+@register(
+    "promql_holt_winters_subquery",
+    # same DuckDB list_reduce fold as promql_holt_winters, over the
+    # inner instant points (identical op order → identical doubles)
+    f"""
+    WITH {METRIC_SAMPLES_CTE}, {_INST_1M.format(app='signup')}, g AS (
+      SELECT fingerprint, (step_b - step_b % 3600000000000) AS ts,
+             list(value ORDER BY step_b, value) AS vals
+      FROM inst GROUP BY 1, 2
+    )
+    SELECT fingerprint, ts AS timestamp_ns,
+      CASE WHEN len(vals) < 2 THEN 'NaN'::DOUBLE
+      ELSE list_reduce(
+        [{{'s': vals[1], 'b': vals[2] - vals[1]}}]
+          || list_transform(vals[2:], v -> {{'s': v, 'b': 0.0::DOUBLE}}),
+        (acc, x) -> {{
+          's': 0.5::DOUBLE * x.s + 0.5::DOUBLE * (acc.s + acc.b),
+          'b': 0.5::DOUBLE * ((0.5::DOUBLE * x.s + 0.5::DOUBLE * (acc.s + acc.b)) - acc.s)
+               + 0.5::DOUBLE * acc.b
+        }}
+      ).s END AS value
+    FROM g
+    """,
+)
+def promql_holt_winters_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = promql_query(
+        PromQLContext(spark, sf_dir),
+        'holt_winters({app="signup"}[1h:1m], 0.5, 0.5)',
+    )
+    return df.select("fingerprint", "timestamp_ns", "value")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
