@@ -875,38 +875,78 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             return _range_fn(ctx, e.inner, group=(e.by, e.without, e.fn))
         inner = compile_expr(ctx, e.inner)
         if e.fn in ("topk", "bottomk", "limitk", "limit_ratio"):
-            # all four SELECT series per evaluation step (values and
+            # All four SELECT series per evaluation step (values and
             # labels pass through unchanged); by/without scopes the
-            # selection to each group like upstream's per-group heaps
-            parts: list = [F.col("timestamp_ns")]
-            if e.by is not None or e.without is not None:
-                parts.append(
-                    F.xxhash64(
-                        canonical_labels_str(_group_labels_col(e.by, e.without))
+            # selection to each group like upstream's per-group heaps.
+            #
+            # The deterministic tiebreak is canonical-label-string order
+            # (upstream's hash-order pick is documented unstable; the
+            # stable rule lets the DuckDB oracle reproduce the pick).
+            # The string depends only on the SERIES, so it is built once
+            # per series in a small rank dim — row_number over the group
+            # in string order — and the big matrix sorts by the joined
+            # INTEGER rank instead of building + comparing the string
+            # per (series, step) row (r9 probe: the per-row string build
+            # was limitk's dominant 30× cost). Rank order is
+            # order-isomorphic to string order on every subset, so the
+            # per-step pick among PRESENT series is unchanged.
+            grouping = e.by is not None or e.without is not None
+            g_expr = (
+                F.xxhash64(
+                    F.array_sort(
+                        F.map_entries(_group_labels_col(e.by, e.without))
                     )
                 )
-            tiebreak = canonical_labels_str(
+                if grouping
+                else F.lit(0).cast("long")
+            )
+            tb = canonical_labels_str(
                 F.coalesce(F.col("labels"), F.expr("map()"))
-            ).asc()
+            )
+            dim = (
+                inner.select("fingerprint", "labels")
+                .dropDuplicates(["fingerprint"])
+                .select(
+                    "fingerprint",
+                    "labels",
+                    g_expr.alias("__g"),
+                    tb.alias("__tb"),
+                )
+                .withColumn(
+                    "__rank",
+                    F.row_number().over(
+                        Window.partitionBy("__g").orderBy(F.col("__tb").asc())
+                    ),
+                )
+                .drop("__tb")
+            )
+            # the selection window shuffles by (step, group): keep that
+            # exchange NARROW — fixed-width columns only; the heavy
+            # labels map rides the broadcast dim and re-attaches after
+            # the filter (at 30× the labels strings dominated the
+            # shuffle bytes)
+            df2 = inner.drop("labels").join(
+                F.broadcast(dim.select("fingerprint", "__g", "__rank")),
+                "fingerprint",
+            )
+            parts: list = [F.col("timestamp_ns")]
+            if grouping:
+                parts.append(F.col("__g"))
             if e.fn in ("topk", "bottomk"):
                 order = [
                     F.col("value").desc()
                     if e.fn == "topk"
                     else F.col("value").asc(),
-                    tiebreak,
+                    F.col("__rank").asc(),
                 ]
             else:
-                # upstream experimental limitk/limit_ratio pick a
-                # hash-ordered sample and document the pick as unstable;
-                # here the pick is DETERMINISTIC: canonical-label-string
-                # order (stable across engines, so the DuckDB oracle
-                # reproduces it). limit_ratio r>0 keeps the first
-                # ceil-free r·n prefix; r<0 keeps the complement suffix,
-                # so limitk_ratio(r) ∪ limit_ratio(-(1-r)) == everything
-                # (upstream's complement contract).
-                order = [tiebreak]
+                # limit_ratio r>0 keeps the first ceil-free r·n prefix;
+                # r<0 keeps the complement suffix, so limit_ratio(r) ∪
+                # limit_ratio(-(1-r)) == everything (upstream's
+                # complement contract)
+                order = [F.col("__rank").asc()]
             w = Window.partitionBy(*parts).orderBy(*order)
-            df2 = inner.withColumn("__rn", F.row_number().over(w))
+            df2 = df2.withColumn("__rn", F.row_number().over(w))
             if e.fn == "limit_ratio":
                 r = float(e.param)
                 df2 = df2.withColumn(
@@ -917,8 +957,15 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                     if r >= 0
                     else F.col("__rn") > F.lit(1.0 + r) * F.col("__n")
                 )
-                return df2.filter(cond).drop("__rn", "__n")
-            return df2.filter(F.col("__rn") <= int(e.param)).drop("__rn")
+                kept = df2.filter(cond).drop("__rn", "__n", "__g", "__rank")
+            else:
+                kept = df2.filter(F.col("__rn") <= int(e.param)).drop(
+                    "__rn", "__g", "__rank"
+                )
+            return kept.join(
+                F.broadcast(dim.select("fingerprint", "labels")),
+                "fingerprint",
+            ).select("fingerprint", "labels", "timestamp_ns", "value")
         if e.fn == "count_values":
             # count_values("l", v): series count per distinct sample value;
             # the value joins the label set as label `l`. Default grouping

@@ -232,8 +232,16 @@ def test_limit_ratio_windows_share_one_exchange(spark):
     # Filter/Project between) with NO Exchange between them
     sel_wins = [i for i in win_idx if "row_number" in lines[i] or "count(1)" in lines[i]]
     assert len(sel_wins) >= 2, plan
-    between = lines[min(sel_wins): max(sel_wins) + 1]
+    # the SELECTION windows are the top two (r10 adds a third
+    # row_number deep in the broadcast rank-dim subtree — that one runs
+    # over the tiny series dim and owns its own exchange by design)
+    top_two = sorted(sel_wins)[:2]
+    between = lines[top_two[0]: top_two[1] + 1]
     assert not any("Exchange" in ln for ln in between), "\n".join(between)
+    # the per-row tiebreak is the joined integer rank, not a per-row
+    # canonical-string build (the r9 probe's dominant limitk cost)
+    rn_line = lines[top_two[1]]
+    assert "__rank" in rn_line and "concat" not in rn_line, rn_line
 
 
 def test_limitk_group_partition_single_exchange(spark):
