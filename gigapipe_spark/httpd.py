@@ -691,7 +691,12 @@ class _Handler(BaseHTTPRequestHandler):
         contexts hold DataFrames whose file listing snapshotted at
         first read — drop them so the next query sees the new data
         (the reader/writer are separate processes in the reference, so
-        it never caches across a write)."""
+        it never caches across a write). StoreEngine.refresh() also
+        clears Spark's path caches (the cross-process contract in
+        storage/writer.py "Reader freshness")."""
+        if hasattr(self.engine, "refresh"):
+            self.engine.refresh()
+            return
         for attr in ("_logctx", "_promctx", "_tracectx"):
             if hasattr(self.engine, attr):
                 setattr(self.engine, attr, None)

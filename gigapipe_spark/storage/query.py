@@ -237,6 +237,27 @@ class StoreEngine(Engine):
 
         return os.path.isdir(self.catalog.path(table))
 
+    def refresh(self) -> None:
+        """Cross-process read-after-write hook (the reader/writer
+        freshness contract — see storage/writer.py "Reader freshness"):
+        drop the memoized query contexts (their DataFrames snapshot the
+        parquet file listing at first action) and invalidate Spark's
+        cached file listings under the store root, so the NEXT query
+        re-lists files and sees appends made by the (flock-enforced
+        single) writer process. Same-process pushes call this
+        automatically via the gateway (_invalidate_contexts); a reader
+        process fronting a store another process writes calls it on its
+        own cadence — the reference never needs this because its
+        reader/writer share ClickHouse, whose reads always see committed
+        parts."""
+        self._logctx = None
+        self._promctx = None
+        self._tracectx = None
+        try:
+            self.spark.catalog.refreshByPath(self.catalog.root)
+        except Exception:
+            pass  # no cached relations under the root yet
+
     # contexts → store-backed twins
     def logctx(self) -> LogQLContext:
         if self._logctx is None:

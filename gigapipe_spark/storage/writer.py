@@ -15,6 +15,20 @@ Layout decisions for 100 TB (SURVEY §1.2):
     semi-joins skip row groups, the MergeTree ORDER BY analog
   - dimension tables (time_series, gin) deduplicated per batch and
     merged on read (ReplacingMergeTree analog = dropDuplicates)
+
+Reader freshness (the flock enforces single WRITER, not single-reader
+freshness): a reader PROCESS holds two layers of snapshot state over a
+store another process appends to — (a) its StoreEngine's memoized query
+contexts, whose DataFrames pin the parquet file listing taken at their
+first action, and (b) Spark's shared file-status/plan caches for the
+paths. The contract: appends are atomic at file granularity (parquet
+files land whole, then readers list them), so a stale reader is merely
+BEHIND, never inconsistent; to catch up it calls StoreEngine.refresh()
+(storage/query.py), which drops the context memos and issues
+spark.catalog.refreshByPath(root). The HTTP gateway invalidates after
+its own pushes automatically; a read-only gateway over an externally
+written store refreshes on its own cadence. Pinned by
+tests/test_cache_coherence.py (two real processes).
 """
 
 from __future__ import annotations
