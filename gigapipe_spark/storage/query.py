@@ -203,9 +203,12 @@ class StoreTraceQLContext(TraceQLContext):
         import os
 
         if os.path.isdir(self.catalog.path("tempo_traces_anc")):
-            return self.catalog.read(self.spark, "tempo_traces_anc").select(
-                "trace_id", "span_id", "anc_id"
-            )
+            try:
+                return self.catalog.read(
+                    self.spark, "tempo_traces_anc"
+                ).select("trace_id", "span_id", "anc_id")
+            except Exception:
+                pass  # empty dir from a pre-fix store → rebuild below
         from gigapipe_spark.sources.views import ANCESTOR_DEPTH_CONF
 
         depth = int(self.spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))

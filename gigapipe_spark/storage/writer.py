@@ -612,6 +612,14 @@ def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
 
     spark = batch.sparkSession
     depth = int(spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))
+    # Closure pairs are paths over parent edges, and a batch only adds
+    # edges through its own spans' parent_id (a parentless span can't
+    # complete anyone else's path) — no new edges means the closure is
+    # unchanged, so skip the maintenance job entirely. This also keeps
+    # a zero-row append from minting an empty (only _SUCCESS) table dir
+    # that later reads would choke on.
+    if batch.filter(F.col("parent_id") != "").isEmpty():
+        return
     touched = batch.select("trace_id").distinct()
     try:
         # fresh read includes the rows this fan-out just appended
@@ -623,13 +631,17 @@ def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
     )
     closure = ancestors_from_spans(scope, depth)
     anc_path = catalog.path("tempo_traces_anc")
+    existing = None
     if os.path.isdir(anc_path):
-        existing = (
-            catalog.read(spark, "tempo_traces_anc")
-            .join(F.broadcast(touched), "trace_id", "left_semi")
-        )
+        try:
+            existing = catalog.read(spark, "tempo_traces_anc")
+        except Exception:
+            existing = None  # empty dir from a pre-fix store
+    if existing is not None:
         closure = closure.join(
-            existing, ["trace_id", "span_id", "anc_id"], "left_anti"
+            existing.join(F.broadcast(touched), "trace_id", "left_semi"),
+            ["trace_id", "span_id", "anc_id"],
+            "left_anti",
         )
     observed_write(
         closure.withColumn("oid", F.lit(catalog.oid)),
