@@ -536,3 +536,28 @@ def test_fuzz_template_replace(duck):
             )
             checked += 1
     assert checked > 500, f"fuzz mostly skipped: {checked}"
+
+
+def test_named_group_angle_syntax_is_reference_faithful(spark):
+    """`(?<name>…)` is valid RE2 in the REFERENCE (go.mod `go 1.26.5`;
+    Go regexp accepts the angle syntax since 1.22), so the engine
+    accepts it — the DuckDB oracle's bundled RE2 predates the syntax
+    and rejects it, which is an ORACLE limitation, not a divergence
+    from the reference. Pinned differentially: the angle and P-syntax
+    spellings translate identically and match identically."""
+    import duckdb
+
+    from gigapipe_spark.model.re2java import translate
+    from gigapipe_spark.model.re2py import replace_all
+
+    assert translate("(?<x>ab)c") == translate("(?P<x>ab)c")
+    # oracle RE2 rejects the angle spelling (documented), accepts P
+    try:
+        duckdb.sql(r"SELECT regexp_matches('abc', '(?<x>ab)c')").fetchall()
+        raise AssertionError("oracle RE2 grew (?<name>) support — "
+                             "retire this pin and the REGEX.md note")
+    except duckdb.Error:
+        pass
+    # behavior parity through the Go-replacement path too
+    assert replace_all("(?<x>a+)", "<$x>", "aa b aaa") == \
+        replace_all("(?P<x>a+)", "<$x>", "aa b aaa") == "<aa> b <aaa>"
