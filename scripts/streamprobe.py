@@ -110,6 +110,72 @@ def probe_patterns(spark, src: str, files_per_trigger: int) -> dict:
     return {"path": "patterns_state", "sec": sec, **_state_stats(prog)}
 
 
+def probe_patterns_churn(spark, windows: int, series_per_window: int) -> dict:
+    """Series-CHURN probe for the stateful patterns stream (VERDICT r9
+    task 2): every 10-minute window brings a FRESH set of fingerprints,
+    streamed in time order (one file per window). Without idle eviction
+    the state grows linearly with windows (every key ever seen); with
+    the 5m-idle eviction mirroring the reference controller's cleanup
+    (controller.go:118-131) it plateaus at ~one window's live set. The
+    plateau is the receipt that state tracks the LIVE horizon, not
+    lifetime cardinality."""
+    import glob
+
+    from gigapipe_spark.patterns.cluster import stateful_mine_patterns
+
+    src = tempfile.mkdtemp(prefix="streamprobe_churn_")
+    w_ns = 600_000_000_000
+    t0 = 1_700_000_000 * 1_000_000_000
+    for w in range(windows):
+        df = spark.range(series_per_window).select(
+            (F.lit(w * series_per_window) + F.col("id")).alias("fingerprint"),
+            (F.lit(t0 + w * w_ns) + F.col("id") * 1000).alias("timestamp_ns"),
+            F.lit(0.0).alias("value"),
+            F.concat(
+                F.lit("login user u"), F.col("id").cast("string"),
+                F.lit(" from 10.0.0.1 window "), F.lit(str(w)),
+            ).alias("string"),
+            F.lit(1).cast("tinyint").alias("type"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    # one file per trigger → one 10m window per micro-batch, time order
+    files = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    sec, prog = _drain(
+        spark, stateful_mine_patterns(stream), "update", "patterns_churn"
+    )
+    mems = [
+        int(so.get("memoryUsedBytes", 0))
+        for p in prog
+        if p
+        for so in (p.get("stateOperators", []) or [])
+    ]
+    shutil.rmtree(src, ignore_errors=True)
+    half = len(mems) // 2 or 1
+    return {
+        "path": "patterns_churn",
+        "sec": sec,
+        "windows": windows,
+        "series_per_window": series_per_window,
+        "files": len(files),
+        "state_mb_per_batch": [round(m / 1e6, 2) for m in mems],
+        "state_mb_peak": round(max(mems) / 1e6, 2) if mems else 0.0,
+        # plateau verdict: the second half's peak must not exceed the
+        # first half's peak by more than 30% (linear growth would ~2x)
+        "plateau": bool(
+            mems
+            and max(mems[half:] or [0])
+            <= 1.3 * max(mems[:half] or [1])
+        ),
+    }
+
+
 def probe_curation(spark, src: str, files_per_trigger: int) -> dict:
     from gigapipe_spark.streaming.curation import curate_stream
 
@@ -147,6 +213,12 @@ def main() -> None:
     src_fx = f"/tmp/gigapipe_streamprobe_samples_{factor}x"
     _prep_samples(spark, sf_dir, src_1x, 8)
     _prep_samples(spark, big_dir, src_fx, 8 * factor)
+
+    # churn probe is self-synthesizing (no replicated corpus needed):
+    # 12 ten-minute windows × 20k fresh series each = 240k lifetime
+    # keys, live set 20k — state must plateau, not grow 12×
+    churn = probe_patterns_churn(spark, windows=12, series_per_window=20_000)
+    print(json.dumps(churn), flush=True)
 
     probes = [probe_rollup, probe_patterns, probe_curation]
     results = []
