@@ -343,6 +343,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._text(e.metrics())
             if path == "/api/echo":
                 return self._text(e.tempo_echo())
+            if path in ("/influx/health", "/influx/api/v2/write/health"):
+                # writer/router/insert.go:16-17 → HealthInflux =
+                # withOkStatusAndBody(200, nil): 200, empty body
+                return self._push_ok(200)
             if path == "/api/v1/status/buildinfo":
                 return self._json(e.buildinfo())
 
@@ -774,10 +778,28 @@ class _Handler(BaseHTTPRequestHandler):
         return None
 
     # ------------------------------------------------------------ POST
+    # Prometheus-compatible routes the reference registers for BOTH
+    # verbs (prometheus_query_range.go:65-66 GET,POST; prometheus_
+    # labels.go:20,26) — Grafana POSTs these with a form-encoded body
+    _FORM_POST_ROUTES = frozenset(
+        ("/api/v1/query_range", "/api/v1/query", "/api/v1/labels",
+         "/api/v1/series")
+    )
+
     def do_POST(self) -> None:
         url = urlparse(self.path)
         path, q = url.path, parse_qs(url.query)
         e = self.engine
+        if path in self._FORM_POST_ROUTES:
+            # merge the urlencoded body over the URL params and run the
+            # same handler as GET (the reference's controller reads
+            # r.FormValue, which does exactly this merge)
+            body_q = parse_qs(self._body().decode("utf-8", "replace"))
+            merged = {**q, **body_q}
+            from urllib.parse import urlencode
+
+            self.path = path + "?" + urlencode(merged, doseq=True)
+            return self.do_GET()
         cat = getattr(e, "catalog", None)
         try:
             if path.startswith("/querier.v1.QuerierService/"):

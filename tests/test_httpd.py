@@ -695,3 +695,49 @@ def test_cors_middleware(gateway):
     with urllib.request.urlopen(base + "/ready", timeout=30) as r:
         assert r.headers["Access-Control-Allow-Origin"] == "*"
         assert "Content-Type" in r.headers["Access-Control-Allow-Headers"]
+
+
+def test_prom_routes_accept_form_post(gateway):
+    """/api/v1/query_range + /api/v1/query accept POST with a
+    form-encoded body (prometheus_query_range.go:65-66 registers both
+    verbs; Grafana POSTs by default). Same handler, params merged over
+    the URL query like Go's r.FormValue."""
+    base, _ = gateway
+    # self-provision one stream so the test is order-independent
+    payload = json.dumps({
+        "streams": [{"stream": {"app": "web"},
+                     "values": [[str(T0), "post route seed", 1.0]]}]
+    }).encode()
+    assert _post(base, "/loki/api/v1/push", payload) in (200, 204)
+    form = urllib.parse.urlencode({
+        "query": '{app="web"}',
+        "start": "1700000000",
+        "end": "1700000600",
+        "step": "60",
+    }).encode()
+    req = urllib.request.Request(
+        base + "/api/v1/query_range", data=form, method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "success"
+    assert body["data"]["resultType"] == "matrix"
+
+    req = urllib.request.Request(
+        base + "/api/v1/labels", data=b"", method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "success"
+
+
+def test_influx_health_routes(gateway):
+    """/influx/health + /influx/api/v2/write/health (insert.go:16-17)
+    → 200 with empty body (HealthInflux = withOkStatusAndBody(200, nil))."""
+    base, _ = gateway
+    for p in ("/influx/health", "/influx/api/v2/write/health"):
+        with urllib.request.urlopen(base + p, timeout=60) as r:
+            assert r.status == 200
+            assert r.read() == b""
