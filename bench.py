@@ -191,6 +191,25 @@ def main() -> None:
         sys.exit(3)
 
 
+def _fields_from_tail(tail: str) -> dict:
+    """Recover (queries_normalized, normalized, normalized_band, sf)
+    from a driver-wrapper `tail` whose front was truncated mid-JSON."""
+    import re
+
+    out: dict = {}
+    m = re.search(r'"queries_normalized":\s*(\{[^}]*\})', tail)
+    if m:
+        out["queries_normalized"] = json.loads(m.group(1))
+    for key in ("normalized", "sf"):
+        m = re.search(rf'"{key}":\s*([0-9.eE+-]+)', tail)
+        if m:
+            out[key] = json.loads(m.group(1))
+    m = re.search(r'"normalized_band":\s*(\[[^\]]*\])', tail)
+    if m:
+        out["normalized_band"] = json.loads(m.group(1))
+    return out
+
+
 def _regression_verdict(cur: dict) -> dict:
     """Compare this run's normalized per-query numbers against the
     previous round's BENCH_r{N}.json (VERDICT r8 task 5).
@@ -217,7 +236,13 @@ def _regression_verdict(cur: dict) -> dict:
         with open(prev_path) as fh:
             prev = json.load(fh)
         if "parsed" in prev:  # driver wrapper format
-            prev = prev["parsed"]
+            if prev["parsed"] is None:
+                # the wrapper's `parsed` can be null (stdout had extra
+                # lines); the `tail` string still carries the JSON
+                # suffix — recover the comparison fields from it
+                prev = _fields_from_tail(prev.get("tail") or "")
+            else:
+                prev = prev["parsed"]
         prev_qn = prev["queries_normalized"]
         prev_norm = prev["normalized"]
     except (KeyError, ValueError, TypeError):
