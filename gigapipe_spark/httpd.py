@@ -268,6 +268,28 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", "0"))
         return self.rfile.read(n) if n else b""
 
+    def _prom_error(self, code: int, msg: str) -> None:
+        """PromError envelope (prom_query_range.go:160-168): status
+        error, errorType "error"."""
+        return self._json(
+            {"status": "error", "errorType": "error", "error": msg}, code
+        )
+
+    @staticmethod
+    def _prom_parse_check(expr: str) -> str | None:
+        """Parse-only probe: the reference 400s PromQL SYNTAX errors
+        before planning (prom_query_instant.go:36-39 promql_parser.Parse
+        err → PromError(400)); returns the message or None."""
+        from gigapipe_spark.promql import parser as promql_parser
+
+        try:
+            promql_parser.parse(expr)
+        except ValueError as ex:  # LogQLSyntaxError subclasses ValueError
+            return str(ex)
+        except Exception:
+            return None  # non-syntax failure: let the real path 500
+        return None
+
     def _guard(self, desc: str):
         """Per-request RequestGuard: 30s Spark deadline + cancel-on-
         client-disconnect (ref: prometheus_query_range.go:32 engine
@@ -353,6 +375,9 @@ class _Handler(BaseHTTPRequestHandler):
             if path == "/loki/api/v1/query_range":
                 if "Upgrade" in self.headers.get("Connection", ""):
                     return self._tail_ws(q)
+                if "query" not in q:
+                    # query_range.go:36-39 PromError(400, …)
+                    return self._prom_error(400, "query parameter is required")
                 df = e.loki_query_range(
                     q["query"][0],
                     _int_arg(q, "start"),
@@ -458,15 +483,40 @@ class _Handler(BaseHTTPRequestHandler):
                 )
 
             if path == "/api/v1/query":
+                # missing query / PARSE errors are 400s in the reference
+                # (prom_query_instant.go:31-39 PromError(400, …)); only
+                # transpile/execute failures stay 500
+                if "query" not in q:
+                    return self._prom_error(400, "query parameter is required")
+                err = self._prom_parse_check(q["query"][0])
+                if err is not None:
+                    return self._prom_error(400, err)
                 rows = e.prom_query(q["query"][0], _int_arg(q, "time")).collect()
                 return self._json(_prom_envelope(rows, instant=True))
             if path == "/api/v1/query_range":
+                if "query" not in q:
+                    return self._prom_error(400, "query parameter is required")
                 step = q.get("step", [None])[0]
+                start_ns, end_ns = _int_arg(q, "start"), _int_arg(q, "end")
+                step_ns = int(float(step) * 1e9) if step else None
+                # resolution cap, verbatim (prom_query_range.go:64-71)
+                if (
+                    start_ns is not None
+                    and end_ns is not None
+                    and step_ns
+                    and (end_ns - start_ns) / step_ns > 11000
+                ):
+                    return self._prom_error(
+                        500,
+                        "exceeded maximum resolution of 11,000 points per "
+                        "timeseries. Try decreasing the query resolution "
+                        "(?step=XX)",
+                    )
+                err = self._prom_parse_check(q["query"][0])
+                if err is not None:
+                    return self._prom_error(400, err)
                 rows = e.prom_query_range(
-                    q["query"][0],
-                    _int_arg(q, "start"),
-                    _int_arg(q, "end"),
-                    int(float(step) * 1e9) if step else None,
+                    q["query"][0], start_ns, end_ns, step_ns
                 ).collect()
                 return self._json(_prom_envelope(rows, instant=False))
             if path == "/api/v1/labels":

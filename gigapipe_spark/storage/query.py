@@ -226,10 +226,11 @@ class StoreEngine(Engine):
     the fixture views — the complete reference deployment shape (writer
     tables + reader services) in one embeddable object.
 
-    The pyroscope render family is NOT wired to the store yet: the
-    stored profiles table carries payload/values_agg (profiles.sql:19)
-    while the render path consumes the fixture tree layout; those
-    methods raise with that explanation rather than silently reading
+    The pyroscope family is store-wired too: selector/meta endpoints
+    read profiles_series(+gin), render/render-diff/merge read the
+    stored `profiles` tree layout (profiles_fanout) and fall back to
+    the folded-stack layout (folded_fanout) — a store with NEITHER
+    layout raises with that explanation rather than silently reading
     fixture views.
     """
 

@@ -741,3 +741,39 @@ def test_influx_health_routes(gateway):
         with urllib.request.urlopen(base + p, timeout=60) as r:
             assert r.status == 200
             assert r.read() == b""
+
+
+def test_prom_error_codes_match_reference(gateway):
+    """Reference error mapping: missing query → 400, PromQL SYNTAX
+    error → 400 (prom_query_instant.go:31-39), >11000-point resolution
+    → 500 with the verbatim message (prom_query_range.go:64-71);
+    envelope is PromError's {status, errorType: error, error}."""
+    base, _ = gateway
+
+    def _code_body(path):
+        try:
+            with urllib.request.urlopen(base + path, timeout=60) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read())
+
+    # missing query param
+    for p in ("/api/v1/query", "/api/v1/query_range",
+              "/loki/api/v1/query_range"):
+        code, body = _code_body(p)
+        assert code == 400, p
+        assert body["error"] == "query parameter is required"
+        assert body["status"] == "error"
+
+    # syntax error -> 400
+    code, body = _code_body(
+        "/api/v1/query?query=" + urllib.parse.quote("sum(((")
+    )
+    assert code == 400 and body["errorType"] == "error"
+
+    # resolution cap -> 500, verbatim message
+    code, body = _code_body(
+        "/api/v1/query_range?query=up&start=0&end=1200000&step=1"
+    )
+    assert code == 500
+    assert "exceeded maximum resolution of 11,000 points" in body["error"]
