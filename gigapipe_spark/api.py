@@ -681,8 +681,14 @@ class Engine:
         service: str | None,
         selector: str | None = None,
         profile_type_id: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
         prof = views.profiles(self.spark, self.sf_dir)
+        if start_ns is not None:
+            prof = prof.filter(F.col("timestamp_ns") >= start_ns)
+        if end_ns is not None:
+            prof = prof.filter(F.col("timestamp_ns") <= end_ns)
         if selector is not None or profile_type_id is not None:
             # PlanMergeProfiles path (transpiler.go:63): selector →
             # fingerprints → broadcast semi-join into the fact scan;
@@ -829,6 +835,8 @@ class Engine:
         service: str | None = None,
         selector: str | None = None,
         profile_type_id: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> list:
         """/pyroscope/render — merged flamegraph as BFS levels
         (ref: prof_tree.go:145). Accepts a `{label op "val"}` selector
@@ -837,7 +845,9 @@ class Engine:
         BOTH the series match (populateTypeId) and the merged value slot
         (MergeStackTraces, service/prof.go:135-158). A combined
         `type{selector}` query string also works — detachTypeId
-        (prof.go:686) splits it. Returns levels (driver-side: a render
+        (prof.go:686) splits it. `start_ns`/`end_ns` bound the merged
+        profiles in time (the reference's required from/until,
+        prof.go:208-223). Returns levels (driver-side: a render
         response is small by construction)."""
         from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import flamegraph_levels, merge_trees
@@ -848,7 +858,10 @@ class Engine:
         if profile_type_id is not None:
             stu = psel.parse_type_id(profile_type_id).sample_type_unit
         rows = merge_trees(
-            self._profiles(service, selector, profile_type_id), stu
+            self._profiles(
+                service, selector, profile_type_id, start_ns, end_ns
+            ),
+            stu,
         ).collect()
         return flamegraph_levels(rows)
 
@@ -900,11 +913,17 @@ class Engine:
         left_service: str,
         right_service: str,
         profile_type_id: str | None = None,
+        left_start_ns: int | None = None,
+        left_end_ns: int | None = None,
+        right_start_ns: int | None = None,
+        right_end_ns: int | None = None,
     ) -> DataFrame:
         """/pyroscope/render-diff — node-aligned left/right/self deltas,
         optionally scoped to one profile type (both sides merge the same
         sample-type slot, as the reference's diff merges via the same
-        typed getTree, service/prof.go:226)."""
+        typed getTree, service/prof.go:226). Each side carries its own
+        time bounds (the reference's leftFrom/leftUntil/rightFrom/
+        rightUntil, prof.go RenderDiff)."""
         from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import diff_trees, merge_trees
 
@@ -912,6 +931,18 @@ class Engine:
         if profile_type_id is not None:
             stu = psel.parse_type_id(profile_type_id).sample_type_unit
         return diff_trees(
-            merge_trees(self._profiles(left_service, None, profile_type_id), stu),
-            merge_trees(self._profiles(right_service, None, profile_type_id), stu),
+            merge_trees(
+                self._profiles(
+                    left_service, None, profile_type_id,
+                    left_start_ns, left_end_ns,
+                ),
+                stu,
+            ),
+            merge_trees(
+                self._profiles(
+                    right_service, None, profile_type_id,
+                    right_start_ns, right_end_ns,
+                ),
+                stu,
+            ),
         )

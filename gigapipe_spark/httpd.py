@@ -131,6 +131,16 @@ def _multipart_first_file(body: bytes, ctype: str) -> bytes:
     return body
 
 
+def _ms_to_ns(val: str) -> int:
+    """Pyroscope from/until: ms truncated to whole seconds (prof.go
+    time.Unix(iVal/1000, 0)), clamped so the ns value stays inside
+    int64 (a far-future `until` must mean "no upper bound", not a
+    Spark overflow)."""
+    secs = int(val) // 1000
+    secs = max(min(secs, 9_223_372_036), -9_223_372_036)
+    return secs * 1_000_000_000
+
+
 def _int_arg(q: dict, name: str) -> int | None:
     v = q.get(name, [None])[0]
     if v is None:
@@ -267,6 +277,19 @@ class _Handler(BaseHTTPRequestHandler):
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length", "0"))
         return self.rfile.read(n) if n else b""
+
+    def _default_error(self, code: int, msg: str) -> None:
+        """Pyroscope-route error body (prof.go:370-374 defaultError):
+        a bare JSON-quoted, HTML-escaped string — NOT the Prometheus
+        envelope."""
+        import html as _html
+
+        body = json.dumps(_html.escape(msg)).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _prom_error(self, code: int, msg: str) -> None:
         """PromError envelope (prom_query_range.go:160-168): status
@@ -619,9 +642,32 @@ class _Handler(BaseHTTPRequestHandler):
                 )
 
             if path == "/pyroscope/render-diff":
-                # left/right are service names (the engine's diff
-                # contract); a `{service_name="x"}`-shaped
-                # leftQuery/rightQuery also resolves
+                # reference contract: six required params, per-side ms
+                # bounds truncated to seconds (prof.go RenderDiff);
+                # `left`/`right` bare service names remain a documented
+                # engine convenience (no bounds) when BOTH are present
+                legacy = "left" in q and "right" in q
+                bounds: dict[str, int | None] = {}
+                if not legacy:
+                    for param in (
+                        "leftQuery", "leftFrom", "leftUntil",
+                        "rightQuery", "rightFrom", "rightUntil",
+                    ):
+                        if not q.get(param, [""])[0]:
+                            return self._default_error(
+                                400, f"Missing required parameter: {param}"
+                            )
+                    for param in (
+                        "leftFrom", "leftUntil", "rightFrom", "rightUntil"
+                    ):
+                        try:
+                            bounds[param] = _ms_to_ns(q[param][0])
+                        except ValueError:
+                            return self._default_error(
+                                400,
+                                f"Invalid value for {param}: {q[param][0]}",
+                            )
+
                 def _svc(side: str) -> str:
                     if side in q:
                         return q[side][0]
@@ -639,15 +685,39 @@ class _Handler(BaseHTTPRequestHandler):
                     _svc("left"),
                     _svc("right"),
                     q.get("profile_type_id", [None])[0],
+                    left_start_ns=bounds.get("leftFrom"),
+                    left_end_ns=bounds.get("leftUntil"),
+                    right_start_ns=bounds.get("rightFrom"),
+                    right_end_ns=bounds.get("rightUntil"),
                 ).collect()
                 return self._json(
                     {"diff": [r.asDict(recursive=True) for r in rows]}
                 )
             if path == "/pyroscope/render":
+                # query/from/until are REQUIRED and from/until are ms
+                # truncated to whole seconds (prof.go Render:208-223
+                # time.Unix(iVal/1000, 0)); param errors are 400s with
+                # the defaultError quoted-string body
+                for param in ("query", "from", "until"):
+                    if not q.get(param, [""])[0]:
+                        return self._default_error(
+                            400, f"Missing required parameter: {param}"
+                        )
+                bounds = {}
+                for param in ("from", "until"):
+                    try:
+                        bounds[param] = _ms_to_ns(q[param][0])
+                    except ValueError:
+                        return self._default_error(
+                            400,
+                            f"Invalid value for {param}: {q[param][0]}",
+                        )
                 levels = e.pyroscope_render(
                     service=q.get("service", [None])[0],
                     selector=q.get("query", [None])[0],
                     profile_type_id=q.get("profile_type_id", [None])[0],
+                    start_ns=bounds["from"],
+                    end_ns=bounds["until"],
                 )
                 return self._json(
                     {

@@ -354,7 +354,11 @@ class StoreEngine(Engine):
         )
 
     def _folded_tree(
-        self, service: str | None, profile_type_id: str | None
+        self,
+        service: str | None,
+        profile_type_id: str | None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
         """Merged tree rows from the stored folded-stack layout
         (profiles_folded, written by folded_fanout)."""
@@ -369,6 +373,10 @@ class StoreEngine(Engine):
                 "through folded_fanout first"
             )
         df = self.catalog.read(self.spark, "profiles_folded")
+        if start_ns is not None:
+            df = df.filter(F.col("timestamp_ns") >= start_ns)
+        if end_ns is not None:
+            df = df.filter(F.col("timestamp_ns") <= end_ns)
         if service is not None:
             df = df.filter(F.col("service_name") == service)
         if profile_type_id is not None:
@@ -394,6 +402,8 @@ class StoreEngine(Engine):
         service: str | None,
         selector: str | None,
         profile_type_id: str | None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
         """Selector/type/service-scoped rows of the stored `profiles`
         fact table with its tree layout (planner_merge_raw.go:11: scoped
@@ -402,6 +412,10 @@ class StoreEngine(Engine):
         from gigapipe_spark.prof import selector as psel
 
         prof = self.catalog.read(self.spark, "profiles")
+        if start_ns is not None:
+            prof = prof.filter(F.col("timestamp_ns") >= start_ns)
+        if end_ns is not None:
+            prof = prof.filter(F.col("timestamp_ns") <= end_ns)
         if "tree" not in prof.columns:
             raise FileNotFoundError(
                 "this store's profiles table has no tree layout — ingest "
@@ -446,11 +460,15 @@ class StoreEngine(Engine):
         service: str | None,
         selector: str | None = None,
         profile_type_id: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> DataFrame:
         """Engine._profiles over the STORE: every inherited endpoint
         that scopes through it (merge_profiles, render_dot, …) reads
         the stored tree layout."""
-        return self._stored_profiles(service, selector, profile_type_id)
+        return self._stored_profiles(
+            service, selector, profile_type_id, start_ns, end_ns
+        )
 
     def pyroscope_label_names(self, queries: list | None = None) -> DataFrame:
         from gigapipe_spark.prof import selector as psel
@@ -522,6 +540,8 @@ class StoreEngine(Engine):
         service: str | None = None,
         selector: str | None = None,
         profile_type_id: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
     ) -> list:
         """/pyroscope/render over the STORE. Preferred path: the stored
         `profiles` table's tree layout, scoped by label selector through
@@ -543,7 +563,9 @@ class StoreEngine(Engine):
             stu = None
             if profile_type_id is not None:
                 stu = psel.parse_type_id(profile_type_id).sample_type_unit
-            prof = self._stored_profiles(service, selector, profile_type_id)
+            prof = self._stored_profiles(
+                service, selector, profile_type_id, start_ns, end_ns
+            )
             rows = resolve_functions(merge_trees(prof, stu), prof).collect()
             return flamegraph_levels(rows)
         if selector is not None and psel.parse_profile_selector(selector):
@@ -551,7 +573,9 @@ class StoreEngine(Engine):
                 "label-selector render needs the profiles tree layout "
                 "(profiles_fanout); this store only has profiles_folded"
             )
-        rows = self._folded_tree(service, profile_type_id).collect()
+        rows = self._folded_tree(
+            service, profile_type_id, start_ns, end_ns
+        ).collect()
         return flamegraph_levels(rows)
 
     def pyroscope_render_diff(
@@ -559,10 +583,15 @@ class StoreEngine(Engine):
         left_service: str,
         right_service: str,
         profile_type_id: str | None = None,
+        left_start_ns: int | None = None,
+        left_end_ns: int | None = None,
+        right_start_ns: int | None = None,
+        right_end_ns: int | None = None,
     ) -> DataFrame:
         """/pyroscope/render-diff over the store: per-side merged trees,
         full-outer diff (prof_tree.go:308) — from the stored tree layout
-        when present, else the folded layout."""
+        when present, else the folded layout; each side carries its own
+        time bounds (prof.go RenderDiff leftFrom/.../rightUntil)."""
         from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import diff_trees, merge_trees
 
@@ -572,16 +601,26 @@ class StoreEngine(Engine):
                 stu = psel.parse_type_id(profile_type_id).sample_type_unit
             return diff_trees(
                 merge_trees(
-                    self._stored_profiles(left_service, None, profile_type_id),
+                    self._stored_profiles(
+                        left_service, None, profile_type_id,
+                        left_start_ns, left_end_ns,
+                    ),
                     stu,
                 ),
                 merge_trees(
-                    self._stored_profiles(right_service, None, profile_type_id),
+                    self._stored_profiles(
+                        right_service, None, profile_type_id,
+                        right_start_ns, right_end_ns,
+                    ),
                     stu,
                 ),
             )
-        left = self._folded_tree(left_service, profile_type_id)
-        right = self._folded_tree(right_service, profile_type_id)
+        left = self._folded_tree(
+            left_service, profile_type_id, left_start_ns, left_end_ns
+        )
+        right = self._folded_tree(
+            right_service, profile_type_id, right_start_ns, right_end_ns
+        )
         return diff_trees(
             left.drop("profile_id", "fn_name"),
             right.drop("profile_id", "fn_name"),

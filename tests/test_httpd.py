@@ -379,7 +379,9 @@ def test_http_pyroscope_store_routes(spark, tmp_path):
     base = f"http://127.0.0.1:{port}"
     try:
         sel = urllib.parse.quote('{env="prod"}')
-        st, body = _get(base, f"/pyroscope/render?query={sel}")
+        st, body = _get(
+            base, f"/pyroscope/render?query={sel}&from=0&until=4000000000000"
+        )
         fb = body["flamebearer"]
         assert fb["numTicks"] == 30  # both services merged
         st, body = _get(
@@ -389,7 +391,9 @@ def test_http_pyroscope_store_routes(spark, tmp_path):
         lq = urllib.parse.quote('{service_name="api"}')
         rq = urllib.parse.quote('{service_name="worker"}')
         st, body = _get(
-            base, f"/pyroscope/render-diff?leftQuery={lq}&rightQuery={rq}"
+            base,
+            f"/pyroscope/render-diff?leftQuery={lq}&rightQuery={rq}"
+            f"&leftFrom=0&leftUntil=4000000000000&rightFrom=0&rightUntil=4000000000000",
         )
         assert len(body["diff"]) == 2
         # /tempo/api alias rewrite
@@ -630,7 +634,9 @@ def test_http_pyroscope_ingest_push(gateway):
     )
     assert st == 200 and rbody == b"{}"
     sel = urllib.parse.quote('{env="prodpush"}')
-    st, out = _get(base, f"/pyroscope/render?query={sel}")
+    st, out = _get(
+        base, f"/pyroscope/render?query={sel}&from=0&until=4000000000000"
+    )
     assert out["flamebearer"]["numTicks"] == 12  # 5 + 7
 
 
@@ -649,7 +655,10 @@ def test_http_otlp_profiles_push(gateway):
         {"Content-Type": "application/x-protobuf"},
     )
     assert st == 200 and body == b"{}"
-    st, out = _get(base, "/pyroscope/render?service=api")
+    st, out = _get(
+        base,
+        "/pyroscope/render?service=api&query=%7B%7D&from=0&until=4000000000000",
+    )
     assert out["flamebearer"]["numTicks"] == 8  # 5 + 3
 
 
@@ -777,3 +786,37 @@ def test_prom_error_codes_match_reference(gateway):
     )
     assert code == 500
     assert "exceeded maximum resolution of 11,000 points" in body["error"]
+
+
+def test_render_param_validation_and_time_scope(gateway):
+    """Render param contract (prof.go:208-223): query/from/until
+    REQUIRED -> 400 defaultError (a bare JSON-quoted string body, not
+    the Prometheus envelope); invalid ints -> 400; from/until are ms
+    truncated to whole seconds, and the bounds actually SCOPE the
+    merged profiles (a window before the data renders empty)."""
+    base, _ = gateway
+
+    def _code_body(path):
+        try:
+            with urllib.request.urlopen(base + path, timeout=60) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as ex:
+            return ex.code, json.loads(ex.read())
+
+    code, body = _code_body("/pyroscope/render?from=0&until=1")
+    assert code == 400 and body == "Missing required parameter: query"
+    code, body = _code_body("/pyroscope/render?query=%7B%7D&until=1")
+    assert code == 400 and body == "Missing required parameter: from"
+    code, body = _code_body(
+        "/pyroscope/render?query=%7B%7D&from=zzz&until=1"
+    )
+    assert code == 400 and body == "Invalid value for from: zzz"
+    # six required params on render-diff
+    code, body = _code_body("/pyroscope/render-diff?leftQuery=x")
+    assert code == 400 and body == "Missing required parameter: leftFrom"
+    # a window that ends before any pushed profile renders EMPTY
+    code, body = _code_body(
+        "/pyroscope/render?query=%7B%7D&from=0&until=1000"
+    )
+    assert code == 200
+    assert body["flamebearer"]["numTicks"] == 0
