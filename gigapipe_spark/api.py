@@ -804,23 +804,34 @@ class Engine:
         service: str | None = None,
         selector: str | None = None,
         profile_type_id: str | None = None,
+        start_ns: int | None = None,
+        end_ns: int | None = None,
+        max_nodes: int = 0,
     ) -> str:
         """/pyroscope/render?format=dot — Graphviz DOT of the merged
-        (optionally type-scoped) tree (ref: prof_tree.go:516)."""
+        (optionally type-scoped) tree (ref: prof_tree.go ToDot via
+        service/prof.go:478 RenderDot, which also threads from/until
+        and the maxNodes top-N pruning)."""
         from gigapipe_spark.prof import selector as psel
         from gigapipe_spark.prof.tree import merge_trees, render_dot
 
         stu = None
         if profile_type_id is not None:
             stu = psel.parse_type_id(profile_type_id).sample_type_unit
-        prof = self._profiles(service, selector, profile_type_id)
+        if selector is not None and profile_type_id is None and "{" in selector:
+            profile_type_id, selector = psel.detach_type_id(selector)
+            if profile_type_id is not None:
+                stu = psel.parse_type_id(profile_type_id).sample_type_unit
+        prof = self._profiles(
+            service, selector, profile_type_id, start_ns, end_ns
+        )
         rows = merge_trees(prof, stu).collect()
         fn_names = {
             int(f["id"]): f["name"]
             for r in prof.select("functions").limit(1).collect()
             for f in r["functions"]
         }
-        return render_dot(rows, fn_names)
+        return render_dot(rows, fn_names, max_nodes)
 
     def pyroscope_analyze(self, selector: str) -> DataFrame:
         """/querier.v1.QuerierService/AnalyzeQuery (ref: transpiler.go:103

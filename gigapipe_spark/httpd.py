@@ -266,10 +266,15 @@ class _Handler(BaseHTTPRequestHandler):
             )
         return e._rule_managers_cache
 
-    def _text(self, s: str, code: int = 200) -> None:
+    def _text(
+        self,
+        s: str,
+        code: int = 200,
+        ctype: str = "text/plain; charset=utf-8",
+    ) -> None:
         body = s.encode()
         self.send_response(code)
-        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -712,6 +717,27 @@ class _Handler(BaseHTTPRequestHandler):
                             400,
                             f"Invalid value for {param}: {q[param][0]}",
                         )
+                if q.get("format", [""])[0] == "dot":
+                    # prof.go Render format=dot branch: maxNodes parsed
+                    # leniently (bad ints ignored), DOT content type
+                    max_nodes = 0
+                    mn = q.get("maxNodes", [""])[0]
+                    if mn:
+                        try:
+                            max_nodes = int(mn)
+                        except ValueError:
+                            pass
+                    dot = e.pyroscope_render_dot(
+                        service=q.get("service", [None])[0],
+                        selector=q.get("query", [None])[0],
+                        profile_type_id=q.get("profile_type_id", [None])[0],
+                        start_ns=bounds["from"],
+                        end_ns=bounds["until"],
+                        max_nodes=max_nodes,
+                    )
+                    return self._text(
+                        dot, ctype="text/vnd.graphviz; charset=utf-8"
+                    )
                 levels = e.pyroscope_render(
                     service=q.get("service", [None])[0],
                     selector=q.get("query", [None])[0],

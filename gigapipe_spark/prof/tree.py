@@ -122,14 +122,33 @@ def diff_trees(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
-def render_dot(rows: list, fn_names: dict[int, str] | None = None) -> str:
-    """Graphviz DOT rendering of a merged tree (ref: prof_tree.go:516)."""
+def render_dot(
+    rows: list,
+    fn_names: dict[int, str] | None = None,
+    max_nodes: int = 0,
+) -> str:
+    """Graphviz DOT rendering of a merged tree (ref: prof_tree.go ToDot).
+
+    ``max_nodes`` prunes like the reference (service/prof_tree.go
+    ToDot threshold block): when set and the tree has more nodes, keep
+    only nodes whose total is >= the max_nodes-th largest total
+    (top-N by total sample count); edges to pruned nodes drop with
+    them."""
+    dicts = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+    threshold = 0
+    if max_nodes > 0 and len(dicts) > max_nodes:
+        totals = sorted((d["total"] for d in dicts), reverse=True)
+        threshold = totals[max_nodes - 1]
+    kept = {
+        d["id"] for d in dicts if threshold == 0 or d["total"] >= threshold
+    }
     lines = ["digraph flamegraph {"]
-    for r in rows:
-        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+    for d in dicts:
+        if d["id"] not in kept:
+            continue
         name = (fn_names or {}).get(d["fn_id"], f"fn_{d['fn_id']}")
         lines.append(f'  n{d["id"]} [label="{name}\\nself={d["self"]} total={d["total"]}"];')
-        if d["parent"] != d["id"]:
+        if d["parent"] != d["id"] and d["parent"] in kept:
             lines.append(f'  n{d["parent"]} -> n{d["id"]};')
     lines.append("}")
     return "\n".join(lines)

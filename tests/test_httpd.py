@@ -598,14 +598,12 @@ def test_http_tempo_api_push_ndjson(gateway):
     assert st == 200 and body["batches"][0]["name"] == "ndj op"
 
 
-def test_http_pyroscope_ingest_push(gateway):
-    """/ingest (profile.go:10): gzip pprof + name{tags}/from/until →
-    stored tree → /pyroscope/render round-trip."""
+def _pprof_gz_body() -> bytes:
+    """gzip pprof with two stacks: main;foo 5 + main;foo;bar 7."""
     import gzip
 
     from gigapipe_spark.sources import protowire as pw
 
-    base, _ = gateway
     strings = [b"", b"main", b"foo", b"bar"]
     funcs = [pw.pb_encode([(1, 0, i + 1), (2, 0, i + 1)]) for i in range(3)]
     locs = [
@@ -618,7 +616,14 @@ def test_http_pyroscope_ingest_push(gateway):
     fields += [(4, 2, loc) for loc in locs]
     fields += [(5, 2, f) for f in funcs]
     fields += [(6, 2, s) for s in strings]
-    body = gzip.compress(pw.pb_encode(fields))
+    return gzip.compress(pw.pb_encode(fields))
+
+
+def test_http_pyroscope_ingest_push(gateway):
+    """/ingest (profile.go:10): gzip pprof + name{tags}/from/until →
+    stored tree → /pyroscope/render round-trip."""
+    base, _ = gateway
+    body = _pprof_gz_body()
 
     # missing params → 400 like the reference's parser context
     with pytest.raises(urllib.error.HTTPError) as ei:
@@ -820,3 +825,35 @@ def test_render_param_validation_and_time_scope(gateway):
     )
     assert code == 200
     assert body["flamebearer"]["numTicks"] == 0
+
+
+def test_render_format_dot_with_maxnodes(gateway):
+    """format=dot returns Graphviz with the reference content type
+    (prof.go Render dot branch) and maxNodes keeps only the top-N
+    nodes by total (prof_tree.go ToDot threshold)."""
+    base, _ = gateway
+    # self-provision a profile so the test is order-independent
+    name = urllib.parse.quote("dotapp{env=dot}")
+    st, _ = _post_full(
+        base,
+        f"/ingest?name={name}&from=1700000000&until=1700000010",
+        _pprof_gz_body(),
+        {"Content-Type": "binary/octet-stream"},
+    )
+    assert st == 200
+    q = urllib.parse.quote('{env="dot"}')
+    url = (f"{base}/pyroscope/render?query={q}&from=0"
+           f"&until=4000000000000&format=dot")
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/vnd.graphviz")
+        dot = r.read().decode()
+    assert dot.startswith("digraph flamegraph {")
+    n_all = dot.count("[label=")
+    assert n_all >= 2
+    with urllib.request.urlopen(url + "&maxNodes=1", timeout=120) as r:
+        pruned = r.read().decode()
+    # stacks: main;foo 5 + main;foo;bar 7 → totals main=12, foo=12,
+    # bar=7. threshold = 1st largest (12); ties at the threshold are
+    # kept (reference: keep total >= allTotals[maxNodes-1]) → main+foo
+    # survive, bar is pruned
+    assert pruned.count("[label=") == 2 and "bar" not in pruned
