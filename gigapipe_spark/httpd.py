@@ -187,13 +187,33 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
     # ------------------------------------------------------------ util
-    def _json(self, obj, code: int = 200) -> None:
-        body = json.dumps(obj).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
+    def _send_body(self, body: bytes, code: int, ctype: str) -> None:
+        """One body sender for every non-push route: gzip any 2xx when
+        the client sent Accept-Encoding: gzip, exactly the reference's
+        AcceptEncodingMiddleware (reader/utils/middleware/
+        accept_encoding.go:14-23 wraps the whole router; :54-66 only
+        2xx bodies are compressed, errors pass through identity)."""
+        if (
+            code // 100 == 2
+            and body
+            and "gzip" in (self.headers.get("Accept-Encoding") or "")
+        ):
+            import gzip as _gzip
+
+            body = _gzip.compress(body)
+            self.send_response(code)
+            self.send_header("Content-Encoding", "gzip")
+        else:
+            self.send_response(code)
+        self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _json(self, obj, code: int = 200) -> None:
+        self._send_body(
+            json.dumps(obj).encode(), code, "application/json"
+        )
 
     def _push_ok(self, code: int = 204, body: bytes | None = None) -> None:
         """Push-route success reply (the reference's withOkStatusAndBody
@@ -215,12 +235,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _yaml(self, s: str, code: int = 200) -> None:
         """Ruler API responses are YAML (ruler/controller/controller.go:24
         writeYAML)."""
-        body = s.encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/yaml")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        self._send_body(s.encode(), code, "application/yaml")
 
     def _ruler_success(self) -> None:
         """202 + the success envelope (controller.go:31 writeSuccessJSON)."""
@@ -272,12 +287,7 @@ class _Handler(BaseHTTPRequestHandler):
         code: int = 200,
         ctype: str = "text/plain; charset=utf-8",
     ) -> None:
-        body = s.encode()
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        self._send_body(s.encode(), code, ctype)
 
     def _body(self) -> bytes:
         n = int(self.headers.get("Content-Length", "0"))
@@ -289,12 +299,9 @@ class _Handler(BaseHTTPRequestHandler):
         envelope."""
         import html as _html
 
-        body = json.dumps(_html.escape(msg)).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        self._send_body(
+            json.dumps(_html.escape(msg)).encode(), code, "application/json"
+        )
 
     def _prom_error(self, code: int, msg: str) -> None:
         """PromError envelope (prom_query_range.go:160-168): status

@@ -857,3 +857,36 @@ def test_render_format_dot_with_maxnodes(gateway):
     # kept (reference: keep total >= allTotals[maxNodes-1]) → main+foo
     # survive, bar is pruned
     assert pruned.count("[label=") == 2 and "bar" not in pruned
+
+
+def test_gzip_response_encoding(gateway):
+    """Accept-Encoding: gzip → 2xx bodies compressed (reference
+    AcceptEncodingMiddleware wraps the whole router, accept_encoding.go
+    :14-23); error responses pass through identity (:54-66 only 2xx)."""
+    import gzip
+
+    base, _ = gateway
+    req = urllib.request.Request(
+        base + "/loki/api/v1/labels",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        body = json.loads(gzip.decompress(r.read()))
+    assert body["status"] == "success"
+    # errors are NOT compressed even when the client accepts gzip
+    req = urllib.request.Request(
+        base + "/api/v1/query",  # missing query -> 400
+        headers={"Accept-Encoding": "gzip"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+        assert ex.headers.get("Content-Encoding") is None
+        assert json.loads(ex.read())["status"] == "error"
+    # identity clients are untouched
+    with urllib.request.urlopen(base + "/loki/api/v1/labels", timeout=60) as r:
+        assert r.headers.get("Content-Encoding") is None
+        assert json.loads(r.read())["status"] == "success"
