@@ -159,6 +159,9 @@ class _Handler(BaseHTTPRequestHandler):
     # per-request Spark deadline — the reference's PromQL engine runs
     # with Timeout: 30s (reader/router/prometheus_query_range.go:32)
     query_timeout_s: float | None = 30.0
+    # optional ("user", "pass") — the reference's BasicAuthMiddleware,
+    # enabled when AUTH_SETTINGS.BASIC is configured (reader.go:71-75)
+    basic_auth: tuple[str, str] | None = None
 
     def log_message(self, *a):  # quiet test output
         pass
@@ -181,7 +184,38 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Access-Control-Allow-Credentials", "true")
         super().end_headers()
 
+    def _check_auth(self) -> bool:
+        """BasicAuthMiddleware (basic_auth.go:9-36): missing header →
+        401 + WWW-Authenticate; non-Basic scheme → 400; wrong creds →
+        401. Plain-text bodies like Go's http.Error. True = proceed."""
+        if self.basic_auth is None:
+            return True
+        auth = self.headers.get("Authorization", "")
+        if not auth:
+            body = b"Unauthorized\n"
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", 'Basic realm="Restricted"')
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return False
+        parts = auth.split(" ", 1)
+        if len(parts) != 2 or parts[0] != "Basic":
+            self._text("Invalid authorization header\n", 400)
+            return False
+        try:
+            pair = base64.b64decode(parts[1]).decode().split(":", 1)
+        except Exception:
+            pair = []
+        if len(pair) != 2 or tuple(pair) != self.basic_auth:
+            self._text("Unauthorized\n", 401)
+            return False
+        return True
+
     def do_OPTIONS(self) -> None:
+        if not self._check_auth():
+            return
         self.send_response(200)
         self.send_header("Content-Length", "0")
         self.end_headers()
@@ -367,6 +401,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------ GET
     def do_GET(self) -> None:  # noqa: C901 - one router, like the reference's
+        if not self._check_auth():
+            return
         url = urlparse(self.path)
         q = parse_qs(url.query)
         path = url.path
@@ -940,6 +976,8 @@ class _Handler(BaseHTTPRequestHandler):
     )
 
     def do_POST(self) -> None:
+        if not self._check_auth():
+            return
         url = urlparse(self.path)
         path, q = url.path, parse_qs(url.query)
         e = self.engine
@@ -1004,6 +1042,8 @@ class _Handler(BaseHTTPRequestHandler):
         group in the namespace, DELETE /rules/{namespace}/{group} one
         group (router.go:22-24, controller.go:120-140); both reply 202
         with the success envelope."""
+        if not self._check_auth():
+            return
         url = urlparse(self.path)
         rr = self._rules_route(url.path)
         try:
@@ -1028,6 +1068,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self) -> None:
         """Elastic registers /{target}/_doc/{id} and /{target}/_create/
         {id} for PUT as well (elastic.go:11-12); same handler."""
+        if not self._check_auth():
+            return
         url = urlparse(self.path)
         path, q = url.path, parse_qs(url.query)
         cat = getattr(self.engine, "catalog", None)
@@ -1403,6 +1445,7 @@ class HttpGateway:
         ruler_poll_sec: float | None = None,
         allow_origin: str = "*",
         query_timeout_s: float | None = 30.0,
+        basic_auth: tuple[str, str] | None = None,
     ):
         """`ruler_poll_sec` switches on the rule-evaluation loop — the
         reference's manager ticker goroutines (ruler/manager.go:183-195,
@@ -1419,6 +1462,9 @@ class HttpGateway:
                 # matches the reference's 30s engine Timeout
                 # (prometheus_query_range.go:32); None disables
                 "query_timeout_s": query_timeout_s,
+                # BasicAuthMiddleware analog (reader.go:71-75): enabled
+                # only when credentials are configured
+                "basic_auth": basic_auth,
             },
         )
         self.engine = engine

@@ -866,6 +866,12 @@ def test_gzip_response_encoding(gateway):
     import gzip
 
     base, _ = gateway
+    # self-provision so the store-backed labels route has data
+    payload = json.dumps({
+        "streams": [{"stream": {"app": "gz"},
+                     "values": [[str(T0), "gzip seed", 1.0]]}]
+    }).encode()
+    assert _post(base, "/loki/api/v1/push", payload) in (200, 204)
     req = urllib.request.Request(
         base + "/loki/api/v1/labels",
         headers={"Accept-Encoding": "gzip"},
@@ -890,3 +896,42 @@ def test_gzip_response_encoding(gateway):
     with urllib.request.urlopen(base + "/loki/api/v1/labels", timeout=60) as r:
         assert r.headers.get("Content-Encoding") is None
         assert json.loads(r.read())["status"] == "success"
+
+
+def test_basic_auth_middleware(spark):
+    """BasicAuthMiddleware parity (basic_auth.go:9-36, enabled when
+    credentials are configured, reader.go:71-75): no header → 401 +
+    WWW-Authenticate; non-Basic scheme → 400; wrong creds → 401;
+    correct creds → normal routing. Off by default (every other test
+    in this module runs unauthenticated)."""
+    import base64 as b64
+
+    from gigapipe_spark.api import Engine
+    from gigapipe_spark.httpd import HttpGateway
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    gw = HttpGateway(eng, basic_auth=("scott", "tiger"))
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        def _code(headers):
+            req = urllib.request.Request(base + "/ready", headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status, dict(r.headers)
+            except urllib.error.HTTPError as ex:
+                return ex.code, dict(ex.headers)
+
+        code, hdrs = _code({})
+        assert code == 401
+        assert hdrs.get("WWW-Authenticate") == 'Basic realm="Restricted"'
+        code, _ = _code({"Authorization": "Bearer xyz"})
+        assert code == 400
+        bad = b64.b64encode(b"scott:wrong").decode()
+        code, _ = _code({"Authorization": f"Basic {bad}"})
+        assert code == 401
+        good = b64.b64encode(b"scott:tiger").decode()
+        code, _ = _code({"Authorization": f"Basic {good}"})
+        assert code == 200
+    finally:
+        gw.stop()
