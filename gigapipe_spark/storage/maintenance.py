@@ -48,10 +48,31 @@ FACT_TABLES = ("samples", "time_series", "gin")
 ALL_TABLES = (
     "samples", "time_series", "gin", "patterns",
     "tempo_traces", "tempo_traces_attrs_gin", "tempo_traces_kv",
-    "tempo_traces_attr_map",
+    "tempo_traces_attr_map", "tempo_traces_anc",
     "profiles", "profiles_series", "profiles_series_gin",
     "profiles_series_keys", "profiles_folded",
 )
+
+# in-file sort keys per table for compact() rewrites — the same
+# ORDER BY each fan-out writer applies via sortWithinPartitions, so a
+# compacted partition regains its row-group-skipping stats
+TABLE_SORT_COLS: dict[str, tuple[str, ...]] = {
+    "samples": ("fingerprint", "timestamp_ns"),
+    "metrics_15s": ("fingerprint", "timestamp_ns"),
+    "time_series": ("fingerprint",),
+    "gin": ("key", "val", "fingerprint"),
+    "patterns": ("timestamp_10m", "fingerprint"),
+    "tempo_traces": ("trace_id", "timestamp_ns"),
+    "tempo_traces_attrs_gin": ("key", "val", "timestamp_ns"),
+    "tempo_traces_kv": ("key", "val_id"),
+    "tempo_traces_attr_map": ("trace_id", "timestamp_ns"),
+    "tempo_traces_anc": ("trace_id",),
+    "profiles": ("type_id", "service_name", "timestamp_ns"),
+    "profiles_series": ("fingerprint",),
+    "profiles_series_gin": ("key", "val", "type_id"),
+    "profiles_series_keys": ("key", "val_id"),
+    "profiles_folded": ("type_id", "service_name"),
+}
 
 
 @dataclass(frozen=True)
@@ -184,7 +205,7 @@ def compact(
     catalog: Catalog,
     table: str,
     target_files_per_partition: int = 1,
-    sort_cols: tuple[str, ...] = ("fingerprint", "timestamp_ns"),
+    sort_cols: tuple[str, ...] | None = None,
     codec: str | None = None,
 ) -> dict[str, int]:
     """Merge a table's small files per date partition — the MergeTree
@@ -206,6 +227,8 @@ def compact(
     swapped via rename after the new files land); returns
     {iso_date: files_before} for the partitions it rewrote.
     """
+    if sort_cols is None:
+        sort_cols = TABLE_SORT_COLS.get(table, ("fingerprint", "timestamp_ns"))
     done: dict[str, int] = {}
     for iso, part_dir in _partition_dates(catalog.path(table)):
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]

@@ -198,17 +198,21 @@ class StoreTraceQLContext(TraceQLContext):
     def ancestors(self) -> DataFrame:
         # stored ancestor-closure index maintained at ingest
         # (writer._maintain_ancestor_index) — structural queries scan it
-        # instead of rebuilding the closure per session; falls back to
-        # an on-the-fly build for stores written before the index
-        import os
+        # instead of rebuilding the closure per session. Only the
+        # (oid, date)-partitioned layout is trusted: it is created by a
+        # full backfill and therefore complete; an r10-era oid-only dir
+        # carries no completeness guarantee (a pre-index store appended
+        # to by the r10 writer got a PARTIAL index — ADVICE r10), so it
+        # is ignored until the writer's migration rebuild replaces it.
+        from gigapipe_spark.storage.writer import anc_index_layout
 
-        if os.path.isdir(self.catalog.path("tempo_traces_anc")):
+        if anc_index_layout(self.catalog.path("tempo_traces_anc")) == "new":
             try:
                 return self.catalog.read(
                     self.spark, "tempo_traces_anc"
                 ).select("trace_id", "span_id", "anc_id")
             except Exception:
-                pass  # empty dir from a pre-fix store → rebuild below
+                pass  # unreadable dir → rebuild below
         from gigapipe_spark.sources.views import ANCESTOR_DEPTH_CONF
 
         depth = int(self.spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))

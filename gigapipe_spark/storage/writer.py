@@ -574,9 +574,35 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     _maintain_ancestor_index(batch, catalog)
 
 
+def anc_index_layout(anc_path: str) -> str | None:
+    """Layout generation of a stored tempo_traces_anc dir:
+    ``None``  — absent or empty (only _SUCCESS / lock debris);
+    ``"old"`` — r10 layout, partitioned by oid only, NO date column and
+                no completeness guarantee (the pre-backfill writer only
+                indexed traces touched after the feature landed);
+    ``"new"`` — (oid, date)-partitioned, created by a full backfill and
+                maintained incrementally — complete by construction.
+    Readers trust ONLY the new layout (storage/query.py ancestors());
+    the writer migrates old → new via a full rebuild on its next spans
+    batch."""
+    if not os.path.isdir(anc_path):
+        return None
+    layout = None
+    for oid_name in os.listdir(anc_path):
+        oid_dir = os.path.join(anc_path, oid_name)
+        if not (oid_name.startswith("oid=") and os.path.isdir(oid_dir)):
+            continue
+        for child in os.listdir(oid_dir):
+            if child.startswith("date="):
+                return "new"
+            if child.endswith(".parquet"):
+                layout = "old"
+    return layout
+
+
 def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
     """Incrementally maintain the stored ancestor-closure index
-    `tempo_traces_anc` (trace_id, span_id, anc_id) that structural
+    `tempo_traces_anc` (trace_id, span_id, anc_id, date) that structural
     TraceQL ops (&>> <<& ~ !>> <<~) semi-join against — the design the
     session-cache docstring promises (sources/views.py span_ancestors:
     "at scale it is a stored index maintained at ingest, not recomputed
@@ -595,14 +621,34 @@ def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
     distinct, views.py:454-458) is exact, no tombstones or rewrite
     needed.
 
-    100-TB shape: cost per batch is O(spans of touched traces × log
-    depth), independent of table size — the touched-trace span lookup
-    prunes on (oid, date) partitions + trace_id row-group stats, the
-    closure build shuffles only the touched traces' spans, and the
-    anti-join reads only the index rows of those traces (same
-    pruning). Depth uses the session cap (ANCESTOR_DEPTH_CONF, default
-    8) with the builder's counted-truncation contract."""
-    import os
+    LIFECYCLE (r11): pairs carry a `date` partition column = the
+    DESCENDANT span's date, so maintenance.rotate() expires closure
+    pairs in lockstep with their spans (a retained descendant keeps its
+    pairs; pairs to an expired ancestor are harmless — structural ops
+    only match ancestors that still exist in the span scan — and fall
+    with the descendant's partition later; the reference's per-table
+    TTL clauses in ctrl/qryn/sql/traces.sql cover every derived table
+    the same uniform way). compact() coalesces the per-batch small
+    files (the table is in maintenance.ALL_TABLES).
+
+    COVERAGE (r11, ADVICE): when the index directory does not exist
+    yet, the first spans batch BACKFILLS the full closure over every
+    stored trace — a store written by a pre-index writer and then
+    appended to gets a complete index, not a partial one. An r10-era
+    oid-only index (no completeness guarantee, see anc_index_layout)
+    is migrated the same way: full rebuild into the dated layout,
+    swapped in via rename. Readers ignore old-layout dirs entirely.
+
+    100-TB shape: steady-state cost per batch is O(spans of touched
+    traces × log depth), independent of table size — the touched-trace
+    span lookup prunes on (oid, date) partitions + trace_id row-group
+    stats, the closure build shuffles only the touched traces' spans,
+    and the anti-join reads only the index rows of those traces (same
+    pruning). The backfill/migration rebuild is a one-time O(all spans)
+    job, paid exactly once per store. Depth uses the session cap
+    (ANCESTOR_DEPTH_CONF, default 8) with the builder's
+    counted-truncation contract."""
+    import shutil
 
     from gigapipe_spark.sources.views import (
         ANCESTOR_DEPTH_CONF,
@@ -612,46 +658,89 @@ def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
 
     spark = batch.sparkSession
     depth = int(spark.conf.get(ANCESTOR_DEPTH_CONF, "8"))
-    # Closure pairs are paths over parent edges, and a batch only adds
-    # edges through its own spans' parent_id (a parentless span can't
-    # complete anyone else's path) — no new edges means the closure is
-    # unchanged, so skip the maintenance job entirely. This also keeps
-    # a zero-row append from minting an empty (only _SUCCESS) table dir
-    # that later reads would choke on.
-    if batch.filter(F.col("parent_id") != "").isEmpty():
-        return
-    touched = batch.select("trace_id").distinct()
-    try:
+    anc_path = catalog.path("tempo_traces_anc")
+    layout = anc_index_layout(anc_path)
+    date_of = F.to_date(
+        F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long"))
+    ).alias("date")
+
+    if layout == "new":
+        # Closure pairs are paths over parent edges, and a batch only
+        # adds edges through its own spans' parent_id (a parentless span
+        # can't complete anyone else's path) — no new edges means the
+        # closure is unchanged, so skip the maintenance job entirely.
+        # This also keeps a zero-row append from minting an empty (only
+        # _SUCCESS) partition that later reads would choke on.
+        if batch.filter(F.col("parent_id") != "").isEmpty():
+            return
+        touched = batch.select("trace_id").distinct()
         # fresh read includes the rows this fan-out just appended
         stored = catalog.read(spark, "tempo_traces")
-    except Exception:
-        return  # zero-row store so far (only _SUCCESS on disk)
-    scope = stored.select("trace_id", "span_id", "parent_id").join(
-        F.broadcast(touched), "trace_id", "left_semi"
-    )
-    closure = ancestors_from_spans(scope, depth)
-    anc_path = catalog.path("tempo_traces_anc")
-    existing = None
-    if os.path.isdir(anc_path):
-        try:
-            existing = catalog.read(spark, "tempo_traces_anc")
-        except Exception:
-            existing = None  # empty dir from a pre-fix store
-    if existing is not None:
+        scope = stored.select(
+            "trace_id", "span_id", "parent_id", "timestamp_ns"
+        ).join(F.broadcast(touched), "trace_id", "left_semi")
+        closure = ancestors_from_spans(scope, depth)
+        existing = catalog.read(spark, "tempo_traces_anc")
         closure = closure.join(
-            existing.join(F.broadcast(touched), "trace_id", "left_semi"),
+            existing.select("trace_id", "span_id", "anc_id").join(
+                F.broadcast(touched), "trace_id", "left_semi"
+            ),
             ["trace_id", "span_id", "anc_id"],
             "left_anti",
         )
+        # date = descendant span's date (dedup: replayed spans may
+        # appear twice in the store; pairs are duplicate-insensitive
+        # but the join key must be unique)
+        span_dates = scope.select(
+            "trace_id", "span_id", date_of
+        ).dropDuplicates(["trace_id", "span_id"])
+        observed_write(
+            closure.join(span_dates, ["trace_id", "span_id"]).withColumn(
+                "oid", F.lit(catalog.oid)
+            ),
+            "tempo_traces_anc",
+            lambda df: df.sortWithinPartitions("trace_id")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(anc_path),
+            bytes_col=None,
+        )
+        return
+
+    # backfill (no index yet) or migration (r10 oid-only layout):
+    # full rebuild over every stored trace, swapped in atomically
+    try:
+        stored = catalog.read(spark, "tempo_traces")
+    except Exception:
+        return  # zero-row store so far (only _SUCCESS on disk)
+    spans = stored.select("trace_id", "span_id", "parent_id", "timestamp_ns")
+    if spans.filter(F.col("parent_id") != "").isEmpty():
+        return  # no parent edges anywhere → empty closure, no dir
+    closure = ancestors_from_spans(spans, depth)
+    span_dates = spans.select("trace_id", "span_id", date_of).dropDuplicates(
+        ["trace_id", "span_id"]
+    )
+    tmp_dir = anc_path + ".rebuild_tmp"
     observed_write(
-        closure.withColumn("oid", F.lit(catalog.oid)),
+        closure.join(span_dates, ["trace_id", "span_id"]).withColumn(
+            "oid", F.lit(catalog.oid)
+        ),
         "tempo_traces_anc",
         lambda df: df.sortWithinPartitions("trace_id")
-        .write.mode("append")
-        .partitionBy("oid")
-        .parquet(anc_path),
+        .write.mode("overwrite")
+        .partitionBy("oid", "date")
+        .parquet(tmp_dir),
         bytes_col=None,
     )
+    # swap; a crash between the renames leaves the index absent, which
+    # readers treat as "fall back to on-the-fly closure" and the next
+    # spans batch re-runs the backfill — self-healing, never partial
+    old_dir = anc_path + ".rebuild_old"
+    if os.path.isdir(anc_path):
+        os.rename(anc_path, old_dir)
+    os.rename(tmp_dir, anc_path)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
 
 
 @_locked_fanout
