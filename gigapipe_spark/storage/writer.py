@@ -99,6 +99,13 @@ def _acquire_process_lock(key: str) -> None:
     fh.write(f"{os.getpid()}\n")
     fh.flush()
     _ROOT_FLOCKS[key] = fh
+    # this process is now THE writer: roll back any fan-out batch a
+    # previous writer left half-applied (crash between appends would
+    # otherwise leave derived tables silently inconsistent — see
+    # storage/journal.py). Runs exactly once per (process, root).
+    from gigapipe_spark.storage import journal as _journal
+
+    _journal.repair(key)
 
 
 def release_store_process_lock(root: str) -> None:
@@ -329,6 +336,18 @@ def ingest_fanout(
         "oid", F.lit(catalog.oid)
     )
 
+    from gigapipe_spark.storage.journal import BatchJournal, batch_dates
+
+    # crash-consistency journal: if this writer dies between appends,
+    # the next writer (or fsck) rolls the whole batch back — the
+    # fan-out is all-or-nothing (storage/journal.py)
+    journal = BatchJournal(
+        catalog.root,
+        catalog.oid,
+        ("samples", "time_series", "gin", "metrics_15s", "patterns"),
+        batch_dates(with_date),
+    ).begin()
+
     observed_write(
         with_date.select(
             "oid", "date", "fingerprint", "timestamp_ns", "value", "string",
@@ -421,6 +440,8 @@ def ingest_fanout(
     if mine_patterns:
         patterns_fanout(batch, catalog)
 
+    journal.done()
+
 
 @_locked_fanout
 def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
@@ -447,6 +468,26 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
     if log_rows.isEmpty():
         return
+    from gigapipe_spark.storage.journal import BatchJournal, batch_dates
+
+    # journal scope from the raw rows (flooring to the 10m bucket never
+    # crosses a date boundary, so these are the partitions pats lands
+    # in); when called from ingest_fanout this nests inside the outer
+    # batch journal — both roll back to the same pre-batch snapshot
+    journal = BatchJournal(
+        catalog.root,
+        catalog.oid,
+        ("patterns",),
+        batch_dates(
+            log_rows.select(
+                F.to_date(
+                    F.timestamp_micros(
+                        (F.col("timestamp_ns") / 1000).cast("long")
+                    )
+                ).alias("date")
+            )
+        ),
+    ).begin()
     pats = (
         _mine_patterns(log_rows)
         .withColumn(
@@ -468,6 +509,7 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
         .parquet(catalog.path("patterns")),
         bytes_col=None,
     )
+    journal.done()
 
 
 @_locked_fanout
@@ -499,6 +541,23 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     with_date = batch.withColumn("date", date).withColumn(
         "oid", F.lit(catalog.oid)
     )
+
+    from gigapipe_spark.storage.journal import BatchJournal, batch_dates
+
+    # crash-consistency journal (storage/journal.py). tempo_traces_anc
+    # is deliberately NOT listed: the closure index is duplicate-
+    # insensitive and orphan-tolerant (pairs for rolled-back spans match
+    # nothing; a retry's anti-join skips pairs already present), and its
+    # rebuild path is crash-safe via rename swap.
+    journal = BatchJournal(
+        catalog.root,
+        catalog.oid,
+        (
+            "tempo_traces", "tempo_traces_attrs_gin", "tempo_traces_kv",
+            "tempo_traces_attr_map",
+        ),
+        batch_dates(with_date),
+    ).begin()
 
     observed_write(
         with_date.select(
@@ -572,6 +631,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
     )
 
     _maintain_ancestor_index(batch, catalog)
+    journal.done()
 
 
 def anc_index_layout(anc_path: str) -> str | None:
@@ -805,6 +865,18 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
         F.lit(catalog.oid).alias("oid"),
     )
 
+    from gigapipe_spark.storage.journal import BatchJournal, batch_dates
+
+    journal = BatchJournal(
+        catalog.root,
+        catalog.oid,
+        (
+            "profiles", "profiles_series", "profiles_series_gin",
+            "profiles_series_keys",
+        ),
+        batch_dates(enriched),
+    ).begin()
+
     # tree/functions columns (profiles.sql:118-119 ALTER; the later MV
     # at :126-144 selects them from profiles_input) flow through when
     # the decoder produced them — the layout the store render merges
@@ -885,6 +957,7 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
         ),
         bytes_col=None,
     )
+    journal.done()
 
 
 def write_bucketed(
@@ -991,10 +1064,18 @@ def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
 
     batch = _checkpoint_flush(batch)
     date = F.to_date(F.timestamp_micros((F.col("timestamp_ns") / 1000).cast("long")))
+    with_date = batch.withColumn("date", date).withColumn(
+        "oid", F.lit(catalog.oid)
+    )
+
+    from gigapipe_spark.storage.journal import BatchJournal, batch_dates
+
+    journal = BatchJournal(
+        catalog.root, catalog.oid, ("profiles_folded",),
+        batch_dates(with_date),
+    ).begin()
     observed_write(
-        batch.withColumn("date", date)
-        .withColumn("oid", F.lit(catalog.oid))
-        .select(
+        with_date.select(
             "oid", "date", "timestamp_ns", "service_name", "type_id",
             "profile_id", "line",
         ),
@@ -1005,3 +1086,4 @@ def folded_fanout(batch: DataFrame, catalog: Catalog) -> None:
         .parquet(catalog.path("profiles_folded")),
         bytes_col="line",
     )
+    journal.done()

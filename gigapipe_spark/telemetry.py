@@ -129,6 +129,16 @@ def observed_write(df: DataFrame, service: str, write_fn, bytes_col: str | None)
     obs = Observation()
     t0 = time.monotonic()
     write_fn(df.observe(obs, *aggs))
+    # crash injection for the fan-out consistency tests
+    # (tests/test_crash_fanout.py): SIGKILL this process the moment the
+    # named table's append commits — the exact between-appends window
+    # the batch journal exists to heal
+    import os as _os
+
+    if _os.environ.get("GIGAPIPE_CRASH_AFTER_WRITE") == service:
+        import signal as _signal
+
+        _os.kill(_os.getpid(), _signal.SIGKILL)
     got = obs.get
     TELEMETRY.observe_tx_ms((time.monotonic() - t0) * 1000.0)
     TELEMETRY.inc("sent_rows", {"service": service}, float(got["rows"]))
