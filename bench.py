@@ -193,13 +193,34 @@ def main() -> None:
 
 def _fields_from_tail(tail: str) -> dict:
     """Recover (queries_normalized, normalized, normalized_band, sf)
-    from a driver-wrapper `tail` whose front was truncated mid-JSON."""
+    from a driver-wrapper `tail` whose front was truncated mid-JSON.
+
+    The extraction is brace-balanced (a greedy `[^}]*` breaks on nested
+    objects) and the result is marked `_recovered_from_tail` so the
+    regression verdict can refuse to compare against a PARTIAL map —
+    comparing against incomplete per-query baselines would silently
+    miss real regressions (ADVICE r10)."""
     import re
 
     out: dict = {}
-    m = re.search(r'"queries_normalized":\s*(\{[^}]*\})', tail)
+    m = re.search(r'"queries_normalized":\s*\{', tail)
     if m:
-        out["queries_normalized"] = json.loads(m.group(1))
+        start = m.end() - 1
+        depth, end = 0, None
+        for i in range(start, len(tail)):
+            if tail[i] == "{":
+                depth += 1
+            elif tail[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = i + 1
+                    break
+        if end is not None:
+            try:
+                out["queries_normalized"] = json.loads(tail[start:end])
+                out["_recovered_from_tail"] = True
+            except ValueError:
+                pass  # truncated mid-map: no partial baseline
     for key in ("normalized", "sf"):
         m = re.search(rf'"{key}":\s*([0-9.eE+-]+)', tail)
         if m:
@@ -257,6 +278,18 @@ def _regression_verdict(cur: dict) -> dict:
             "flagged": [],
             "prev": os.path.basename(prev_path),
             "note": "sf mismatch",
+        }
+    if prev.get("_recovered_from_tail") and not (
+        set(cur.get("queries_normalized", {})) <= set(prev_qn)
+    ):
+        # tail recovery yielded a map missing some of the current
+        # queries: an incomplete baseline would silently pass real
+        # regressions — skip with a logged reason instead (ADVICE r10)
+        return {
+            "status": "no_baseline",
+            "flagged": [],
+            "prev": os.path.basename(prev_path),
+            "note": "partial tail recovery (incomplete baseline)",
         }
     h_prev = float(prev.get("calibration_mad", 0.0)) / max(
         float(prev.get("calibration", 1.0)), 1e-9

@@ -53,10 +53,21 @@ _SEQ = itertools.count()
 
 
 def _client_gone(sock) -> bool:
-    """True when the peer half-closed: a non-blocking MSG_PEEK read
-    returning b'' means FIN arrived. Pending request bytes (pipelining,
-    WebSocket frames) peek as data → still connected. EAGAIN → still
-    connected, nothing buffered."""
+    """True when the peer sent FIN: a non-blocking MSG_PEEK read
+    returning b'' means the read side is closed. Pending request bytes
+    (pipelining, WebSocket frames) peek as data → still connected.
+    EAGAIN → still connected, nothing buffered.
+
+    Known limitation (ADVICE r10, adjudicated): a client that
+    half-closes its write side (shutdown(SHUT_WR)) after sending the
+    request also peeks b'' and gets its query cancelled. This MATCHES
+    the reference's behavior — Go's net/http cancels the request
+    Context as soon as the connection reads EOF, half-close included —
+    so it is pinned as the contract rather than worked around; clients
+    that want the response must keep the write side open, exactly as
+    against the reference. Transient OSErrors are NOT trusted on a
+    single poll: the watchdog requires two consecutive positive checks
+    before cancelling (see _watch)."""
     try:
         return sock.recv(1, socket.MSG_PEEK | socket.MSG_DONTWAIT) == b""
     except (BlockingIOError, InterruptedError):
@@ -138,13 +149,20 @@ class RequestGuard:
             if self.timeout_s is not None
             else None
         )
+        gone_polls = 0
         while not self._stop.wait(self.poll_s):
             if deadline is not None and time.monotonic() >= deadline:
                 self.reason = "timeout"
                 break
             if self.sock is not None and _client_gone(self.sock):
-                self.reason = "disconnect"
-                break
+                # two consecutive positive polls before cancelling — a
+                # one-off OSError blip must not kill a live query
+                gone_polls += 1
+                if gone_polls >= 2:
+                    self.reason = "disconnect"
+                    break
+            else:
+                gone_polls = 0
         # Re-cancel until the handler thread leaves the guard:
         # cancelJobGroup only kills jobs ALREADY submitted — if the
         # trigger fires while the driver is still planning (analysis,

