@@ -245,9 +245,11 @@ def test_limit_ratio_windows_share_one_exchange(spark):
 
 
 def test_limitk_group_partition_single_exchange(spark):
-    """limitk by(app): one row_number window partitioned by
-    (timestamp, group-hash) — exactly one exchange above the
-    aggregation feeding it."""
+    """limitk by(app), r11 fast path: the full-matrix selection window
+    is gone — a map-side-combined count classifies each (step, group),
+    rank≤k rows at complete steps pass through a broadcast semi-join,
+    and the row_number window (still partitioned by timestamp + group
+    hash) runs only over the slow branch's step subset."""
     from gigapipe_spark.promql.compiler import PromQLContext
     from gigapipe_spark.promql.compiler import query as promql_query
 
@@ -256,14 +258,19 @@ def test_limitk_group_partition_single_exchange(spark):
         'limitk(2, max_over_time({app=~"click|view|error"}[1h])) by (app)',
     )
     plan = _plan(df)
-    assert "row_number" in plan
-    # the window's required distribution includes the group hash, so the
-    # partition expression must mention xxhash64
-    # the group hash is projected to an alias below the window, so
-    # assert the partition spec carries TWO expressions (ts + hash)
-    win_line = next(ln for ln in plan.splitlines() if "row_number" in ln)
-    part = win_line.split("], [")[1]
-    assert "," in part, win_line  # timestamp_ns, _w0 (the group hash)
+    # the SELECTION window (slow branch) still requires the
+    # (timestamp, group-hash) distribution — pick it out by its
+    # partition keys; the rank-dim window partitions by __g alone
+    sel = [
+        ln
+        for ln in plan.splitlines()
+        if "row_number" in ln and "timestamp_ns" in ln
+    ]
+    assert sel, plan
+    part = sel[0].split("], [")[1]
+    assert "," in part, sel[0]  # timestamp_ns + the group hash
+    # fast path present: broadcast semi-joins gate both branches
+    assert "LeftSemi" in plan, plan
 
 
 def test_ancestor_closure_join_count_is_logarithmic(spark):
