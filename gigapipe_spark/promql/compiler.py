@@ -948,6 +948,12 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                 # the r10 rank-dim rewrite — is gone.
                 k = int(e.param)
                 keys = ["timestamp_ns"] + (["__g"] if grouping else [])
+                # the classify/fast/slow branches all consume df2, and
+                # the two broadcast subtrees would otherwise each
+                # re-execute the whole inner aggregation as their own
+                # job — persist the NARROW matrix (5 numeric columns)
+                # once; MEMORY_AND_DISK with LRU eviction bounds it
+                df2 = df2.persist()
                 cnt = df2.groupBy(*keys).agg(
                     F.count(F.when(F.col("__rank") <= k, 1)).alias("__ck")
                 )
