@@ -85,12 +85,27 @@ class BatchJournal:
     """Context manager around one fan-out's appends. Enter = write the
     journal entry (after snapshotting the touched partitions); clean
     exit = delete it; an exception propagates with the entry LEFT IN
-    PLACE so the next repair() rolls the partial batch back."""
+    PLACE so the next repair() rolls the partial batch back.
+
+    EXACTLY-ONCE for streaming (r11): foreachBatch gives at-least-once
+    — a crash after the fan-out but before the offset commit replays
+    the micro-batch, which would double-append. With ``commit_marker``
+    set, done() atomically RENAMES the journal entry to the marker
+    path: journal present ⇒ incomplete (repair rolls back, replay
+    re-applies); marker present ⇒ applied (the stream sink skips the
+    replay). One rename is the commit point — there is no window where
+    the batch is applied but unmarked or rolled back but marked."""
 
     def __init__(
-        self, root: str, oid: str, tables: tuple[str, ...], dates: list[str]
+        self,
+        root: str,
+        oid: str,
+        tables: tuple[str, ...],
+        dates: list[str],
+        commit_marker: str | None = None,
     ):
         self.root = root
+        self.commit_marker = commit_marker
         self.entry = {
             "id": uuid.uuid4().hex,
             "oid": oid,
@@ -111,7 +126,7 @@ class BatchJournal:
 
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
-            os.remove(self.path)
+            self.done()
         # on exception: leave the entry; the caller's error propagates
         # and repair() rolls the partial batch back
         return False
@@ -122,7 +137,44 @@ class BatchJournal:
     begin = __enter__
 
     def done(self) -> None:
-        os.remove(self.path)
+        if self.commit_marker is None:
+            os.remove(self.path)
+            return
+        os.makedirs(os.path.dirname(self.commit_marker), exist_ok=True)
+        # the atomic commit point: journal → applied-marker in one rename
+        os.replace(self.path, self.commit_marker)
+        _prune_markers(os.path.dirname(self.commit_marker))
+
+
+def stream_marker_path(root: str, checkpoint: str, batch_id: int) -> str:
+    """Applied-marker path for one micro-batch of one stream: keyed by
+    a stable hash of the checkpoint location (the stream's identity
+    across restarts) + the monotonically increasing batch id."""
+    import hashlib
+
+    key = hashlib.sha1(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:12]
+    return os.path.join(root, JOURNAL_DIR, "applied", key, str(batch_id))
+
+
+_MARKER_KEEP = 1000
+
+
+def _prune_markers(marker_dir: str) -> None:
+    """Markers accrete one tiny file per micro-batch; batch ids are
+    monotone, and a replay can only be of a RECENT batch (the engine
+    re-runs at most the last uncommitted micro-batch), so keeping the
+    newest window is safe and bounds the dir at _MARKER_KEEP files."""
+    try:
+        ids = sorted(int(n) for n in os.listdir(marker_dir) if n.isdigit())
+    except OSError:
+        return
+    for bid in ids[:-_MARKER_KEEP]:
+        try:
+            os.remove(os.path.join(marker_dir, str(bid)))
+        except OSError:
+            pass
 
 
 def _repair_entry(root: str, entry: dict) -> None:

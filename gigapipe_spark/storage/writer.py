@@ -299,7 +299,10 @@ def _checkpoint_flush(batch: DataFrame, small: int = 100_000) -> DataFrame:
 
 @_locked_fanout
 def ingest_fanout(
-    batch: DataFrame, catalog: Catalog, mine_patterns: bool = True
+    batch: DataFrame,
+    catalog: Catalog,
+    mine_patterns: bool = True,
+    commit_marker: str | None = None,
 ) -> None:
     """One decoded batch → samples + time_series + gin (the MV layer).
 
@@ -346,6 +349,7 @@ def ingest_fanout(
         catalog.oid,
         ("samples", "time_series", "gin", "metrics_15s", "patterns"),
         batch_dates(with_date),
+        commit_marker=commit_marker,
     ).begin()
 
     observed_write(
@@ -513,7 +517,9 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
 
 
 @_locked_fanout
-def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
+def spans_fanout(
+    batch: DataFrame, catalog: Catalog, commit_marker: str | None = None
+) -> None:
     """Decoded spans batch → tempo_traces + attrs GIN + kv dictionary
     (the trace MV layer; ref: ctrl/qryn/sql/traces.sql
     traces_input_traces_mv / traces_input_tags_mv / tempo_traces_kv_mv).
@@ -557,6 +563,7 @@ def spans_fanout(batch: DataFrame, catalog: Catalog) -> None:
             "tempo_traces_attr_map",
         ),
         batch_dates(with_date),
+        commit_marker=commit_marker,
     ).begin()
 
     observed_write(
@@ -804,7 +811,9 @@ def _maintain_ancestor_index(batch: DataFrame, catalog: Catalog) -> None:
 
 
 @_locked_fanout
-def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
+def profiles_fanout(
+    batch: DataFrame, catalog: Catalog, commit_marker: str | None = None
+) -> None:
     """profiles_input batch → profiles + profiles_series +
     profiles_series_gin + profiles_series_keys (the profiles MV layer;
     ref: ctrl/qryn/sql/profiles.sql profiles_mv:34-50,
@@ -875,6 +884,7 @@ def profiles_fanout(batch: DataFrame, catalog: Catalog) -> None:
             "profiles_series_keys",
         ),
         batch_dates(enriched),
+        commit_marker=commit_marker,
     ).begin()
 
     # tree/functions columns (profiles.sql:118-119 ALTER; the later MV
@@ -997,14 +1007,31 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _marked_sink(fanout, catalog: Catalog, checkpoint: str):
+    """foreachBatch sink with EXACTLY-ONCE replay protection: Spark
+    replays the last uncommitted micro-batch after a restart
+    (at-least-once); the batch journal's atomic commit marker
+    (journal → applied rename, storage/journal.py) records whether the
+    replayed batch already landed, so the sink skips it instead of
+    double-appending."""
+    from gigapipe_spark.storage.journal import stream_marker_path
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = stream_marker_path(catalog.root, checkpoint, batch_id)
+        if os.path.exists(marker):
+            return  # replayed micro-batch — already applied
+        fanout(batch_df, catalog, commit_marker=marker)
+
+    return _sink
+
+
 def stream_fanout(decoded_stream: DataFrame, catalog: Catalog, checkpoint: str,
                   trigger_seconds: int = 5):
     """Streaming ingest: micro-batch fan-out via foreachBatch — the
     timer-flush batching of the reference is exactly the trigger
-    interval."""
+    interval. Restart-safe: see _marked_sink."""
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        ingest_fanout(batch_df, catalog)
+    _sink = _marked_sink(ingest_fanout, catalog, checkpoint)
 
     return (
         decoded_stream.writeStream.foreachBatch(_sink)
@@ -1021,8 +1048,7 @@ def stream_spans_fanout(
     """Streaming trace ingest: decoded spans stream → the tempo MV layer
     per micro-batch (same trigger-as-timer-flush shape as samples)."""
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        spans_fanout(batch_df, catalog)
+    _sink = _marked_sink(spans_fanout, catalog, checkpoint)
 
     return (
         decoded_stream.writeStream.foreachBatch(_sink)
@@ -1039,8 +1065,7 @@ def stream_profiles_fanout(
     """Streaming profile ingest: profiles_input-shaped stream → the
     profiles MV layer per micro-batch."""
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        profiles_fanout(batch_df, catalog)
+    _sink = _marked_sink(profiles_fanout, catalog, checkpoint)
 
     return (
         decoded_stream.writeStream.foreachBatch(_sink)

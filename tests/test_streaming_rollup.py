@@ -105,3 +105,111 @@ def test_merge_cells_equals_single_rollup(spark):
             )
 
         assert norm(whole) == norm(merged), f"splits {splits}"
+
+
+def _sample_rows(n0: int, n: int):
+    base = 1_700_000_000_000_000_000
+    return [
+        (
+            i % 3,
+            {"app": f"a{i % 3}"},
+            base + (n0 + i) * 5_000_000_000,
+            float(n0 + i),
+            "",
+            2,
+        )
+        for i in range(n)
+    ]
+
+
+_SAMPLE_SCHEMA = (
+    "fingerprint long, labels map<string,string>, timestamp_ns long, "
+    "value double, string string, type tinyint"
+)
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill-and-resume (VERDICT r10 task 6): stop the ingest stream
+    after draining batch A, restart from the SAME checkpoint with new
+    data present, and the store must equal a batch recompute — batch A
+    is not reprocessed (offsets recovered) and the merged rollup cells
+    equal the one-shot rollup over A ∪ B."""
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.storage.writer import Catalog, stream_fanout
+    from gigapipe_spark.streaming.rollup import merge_cells, rollup_15s_batch
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    cat = Catalog(str(tmp_path / "store"))
+    spark.createDataFrame(_sample_rows(0, 40), _SAMPLE_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_fanout(
+        spark.readStream.schema(_SAMPLE_SCHEMA).parquet(src), cat, ck,
+        trigger_seconds=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    spark.createDataFrame(_sample_rows(40, 40), _SAMPLE_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = stream_fanout(
+        spark.readStream.schema(_SAMPLE_SCHEMA).parquet(src), cat, ck,
+        trigger_seconds=1,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    samples = cat.read(spark, "samples")
+    assert samples.count() == 80, "batch A was reprocessed after restart"
+
+    got = {
+        (r["fingerprint"], r["timestamp_ns"]): (
+            r["count"], r["sum"], r["max"], r["min"], r["last"]
+        )
+        for r in merge_cells(
+            cat.read(spark, "metrics_15s").drop("date")
+        ).collect()
+    }
+    # finalize_entries re-fingerprints from labels in the fan-out —
+    # run the oracle recompute through the same normalization
+    from gigapipe_spark.sources.ingest import finalize_entries
+
+    both = finalize_entries(
+        spark.createDataFrame(
+            _sample_rows(0, 40) + _sample_rows(40, 40), _SAMPLE_SCHEMA
+        )
+    )
+    want = {
+        (r["fingerprint"], r["timestamp_ns"]): (
+            r["count"], r["sum"], r["max"], r["min"], r["last"]
+        )
+        for r in rollup_15s_batch(both).collect()
+    }
+    assert got == want
+
+
+def test_replayed_micro_batch_is_skipped(spark, tmp_path):
+    """Exactly-once under foreachBatch replay: a crash after the
+    fan-out but before the offset commit makes Spark re-run the SAME
+    batch id on restart — the journal's atomic applied-marker makes
+    the second application a no-op, while a new batch id still lands."""
+    from gigapipe_spark.storage.writer import (
+        Catalog,
+        _marked_sink,
+        ingest_fanout,
+    )
+
+    cat = Catalog(str(tmp_path / "store"))
+    ck = str(tmp_path / "ck")
+    batch = spark.createDataFrame(_sample_rows(0, 10), _SAMPLE_SCHEMA)
+    sink = _marked_sink(ingest_fanout, cat, ck)
+    sink(batch, 7)
+    n = cat.read(spark, "samples").count()
+    assert n == 10
+    sink(batch, 7)  # replay of the same micro-batch
+    assert cat.read(spark, "samples").count() == n
+    sink(batch, 8)  # a genuinely new batch still lands
+    assert cat.read(spark, "samples").count() == 2 * n
