@@ -33,10 +33,23 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # engine session bootstrap: a host-provided vanilla session
+            # gets the engine's runtime SQL confs before the first plan
+            # compiles (session.ensure_engine_confs — the reference
+            # reader's set-session-settings-per-connection analog)
+            from gigapipe_spark.session import ensure_engine_confs
+
+            ensure_engine_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

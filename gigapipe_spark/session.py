@@ -14,6 +14,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+_BOOTSTRAPPED: set[int] = set()
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's RUNTIME-SETTABLE session defaults to a
+    foreign SparkSession — the embedding contract. A host application
+    (or the correctness driver) hands the engine a vanilla session with
+    200 shuffle partitions and Arrow off; the reference solves the same
+    problem by setting its ClickHouse session settings on every
+    connection it opens. Only runtime-mutable SQL confs are touched
+    (shuffle sizing, AQE, Arrow interop) — cluster-level choices
+    (master, memory) remain the host's. Idempotent, once per session;
+    a query entry calls this before compiling (registry.register), so
+    the engine performs identically however the session was built.
+    Measured on the vanilla selfcheck session: the 200-partition
+    default cost ~1s per query in scheduler overhead at sf0.01
+    (promql_topk 4.26s → 3.33s under engine confs)."""
+    key = id(spark)
+    if key in _BOOTSTRAPPED:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    for conf, val in (
+        ("spark.sql.shuffle.partitions", str(max(cores, 4))),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # conf locked down by the host: keep theirs
+    _BOOTSTRAPPED.add(key)
+
+
 def get_spark(app_name: str = "gigapipe_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
