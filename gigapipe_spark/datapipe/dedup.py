@@ -124,19 +124,72 @@ def paragraph_dedup(
     )
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a broadcast-sized (already-persisted,
+    bidirectional) edge cache. Roots are kept at the component minimum,
+    so resolve(x) IS the min-label the distributed path converges to;
+    path compression makes the whole pass near-linear in |E|."""
+    import pyspark.sql.types as T
+
+    rows = edges.select("src", "dst").collect()
+    id_type = edges.schema["src"].dataType
+    edges.unpersist()
+    parent: dict = {}
+
+    def resolve(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = resolve(r[0]), resolve(r[1])
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo  # min id stays the root
+
+    nodes = {r[0] for r in rows}
+    spark = edges.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("cluster_id", id_type, False),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(n, resolve(n)) for n in sorted(nodes)], schema
+    )
+    return out.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+def dedup_components(
+    pairs: DataFrame, max_iter: int = 20, driver_cap: int = 200_000
+) -> DataFrame:
     """Near-dup pairs → connected components: (doc_id, cluster_id,
     is_canonical), cluster_id = the component's minimum doc id — the
     step after pair generation in every dedup pipeline (keep one
     canonical doc per cluster, drop the rest).
 
-    Distributed min-label propagation: each iteration one
-    edge-join + min-agg, converging in O(component diameter) rounds —
-    the standard Spark connected-components shape (GraphFrames/Pregel;
-    near-dup components are tiny in practice so a handful of rounds
-    suffice). Each round materializes via an isEmpty convergence probe
-    on the CHANGED set only, so a converged graph costs one empty check,
-    not a full relabel. Input `pairs` needs (doc_a, doc_b) columns.
+    Adaptive, probe-gated (the same complexity-probe pattern as the
+    traceql broadcast gate): an edge set of ≤ ``driver_cap`` rows is
+    broadcast-sized — Spark's own broadcast join ships that much to the
+    driver — so it union-finds driver-side in O(E·α) and skips the
+    per-round distributed jobs entirely (each round is ~1.5s of fixed
+    scheduler cost at any data size; near-dup edge sets are a tiny
+    fraction of the corpus because most docs have no near-dup).
+
+    Above the cap: distributed min-label propagation — each iteration
+    one edge-join + min-agg, converging in O(component diameter)
+    rounds, the standard Spark connected-components shape
+    (GraphFrames/Pregel). Each round materializes via an isEmpty
+    convergence probe on the CHANGED set only, so a converged graph
+    costs one empty check, not a full relabel. Input `pairs` needs
+    (doc_a, doc_b) columns. ``driver_cap=0`` forces the distributed
+    path (tests pin both paths equal).
     """
     # the propagation state is doc-id-sized (near-dup graphs are sparse:
     # nodes = docs with ≥1 near-dup) — keep it in a handful of fat
@@ -153,6 +206,10 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .repartition(state_partitions, "src")
         .persist()
     )
+    # complexity probe: ONE job (it also materializes the edge cache the
+    # distributed path's round 1 would need anyway)
+    if driver_cap and edges.count() <= driver_cap:
+        return _components_driver(edges)
     # labels hash-partitioned on id with the SAME partition count as
     # edges(src): the per-round join is then exchange-free on both sides
     # (matching HashPartitioning); only the min-propagation groupBy
@@ -170,16 +227,34 @@ def dedup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        prop = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+            ).alias("cluster"),
+            (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias(
+                "__chg1"
+            ),
+        )
+        # pointer doubling: relabel through the freshly-propagated table
+        # itself (cluster ← label[cluster]) — labels chase the component
+        # minimum exponentially, so a diameter-D chain converges in
+        # O(log D) rounds instead of D (1-hop-only propagation silently
+        # returned PARTIAL labels on chains deeper than max_iter)
+        lut = prop.select(
+            F.col("id").alias("__lid"), F.col("cluster").alias("__lc")
+        )
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            prop.join(lut, prop.cluster == lut.__lid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                    F.col("cluster"), F.coalesce("__lc", F.col("cluster"))
                 ).alias("cluster"),
-                (F.coalesce("nbr_cluster", F.col("cluster")) < F.col("cluster")).alias(
-                    "__changed"
-                ),
+                (
+                    F.col("__chg1")
+                    | (F.coalesce("__lc", F.col("cluster")) < F.col("cluster"))
+                ).alias("__changed"),
             )
             .repartition(state_partitions, "id")  # keep the id-hash invariant
             # EAGER checkpoint, not persist: the convergence probe below
@@ -730,15 +805,15 @@ def embedding_cosine_pairs(
     At scale only (id, band-hash, vec) rows move through the exchange;
     the signature table is the stored index (same persisted-barrier
     pattern as MinHash)."""
-    from gigapipe_spark.datapipe.simsearch import _as_double, _dot, _norm, signature_col
+    from gigapipe_spark.datapipe.simsearch import _as_double, _cosine_s, signature_col
 
     rows = n_planes // bands
     mask = (1 << rows) - 1
     base = (
         embeddings.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
         )
-        .withColumn("sig", signature_col(F.col("v"), dim, n_planes))
+        .withColumn("sig", signature_col("v", dim, n_planes))
         .persist()
     )
     banded = base.select(
@@ -773,9 +848,8 @@ def embedding_cosine_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        cand.withColumn("cosine", cos)
+        cand.withColumn("cosine", _cosine_s("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -907,29 +981,40 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    from gigapipe_spark.datapipe.simsearch import _as_double, _sq_dist, ivf_fit
+    from gigapipe_spark.datapipe.simsearch import (
+        _argmin_s,
+        _as_double,
+        _sq_dist_s,
+        _vecs_lit,
+        ivf_fit,
+    )
 
-    cents = ivf_fit(
-        embeddings, n_cells=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    # the fitted centroids are a k × dim constant: collect once and
+    # inline, so corpus→cluster assignment is a NARROW expression (no
+    # crossJoin, no vec_id-keyed shuffle — simsearch.ivf_fit design)
+    crows = sorted(
+        ivf_fit(
+            embeddings, n_cells=n_clusters, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        ).collect(),
+        key=lambda r: r["cid"],
     )
+    cb = _vecs_lit([r["c"] for r in crows])
+    cid_map = "array(" + ", ".join(str(r["cid"]) for r in crows) + ")"
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cid", "v", _sq_dist(F.col("v"), F.col("c")).alias("d")),
-                _sq_dist(F.col("v"), F.col("c")),
-            ).alias("__best")
-        )
-        .select(
-            "vec_id",
-            F.col("__best.cid").alias("cluster"),
-            F.col("__best.v").alias("v"),
-            F.col("__best.d").alias("dist"),
-        )
+    assigned = base.select(
+        "vec_id",
+        F.expr(f"element_at({cid_map}, {_argmin_s('v', cb)} + 1)").alias(
+            "cluster"
+        ),
+        "v",
+    ).withColumn(
+        "dist",
+        F.expr(
+            _sq_dist_s("v", f"element_at({cb}, {_argmin_s('v', cb)} + 1)")
+        ),
     )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:

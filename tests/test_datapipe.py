@@ -262,11 +262,19 @@ def test_simhash_chunk_bounds_geometry():
 
 def test_ivf_fit_no_global_window(spark):
     # seed selection must be a distributed TakeOrdered, not a
-    # single-partition Window over the corpus
+    # single-partition Window over the corpus (iters=0 returns the raw
+    # seed plan; with iters>0 the seeds execute inside the per-round
+    # centroid collect)
     emb = views.embeddings(spark, SF_DIR)
-    cents = simsearch.ivf_fit(emb, n_cells=4, iters=1)
-    plan = cents._jdf.queryExecution().executedPlan().toString()
+    seeds = simsearch.ivf_fit(emb, n_cells=4, iters=0)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    assert seeds.count() == 4
+    # Lloyd assignment must be a NARROW map over the inlined centroid
+    # constant — no join anywhere in the returned round plan
+    cents = simsearch.ivf_fit(emb, n_cells=4, iters=1)
+    plan1 = cents._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan1
     assert cents.count() == 4
 
 
@@ -360,6 +368,33 @@ def test_dedup_components_chain_and_convergence(spark):
         10: (10, True), 20: (10, False), 30: (10, False), 40: (10, False),
         100: (100, True), 200: (100, False),
     }
+
+
+def test_dedup_components_driver_and_distributed_paths_agree(spark):
+    """The probe-gated driver union-find fast path (edge set ≤
+    driver_cap) must produce exactly the distributed min-label
+    propagation's labels; driver_cap=0 forces the distributed path."""
+    import random
+
+    from gigapipe_spark.datapipe.dedup import dedup_components
+
+    rng = random.Random(11)
+    # chains, stars, singleton pairs, and a dense clique — deep and wide
+    edges = [(i, i + 1) for i in range(0, 50)]
+    edges += [(1000, 1000 + i) for i in range(1, 20)]
+    edges += [(2000 + a, 2000 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(3000 + 2 * i, 3001 + 2 * i) for i in range(30)]
+    rng.shuffle(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in dedup_components(pairs, driver_cap=0).collect()
+    }
+    assert fast == dist and len(fast) == 51 + 20 + 6 + 60
 
 
 def test_minhash_bucket_cap_bounds_degenerate_corpora(spark):
