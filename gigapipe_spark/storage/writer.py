@@ -352,18 +352,19 @@ def ingest_fanout(
         commit_marker=commit_marker,
     ).begin()
 
-    observed_write(
-        with_date.select(
-            "oid", "date", "fingerprint", "timestamp_ns", "value", "string",
-            "type", "ttl_days",
-        ),
-        "samples",
-        lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("samples")),
-        bytes_col="string",
-    )
+    def _samples_leg():
+        observed_write(
+            with_date.select(
+                "oid", "date", "fingerprint", "timestamp_ns", "value",
+                "string", "type", "ttl_days",
+            ),
+            "samples",
+            lambda df: df.sortWithinPartitions("fingerprint", "timestamp_ns")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("samples")),
+            bytes_col="string",
+        )
 
     # updated_at_ns (log.sql:192 ALTER): the reference stamps wall clock;
     # the batch's max sample timestamp per series is the deterministic
@@ -386,33 +387,39 @@ def ingest_fanout(
             "ttl_days", "updated_at_ns",
         )
     )
-    observed_write(
-        series,
-        "time_series",
-        lambda df: df.write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("time_series")),
-        bytes_col=None,
-    )
 
-    gin = series.select(
-        "oid", "date", "fingerprint", "type",
-        F.explode("labels").alias("key", "val"),
-    )
-    observed_write(
-        gin,
-        "gin",
-        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
-            catalog.path("gin")
-        ),
-        bytes_col=None,
-    )
+    def _series_leg():
+        observed_write(
+            series,
+            "time_series",
+            lambda df: df.write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("time_series")),
+            bytes_col=None,
+        )
 
-    # metrics_15s rollup MV (log.sql:83-107): cells for this flush's
-    # metric rows; multiple flushes touching one cell store PARTIALS that
-    # rollup.merge_cells re-aggregates on read (AggregatingMergeTree)
-    metric_rows = batch.filter(F.col("type").isin(0, 2))
-    if not metric_rows.isEmpty():
+    def _gin_leg():
+        gin = series.select(
+            "oid", "date", "fingerprint", "type",
+            F.explode("labels").alias("key", "val"),
+        )
+        observed_write(
+            gin,
+            "gin",
+            lambda df: df.write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("gin")),
+            bytes_col=None,
+        )
+
+    def _rollup_leg():
+        # metrics_15s rollup MV (log.sql:83-107): cells for this flush's
+        # metric rows; multiple flushes touching one cell store PARTIALS
+        # that rollup.merge_cells re-aggregates on read
+        # (AggregatingMergeTree)
+        metric_rows = batch.filter(F.col("type").isin(0, 2))
+        if metric_rows.isEmpty():
+            return
         from gigapipe_spark.streaming.rollup import rollup_15s_batch
 
         cells = (
@@ -437,12 +444,43 @@ def ingest_fanout(
             bytes_col=None,
         )
 
-    # pattern side-channel (controller.go:71 ClusterLines clusters every
-    # pushed log line inline; RunFlush:132-187 appends the clusters to
-    # the stored `patterns` table) — mirrored as a per-batch mining pass
-    # over the flush's log rows
-    if mine_patterns:
-        patterns_fanout(batch, catalog)
+    # The four MV legs are independent reads of the checkpointed batch
+    # appending to four DIFFERENT tables — run them as concurrent Spark
+    # jobs (the reference's writer runs one insert service per table
+    # concurrently, generic_insert.go; the journal covers them all, so
+    # crash-repair semantics don't depend on append order). Patterns
+    # mining runs on THIS thread meanwhile: the store lock is a
+    # thread-reentrant lock this thread already holds.
+    # GIGAPIPE_FANOUT_SERIAL=1 forces the old one-job-at-a-time order —
+    # for deployments that must bound concurrent write memory, and for
+    # the crash-injection tests, whose kill-after-table tear windows are
+    # only deterministic under a fixed append order.
+    legs = [_samples_leg, _series_leg, _gin_leg, _rollup_leg]
+    if os.environ.get("GIGAPIPE_FANOUT_SERIAL") == "1":
+        for leg in legs:
+            leg()
+        if mine_patterns:
+            patterns_fanout(batch, catalog)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            futures = [pool.submit(leg) for leg in legs]
+            pattern_err = None
+            if mine_patterns:
+                # side-channel (controller.go:71 ClusterLines clusters
+                # every pushed log line inline; RunFlush:132-187 appends
+                # clusters to the stored `patterns` table) — a per-batch
+                # mining pass
+                try:
+                    patterns_fanout(batch, catalog)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    pattern_err = e
+            errs = [f.exception() for f in futures]
+            for e in [pattern_err] + errs:
+                if e is not None:
+                    # journal entry stays; repair rolls the batch back
+                    raise e
 
     journal.done()
 

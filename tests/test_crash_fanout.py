@@ -50,6 +50,9 @@ def push(lines, ts0):
 
 push(["clean one", "clean two"], 1_700_000_000_000_000_000)
 print("BATCH1_DONE", flush=True)
+# serial leg order makes the kill-after-samples tear deterministic
+# (the default concurrent legs may land time_series before the kill)
+os.environ["GIGAPIPE_FANOUT_SERIAL"] = "1"
 os.environ["GIGAPIPE_CRASH_AFTER_WRITE"] = "samples"
 push(["torn one", "torn two", "torn three"], 1_700_000_100_000_000_000)
 print("UNREACHABLE", flush=True)  # SIGKILL fires inside push
