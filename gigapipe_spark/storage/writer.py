@@ -133,6 +133,37 @@ def store_write_lock(root: str) -> threading.RLock:
         return _ROOT_LOCKS.setdefault(key, threading.RLock())
 
 
+def _run_fanout_legs(legs, main_thread_task=None) -> None:
+    """Run independent fan-out leg writes as concurrent Spark jobs,
+    with an optional extra task on the CALLING thread (which holds the
+    re-entrant store lock — anything that re-takes it must run here).
+    All legs settle before the first error propagates, so the caller's
+    batch journal stays authoritative. GIGAPIPE_FANOUT_SERIAL=1 runs
+    everything one-at-a-time in list order — for the crash-injection
+    tests (deterministic kill-after-table tear windows) and deployments
+    that bound concurrent write memory."""
+    if os.environ.get("GIGAPIPE_FANOUT_SERIAL") == "1":
+        for leg in legs:
+            leg()
+        if main_thread_task is not None:
+            main_thread_task()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+        futures = [pool.submit(leg) for leg in legs]
+        main_err = None
+        if main_thread_task is not None:
+            try:
+                main_thread_task()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                main_err = e
+        errs = [f.exception() for f in futures]
+        for e in [main_err] + errs:
+            if e is not None:
+                raise e  # journal entry stays; repair rolls the batch back
+
+
 def _locked_fanout(fn):
     """Hold the store-root writer lock for the whole fan-out (see
     _ROOT_LOCKS above — parquet appends to one dir must not overlap)."""
@@ -448,40 +479,15 @@ def ingest_fanout(
     # appending to four DIFFERENT tables — run them as concurrent Spark
     # jobs (the reference's writer runs one insert service per table
     # concurrently, generic_insert.go; the journal covers them all, so
-    # crash-repair semantics don't depend on append order). Patterns
-    # mining runs on THIS thread meanwhile: the store lock is a
-    # thread-reentrant lock this thread already holds.
-    # GIGAPIPE_FANOUT_SERIAL=1 forces the old one-job-at-a-time order —
-    # for deployments that must bound concurrent write memory, and for
-    # the crash-injection tests, whose kill-after-table tear windows are
-    # only deterministic under a fixed append order.
-    legs = [_samples_leg, _series_leg, _gin_leg, _rollup_leg]
-    if os.environ.get("GIGAPIPE_FANOUT_SERIAL") == "1":
-        for leg in legs:
-            leg()
-        if mine_patterns:
-            patterns_fanout(batch, catalog)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
-            futures = [pool.submit(leg) for leg in legs]
-            pattern_err = None
-            if mine_patterns:
-                # side-channel (controller.go:71 ClusterLines clusters
-                # every pushed log line inline; RunFlush:132-187 appends
-                # clusters to the stored `patterns` table) — a per-batch
-                # mining pass
-                try:
-                    patterns_fanout(batch, catalog)
-                except BaseException as e:  # noqa: BLE001 — re-raised below
-                    pattern_err = e
-            errs = [f.exception() for f in futures]
-            for e in [pattern_err] + errs:
-                if e is not None:
-                    # journal entry stays; repair rolls the batch back
-                    raise e
-
+    # crash-repair semantics don't depend on append order). The pattern
+    # side-channel (controller.go:71 ClusterLines clusters every pushed
+    # log line inline; RunFlush:132-187 appends the clusters to the
+    # stored `patterns` table) runs on THIS thread meanwhile: it
+    # re-takes the store lock, which is thread-reentrant here.
+    _run_fanout_legs(
+        [_samples_leg, _series_leg, _gin_leg, _rollup_leg],
+        (lambda: patterns_fanout(batch, catalog)) if mine_patterns else None,
+    )
     journal.done()
 
 
@@ -604,19 +610,20 @@ def spans_fanout(
         commit_marker=commit_marker,
     ).begin()
 
-    observed_write(
-        with_date.select(
-            "oid", "date", "trace_id", "span_id", "parent_id", "name",
-            "timestamp_ns", "duration_ns", "service_name", "payload_type",
-            "payload",
-        ),
-        "tempo_traces",
-        lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("tempo_traces")),
-        bytes_col="payload",
-    )
+    def _traces_leg():
+        observed_write(
+            with_date.select(
+                "oid", "date", "trace_id", "span_id", "parent_id", "name",
+                "timestamp_ns", "duration_ns", "service_name",
+                "payload_type", "payload",
+            ),
+            "tempo_traces",
+            lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("tempo_traces")),
+            bytes_col="payload",
+        )
 
     gin = with_date.select(
         "oid",
@@ -627,54 +634,66 @@ def spans_fanout(
         "timestamp_ns",
         F.col("duration_ns").alias("duration"),
     )
-    observed_write(
-        gin,
-        "tempo_traces_attrs_gin",
-        lambda df: df.sortWithinPartitions("key", "val", "timestamp_ns")
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("tempo_traces_attrs_gin")),
-        bytes_col=None,
-    )
 
-    kv = gin.select(
-        "oid",
-        "date",
-        "key",
-        (F.pmod(F.xxhash64("val"), F.lit(10000))).alias("val_id"),
-        "val",
-    ).dropDuplicates(["oid", "date", "key", "val_id", "val"])
-    observed_write(
-        kv,
-        "tempo_traces_kv",
-        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
-            catalog.path("tempo_traces_kv")
-        ),
-        bytes_col=None,
-    )
+    def _gin_leg():
+        observed_write(
+            gin,
+            "tempo_traces_attrs_gin",
+            lambda df: df.sortWithinPartitions("key", "val", "timestamp_ns")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("tempo_traces_attrs_gin")),
+            bytes_col=None,
+        )
 
-    # row-oriented attr-map twin of the GIN (the layout TraceQL selector
-    # evaluation scans; maintained at ingest so queries never rebuild it
-    # — the promise the fixture views make, kept on the store)
-    amap = with_date.select(
-        "oid",
-        "date",
-        "trace_id",
-        "span_id",
-        "timestamp_ns",
-        F.col("duration_ns").alias("duration"),
-        "attrs",
-    )
-    observed_write(
-        amap,
-        "tempo_traces_attr_map",
-        lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("tempo_traces_attr_map")),
-        bytes_col=None,
-    )
+    def _kv_leg():
+        kv = gin.select(
+            "oid",
+            "date",
+            "key",
+            (F.pmod(F.xxhash64("val"), F.lit(10000))).alias("val_id"),
+            "val",
+        ).dropDuplicates(["oid", "date", "key", "val_id", "val"])
+        observed_write(
+            kv,
+            "tempo_traces_kv",
+            lambda df: df.write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("tempo_traces_kv")),
+            bytes_col=None,
+        )
 
+    def _amap_leg():
+        # row-oriented attr-map twin of the GIN (the layout TraceQL
+        # selector evaluation scans; maintained at ingest so queries
+        # never rebuild it — the promise the fixture views make, kept
+        # on the store)
+        amap = with_date.select(
+            "oid",
+            "date",
+            "trace_id",
+            "span_id",
+            "timestamp_ns",
+            F.col("duration_ns").alias("duration"),
+            "attrs",
+        )
+        observed_write(
+            amap,
+            "tempo_traces_attr_map",
+            lambda df: df.sortWithinPartitions("trace_id", "timestamp_ns")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("tempo_traces_attr_map")),
+            bytes_col=None,
+        )
+
+    # independent appends to four tables off one checkpointed batch —
+    # concurrent legs (order-independent under the journal;
+    # GIGAPIPE_FANOUT_SERIAL=1 restores the fixed order, see
+    # _run_fanout_legs). Ancestor-index maintenance runs AFTER the legs:
+    # its backfill probe reads the stored tempo_traces table, so it
+    # depends on the fact append having landed.
+    _run_fanout_legs([_traces_leg, _gin_leg, _kv_leg, _amap_leg])
     _maintain_ancestor_index(batch, catalog)
     journal.done()
 
@@ -930,21 +949,23 @@ def profiles_fanout(
     # the decoder produced them — the layout the store render merges
     # from (planner_merge_raw.go:11 reads `tree`, `functions`)
     fact_extra = [c for c in ("tree", "functions") if c in batch.columns]
-    observed_write(
-        enriched.select(
-            "oid", "date", "timestamp_ns", "fingerprint", "type_id",
-            "sample_types_units", "service_name", "duration_ns",
-            "payload_type", "payload", "values_agg", *fact_extra,
-        ),
-        "profiles",
-        lambda df: df.sortWithinPartitions(
-            "type_id", "service_name", "timestamp_ns"
+
+    def _fact_leg():
+        observed_write(
+            enriched.select(
+                "oid", "date", "timestamp_ns", "fingerprint", "type_id",
+                "sample_types_units", "service_name", "duration_ns",
+                "payload_type", "payload", "values_agg", *fact_extra,
+            ),
+            "profiles",
+            lambda df: df.sortWithinPartitions(
+                "type_id", "service_name", "timestamp_ns"
+            )
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("profiles")),
+            bytes_col="payload",
         )
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("profiles")),
-        bytes_col="payload",
-    )
 
     # series tags = input tags + ('service_name', service) (:78)
     series = enriched.select(
@@ -962,14 +983,16 @@ def profiles_fanout(
             F.create_map(F.lit("service_name"), F.col("service_name")),
         ).alias("tags"),
     ).dropDuplicates(["oid", "date", "type_id", "fingerprint"])
-    observed_write(
-        series,
-        "profiles_series",
-        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
-            catalog.path("profiles_series")
-        ),
-        bytes_col=None,
-    )
+
+    def _series_leg():
+        observed_write(
+            series,
+            "profiles_series",
+            lambda df: df.write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("profiles_series")),
+            bytes_col=None,
+        )
 
     gin = series.select(
         "oid",
@@ -980,31 +1003,37 @@ def profiles_fanout(
         "service_name",
         "fingerprint",
     )
-    observed_write(
-        gin,
-        "profiles_series_gin",
-        lambda df: df.sortWithinPartitions("key", "val", "type_id")
-        .write.mode("append")
-        .partitionBy("oid", "date")
-        .parquet(catalog.path("profiles_series_gin")),
-        bytes_col=None,
-    )
 
-    keys = gin.select(
-        "oid",
-        "date",
-        "key",
-        "val",
-        F.pmod(F.xxhash64("val"), F.lit(10000)).alias("val_id"),
-    ).dropDuplicates(["oid", "date", "key", "val_id"])
-    observed_write(
-        keys,
-        "profiles_series_keys",
-        lambda df: df.write.mode("append").partitionBy("oid", "date").parquet(
-            catalog.path("profiles_series_keys")
-        ),
-        bytes_col=None,
-    )
+    def _gin_leg():
+        observed_write(
+            gin,
+            "profiles_series_gin",
+            lambda df: df.sortWithinPartitions("key", "val", "type_id")
+            .write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("profiles_series_gin")),
+            bytes_col=None,
+        )
+
+    def _keys_leg():
+        keys = gin.select(
+            "oid",
+            "date",
+            "key",
+            "val",
+            F.pmod(F.xxhash64("val"), F.lit(10000)).alias("val_id"),
+        ).dropDuplicates(["oid", "date", "key", "val_id"])
+        observed_write(
+            keys,
+            "profiles_series_keys",
+            lambda df: df.write.mode("append")
+            .partitionBy("oid", "date")
+            .parquet(catalog.path("profiles_series_keys")),
+            bytes_col=None,
+        )
+
+    # concurrent legs off one checkpointed batch (see _run_fanout_legs)
+    _run_fanout_legs([_fact_leg, _series_leg, _gin_leg, _keys_leg])
     journal.done()
 
 
