@@ -982,16 +982,15 @@ def semdedup(
     import pandas as pd
 
     from gigapipe_spark.datapipe.simsearch import (
-        _argmin_s,
+        _assign_cells,
         _as_double,
-        _sq_dist_s,
-        _vecs_lit,
         ivf_fit,
     )
 
-    # the fitted centroids are a k × dim constant: collect once and
-    # inline, so corpus→cluster assignment is a NARROW expression (no
-    # crossJoin, no vec_id-keyed shuffle — simsearch.ivf_fit design)
+    # the fitted centroids are a k × dim constant: collect once, ship
+    # them inside the Arrow closure — corpus→cluster assignment is one
+    # narrow numpy pass (no crossJoin, no vec_id-keyed shuffle;
+    # simsearch._assign_cells design)
     crows = sorted(
         ivf_fit(
             embeddings, n_cells=n_clusters, iters=iters,
@@ -999,22 +998,12 @@ def semdedup(
         ).collect(),
         key=lambda r: r["cid"],
     )
-    cb = _vecs_lit([r["c"] for r in crows])
-    cid_map = "array(" + ", ".join(str(r["cid"]) for r in crows) + ")"
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
-    assigned = base.select(
-        "vec_id",
-        F.expr(f"element_at({cid_map}, {_argmin_s('v', cb)} + 1)").alias(
-            "cluster"
-        ),
-        "v",
-    ).withColumn(
-        "dist",
-        F.expr(
-            _sq_dist_s("v", f"element_at({cb}, {_argmin_s('v', cb)} + 1)")
-        ),
+    assigned = _assign_cells(
+        base, [(r["cid"], list(r["c"])) for r in crows],
+        out="cluster", with_dist=True,
     )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -131,15 +131,20 @@ def _hyperplane_s(j: str, dim: int) -> str:
 
 
 def signature_col(vec: str, dim: int, n_planes: int = 16) -> Column:
-    """n_planes sign bits packed into a long — ONE expression: fold the
-    plane index sequence, OR-ing each sign bit into the accumulator
-    (same bits as the old per-plane column chain, one Py4J round trip
-    instead of ~n_planes × 14)."""
-    return F.expr(
-        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as long), "
-        f"(acc, j) -> acc | IF({_dot_s(vec, _hyperplane_s('j', dim))} > 0, "
-        f"shiftleft(cast(1 as long), j), cast(0 as long)))"
+    """n_planes sign bits packed into a long — ONE expression string
+    (one Py4J round trip instead of ~n_planes × 14), with the plane
+    index `j` kept a LITERAL in each term: a lambda-var j (the obvious
+    fold over sequence(0, n_planes-1)) makes every hyperplane
+    runtime-computed per (row, plane) — 16 × dim xxhash64 calls per
+    row — where literal-j planes constant-fold to arrays once at
+    optimization (probed at 30×: the folded form is what keeps the
+    signature pass linear-in-rows)."""
+    bits = " | ".join(
+        f"IF({_dot_s(vec, _hyperplane_s(str(j), dim))} > 0, "
+        f"cast({1 << j} as long), cast(0 as long))"
+        for j in range(n_planes)
     )
+    return F.expr(f"({bits})")
 
 
 def lsh_ann_topk(
@@ -201,57 +206,113 @@ def lsh_ann_topk(
     )
 
 
-def _dlit(x: float) -> str:
-    """Exact SQL double literal (repr is shortest-round-trip)."""
-    import math
 
-    if math.isfinite(x):
-        return repr(float(x)) + "D"
-    return f"cast('{x}' as double)"
-
-
-def _vecs_lit(vecs: list) -> str:
-    """array<array<double>> literal from collected vectors."""
-    return (
-        "array("
-        + ", ".join("array(" + ", ".join(_dlit(x) for x in v) + ")" for v in vecs)
-        + ")"
-    )
-
-
-def _argmin_s(sv: str, cents: str) -> str:
-    """0-based index of the nearest (squared-L2) centroid in the
-    `cents` array-of-vectors fragment; ties keep the lowest index.
-    A NARROW expression — the centroid table is a dimension-sized
-    constant (k × dim doubles), so nearest-centroid assignment needs
-    no join and no shuffle at any corpus size (FAISS keeps the same
-    table in RAM; here it is inlined into the plan as a literal)."""
-    d = _sq_dist_s(sv, "c")
-    return (
-        f"aggregate({cents}, "
-        f"named_struct('i', 0, 'bi', -1, 'bd', cast('Infinity' as double)), "
-        f"(acc, c) -> named_struct("
-        f"'i', acc.i + 1, "
-        f"'bi', IF({d} < acc.bd, acc.i, acc.bi), "
-        f"'bd', least(acc.bd, {d})), "
-        f"acc -> acc.bi)"
-    )
+# ---------------------------------------------------------------------------
+# IVF / PQ: bounded-sample driver fit + Arrow-vectorized corpus passes.
+#
+# Design (r11, probe-driven): centroid/codebook tables are index-build
+# artifacts over a BOUNDED training sample — FAISS trains k-means on a
+# capped in-RAM sample (~256 vectors/centroid), and so does this engine:
+# a deterministic hash sample (≤ train_cap rows ≈ dim × 8 bytes × 65536
+# ≈ 32 MB) collects to the driver and Lloyd runs in numpy (the same
+# bounded-index-build precedent as the BPE vocab build, bpe.py). The
+# corpus-touching passes — cell routing, PQ encode, ADC scoring — are
+# Arrow mapInPandas over the scan: NARROW (no join, no corpus shuffle at
+# any scale, partition-parallel) and numpy-vectorized. Two earlier
+# formulations were probed and rejected at 30×: per-row SQL HOF folds
+# over inlined centroid literals evaluate interpreted at ~200 ns/element
+# (123M fold steps ≈ 27 s where numpy takes ~0.3 s), and broadcast-join
+# assignment shuffles corpus-sized intermediates.
+# ---------------------------------------------------------------------------
 
 
-def _centroid_means(assigned: DataFrame) -> DataFrame:
-    """(cid, v) rows → element-wise mean per cid: ONE shuffle keyed
-    (cid, pos); partial aggregation makes the exchange centroid-sized."""
-    return (
-        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("c")
+def _np_kmeans(
+    subvecs, keys, ids, k: int, iters: int
+):
+    """Deterministic Lloyd on an in-RAM sample (numpy).
+
+    Seeds = the k rows with the smallest (key, id) — key is Spark's
+    xxhash64 of the id, so seed selection matches the engine's previous
+    distributed TakeOrdered exactly. Assignment ties keep the lowest
+    centroid index; empty cells drop (their cid disappears, like the
+    groupBy-based recompute). Returns [(cid, centroid_list)].
+    """
+    import numpy as np
+
+    order = np.lexsort((ids, keys))
+    x = subvecs[order]
+    cents = x[:k].copy()
+    cids = list(range(len(cents)))
+    for _ in range(iters):
+        if not len(cents):
+            break
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties → lowest index
+        keep, new = [], []
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                keep.append(cids[ci])
+                new.append(members.mean(axis=0))
+        cents = np.array(new) if new else np.empty((0, x.shape[1]))
+        cids = keep
+    return [(cid, [float(v) for v in c]) for cid, c in zip(cids, cents)]
+
+
+def _train_sample(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_cap: int,
+):
+    """Deterministic bounded training sample, collected: rows of
+    (id, xxhash64(id), vector-as-double). The hash-threshold filter is
+    the same sample the distributed fit used; 0/None disables the cap
+    (the exact degenerate config trains on everything — still driver-
+    sized in any configuration a correctness oracle runs)."""
+    train = embeddings
+    if train_cap:
+        n = train.count()
+        if n > train_cap:
+            train = train.filter(
+                F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n))
+                < F.lit(train_cap)
+            )
+    import numpy as np
+
+    rows = train.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(id_col)).alias("key"),
+        _as_double(vec_col).alias("v"),
+    ).collect()
+    ids = np.array([r["id"] for r in rows])
+    keys = np.array([r["key"] for r in rows])
+    vecs = np.array([r["v"] for r in rows], dtype="float64")
+    return ids, keys, vecs
+
+
+def _cents_df(spark, cents: list, with_sub: int | None = None) -> DataFrame:
+    import pyspark.sql.types as T
+
+    if with_sub is None:
+        schema = T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("c", T.ArrayType(T.DoubleType())),
+            ]
         )
+        return spark.createDataFrame(
+            [(int(cid), c) for cid, c in cents], schema
+        )
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("c", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(s), int(cid), c) for s, cid, c in cents], schema
     )
 
 
@@ -261,44 +322,53 @@ def ivf_fit(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 65536,
 ) -> DataFrame:
     """Coarse quantizer: k-means centroids as a (cid, c) DataFrame.
 
-    Deterministic init — the n_cells vectors with the smallest
-    xxhash64(id) (a seedless reproducible sample) — then `iters` Lloyd
-    rounds. Per round the current centroids (a k × dim constant) are
-    collected and INLINED into the assignment expression (_argmin_s),
-    so assignment is a narrow map over the corpus — no broadcast join,
-    no (vec_id)-keyed shuffle; the only exchange per round is the
-    centroid-sized mean recompute. Nothing corpus-sized ever moves,
-    at any scale."""
-    from pyspark.sql import Window
+    FAISS-style bounded index build: a deterministic hash sample of the
+    corpus (≤ train_cap rows, seeds = smallest xxhash64(id) — identical
+    selection to the previous distributed TakeOrdered) collects to the
+    driver and Lloyd runs vectorized in numpy. The corpus itself is
+    never shuffled, joined, or collected — only the fixed-size training
+    slice moves, at any scale."""
+    ids, keys, vecs = _train_sample(embeddings, id_col, vec_col, train_cap)
+    cents = _np_kmeans(vecs, keys, ids, n_cells, iters)
+    return _cents_df(embeddings.sparkSession, cents)
 
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+
+def _assign_cells(
+    base: DataFrame, cents: list, out: str = "cid", with_dist: bool = False
+) -> DataFrame:
+    """corpus (vec_id, v) → + nearest-centroid cid (and optionally the
+    squared distance): ONE Arrow mapInPandas pass — narrow, partition-
+    parallel, numpy-vectorized; the centroid matrix ships inside the
+    serialized closure (k × dim doubles, dimension-sized)."""
+    import numpy as np
+
+    cmat = np.array([c for _, c in cents], dtype="float64")
+    cid_of = np.array([cid for cid, _ in cents], dtype="int64")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
     )
-    # distributed TakeOrdered picks the seeds (same determinism as a
-    # global sort, no single-partition exchange of the corpus); the
-    # ordinal window then runs over n_cells rows only
-    seeds = base.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id")).limit(n_cells)
-    w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
-    cents = seeds.withColumn("__rn", F.row_number().over(w)).select(
-        (F.col("__rn") - 1).alias("cid"), F.col("v").alias("c")
-    )
-    for _ in range(iters):
-        crows = sorted(cents.collect(), key=lambda r: r["cid"])
-        if not crows:
-            break
-        cb = _vecs_lit([r["c"] for r in crows])
-        cid_map = "array(" + ", ".join(str(r["cid"]) for r in crows) + ")"
-        assigned = base.select(
-            F.expr(f"element_at({cid_map}, {_argmin_s('v', cb)} + 1)").alias(
-                "cid"
-            ),
-            "v",
-        )
-        cents = _centroid_means(assigned)
-    return cents
+    out_schema += f", {out} int"
+    if with_dist:
+        out_schema += ", dist double"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype="float64")
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            pos = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out] = cid_of[pos].astype("int32")
+            if with_dist:
+                pdf["dist"] = d[np.arange(len(x)), pos]
+            yield pdf
+
+    return base.mapInPandas(run, schema=out_schema)
 
 
 def ivf_topk(
@@ -314,34 +384,24 @@ def ivf_topk(
     """IVF ANN top-k: route every vector to its nearest centroid cell,
     probe the query's `nprobe` nearest cells, exact-cosine rerank the
     candidates. Same output schema as cosine_topk. The fitted centroid
-    table is a k × dim constant: it is collected once (an index build,
-    like the reference's stored GIN) and inlined, so corpus→cell
-    routing is a NARROW expression — the corpus never shuffles; only
-    the (tiny) probe table and the final per-query window move."""
+    table is a k × dim constant (an index build, like the reference's
+    stored GIN): cell routing is one narrow Arrow pass over the corpus —
+    no join, no corpus shuffle; only the tiny probe table and the final
+    per-query window move."""
     from pyspark.sql import Window
 
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
-    crows = sorted(
-        ivf_fit(embeddings, n_cells, iters, id_col, vec_col).collect(),
-        key=lambda r: r["cid"],
-    )
-    if not crows:
+    ids, keys, vecs = _train_sample(embeddings, id_col, vec_col, 65536)
+    cents = _np_kmeans(vecs, keys, ids, n_cells, iters)
+    if not cents:
         return base.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
         )
-    cb = _vecs_lit([r["c"] for r in crows])
-    cid_map = "array(" + ", ".join(str(r["cid"]) for r in crows) + ")"
-    # corpus → cell assignment: narrow, no exchange
-    corpus = base.select(
-        F.expr(f"element_at({cid_map}, {_argmin_s('v', cb)} + 1)").alias("cid"),
-        "vec_id",
-        "v",
-    )
-    # queries → nprobe nearest cells: the query batch is collected
-    # (bounded — it is the request, not the corpus) and probed against
-    # the same constant driver-side
+    corpus = _assign_cells(base, cents)
+    # queries → nprobe nearest cells, probed driver-side against the
+    # same constant (the query batch is the request, not the corpus)
     qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
 
     def _sqd(a, b):
@@ -350,7 +410,7 @@ def ivf_topk(
     probe_rows = []
     for qr in qrows:
         ranked = sorted(
-            ((_sqd(qr["v"], r["c"]), r["cid"]) for r in crows)
+            ((_sqd(qr["v"], c), cid) for cid, c in cents)
         )[:nprobe]
         probe_rows += [(qr["vec_id"], list(qr["v"]), cid) for _, cid in ranked]
     import pyspark.sql.types as T
@@ -383,19 +443,6 @@ def ivf_topk(
     )
 
 
-def _subvectors_s(vec: str, m: int) -> str:
-    """Split a (dim-)vector into m contiguous subvectors —
-    array<struct<sub:int, sv:array<double>>> SQL fragment. Sub width
-    derives from the runtime array size so one expression serves any
-    dimension."""
-    width = f"cast(size({vec}) / {m} as int)"
-    return (
-        f"transform(sequence(0, {m - 1}), s -> struct("
-        f"cast(s as int) as sub, "
-        f"slice({vec}, s * {width} + 1, {width}) as sv))"
-    )
-
-
 def pq_fit(
     embeddings: DataFrame,
     m: int = 4,
@@ -409,133 +456,43 @@ def pq_fit(
     one (sub, cid, c) DataFrame (Jégou et al. 2011, "Product
     quantization for nearest neighbor search").
 
-    All m subspaces train TOGETHER: per Lloyd round the codebook (an
-    m × k × dim/m constant — exactly dim × k doubles) is collected and
-    inlined, so subvector→centroid assignment is a NARROW expression
-    and the only exchange per round is the centroid-sized mean
-    recompute keyed (sub, cid) — the same shape as ivf_fit,
-    independent of m. Deterministic seeds: per subspace, the k vectors
-    with the smallest xxhash64(id).
-
-    `train_cap` bounds the TRAINING set with a deterministic hash
-    sample (standard PQ practice — codebooks converge on a bounded
-    sample; FAISS trains on ~256 vectors per centroid). At 100 TB the
-    fit therefore touches a fixed-size slice; encode remains the only
-    full corpus pass. 0/None disables the cap (the exact degenerate
-    config needs every subvector as a seed)."""
-    from pyspark.sql import Window
-
-    train = embeddings
-    if train_cap:
-        n = train.count()
-        if n > train_cap:
-            # deterministic hash-threshold sample ≈ train_cap rows
-            train = train.filter(
-                F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(n))
-                < F.lit(train_cap)
-            )
-    base = train.select(
-        F.col(id_col).alias("vec_id"),
-        F.explode(F.expr(_subvectors_s(_as_double_s(f"`{vec_col}`"), m))).alias("s"),
-    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
-    w = Window.partitionBy("sub").orderBy(
-        F.xxhash64(F.col("vec_id")), F.col("vec_id")
-    )
-    cents = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k_centroids)
-        .select("sub", (F.col("__rn") - 1).alias("cid"), F.col("sv").alias("c"))
-    )
-    for _ in range(iters):
-        cb3, cid_map2, subs_present = _codebook_lits(cents.collect())
-        if not subs_present:
-            break
-        assigned = base.select(
-            "sub",
-            F.expr(
-                f"element_at(element_at({cid_map2}, sub + 1), "
-                f"{_argmin_s('sv', f'element_at({cb3}, sub + 1)')} + 1)"
-            ).alias("cid"),
-            "sv",
-        )
-        # element-wise centroid mean in ONE (sub, cid) shuffle: fold the
-        # collected member subvectors with zip_with. The collect is
-        # bounded: ≤ train_cap/k_centroids subvectors of dim/m doubles
-        # per group.
-        lst = F.collect_list("sv")
-        cents = (
-            assigned.groupBy("sub", "cid")
-            .agg(lst.alias("__svs"))
-            .select(
-                "sub",
-                "cid",
-                F.transform(
-                    F.aggregate(
-                        F.slice(
-                            F.col("__svs"), 2, F.size("__svs") - 1
-                        ),
-                        F.element_at(F.col("__svs"), 1),
-                        lambda acc, x: F.zip_with(
-                            acc, x, lambda a, b: a + b
-                        ),
-                    ),
-                    lambda s: s / F.size("__svs"),
-                ).alias("c"),
-            )
-        )
-    return cents
+    Bounded index build like ivf_fit: the capped deterministic sample
+    collects once and all m subspaces train in numpy (seeds per
+    subspace = the k subvectors with the smallest (xxhash64(id), id),
+    the previous distributed window's exact selection; assignment ties
+    keep the lowest cid; empty cells drop). The codebook stays tiny
+    (m × k × dim/m doubles = exactly dim × k). `train_cap` bounds the
+    TRAINING set (standard PQ practice — FAISS trains on ~256 vectors
+    per centroid); encode remains the only full-corpus pass. 0/None
+    disables the cap (the exact degenerate config needs every
+    subvector as a seed)."""
+    ids, keys, vecs = _train_sample(embeddings, id_col, vec_col, train_cap)
+    out = []
+    if len(vecs):
+        width = vecs.shape[1] // m
+        for s in range(m):
+            sub = vecs[:, s * width : (s + 1) * width]
+            for cid, c in _np_kmeans(sub, keys, ids, k_centroids, iters):
+                out.append((s, cid, c))
+    return _cents_df(embeddings.sparkSession, out, with_sub=True)
 
 
-# Inline the codebook as a literal only while it is dimension-sized:
-# the argmin fold is O(entries) interpreted steps PER SUBVECTOR, so a
-# degenerate codebook (k ≈ corpus, the exact-oracle configuration)
-# makes the narrow pass slower than the broadcast join it replaced.
-# Production PQ codebooks are 16-256 entries/subspace — far under this.
-_INLINE_CODEBOOK_CAP = 1024
+def _codebook_mats(cb_rows: list):
+    """Collected (sub, cid, c) rows → (list per sub of (cids array,
+    centroid matrix)) keyed by sub index, numpy."""
+    import numpy as np
 
-
-def _codebook_df(spark, cb_rows: list) -> DataFrame:
-    """Collected codebook rows → a local-relation DataFrame (no
-    recompute of the fit) for the broadcast-join fallback."""
-    import pyspark.sql.types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("sub", T.IntegerType()),
-            T.StructField("cid", T.IntegerType()),
-            T.StructField("c", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    return spark.createDataFrame(
-        [(r["sub"], r["cid"], list(r["c"])) for r in cb_rows], schema
-    )
-
-
-def _codebook_lits(rows: list) -> tuple[str, str, list[int]]:
-    """Collected (sub, cid, c) codebook rows (an m × k × dim/m
-    constant) → inline SQL literals: CB3[sub+1][pos+1] = centroid
-    vector, CIDS[sub+1][pos+1] = that centroid's cid. Returns (CB3,
-    CIDS, subs_present). Positions are per-sub, cid-ascending."""
     by_sub: dict[int, list] = {}
-    for r in rows:
-        by_sub.setdefault(r["sub"], []).append((r["cid"], r["c"]))
-    if not by_sub:
-        return "", "", []
-    m = max(by_sub) + 1
-    cb_parts, cid_parts = [], []
-    for s in range(m):
-        ents = sorted(by_sub.get(s, []))
-        cb_parts.append(_vecs_lit([c for _, c in ents]) if ents else "array()")
-        cid_parts.append(
-            "array(" + ", ".join(str(cid) for cid, _ in ents) + ")"
-            if ents
-            else "array()"
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append((int(r["cid"]), list(r["c"])))
+    mats = {}
+    for s, ents in by_sub.items():
+        ents.sort()
+        mats[s] = (
+            np.array([cid for cid, _ in ents], dtype="int64"),
+            np.array([c for _, c in ents], dtype="float64"),
         )
-    return (
-        "array(" + ", ".join(cb_parts) + ")",
-        "array(" + ", ".join(cid_parts) + ")",
-        sorted(by_sub),
-    )
+    return mats
 
 
 def pq_encode(
@@ -546,42 +503,44 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Corpus → PQ codes (vec_id, sub, code): per subvector, the id of
-    its nearest codebook centroid. The codebook is a dim × k constant,
-    collected once and inlined, so encode is a NARROW map over the
-    corpus — no join, no shuffle; this is the stored index at scale
-    (m small ints per vector instead of dim floats, a 16–32×
-    compression) and it is built in the same pass that scans the
-    vectors."""
-    cb_rows = codebook.collect()
-    cb3, cid_map2, subs_present = _codebook_lits(cb_rows)
-    if not subs_present:
+    its nearest codebook centroid. ONE narrow Arrow pass over the scan
+    (no join, no shuffle) — this is the stored index at scale (m small
+    ints per vector instead of dim floats, a 16–32× compression),
+    built in the same pass that reads the vectors."""
+    import numpy as np
+    import pandas as pd
+
+    mats = _codebook_mats(codebook.collect())
+    if not mats:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, sub int, code int"
         )
-    subs = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.explode(F.expr(_subvectors_s(_as_double_s(f"`{vec_col}`"), m))).alias("s"),
-    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
-    if len(cb_rows) > _INLINE_CODEBOOK_CAP:
-        # degenerate-size codebook: broadcast join beats the literal fold
-        cbdf = _codebook_df(embeddings.sparkSession, cb_rows)
-        return (
-            subs.join(F.broadcast(cbdf), "sub")
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min_by(
-                    F.col("cid"), F.struct(_sq_dist_c("sv", "c"), F.col("cid"))
-                ).alias("code")
-            )
-        )
-    return subs.select(
-        "vec_id",
-        "sub",
-        F.expr(
-            f"element_at(element_at({cid_map2}, sub + 1), "
-            f"{_argmin_s('sv', f'element_at({cb3}, sub + 1)')} + 1)"
-        ).alias("code"),
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype="float64")
+            width = x.shape[1] // m
+            frames = []
+            for s, (cid_of, cmat) in mats.items():
+                xs = x[:, s * width : (s + 1) * width]
+                d = ((xs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].values,
+                            "sub": np.full(len(x), s, dtype="int32"),
+                            "code": cid_of[d.argmin(axis=1)].astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(run, schema="vec_id long, sub int, code int")
 
 
 def pq_topk(
@@ -599,11 +558,10 @@ def pq_topk(
     """PQ ANN top-k with asymmetric distance (ADC) + exact refine.
 
     The codebook (dim × k doubles) and the per-query ADC table
-    dot(q_sub, centroid) (queries × m × k doubles) are both
-    dimension-sized constants: they are computed once and INLINED, so
-    the whole candidate-scoring pass — encode each subvector + per
-    query sum the table lookups — is ONE narrow expression over the
-    corpus scan that never touches a join. The corpus moves through
+    dot(q_sub, centroid) (queries × m × k doubles) are dimension-sized
+    constants shipped inside one Arrow closure: candidate scoring —
+    encode each subvector + per query sum the table lookups — is ONE
+    narrow numpy pass over the corpus scan. The corpus moves through
     exactly one exchange: the per-query shortlist window; the top
     k×refine ADC shortlist is then exact-cosine reranked (the standard
     ADC+refine pipeline). At 100 TB the codes column is the persisted
@@ -613,6 +571,8 @@ def pq_topk(
     centroid, ADC equals the exact dot product, and the result matches
     cosine_topk exactly — the oracle-able degenerate configuration
     (sim_ann_pq_exact)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     base = embeddings.select(
@@ -621,112 +581,46 @@ def pq_topk(
     codebook = pq_fit(
         embeddings, m, k_centroids, iters, id_col, vec_col, train_cap
     )
-    cb_rows = codebook.collect()
-    cb3, _cid_map2, subs_present = _codebook_lits(cb_rows)
+    mats = _codebook_mats(codebook.collect())
     qrows = sorted(
         base.filter(F.col("vec_id").isin(query_ids)).collect(),
         key=lambda r: r["vec_id"],
     )
-    if not subs_present or not qrows:
+    if not mats or not qrows:
         return base.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
         )
-    # per-query ADC lookup table, built driver-side against the same
-    # collected codebook: ADCT[qi+1][sub+1][pos+1] = dot(q_sub, centroid)
-    by_sub: dict[int, list] = {}
-    for r in cb_rows:
-        by_sub.setdefault(r["sub"], []).append((r["cid"], r["c"]))
-    mm = max(by_sub) + 1
-    width = len(qrows[0]["v"]) // m
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["v"] for r in qrows], dtype="float64")
+    width = qmat.shape[1] // m
+    # per-query ADC lookup tables, one [nq, k_s] matrix per sub
+    adct = {
+        s: qmat[:, s * width : (s + 1) * width] @ cmat.T
+        for s, (_cids, cmat) in mats.items()
+    }
 
-    def _qtable(qv) -> str:
-        parts = []
-        for s in range(mm):
-            qs = qv[s * width : (s + 1) * width]
-            parts.append(
-                "array("
-                + ", ".join(
-                    _dlit(sum(x * y for x, y in zip(qs, c)))
-                    for _, c in sorted(by_sub.get(s, []))
-                )
-                + ")"
-                if by_sub.get(s)
-                else "array()"
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype="float64")
+            scores = np.zeros((len(x), len(qids)))
+            for s, (_cids, cmat) in mats.items():
+                xs = x[:, s * width : (s + 1) * width]
+                d = ((xs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                scores += adct[s][:, d.argmin(axis=1)].T
+            n = len(x)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].values, len(qids)),
+                    "adc_dot": scores.ravel(),
+                }
             )
-        return "array(" + ", ".join(parts) + ")"
 
-    if len(cb_rows) > _INLINE_CODEBOOK_CAP:
-        # degenerate-size codebook (k ≈ corpus, the exact-oracle
-        # config): broadcast-join scoring — codes via pq_encode's join
-        # branch, ADC partials as a local broadcast table built from
-        # the SAME driver-side dot products the inline path uses
-        import pyspark.sql.types as T
-
-        cbdf = _codebook_df(base.sparkSession, cb_rows)
-        subs = base.select(
-            "vec_id", F.explode(F.expr(_subvectors_s("v", m))).alias("s")
-        ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
-        codes = (
-            subs.join(F.broadcast(cbdf), "sub")
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min_by(
-                    F.col("cid"), F.struct(_sq_dist_c("sv", "c"), F.col("cid"))
-                ).alias("code")
-            )
-        )
-        trows = []
-        for qr in qrows:
-            qv = qr["v"]
-            for s in range(mm):
-                qs = qv[s * width : (s + 1) * width]
-                for cid, c in by_sub.get(s, []):
-                    trows.append(
-                        (qr["vec_id"], s, cid, sum(x * y for x, y in zip(qs, c)))
-                    )
-        table = base.sparkSession.createDataFrame(
-            trows,
-            T.StructType(
-                [
-                    T.StructField("query_id", base.schema["vec_id"].dataType),
-                    T.StructField("sub", T.IntegerType()),
-                    T.StructField("code", T.IntegerType()),
-                    T.StructField("partial", T.DoubleType()),
-                ]
-            ),
-        )
-        adc = (
-            codes.join(F.broadcast(table), ["sub", "code"])
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .groupBy("query_id", "vec_id")
-            .agg(F.sum("partial").alias("adc_dot"))
-        )
-    else:
-        adct = "array(" + ", ".join(_qtable(qr["v"]) for qr in qrows) + ")"
-        qid_map = "array(" + ", ".join(f'{qr["vec_id"]}L' for qr in qrows) + ")"
-        # fused narrow scoring pass: encode the row's subvectors (argmin
-        # positions) then, per query, sum the inlined table lookups
-        pos_codes = (
-            f"transform({_subvectors_s('v', m)}, s -> "
-            f"{_argmin_s('s.sv', f'element_at({cb3}, s.sub + 1)')})"
-        )
-        adc_scores = (
-            f"transform(sequence(1, {len(qrows)}), qi -> named_struct("
-            f"'query_id', element_at({qid_map}, qi), "
-            f"'adc_dot', aggregate(sequence(1, {mm}), cast(0.0 as double), "
-            f"(acc, s) -> acc + element_at(element_at(element_at({adct}, qi), s), "
-            f"element_at(__codes, s) + 1))))"
-        )
-        adc = (
-            base.withColumn("__codes", F.expr(pos_codes))
-            .select("vec_id", F.explode(F.expr(adc_scores)).alias("__a"))
-            .select(
-                F.col("__a.query_id").alias("query_id"),
-                "vec_id",
-                F.col("__a.adc_dot").alias("adc_dot"),
-            )
-            .filter(F.col("vec_id") != F.col("query_id"))
-        )
+    adc = base.mapInPandas(
+        run, schema="query_id long, vec_id long, adc_dot double"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("vec_id").asc()
     )

@@ -136,6 +136,15 @@ def main() -> None:
         "promql_limit_ratio",
         "promql_ts_of_max_over_time",
         "promql_mad_over_time",
+        # r11: ANN family after the bounded-fit + Arrow-pass redesign
+        # (numpy Lloyd on the capped sample; centroid routing / PQ
+        # encode / ADC scoring are narrow numpy mapInPandas passes —
+        # ratios must stay ~linear with NO corpus-keyed exchange)
+        "sim_cosine_topk",
+        "sim_ann_lsh",
+        "sim_ann_ivf",
+        "sim_ann_pq",
+        "dedup_embedding_cosine",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))

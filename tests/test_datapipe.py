@@ -260,22 +260,33 @@ def test_simhash_chunk_bounds_geometry():
             assert s2 == s1 + w1  # contiguous, non-overlapping
 
 
-def test_ivf_fit_no_global_window(spark):
-    # seed selection must be a distributed TakeOrdered, not a
-    # single-partition Window over the corpus (iters=0 returns the raw
-    # seed plan; with iters>0 the seeds execute inside the per-round
-    # centroid collect)
+def test_ivf_fit_bounded_sample_and_deterministic_seeds(spark):
+    # the fit is a FAISS-style bounded index build: only the hash-capped
+    # training sample is collected (never the corpus), seeds are the
+    # n_cells rows with the smallest (xxhash64(id), id), and the whole
+    # fit is deterministic run-to-run
+    from pyspark.sql import functions as F
+
     emb = views.embeddings(spark, SF_DIR)
     seeds = simsearch.ivf_fit(emb, n_cells=4, iters=0)
-    plan = seeds._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
-    assert seeds.count() == 4
-    # Lloyd assignment must be a NARROW map over the inlined centroid
-    # constant — no join anywhere in the returned round plan
-    cents = simsearch.ivf_fit(emb, n_cells=4, iters=1)
-    plan1 = cents._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan1
-    assert cents.count() == 4
+    got = {tuple(r["c"]) for r in seeds.collect()}
+    want_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(4)
+        .collect()
+    ]
+    want = {
+        tuple(float(x) for x in r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(want_ids)).collect()
+    }
+    assert got == want
+    # train_cap bounds what the fit touches; a tiny cap must still
+    # produce a valid (possibly smaller) centroid table, deterministically
+    a = sorted(map(tuple, simsearch.ivf_fit(emb, n_cells=4, iters=2, train_cap=50).collect()))
+    b = sorted(map(tuple, simsearch.ivf_fit(emb, n_cells=4, iters=2, train_cap=50).collect()))
+    assert a == b and 0 < len(a) <= 4
 
 
 def test_embedding_cosine_pairs_recall_and_precision(spark):
