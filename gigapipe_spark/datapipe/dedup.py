@@ -998,6 +998,10 @@ def semdedup(
         ).collect(),
         key=lambda r: r["cid"],
     )
+    if not crows:  # empty corpus: nothing to deduplicate
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, keep boolean, overflow boolean"
+        )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )

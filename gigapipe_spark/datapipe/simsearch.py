@@ -346,6 +346,8 @@ def _assign_cells(
     serialized closure (k × dim doubles, dimension-sized)."""
     import numpy as np
 
+    if not cents:
+        raise ValueError("empty centroid table (fit over an empty corpus)")
     cmat = np.array([c for _, c in cents], dtype="float64")
     cid_of = np.array([cid for cid, _ in cents], dtype="int64")
     out_schema = ", ".join(
