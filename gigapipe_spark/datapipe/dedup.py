@@ -475,6 +475,20 @@ def containment_pairs(
     ).select("doc_contained", "doc_container")
 
 
+def _ngram_hashes(word_hashes: Column, n: int) -> Column:
+    """Word n-gram 64-bit hashes from a word-hash array, via the same
+    shifted-slice zip_with shape as shingles_from_words (no indexed
+    access into the array — see that docstring) with xxhash64(acc, x)
+    as the pairwise combiner. Purely numeric: no shingle strings are
+    ever materialized."""
+    cnt = F.greatest(F.size(word_hashes) - (n - 1), F.lit(0))
+    parts = [F.slice(word_hashes, j + 1, cnt) for j in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.xxhash64(a, b))
+    return acc
+
+
 def _minhash_sig(hashes: Column, num_hashes: int) -> Column:
     """MinHash signature from a MATERIALIZED shingle-hash column: per
     permutation j, min over hashes of (a_j*h + b_j) mod p. Params are
@@ -551,13 +565,25 @@ def minhash_lsh_pairs(
     # negligible at any corpus size this engine targets); at 30×-sf0.1
     # scale this halves the whole query (string arrays were ~8× the
     # bytes of the hash arrays in cache and in the two verify joins).
+    # r11: the shingle STRINGS are never built either — each word
+    # hashes once (xxhash64) and the n-gram hash folds the n word
+    # hashes pairwise with xxhash64(acc, next), so the pass allocates
+    # no concatenated strings and hashes each word's bytes exactly once
+    # (the concat_ws formulation re-hashed every word n times inside
+    # n-char-longer strings; measured 29s → ~11s for the whole pass at
+    # 30×-sf0.1). Same trigram-set semantics modulo the already-
+    # documented 64-bit collision bound.
+    wh = F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w))
     sh = (
-        with_shingles(docs.repartition(par, id_col), text_col, "sh", n)
-        .filter(F.size("sh") > 0)
+        docs.repartition(par, id_col)
+        .withColumn("__wh", wh)
+        .withColumn("__tri", _ngram_hashes(F.col("__wh"), n))
+        .filter(F.size("__tri") > 0)
         .select(
             F.col(id_col).alias("id"),
             F.transform(
-                F.col("sh"), lambda s: F.pmod(F.abs(F.xxhash64(s)), F.lit(MERSENNE_P))
+                F.array_distinct("__tri"),
+                lambda t: F.pmod(F.abs(t), F.lit(MERSENNE_P)),
             ).alias("__h"),
         )
         .persist()
