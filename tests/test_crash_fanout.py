@@ -20,6 +20,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -168,3 +170,105 @@ def test_fsck_entry_point_rolls_back_without_a_new_batch(spark, tmp_path):
         assert journal.fsck(root) == []
     finally:
         release_store_process_lock(root)
+
+
+_CRASHER_AT = """
+import json, os, sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from gigapipe_spark.sources import ingest
+from gigapipe_spark.storage.writer import Catalog, ingest_fanout
+
+cat = Catalog(sys.argv[1])
+
+def push(vals):
+    payload = json.dumps({"streams": [{
+        "stream": {"app": "web"},
+        "values": vals,
+    }]})
+    ingest_fanout(
+        ingest.loki_push(
+            spark.createDataFrame([(payload,)], "payload string")
+        ),
+        cat,
+    )
+
+def vals(n0, items):
+    return [[str(1_700_000_000_000_000_000 + n0 + i)] + list(it)
+            for i, it in enumerate(items)]
+
+push(vals(0, [("clean log",), ("clean metric", 1.5)]))
+print("BATCH1_DONE", flush=True)
+os.environ["GIGAPIPE_FANOUT_SERIAL"] = "1"
+os.environ["GIGAPIPE_CRASH_AFTER_WRITE"] = sys.argv[2]
+push(vals(100, [("torn log",), ("torn metric", 2.5)]))
+print("UNREACHABLE", flush=True)
+""" % (REPO,)
+
+
+def _push_mixed(spark, cat, n0, items):
+    from gigapipe_spark.sources import ingest
+    from gigapipe_spark.storage.writer import ingest_fanout
+
+    payload = json.dumps({"streams": [{
+        "stream": {"app": "web"},
+        "values": [
+            [str(1_700_000_000_000_000_000 + n0 + i)] + list(it)
+            for i, it in enumerate(items)
+        ],
+    }]})
+    ingest_fanout(
+        ingest.loki_push(
+            spark.createDataFrame([(payload,)], "payload string")
+        ),
+        cat,
+    )
+
+
+@pytest.mark.parametrize(
+    "kill_after", ["time_series", "gin", "metrics_15s", "patterns"]
+)
+def test_every_tear_window_heals_to_twin_equality(spark, tmp_path, kill_after):
+    """The journal's repair must be correct for EVERY between-appends
+    window, not just the first: kill the writer right after each
+    derived table's append in turn (serial leg order pins the window),
+    heal via the next writer's flock acquisition, re-push the torn
+    batch, and require the store to equal a never-crashed twin on every
+    fan-out table. The batch carries both log and metric rows so the
+    metrics_15s leg is non-empty and the patterns side-channel mines."""
+    from gigapipe_spark.storage.journal import JOURNAL_DIR
+    from gigapipe_spark.storage.writer import Catalog
+
+    root = str(tmp_path / "store")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CRASHER_AT, root, kill_after],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "BATCH1_DONE" in proc.stdout, proc.stderr[-2000:]
+    assert "UNREACHABLE" not in proc.stdout
+    assert proc.returncode == -9
+
+    cat = Catalog(root)
+    jdir = os.path.join(root, JOURNAL_DIR)
+    assert [f for f in os.listdir(jdir) if f.endswith(".json")]
+
+    # next writer heals on flock acquisition, then the retry lands whole
+    _push_mixed(spark, cat, 200, [("after heal",)])
+    assert not [f for f in os.listdir(jdir) if f.endswith(".json")]
+    _push_mixed(spark, cat, 100, [("torn log",), ("torn metric", 2.5)])
+
+    twin = Catalog(str(tmp_path / "twin"))
+    _push_mixed(spark, twin, 0, [("clean log",), ("clean metric", 1.5)])
+    _push_mixed(spark, twin, 200, [("after heal",)])
+    _push_mixed(spark, twin, 100, [("torn log",), ("torn metric", 2.5)])
+
+    for table in ("samples", "time_series", "gin", "metrics_15s", "patterns"):
+        a = spark.read.parquet(cat.path(table))
+        b = spark.read.parquet(twin.path(table))
+        cols = sorted(c for c in a.columns if c != "labels")
+        ra = sorted(map(repr, a.select(*cols).collect()))
+        rb = sorted(map(repr, b.select(*cols).collect()))
+        assert ra == rb, f"{table} diverged after healing {kill_after} tear"
