@@ -81,38 +81,70 @@ def cluster_key(tokens: list[str]) -> str:
 class Pattern:
     # last_seen: newest event ts absorbed — drives the stateful
     # stream's idle eviction (reference cleanup, pattern.go:306-313)
-    __slots__ = ("tokens", "costs", "samples_count", "last_seen")
+    # _overall/_gen: cached cost sums — try_merge runs once per
+    # (line, cluster) in the mining hot loop, and recomputing both
+    # O(tokens) property sums per call tripled the per-line work
+    # (the miner bounds the full ingest path's lines/s). Lazily
+    # rebuilt so the stateful twin's __new__-based rehydration
+    # (which sets only tokens/costs/counters) stays valid.
+    __slots__ = (
+        "tokens", "costs", "samples_count", "last_seen", "_overall", "_gen"
+    )
 
     def __init__(self, tokens: list[str]):
         self.tokens = list(tokens)
         self.costs = [token_cost(t) for t in tokens]
         self.samples_count = 1
         self.last_seen = 0
+        self._overall = sum(self.costs)
+        self._gen = 0
+
+    def _ensure_cost_cache(self) -> None:
+        try:
+            self._overall  # noqa: B018 — attribute probe
+        except AttributeError:
+            self._overall = sum(self.costs)
+            self._gen = sum(
+                c for t, c in zip(self.tokens, self.costs) if t == GENERALIZED
+            )
 
     @property
     def overall_cost(self) -> int:
-        return sum(self.costs)
+        self._ensure_cost_cache()
+        return self._overall
 
     @property
     def generalized_cost(self) -> int:
-        return sum(c for t, c in zip(self.tokens, self.costs) if t == GENERALIZED)
+        self._ensure_cost_cache()
+        return self._gen
 
     def try_merge(self, tokens: list[str], similarity: float) -> bool:
         """Merge rule (ref: pattern.go:155-198): accept iff
-        (difference_cost + generalized_cost) / overall_cost <= 1 - sim."""
-        if len(tokens) != len(self.tokens):
+        (difference_cost + generalized_cost) / overall_cost <= 1 - sim.
+        The acceptance expression is kept VERBATIM (same operand order,
+        same division) so cached sums cannot move a floating-point
+        boundary case."""
+        mine_toks = self.tokens
+        if len(tokens) != len(mine_toks):
             return False
+        self._ensure_cost_cache()
+        costs = self.costs
         diff_cost = 0
-        for mine, theirs, cost in zip(self.tokens, tokens, self.costs):
-            if mine != theirs and mine != GENERALIZED:
-                diff_cost += cost
-        overall = self.overall_cost or 1
-        if (diff_cost + self.generalized_cost) / overall > 1 - similarity:
+        diff_at = None
+        for i, theirs in enumerate(tokens):
+            m = mine_toks[i]
+            if m != theirs and m != GENERALIZED:
+                diff_cost += costs[i]
+                diff_at = i
+        overall = self._overall or 1
+        if (diff_cost + self._gen) / overall > 1 - similarity:
             return False
-        self.tokens = [
-            m if (m == t or m == GENERALIZED) else GENERALIZED
-            for m, t in zip(self.tokens, tokens)
-        ]
+        if diff_at is not None:
+            self.tokens = [
+                m if (m == t or m == GENERALIZED) else GENERALIZED
+                for m, t in zip(mine_toks, tokens)
+            ]
+            self._gen += diff_cost  # exactly the newly generalized slots
         self.samples_count += 1
         return True
 
