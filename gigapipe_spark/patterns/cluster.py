@@ -289,15 +289,27 @@ def stream_mine_patterns(
     bucket shard merges at read time via read_patterns, matching the
     reference's iteration_id/argMax merge model."""
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from gigapipe_spark.storage.writer import store_write_lock
 
         # same _temporary staging-dir discipline as the batch fan-outs:
-        # a concurrent gateway push must not overlap this append
+        # a concurrent gateway push must not overlap this append.
+        # EXACTLY-ONCE under replay: foreachBatch re-runs the last
+        # uncommitted micro-batch after a restart; writing each batch
+        # into its own __batch partition with dynamic partition
+        # overwrite makes the replay overwrite itself instead of
+        # double-appending (the standard Spark idempotent-foreachBatch
+        # idiom; the ingest-fan-out path gets the same property from
+        # the batch journal's applied markers, storage/journal.py)
         with store_write_lock(os.path.dirname(out_path)):
-            mine_patterns(batch_df, similarity, bucket_ns).write.mode(
-                "append"
-            ).parquet(out_path)
+            (
+                mine_patterns(batch_df, similarity, bucket_ns)
+                .withColumn("__batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch")
+                .parquet(out_path)
+            )
 
     return (
         samples_stream.writeStream.foreachBatch(_sink)

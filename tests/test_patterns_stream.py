@@ -174,3 +174,42 @@ def test_stateful_patterns_restart_recovers_state(spark, tmp_path):
     # the cluster survived the restart and generalized
     assert final["samples_count"] == 2
     assert final["pattern"].startswith("login user") and "<_>" in final["pattern"]
+
+
+def test_stream_patterns_replayed_batch_overwrites_itself(spark, tmp_path):
+    """Exactly-once for the standalone streaming patterns sink: a
+    replayed micro-batch (same batch id after a crash-before-commit)
+    overwrites its own __batch partition instead of double-appending,
+    while a new batch id lands additively."""
+    from gigapipe_spark.patterns import cluster as pc
+
+    out = str(tmp_path / "patterns_out")
+    schema = (
+        "fingerprint long, timestamp_ns long, value double, "
+        "string string, type tinyint"
+    )
+    batch = spark.createDataFrame(
+        [(1, 1_000, 0.0, "login user alice", 1)], schema
+    )
+    # drive the sink body directly with explicit batch ids, exactly as
+    # stream_mine_patterns builds it
+    from pyspark.sql import functions as F
+
+    def sink(batch_df, batch_id):
+        (
+            pc.mine_patterns(batch_df, 0.6, 600_000_000_000)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(out)
+        )
+
+    sink(batch, 3)
+    n1 = spark.read.parquet(out).count()
+    sink(batch, 3)  # replay: same batch id
+    assert spark.read.parquet(out).count() == n1
+    sink(batch, 4)  # new batch id: additive
+    assert spark.read.parquet(out).count() == 2 * n1
+    got = pc.read_patterns(spark.read.parquet(out)).collect()
+    assert got[0]["samples_count"] == 2  # one per batch, merged on read
