@@ -319,9 +319,9 @@ def _explode_shingles_bounded(
     exact_dedup is the tool for pure boilerplate). Pass None for
     fully exact semantics."""
     sizes = sh.select("id", "part", F.size("sh").alias("n"))
-    base = sh.select(
-        "id", "part", F.explode("sh").alias("tok")
-    ).withColumn("tok", F.xxhash64("tok"))
+    # `sh` carries 64-bit shingle HASHES (see _hashed_shingle_sets) —
+    # tok is the hash itself, exploded as-is
+    base = sh.select("id", "part", F.explode("sh").alias("tok"))
     if max_shingle_df is None:
         return base, sizes
     # df ≤ corpus doc count: a small corpus cannot have a hot shingle
@@ -401,11 +401,7 @@ def jaccard_pairs(
     None; the default cap only engages on corpora with >100k-doc
     boilerplate keys, far above any fixture.
     """
-    sh = with_shingles(docs, text_col, "sh", n).select(
-        F.col(id_col).alias("id"),
-        (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
-        F.col("sh"),
-    )
+    sh = _hashed_shingle_sets(docs, text_col, id_col, partition_col, n)
     ex, sizes = _explode_shingles_bounded(sh, max_shingle_df)
     a = ex.select(F.col("id").alias("doc_a"), "part", "tok")
     b = ex.select(F.col("id").alias("doc_b"), "part", "tok")
@@ -448,11 +444,9 @@ def containment_pairs(
     exact_dedup's keep-lowest-id rule.
     Returns (doc_contained, doc_container).
     """
-    sh = with_shingles(docs, text_col, "sh", n).select(
-        F.col(id_col).alias("id"),
-        (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
-        F.col("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = _hashed_shingle_sets(docs, text_col, id_col, partition_col, n).filter(
+        F.size("sh") > 0
+    )
     ex, sizes = _explode_shingles_bounded(sh, max_shingle_df)
     a = ex.select(F.col("id").alias("doc_contained"), "part", "tok")
     b = ex.select(F.col("id").alias("doc_container"), "part", "tok")
@@ -487,6 +481,27 @@ def _ngram_hashes(word_hashes: Column, n: int) -> Column:
     for p in parts[1:]:
         acc = F.zip_with(acc, p, lambda a, b: F.xxhash64(a, b))
     return acc
+
+
+def _hashed_shingle_sets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    partition_col: str | None,
+    n: int,
+) -> DataFrame:
+    """(id, part, sh) with sh = the doc's DISTINCT word n-gram 64-bit
+    hashes — the exact pair generators' input. Like the MinHash path,
+    shingle STRINGS are never materialized (each word hashes once,
+    n-gram hashes fold pairwise); all downstream set math is on the
+    hashes, identical to string-set semantics modulo the documented
+    2⁻⁶⁴ collision bound."""
+    wh = F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        (F.col(partition_col) if partition_col else F.lit(0)).alias("part"),
+        F.array_distinct(_ngram_hashes(wh, n)).alias("sh"),
+    )
 
 
 def _minhash_sig(hashes: Column, num_hashes: int) -> Column:

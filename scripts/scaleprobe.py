@@ -54,6 +54,20 @@ def replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
                 F.concat(F.lit(" c"), F.col("__copy").cast("string"), F.lit(" ")),
             ),
         )
+        # newlines too: a trigram spanning a line break would otherwise
+        # be SHARED across all copies (df × factor → factor² join rows
+        # on that key — measured as a ratio-190 artifact on the
+        # containment probe that looked like an operator regression).
+        # The newline itself is preserved so paragraph-level probes keep
+        # their structure.
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"),
+                "\n",
+                F.concat(F.lit(" c"), F.col("__copy").cast("string"), F.lit("\n")),
+            ),
+        )
         .drop("__copy")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
