@@ -954,8 +954,18 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                 # job — persist the NARROW matrix (5 numeric columns)
                 # once; MEMORY_AND_DISK with LRU eviction bounds it
                 df2 = df2.persist()
-                cnt = df2.groupBy(*keys).agg(
-                    F.count(F.when(F.col("__rank") <= k, 1)).alias("__ck")
+                # the classification table is (step, group)-sized —
+                # persist it too, or the fast/slow broadcast subtrees
+                # EACH re-run the count aggregation over the full
+                # persisted matrix (one extra full pass, cold and warm)
+                cnt = (
+                    df2.groupBy(*keys)
+                    .agg(
+                        F.count(
+                            F.when(F.col("__rank") <= k, 1)
+                        ).alias("__ck")
+                    )
+                    .persist()
                 )
                 fast = df2.filter(F.col("__rank") <= k).join(
                     F.broadcast(

@@ -134,7 +134,27 @@ def rotate(
     records the applied policy string under settings type="rotate" —
     if the stored value already matches, the walk is skipped entirely
     (rotate.go:74-76).
+
+    Holds the store writer lock for the whole walk: partition deletes /
+    tier moves must not interleave with a live fan-out's appends, and
+    taking the flock first forces journal.repair() + compact-leftover
+    healing BEFORE any partition is touched (rotating a half-applied
+    batch's partition would otherwise freeze the inconsistency in).
     """
+    from gigapipe_spark.storage.writer import store_write_lock
+
+    with store_write_lock(catalog.root):
+        return _rotate_locked(spark, catalog, drop_days, policies, tables, today)
+
+
+def _rotate_locked(
+    spark: SparkSession,
+    catalog: Catalog,
+    drop_days: int,
+    policies: tuple[RotatePolicy, ...],
+    tables: tuple[str, ...],
+    today: _date | None,
+) -> dict[str, list[str]]:
     today = today or _date.today()
     policy_str = f"drop:{drop_days};" + ";".join(
         f"{p.ttl_days}->{p.move_to}" for p in sorted(policies, key=lambda p: -p.ttl_days)
@@ -226,9 +246,33 @@ def compact(
     Single-partition rewrites only (crash-safe unit = one date dir,
     swapped via rename after the new files land); returns
     {iso_date: files_before} for the partitions it rewrote.
+
+    Holds the store writer lock across the rewrite: an append landing
+    in `part_dir` between the read and the rename swap would be
+    silently deleted with `.compact_old`. Taking the flock also runs
+    journal.repair() + heal_compact_leftovers() first, so compaction
+    never bakes a crashed batch's partial files into a merged file
+    that a later repair can't surgically remove.
     """
+    from gigapipe_spark.storage.writer import store_write_lock
+
+    with store_write_lock(catalog.root):
+        return _compact_locked(
+            spark, catalog, table, target_files_per_partition, sort_cols, codec
+        )
+
+
+def _compact_locked(
+    spark: SparkSession,
+    catalog: Catalog,
+    table: str,
+    target_files_per_partition: int,
+    sort_cols: tuple[str, ...] | None,
+    codec: str | None,
+) -> dict[str, int]:
     if sort_cols is None:
         sort_cols = TABLE_SORT_COLS.get(table, ("fingerprint", "timestamp_ns"))
+    heal_compact_leftovers(catalog.root)
     done: dict[str, int] = {}
     for iso, part_dir in _partition_dates(catalog.path(table)):
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
@@ -252,6 +296,61 @@ def compact(
     if codec:
         put_setting(spark, catalog, "codec", table, codec)
     return done
+
+
+def heal_compact_leftovers(root: str) -> list[str]:
+    """Heal the crash window inside compact()'s two-rename swap: a kill
+    between `rename(part, part.compact_old)` and `rename(tmp, part)`
+    leaves the partition's data ONLY in `.compact_old`, which every
+    reader and maintenance walk skips — the partition silently
+    disappears. Restore deterministically:
+
+      - `.compact_old` present, live dir MISSING → the swap was torn:
+        rename the old dir back (the pre-compact state is the one state
+        guaranteed complete) and drop any `.compact_tmp`;
+      - `.compact_old` present, live dir present → compact finished its
+        second rename but crashed before rmtree: finish the delete;
+      - bare `.compact_tmp` → incomplete rewrite, drop it.
+
+    Runs under the writer flock (called from _acquire_process_lock next
+    to journal.repair, and from compact() itself). The walk is
+    O(partition dirs) — at object-store scale this is one LIST per
+    table prefix filtered on the `.compact_` suffix, metadata-sized.
+    Returns the healed partition paths."""
+    healed: list[str] = []
+    if not os.path.isdir(root):
+        return healed
+    for table in sorted(os.listdir(root)):
+        tdir = os.path.join(root, table)
+        if not os.path.isdir(tdir) or table.startswith("_"):
+            continue
+        levels = [
+            os.path.join(tdir, n)
+            for n in sorted(os.listdir(tdir))
+            if n.startswith("oid=") and os.path.isdir(os.path.join(tdir, n))
+        ] or [tdir]
+        for lvl in levels:
+            for name in sorted(os.listdir(lvl)):
+                path = os.path.join(lvl, name)
+                if name.endswith(".compact_old"):
+                    live = path[: -len(".compact_old")]
+                    if os.path.isdir(live):
+                        shutil.rmtree(path)  # swap completed; finish delete
+                    else:
+                        tmp = live + ".compact_tmp"
+                        if os.path.isdir(tmp):
+                            shutil.rmtree(tmp)
+                        os.rename(path, live)
+                        healed.append(live)
+                elif name.endswith(".compact_tmp"):
+                    live = path[: -len(".compact_tmp")]
+                    # the .compact_old branch above may already have
+                    # consumed this tmp (listdir snapshot predates it)
+                    if os.path.isdir(path) and not os.path.isdir(
+                        live + ".compact_old"
+                    ):
+                        shutil.rmtree(path)
+    return healed
 
 
 # --- settings KV (ref: rotate.go getSetting/putSetting + argMax read) --------

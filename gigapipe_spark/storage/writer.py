@@ -102,10 +102,15 @@ def _acquire_process_lock(key: str) -> None:
     # this process is now THE writer: roll back any fan-out batch a
     # previous writer left half-applied (crash between appends would
     # otherwise leave derived tables silently inconsistent — see
-    # storage/journal.py). Runs exactly once per (process, root).
+    # storage/journal.py), and restore any partition a previous
+    # compact() left torn mid-swap (maintenance.heal_compact_leftovers).
+    # Runs exactly once per (process, root).
     from gigapipe_spark.storage import journal as _journal
 
     _journal.repair(key)
+    from gigapipe_spark.storage.maintenance import heal_compact_leftovers
+
+    heal_compact_leftovers(key)
 
 
 def release_store_process_lock(root: str) -> None:

@@ -181,3 +181,72 @@ def test_rotate_trace_tables(spark, tmp_path):
     assert cat.read(spark, "tempo_traces_attrs_gin").filter(
         "date < '2021-01-01'"
     ).count() == 0
+
+
+def test_heal_compact_torn_swap_restores_partition(spark, tmp_path):
+    """A kill between compact()'s two renames leaves the partition only
+    in `.compact_old` — invisible to every reader. Healing must rename
+    it back (and drop the tmp); a completed swap's leftover old dir is
+    finished off instead."""
+    import shutil
+
+    from gigapipe_spark.storage.maintenance import heal_compact_leftovers
+
+    cat = _store(spark, tmp_path, ["2026-03-01", "2026-03-02"])
+    p1 = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
+    p2 = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-02")
+    # torn swap on p1: old moved aside, tmp present, live missing
+    os.rename(p1, p1 + ".compact_old")
+    shutil.copytree(p1 + ".compact_old", p1 + ".compact_tmp")
+    # completed swap on p2: live present, old leftover not yet deleted
+    shutil.copytree(p2, p2 + ".compact_old")
+    healed = heal_compact_leftovers(cat.root)
+    assert healed == [p1]
+    assert os.path.isdir(p1) and not os.path.isdir(p1 + ".compact_tmp")
+    assert not os.path.isdir(p1 + ".compact_old")
+    assert os.path.isdir(p2) and not os.path.isdir(p2 + ".compact_old")
+    assert cat.read(spark, "samples").count() == 2  # nothing lost
+
+
+def test_compact_heals_torn_swap_before_rewriting(spark, tmp_path):
+    """compact() on a store with a torn swap restores the partition
+    first, then compacts it — no silent disappearance."""
+    from gigapipe_spark.storage.maintenance import compact
+
+    cat = _store(spark, tmp_path, ["2026-03-01"] * 3)
+    part = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
+    os.rename(part, part + ".compact_old")  # torn mid-swap
+    done = compact(spark, cat, "samples", target_files_per_partition=1)
+    assert done == {"2026-03-01": 3}
+    assert spark.read.parquet(part).count() == 3
+
+
+def test_compact_runs_journal_repair_first(spark, tmp_path):
+    """A crashed writer's half-applied batch (journal entry pending)
+    must be rolled back BEFORE compaction merges its partial files into
+    a new file that repair could only remove wholesale (losing the
+    pre-batch rows with it)."""
+    import shutil
+
+    from gigapipe_spark.storage import journal
+    from gigapipe_spark.storage import writer as w
+    from gigapipe_spark.storage.maintenance import compact
+
+    cat = _store(spark, tmp_path, ["2026-03-01"] * 2)
+    part = os.path.join(cat.path("samples"), "oid=0", "date=2026-03-01")
+    # simulate a crashed fan-out from a previous writer process:
+    # journal entry snapshots the 2-file state, then a partial file lands
+    j = journal.BatchJournal(cat.root, "0", ("samples",), ["2026-03-01"])
+    j.begin()
+    src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(part, src), os.path.join(part, "part-partial.parquet")
+    )
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 3
+    # previous writer "died": drop our process's flock so the next
+    # maintenance call re-acquires it (which runs repair)
+    w.release_store_process_lock(cat.root)
+    done = compact(spark, cat, "samples", target_files_per_partition=1)
+    assert done == {"2026-03-01": 2}  # repair removed the partial file first
+    assert spark.read.parquet(part).count() == 2
+    assert not os.listdir(os.path.join(cat.root, "_journal"))
