@@ -162,6 +162,9 @@ class _Handler(BaseHTTPRequestHandler):
     # optional ("user", "pass") — the reference's BasicAuthMiddleware,
     # enabled when AUTH_SETTINGS.BASIC is configured (reader.go:71-75)
     basic_auth: tuple[str, str] | None = None
+    # MODE=all|reader|writer — which router set this process serves
+    # (docs/configuration.md MODE / READONLY)
+    mode = "all"
 
     def log_message(self, *a):  # quiet test output
         pass
@@ -429,6 +432,11 @@ class _Handler(BaseHTTPRequestHandler):
             [(payload.decode("utf-8", "replace"),)], "payload string"
         )
 
+    # routes a MODE=writer process still serves (the reference's writer
+    # service registers its own health/config/metrics next to the push
+    # routes; everything else belongs to the reader router)
+    _WRITER_MODE_GET = frozenset(("/ready", "/config", "/metrics"))
+
     # ------------------------------------------------------------ GET
     def do_GET(self) -> None:  # noqa: C901 - one router, like the reference's
         if not self._check_auth():
@@ -440,6 +448,11 @@ class _Handler(BaseHTTPRequestHandler):
         # registers both prefixes)
         if path.startswith("/tempo/api/"):
             path = "/api/" + path[len("/tempo/api/"):]
+        # MODE=writer runs ingestion only: query routes are simply not
+        # registered in the reference's writer service, so they 404
+        # (docs/configuration.md MODE; router assembly reader.go/writer.go)
+        if self.mode == "writer" and path not in self._WRITER_MODE_GET:
+            return self._json({"error": f"unknown route {path}"}, 404)
         e = self.engine
         # live tail runs an unbounded loop with its own disconnect
         # detection — exempt from the 30s query deadline (the reference
@@ -1022,6 +1035,14 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         path, q = url.path, parse_qs(url.query)
         e = self.engine
+        if self.mode == "writer" and (
+            path in self._FORM_POST_ROUTES
+            or path.startswith("/querier.v1.QuerierService/")
+            or path == "/settings.v1.SettingsService/Get"
+            or self._rules_route(path) is not None
+        ):
+            # reader-router POSTs aren't registered in writer mode
+            return self._json({"error": f"unknown route {path}"}, 404)
         if path in self._FORM_POST_ROUTES:
             # merge the urlencoded body over the URL params and run the
             # same handler as GET (the reference's controller reads
@@ -1086,6 +1107,8 @@ class _Handler(BaseHTTPRequestHandler):
         if not self._check_auth():
             return
         url = urlparse(self.path)
+        if self.mode == "writer":
+            return self._json({"error": f"unknown route {url.path}"}, 404)
         rr = self._rules_route(url.path)
         try:
             if rr is None or not rr[1]:
@@ -1127,6 +1150,10 @@ class _Handler(BaseHTTPRequestHandler):
         sources decoder → MV fan-out writer → per-route reference
         status. The elastic catch-all patterns match LAST, like the
         reference's route registration order."""
+        if self.mode == "reader":
+            # push routes aren't registered in the reader-only service
+            # (docs/configuration.md MODE=reader / READONLY)
+            return self._json({"error": f"unknown route {path}"}, 404)
         from gigapipe_spark.sources import ingest
         from gigapipe_spark.storage.writer import ingest_fanout, spans_fanout
 
@@ -1487,6 +1514,7 @@ class HttpGateway:
         allow_origin: str = "*",
         query_timeout_s: float | None = 30.0,
         basic_auth: tuple[str, str] | None = None,
+        mode: str = "all",
     ):
         """`ruler_poll_sec` switches on the rule-evaluation loop — the
         reference's manager ticker goroutines (ruler/manager.go:183-195,
@@ -1506,8 +1534,13 @@ class HttpGateway:
                 # BasicAuthMiddleware analog (reader.go:71-75): enabled
                 # only when credentials are configured
                 "basic_auth": basic_auth,
+                # MODE=all|reader|writer — which of the reference's two
+                # routers this process assembles (docs/configuration.md)
+                "mode": mode,
             },
         )
+        if mode not in ("all", "reader", "writer"):
+            raise ValueError(f"unknown MODE {mode!r}")
         self.engine = engine
         self.server = ThreadingHTTPServer((host, port), handler)
         self.server.daemon_threads = True

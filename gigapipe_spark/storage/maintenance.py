@@ -167,8 +167,17 @@ def _rotate_locked(
     dropped: list[str] = []
     moved: list[str] = []
     for table in tables:
+        sidecar_done = False
         for iso, part_dir in _partition_dates(catalog.path(table)):
             age = (today - _date.fromisoformat(iso)).days
+            if age > drop_days or any(age > p.ttl_days for p in by_age):
+                # capture the table's schema ONCE before retention can
+                # empty it: readers answer a fully-rotated table with
+                # zero rows (writer._empty_from_sidecar), like the
+                # reference's empty ClickHouse table
+                if not sidecar_done:
+                    _ensure_schema_sidecar(spark, catalog.path(table))
+                    sidecar_done = True
             if age > drop_days:
                 shutil.rmtree(part_dir)
                 dropped.append(part_dir)
@@ -296,6 +305,29 @@ def _compact_locked(
     if codec:
         put_setting(spark, catalog, "codec", table, codec)
     return done
+
+
+def _ensure_schema_sidecar(spark: SparkSession, table_path: str) -> None:
+    """Record the table's full schema (partition columns included) in
+    `<table>/_schema.json` while data still exists to read it from —
+    rotation may be about to delete the last partition, after which
+    spark.read.parquet can no longer infer anything. Atomic (tmp +
+    rename), idempotent, one footer read when missing."""
+    import json as _json
+
+    from gigapipe_spark.storage.writer import SCHEMA_SIDECAR
+
+    sc_path = os.path.join(table_path, SCHEMA_SIDECAR)
+    if os.path.isfile(sc_path):
+        return
+    try:
+        schema = spark.read.parquet(table_path).schema
+    except Exception:
+        return  # nothing readable to capture; keep the old behavior
+    tmp = sc_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(schema.jsonValue(), fh)
+    os.rename(tmp, sc_path)
 
 
 def heal_compact_leftovers(root: str) -> list[str]:

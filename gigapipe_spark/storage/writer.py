@@ -183,6 +183,24 @@ def _locked_fanout(fn):
 
 
 
+SCHEMA_SIDECAR = "_schema.json"
+
+
+def _empty_from_sidecar(spark: SparkSession, table_path: str):
+    """Zero-row DataFrame with the table's recorded schema (partition
+    columns included), or None when no sidecar was ever captured."""
+    import json as _json
+
+    sc_path = os.path.join(table_path, SCHEMA_SIDECAR)
+    if not os.path.isfile(sc_path):
+        return None
+    from pyspark.sql.types import StructType
+
+    with open(sc_path) as fh:
+        schema = StructType.fromJson(_json.load(fh))
+    return spark.createDataFrame([], schema)
+
+
 class Catalog:
     """Paths + readers/writers for the engine's tables under one root.
 
@@ -202,7 +220,21 @@ class Catalog:
         return os.path.join(self.root, table)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        df = spark.read.parquet(self.path(table))
+        path = self.path(table)
+        try:
+            df = spark.read.parquet(path)
+        except Exception as ex:
+            # A table whose every partition was rotated away (or rolled
+            # back) keeps its dir + _SUCCESS but has no data files;
+            # Spark can't infer a schema from that. The reference's
+            # empty ClickHouse table still answers queries with zero
+            # rows — so do we, from the schema sidecar rotate() leaves
+            # behind (maintenance._ensure_schema_sidecar).
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
+            df = _empty_from_sidecar(spark, path)
+            if df is None:
+                raise
         if "oid" in df.columns:
             return df.filter(F.col("oid") == self.oid).drop("oid")
         if self.oid != "0":

@@ -250,3 +250,25 @@ def test_compact_runs_journal_repair_first(spark, tmp_path):
     assert done == {"2026-03-01": 2}  # repair removed the partial file first
     assert spark.read.parquet(part).count() == 2
     assert not os.listdir(os.path.join(cat.root, "_journal"))
+
+
+def test_fully_rotated_table_still_answers_queries(spark, tmp_path):
+    """Retention that empties a table entirely (every partition aged
+    out) must leave it queryable with zero rows — the reference's empty
+    ClickHouse table answers, it doesn't 500. rotate() captures a
+    schema sidecar before dropping the last partition; Catalog.read
+    falls back to it when parquet inference has nothing left."""
+    from gigapipe_spark.storage.query import StoreEngine
+
+    cat = _store(spark, tmp_path, ["2023-11-14"])
+    rotate(
+        spark, cat, drop_days=7,
+        tables=("samples", "time_series", "gin", "patterns", "metrics_15s"),
+        today=date.fromisoformat("2026-08-16"),
+    )
+    # partitions are gone, dirs remain
+    assert os.path.isdir(cat.path("time_series"))
+    assert cat.read(spark, "time_series").count() == 0
+    assert cat.read(spark, "samples").columns  # schema survived
+    eng = StoreEngine(spark, cat.root, catalog=cat)
+    assert eng.loki_labels().count() == 0  # the live-service repro
