@@ -224,8 +224,24 @@ def read_tiered(
         raise FileNotFoundError(f"no data for table {table} in {paths}")
     df = None
     for p in existing:
-        part = spark.read.option("basePath", p).parquet(p)
+        try:
+            part = spark.read.option("basePath", p).parquet(p)
+        except Exception as ex:
+            # a policy that moved EVERY hot partition to a tier leaves
+            # the hot root uninferable (_SUCCESS only) — the tier copies
+            # still hold the data, so skip the empty root instead of
+            # failing the whole union (sidecar fallback when this is
+            # the only root at all)
+            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                raise
+            from gigapipe_spark.storage.writer import _empty_from_sidecar
+
+            part = _empty_from_sidecar(spark, p)
+            if part is None:
+                continue
         df = part if df is None else df.unionByName(part)
+    if df is None:
+        raise FileNotFoundError(f"no data for table {table} in {paths}")
     return df
 
 

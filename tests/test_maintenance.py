@@ -272,3 +272,17 @@ def test_fully_rotated_table_still_answers_queries(spark, tmp_path):
     assert cat.read(spark, "samples").columns  # schema survived
     eng = StoreEngine(spark, cat.root, catalog=cat)
     assert eng.loki_labels().count() == 0  # the live-service repro
+
+
+def test_read_tiered_survives_fully_moved_hot_root(spark, tmp_path):
+    """A policy that tiers EVERY hot partition leaves the hot root with
+    only _SUCCESS; read_tiered must still union the tier copies (and a
+    sidecar-backed empty hot root alone must read as zero rows)."""
+    cat = _store(spark, tmp_path, ["2026-01-01", "2026-01-05"])
+    rotate(
+        spark, cat, drop_days=3650,
+        policies=(RotatePolicy(ttl_days=1, move_to="cold"),),
+        today=date.fromisoformat("2026-03-02"),
+    )
+    assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 2
+    assert read_tiered(spark, cat, "samples").count() == 0  # hot only
