@@ -46,7 +46,7 @@ FACT_TABLES = ("samples", "time_series", "gin")
 # and compaction apply uniformly (the reference's per-table TTL clauses,
 # rotate.go:48-95, cover the trace/profile tables the same way)
 ALL_TABLES = (
-    "samples", "time_series", "gin", "patterns",
+    "samples", "time_series", "gin", "metrics_15s", "patterns",
     "tempo_traces", "tempo_traces_attrs_gin", "tempo_traces_kv",
     "tempo_traces_attr_map", "tempo_traces_anc",
     "profiles", "profiles_series", "profiles_series_gin",

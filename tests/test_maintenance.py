@@ -286,3 +286,26 @@ def test_read_tiered_survives_fully_moved_hot_root(spark, tmp_path):
     )
     assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 2
     assert read_tiered(spark, cat, "samples").count() == 0  # hot only
+
+
+def test_rotate_covers_rollup_table(spark, tmp_path):
+    """metrics_15s is date-partitioned and journaled like the fact
+    tables — retention must expire its cells with their samples (the
+    reference's TTL clause covers the rollup MV too, log.sql:83-107).
+    Ingest a metric line so the rollup leg writes, then rotate."""
+    from gigapipe_spark.storage.maintenance import ALL_TABLES
+
+    assert "metrics_15s" in ALL_TABLES
+    cat = Catalog(str(tmp_path / "store"))
+    payload = json.dumps(
+        {"streams": [{"stream": {"app": "m"},
+                      "values": [[str(_day_ns("2023-11-14")), "v", 1.5]]}]}
+    )
+    decoded = ingest.loki_push(
+        spark.createDataFrame([(payload,)], "payload string")
+    )
+    ingest_fanout(decoded, cat)
+    assert cat.read(spark, "metrics_15s").count() > 0
+    rotate(spark, cat, drop_days=7, tables=ALL_TABLES,
+           today=date.fromisoformat("2026-08-16"))
+    assert cat.read(spark, "metrics_15s").count() == 0  # sidecar-backed
