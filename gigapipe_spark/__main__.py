@@ -27,6 +27,15 @@ the store IS a parquet root, not a server):
   GIGAPIPE_COMPACT              "1" (default) also compacts small files
                                 each tick — the MergeTree background-
                                 merge analog; "0" disables
+  GIGAPIPE_REFRESH_INTERVAL_S   MODE=reader freshness cadence (default
+                                10): a reader process fronting a store
+                                another process writes re-lists files
+                                via StoreEngine.refresh() on this
+                                period (the reference never needs this
+                                — its reader and writer share
+                                ClickHouse, whose reads always see
+                                committed parts); same-process pushes
+                                in MODE=all refresh inline
   SPARK_GRAFT_CPUS              local[] parallelism for the session
 
 Not mapped (documented divergence): CLICKHOUSE_* / CLUSTER_NAME /
@@ -82,6 +91,7 @@ def config_from_env(env=None) -> dict:
         "samples_days": int(samples_days) if samples_days else None,
         "rotate_interval_s": float(env.get("GIGAPIPE_ROTATE_INTERVAL_S", "3600")),
         "compact": env.get("GIGAPIPE_COMPACT", "1") == "1",
+        "refresh_interval_s": float(env.get("GIGAPIPE_REFRESH_INTERVAL_S", "10")),
         "log_level": _LOG_LEVELS.get(env.get("LOG_LEVEL", "info").lower(), logging.INFO),
     }
 
@@ -157,6 +167,18 @@ def _maintenance_loop(spark, catalog, cfg: dict, stop: threading.Event) -> None:
             log.exception("maintenance tick failed; retrying next interval")
 
 
+def _refresh_loop(engine, cfg: dict, stop: threading.Event) -> None:
+    """MODE=reader freshness: the engine's memoized contexts snapshot
+    the parquet file listing at first action; another process's appends
+    stay invisible until refresh() drops them (the reader/writer
+    freshness contract, storage/query.py:refresh)."""
+    while not stop.wait(cfg["refresh_interval_s"]):
+        try:
+            engine.refresh()
+        except Exception:
+            log.exception("refresh failed; retrying next interval")
+
+
 def main() -> int:
     cfg = config_from_env()
     logging.basicConfig(level=cfg["log_level"])
@@ -181,6 +203,10 @@ def main() -> int:
             target=_maintenance_loop,
             args=(spark, gw.engine.catalog, cfg, stop),
             daemon=True,
+        ).start()
+    if cfg["mode"] == "reader" and cfg["refresh_interval_s"] > 0:
+        threading.Thread(
+            target=_refresh_loop, args=(gw.engine, cfg, stop), daemon=True
         ).start()
     import signal
 

@@ -185,6 +185,33 @@ def _locked_fanout(fn):
 
 SCHEMA_SIDECAR = "_schema.json"
 
+_CANONICAL_SCHEMAS: dict | None = None
+
+
+def canonical_schema(table: str):
+    """The table's declared schema (partition columns included), from
+    the generated registry `storage/table_schemas.json` — captured from
+    real fan-out output (scripts/gen_table_schemas.py) and pinned
+    against the writers by a drift test, the parquet-lake analog of the
+    reference's DDL files (ctrl/qryn/sql/*.sql). Lets an empty or
+    never-written table answer queries with zero rows, like a
+    freshly-provisioned ClickHouse deployment. None for unknown
+    tables."""
+    global _CANONICAL_SCHEMAS
+    if _CANONICAL_SCHEMAS is None:
+        import json as _json
+
+        with open(
+            os.path.join(os.path.dirname(__file__), "table_schemas.json")
+        ) as fh:
+            _CANONICAL_SCHEMAS = _json.load(fh)
+    j = _CANONICAL_SCHEMAS.get(table)
+    if j is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(j)
+
 
 def _empty_from_sidecar(spark: SparkSession, table_path: str):
     """Zero-row DataFrame with the table's recorded schema (partition
@@ -225,16 +252,24 @@ class Catalog:
             df = spark.read.parquet(path)
         except Exception as ex:
             # A table whose every partition was rotated away (or rolled
-            # back) keeps its dir + _SUCCESS but has no data files;
-            # Spark can't infer a schema from that. The reference's
-            # empty ClickHouse table still answers queries with zero
-            # rows — so do we, from the schema sidecar rotate() leaves
-            # behind (maintenance._ensure_schema_sidecar).
-            if "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+            # back) keeps its dir + _SUCCESS but has no data files, and
+            # a never-pushed deployment has no dir at all; Spark raises
+            # on both. The reference's freshly-provisioned / emptied
+            # ClickHouse table still answers queries with zero rows —
+            # so do we: schema from the sidecar rotate() leaves behind,
+            # else from the generated canonical registry.
+            msg = str(ex)
+            if (
+                "UNABLE_TO_INFER_SCHEMA" not in msg
+                and "PATH_NOT_FOUND" not in msg
+            ):
                 raise
             df = _empty_from_sidecar(spark, path)
             if df is None:
-                raise
+                schema = canonical_schema(table)
+                if schema is None:
+                    raise
+                df = spark.createDataFrame([], schema)
         if "oid" in df.columns:
             return df.filter(F.col("oid") == self.oid).drop("oid")
         if self.oid != "0":

@@ -157,3 +157,29 @@ def test_maintenance_tick_rotates_and_compacts(spark, tmp_path):
     assert "samples" in out["compacted"]  # 2-file partition folded to 1
     part_days = os.listdir(os.path.join(cat.path("samples"), "oid=0"))
     assert part_days == ["date=2023-11-14"]  # T0 = 2023-11-14 UTC
+
+
+def test_reader_refresh_loop_calls_refresh():
+    """MODE=reader wires the cross-process freshness contract: the loop
+    calls engine.refresh() every GIGAPIPE_REFRESH_INTERVAL_S."""
+    import threading
+    import time
+
+    from gigapipe_spark.__main__ import _refresh_loop, config_from_env
+
+    cfg = config_from_env({"GIGAPIPE_REFRESH_INTERVAL_S": "0.05"})
+    assert cfg["refresh_interval_s"] == 0.05
+
+    class Eng:
+        calls = 0
+
+        def refresh(self):
+            Eng.calls += 1
+
+    stop = threading.Event()
+    t = threading.Thread(target=_refresh_loop, args=(Eng(), cfg, stop))
+    t.start()
+    time.sleep(0.3)
+    stop.set()
+    t.join(timeout=2)
+    assert Eng.calls >= 2
