@@ -148,17 +148,33 @@ def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dim_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def _cached(
+    spark: SparkSession, sf_dir: str, name: str, build, fact: bool = False
+) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key not in _dim_cache:
-        # Compact the cached dimension to a few fat partitions: a build
-        # that ran through a shuffle inherits spark.sql.shuffle.partitions
-        # (200 under a vanilla session), and every later stage reading
-        # the cache would schedule one task per ~300-row sliver — pure
-        # scheduler overhead. One coalesce at build time fixes the read
-        # side for the whole session. (Dimensions are small by
-        # construction; fact-table views never pass through here.)
-        _dim_cache[key] = build().coalesce(16).cache()
+        # Dimension builds are compacted to a few fat partitions: a
+        # build that ran through a shuffle inherits
+        # spark.sql.shuffle.partitions (200 under a vanilla session),
+        # and every later stage reading the cache would schedule one
+        # task per ~300-row sliver — pure scheduler overhead. One
+        # coalesce at build time fixes the read side for the session.
+        #
+        # FACT-sized views (spans / attr_map / span_attrs / the
+        # ancestor closure — the fixture analogs of ingest-maintained
+        # stored tables) must NOT collapse to 16 partitions: caching
+        # then runs ~16-way no matter how many cores exist, and every
+        # later scan of the cache is capped at 16 tasks (measured at
+        # 30×: the span_attrs explode cached 112M rows through 16
+        # slivers). They keep at least the session's parallelism.
+        df = build()
+        if fact:
+            cores = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() > 4 * cores:
+                df = df.coalesce(2 * cores)
+        else:
+            df = df.coalesce(16)
+        _dim_cache[key] = df.cache()
     return _dim_cache[key]
 
 
@@ -212,6 +228,27 @@ def _lineitem_with_span_no(li: DataFrame) -> DataFrame:
     return li.withColumn("__sn", F.row_number().over(w))
 
 
+def _li_span_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed lineitem both span layouts consume, built ONCE per
+    session: `spans` and `span_attr_map` each need the row_number
+    disambiguation window, and before this was shared each paid its own
+    full-lineitem sort+window (the dominant trace view-build cost —
+    ~30s apiece at 30× sf0.1). Projected to the columns the two span
+    layouts actually use before caching."""
+    return _cached(
+        spark,
+        sf_dir,
+        "lineitem_span_base",
+        lambda: _lineitem_with_span_no(
+            load_table(spark, sf_dir, "lineitem")
+        ).select(
+            "l_orderkey", "l_linenumber", "__sn", "l_shipdate",
+            "l_extendedprice", "l_returnflag", "l_linestatus", "l_quantity",
+        ),
+        fact=True,
+    )
+
+
 def _span_id_col():
     return F.concat(
         F.lit("s"),
@@ -231,7 +268,7 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(price*1000) ns) so duration filters/histograms have spread.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = _lineitem_with_span_no(load_table(spark, sf_dir, "lineitem"))
+    li = _li_span_base(spark, sf_dir)
     root = orders.select(
         F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
         F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
@@ -256,7 +293,7 @@ def spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cached: the row_number disambiguation window would otherwise re-run
     # per query — a real deployment reads spans from a stored table
-    return _cached(spark, sf_dir, "spans", lambda: root.unionByName(child))
+    return _cached(spark, sf_dir, "spans", lambda: root.unionByName(child), fact=True)
 
 
 def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,16 +305,21 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded form was the dominant cold-start cost of every TraceQL
     metrics entry)."""
 
-    def build():
-        return span_attr_map(spark, sf_dir).select(
-            "trace_id",
-            "span_id",
-            "timestamp_ns",
-            "duration",
-            F.explode("attrs").alias("key", "val"),
-        )
-
-    return _cached(spark, sf_dir, "span_attrs", build)
+    # NOT separately cached: the explode is a streaming, shuffle-free
+    # expansion of the CACHED attr_map (one map per span → ~5 rows), so
+    # re-running it per consumer costs one pass over cached input —
+    # while caching the exploded form itself held rows×avg_attrs
+    # (112M rows at 30× sf0.1) in executor memory, evicting the layouts
+    # every query needs and making build times swing wildly. At scale
+    # the exploded GIN is a stored table (traces.sql:21-31), not a
+    # session cache.
+    return span_attr_map(spark, sf_dir).select(
+        "trace_id",
+        "span_id",
+        "timestamp_ns",
+        "duration",
+        F.explode("attrs").alias("key", "val"),
+    )
 
 
 def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +333,7 @@ def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables maintained at ingest, exactly like the reference's paired
     tempo_traces / tempo_traces_attrs_gin (traces.sql:7-31)."""
     orders = load_table(spark, sf_dir, "orders")
-    li = _lineitem_with_span_no(load_table(spark, sf_dir, "lineitem"))
+    li = _li_span_base(spark, sf_dir)
     root = orders.select(
         F.concat(F.lit("t"), F.col("o_orderkey").cast("string")).alias("trace_id"),
         F.concat(F.lit("s"), F.col("o_orderkey").cast("string"), F.lit("_0")).alias(
@@ -319,7 +361,7 @@ def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("quantity"), F.col("l_quantity").cast("string"),
         ).alias("attrs"),
     )
-    return _cached(spark, sf_dir, "span_attr_map", lambda: root.unionByName(child))
+    return _cached(spark, sf_dir, "span_attr_map", lambda: root.unionByName(child), fact=True)
 
 
 ANCESTOR_DEPTH_CONF = "spark.gigapipe.traceql.maxAncestorDepth"
@@ -346,6 +388,7 @@ def span_ancestors(
         sf_dir,
         f"span_ancestors@{max_depth}",
         lambda: ancestors_from_spans(spans(spark, sf_dir), max_depth),
+        fact=True,
     )
 
 

@@ -157,6 +157,10 @@ class StoreTraceQLContext(TraceQLContext):
     queries those tables directly, reader/service/tempo.go)."""
 
     catalog: Catalog | None = None
+    # the exploded GIN here is a real stored table: single-term
+    # selectors seek it with parquet key/val pushdown (see
+    # traceql.compiler.select_spans)
+    gin_is_stored: bool = True
 
     def spans(self) -> DataFrame:
         if self._spans is None:

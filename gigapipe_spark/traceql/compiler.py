@@ -60,6 +60,13 @@ class TraceQLContext:
     # lazily at the first broadcast decision
     complexity: int | None = None
     pending_spanset: object | None = None
+    # whether attrs() is a STORED exploded GIN (key/val predicates are
+    # index seeks with parquet pushdown — prefer it for single-term
+    # selectors, like the reference's attr_condition simple path) or a
+    # session view derived by exploding the cached attr map (the map
+    # scan is then strictly cheaper — no per-query explode). The
+    # store-backed context overrides this to True.
+    gin_is_stored: bool = False
 
     def spans(self) -> DataFrame:
         if self._spans is None:
@@ -138,13 +145,17 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
     if all(t.attr in _INTRINSIC_COLS for t in terms):
         cond = _build_direct_intrinsic(sel.expr)
         return ctx.spans().filter(cond).select("trace_id", "span_id")
-    attrs = ctx.attrs()
-    # single non-duration term: the attrs index holds exactly one row per
-    # (span, key), so the filtered index IS the span set — no bitmask,
-    # no groupBy shuffle (ref: the reference's planner likewise skips
-    # bitSet aggregation for one condition, attr_condition.go simple path)
-    if len(terms) == 1 and terms[0].attr != "duration":
-        return attrs.filter(_term_cond_on_attrs(terms[0])).select(
+    # single non-duration term: with a STORED exploded GIN the filtered
+    # index IS the span set — an index seek, no bitmask, no groupBy
+    # shuffle (ref: attr_condition.go simple path). When the GIN is a
+    # session view derived from the attr map, the map scan below is the
+    # same single cached pass WITHOUT the explode — fall through.
+    if (
+        ctx.gin_is_stored
+        and len(terms) == 1
+        and terms[0].attr != "duration"
+    ):
+        return ctx.attrs().filter(_term_cond_on_attrs(terms[0])).select(
             "trace_id", "span_id"
         )
     # multi-term selector: evaluate the boolean tree directly over the
@@ -236,7 +247,7 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
             terms = _collect_terms(sel.expr)
             if all(t.attr in _INTRINSIC_COLS for t in terms):
                 n = ctx.spans().filter(_build_direct_intrinsic(sel.expr)).count()
-            else:
+            elif ctx.gin_is_stored:
                 conds = None
                 for t in terms:
                     c = (
@@ -246,6 +257,14 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
                     )
                     conds = c if conds is None else (conds | c)
                 n = ctx.attrs().filter(conds).count()
+            else:
+                # session-view GIN: the same any-term upper bound over
+                # the cached attr MAP — one pass, no explode
+                conds = None
+                for t in terms:
+                    c = _build_map_cond(t)
+                    conds = c if conds is None else (conds | c)
+                n = ctx.attr_map().filter(conds).count()
         best = max(best, n)
     return best
 

@@ -93,8 +93,29 @@ def replicate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    # orders/lineitem feed the trace views (one trace per order, spans
+    # from lineitems — sources/views.spans): bump the order key per copy
+    # so every copy mints FRESH trace ids, scaling the span fact table
+    # and the ancestor closure with the factor (r11 cont.: without this
+    # the traceql family had no scale receipts at all)
+    key_bump = F.col("__copy") * 100_000_000
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        orders.crossJoin(copies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + key_bump)
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    (
+        li.crossJoin(copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") + key_bump)
+        .drop("__copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(src) or os.path.isfile(src):
             spark.read.parquet(src).write.mode("overwrite").parquet(
@@ -159,6 +180,13 @@ def main() -> None:
         "sim_ann_ivf",
         "sim_ann_pq",
         "dedup_embedding_cosine",
+        # r11 cont.: the trace family scales with the replicated
+        # orders/lineitem (fresh trace ids per copy) — structural ops
+        # exercise the frontier-doubling closure at factor× traces
+        "traceql_bitmask_and_or",
+        "traceql_descendant",
+        "traceql_sibling",
+        "traceql_metrics_quantile",
     ]
     if os.environ.get("SCALEPROBE_ONLY"):
         sel = set(os.environ["SCALEPROBE_ONLY"].split(","))
@@ -173,6 +201,13 @@ def main() -> None:
         run(name, sf_dir)  # warm caches/JIT for the small side
         s1 = run(name, sf_dir)
         sf_big = run(name, out_dir)
+        # second Fx run: steady-state with the session dimension caches
+        # built. For most operators warm == first; for the trace family
+        # the first run pays one-time view builds (the fixture analog of
+        # ingest-maintained stored tables), so the WARM ratio is the
+        # operator's actual scaling and sec_Fx − sec_Fx_warm is the
+        # build cost. Both are reported; receipts should cite warm.
+        sf_warm = run(name, out_dir)
         print(
             json.dumps(
                 {
@@ -180,7 +215,9 @@ def main() -> None:
                     "factor": factor,
                     "sec_1x": s1,
                     "sec_Fx": sf_big,
+                    "sec_Fx_warm": sf_warm,
                     "ratio": round(sf_big / max(s1, 1e-9), 1),
+                    "ratio_warm": round(sf_warm / max(s1, 1e-9), 1),
                 }
             ),
             flush=True,
