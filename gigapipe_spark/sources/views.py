@@ -305,21 +305,34 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded form was the dominant cold-start cost of every TraceQL
     metrics entry)."""
 
-    # NOT separately cached: the explode is a streaming, shuffle-free
-    # expansion of the CACHED attr_map (one map per span → ~5 rows), so
-    # re-running it per consumer costs one pass over cached input —
-    # while caching the exploded form itself held rows×avg_attrs
-    # (112M rows at 30× sf0.1) in executor memory, evicting the layouts
-    # every query needs and making build times swing wildly. At scale
-    # the exploded GIN is a stored table (traces.sql:21-31), not a
-    # session cache.
-    return span_attr_map(spark, sf_dir).select(
-        "trace_id",
-        "span_id",
-        "timestamp_ns",
-        "duration",
-        F.explode("attrs").alias("key", "val"),
-    )
+    # ADAPTIVELY cached: the explode multiplies the attr map by
+    # avg_attrs (~5×), so caching the exploded form of a LARGE corpus
+    # (112M rows at 30× sf0.1) pins gigabytes of redundant rows and
+    # costs a 30s+ one-time materialization, while deriving it per
+    # consumer is one streaming pass over the cached map. At dimension
+    # scale the cache is the right call (~0.2s/query measured at sf0.1);
+    # past the threshold, derive. At real scale the exploded GIN is a
+    # stored table (traces.sql:21-31), not a session cache — the store
+    # context reads that instead.
+    def build():
+        return span_attr_map(spark, sf_dir).select(
+            "trace_id",
+            "span_id",
+            "timestamp_ns",
+            "duration",
+            F.explode("attrs").alias("key", "val"),
+        )
+
+    key = (id(spark), sf_dir, "span_attrs_cacheable")
+    if key not in _dim_cache:
+        # one cheap count over the already-cached map decides the
+        # layout for the session
+        _dim_cache[key] = (
+            span_attr_map(spark, sf_dir).count() <= 5_000_000
+        )
+    if _dim_cache[key]:
+        return _cached(spark, sf_dir, "span_attrs", build, fact=True)
+    return build()
 
 
 def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
