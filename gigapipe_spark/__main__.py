@@ -15,6 +15,13 @@ set env vars, run the module, point agents at port 3100:
                                 fan-out table (the reference attaches
                                 ClickHouse TTL clauses instead —
                                 rotate.go:48-95; same policy surface)
+  BULK_MAX_AGE_MS               enable bulk ingest: push routes ack on
+                                enqueue and a flusher coalesces each
+                                window into ONE decode + fan-out (the
+                                reference writer's batching, default
+                                100 there; UNSET here = synchronous
+                                per-push fan-out, a stronger ack)
+  BULK_MAX_SIZE_BYTES           early-flush threshold (default 16 MiB)
   LOG_LEVEL                     debug | info | warn | error
 
 Spark-native additions (the ClickHouse connection vars have no analog —
@@ -41,9 +48,9 @@ the store IS a parquet root, not a server):
 Not mapped (documented divergence): CLICKHOUSE_* / CLUSTER_NAME /
 *_DIST (no ClickHouse), STORAGE_POLICY (tiering is exposed as
 maintenance.RotatePolicy for operators; a policy-name string has no
-portable meaning here), BULK_* (micro-batching belongs to the host's
-stream trigger), OMIT_CREATE_TABLES (parquet tables materialize on
-first append; there is no DDL step).
+portable meaning here), OMIT_CREATE_TABLES (parquet tables materialize
+on first append; there is no DDL step — the canonical schema registry
+makes a never-written table answer empty).
 
 MODE=init_only initializes the store root (directory + writer-lock
 probe, which also runs journal repair + compact-leftover healing) and
@@ -92,6 +99,12 @@ def config_from_env(env=None) -> dict:
         "rotate_interval_s": float(env.get("GIGAPIPE_ROTATE_INTERVAL_S", "3600")),
         "compact": env.get("GIGAPIPE_COMPACT", "1") == "1",
         "refresh_interval_s": float(env.get("GIGAPIPE_REFRESH_INTERVAL_S", "10")),
+        "bulk_max_age_ms": (
+            float(env["BULK_MAX_AGE_MS"]) if env.get("BULK_MAX_AGE_MS") else None
+        ),
+        "bulk_max_size_bytes": int(
+            env.get("BULK_MAX_SIZE_BYTES", str(16 * 1024 * 1024))
+        ),
         "log_level": _LOG_LEVELS.get(env.get("LOG_LEVEL", "info").lower(), logging.INFO),
     }
 
@@ -131,6 +144,8 @@ def build_gateway(cfg: dict, spark, port: int | None = None):
         allow_origin=cfg["allow_origin"],
         basic_auth=cfg["basic_auth"],
         mode=cfg["mode"],
+        bulk_max_age_ms=cfg.get("bulk_max_age_ms"),
+        bulk_max_size_bytes=cfg.get("bulk_max_size_bytes", 16 * 1024 * 1024),
     )
 
 

@@ -165,6 +165,12 @@ class _Handler(BaseHTTPRequestHandler):
     # MODE=all|reader|writer — which router set this process serves
     # (docs/configuration.md MODE / READONLY)
     mode = "all"
+    # optional BulkWriter (bulk.py): when set, bufferable push routes
+    # ack after enqueue and a flusher coalesces them into one decode +
+    # fan-out per BULK_MAX_AGE_MS window — the reference writer's
+    # batching contract. None = every push runs its own fan-out before
+    # the ack (stronger than the reference).
+    bulk = None
 
     def log_message(self, *a):  # quiet test output
         pass
@@ -1144,6 +1150,61 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
 
+    def _bulk_submit(self, path, q, body, is_pb, ctype) -> bool:
+        """Route one push into the BulkWriter (bulk.py), send the
+        route's reference ack, and return True; False when the route
+        isn't bufferable (multipart pyroscope, path-parameterized
+        elastic _doc, cf) — those fall through to the synchronous
+        fan-out. (_push_ok returns None, so the ack CANNOT double as
+        the handled signal — an early version did exactly that and ran
+        the synchronous fan-out a second time after the ack.)"""
+        b = self.bulk
+        if path == "/loki/api/v1/push":
+            b.submit("loki_pb" if is_pb else "loki_json", body)
+            self._push_ok(204)
+            return True
+        if path in (
+            "/api/prom/remote/write", "/api/v1/prom/remote/write",
+            "/v1/prom/remote/write", "/prom/remote/write", "/api/prom/push",
+        ):
+            b.submit("remote_write", body)
+            self._push_ok(204)
+            return True
+        if path == "/v1/logs":
+            b.submit("otlp_logs_pb" if is_pb else "otlp_logs_json", body)
+            self._push_ok(204)
+            return True
+        if path == "/v1/traces":
+            b.submit("otlp_traces_pb" if is_pb else "otlp_traces_json", body)
+            self._push_ok(200, b"{}")
+            return True
+        if path == "/api/v2/logs":
+            b.submit("datadog_logs", body)
+            self._push_ok(202, b"{}")
+            return True
+        if path == "/api/v2/series":
+            b.submit("datadog_metrics", body)
+            self._push_ok(202, b"{}")
+            return True
+        if path.startswith(("/influx", "/write")):
+            b.submit("influx", body)
+            self._push_ok(204)
+            return True
+        if path in ("/tempo/spans", "/api/v2/spans", "/tempo/api/push"):
+            b.submit(
+                "zipkin_ndjson" if "ndjson" in ctype else "zipkin_json", body
+            )
+            self._push_ok(202)
+            return True
+        if path.endswith("/_bulk"):
+            target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
+            b.submit("elastic_bulk", body, target=target or "unknown")
+            self._push_ok(
+                200, json.dumps({"took": 0, "errors": False}).encode()
+            )
+            return True
+        return False
+
     def _push(self, path: str, q: dict, cat) -> None:
         """Push-route router (writer/router/insert.go, prom.go:9-14,
         elastic.go:9-14, tempo.go:9-13, profile.go:10-12): body →
@@ -1161,6 +1222,10 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._body()
         ctype = self.headers.get("Content-Type", "")
         is_pb = "protobuf" in ctype or "octet-stream" in ctype
+        if self.bulk is not None and self._bulk_submit(
+            path, q, body, is_pb, ctype
+        ):
+            return None  # acked; the flusher owns decode + fan-out
 
         def _raw_bin():
             return e.spark.createDataFrame(
@@ -1515,6 +1580,8 @@ class HttpGateway:
         query_timeout_s: float | None = 30.0,
         basic_auth: tuple[str, str] | None = None,
         mode: str = "all",
+        bulk_max_age_ms: float | None = None,
+        bulk_max_size_bytes: int = 16 * 1024 * 1024,
     ):
         """`ruler_poll_sec` switches on the rule-evaluation loop — the
         reference's manager ticker goroutines (ruler/manager.go:183-195,
@@ -1541,6 +1608,20 @@ class HttpGateway:
         )
         if mode not in ("all", "reader", "writer"):
             raise ValueError(f"unknown MODE {mode!r}")
+        self.bulk = None
+        if (
+            bulk_max_age_ms is not None
+            and mode != "reader"
+            and getattr(engine, "catalog", None) is not None
+        ):
+            from gigapipe_spark.bulk import BulkWriter
+
+            self.bulk = BulkWriter(
+                engine,
+                max_age_ms=bulk_max_age_ms,
+                max_size_bytes=bulk_max_size_bytes,
+            )
+            handler.bulk = self.bulk
         self.engine = engine
         self.server = ThreadingHTTPServer((host, port), handler)
         self.server.daemon_threads = True
@@ -1578,5 +1659,7 @@ class HttpGateway:
         self._ruler_stop.set()
         if self._ruler_thread is not None:
             self._ruler_thread.join(timeout=5)
-        self.server.shutdown()
+        self.server.shutdown()  # stop accepting pushes FIRST...
         self.server.server_close()
+        if self.bulk is not None:
+            self.bulk.stop()  # ...then drain acked-but-unflushed pushes

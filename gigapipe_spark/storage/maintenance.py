@@ -189,6 +189,15 @@ def _rotate_locked(
                     rel = os.path.relpath(part_dir, catalog.path(table))
                     dest = os.path.join(dest_table, rel)
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    # a cross-filesystem move (the actual TO DISK case)
+                    # is copy+delete; a crash mid-copy leaves a partial
+                    # dest while the hot partition survives intact. On
+                    # re-run the hot copy is authoritative: drop the
+                    # partial dest first — shutil.move into an EXISTING
+                    # dir would otherwise nest date=X/date=X and corrupt
+                    # partition discovery.
+                    if os.path.exists(dest):
+                        shutil.rmtree(dest)
                     shutil.move(part_dir, dest)
                     moved.append(dest)
                     break

@@ -309,3 +309,27 @@ def test_rotate_covers_rollup_table(spark, tmp_path):
     rotate(spark, cat, drop_days=7, tables=ALL_TABLES,
            today=date.fromisoformat("2026-08-16"))
     assert cat.read(spark, "metrics_15s").count() == 0  # sidecar-backed
+
+
+def test_rotate_tier_move_overwrites_partial_dest(spark, tmp_path):
+    """A crashed cross-filesystem tier move leaves a partial dest while
+    the hot partition survives; re-running rotate must replace the
+    partial copy, not nest date=X/date=X inside it (shutil.move into an
+    existing dir nests)."""
+    import shutil as _sh
+
+    cat = _store(spark, tmp_path, ["2026-01-01"])
+    src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
+    dest = os.path.join(tier_root(cat, "cold"), "samples", "oid=0",
+                        "date=2026-01-01")
+    os.makedirs(dest)  # simulated partial copy from a crashed move
+    with open(os.path.join(dest, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    rotate(
+        spark, cat, drop_days=3650,
+        policies=(RotatePolicy(ttl_days=1, move_to="cold"),),
+        today=date.fromisoformat("2026-03-02"),
+    )
+    assert not os.path.isdir(src)
+    assert not os.path.isdir(os.path.join(dest, "date=2026-01-01"))  # no nesting
+    assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
