@@ -36,6 +36,11 @@ from urllib.parse import parse_qs, unquote, urlparse
 _WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 
+class UnsupportedEncoding(ValueError):
+    """Content-Encoding the reference rejects with a 400
+    (writer/controller/middleware.go default branch)."""
+
+
 def _labels_of(row) -> dict:
     lab = row["labels"] if "labels" in row.__fields__ else {}
     return dict(lab or {})
@@ -348,9 +353,43 @@ class _Handler(BaseHTTPRequestHandler):
     ) -> None:
         self._send_body(s.encode(), code, ctype)
 
+    # pb routes whose DECODERS own the snappy framing (protowire
+    # loki_push_pb / remote_write decompress per payload, with the
+    # decode-error accumulator catching bad bodies) — the gateway must
+    # not decompress these twice
+    _SNAPPY_NATIVE = (
+        "/loki/api/v1/push", "/api/prom/remote/write",
+        "/api/v1/prom/remote/write", "/v1/prom/remote/write",
+        "/prom/remote/write", "/api/prom/push",
+    )
+
     def _body(self) -> bytes:
+        """Request body with the reference's Content-Encoding handling
+        (writer/controller/middleware.go): gzip is decompressed here;
+        snappy is lenient — "sometimes senders just send uncompressed
+        data with content-encoding: snappy. Complete mess" — so a
+        failed snappy decode falls back to the raw bytes; anything else
+        is a 400 (raised as ValueError, mapped by the POST/PUT
+        handlers)."""
         n = int(self.headers.get("Content-Length", "0"))
-        return self.rfile.read(n) if n else b""
+        raw = self.rfile.read(n) if n else b""
+        enc = (self.headers.get("Content-Encoding") or "").strip().lower()
+        if not enc or enc == "identity" or not raw:
+            return raw
+        if enc == "gzip":
+            import gzip as _gzip
+
+            return _gzip.decompress(raw)
+        if enc == "snappy":
+            if urlparse(self.path).path in self._SNAPPY_NATIVE:
+                return raw  # the decoder owns the snappy framing
+            from gigapipe_spark.sources.protowire import snappy_uncompress
+
+            try:
+                return snappy_uncompress(raw)
+            except Exception:
+                return raw  # the reference's lenient fallback
+        raise UnsupportedEncoding(f"{enc} encoding not supported")
 
     def _default_error(self, code: int, msg: str) -> None:
         """Pyroscope-route error body (prof.go:370-374 defaultError):
@@ -1102,6 +1141,8 @@ class _Handler(BaseHTTPRequestHandler):
                     {"error": "push routes need a store-backed engine"}, 501
                 )
             return self._push(path, q, cat)
+        except UnsupportedEncoding as ex:
+            return self._json({"status": "error", "error": str(ex)}, 400)
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
 
@@ -1147,6 +1188,8 @@ class _Handler(BaseHTTPRequestHandler):
             if cat is not None and ("/_doc" in path or "/_create/" in path):
                 return self._push(path, q, cat)
             return self._json({"error": f"unknown route {path}"}, 404)
+        except UnsupportedEncoding as ex:
+            return self._json({"status": "error", "error": str(ex)}, 400)
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
 

@@ -956,3 +956,43 @@ def test_basic_auth_middleware(spark):
         assert code == 200
     finally:
         gw.stop()
+
+
+def test_push_body_content_encoding(gateway):
+    """Reference middleware parity (writer/controller/middleware.go):
+    gzip push bodies are decompressed, snappy on pb routes passes
+    through to the decoder's own framing, unsupported encodings 400."""
+    import gzip as _gzip
+    import urllib.error
+
+    base, _ = gateway
+    payload = json.dumps(
+        {"streams": [{"stream": {"app": "gz"},
+                      "values": [[str(T0 + 777), "gzipped line"]]}]}
+    ).encode()
+    req = urllib.request.Request(
+        base + "/loki/api/v1/push", data=_gzip.compress(payload),
+        method="POST",
+        headers={"Content-Encoding": "gzip",
+                 "Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 204
+    st, body = _get(
+        base,
+        "/loki/api/v1/query_range?query=%7Bapp%3D%22gz%22%7D",
+    )
+    assert st == 200
+    lines = [v[1] for s in body["data"]["result"] for v in s["values"]]
+    assert "gzipped line" in lines
+    # unsupported encoding → the reference's 400
+    req = urllib.request.Request(
+        base + "/loki/api/v1/push", data=b"x", method="POST",
+        headers={"Content-Encoding": "br"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+        assert "not supported" in ex.read().decode()
