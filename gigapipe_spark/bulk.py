@@ -235,7 +235,17 @@ class BulkWriter:
                 "payload string",
             )
         decoded = decoder(spark, df, params)
+        # per-group X-Ttl-Days (the header keys the group, so every
+        # payload here shares this TTL)
+        ttl = int(params.get("ttl_days", 0))
         if fanout == "spans":
+            if ttl > 0 and "ttl_days" in decoded.columns:
+                from pyspark.sql import functions as F
+
+                decoded = decoded.withColumn(
+                    "ttl_days",
+                    F.lit(ttl).cast(dict(decoded.dtypes)["ttl_days"]),
+                )
             spans_fanout(decoded, self.engine.catalog)
         else:
-            ingest_fanout(decoded, self.engine.catalog)
+            ingest_fanout(decoded, self.engine.catalog, ttl_days=ttl)

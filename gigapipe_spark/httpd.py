@@ -1193,6 +1193,12 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as ex:
             return self._json({"status": "error", "error": str(ex)}, 500)
 
+    def _ttl_days_header(self) -> int:
+        try:
+            return int(self.headers.get("X-Ttl-Days", "") or 0)
+        except ValueError:
+            return 0
+
     def _bulk_submit(self, path, q, body, is_pb, ctype) -> bool:
         """Route one push into the BulkWriter (bulk.py), send the
         route's reference ack, and return True; False when the route
@@ -1202,46 +1208,54 @@ class _Handler(BaseHTTPRequestHandler):
         the handled signal — an early version did exactly that and ran
         the synchronous fan-out a second time after the ack.)"""
         b = self.bulk
+        # a nonzero X-Ttl-Days keys the buffer group (different TTLs
+        # must not merge) and overrides ttl_days at flush
+        _ttl = self._ttl_days_header()
+        tp = {"ttl_days": str(_ttl)} if _ttl > 0 else {}
+
+        def submit(kind, payload, **extra):
+            b.submit(kind, payload, **{**tp, **extra})
+
         if path == "/loki/api/v1/push":
-            b.submit("loki_pb" if is_pb else "loki_json", body)
+            submit("loki_pb" if is_pb else "loki_json", body)
             self._push_ok(204)
             return True
         if path in (
             "/api/prom/remote/write", "/api/v1/prom/remote/write",
             "/v1/prom/remote/write", "/prom/remote/write", "/api/prom/push",
         ):
-            b.submit("remote_write", body)
+            submit("remote_write", body)
             self._push_ok(204)
             return True
         if path == "/v1/logs":
-            b.submit("otlp_logs_pb" if is_pb else "otlp_logs_json", body)
+            submit("otlp_logs_pb" if is_pb else "otlp_logs_json", body)
             self._push_ok(204)
             return True
         if path == "/v1/traces":
-            b.submit("otlp_traces_pb" if is_pb else "otlp_traces_json", body)
+            submit("otlp_traces_pb" if is_pb else "otlp_traces_json", body)
             self._push_ok(200, b"{}")
             return True
         if path == "/api/v2/logs":
-            b.submit("datadog_logs", body)
+            submit("datadog_logs", body)
             self._push_ok(202, b"{}")
             return True
         if path == "/api/v2/series":
-            b.submit("datadog_metrics", body)
+            submit("datadog_metrics", body)
             self._push_ok(202, b"{}")
             return True
         if path.startswith(("/influx", "/write")):
-            b.submit("influx", body)
+            submit("influx", body)
             self._push_ok(204)
             return True
         if path in ("/tempo/spans", "/api/v2/spans", "/tempo/api/push"):
-            b.submit(
+            submit(
                 "zipkin_ndjson" if "ndjson" in ctype else "zipkin_json", body
             )
             self._push_ok(202)
             return True
         if path.endswith("/_bulk"):
             target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
-            b.submit("elastic_bulk", body, target=target or "unknown")
+            submit("elastic_bulk", body, target=target or "unknown")
             self._push_ok(
                 200, json.dumps({"took": 0, "errors": False}).encode()
             )
@@ -1259,7 +1273,34 @@ class _Handler(BaseHTTPRequestHandler):
             # (docs/configuration.md MODE=reader / READONLY)
             return self._json({"error": f"unknown route {path}"}, 404)
         from gigapipe_spark.sources import ingest
-        from gigapipe_spark.storage.writer import ingest_fanout, spans_fanout
+        from gigapipe_spark.storage.writer import (
+            ingest_fanout as _raw_ingest_fanout,
+            spans_fanout as _raw_spans_fanout,
+        )
+
+        # X-Ttl-Days header → per-request row TTL override (the
+        # reference's middleware threads it as ContextKeyTTLDays,
+        # writer/controller/middleware.go:167-173; unparsable → 0).
+        # Shadowing the fan-outs keeps every route's call site as-is.
+        ttl_hdr = self._ttl_days_header()
+
+        def _with_ttl(decoded):
+            if ttl_hdr > 0 and "ttl_days" in decoded.columns:
+                from pyspark.sql import functions as F
+
+                return decoded.withColumn(
+                    "ttl_days",
+                    F.lit(ttl_hdr).cast(dict(decoded.dtypes)["ttl_days"]),
+                )
+            return decoded
+
+        def ingest_fanout(decoded, cat, **kw):
+            return _raw_ingest_fanout(
+                decoded, cat, ttl_days=ttl_hdr, **kw
+            )
+
+        def spans_fanout(decoded, cat, **kw):
+            return _raw_spans_fanout(_with_ttl(decoded), cat, **kw)
 
         e = self.engine
         body = self._body()

@@ -406,6 +406,7 @@ def ingest_fanout(
     catalog: Catalog,
     mine_patterns: bool = True,
     commit_marker: str | None = None,
+    ttl_days: int = 0,
 ) -> None:
     """One decoded batch → samples + time_series + gin (the MV layer).
 
@@ -423,7 +424,15 @@ def ingest_fanout(
     from gigapipe_spark.telemetry import observed_write
 
     if "metadata" not in batch.columns:
-        batch = finalize_entries(batch)
+        # `ttl_days` is the writer-level TTL (the gateway threads the
+        # X-Ttl-Days header here, middleware.go ContextKeyTTLDays);
+        # finalize applies the reference's precedence (nonzero writer
+        # TTL wins over the __ttl_days__ label)
+        batch = finalize_entries(batch, ttl_days=ttl_days)
+    elif ttl_days > 0 and "ttl_days" in batch.columns:
+        batch = batch.withColumn(
+            "ttl_days", F.lit(ttl_days).cast(dict(batch.dtypes)["ttl_days"])
+        )
 
     # Materialize the decoded batch once and TRUNCATE its logical plan:
     # the fan-out runs three write jobs over it, and each would otherwise

@@ -996,3 +996,44 @@ def test_push_body_content_encoding(gateway):
     except urllib.error.HTTPError as ex:
         assert ex.code == 400
         assert "not supported" in ex.read().decode()
+
+
+def test_push_ttl_days_header(spark, tmp_path):
+    """X-Ttl-Days stamps every row of the push with the request's TTL
+    (middleware.go:167-173 ContextKeyTTLDays); rows without the header
+    keep the decoder's default, and the bulk path keys groups by TTL so
+    different TTLs never merge."""
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog
+
+    root = str(tmp_path / "store")
+    cat = Catalog(root)
+    gw = HttpGateway(StoreEngine(spark, root, catalog=cat))
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for hdrs, line in (
+            ({"X-Ttl-Days": "14"}, "ttl line"),
+            ({}, "default line"),
+            ({"X-Ttl-Days": "bogus"}, "bogus line"),
+        ):
+            payload = json.dumps(
+                {"streams": [{"stream": {"app": "ttlh"},
+                              "values": [[str(T0 + 888), line]]}]}
+            ).encode()
+            req = urllib.request.Request(
+                base + "/loki/api/v1/push", data=payload, method="POST",
+                headers=hdrs,
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 204
+        rows = {
+            r["string"]: r["ttl_days"]
+            for r in cat.read(spark, "samples").collect()
+        }
+        assert rows["ttl line"] == 14
+        assert rows["default line"] == 0
+        assert rows["bogus line"] == 0  # unparsable header → default
+    finally:
+        gw.stop()
