@@ -1306,8 +1306,18 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._body()
         ctype = self.headers.get("Content-Type", "")
         is_pb = "protobuf" in ctype or "octet-stream" in ctype
-        if self.bulk is not None and self._bulk_submit(
-            path, q, body, is_pb, ctype
+        # X-Async-Insert (middleware.go getAsyncMode): with bulk
+        # configured every push is async by default; "false"/"0" forces
+        # this request through the synchronous fan-out (the reference's
+        # INSERT_MODE_SYNC), e.g. a client that needs a durable ack.
+        sync_requested = (
+            self.headers.get("X-Async-Insert", "").strip().lower()
+            in ("false", "0")
+        )
+        if (
+            self.bulk is not None
+            and not sync_requested
+            and self._bulk_submit(path, q, body, is_pb, ctype)
         ):
             return None  # acked; the flusher owns decode + fan-out
 

@@ -132,3 +132,18 @@ def test_bulk_bad_group_does_not_poison_others(spark, bulk_gateway):
             break
         time.sleep(0.1)
     assert cat.read(spark, "samples").count() >= 1
+
+
+def test_async_insert_false_forces_sync(spark, bulk_gateway):
+    """X-Async-Insert: false routes one request through the synchronous
+    fan-out even with bulk configured (middleware.go getAsyncMode
+    INSERT_MODE_SYNC) — the row is queryable the moment the ack lands."""
+    gw, base, cat = bulk_gateway
+    req = urllib.request.Request(
+        base + "/loki/api/v1/push", data=_loki(7), method="POST",
+        headers={"X-Async-Insert": "false"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 204
+    # no flush wait: the synchronous path already wrote it
+    assert cat.read(spark, "samples").count() == 1
