@@ -213,12 +213,15 @@ class BulkWriter:
                 )
         if wrote:
             self.flushes += 1
-            # same freshness hook the synchronous push path calls
-            inval = getattr(self.engine, "_invalidate_contexts", None) or getattr(
-                self.engine, "refresh", None
-            )
-            if inval is not None:
-                inval()
+            # same freshness hook the synchronous push path triggers
+            # (httpd._invalidate_contexts): refresh() on store engines,
+            # else drop the memoized contexts directly
+            if hasattr(self.engine, "refresh"):
+                self.engine.refresh()
+            else:
+                for attr in ("_logctx", "_promctx", "_tracectx"):
+                    if hasattr(self.engine, attr):
+                        setattr(self.engine, attr, None)
 
     def _flush_group(self, kind: str, params: dict, payloads: list[bytes]) -> None:
         from gigapipe_spark.storage.writer import ingest_fanout, spans_fanout
