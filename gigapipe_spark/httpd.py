@@ -383,6 +383,17 @@ class _Handler(BaseHTTPRequestHandler):
         if enc == "snappy":
             if urlparse(self.path).path in self._SNAPPY_NATIVE:
                 return raw  # the decoder owns the snappy framing
+            # decoded-length preamble varint check BEFORE allocating
+            # (middleware.go withUnsnappyRequest: >10 MiB → 400
+            # "body is too long")
+            dlen, shift = 0, 0
+            for i in range(min(len(raw), 5)):
+                dlen |= (raw[i] & 0x7F) << shift
+                shift += 7
+                if not raw[i] & 0x80:
+                    break
+            if dlen > 10 * 1024 * 1024:
+                raise UnsupportedEncoding("body is too long")
             from gigapipe_spark.sources.protowire import snappy_uncompress
 
             try:
@@ -521,7 +532,18 @@ class _Handler(BaseHTTPRequestHandler):
             if path == "/config":
                 return self._text(e.config())
             if path == "/metrics":
-                return self._text(e.metrics())
+                body = e.metrics()
+                if self.bulk is not None:
+                    b = self.bulk
+                    body += (
+                        "# TYPE bulk_flush_cycles_total counter\n"
+                        f"bulk_flush_cycles_total {b.flushes}\n"
+                        "# TYPE bulk_flush_errors_total counter\n"
+                        f"bulk_flush_errors_total {b.errors}\n"
+                        "# TYPE bulk_queue_bytes gauge\n"
+                        f"bulk_queue_bytes {b._size}\n"
+                    )
+                return self._text(body)
             if path == "/api/echo":
                 return self._text(e.tempo_echo())
             if path in ("/influx/health", "/influx/api/v2/write/health"):

@@ -147,3 +147,13 @@ def test_async_insert_false_forces_sync(spark, bulk_gateway):
         assert r.status == 204
     # no flush wait: the synchronous path already wrote it
     assert cat.read(spark, "samples").count() == 1
+
+
+def test_metrics_exposes_bulk_counters(bulk_gateway):
+    """/metrics grows the bulk flush/error/queue series when bulk is
+    configured — observability for the new async window."""
+    gw, base, cat = bulk_gateway
+    with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+        text = r.read().decode()
+    assert "bulk_flush_cycles_total" in text
+    assert "bulk_queue_bytes" in text

@@ -1037,3 +1037,23 @@ def test_push_ttl_days_header(spark, tmp_path):
         assert rows["bogus line"] == 0  # unparsable header → default
     finally:
         gw.stop()
+
+
+def test_snappy_body_too_long_400(gateway):
+    """Snappy-labeled body on a non-pb route whose preamble declares
+    >10 MiB decoded length gets the reference's 400 'body is too long'
+    (middleware.go withUnsnappyRequest)."""
+    import urllib.error
+
+    base, _ = gateway
+    preamble = bytes([0x80, 0x80, 0x80, 0x08])  # varint: 16 MiB
+    req = urllib.request.Request(
+        base + "/influx/write", data=preamble + b"xx", method="POST",
+        headers={"Content-Encoding": "snappy"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+        assert "too long" in ex.read().decode()
