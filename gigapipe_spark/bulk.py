@@ -151,7 +151,9 @@ class BulkWriter:
         max_size_bytes: int = 16 * 1024 * 1024,
     ):
         self.engine = engine
-        self.max_age_s = max_age_ms / 1000.0
+        # floor at 10ms: age 0 ("flush asap") must not busy-spin the
+        # flusher thread between flushes
+        self.max_age_s = max(max_age_ms, 10.0) / 1000.0
         self.max_size = max_size_bytes
         self._buf: dict[tuple, list[bytes]] = {}
         self._size = 0
