@@ -299,6 +299,7 @@ def _regression_verdict(cur: dict) -> dict:
     ) or 0.10
     margin = max(0.30, 2.0 * (h_prev + h_cur))
     flagged = []
+    cold_findings = []
     cal = float(cur.get("calibration", 0.0)) or None
     warm50 = cur.get("warm_queries_p50") or {}
     for name, c in (cur.get("queries_normalized") or {}).items():
@@ -310,9 +311,14 @@ def _regression_verdict(cur: dict) -> dict:
             # probe band can't see (measured: logql_json_label_filter
             # cold swung 1.52–2.16 s while its A/B median IMPROVED).
             # A real regression slows the warm path too — confirm
-            # against warm p50 before declaring one.
+            # against warm p50 before declaring one... but a COLD-ONLY
+            # move is still what a fresh dashboard user feels: record
+            # it in cold_findings (VERDICT r11 task 5 — the r11 traceql
+            # trio sailed through this clause unflagged). cold_findings
+            # informs, flagged fails.
             w = warm50.get(name)
             if cal and w is not None and (w / cal) <= p * (1.0 + margin):
+                cold_findings.append(f"{name}: {p} -> {c} cold normalized")
                 continue
             flagged.append(f"{name}: {p} -> {c} normalized")
     cur_norm = cur.get("normalized")
@@ -325,6 +331,7 @@ def _regression_verdict(cur: dict) -> dict:
     return {
         "status": "regression" if flagged else "ok",
         "flagged": flagged,
+        "cold_findings": cold_findings,
         "prev": os.path.basename(prev_path),
         "margin": round(margin, 3),
     }

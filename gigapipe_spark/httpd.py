@@ -377,9 +377,20 @@ class _Handler(BaseHTTPRequestHandler):
         if not enc or enc == "identity" or not raw:
             return raw
         if enc == "gzip":
-            import gzip as _gzip
+            # streaming decompress with a decoded-size cap: gzip
+            # amplifies ~1000×, so a kilobytes-sized bomb body would
+            # otherwise inflate fully in memory on any push route —
+            # the same asymmetric-DoS shape the snappy preamble check
+            # below closes. 100 MiB comfortably clears any legitimate
+            # single push body.
+            import zlib as _zlib
 
-            return _gzip.decompress(raw)
+            cap = 100 * 1024 * 1024
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            out = d.decompress(raw, cap)
+            if d.unconsumed_tail:
+                raise UnsupportedEncoding("body is too long")
+            return out
         if enc == "snappy":
             if urlparse(self.path).path in self._SNAPPY_NATIVE:
                 return raw  # the decoder owns the snappy framing
@@ -1113,8 +1124,16 @@ class _Handler(BaseHTTPRequestHandler):
         if path in self._FORM_POST_ROUTES:
             # merge the urlencoded body over the URL params and run the
             # same handler as GET (the reference's controller reads
-            # r.FormValue, which does exactly this merge)
-            body_q = parse_qs(self._body().decode("utf-8", "replace"))
+            # r.FormValue, which does exactly this merge). The body
+            # read is guarded: an unsupported Content-Encoding or a
+            # torn gzip body must answer the same 400 JSON every other
+            # POST path returns, not a dropped connection.
+            try:
+                body_q = parse_qs(self._body().decode("utf-8", "replace"))
+            except Exception as ex:
+                return self._json(
+                    {"status": "error", "error": str(ex)}, 400
+                )
             merged = {**q, **body_q}
             from urllib.parse import urlencode
 
@@ -1166,7 +1185,19 @@ class _Handler(BaseHTTPRequestHandler):
         except UnsupportedEncoding as ex:
             return self._json({"status": "error", "error": str(ex)}, 400)
         except Exception as ex:
-            return self._json({"status": "error", "error": str(ex)}, 500)
+            return self._bulk_or_500(ex)
+
+    def _bulk_or_500(self, ex: Exception) -> None:
+        """Map bulk pre-enqueue failures to their status: malformed →
+        400 (reference-parity decode-before-ack), buffer full → 503
+        (shed load, client retries); anything else keeps the 500."""
+        from gigapipe_spark.bulk import BulkOverflow, BulkValidationError
+
+        if isinstance(ex, BulkValidationError):
+            return self._json({"status": "error", "error": str(ex)}, 400)
+        if isinstance(ex, BulkOverflow):
+            return self._json({"status": "error", "error": str(ex)}, 503)
+        return self._json({"status": "error", "error": str(ex)}, 500)
 
     def do_DELETE(self) -> None:
         """Ruler deletes: DELETE /rules/{namespace} tombstones every
@@ -1213,7 +1244,7 @@ class _Handler(BaseHTTPRequestHandler):
         except UnsupportedEncoding as ex:
             return self._json({"status": "error", "error": str(ex)}, 400)
         except Exception as ex:
-            return self._json({"status": "error", "error": str(ex)}, 500)
+            return self._bulk_or_500(ex)
 
     def _ttl_days_header(self) -> int:
         try:
@@ -1224,18 +1255,26 @@ class _Handler(BaseHTTPRequestHandler):
     def _bulk_submit(self, path, q, body, is_pb, ctype) -> bool:
         """Route one push into the BulkWriter (bulk.py), send the
         route's reference ack, and return True; False when the route
-        isn't bufferable (multipart pyroscope, path-parameterized
-        elastic _doc, cf) — those fall through to the synchronous
+        isn't bufferable — those fall through to the synchronous
         fan-out. (_push_ok returns None, so the ack CANNOT double as
         the handled signal — an early version did exactly that and ran
-        the synchronous fan-out a second time after the ack.)"""
+        the synchronous fan-out a second time after the ack.)
+
+        Each submit VALIDATES syntactically first (bulk.validate) —
+        malformed bodies 400 before the ack, matching the reference's
+        decode-before-ack contract — and a buffer past its hard cap
+        503s (BulkOverflow) instead of buffering unboundedly; both
+        raise out of here and are mapped by do_POST's handler."""
         b = self.bulk
+        from gigapipe_spark.bulk import validate as _validate
+
         # a nonzero X-Ttl-Days keys the buffer group (different TTLs
         # must not merge) and overrides ttl_days at flush
         _ttl = self._ttl_days_header()
         tp = {"ttl_days": str(_ttl)} if _ttl > 0 else {}
 
         def submit(kind, payload, **extra):
+            _validate(kind, payload)
             b.submit(kind, payload, **{**tp, **extra})
 
         if path == "/loki/api/v1/push":
@@ -1282,7 +1321,93 @@ class _Handler(BaseHTTPRequestHandler):
                 200, json.dumps({"took": 0, "errors": False}).encode()
             )
             return True
+        if path == "/cf/v1/insert":
+            submit("datadog_cf", body,
+                   ddsource=q.get("ddsource", ["unknown"])[0])
+            self._push_ok(202, b"{}")
+            return True
+        if "/_doc" in path or "/_create/" in path:
+            parts = [p for p in path.split("/") if p]
+            target = parts[0] if parts else "unknown"
+            doc_id = (
+                parts[2]
+                if len(parts) > 2 and parts[1] in ("_doc", "_create")
+                else None
+            )
+            extra = {"target": target}
+            if doc_id is not None:
+                extra["doc_id"] = doc_id
+            submit("elastic_doc", body, **extra)
+            self._push_ok(
+                200, json.dumps({"took": 0, "errors": False}).encode()
+            )
+            return True
+        if path == "/ingest":
+            return self._bulk_submit_pyroscope(q, body, ctype, submit)
+        if path == "/v1development/profiles":
+            if "application/json" in ctype:
+                self._json(
+                    {"error": "OTLP profiles: JSON not supported, "
+                              "use application/x-protobuf"},
+                    415,
+                )
+                return True
+            submit("otlp_profiles", body)
+            self._push_ok(200, b"{}")
+            return True
         return False
+
+    def _bulk_submit_pyroscope(self, q, body, ctype, submit) -> bool:
+        """Pyroscope /ingest into the bulk buffer: param validation and
+        multipart extraction stay in the request path (400s must
+        precede the ack); the per-push metadata rides WITH the pprof
+        body via bulk.frame_profile so pushes with different
+        from/name/until still coalesce — the group is keyed only by
+        (sampleType, sampleUnit), which agent fleets hold constant."""
+        from gigapipe_spark.bulk import frame_profile
+        from gigapipe_spark.sources.ingest import (
+            parse_pyroscope_name,
+            pyroscope_ingest_ns,
+        )
+
+        for p in ("from", "name", "until"):
+            if p not in q:
+                self._json({"error": f"please provide {p} value"}, 400)
+                return True
+        try:
+            service, tags = parse_pyroscope_name(q["name"][0])
+            start = pyroscope_ingest_ns(int(q["from"][0]))
+            end = pyroscope_ingest_ns(int(q["until"][0]))
+        except ValueError as ex:
+            self._json({"error": str(ex)}, 400)
+            return True
+        if "multipart/form-data" in ctype:
+            body = _multipart_first_file(body, ctype)
+        # pprof bodies are gzip (magic-checked) or bare protobuf
+        # (wire-scanned) — malformed 400s before the ack
+        from gigapipe_spark.bulk import BulkValidationError, _pb_wire_ok
+
+        try:
+            if not body[:2] == b"\x1f\x8b":
+                _pb_wire_ok(body)
+        except BulkValidationError as ex:
+            self._json({"error": str(ex)}, 400)
+            return True
+        meta = {
+            "service": service,
+            "tags": tags,
+            "start": start,
+            "end": end,
+            "spy": q.get("spyName", ["process_cpu"])[0],
+        }
+        submit(
+            "pyroscope",
+            frame_profile(meta, body),
+            sample_type=q.get("sampleType", ["cpu"])[0],
+            sample_unit=q.get("sampleUnit", ["nanoseconds"])[0],
+        )
+        self._push_ok(200, b"{}")
+        return True
 
     def _push(self, path: str, q: dict, cat) -> None:
         """Push-route router (writer/router/insert.go, prom.go:9-14,

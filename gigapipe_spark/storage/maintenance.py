@@ -189,20 +189,63 @@ def _rotate_locked(
                     rel = os.path.relpath(part_dir, catalog.path(table))
                     dest = os.path.join(dest_table, rel)
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
-                    # a cross-filesystem move (the actual TO DISK case)
-                    # is copy+delete; a crash mid-copy leaves a partial
-                    # dest while the hot partition survives intact. On
-                    # re-run the hot copy is authoritative: drop the
-                    # partial dest first — shutil.move into an EXISTING
-                    # dir would otherwise nest date=X/date=X and corrupt
-                    # partition discovery.
-                    if os.path.exists(dest):
-                        shutil.rmtree(dest)
-                    shutil.move(part_dir, dest)
+                    _tier_move(part_dir, dest)
                     moved.append(dest)
                     break
     put_setting(spark, catalog, "rotate", "policy", policy_str)
     return {"dropped": dropped, "moved": moved, "skipped": []}
+
+
+def _tier_move(part_dir: str, dest: str) -> None:
+    """Crash-safe TO-DISK partition move with late-arrival merge.
+
+    Invariant: `dest` exists ⟺ a move COMPLETED (it only ever appears
+    via atomic rename of a fully-copied `dest + '.tier_tmp'`). That
+    removes the old ambiguity where an existing dest could be either a
+    torn copy (hot authoritative) or a finished prior move that a
+    backfill push re-created the hot partition after — the old code
+    rmtree'd dest unconditionally and silently lost the already-tiered
+    day's committed data when late rows arrived.
+
+      dest missing  → same-fs: one atomic os.rename (no crash window);
+                      cross-fs: copytree to dest.tier_tmp, atomic
+                      rename, then delete the hot copy. A crash at any
+                      point leaves either the hot partition intact
+                      (partial tmp is dropped on re-run — the hot copy
+                      stays untouched until AFTER the rename) or a
+                      complete dest plus a hot leftover, which the
+                      merge branch below absorbs idempotently.
+      dest exists   → completed prior move + late-arriving hot rows:
+                      MERGE file-by-file. Spark part filenames embed a
+                      task UUID, so a same-named file in dest is the
+                      crash-before-source-delete leftover of the very
+                      file already tiered — drop the hot copy; any
+                      other file moves in under its own (unique) name.
+                      Never rmtree dest.
+    """
+    tmp = dest + ".tier_tmp"
+    if os.path.isdir(tmp):
+        # partial copy from a crashed prior rotate; the hot partition
+        # was never touched before the rename, so it is authoritative
+        shutil.rmtree(tmp)
+    if os.path.isdir(dest):
+        for name in os.listdir(part_dir):
+            src = os.path.join(part_dir, name)
+            dst = os.path.join(dest, name)
+            if os.path.exists(dst):
+                (shutil.rmtree if os.path.isdir(src) else os.remove)(src)
+            else:
+                shutil.move(src, dst)
+        shutil.rmtree(part_dir)
+        return
+    try:
+        os.rename(part_dir, dest)  # same-filesystem: atomic, done
+        return
+    except OSError:
+        pass  # EXDEV — the actual TO DISK cross-device case
+    shutil.copytree(part_dir, tmp)
+    os.rename(tmp, dest)
+    shutil.rmtree(part_dir)
 
 
 def _expired(

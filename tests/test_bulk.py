@@ -157,3 +157,201 @@ def test_metrics_exposes_bulk_counters(bulk_gateway):
         text = r.read().decode()
     assert "bulk_flush_cycles_total" in text
     assert "bulk_queue_bytes" in text
+
+
+def _wait_flushed(gw, timeout=60):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if not gw.bulk._buf and gw.bulk.flushes >= 1:
+            return
+        time.sleep(0.1)
+    raise AssertionError("bulk never flushed")
+
+
+def test_bulk_overflow_503(spark, tmp_path):
+    """Backpressure: past the hard cap (OVERFLOW_FACTOR × max_size) the
+    route sheds load with 503 instead of growing the heap — a burst
+    faster than flush throughput must not OOM the gateway."""
+    import urllib.error
+
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog
+
+    root = str(tmp_path / "store")
+    eng = StoreEngine(spark, root, catalog=Catalog(root))
+    gw = HttpGateway(eng, bulk_max_age_ms=60_000.0,
+                     bulk_max_size_bytes=1024)
+    gw.bulk.flush_now = lambda: None  # simulate a stalled/slow flush
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = _loki(0)
+        cap = gw.bulk.max_size * gw.bulk.OVERFLOW_FACTOR
+        got_503 = False
+        for _ in range(cap // len(body) + 2):
+            try:
+                _post(base, "/loki/api/v1/push", body)
+            except urllib.error.HTTPError as ex:
+                assert ex.code == 503
+                got_503 = True
+                break
+        assert got_503
+        assert gw.bulk.rejected >= 1
+        assert gw.bulk._size <= cap  # heap stayed bounded
+    finally:
+        gw.bulk._stop.set()
+        gw.bulk._wake.set()
+        gw._httpd.shutdown() if hasattr(gw, "_httpd") else None
+
+
+def test_bulk_malformed_payload_400(spark, bulk_gateway):
+    """Reference-parity decode-before-ack: a syntactically broken body
+    400s in the request path and is NEVER enqueued (the reference runs
+    unmarshal before the ack, writer/utils/unmarshal/unmarshal.go:36)."""
+    import urllib.error
+
+    gw, base, cat = bulk_gateway
+    for path, body, ctype in [
+        ("/loki/api/v1/push", b"{not json", "application/json"),
+        ("/v1/logs", b"[1,2,3]", "application/json"),  # wrong JSON shape
+        ("/es1/_bulk", b'{"ok":1}\nnot-json\n', "application/x-ndjson"),
+        ("/influx/write", b"no_equals_or_space", "text/plain"),
+        ("/v1/traces", b"\x07\x08garbage-pb", "application/x-protobuf"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, path, body, ctype)
+        assert ei.value.code == 400, path
+    assert not gw.bulk._buf  # nothing was enqueued
+    assert gw.bulk._size == 0
+
+
+def test_bulk_poison_payload_isolated(spark, bulk_gateway):
+    """One poison payload in a group must not drop its co-batched
+    neighbors' acked data: the flush bisects down to the single failing
+    payload and lands the rest."""
+    gw, base, cat = bulk_gateway
+    bw = gw.bulk
+    orig = bw._flush_group
+
+    def flaky(kind, params, payloads):
+        if any(b"POISON" in p for p in payloads):
+            raise RuntimeError("poisoned payload")
+        return orig(kind, params, payloads)
+
+    bw._flush_group = flaky
+    # 4 good + 1 poison in ONE group (ack order precedes the window)
+    for i in range(4):
+        bw.submit("loki_json", _loki(i))
+    bw.submit("loki_json", b'{"POISON": true}')
+    bw._wake.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if bw.dropped_payloads >= 1 and not bw._buf:
+            break
+        time.sleep(0.1)
+    assert bw.dropped_payloads == 1
+    assert cat.read(spark, "samples").count() == 4  # good ones landed
+
+
+def test_bulk_flusher_survives_refresh_exception(spark, bulk_gateway):
+    """A refresh()/context-drop exception after a flush must not kill
+    the flusher thread — later pushes still flush (the round-11 failure
+    mode: thread dies, every push acked + buffered forever)."""
+    gw, base, cat = bulk_gateway
+    calls = {"n": 0}
+
+    def bad_refresh():
+        calls["n"] += 1
+        raise RuntimeError("refresh boom")
+
+    gw.bulk.engine.refresh = bad_refresh
+    assert _post(base, "/loki/api/v1/push", _loki(0)) == 204
+    _wait_flushed(gw)
+    assert calls["n"] >= 1
+    assert gw.bulk._thread.is_alive()
+    assert _post(base, "/loki/api/v1/push", _loki(1)) == 204
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if cat.read(spark, "samples").count() == 2:
+            break
+        time.sleep(0.2)
+    assert cat.read(spark, "samples").count() == 2
+
+
+def test_bulk_cf_and_elastic_doc_routes(spark, bulk_gateway):
+    """The round-12 kinds: Datadog CF and elastic _doc go through the
+    buffer (enqueue-speed ack) and land via the flusher."""
+    gw, base, cat = bulk_gateway
+    assert _post(base, "/cf/v1/insert?ddsource=cfsrc",
+                 b"line one\nline two\n", "text/plain") == 202
+    assert _post(base, "/myidx/_doc/42",
+                 json.dumps({"message": "doc body"}).encode()) == 200
+    _wait_flushed(gw)
+    assert gw.bulk.errors == 0
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if cat.read(spark, "samples").count() >= 3:
+            break
+        time.sleep(0.2)
+    assert cat.read(spark, "samples").count() == 3  # 2 cf lines + 1 doc
+
+
+def test_bulk_pyroscope_ingest_coalesces(spark, bulk_gateway):
+    """N pyroscope /ingest pushes with DIFFERENT names/windows coalesce
+    into one group (metadata rides with the payload; the group is keyed
+    only by sampleType/sampleUnit) and each profile stays queryable."""
+    import urllib.parse
+
+    from tests.test_httpd import _pprof_gz_body
+
+    gw, base, cat = bulk_gateway
+    body = _pprof_gz_body()
+    for i in range(3):
+        name = urllib.parse.quote(f"bulkapp{i}{{env=bulk{i}}}")
+        st = _post(
+            base,
+            f"/ingest?name={name}&from={1700000000 + i}&until={1700000010 + i}",
+            body, "binary/octet-stream",
+        )
+        assert st == 200
+    _wait_flushed(gw)
+    assert gw.bulk.errors == 0
+    profs = cat.read(spark, "profiles")
+    assert profs.count() == 3
+    svcs = {r["service_name"] for r in
+            profs.select("service_name").collect()}
+    assert svcs == {"bulkapp0", "bulkapp1", "bulkapp2"}
+
+
+def test_bulk_pyroscope_malformed_400(spark, bulk_gateway):
+    """A non-gzip, non-protobuf body on /ingest 400s before the ack."""
+    import urllib.error
+    import urllib.parse
+
+    gw, base, cat = bulk_gateway
+    name = urllib.parse.quote("badapp{}")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base,
+              f"/ingest?name={name}&from=1700000000&until=1700000010",
+              b"\x07\x08not-a-pprof", "binary/octet-stream")
+    assert ei.value.code == 400
+    assert not gw.bulk._buf
+
+
+def test_bulk_otlp_profiles_route(spark, bulk_gateway):
+    """OTLP profiles push lands through the buffer; JSON still 415s in
+    the request path."""
+    import urllib.error
+
+    from tests.test_protowire import _otlp_profile_body
+
+    gw, base, cat = bulk_gateway
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/v1development/profiles", b"{}", "application/json")
+    assert ei.value.code == 415
+    assert _post(base, "/v1development/profiles", _otlp_profile_body(),
+                 "application/x-protobuf") == 200
+    _wait_flushed(gw)
+    assert gw.bulk.errors == 0
+    assert cat.read(spark, "profiles").count() >= 1

@@ -312,18 +312,18 @@ def test_rotate_covers_rollup_table(spark, tmp_path):
 
 
 def test_rotate_tier_move_overwrites_partial_dest(spark, tmp_path):
-    """A crashed cross-filesystem tier move leaves a partial dest while
-    the hot partition survives; re-running rotate must replace the
-    partial copy, not nest date=X/date=X inside it (shutil.move into an
-    existing dir nests)."""
-    import shutil as _sh
-
+    """A crashed cross-filesystem tier move leaves a partial copy at
+    dest+'.tier_tmp' while the hot partition survives intact (the hot
+    copy is never touched before the atomic rename); re-running rotate
+    must drop the partial tmp and complete the move — no nesting, no
+    garbage files surviving into dest."""
     cat = _store(spark, tmp_path, ["2026-01-01"])
     src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
     dest = os.path.join(tier_root(cat, "cold"), "samples", "oid=0",
                         "date=2026-01-01")
-    os.makedirs(dest)  # simulated partial copy from a crashed move
-    with open(os.path.join(dest, "part-partial.parquet"), "wb") as fh:
+    tmp = dest + ".tier_tmp"
+    os.makedirs(tmp)  # simulated partial copy from a crashed move
+    with open(os.path.join(tmp, "part-partial.parquet"), "wb") as fh:
         fh.write(b"garbage")
     rotate(
         spark, cat, drop_days=3650,
@@ -331,5 +331,60 @@ def test_rotate_tier_move_overwrites_partial_dest(spark, tmp_path):
         today=date.fromisoformat("2026-03-02"),
     )
     assert not os.path.isdir(src)
+    assert not os.path.isdir(tmp)
     assert not os.path.isdir(os.path.join(dest, "date=2026-01-01"))  # no nesting
+    assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
+
+
+def test_rotate_merges_late_arrivals_into_completed_tier_move(spark, tmp_path):
+    """The round-11 data-loss window: rotate tiers a day, then a
+    backfill push with old timestamps RE-CREATES the hot date
+    partition. The next rotate used to rmtree the completed dest
+    (assuming it was a torn copy) and replace it with only the late
+    rows — silently dropping the already-tiered committed data. Now
+    dest exists ⟺ move completed, and late arrivals MERGE in."""
+    cat = _store(spark, tmp_path, ["2026-01-01"])
+    pol = (RotatePolicy(ttl_days=14, move_to="cold"),)
+    today = date.fromisoformat("2026-03-02")
+    rotate(spark, cat, drop_days=3650, policies=pol, today=today)
+    cold = os.path.join(tier_root(cat, "cold"), "samples")
+    assert spark.read.parquet(cold).count() == 1  # day fully tiered
+    # late-arriving backfill push recreates the hot date=2026-01-01
+    # partition with a DIFFERENT row (new line text → new file)
+    payload = json.dumps(
+        {"streams": [{"stream": {"app": "late"},
+                      "values": [[str(_day_ns("2026-01-01")), "late row"]]}]}
+    )
+    decoded = ingest.loki_push(
+        spark.createDataFrame([(payload,)], "payload string"))
+    ingest_fanout(decoded, cat)
+    res = rotate(spark, cat, drop_days=3650, policies=pol, today=today)
+    assert res["skipped"] == []  # expired partitions force the walk
+    merged = read_tiered(spark, cat, "samples", tiers=("cold",))
+    lines = {r["string"] for r in merged.select("string").collect()}
+    assert lines == {"line 2026-01-01", "late row"}  # BOTH survive
+    assert merged.count() == 2
+    src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
+    assert not os.path.isdir(src)  # hot copy consumed by the merge
+
+
+def test_rotate_tier_move_rerun_after_source_delete_crash(spark, tmp_path):
+    """Crash window: dest landed via the atomic rename but the hot
+    partition's delete was interrupted — the hot leftover holds the
+    very files already in dest. Re-running rotate must absorb it
+    without duplicating rows (same part filename ⇒ same file)."""
+    import shutil as _sh
+
+    cat = _store(spark, tmp_path, ["2026-01-01"])
+    src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
+    dest = os.path.join(tier_root(cat, "cold"), "samples", "oid=0",
+                        "date=2026-01-01")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    _sh.copytree(src, dest)  # simulate: rename done, rmtree(src) torn
+    rotate(
+        spark, cat, drop_days=3650,
+        policies=(RotatePolicy(ttl_days=1, move_to="cold"),),
+        today=date.fromisoformat("2026-03-02"),
+    )
+    assert not os.path.isdir(src)
     assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
