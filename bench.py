@@ -100,6 +100,7 @@ def main() -> None:
     views.span_attrs(spark, sf_dir).count()
     views.span_ancestors(spark, sf_dir).count()
     views.span_attr_map(spark, sf_dir).count()
+    views.attr_stats(spark, sf_dir)  # stored index-stats analog
     views.rollup_15s(spark, sf_dir).count()
     qs = registry.queries()
     # JIT warmup: run every headline query once at the smallest SF so the

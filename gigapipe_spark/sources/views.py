@@ -335,6 +335,39 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build()
 
 
+def attr_stats(spark: SparkSession, sf_dir: str) -> dict | None:
+    """Per-(key, val) attr-index row counts — the session twin of the
+    index statistics every real engine keeps next to its GIN (the
+    reference's complexity probe counts attr-index rows per query,
+    complexity_evaluator.go:31-67; with stats the same upper bound is a
+    dict lookup, zero Spark jobs per query).
+
+    Built ONCE per (session, sf) with one explode+groupBy job over the
+    cached attr map, then memoized driver-side. Returns None — and
+    memoizes the refusal — when the distinct-pair cardinality exceeds
+    the driver-safe cap (a corpus with unbounded attr values, e.g.
+    per-request ids): callers fall back to the scan probe. At store
+    scale this is a WRITER-maintained table, not a session derivation;
+    the session build is fixture plumbing."""
+    key = (id(spark), sf_dir, "attr_stats")
+    if key not in _dim_cache:
+        cap = 100_000
+        rows = (
+            span_attr_map(spark, sf_dir)
+            .select(F.explode("attrs").alias("key", "val"))
+            .groupBy("key", "val")
+            .count()
+            .limit(cap + 1)
+            .collect()
+        )
+        _dim_cache[key] = (
+            None
+            if len(rows) > cap
+            else {(r["key"], r["val"]): r["count"] for r in rows}
+        )
+    return _dim_cache[key]
+
+
 def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-span attribute map (trace_id, span_id, timestamp_ns, duration,
     attrs map<string,string>) — the row-oriented twin of the exploded

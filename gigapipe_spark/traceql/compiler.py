@@ -239,8 +239,27 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
     cluster this is what keeps a selector matching 10^8 spans from
     broadcasting its trace set into every executor.
     """
+    # Index-stats fast path: the session keeps per-(key,val) attr-index
+    # row counts (views.attr_stats — the stored-index-statistics analog;
+    # real engines keep these next to the GIN). A selector whose terms
+    # are all stats-servable resolves its upper bound as dict lookups —
+    # ZERO probe jobs. Store-backed contexts are excluded (their tables
+    # grow between pushes) and non-servable terms (regex — dialect
+    # fidelity — and duration) fall back to the scan probe per selector.
+    stats = None
+    if type(ctx).__name__ == "TraceQLContext":
+        stats = views.attr_stats(ctx.spark, ctx.sf_dir)
+    stat_keys = {k for k, _ in stats} if stats else set()
     best = 0
     for sel in _selectors(spanset):
+        if sel.expr is not None and stats is not None:
+            bounds = [
+                _stats_term_bound(t, stats, stat_keys)
+                for t in _collect_terms(sel.expr)
+            ]
+            if all(b is not None for b in bounds):
+                best = max(best, sum(bounds))
+                continue
         if sel.expr is None:
             n = ctx.spans().count()
         else:
@@ -267,6 +286,52 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
                 n = ctx.attr_map().filter(conds).count()
         best = max(best, n)
     return best
+
+
+def _stats_term_bound(t, stats: dict, stat_keys: set) -> int | None:
+    """Upper bound on attr-index rows matching one term, resolved
+    driver-side from the (key,val)→count stats; None = not servable
+    (fall back to the scan probe). Equality on a key absent from stats
+    is a true zero for attr terms — no index row can match — but for
+    INTRINSIC attrs the scan path reads spans columns the index may not
+    carry, so absence there means 'stats can't answer', not zero."""
+    if t.attr == "duration":
+        return None
+    if t.attr in _INTRINSIC_COLS and t.attr not in stat_keys:
+        return None
+    if t.kind == "string":
+        if t.op == "=":
+            return stats.get((t.attr, t.value), 0)
+        if t.op == "!=":
+            return sum(
+                c for (k, v), c in stats.items()
+                if k == t.attr and v != t.value
+            )
+        return None  # =~ / !~: keep the engine's RE2→Java dialect
+    if t.kind == "bool":
+        return stats.get((t.attr, "true" if t.value else "false"), 0)
+    try:
+        tv = float(t.value)
+    except (TypeError, ValueError):
+        return None
+    cmp = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    }.get(t.op)
+    if cmp is None:
+        return None
+    n = 0
+    for (k, v), c in stats.items():
+        if k != t.attr:
+            continue
+        try:
+            fv = float(v)
+        except ValueError:
+            continue
+        if cmp(fv, tv):
+            n += c
+    return n
 
 
 def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:

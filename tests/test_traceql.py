@@ -407,3 +407,48 @@ def test_unquoted_enum_values(spark):
     unq = query(ctx, '{ name = item }').select("span_id")
     q = query(ctx, '{ name = "item" }').select("span_id")
     assert unq.count() == q.count() > 0
+
+
+def test_complexity_stats_fast_path_matches_scan(spark):
+    """The index-stats probe (views.attr_stats dict lookups, zero jobs)
+    must upper-bound what the scan probe counts and reach the same
+    broadcast verdict for every fixture selector shape."""
+    from gigapipe_spark.sources import views
+    from gigapipe_spark.traceql import compiler as C
+
+    stats = views.attr_stats(spark, SF_DIR)
+    assert stats is not None and len(stats) > 0
+    for expr in [
+        '{ returnflag = "R" }',
+        '{ priority = "1-URGENT" && returnflag = "R" }',
+        '{ name = "item" }',
+        '{ quantity > 40 }',
+        '{ nosuchattr = "x" }',
+    ]:
+        script = parse(expr)
+        ctx = C.TraceQLContext(spark, SF_DIR)
+        n_stats = C.eval_complexity(ctx, script.spanset)
+        # force the scan path by hiding the stats for this call
+        key = (id(spark), SF_DIR, "attr_stats")
+        saved = views._dim_cache.pop(key)
+        views._dim_cache[key] = None  # memoized refusal → scan probe
+        try:
+            n_scan = C.eval_complexity(
+                C.TraceQLContext(spark, SF_DIR), script.spanset
+            )
+        finally:
+            views._dim_cache[key] = saved
+        assert n_stats >= n_scan, (expr, n_stats, n_scan)
+        thr = C.COMPLEXITY_THRESHOLD
+        assert (n_stats <= thr) == (n_scan <= thr), (expr, n_stats, n_scan)
+
+
+def test_complexity_stats_regex_falls_back(spark):
+    """Regex terms keep the engine's RE2→Java dialect: the stats path
+    refuses them and the scan probe still answers."""
+    from gigapipe_spark.traceql import compiler as C
+
+    ctx = C.TraceQLContext(spark, SF_DIR)
+    script = parse('{ returnflag =~ "R|A" }')
+    n = C.eval_complexity(ctx, script.spanset)
+    assert n > 0
