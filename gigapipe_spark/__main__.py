@@ -174,10 +174,16 @@ def maintenance_tick(spark, catalog, cfg: dict, today=None) -> dict:
     return out
 
 
-def _maintenance_loop(spark, catalog, cfg: dict, stop: threading.Event) -> None:
+def _maintenance_loop(spark, engine, cfg: dict, stop: threading.Event) -> None:
     while not stop.wait(cfg["rotate_interval_s"]):
         try:
-            maintenance_tick(spark, catalog, cfg)
+            tick = maintenance_tick(spark, engine.catalog, cfg)
+            # a tick that moved data must drop the engine's memoized
+            # file listings, or every query until the next push reads
+            # paths the rotate just deleted (found by the soak probe:
+            # sustained 500s between a rotation and the next push)
+            if tick["rotated"] or tick["compacted"]:
+                engine.refresh()
         except Exception:
             log.exception("maintenance tick failed; retrying next interval")
 
@@ -216,7 +222,7 @@ def main() -> int:
     ):
         threading.Thread(
             target=_maintenance_loop,
-            args=(spark, gw.engine.catalog, cfg, stop),
+            args=(spark, gw.engine, cfg, stop),
             daemon=True,
         ).start()
     if cfg["mode"] == "reader" and cfg["refresh_interval_s"] > 0:

@@ -105,9 +105,20 @@ def _dec_datadog_metrics(spark, df, p):
 
 
 def _dec_influx(spark, df, p):
+    from pyspark.sql import functions as F
+
     from gigapipe_spark.sources import ingest
 
-    return ingest.influx_line(df)
+    # one row per protocol line, split Spark-side across the coalesced
+    # payloads; receive-time stamp at flush (within max_age_ms, same
+    # disclosed window as datadog_metrics)
+    lines = (
+        df.select(F.explode(F.split("payload", "\r?\n")).alias("line"))
+        .filter(F.length(F.trim(F.col("line"))) > 0)
+    )
+    return ingest.influx_line(
+        lines, precision=p.get("precision", "ns"), now_ns=time.time_ns()
+    )
 
 
 def _dec_elastic_bulk(spark, df, p):

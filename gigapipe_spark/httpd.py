@@ -1305,7 +1305,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._push_ok(202, b"{}")
             return True
         if path.startswith(("/influx", "/write")):
-            submit("influx", body)
+            # precision changes decode semantics → it keys the group
+            prec = q.get("precision", ["ns"])[0]
+            submit("influx", body, **({"precision": prec}
+                                      if prec != "ns" else {}))
             self._push_ok(204)
             return True
         if path in ("/tempo/spans", "/api/v2/spans", "/tempo/api/push"):
@@ -1541,8 +1544,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._invalidate_contexts()
             return self._push_ok(202, b"{}")
         if path.startswith(("/influx", "/write")):
+            # one row per PROTOCOL LINE (a push body carries many);
+            # precision comes from the write API's query param
+            # (influx.go:44 SetTimePrecision), absent timestamps stamp
+            # receive time like the reference
+            lines = e.spark.createDataFrame(
+                [(ln,) for ln in body.decode("utf-8", "replace").splitlines()
+                 if ln.strip()],
+                "line string",
+            )
             ingest_fanout(
-                ingest.influx_line(self._raw_df(body)), cat
+                ingest.influx_line(
+                    lines,
+                    precision=q.get("precision", ["ns"])[0],
+                    now_ns=time.time_ns(),
+                ),
+                cat,
             )
             self._invalidate_contexts()
             return self._push_ok(204)

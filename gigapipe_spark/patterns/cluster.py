@@ -58,12 +58,24 @@ def token_cost(token: str) -> int:
 
 
 def _cost_col(t: Column) -> Column:
-    """JVM twin of classify()/token_cost(): the same first-match-wins
-    regex chain as TOKEN_CLASSES, as a when-cascade — used on the
-    all-column singleton-shard path so no Python runs per token."""
-    c = None
+    """JVM twin of classify()/token_cost() — same verdicts, fewer regex
+    evaluations. The 9-class first-match-wins cascade only ever NEEDS
+    the matched class's COST, and the chain is ordered by cost, so
+    same-cost classes union into one alternation: a token matching any
+    cost-1 pattern scores 1 regardless of which, and no token matches
+    patterns from two cost groups out of order (the groups' grammars
+    are disjoint — digits/hex-shapes vs. keyword literals vs. a leading
+    slash). 3 rlike per token instead of 8 — the classify pass bounds
+    the miner, which bounds the full ingest path (SCALE.md).
+    Equivalence to classify() is pinned by test_patterns' singles/multi
+    parity and the patterns_mine_exact oracle."""
+    groups: dict[int, list[str]] = {}
     for _name, rx, cost in TOKEN_CLASSES[:-1]:
-        cond = t.rlike(rx.pattern)
+        groups.setdefault(cost, []).append(rx.pattern)
+    c = None
+    for cost in sorted(groups):
+        pat = "|".join(f"(?:{p})" for p in groups[cost])
+        cond = t.rlike(pat)
         c = F.when(cond, cost) if c is None else c.when(cond, cost)
     return c.otherwise(TOKEN_CLASSES[-1][2])
 
@@ -165,6 +177,37 @@ def cluster_lines(lines: list[str], similarity: float = 0.6) -> list[Pattern]:
     return clusters
 
 
+def _pattern_from_precomputed(tokens: list[str], costs: list[int]) -> Pattern:
+    """Pattern seeded with JVM-classified costs (skips the per-token
+    Python regex chain; _cost_col and classify() are pinned equal by
+    test_patterns' singles/multi parity)."""
+    p = Pattern.__new__(Pattern)
+    p.tokens = tokens
+    p.costs = costs
+    p.samples_count = 1
+    p.last_seen = 0
+    p._overall = sum(costs)
+    p._gen = 0
+    return p
+
+
+def cluster_token_rows(rows, similarity: float = 0.6) -> list[Pattern]:
+    """cluster_lines over pre-tokenized (tokens, classes) pairs — the
+    same merge loop, with token costs taken from the JVM classify pass
+    instead of re-running Python regexes per token."""
+    clusters: list[Pattern] = []
+    for toks, costs in rows:
+        tokens = list(toks)
+        if not tokens:
+            continue
+        for c in clusters:
+            if c.try_merge(tokens, similarity):
+                break
+        else:
+            clusters.append(_pattern_from_precomputed(tokens, list(costs)))
+    return clusters
+
+
 def mine_patterns(
     samples: DataFrame,
     similarity: float = 0.6,
@@ -176,15 +219,30 @@ def mine_patterns(
     the reference merge loop per shard. Output mirrors the `patterns`
     table (ref: ctrl/qryn/sql/log.sql:174-187).
     """
-    first_word = F.element_at(F.filter(F.split("string", r"\s+"), lambda w: w != ""), 1)
+    # Tokenize + classify ONCE, BEFORE the shard shuffle. The previous
+    # shape computed tokens/classes as inline expressions on the
+    # post-window rows — CollapseProject then inlined the split+filter
+    # producer into every consumer (tokens, classes, the overall-cost
+    # fold, the pattern-id concat), re-splitting each line up to 4× and
+    # re-running the 8-regex classify cascade twice. Computing them in
+    # the pre-shuffle projection materializes both arrays through the
+    # exchange: each line is split once and each token classified once,
+    # and the shuffle write overlaps the regex work. The classify
+    # cascade is the miner's real CPU (~8 rlike per token) and the
+    # miner bounds the full ingest path's lines/s (SCALE.md).
+    tokens_raw = F.filter(F.split("string", r"\s+"), lambda t: t != "")
     prepared = samples.filter(F.col("string") != "").select(
         "fingerprint",
         (
             F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(bucket_ns))
         ).alias("timestamp_10m"),
-        F.coalesce(first_word, F.lit("")).alias("ckey"),
+        tokens_raw.alias("tokens"),
         F.col("string"),
         "timestamp_ns",
+    ).withColumn(
+        "ckey", F.coalesce(F.element_at("tokens", 1), F.lit(""))
+    ).withColumn(
+        "classes", F.transform("tokens", _cost_col)
     )
 
     out_schema = (
@@ -209,24 +267,24 @@ def mine_patterns(
     w = Window.partitionBy("fingerprint", "timestamp_10m", "ckey")
     sized = prepared.withColumn("__n", F.count(F.lit(1)).over(w))
 
-    tokens_col = F.filter(F.split(F.col("string"), r"\s+"), lambda t: t != "")
-    classes_col = F.transform(tokens_col, _cost_col)
-    overall_col = F.aggregate(classes_col, F.lit(0), lambda a, x: a + x)
+    # post-shuffle consumers read the MATERIALIZED arrays; the fold and
+    # the crc32 are cheap int/concat work over them
+    overall_col = F.aggregate(F.col("classes"), F.lit(0), lambda a, x: a + x)
     # pattern id = hash of the cluster's token pattern, with NO
     # fingerprint component (ref: pattern.go:102 PatternId =
     # cityHash64(seed line)) — identical patterns from different
     # streams/flushes share an id, which is what the read side's
     # per-pattern merge (planner_patterns.go GROUP BY pattern_id)
     # depends on
-    pid_col = F.crc32(F.concat_ws(" ", tokens_col).cast("binary"))
+    pid_col = F.crc32(F.concat_ws(" ", F.col("tokens")).cast("binary"))
     singles = (
         sized.filter(F.col("__n") == 1)
-        .filter(F.size(tokens_col) > 0)
+        .filter(F.size("tokens") > 0)
         .select(
             "fingerprint",
             "timestamp_10m",
-            tokens_col.alias("tokens"),
-            classes_col.alias("classes"),
+            "tokens",
+            "classes",
             overall_col.alias("overall_cost"),
             F.lit(0).alias("generalized_cost"),
             F.lit(1).cast("long").alias("samples_count"),
@@ -239,7 +297,11 @@ def mine_patterns(
         # pandas: one Arrow stream per partition instead of one
         # invocation per (fingerprint, bucket, key) group —
         # thousands of tiny applyInPandas groups each pay ~ms of
-        # batch overhead, which dominated wall-clock.
+        # batch overhead, which dominated wall-clock. The loop consumes
+        # the JVM-precomputed token/class arrays — ZERO Python regex in
+        # the merge loop (classify() per token was the multi-shard
+        # hot-path cost; the classes ride in with the seed line and
+        # try_merge only compares strings).
         import zlib
 
         for pdf in batches:
@@ -265,11 +327,25 @@ def mine_patterns(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    # multi-line shards: the window's hash exchange already co-located
-    # complete groups on one partition, so the pandas groupby sees whole
-    # shards without another repartition
-    multi = sized.filter(F.col("__n") > 1).drop("__n").mapInPandas(
-        run, schema=out_schema
+    # multi-line shards: the window exchange co-located complete
+    # groups, but AQE coalesces that exchange by BYTE size — a Python
+    # merge-loop stage's cost is per-ROW, so a few-MB batch lands on a
+    # handful of tasks (measured: 9 of 32 cores for a 300k-line
+    # all-multi batch). Re-spread by the shard key to full parallelism:
+    # the extra exchange moves only the multi-shard rows (rare on real
+    # corpora) and is byte-cheap exactly when it matters most. (A single
+    # explicit pre-window repartition serving both branches measured
+    # SLOWER end-to-end — it forfeits AQE sizing for the whole chain.)
+    # The pandas loop re-tokenizes its lines itself: shipping the
+    # precomputed arrays through repartition+Arrow measured SLOWER than
+    # the line strings (list<string> transfer + object-dtype groupby),
+    # so only the strings ride.
+    par = samples.sparkSession.sparkContext.defaultParallelism
+    multi = (
+        sized.filter(F.col("__n") > 1)
+        .drop("__n", "tokens", "classes")
+        .repartition(par, "fingerprint", "timestamp_10m", "ckey")
+        .mapInPandas(run, schema=out_schema)
     )
     return singles.unionByName(multi)
 

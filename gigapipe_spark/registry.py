@@ -1829,6 +1829,72 @@ def patterns_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_patterns(mine_patterns(s))
 
 
+@register(
+    "patterns_mine_exact",
+    """
+    WITH l AS (
+      SELECT CAST(user_id % 5 AS BIGINT) AS fingerprint,
+             epoch_us(ts) * 1000 AS ts_ns,
+             CAST(CAST(user_id % 7 AS BIGINT) AS VARCHAR) AS uid
+      FROM events
+    ),
+    g AS (
+      SELECT fingerprint,
+             ts_ns - ts_ns % 600000000000 AS timestamp_10m,
+             COUNT(*) AS samples_count,
+             COUNT(DISTINCT uid) AS nuid,
+             MIN(uid) AS only_uid
+      FROM l GROUP BY 1, 2
+    )
+    SELECT fingerprint, timestamp_10m,
+           CASE WHEN nuid = 1
+                THEN 'login user ' || only_uid || ' from site'
+                ELSE 'login user <_> from site' END AS pattern,
+           samples_count,
+           CAST(21 AS BIGINT) AS overall_cost,
+           CAST(CASE WHEN nuid = 1 THEN 0 ELSE 1 END AS BIGINT)
+             AS generalized_cost
+    FROM g
+    """,
+)
+def patterns_mine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT oracle for the clustering core (VERDICT r11 task 8 — the
+    one ⊘ that isn't inherently approximate). Lines are constructed so
+    every (fingerprint, 10m bucket, first-token) shard provably merges
+    into ONE cluster: tokens differ only at the uid position, whose
+    seed cost (number class, 1) over the seed line's overall cost
+    (5+5+1+5+5 = 21) is 0.048 ≤ 1-similarity — so the first divergence
+    generalizes the slot (gen := 1) and every later line has
+    diff_cost 0 at an already-<_> slot, i.e. acceptance is
+    order-independent and the final pattern is closed-form:
+
+      all uids equal in the shard → the literal line, gen 0
+      mixed uids                  → 'login user <_> from site', gen 1
+
+    This pins the token-class costs (a misclassified number would make
+    overall 25, hash-mismatch), the merge-rule accumulation
+    (pattern.go:155-198), the 10m bucket floor, and per-cluster sample
+    counting — against plain SQL aggregation."""
+    ev = views.load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("user_id") % 5).cast("long").alias("fingerprint"),
+        views._ts_ns(ev).alias("timestamp_ns"),
+        F.concat(
+            F.lit("login user "),
+            (F.col("user_id") % 7).cast("long").cast("string"),
+            F.lit(" from site"),
+        ).alias("string"),
+    )
+    return mine_patterns(samples).select(
+        "fingerprint",
+        "timestamp_10m",
+        F.concat_ws(" ", "tokens").alias("pattern"),
+        F.col("samples_count").cast("long").alias("samples_count"),
+        F.col("overall_cost").cast("long").alias("overall_cost"),
+        F.col("generalized_cost").cast("long").alias("generalized_cost"),
+    )
+
+
 # ------------------------------------------------------- data pipeline
 
 from gigapipe_spark.datapipe import dedup as _dedup  # noqa: E402

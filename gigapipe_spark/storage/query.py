@@ -244,6 +244,20 @@ class StoreEngine(Engine):
 
     catalog: Catalog | None = None
 
+    def __post_init__(self) -> None:
+        # Retention races: rotate() deletes whole date partitions while
+        # queries may hold a file listing planned moments earlier — the
+        # read would die on the vanished file. ignoreMissingFiles is
+        # Spark's lake answer: the scan skips files deleted after
+        # planning, which is exactly correct semantics for data the
+        # retention policy just dropped. Store sessions only — fixture
+        # sessions never delete files, and there a missing file is a
+        # bug worth failing loudly on.
+        try:
+            self.spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+        except Exception:
+            pass  # read-only conf in exotic sessions; queries still work
+
     def _has_table(self, table: str) -> bool:
         import os
 

@@ -456,11 +456,12 @@ def ingest_fanout(
     # crash-consistency journal: if this writer dies between appends,
     # the next writer (or fsck) rolls the whole batch back — the
     # fan-out is all-or-nothing (storage/journal.py)
+    dates = batch_dates(with_date)
     journal = BatchJournal(
         catalog.root,
         catalog.oid,
         ("samples", "time_series", "gin", "metrics_15s", "patterns"),
-        batch_dates(with_date),
+        dates,
         commit_marker=commit_marker,
     ).begin()
 
@@ -567,13 +568,16 @@ def ingest_fanout(
     # re-takes the store lock, which is thread-reentrant here.
     _run_fanout_legs(
         [_samples_leg, _series_leg, _gin_leg, _rollup_leg],
-        (lambda: patterns_fanout(batch, catalog)) if mine_patterns else None,
+        (lambda: patterns_fanout(batch, catalog, dates=dates))
+        if mine_patterns else None,
     )
     journal.done()
 
 
 @_locked_fanout
-def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
+def patterns_fanout(
+    batch: DataFrame, catalog: Catalog, dates: list[str] | None = None
+) -> None:
     """Log-typed rows of a decoded batch → stored `patterns` table
     (ref: log.sql:174-187 schema; writer/pattern/controller/
     controller.go:71,132-187 — the reference clusters every ingested
@@ -602,12 +606,14 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
     # journal scope from the raw rows (flooring to the 10m bucket never
     # crosses a date boundary, so these are the partitions pats lands
     # in); when called from ingest_fanout this nests inside the outer
-    # batch journal — both roll back to the same pre-batch snapshot
-    journal = BatchJournal(
-        catalog.root,
-        catalog.oid,
-        ("patterns",),
-        batch_dates(
+    # batch journal — both roll back to the same pre-batch snapshot, and
+    # the caller passes its already-computed batch dates so the miner's
+    # critical path (the full ingest path's bound, SCALE.md) doesn't
+    # re-run a whole-batch distinct job. A superset scope is safe: the
+    # journal then snapshots partitions the miner won't touch, which
+    # repair restores unchanged.
+    if dates is None:
+        dates = batch_dates(
             log_rows.select(
                 F.to_date(
                     F.timestamp_micros(
@@ -615,7 +621,12 @@ def patterns_fanout(batch: DataFrame, catalog: Catalog) -> None:
                     )
                 ).alias("date")
             )
-        ),
+        )
+    journal = BatchJournal(
+        catalog.root,
+        catalog.oid,
+        ("patterns",),
+        dates,
     ).begin()
     pats = (
         _mine_patterns(log_rows)

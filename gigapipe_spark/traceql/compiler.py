@@ -166,6 +166,26 @@ def select_spans(ctx: TraceQLContext, sel: SpanSelector) -> DataFrame:
     # Spark-first equivalent of ClickHouse's PREWHERE-on-GIN: the N-term
     # scan costs the same as a 1-term scan instead of an N-bit shuffle.
     amap = ctx.attr_map()
+    if any(
+        t.attr in _INTRINSIC_COLS and t.attr != "duration" for t in terms
+    ):
+        # MIXED intrinsic+attr tree: the STORED attr map carries only
+        # real span attributes, so name/service.name must resolve
+        # against spans columns (ref: attrless.go intrinsics are span
+        # fields, not index rows). Spans is the BASE (left join): an
+        # ||-arm matched by an intrinsic alone must still match a span
+        # with no attr row at all. Rare selector shape — pure-attr and
+        # pure-intrinsic trees keep their single-scan paths above.
+        base = ctx.spans().select(
+            "trace_id", "span_id", "name", "service_name", "duration_ns",
+        ).join(
+            amap.select("trace_id", "span_id", "attrs"),
+            ["trace_id", "span_id"],
+            "left",
+        )
+        return base.filter(_build_mixed_cond(sel.expr)).select(
+            "trace_id", "span_id"
+        )
     return amap.filter(_build_map_cond(sel.expr)).select("trace_id", "span_id")
 
 
@@ -186,6 +206,19 @@ def _build_map_cond(e) -> Column:
         return _duration_cond(e, v.cast("double"))
     left = _build_map_cond(e.left)
     right = _build_map_cond(e.right)
+    return (left & right) if e.op == "&&" else (left | right)
+
+
+def _build_mixed_cond(e) -> Column:
+    """Boolean tree over spans⟕attr_map: intrinsic terms read spans
+    columns, attr terms read the map (NULL-for-missing like
+    _build_map_cond)."""
+    if isinstance(e, AttrCmp):
+        if e.attr in _INTRINSIC_COLS:
+            return _build_direct_intrinsic(e)
+        return _build_map_cond(e)
+    left = _build_mixed_cond(e.left)
+    right = _build_mixed_cond(e.right)
     return (left & right) if e.op == "&&" else (left | right)
 
 
@@ -264,26 +297,42 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
             n = ctx.spans().count()
         else:
             terms = _collect_terms(sel.expr)
-            if all(t.attr in _INTRINSIC_COLS for t in terms):
+            intr = [
+                t for t in terms
+                if t.attr in _INTRINSIC_COLS and t.attr != "duration"
+            ]
+            attr_terms = [t for t in terms if t not in intr]
+            if not attr_terms:
                 n = ctx.spans().filter(_build_direct_intrinsic(sel.expr)).count()
-            elif ctx.gin_is_stored:
-                conds = None
-                for t in terms:
-                    c = (
-                        _duration_cond(t, F.col("duration"))
-                        if t.attr == "duration"
-                        else _term_cond_on_attrs(t)
-                    )
-                    conds = c if conds is None else (conds | c)
-                n = ctx.attrs().filter(conds).count()
             else:
-                # session-view GIN: the same any-term upper bound over
-                # the cached attr MAP — one pass, no explode
-                conds = None
-                for t in terms:
-                    c = _build_map_cond(t)
-                    conds = c if conds is None else (conds | c)
-                n = ctx.attr_map().filter(conds).count()
+                if ctx.gin_is_stored:
+                    conds = None
+                    for t in attr_terms:
+                        c = (
+                            _duration_cond(t, F.col("duration"))
+                            if t.attr == "duration"
+                            else _term_cond_on_attrs(t)
+                        )
+                        conds = c if conds is None else (conds | c)
+                    n = ctx.attrs().filter(conds).count()
+                else:
+                    # session-view GIN: the same any-term upper bound
+                    # over the cached attr MAP — one pass, no explode
+                    conds = None
+                    for t in attr_terms:
+                        c = _build_map_cond(t)
+                        conds = c if conds is None else (conds | c)
+                    n = ctx.attr_map().filter(conds).count()
+                if intr:
+                    # MIXED tree: intrinsic terms aren't index rows —
+                    # add their spans-side match count so the any-term
+                    # upper bound stays an upper bound (an ||-arm on an
+                    # intrinsic matches spans the index never saw)
+                    icond = None
+                    for t in intr:
+                        c = _build_direct_intrinsic(t)
+                        icond = c if icond is None else (icond | c)
+                    n += ctx.spans().filter(icond).count()
         best = max(best, n)
     return best
 

@@ -1,0 +1,28 @@
+"""Short service-composition soak (VERDICT r11 task 7): bulk flusher +
+maintenance tick + concurrent push/query threads against one
+SparkSession — each piece is tested alone elsewhere; this asserts the
+COMPOSITION holds: no deadlock/starvation, queries stay correct across
+a rotate, and shutdown drains the bulk buffer. The full 2–5 min version
+is scripts/soakprobe.py; this runs the same harness for ~20s."""
+
+import sys
+import tempfile
+
+
+def test_service_soak_short(spark):
+    sys.path.insert(0, "scripts")
+    from soakprobe import run_soak
+
+    root = tempfile.mkdtemp(prefix="soaktest_") + "/store"
+    verdict = run_soak(spark, root, seconds=20.0)
+    assert verdict["thread_errors"] == [], verdict
+    assert verdict["threads_stuck"] == [], verdict
+    assert verdict["rotate_dropped_old"], verdict
+    assert verdict["old_rows_after_rotate"] == 0, verdict
+    assert verdict["bulk_flush_errors"] == 0, verdict
+    # every acked push is stored after the drain
+    assert verdict["stored_loki"] == verdict["acked_loki"], verdict
+    assert verdict["stored_influx"] == verdict["acked_influx"], verdict
+    # both query families made sustained progress
+    assert verdict["stats"]["queries"] > 5, verdict
+    assert verdict["stats"]["meta"] > 0, verdict

@@ -137,6 +137,21 @@ def test_store_traceql(spark, tmp_path):
     # intrinsic-only fast path over the stored fact table
     dur = traceql_query(ctx, "{ duration > 1ms }").collect()
     assert {r["span_id"] for r in dur} == {"b1".rjust(16, "0")}
+    # MIXED intrinsic+attr selector: the stored attr map has no name/
+    # service.name entries, so intrinsics must resolve against spans
+    # columns (returned 0 rows before round 12)
+    mixed = traceql_query(
+        ctx, '{ status = error && name = `get /` }'
+    ).collect()
+    assert {r["span_id"] for r in mixed} == {"b1".rjust(16, "0")}
+    # ||-arm matched by an intrinsic ALONE must include spans with no
+    # attr row at all (b2 carries zero tags)
+    mixed_or = traceql_query(
+        ctx, '{ status = error || name = `select` }'
+    ).collect()
+    assert {r["span_id"] for r in mixed_or} == {
+        "b1".rjust(16, "0"), "b2".rjust(16, "0")
+    }
 
 
 def test_store_engine_endpoints(spark, tmp_path):
