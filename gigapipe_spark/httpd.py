@@ -553,6 +553,10 @@ class _Handler(BaseHTTPRequestHandler):
                         f"bulk_flush_errors_total {b.errors}\n"
                         "# TYPE bulk_queue_bytes gauge\n"
                         f"bulk_queue_bytes {b._size}\n"
+                        "# TYPE bulk_dropped_payloads_total counter\n"
+                        f"bulk_dropped_payloads_total {b.dropped_payloads}\n"
+                        "# TYPE bulk_rejected_total counter\n"
+                        f"bulk_rejected_total {b.rejected}\n"
                     )
                 return self._text(body)
             if path == "/api/echo":

@@ -157,6 +157,8 @@ def test_metrics_exposes_bulk_counters(bulk_gateway):
         text = r.read().decode()
     assert "bulk_flush_cycles_total" in text
     assert "bulk_queue_bytes" in text
+    assert "bulk_dropped_payloads_total" in text
+    assert "bulk_rejected_total" in text
 
 
 def _wait_flushed(gw, timeout=60):

@@ -1057,3 +1057,64 @@ def test_snappy_body_too_long_400(gateway):
     except urllib.error.HTTPError as ex:
         assert ex.code == 400
         assert "too long" in ex.read().decode()
+
+
+def test_gzip_body_decompressed_and_bomb_capped(gateway):
+    """Content-Encoding: gzip bodies decompress through a CAPPED
+    streaming inflater: a normal body lands, a ~1000x amplification
+    bomb past the 100 MiB decoded cap answers the same 400 'body is
+    too long' as the snappy path instead of inflating in memory."""
+    import gzip as _gzip
+    import json as _json
+    import urllib.error
+
+    base, _ = gateway
+    payload = _json.dumps(
+        {"streams": [{"stream": {"app": "gz"},
+                      "values": [["1700000000000000000", "gz line"]]}]}
+    ).encode()
+    st, _body = _post_full(
+        base, "/loki/api/v1/push", _gzip.compress(payload),
+        {"Content-Encoding": "gzip", "Content-Type": "application/json"},
+    )
+    assert st == 204
+    st, out = _get(
+        base,
+        "/loki/api/v1/query_range?query=%7Bapp%3D%22gz%22%7D"
+        "&start=0&end=4000000000000000000",
+    )
+    assert st == 200
+    assert "gz line" in json.dumps(out)
+
+    bomb = _gzip.compress(b"\x00" * (150 * 1024 * 1024))  # ~150 MiB decoded
+    req = urllib.request.Request(
+        base + "/loki/api/v1/push", data=bomb, method="POST",
+        headers={"Content-Encoding": "gzip",
+                 "Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=120)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+        assert "too long" in ex.read().decode()
+
+
+def test_http_influx_push_end_to_end(gateway):
+    """The influx write route splits the body into protocol lines and
+    lands metric samples (was broken — fed the whole body as one row
+    with the wrong column; found by the soak probe)."""
+    base, _ = gateway
+    body = (b"cpu,host=h1 usage=0.5 1700000000000000000\n"
+            b"cpu,host=h2 usage=0.7 1700000001000000000\n")
+    st, rbody = _post_full(base, "/influx/write", body,
+                           {"Content-Type": "text/plain"})
+    assert st == 204
+    st, out = _get(
+        base,
+        "/api/v1/query?query=usage&time=1700000100",
+    )
+    assert st == 200
+    vals = {r["metric"]["host"]: r["value"][1]
+            for r in out["data"]["result"]}
+    assert vals == {"h1": "0.5", "h2": "0.7"}
