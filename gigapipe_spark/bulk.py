@@ -79,7 +79,10 @@ def _dec_remote_write(spark, df, p):
 def _dec_otlp_logs_json(spark, df, p):
     from gigapipe_spark.sources import ingest
 
-    return ingest.otlp_logs(df)
+    # receive-time stamp for records lacking timeUnixNano, at FLUSH
+    # time (within max_age_ms of the request — the disclosed bulk
+    # window; the old default stamped epoch 0)
+    return ingest.otlp_logs(df, now_ns=time.time_ns())
 
 
 def _dec_otlp_logs_pb(spark, df, p):
@@ -91,7 +94,7 @@ def _dec_otlp_logs_pb(spark, df, p):
 def _dec_datadog_logs(spark, df, p):
     from gigapipe_spark.sources import ingest
 
-    return ingest.datadog_logs(df)
+    return ingest.datadog_logs(df, now_ns=time.time_ns())
 
 
 def _dec_datadog_metrics(spark, df, p):
@@ -124,7 +127,9 @@ def _dec_influx(spark, df, p):
 def _dec_elastic_bulk(spark, df, p):
     from gigapipe_spark.sources import ingest
 
-    return ingest.elastic_bulk(df, target=p.get("target", "unknown"))
+    return ingest.elastic_bulk(
+        df, target=p.get("target", "unknown"), now_ns=time.time_ns()
+    )
 
 
 def _dec_zipkin_json(spark, df, p):

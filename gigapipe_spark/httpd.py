@@ -1508,7 +1508,9 @@ class _Handler(BaseHTTPRequestHandler):
 
                 decoded = otlp_logs_pb(_raw_bin())
             else:
-                decoded = ingest.otlp_logs(self._raw_df(body))
+                decoded = ingest.otlp_logs(
+                    self._raw_df(body), now_ns=time.time_ns()
+                )
             ingest_fanout(decoded, cat)
             self._invalidate_contexts()
             return self._push_ok(204)
@@ -1524,7 +1526,9 @@ class _Handler(BaseHTTPRequestHandler):
             return self._push_ok(200, b"{}")
         if path == "/api/v2/logs":  # Datadog logs
             ingest_fanout(
-                ingest.datadog_logs(self._raw_df(body)), cat
+                ingest.datadog_logs(
+                    self._raw_df(body), now_ns=time.time_ns()
+                ), cat
             )
             self._invalidate_contexts()
             return self._push_ok(202, b"{}")
@@ -1592,7 +1596,8 @@ class _Handler(BaseHTTPRequestHandler):
             target = path.rsplit("/", 2)[-2] if path.count("/") > 1 else ""
             ingest_fanout(
                 ingest.elastic_bulk(
-                    self._raw_df(body), target=target or "unknown"
+                    self._raw_df(body), target=target or "unknown",
+                    now_ns=time.time_ns(),
                 ),
                 cat,
             )

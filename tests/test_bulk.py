@@ -357,3 +357,28 @@ def test_bulk_otlp_profiles_route(spark, bulk_gateway):
     _wait_flushed(gw)
     assert gw.bulk.errors == 0
     assert cat.read(spark, "profiles").count() >= 1
+
+
+def test_timestampless_logs_stamp_receive_time(spark, bulk_gateway):
+    """Log records with no timestamp must land at RECEIVE time like the
+    reference (wall clock), not epoch 0 — epoch-0 rows are invisible to
+    recent-window queries and rotate out instantly. Covers the bulk
+    path; the sync path shares the same now_ns threading."""
+    gw, base, cat = bulk_gateway
+    t0 = time.time_ns()
+    otlp = json.dumps({"resourceLogs": [{"scopeLogs": [{"logRecords": [
+        {"body": {"stringValue": "no ts otlp"}}]}]}]}).encode()
+    assert _post(base, "/v1/logs", otlp) == 204
+    dd = json.dumps([{"message": "no ts dd", "ddsource": "x"}]).encode()
+    assert _post(base, "/api/v2/logs", dd) == 202
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if not gw.bulk._buf and gw.bulk.flushes >= 1 and \
+                cat.read(spark, "samples").count() >= 2:
+            break
+        time.sleep(0.2)
+    rows = {r["string"]: r["timestamp_ns"]
+            for r in cat.read(spark, "samples").collect()}
+    assert set(rows) == {"no ts otlp", "no ts dd"}
+    for s, ts in rows.items():
+        assert t0 <= ts <= t0 + 120 * 10**9, (s, ts)
