@@ -324,7 +324,11 @@ def test_mixed_selector_join_no_cartesian_no_extra_shuffle(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # the intrinsic really resolves via spans
-    top = plan.split("InMemoryTableScan")[0]
+    # a BroadcastExchange IS the desired strategy — only a SHUFFLE
+    # exchange on top of the cached dims would be a regression
+    top = plan.replace("BroadcastExchange", "BX").split(
+        "InMemoryTableScan"
+    )[0]
     assert "Exchange" not in top
 
 
