@@ -54,6 +54,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Session plan memo for the PURE fixture-query builders (_logql /
+# _promql / _traceql): compiling a query text builds a deep Column
+# tree — hundreds of py4j round trips, ~0.3-0.5s per build even warm —
+# and a dashboard re-issues the SAME text every refresh (the exact
+# warm path bench.py models). The built DataFrame is immutable and the
+# fixture views never change within a session, so the plan is reused
+# per (session, sf, query[, params]); EXECUTION still runs fully every
+# call. Entries with call-time side effects (store_roundtrip_* writes,
+# engine construction) never route through these builders and are
+# never memoized; store-backed contexts invalidate via refresh().
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _plan_memo(key: tuple, build) -> DataFrame:
+    if key not in _PLAN_MEMO:
+        _PLAN_MEMO[key] = build()
+    return _PLAN_MEMO[key]
+
+
 def _rounded(df: DataFrame, *cols: str) -> DataFrame:
     out = df
     for c in cols:
@@ -63,12 +82,15 @@ def _rounded(df: DataFrame, *cols: str) -> DataFrame:
 
 def _logql(q: str, out_cols: list, round_cols: list[str] = ()) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        res = logql_query(LogQLContext(spark, sf_dir), q)
-        # column specs are lazy (callables) because pyspark Columns need an
-        # active session, and the registry is importable without one
-        cols = [c() if callable(c) else c for c in out_cols]
-        df = res.df.select(*cols)
-        return _rounded(df, *round_cols)
+        def build():
+            res = logql_query(LogQLContext(spark, sf_dir), q)
+            # column specs are lazy (callables) because pyspark Columns
+            # need an active session, and the registry is importable
+            # without one
+            cols = [c() if callable(c) else c for c in out_cols]
+            return _rounded(res.df.select(*cols), *round_cols)
+
+        return _plan_memo((id(spark), sf_dir, "logql", q), build)
 
     return fn
 
@@ -393,9 +415,14 @@ from gigapipe_spark.sources.oracle import METRIC_SAMPLES_CTE, counter_cte  # noq
 
 def _promql(q: str, out_cols: list, step_ns: int = 60_000_000_000) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = promql_query(PromQLContext(spark, sf_dir, step_ns=step_ns), q)
-        cols = [c() if callable(c) else c for c in out_cols]
-        return df.select(*cols).withColumn("value", F.round("value", 6))
+        def build():
+            df = promql_query(
+                PromQLContext(spark, sf_dir, step_ns=step_ns), q
+            )
+            cols = [c() if callable(c) else c for c in out_cols]
+            return df.select(*cols).withColumn("value", F.round("value", 6))
+
+        return _plan_memo((id(spark), sf_dir, "promql", q, step_ns), build)
 
     return fn
 
@@ -875,25 +902,17 @@ from gigapipe_spark.traceql.compiler import query as traceql_query  # noqa: E402
 from gigapipe_spark.sources.oracle import with_spans  # noqa: E402
 
 
-# Session plan memo: a TraceQL text compiles to a deep Column tree —
-# hundreds of py4j round trips, ~0.5s per build even warm — and a
-# dashboard re-issues the SAME query every refresh (exactly the warm
-# path bench.py models). The built DataFrame is immutable and the
-# fixture views never change within a session, so the plan is reused
-# per (session, sf, query); EXECUTION still runs fully on every call.
-# Store-backed contexts never route through here (their listings go
-# stale between pushes) — they memoize via the engine's refresh()-
-# invalidated contexts instead.
-_TRACEQL_PLAN_MEMO: dict[tuple, DataFrame] = {}
-
-
 def _traceql(q: str, cols=("trace_id", "span_id"), round_cols=()) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark), sf_dir, q, cols, round_cols)
-        if key not in _TRACEQL_PLAN_MEMO:
-            df = traceql_query(TraceQLContext(spark, sf_dir), q).select(*cols)
-            _TRACEQL_PLAN_MEMO[key] = _rounded(df, *round_cols)
-        return _TRACEQL_PLAN_MEMO[key]
+        def build():
+            df = traceql_query(TraceQLContext(spark, sf_dir), q).select(
+                *cols
+            )
+            return _rounded(df, *round_cols)
+
+        return _plan_memo(
+            (id(spark), sf_dir, "traceql", q, cols, round_cols), build
+        )
 
     return fn
 
