@@ -165,7 +165,9 @@ def _dec_datadog_cf(spark, df, p):
         df.select(F.explode(F.split("payload", "\n")).alias("line"))
         .filter(F.length(F.trim(F.col("line"))) > 0)
     )
-    return ingest.datadog_cf(lines, ddsource=p.get("ddsource", "unknown"))
+    return ingest.datadog_cf(
+        lines, ddsource=p.get("ddsource", "unknown"), now_ns=time.time_ns()
+    )
 
 
 def _dec_elastic_doc(spark, df, p):

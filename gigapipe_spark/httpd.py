@@ -1546,7 +1546,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "line string",
             )
             decoded = ingest.datadog_cf(
-                lines, ddsource=q.get("ddsource", ["unknown"])[0]
+                lines, ddsource=q.get("ddsource", ["unknown"])[0],
+                now_ns=time.time_ns(),
             )
             ingest_fanout(decoded, cat)
             self._invalidate_contexts()

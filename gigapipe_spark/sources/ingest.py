@@ -766,7 +766,7 @@ _DATADOG_CF_SCHEMA = (
 
 
 def datadog_cf(raw: DataFrame, line_col: str = "line",
-               ddsource: str = "cloudflare") -> DataFrame:
+               ddsource: str = "cloudflare", now_ns: int = 0) -> DataFrame:
     """Cloudflare-via-Datadog NDJSON lines → log samples
     (ref: datadog_cf_json.go:30-141).
 
@@ -779,10 +779,12 @@ def datadog_cf(raw: DataFrame, line_col: str = "line",
         F.col(line_col).alias("line"),
         F.from_json(F.col(line_col), _DATADOG_CF_SCHEMA).alias("e"),
     )
+    # a line with NEITHER timestamp stamps receive time, like the
+    # reference's time.Now() fallback (datadog_cf_json.go:41-44)
     ts_ns = F.coalesce(
         F.col("e.EventTimestampMs") * 1_000_000,
         F.col("e.When"),
-        F.lit(0),
+        F.lit(now_ns),
     )
     labels = F.map_filter(
         F.create_map(
