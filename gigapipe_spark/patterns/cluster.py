@@ -297,14 +297,30 @@ def mine_patterns(
         # pandas: one Arrow stream per partition instead of one
         # invocation per (fingerprint, bucket, key) group —
         # thousands of tiny applyInPandas groups each pay ~ms of
-        # batch overhead, which dominated wall-clock. The loop consumes
-        # the JVM-precomputed token/class arrays — ZERO Python regex in
-        # the merge loop (classify() per token was the multi-shard
-        # hot-path cost; the classes ride in with the seed line and
-        # try_merge only compares strings).
+        # batch overhead, which dominated wall-clock.
+        #
+        # The partition's Arrow batches CONCATENATE before grouping:
+        # Arrow slices a partition every ~10k rows, and a shard's rows
+        # are scattered through the partition (they only co-locate, not
+        # co-sort), so per-batch grouping would FRAGMENT every shard
+        # once a partition exceeds one batch — each fragment clustering
+        # independently (caught by patterns_mine_exact at sf0.1: a
+        # split shard can emit a literal AND a generalized pattern
+        # where single-scope clustering emits one). Memory = one
+        # partition of MULTI-shard rows in pandas — bounded by the
+        # flush batch, and multi shards are the rare slice of real
+        # corpora.
         import zlib
 
-        for pdf in batches:
+        batches = list(batches)
+        if not batches:
+            return
+        merged = (
+            pd.concat(batches, ignore_index=True)
+            if len(batches) > 1
+            else batches[0]
+        )
+        for pdf in (merged,):
             rows = []
             pdf = pdf.sort_values("timestamp_ns")
             for (fp, bucket, _ck), grp in pdf.groupby(

@@ -30,14 +30,25 @@ def _bucket(ts: Column, width_ns: int) -> Column:
     return ts - F.pmod(ts, F.lit(width_ns))
 
 
+def _bucket_rel_seconds(range_ns: int):
+    """(bucket, t) where t = seconds SINCE THE BUCKET START. The slope
+    is translation-invariant, and regressing on raw epoch seconds
+    (~1.7e9) loses ~6 digits to cancellation in the covariance
+    accumulators — enough to drift past the oracle's 6-decimal compare
+    at sf0.1 under 32-way partial-merge order. Relative seconds
+    (0..range) keep the same answer at full precision."""
+    b = _bucket(F.col("timestamp_ns"), range_ns)
+    t = (F.col("timestamp_ns") - b) / F.lit(1e9)
+    return b, t
+
+
 def deriv(samples: DataFrame, range_ns: int) -> DataFrame:
     """Per-second least-squares slope per (series, bucket)
     (PromQL deriv): regr_slope over (value, t_seconds)."""
-    b = _bucket(F.col("timestamp_ns"), range_ns).alias("timestamp_ns")
-    t_sec = (F.col("timestamp_ns") / F.lit(1e9)).alias("__t")
+    b, t = _bucket_rel_seconds(range_ns)
     return (
-        samples.withColumn("__t", t_sec)
-        .groupBy("fingerprint", b)
+        samples.withColumn("__t", t)
+        .groupBy("fingerprint", b.alias("timestamp_ns"))
         .agg(
             F.regr_slope(F.col("value"), F.col("__t")).alias("value"),
             F.first("labels").alias("labels"),
@@ -48,10 +59,12 @@ def deriv(samples: DataFrame, range_ns: int) -> DataFrame:
 
 def predict_linear(samples: DataFrame, range_ns: int, horizon_s: float) -> DataFrame:
     """Extrapolate each series horizon_s past its bucket end:
-    intercept + slope * (t_end + horizon)."""
-    b = _bucket(F.col("timestamp_ns"), range_ns).alias("timestamp_ns")
-    df = samples.withColumn("__t", F.col("timestamp_ns") / F.lit(1e9))
-    grouped = df.groupBy("fingerprint", b).agg(
+    intercept + slope * (t_end + horizon). Runs in bucket-relative
+    seconds (see _bucket_rel_seconds) — the intercept shifts with the
+    origin but the PREDICTION is origin-invariant."""
+    b, t = _bucket_rel_seconds(range_ns)
+    df = samples.withColumn("__t", t)
+    grouped = df.groupBy("fingerprint", b.alias("timestamp_ns")).agg(
         F.regr_slope(F.col("value"), F.col("__t")).alias("__m"),
         F.regr_intercept(F.col("value"), F.col("__t")).alias("__c"),
         F.max("__t").alias("__tmax"),

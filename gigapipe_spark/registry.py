@@ -1459,8 +1459,11 @@ from gigapipe_spark.sources import views  # noqa: E402
     "promql_deriv",
     f"""
     WITH {METRIC_SAMPLES_CTE}
+    -- bucket-RELATIVE seconds (slope is translation-invariant;
+    -- raw epoch seconds lose ~6 digits to cancellation — see
+    -- promql.functions._bucket_rel_seconds)
     SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
-           round(regr_slope(value, timestamp_ns / 1e9), 6) AS value
+           round(regr_slope(value, (timestamp_ns % 3600000000000) / 1e9), 6) AS value
     FROM metric_samples GROUP BY 1, 2
     """,
 )
@@ -1474,9 +1477,9 @@ def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {METRIC_SAMPLES_CTE}
     SELECT fingerprint, (timestamp_ns - timestamp_ns % 3600000000000) AS timestamp_ns,
-           round(regr_intercept(value, timestamp_ns / 1e9)
-                 + regr_slope(value, timestamp_ns / 1e9)
-                   * (max(timestamp_ns / 1e9) + 300.0), 4) AS value
+           round(regr_intercept(value, (timestamp_ns % 3600000000000) / 1e9)
+                 + regr_slope(value, (timestamp_ns % 3600000000000) / 1e9)
+                   * (max((timestamp_ns % 3600000000000) / 1e9) + 300.0), 4) AS value
     FROM metric_samples GROUP BY 1, 2
     """,
 )
@@ -4725,7 +4728,12 @@ register(
 register(
     "promql_deriv_subquery",
     # deriv over a RANGE-FN inner (max_over_time on 10m buckets):
-    # regr_slope over the inner's bucket points per 1h window
+    # regr_slope over the inner's bucket points per 1h window.
+    # Projected to PER-HOUR slope (x3600): the 10m grid makes the
+    # per-second slopes exact decimal fractions with a 5 in the 7th
+    # digit (diff/2400), so the compare's 6-decimal rounding sat on
+    # round-half boundaries that 1-ulp engine differences flipped;
+    # x3600 terminates within 3 decimals — no boundary to straddle.
     f"""
     WITH {METRIC_SAMPLES_CTE}, inner10 AS (
       SELECT fingerprint, (timestamp_ns - timestamp_ns % 600000000000) AS ts10,
@@ -4733,10 +4741,15 @@ register(
       FROM metric_samples WHERE app='purchase' GROUP BY 1, 2
     )
     SELECT fingerprint, (ts10 - ts10 % 3600000000000) AS timestamp_ns,
-           round(regr_slope(value, ts10 / 1e9), 6) AS value
+           round(regr_slope(value, (ts10 % 3600000000000) / 1e9) * 3600, 6)
+             AS value
     FROM inner10 GROUP BY 1, 2
     """,
-)(_promql('deriv(max_over_time({app="purchase"}[10m])[1h:10m])', _FPV))
+)(_promql(
+    'deriv(max_over_time({app="purchase"}[10m])[1h:10m])',
+    ["fingerprint", "timestamp_ns",
+     lambda: (F.col("value") * 3600).alias("value")],
+))
 
 
 @register(
