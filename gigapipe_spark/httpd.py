@@ -1256,6 +1256,44 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             return 0
 
+    @staticmethod
+    def _route_kind(path, q, is_pb, ctype) -> str | None:
+        """Push route → bulk.KINDS name, for the SYNC path's pre-decode
+        syntactic validation (the reference maps unmarshal errors to
+        400 — writer/utils/errors/error.go NewUnmarshalError Code 400 —
+        while our Spark decoders drop bad rows silently or raise
+        generic 500s). Mirrors _bulk_submit's routing; the sync/bulk
+        agreement is pinned by test_push_validation_agrees_across_modes
+        so the two maps cannot drift."""
+        if path == "/loki/api/v1/push":
+            return "loki_pb" if is_pb else "loki_json"
+        if path in (
+            "/api/prom/remote/write", "/api/v1/prom/remote/write",
+            "/v1/prom/remote/write", "/prom/remote/write", "/api/prom/push",
+        ):
+            return "remote_write"
+        if path == "/v1/logs":
+            return "otlp_logs_pb" if is_pb else "otlp_logs_json"
+        if path == "/v1/traces":
+            return "otlp_traces_pb" if is_pb else "otlp_traces_json"
+        if path == "/api/v2/logs":
+            return "datadog_logs"
+        if path == "/api/v2/series":
+            return "datadog_metrics"
+        if path.startswith(("/influx", "/write")):
+            return "influx"
+        if path in ("/tempo/spans", "/api/v2/spans", "/tempo/api/push"):
+            return "zipkin_ndjson" if "ndjson" in ctype else "zipkin_json"
+        if path.endswith("/_bulk"):
+            return "elastic_bulk"
+        if path == "/cf/v1/insert":
+            return "datadog_cf"
+        if "/_doc" in path or "/_create/" in path:
+            return "elastic_doc"
+        if path == "/v1development/profiles" and "application/json" not in ctype:
+            return "otlp_profiles"
+        return None  # /ingest validates in its own handler
+
     def _bulk_submit(self, path, q, body, is_pb, ctype) -> bool:
         """Route one push into the BulkWriter (bulk.py), send the
         route's reference ack, and return True; False when the route
@@ -1460,6 +1498,15 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._body()
         ctype = self.headers.get("Content-Type", "")
         is_pb = "protobuf" in ctype or "octet-stream" in ctype
+        # reference-parity 400 on malformed bodies for the SYNC path
+        # too (unmarshal errors are 400 there, error.go:68; our Spark
+        # decoders would otherwise drop bad rows silently) — the same
+        # cheap syntactic check the bulk path runs before its ack
+        kind = self._route_kind(path, q, is_pb, ctype)
+        if kind is not None:
+            from gigapipe_spark.bulk import validate as _validate
+
+            _validate(kind, body)  # BulkValidationError → 400
         # X-Async-Insert (middleware.go getAsyncMode): with bulk
         # configured every push is async by default; "false"/"0" forces
         # this request through the synchronous fan-out (the reference's
@@ -1656,6 +1703,12 @@ class _Handler(BaseHTTPRequestHandler):
         end = pyroscope_ingest_ns(int(q["until"][0]))
         if "multipart/form-data" in ctype:
             body = _multipart_first_file(body, ctype)
+        # same decode-before-ack 400 as the bulk path: pprof bodies are
+        # gzip (magic-checked) or bare protobuf (wire-scanned)
+        from gigapipe_spark.bulk import _pb_wire_ok
+
+        if not body[:2] == b"\x1f\x8b":
+            _pb_wire_ok(body)  # BulkValidationError → 400
         raw = self.engine.spark.createDataFrame(
             [(f"{service}-{start}", bytearray(body))],
             "profile_id string, payload binary",

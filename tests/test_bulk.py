@@ -382,3 +382,45 @@ def test_timestampless_logs_stamp_receive_time(spark, bulk_gateway):
     assert set(rows) == {"no ts otlp", "no ts dd"}
     for s, ts in rows.items():
         assert t0 <= ts <= t0 + 120 * 10**9, (s, ts)
+
+
+def test_push_validation_agrees_across_modes(spark, tmp_path):
+    """Drift guard for httpd._route_kind vs _bulk_submit: every
+    malformed body that 400s in bulk mode must 400 in SYNC mode too
+    (the reference maps unmarshal errors to 400 in both shapes,
+    writer/utils/errors/error.go:68), and valid pushes must keep their
+    reference acks in sync mode."""
+    import urllib.error
+
+    from gigapipe_spark.httpd import HttpGateway
+    from gigapipe_spark.storage.query import StoreEngine
+    from gigapipe_spark.storage.writer import Catalog
+
+    root = str(tmp_path / "syncstore")
+    eng = StoreEngine(spark, root, catalog=Catalog(root))
+    gw = HttpGateway(eng)  # SYNC mode
+    port = gw.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        bad = [
+            ("/loki/api/v1/push", b"{not json", "application/json"),
+            ("/v1/logs", b"[1,2,3]", "application/json"),
+            ("/es1/_bulk", b'{"ok":1}\nnot-json\n', "application/x-ndjson"),
+            ("/influx/write", b"no_equals_or_space", "text/plain"),
+            ("/v1/traces", b"\x07\x08garbage-pb", "application/x-protobuf"),
+            ("/api/v2/logs", b"<xml/>", "application/json"),
+            ("/cf2/_doc/1", b"not json", "application/json"),
+            ("/ingest?name=a&from=1&until=2", b"\x07\x08junk",
+             "binary/octet-stream"),
+        ]
+        for path, body, ctype in bad:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base, path, body, ctype)
+            assert ei.value.code == 400, path
+        # valid pushes keep their reference acks through the sync path
+        assert _post(base, "/loki/api/v1/push", _loki(0)) == 204
+        assert _post(base, "/influx/write",
+                     b"cpu value=1 1700000000000000000",
+                     "text/plain") == 204
+    finally:
+        gw.stop()
