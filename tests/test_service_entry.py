@@ -183,3 +183,48 @@ def test_reader_refresh_loop_calls_refresh():
     stop.set()
     t.join(timeout=2)
     assert Eng.calls >= 2
+
+
+def test_maintenance_loop_refreshes_engine_after_moving_data():
+    """A tick that rotated or compacted data must drop the engine's
+    memoized file listings — found by the soak probe: every query
+    between a rotation and the next push read deleted paths."""
+    import threading
+    import time as _time
+
+    from gigapipe_spark import __main__ as M
+
+    calls = {"tick": 0, "refresh": 0}
+
+    class Eng:
+        catalog = object()
+
+        def refresh(self):
+            calls["refresh"] += 1
+
+    def fake_tick(spark, catalog, cfg, today=None):
+        calls["tick"] += 1
+        # first tick moves data, second is a no-op
+        if calls["tick"] == 1:
+            return {"rotated": {"dropped": ["x"]}, "compacted": {}}
+        return {"rotated": None, "compacted": {}}
+
+    orig = M.maintenance_tick
+    M.maintenance_tick = fake_tick
+    try:
+        cfg = {"rotate_interval_s": 0.05, "samples_days": 1,
+               "compact": False}
+        stop = threading.Event()
+        t = threading.Thread(
+            target=M._maintenance_loop, args=(None, Eng(), cfg, stop)
+        )
+        t.start()
+        deadline = _time.monotonic() + 5
+        while _time.monotonic() < deadline and calls["tick"] < 2:
+            _time.sleep(0.02)
+        stop.set()
+        t.join(timeout=2)
+    finally:
+        M.maintenance_tick = orig
+    assert calls["tick"] >= 2
+    assert calls["refresh"] == 1  # only the data-moving tick refreshed
