@@ -388,3 +388,32 @@ def test_rotate_tier_move_rerun_after_source_delete_crash(spark, tmp_path):
     )
     assert not os.path.isdir(src)
     assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
+
+
+def test_tier_move_cross_filesystem_branch(spark, tmp_path, monkeypatch):
+    """The EXDEV fallback (the actual TO DISK case): os.rename refuses,
+    so the move runs copytree → atomic rename → delete-hot. Simulated
+    by making the first direct rename raise EXDEV; the tmp dir must not
+    survive and the data must read back from the tier."""
+    import errno
+    import os as _os
+
+    from gigapipe_spark.storage import maintenance as m
+
+    cat = _store(spark, tmp_path, ["2026-01-01"])
+    src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
+    dest = os.path.join(tier_root(cat, "cold"), "samples", "oid=0",
+                        "date=2026-01-01")
+    real_rename = _os.rename
+
+    def exdev_rename(a, b):
+        if a == src and b == dest:  # only the direct same-fs shortcut
+            raise OSError(errno.EXDEV, "cross-device link")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(m.os, "rename", exdev_rename)
+    m._tier_move(src, dest)
+    assert not os.path.isdir(src)
+    assert not os.path.isdir(dest + ".tier_tmp")
+    assert os.path.isdir(dest)
+    assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
