@@ -465,7 +465,12 @@ class BulkWriter:
         without bound while a slow flush runs."""
         key = (kind, tuple(sorted(params.items())))
         with self._lock:
-            if self._size + len(payload) > self.max_size * self.OVERFLOW_FACTOR:
+            # reject on PENDING size alone, not pending+payload: a
+            # single payload bigger than the cap (legitimate up to the
+            # 100 MiB gzip bound) would otherwise 503 forever even
+            # against an empty buffer. Overshoot is bounded by
+            # cap + one body, and the flusher drains it next cycle.
+            if self._size >= self.max_size * self.OVERFLOW_FACTOR:
                 self.rejected += 1
                 self._wake.set()
                 raise BulkOverflow(

@@ -390,6 +390,13 @@ class _Handler(BaseHTTPRequestHandler):
             out = d.decompress(raw, cap)
             if d.unconsumed_tail:
                 raise UnsupportedEncoding("body is too long")
+            # gzip.decompress verified the CRC32/ISIZE trailer; the
+            # streaming object doesn't unless we check eof — a
+            # truncated body would otherwise yield a silent partial
+            # payload that line-oriented kinds (influx, NDJSON) happily
+            # ack while ingesting only part of the push.
+            if not d.eof:
+                raise UnsupportedEncoding("truncated gzip body")
             return out
         if enc == "snappy":
             if urlparse(self.path).path in self._SNAPPY_NATIVE:

@@ -64,13 +64,26 @@ def register(name: str, oracle: str | None = None):
 # call. Entries with call-time side effects (store_roundtrip_* writes,
 # engine construction) never route through these builders and are
 # never memoized; store-backed contexts invalidate via refresh().
-_PLAN_MEMO: dict[tuple, DataFrame] = {}
+# Keyed on the session OBJECT via weakref (not id(spark)): an id-keyed
+# dict never evicts, pinning DataFrames of stopped sessions alive
+# forever — and CPython id() reuse after GC could even serve a stale
+# plan bound to a DEAD SparkSession to a brand-new one. With a
+# WeakKeyDictionary the whole per-session memo vanishes when the
+# session object does.
+import weakref as _weakref
+
+_PLAN_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _plan_memo(key: tuple, build) -> DataFrame:
-    if key not in _PLAN_MEMO:
-        _PLAN_MEMO[key] = build()
-    return _PLAN_MEMO[key]
+    spark = key[0]
+    memo = _PLAN_MEMO.setdefault(spark, {})
+    sub = key[1:]
+    if sub not in memo:
+        memo[sub] = build()
+    return memo[sub]
 
 
 def _rounded(df: DataFrame, *cols: str) -> DataFrame:
@@ -90,7 +103,7 @@ def _logql(q: str, out_cols: list, round_cols: list[str] = ()) -> QueryFn:
             cols = [c() if callable(c) else c for c in out_cols]
             return _rounded(res.df.select(*cols), *round_cols)
 
-        return _plan_memo((id(spark), sf_dir, "logql", q), build)
+        return _plan_memo((spark, sf_dir, "logql", q), build)
 
     return fn
 
@@ -422,7 +435,7 @@ def _promql(q: str, out_cols: list, step_ns: int = 60_000_000_000) -> QueryFn:
             cols = [c() if callable(c) else c for c in out_cols]
             return df.select(*cols).withColumn("value", F.round("value", 6))
 
-        return _plan_memo((id(spark), sf_dir, "promql", q, step_ns), build)
+        return _plan_memo((spark, sf_dir, "promql", q, step_ns), build)
 
     return fn
 
@@ -911,7 +924,7 @@ def _traceql(q: str, cols=("trace_id", "span_id"), round_cols=()) -> QueryFn:
             return _rounded(df, *round_cols)
 
         return _plan_memo(
-            (id(spark), sf_dir, "traceql", q, cols, round_cols), build
+            (spark, sf_dir, "traceql", q, cols, round_cols), build
         )
 
     return fn
@@ -3726,7 +3739,9 @@ def store_roundtrip_pyroscope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("fn_name", "self", "total").orderBy("fn_name")
 
 
-_RULE_BASE_ROOT: dict[int, str] = {}
+_RULE_BASE_ROOT: "_weakref.WeakKeyDictionary[SparkSession, str]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _rule_base_store(spark: SparkSession) -> str:
@@ -3744,9 +3759,8 @@ def _rule_base_store(spark: SparkSession) -> str:
     from gigapipe_spark.sources.ingest import loki_push
     from gigapipe_spark.storage.writer import Catalog, ingest_fanout
 
-    key = id(spark)
-    if key in _RULE_BASE_ROOT:
-        return _RULE_BASE_ROOT[key]
+    if spark in _RULE_BASE_ROOT:
+        return _RULE_BASE_ROOT[spark]
     root = os.path.join(tempfile.gettempdir(), "gigapipe_store_rulebase")
     shutil.rmtree(root, ignore_errors=True)
     t0 = 1_700_000_000_000_000_000
@@ -3767,7 +3781,7 @@ def _rule_base_store(spark: SparkSession) -> str:
         loki_push(spark.createDataFrame([(payload,)], "payload string")),
         Catalog(root),
     )
-    _RULE_BASE_ROOT[key] = root
+    _RULE_BASE_ROOT[spark] = root
     return root
 
 

@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-_BOOTSTRAPPED: set[int] = set()
+# WeakSet, not a set of id()s: id reuse after a session is GC'd would
+# silently skip conf bootstrap on a brand-new session.
+import weakref as _weakref
+
+_BOOTSTRAPPED: "_weakref.WeakSet" = _weakref.WeakSet()
 
 
 def ensure_engine_confs(spark: SparkSession) -> None:
@@ -31,8 +35,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     Measured on the vanilla selfcheck session: the 200-partition
     default cost ~1s per query in scheduler overhead at sf0.01
     (promql_topk 4.26s → 3.33s under engine confs)."""
-    key = id(spark)
-    if key in _BOOTSTRAPPED:
+    if spark in _BOOTSTRAPPED:
         return
     cores = spark.sparkContext.defaultParallelism
     for conf, val in (
@@ -46,7 +49,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
             spark.conf.set(conf, val)
         except Exception:
             pass  # conf locked down by the host: keep theirs
-    _BOOTSTRAPPED.add(key)
+    _BOOTSTRAPPED.add(spark)
 
 
 def get_spark(app_name: str = "gigapipe_spark", cpus: int | None = None) -> SparkSession:

@@ -145,14 +145,29 @@ def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the (small) result per session+sf_dir instead of re-shuffling the fact
 # table for every query. Fact-table views are NOT cached — they must
 # stream from parquet with pushdown.
-_dim_cache: dict[tuple[int, str, str], DataFrame] = {}
+#
+# Keyed on the session OBJECT via weakref: an id(spark)-keyed dict
+# never evicts, pinning cached DataFrames (and their stopped sessions)
+# alive for the life of the process — the top driver-heap offender in
+# a long multi-session run. The per-session sub-dict (keyed by
+# (sf_dir, name)) dies with its session object.
+import weakref as _weakref
+
+_dim_cache_by_session: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _dim_memo(spark: SparkSession) -> dict:
+    return _dim_cache_by_session.setdefault(spark, {})
 
 
 def _cached(
     spark: SparkSession, sf_dir: str, name: str, build, fact: bool = False
 ) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    if key not in _dim_cache:
+    memo = _dim_memo(spark)
+    key = (sf_dir, name)
+    if key not in memo:
         # Dimension builds are compacted to a few fat partitions: a
         # build that ran through a shuffle inherits
         # spark.sql.shuffle.partitions (200 under a vanilla session),
@@ -174,8 +189,8 @@ def _cached(
                 df = df.coalesce(2 * cores)
         else:
             df = df.coalesce(16)
-        _dim_cache[key] = df.cache()
-    return _dim_cache[key]
+        memo[key] = df.cache()
+    return memo[key]
 
 
 def time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,14 +338,15 @@ def span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("attrs").alias("key", "val"),
         )
 
-    key = (id(spark), sf_dir, "span_attrs_cacheable")
-    if key not in _dim_cache:
+    memo = _dim_memo(spark)
+    key = (sf_dir, "span_attrs_cacheable")
+    if key not in memo:
         # one cheap count over the already-cached map decides the
         # layout for the session
-        _dim_cache[key] = (
+        memo[key] = (
             span_attr_map(spark, sf_dir).count() <= 5_000_000
         )
-    if _dim_cache[key]:
+    if memo[key]:
         return _cached(spark, sf_dir, "span_attrs", build, fact=True)
     return build()
 
@@ -349,8 +365,9 @@ def attr_stats(spark: SparkSession, sf_dir: str) -> dict | None:
     per-request ids): callers fall back to the scan probe. At store
     scale this is a WRITER-maintained table, not a session derivation;
     the session build is fixture plumbing."""
-    key = (id(spark), sf_dir, "attr_stats")
-    if key not in _dim_cache:
+    memo = _dim_memo(spark)
+    key = (sf_dir, "attr_stats")
+    if key not in memo:
         cap = 100_000
         rows = (
             span_attr_map(spark, sf_dir)
@@ -360,12 +377,12 @@ def attr_stats(spark: SparkSession, sf_dir: str) -> dict | None:
             .limit(cap + 1)
             .collect()
         )
-        _dim_cache[key] = (
+        memo[key] = (
             None
             if len(rows) > cap
             else {(r["key"], r["val"]): r["count"] for r in rows}
         )
-    return _dim_cache[key]
+    return memo[key]
 
 
 def span_attr_map(spark: SparkSession, sf_dir: str) -> DataFrame:

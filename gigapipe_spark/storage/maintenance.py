@@ -235,7 +235,23 @@ def _tier_move(part_dir: str, dest: str) -> None:
             if os.path.exists(dst):
                 (shutil.rmtree if os.path.isdir(src) else os.remove)(src)
             else:
-                shutil.move(src, dst)
+                # shutil.move cross-filesystem is copy2+unlink: a crash
+                # mid-copy would leave a PARTIAL dst that the
+                # dst-exists branch above then treats as the tiered
+                # truth (deleting the intact hot copy). Mirror the
+                # directory-level protocol: full copy to a tmp name,
+                # atomic rename within the dest fs, only then drop src.
+                file_tmp = dst + ".tier_tmp"
+                if os.path.exists(file_tmp):
+                    (shutil.rmtree if os.path.isdir(file_tmp) else os.remove)(
+                        file_tmp
+                    )
+                if os.path.isdir(src):
+                    shutil.copytree(src, file_tmp)
+                else:
+                    shutil.copy2(src, file_tmp)
+                os.rename(file_tmp, dst)
+                (shutil.rmtree if os.path.isdir(src) else os.remove)(src)
         shutil.rmtree(part_dir)
         return
     try:

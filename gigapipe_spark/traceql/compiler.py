@@ -342,11 +342,13 @@ def _stats_term_bound(t, stats: dict, stat_keys: set) -> int | None:
     driver-side from the (key,val)→count stats; None = not servable
     (fall back to the scan probe). Equality on a key absent from stats
     is a true zero for attr terms — no index row can match — but for
-    INTRINSIC attrs the scan path reads spans columns the index may not
-    carry, so absence there means 'stats can't answer', not zero."""
-    if t.attr == "duration":
-        return None
-    if t.attr in _INTRINSIC_COLS and t.attr not in stat_keys:
+    INTRINSIC attrs the scan path reads spans COLUMNS, never index
+    rows — so stats can't answer them at all, even when a corpus
+    happens to carry a real span attribute literally named 'name' or
+    'service.name' (resolving from those rows would under-bound the
+    intrinsic and let the gate broadcast a span set the probe path
+    would have refused)."""
+    if t.attr in _INTRINSIC_COLS:
         return None
     if t.kind == "string":
         if t.op == "=":

@@ -200,11 +200,42 @@ def test_bulk_overflow_503(spark, tmp_path):
                 break
         assert got_503
         assert gw.bulk.rejected >= 1
-        assert gw.bulk._size <= cap  # heap stayed bounded
+        # reject triggers on PENDING size alone (so a single payload
+        # larger than the cap can still be admitted against an empty
+        # buffer); overshoot is bounded by cap + one body
+        assert gw.bulk._size <= cap + len(body)
     finally:
         gw.bulk._stop.set()
         gw.bulk._wake.set()
         gw._httpd.shutdown() if hasattr(gw, "_httpd") else None
+
+
+def test_bulk_oversize_single_payload_admitted():
+    """A single payload larger than max_size×OVERFLOW_FACTOR must be
+    ADMITTED against an empty buffer — the gzip path accepts bodies up
+    to 100 MiB, so rejecting on pending+payload would 503 a legitimate
+    large push forever. Rejection triggers on pending size alone."""
+    from gigapipe_spark.bulk import BulkOverflow, BulkWriter
+
+    class _NullEngine:
+        pass
+
+    bw = BulkWriter(_NullEngine(), max_age_ms=60_000.0,
+                    max_size_bytes=1024)
+    bw.flush_now = lambda: None  # stalled flusher
+    try:
+        big = b"x" * (bw.max_size * bw.OVERFLOW_FACTOR + 1)
+        bw.submit("loki", big)  # must NOT raise
+        assert bw._size == len(big)
+        # buffer now holds >= the hard cap: the next push sheds
+        import pytest as _pytest
+
+        with _pytest.raises(BulkOverflow):
+            bw.submit("loki", b"y")
+        assert bw.rejected == 1
+    finally:
+        bw._stop.set()
+        bw._wake.set()
 
 
 def test_bulk_malformed_payload_400(spark, bulk_gateway):

@@ -1100,6 +1100,35 @@ def test_gzip_body_decompressed_and_bomb_capped(gateway):
         assert "too long" in ex.read().decode()
 
 
+def test_gzip_truncated_body_rejected(gateway):
+    """ADVICE r12: the streaming inflater skipped the CRC32/ISIZE
+    trailer check gzip.decompress performs, so a TRUNCATED gzip body
+    silently yielded a partial payload — for line-oriented kinds
+    (influx, NDJSON) a cut at a line boundary validated clean and was
+    acked 2xx with only part of the push ingested. Truncation must 400."""
+    import gzip as _gzip
+    import urllib.error
+
+    base, _ = gateway
+    # two influx lines; truncate the gzip stream at a point where the
+    # inflated prefix still ends on a clean line boundary
+    body = (b"cpu,host=h1 usage=0.5 1700000000000000000\n"
+            b"cpu,host=h2 usage=0.7 1700000001000000000\n")
+    gz = _gzip.compress(body)
+    # chop the 8-byte CRC32+ISIZE trailer plus a bit of deflate tail
+    truncated = gz[:-12]
+    req = urllib.request.Request(
+        base + "/influx/write", data=truncated, method="POST",
+        headers={"Content-Encoding": "gzip"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400 for truncated gzip body")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+        assert "truncated" in ex.read().decode()
+
+
 def test_http_influx_push_end_to_end(gateway):
     """The influx write route splits the body into protocol lines and
     lands metric samples (was broken — fed the whole body as one row

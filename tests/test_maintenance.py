@@ -417,3 +417,32 @@ def test_tier_move_cross_filesystem_branch(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(dest + ".tier_tmp")
     assert os.path.isdir(dest)
     assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1
+
+
+def test_tier_move_merge_file_copy_is_crash_safe(spark, tmp_path):
+    """ADVICE r12: the merge branch used shutil.move per file, which
+    cross-filesystem is copy2+unlink — a crash mid-copy left a PARTIAL
+    dst that the next re-run's dest-exists check then kept as the
+    tiered truth while deleting the intact hot copy. Now each file
+    copies to dst+'.tier_tmp' and renames into place, so a torn
+    per-file tmp is discarded and the hot file recopied whole."""
+    from gigapipe_spark.storage import maintenance as m
+
+    cat = _store(spark, tmp_path, ["2026-01-01"])
+    src = os.path.join(cat.path("samples"), "oid=0", "date=2026-01-01")
+    dest = os.path.join(tier_root(cat, "cold"), "samples", "oid=0",
+                        "date=2026-01-01")
+    os.makedirs(dest, exist_ok=True)  # completed prior move (empty day)
+    # simulate a crash mid-file-copy from an earlier merge attempt:
+    # a torn per-file tmp sits in dest, the hot file is intact
+    hot_files = [n for n in os.listdir(src) if not n.startswith((".", "_"))]
+    assert hot_files
+    victim = hot_files[0]
+    torn = os.path.join(dest, victim + ".tier_tmp")
+    with open(torn, "wb") as f:
+        f.write(b"\x00torn")  # garbage partial copy
+    m._tier_move(src, dest)
+    assert not os.path.isdir(src)
+    assert not os.path.exists(torn)  # torn tmp discarded, not promoted
+    # the merged file is the FULL hot copy, readable parquet
+    assert read_tiered(spark, cat, "samples", tiers=("cold",)).count() == 1

@@ -7,7 +7,7 @@ from gigapipe_spark.session import _BOOTSTRAPPED, ensure_engine_confs
 
 
 def test_engine_confs_applied_once_and_idempotent(spark):
-    _BOOTSTRAPPED.discard(id(spark))
+    _BOOTSTRAPPED.discard(spark)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "200")  # vanilla default
@@ -30,7 +30,7 @@ def test_registry_entries_bootstrap_foreign_sessions(spark):
     # every registered query flows through the bootstrap wrapper
     import __spark_entry__ as e
 
-    _BOOTSTRAPPED.discard(id(spark))
+    _BOOTSTRAPPED.discard(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     e.queries()["meta_label_values"](spark, "/root/testdata/sf0.001").count()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -429,15 +429,16 @@ def test_complexity_stats_fast_path_matches_scan(spark):
         ctx = C.TraceQLContext(spark, SF_DIR)
         n_stats = C.eval_complexity(ctx, script.spanset)
         # force the scan path by hiding the stats for this call
-        key = (id(spark), SF_DIR, "attr_stats")
-        saved = views._dim_cache.pop(key)
-        views._dim_cache[key] = None  # memoized refusal → scan probe
+        memo = views._dim_memo(spark)
+        key = (SF_DIR, "attr_stats")
+        saved = memo.pop(key)
+        memo[key] = None  # memoized refusal → scan probe
         try:
             n_scan = C.eval_complexity(
                 C.TraceQLContext(spark, SF_DIR), script.spanset
             )
         finally:
-            views._dim_cache[key] = saved
+            memo[key] = saved
         assert n_stats >= n_scan, (expr, n_stats, n_scan)
         thr = C.COMPLEXITY_THRESHOLD
         assert (n_stats <= thr) == (n_scan <= thr), (expr, n_stats, n_scan)
@@ -452,3 +453,25 @@ def test_complexity_stats_regex_falls_back(spark):
     script = parse('{ returnflag =~ "R|A" }')
     n = C.eval_complexity(ctx, script.spanset)
     assert n > 0
+
+
+def test_stats_bound_never_answers_intrinsics():
+    """ADVICE r12: a corpus with a REAL span attribute literally named
+    'name' or 'service.name' must not let the stats path resolve an
+    INTRINSIC term from index row counts — intrinsics are span fields,
+    never index rows, and resolving from attr stats would under-bound
+    the selector (broadcasting a span set the scan probe would refuse).
+    _stats_term_bound returns None for every intrinsic, even when the
+    key exists in the stats dict."""
+    from gigapipe_spark.traceql.compiler import _stats_term_bound
+    from gigapipe_spark.traceql.parser import AttrCmp
+
+    stats = {("name", "GET /"): 3, ("service.name", "api"): 7,
+             ("custom", "x"): 5}
+    keys = {k for k, _ in stats}
+    for attr in ("name", "service.name", "duration"):
+        t = AttrCmp(attr=attr, op="=", value="GET /", kind="string")
+        assert _stats_term_bound(t, stats, keys) is None, attr
+    # non-intrinsic attrs still resolve from stats
+    t = AttrCmp(attr="custom", op="=", value="x", kind="string")
+    assert _stats_term_bound(t, stats, keys) == 5
