@@ -215,34 +215,44 @@ def mine_patterns(
 ) -> DataFrame:
     """Distributed pattern mining over a samples DataFrame.
 
-    groupBy (fingerprint, 10m bucket, cluster_key) → applyInPandas runs
-    the reference merge loop per shard. Output mirrors the `patterns`
-    table (ref: ctrl/qryn/sql/log.sql:174-187).
+    Shards by (fingerprint, 10m bucket, first-token cluster key); a
+    pandas merge loop runs the reference clustering per MULTI-line
+    shard only. Output mirrors the `patterns` table (ref:
+    ctrl/qryn/sql/log.sql:174-187).
+
+    Sizing shape (the full ingest path's bound, SCALE.md): shard sizes
+    come from a groupBy().count() over the key columns — map-side
+    partial aggregation means the only all-rows exchange ships
+    (key, count) pairs, not full rows. The rare multi-shard keys then
+    BROADCAST back as a left-anti (singles) / left-semi (multi) join,
+    so singleton rows — the overwhelming majority on observability
+    corpora — never shuffle at all. The previous shape sized shards
+    with a count().over(window), which shuffled every full row
+    (line + token + class arrays) just to learn its shard size; at
+    100× that shuffle was the profiled pole (145.6k lines/s full path
+    vs 248k patterns-off). Both broadcast sides reuse one exchange
+    (same subplan → ReusedExchange). A driver-side cap guards the
+    broadcast: past ~2M distinct multi keys (adversarial corpus, not a
+    flush batch) the window path takes over — correct at any scale,
+    just slower.
     """
-    # Tokenize + classify ONCE, BEFORE the shard shuffle. The previous
-    # shape computed tokens/classes as inline expressions on the
-    # post-window rows — CollapseProject then inlined the split+filter
-    # producer into every consumer (tokens, classes, the overall-cost
-    # fold, the pattern-id concat), re-splitting each line up to 4× and
-    # re-running the 8-regex classify cascade twice. Computing them in
-    # the pre-shuffle projection materializes both arrays through the
-    # exchange: each line is split once and each token classified once,
-    # and the shuffle write overlaps the regex work. The classify
-    # cascade is the miner's real CPU (~8 rlike per token) and the
-    # miner bounds the full ingest path's lines/s (SCALE.md).
+    spark = samples.sparkSession
+    par = spark.sparkContext.defaultParallelism
     tokens_raw = F.filter(F.split("string", r"\s+"), lambda t: t != "")
-    prepared = samples.filter(F.col("string") != "").select(
+    # ckey = first non-empty token. regexp_extract, not
+    # element_at(split+filter, 1): the sizing pass and the join keys
+    # need ONLY this scalar, and building the whole token array per row
+    # just to take its head doubled the split work on the singles scan.
+    ckey_col = F.regexp_extract(F.col("string"), r"(\S+)", 1)
+    keyed = samples.filter(F.col("string") != "").select(
         "fingerprint",
         (
-            F.col("timestamp_ns") - F.pmod(F.col("timestamp_ns"), F.lit(bucket_ns))
+            F.col("timestamp_ns")
+            - F.pmod(F.col("timestamp_ns"), F.lit(bucket_ns))
         ).alias("timestamp_10m"),
-        tokens_raw.alias("tokens"),
         F.col("string"),
         "timestamp_ns",
-    ).withColumn(
-        "ckey", F.coalesce(F.element_at("tokens", 1), F.lit(""))
-    ).withColumn(
-        "classes", F.transform("tokens", _cost_col)
+        ckey_col.alias("ckey"),
     )
 
     out_schema = (
@@ -255,42 +265,6 @@ def mine_patterns(
         "fingerprint", "timestamp_10m", "tokens", "classes",
         "overall_cost", "generalized_cost", "samples_count", "pattern_id",
     ]
-
-    # Split shards by size: a single-line shard needs no merge loop — its
-    # cluster IS the tokenized line, so the whole row computes as JVM
-    # column expressions (token split, per-token cost classification,
-    # crc32 pattern id). Only multi-line shards go through Python. On
-    # observability corpora the (fingerprint, 10m, first-word) shard key
-    # makes singletons the overwhelming majority (>99% on the fixture
-    # corpus), and the pandas per-group overhead on ~100k one-line groups
-    # was ~5s of the query's ~6s.
-    w = Window.partitionBy("fingerprint", "timestamp_10m", "ckey")
-    sized = prepared.withColumn("__n", F.count(F.lit(1)).over(w))
-
-    # post-shuffle consumers read the MATERIALIZED arrays; the fold and
-    # the crc32 are cheap int/concat work over them
-    overall_col = F.aggregate(F.col("classes"), F.lit(0), lambda a, x: a + x)
-    # pattern id = hash of the cluster's token pattern, with NO
-    # fingerprint component (ref: pattern.go:102 PatternId =
-    # cityHash64(seed line)) — identical patterns from different
-    # streams/flushes share an id, which is what the read side's
-    # per-pattern merge (planner_patterns.go GROUP BY pattern_id)
-    # depends on
-    pid_col = F.crc32(F.concat_ws(" ", F.col("tokens")).cast("binary"))
-    singles = (
-        sized.filter(F.col("__n") == 1)
-        .filter(F.size("tokens") > 0)
-        .select(
-            "fingerprint",
-            "timestamp_10m",
-            "tokens",
-            "classes",
-            overall_col.alias("overall_cost"),
-            F.lit(0).alias("generalized_cost"),
-            F.lit(1).cast("long").alias("samples_count"),
-            pid_col.alias("pattern_id"),
-        )
-    )
 
     def run(batches):
         # mapInPandas over hash-partitioned data, per-shard loop in
@@ -343,20 +317,163 @@ def mine_patterns(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    # multi-line shards: the window exchange co-located complete
-    # groups, but AQE coalesces that exchange by BYTE size — a Python
-    # merge-loop stage's cost is per-ROW, so a few-MB batch lands on a
-    # handful of tasks (measured: 9 of 32 cores for a 300k-line
-    # all-multi batch). Re-spread by the shard key to full parallelism:
-    # the extra exchange moves only the multi-shard rows (rare on real
-    # corpora) and is byte-cheap exactly when it matters most. (A single
-    # explicit pre-window repartition serving both branches measured
-    # SLOWER end-to-end — it forfeits AQE sizing for the whole chain.)
-    # The pandas loop re-tokenizes its lines itself: shipping the
-    # precomputed arrays through repartition+Arrow measured SLOWER than
-    # the line strings (list<string> transfer + object-dtype groupby),
-    # so only the strings ride.
-    par = samples.sparkSession.sparkContext.defaultParallelism
+    shard_keys = ["fingerprint", "timestamp_10m", "ckey"]
+
+    def _singles(rows: DataFrame) -> DataFrame:
+        # Singles projection, exactly-once evaluation by construction:
+        # `tokens` has exactly TWO consumers (the output column and the
+        # classes transform), `classes` two (output + the overall fold)
+        # — CollapseProject keeps non-cheap producers with >1 reference
+        # in their own Project, so the split and the 3-rlike classify
+        # cascade each run once per row. The pattern id and the
+        # emptiness filter deliberately derive from the RAW STRING
+        # (whitespace-normalized regexp_replace ≡ concat_ws(" ",
+        # tokens); rlike(\S) ≡ size(tokens)>0) so they don't add token
+        # consumers — a third reference historically got the split
+        # inlined per consumer (the HOF-inlining trap, docs/SCALE.md).
+        pid_col = F.crc32(
+            F.regexp_replace(
+                F.regexp_replace(F.col("string"), r"^\s+|\s+$", ""),
+                r"\s+", " ",
+            ).cast("binary")
+        )
+        return (
+            rows.filter(F.col("string").rlike(r"\S"))
+            .withColumn("tokens", tokens_raw)
+            .withColumn("classes", F.transform("tokens", _cost_col))
+            .select(
+                "fingerprint",
+                "timestamp_10m",
+                "tokens",
+                "classes",
+                F.aggregate(
+                    F.col("classes"), F.lit(0), lambda a, x: a + x
+                ).alias("overall_cost"),
+                F.lit(0).alias("generalized_cost"),
+                F.lit(1).cast("long").alias("samples_count"),
+                pid_col.alias("pattern_id"),
+            )
+        )
+
+    def _multi(rows: DataFrame) -> DataFrame:
+        # multi-line shards re-spread across the full core count (a
+        # Python merge-loop stage's cost is per-ROW, so byte-sized AQE
+        # coalescing would starve it). The pandas loop re-tokenizes its
+        # lines itself: shipping precomputed arrays through Arrow
+        # measured SLOWER than the line strings.
+        return rows.repartition(par, *shard_keys).mapInPandas(
+            run, schema=out_schema
+        )
+
+    # ONE heavy sizing job: scan + regexp_extract + map-side partial
+    # agg, materialized executor-local — the only all-rows exchange
+    # ships (key, count) pairs, never full rows (the pre-r13 window
+    # sizing shuffled every full row just to learn its shard size; at
+    # 100x that shuffle was the profiled ingest pole). The two driver
+    # reads below (shape stats, multi-key collect) run on the
+    # checkpointed counts in milliseconds.
+    sizes = keyed.groupBy(*shard_keys).count().localCheckpoint()
+    stats = sizes.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("total_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
+        ).alias("multi_rows"),
+        F.count(F.when(F.col("count") > 1, True)).alias("multi_keys"),
+    ).collect()[0]
+
+    # Pure corpora skip the split entirely — the overwhelmingly common
+    # flush shapes cost ZERO extra scans vs computing blind:
+    #   all singleton shards -> pure JVM column algebra, no pandas stage
+    #   all multi shards     -> straight to the merge loop, no anti scan
+    if stats["multi_rows"] == 0:
+        return _singles(keyed)
+    if stats["multi_rows"] == stats["total_rows"]:
+        return _multi(keyed)
+
+    # MIXED corpus only: lazily materialize the narrow projection as
+    # executor-local blocks — both branch legs scan it, and the second
+    # leg (plus every warm re-execution of a memoized fixture plan)
+    # reads blocks instead of re-scanning the full-width input (whose
+    # checkpointed rows deserialize the labels map on every pass).
+    # Pure corpora have exactly one consumer, so they skip the block
+    # write and its memory footprint. The miner's input is one bounded
+    # flush batch (the reference clusters per push batch,
+    # controller.go:71); blocks free when the plan is GC'd.
+    keyed = keyed.localCheckpoint(eager=False)
+
+    # Mixed corpus: the multi keys come back as a LocalRelation and
+    # BROADCAST into a left-anti (singles) / left-semi (multi) split,
+    # so singleton rows never shuffle. A non-collected broadcast plan
+    # would re-run the agg subplan once per join (ReusedExchange does
+    # not fire across AQE's independent broadcast stages, measured).
+    # Past the cap (adversarial key cardinality, not a flush batch)
+    # the full-row window path takes over: correct at any scale, one
+    # shuffle slower.
+    _COLLECT_CAP = 100_000
+    if stats["multi_keys"] > _COLLECT_CAP:
+        return _mine_patterns_window(
+            keyed, tokens_raw, similarity, out_schema, run, par
+        )
+    key_rows = sizes.filter(F.col("count") > 1).select(*shard_keys).collect()
+    _ISIN_CAP = 2_000
+    if len(key_rows) <= _ISIN_CAP:
+        # few multi keys (the common flush): inline them as a literal
+        # IN-set on a composite key — a JVM hash-set probe per row in
+        # the SAME stage as the block read, no broadcast exchanges, no
+        # join nodes (two BroadcastHashJoins measured ~0.15s of pure
+        # stage overhead per run at sf0.1)
+        lits = [
+            f"{r['fingerprint']}\x00{r['timestamp_10m']}\x00{r['ckey']}"
+            for r in key_rows
+        ]
+        composite = F.concat_ws(
+            "\x00",
+            F.col("fingerprint").cast("string"),
+            F.col("timestamp_10m").cast("string"),
+            F.col("ckey"),
+        )
+        return _singles(keyed.filter(~composite.isin(lits))).unionByName(
+            _multi(keyed.filter(composite.isin(lits)))
+        )
+    multi_keys = F.broadcast(
+        spark.createDataFrame(
+            key_rows, "fingerprint long, timestamp_10m long, ckey string"
+        )
+    )
+    return _singles(
+        keyed.join(multi_keys, shard_keys, "left_anti")
+    ).unionByName(_multi(keyed.join(multi_keys, shard_keys, "left_semi")))
+
+
+def _mine_patterns_window(
+    keyed: DataFrame, tokens_raw, similarity: float, out_schema: str,
+    run, par: int,
+) -> DataFrame:
+    """Adversarial-cardinality fallback: the pre-r13 full-row window
+    sizing (count().over(shard window)). Pays one all-rows shuffle but
+    never broadcasts — correct when the multi-key set itself is too
+    large to ship to every executor."""
+    prepared = keyed.withColumn("tokens", tokens_raw).withColumn(
+        "classes", F.transform("tokens", _cost_col)
+    )
+    w = Window.partitionBy("fingerprint", "timestamp_10m", "ckey")
+    sized = prepared.withColumn("__n", F.count(F.lit(1)).over(w))
+    overall_col = F.aggregate(F.col("classes"), F.lit(0), lambda a, x: a + x)
+    pid_col = F.crc32(F.concat_ws(" ", F.col("tokens")).cast("binary"))
+    singles = (
+        sized.filter(F.col("__n") == 1)
+        .filter(F.size("tokens") > 0)
+        .select(
+            "fingerprint",
+            "timestamp_10m",
+            "tokens",
+            "classes",
+            overall_col.alias("overall_cost"),
+            F.lit(0).alias("generalized_cost"),
+            F.lit(1).cast("long").alias("samples_count"),
+            pid_col.alias("pattern_id"),
+        )
+    )
     multi = (
         sized.filter(F.col("__n") > 1)
         .drop("__n", "tokens", "classes")

@@ -1874,9 +1874,16 @@ from gigapipe_spark.patterns.cluster import mine_patterns, read_patterns  # noqa
 @register("patterns_mine")  # iterative clustering — rows-only check
 def patterns_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain-style pattern mining over the log samples (ref:
-    writer/pattern/ clustering; SURVEY §2.7)."""
-    s = views.samples(spark, sf_dir)
-    return read_patterns(mine_patterns(s))
+    writer/pattern/ clustering; SURVEY §2.7). Plan-memoized like the
+    fixture _logql/_promql builders: mine_patterns runs a driver-side
+    shard-sizing job at BUILD time (r13 agg+broadcast sizing), and the
+    fixture view is immutable within a session, so a dashboard-style
+    re-issue reuses the built plan; execution still runs fully."""
+
+    def build():
+        return read_patterns(mine_patterns(views.samples(spark, sf_dir)))
+
+    return _plan_memo((spark, sf_dir, "patterns_mine"), build)
 
 
 @register(
@@ -1925,24 +1932,27 @@ def patterns_mine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     overall 25, hash-mismatch), the merge-rule accumulation
     (pattern.go:155-198), the 10m bucket floor, and per-cluster sample
     counting — against plain SQL aggregation."""
-    ev = views.load_table(spark, sf_dir, "events")
-    samples = ev.select(
-        (F.col("user_id") % 5).cast("long").alias("fingerprint"),
-        views._ts_ns(ev).alias("timestamp_ns"),
-        F.concat(
-            F.lit("login user "),
-            (F.col("user_id") % 7).cast("long").cast("string"),
-            F.lit(" from site"),
-        ).alias("string"),
-    )
-    return mine_patterns(samples).select(
-        "fingerprint",
-        "timestamp_10m",
-        F.concat_ws(" ", "tokens").alias("pattern"),
-        F.col("samples_count").cast("long").alias("samples_count"),
-        F.col("overall_cost").cast("long").alias("overall_cost"),
-        F.col("generalized_cost").cast("long").alias("generalized_cost"),
-    )
+    def build():
+        ev = views.load_table(spark, sf_dir, "events")
+        samples = ev.select(
+            (F.col("user_id") % 5).cast("long").alias("fingerprint"),
+            views._ts_ns(ev).alias("timestamp_ns"),
+            F.concat(
+                F.lit("login user "),
+                (F.col("user_id") % 7).cast("long").cast("string"),
+                F.lit(" from site"),
+            ).alias("string"),
+        )
+        return mine_patterns(samples).select(
+            "fingerprint",
+            "timestamp_10m",
+            F.concat_ws(" ", "tokens").alias("pattern"),
+            F.col("samples_count").cast("long").alias("samples_count"),
+            F.col("overall_cost").cast("long").alias("overall_cost"),
+            F.col("generalized_cost").cast("long").alias("generalized_cost"),
+        )
+
+    return _plan_memo((spark, sf_dir, "patterns_mine_exact"), build)
 
 
 # ------------------------------------------------------- data pipeline
