@@ -105,6 +105,16 @@ def config_from_env(env=None) -> dict:
         "bulk_max_size_bytes": int(
             env.get("BULK_MAX_SIZE_BYTES", str(16 * 1024 * 1024))
         ),
+        # the reference gates its rule-evaluation ticker goroutines on
+        # QRYN_RULER_ENABLED (ruler/router/init.go:30); the poll period
+        # maps to the manager ticker — group intervals still gate which
+        # rules actually evaluate each tick
+        "ruler_poll_sec": (
+            float(env.get("GIGAPIPE_RULER_POLL_S", "60"))
+            if env.get("QRYN_RULER_ENABLED", "").lower()
+            in ("1", "true", "yes")
+            else None
+        ),
         "log_level": _LOG_LEVELS.get(env.get("LOG_LEVEL", "info").lower(), logging.INFO),
     }
 
@@ -146,6 +156,7 @@ def build_gateway(cfg: dict, spark, port: int | None = None):
         mode=cfg["mode"],
         bulk_max_age_ms=cfg.get("bulk_max_age_ms"),
         bulk_max_size_bytes=cfg.get("bulk_max_size_bytes", 16 * 1024 * 1024),
+        ruler_poll_sec=cfg.get("ruler_poll_sec"),
     )
 
 

@@ -146,6 +146,24 @@ def _ms_to_ns(val: str) -> int:
     return secs * 1_000_000_000
 
 
+def _stale_listing_error(ex: Exception) -> bool:
+    """True when a Spark error means 'a file in the snapshot listing is
+    gone' — the signature of a rotate/compact swapping parquet files
+    under an in-flight scan. Matched on the rendered py4j error chain;
+    deliberately narrow (no bare 'does not exist') so genuine user
+    errors never trigger a silent re-run."""
+    s = str(ex)
+    return any(
+        m in s
+        for m in (
+            "FileNotFoundException",
+            "FILE_NOT_FOUND",
+            "FileReadException",
+            "underlying files have been updated",
+        )
+    )
+
+
 def _int_arg(q: dict, name: str) -> int | None:
     v = q.get(name, [None])[0]
     if v is None:
@@ -515,6 +533,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: C901 - one router, like the reference's
         if not self._check_auth():
             return
+        # keep-alive connections reuse one handler instance across
+        # requests: re-arm the stale-listing retry latch per request
+        # (the recursive retry call sets it to stop a second loop)
+        if not getattr(self, "_in_stale_retry", False):
+            self._stale_retried = False
         url = urlparse(self.path)
         q = parse_qs(url.query)
         path = url.path
@@ -1020,6 +1043,29 @@ class _Handler(BaseHTTPRequestHandler):
         except BrokenPipeError:
             raise
         except Exception as ex:  # one route fails, server survives
+            if (
+                guard.reason is None
+                and _stale_listing_error(ex)
+                and not getattr(self, "_stale_retried", False)
+            ):
+                # a rotate/compact swapped parquet files under an
+                # in-flight scan (the soak's reproducible 500: a query
+                # planned against the pre-tick listing reads a file the
+                # tick deleted). The maintenance loop refreshes AFTER
+                # its tick, which fixes future queries but not this
+                # one — refresh and re-run the request once, the way
+                # the reference's reader simply re-queries ClickHouse
+                # (whose MVCC makes parts-gone invisible to it).
+                self._stale_retried = True
+                self._in_stale_retry = True
+                try:
+                    self.engine.refresh()
+                except Exception:
+                    pass
+                try:
+                    return self.do_GET()
+                finally:
+                    self._in_stale_retry = False
             return self._guard_error(guard, ex)
 
     def _invalidate_contexts(self) -> None:
@@ -1162,7 +1208,23 @@ class _Handler(BaseHTTPRequestHandler):
                     with guard:
                         out = self._querier_v1(path.rsplit("/", 1)[-1], req)
                 except Exception as ex:
-                    return self._guard_error(guard, ex)
+                    # same stale-listing retry as the GET surface: a
+                    # rotate/compact mid-scan must not 500 a read
+                    if guard.reason is None and _stale_listing_error(ex):
+                        try:
+                            self.engine.refresh()
+                        except Exception:
+                            pass
+                        guard = self._guard(f"POST {path} retry", path=path)
+                        try:
+                            with guard:
+                                out = self._querier_v1(
+                                    path.rsplit("/", 1)[-1], req
+                                )
+                        except Exception as ex2:
+                            return self._guard_error(guard, ex2)
+                    else:
+                        return self._guard_error(guard, ex)
                 if out is None:
                     return self._json({"error": f"unknown rpc {path}"}, 404)
                 return self._json(out)

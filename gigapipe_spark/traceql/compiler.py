@@ -244,7 +244,12 @@ COMPLEXITY_THRESHOLD = 10_000_000
 
 # (session id, sf_dir, spanset repr) → probe verdict; the AST nodes are
 # dataclasses so repr is canonical for a query shape
-_COMPLEXITY_MEMO: dict[tuple, int] = {}
+# per-session probe-verdict memo, weakref-keyed on the session object
+# (an id(spark) key never evicts and can alias a dead session's verdict
+# to a new one after id reuse)
+import weakref as _weakref
+
+_COMPLEXITY_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _selectors(e) -> list[SpanSelector]:
@@ -402,13 +407,14 @@ def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
         # Store-backed contexts are excluded (their tables grow between
         # pushes; the probe must re-run against fresh listings).
         cacheable = type(ctx).__name__ == "TraceQLContext"
-        key = (id(ctx.spark), ctx.sf_dir, repr(ctx.pending_spanset))
-        if cacheable and key in _COMPLEXITY_MEMO:
-            ctx.complexity = _COMPLEXITY_MEMO[key]
+        memo = _COMPLEXITY_MEMO.setdefault(ctx.spark, {})
+        key = (ctx.sf_dir, repr(ctx.pending_spanset))
+        if cacheable and key in memo:
+            ctx.complexity = memo[key]
         else:
             ctx.complexity = eval_complexity(ctx, ctx.pending_spanset)
             if cacheable:
-                _COMPLEXITY_MEMO[key] = ctx.complexity
+                memo[key] = ctx.complexity
     if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD:
         return F.broadcast(df)
     return df

@@ -38,7 +38,83 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_soak(spark, root: str, seconds: float) -> dict:
+def _ws_tail(port: int, query: str, rec: dict, stop) -> None:
+    """Minimal RFC6455 client for /loki/api/v1/tail: upgrade, then read
+    server text frames (unmasked) and collect every tailed line string.
+    Any protocol error or dropped connection lands in rec['error'] —
+    the soak asserts tails survive the whole run (rotation included)."""
+    import base64
+    import socket
+
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        key = base64.b64encode(os.urandom(16)).decode()
+        path = "/loki/api/v1/tail?query=" + urllib.parse.quote(query)
+        s.sendall(
+            (
+                f"GET {path} HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        buf = bytearray()
+        while b"\r\n\r\n" not in buf:
+            chunk = s.recv(4096)
+            if not chunk:
+                raise ConnectionError("EOF during upgrade")
+            buf += chunk
+        head, _, rest = bytes(buf).partition(b"\r\n\r\n")
+        if b"101" not in head.split(b"\r\n", 1)[0]:
+            raise ConnectionError(f"upgrade refused: {head[:80]!r}")
+        buf = bytearray(rest)
+        s.settimeout(0.25)
+        while not stop.is_set():
+            try:
+                chunk = s.recv(65536)
+                if not chunk:
+                    raise ConnectionError("server closed the tail")
+                buf += chunk
+            except socket.timeout:
+                pass
+            while len(buf) >= 2:
+                opcode = buf[0] & 0x0F
+                n, off = buf[1] & 0x7F, 2
+                if n == 126:
+                    if len(buf) < 4:
+                        break
+                    n = int.from_bytes(buf[2:4], "big")
+                    off = 4
+                elif n == 127:
+                    if len(buf) < 10:
+                        break
+                    n = int.from_bytes(buf[2:10], "big")
+                    off = 10
+                if len(buf) < off + n:
+                    break
+                payload = bytes(buf[off:off + n])
+                del buf[:off + n]
+                if opcode == 0x8:
+                    raise ConnectionError("server sent close mid-soak")
+                if opcode != 0x1:
+                    continue
+                rec["frames"] += 1
+                data = json.loads(payload)
+                for stream in data.get("result", []):
+                    for _ts, line in stream.get("values", []):
+                        rec["lines"].append(line)
+        s.close()
+    except Exception as ex:  # noqa: BLE001 — soak verdict
+        rec["error"] = f"{type(ex).__name__}: {ex}"
+
+
+def run_soak(
+    spark,
+    root: str,
+    seconds: float,
+    tail_clients: int = 0,
+    ruler: bool = False,
+) -> dict:
     from gigapipe_spark.__main__ import build_gateway, maintenance_tick
 
     cfg = {
@@ -54,6 +130,9 @@ def run_soak(spark, root: str, seconds: float) -> dict:
         "refresh_interval_s": 10.0,
         "bulk_max_age_ms": 100.0,
         "bulk_max_size_bytes": 16 * 1024 * 1024,
+        # the reference's manager ticker (QRYN_RULER_ENABLED); group
+        # intervals still gate which rules evaluate per tick
+        "ruler_poll_sec": 1.0 if ruler else None,
     }
     gw = build_gateway(cfg, spark, port=0)
     port = gw.start()
@@ -77,11 +156,64 @@ def run_soak(spark, root: str, seconds: float) -> dict:
     seed = json.dumps({"streams": [{"stream": {"app": "old"},
                        "values": [[str(old_ns), "old line"]]}]}).encode()
     assert post("/loki/api/v1/push", seed) == 204
+    # the seed rides the bulk buffer: WAIT until its flush lands the
+    # 2023 partition on disk before the clock starts. The mid-soak
+    # rotate asserts it drops this partition — on a contended box the
+    # first flush (JIT + fresh-store fan-out) can take >10s, and firing
+    # the tick before the partition exists turned this into a timing
+    # flake (r12's adjudicated soak failure). Deterministic
+    # precondition, not a weakened assertion.
+    samples_root = gw.engine.catalog.path("samples")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(
+            name.startswith("date=2023-")
+            for oid in (
+                os.listdir(samples_root)
+                if os.path.isdir(samples_root)
+                else []
+            )
+            if oid.startswith("oid=")
+            for name in os.listdir(os.path.join(samples_root, oid))
+        ):
+            break
+        time.sleep(0.2)
+    else:
+        raise AssertionError("seed flush never landed the 2023 partition")
+
+    if ruler:
+        # a LogQL recording rule over the live soak streams — the
+        # reference ruler evaluates + writes back through the same
+        # ingest path (ruler/manager.go:224-249, writeback.go)
+        rule_yaml = (
+            b"name: soak-group\n"
+            b"interval: 2s\n"
+            b"rules:\n"
+            b"  - record: soak_lines_rate\n"
+            b'    expr: sum(rate({app=~"soak.*"} [1m]))\n'
+            b"    labels:\n"
+            b"      src: soak\n"
+        )
+        assert post("/loki/api/v1/rules/soak-ns", rule_yaml,
+                    "application/yaml") == 202
 
     stop = threading.Event()
+    tail_stop = threading.Event()
     stats = {"loki_acked": 0, "influx_acked": 0, "queries": 0,
              "meta": 0, "rejected_503": 0}
     errors: list[str] = []
+    tails: list[dict] = []
+    tail_threads: list[threading.Thread] = []
+    for tc in range(tail_clients):
+        rec = {"lines": [], "frames": 0, "error": None}
+        tails.append(rec)
+        t = threading.Thread(
+            target=_ws_tail,
+            args=(port, '{app=~"soak.*"}', rec, tail_stop),
+            daemon=True, name=f"tail{tc}",
+        )
+        t.start()
+        tail_threads.append(t)
 
     def guard(name, fn):
         def loop():
@@ -171,8 +303,39 @@ def run_soak(spark, root: str, seconds: float) -> dict:
     for t in threads:
         t.join(timeout=30)
     alive_after_join = [t.name for t in threads if t.is_alive()]
+    if tail_threads:
+        # pushes stopped; the 100ms bulk window flushes the remainder.
+        # Drain until every tail has CAUGHT UP to the acked set (the
+        # target count is known), not a fixed sleep: under load one
+        # tail poll (fresh store context + query + collect) takes
+        # seconds, so the backlog at stop is poll_time × push_rate and
+        # any timed wait is box-speed dependent. A genuinely lossy tail
+        # still fails — it just spends the deadline first.
+        want = stats["loki_acked"]
+        deadline = time.time() + 240
+        while time.time() < deadline and any(
+            len(set(rec["lines"])) < want and rec["error"] is None
+            for rec in tails
+        ):
+            time.sleep(1.0)
+        tail_stop.set()
+        for t in tail_threads:
+            t.join(timeout=30)
     bulk_errors = gw.bulk.errors if gw.bulk else 0
     dropped = gw.bulk.dropped_payloads if gw.bulk else 0
+    ruler_health = None
+    if ruler:
+        # health listing must come off the LIVE server (stop() below
+        # shuts the router); the reference serves the same annotated
+        # listing from manager health (manager.go:251-317)
+        st_r, body_r = get("/prometheus/api/v1/rules")
+        listing = json.loads(body_r)
+        rules_json = [
+            r
+            for grp in listing["data"]["groups"]
+            for r in grp["rules"]
+        ]
+        ruler_health = rules_json[0]["health"] if rules_json else "missing"
     gw.stop()  # drains the bulk buffer
 
     # post-drain: every acked push is stored
@@ -184,9 +347,49 @@ def run_soak(spark, root: str, seconds: float) -> dict:
         F.col("timestamp_ns") >= now_ns).count()
     old_left = samples.filter(F.col("string") == "old line").count()
 
+    acked_lines = {f"soak line {i}" for i in range(stats["loki_acked"])}
+    tail_ok = True
+    tail_report = []
+    for rec in tails:
+        got = rec["lines"]
+        dupes = len(got) - len(set(got))
+        missing = len(acked_lines - set(got))
+        extra = len(set(got) - acked_lines)
+        missing_idx = sorted(
+            int(ln.rsplit(" ", 1)[1])
+            for ln in (acked_lines - set(got))
+        )
+        tail_report.append({
+            "frames": rec["frames"], "lines": len(got), "dupes": dupes,
+            "missing": missing, "extra": extra, "error": rec["error"],
+            "missing_head": missing_idx[:5], "missing_tail": missing_idx[-5:],
+        })
+        if rec["error"] or dupes or missing or extra:
+            tail_ok = False
+
+    ruler_recorded_rows = 0
+    if ruler:
+        from pyspark.sql import functions as F
+        ts = gw.engine.catalog.read(spark, "time_series")
+        fps = [
+            r["fingerprint"]
+            for r in ts.filter(
+                F.col("labels").getItem("__name__") == "soak_lines_rate"
+            ).select("fingerprint").distinct().collect()
+        ]
+        if fps:
+            ruler_recorded_rows = (
+                gw.engine.catalog.read(spark, "samples")
+                .filter(F.col("fingerprint").isin(fps))
+                .count()
+            )
+
     verdict = {
         "seconds": seconds,
         "stats": stats,
+        "tails": tail_report,
+        "ruler_health": ruler_health,
+        "ruler_recorded_rows": ruler_recorded_rows,
         "thread_errors": errors,
         "threads_stuck": alive_after_join,
         "rotate_dropped_old": rotated_old,
@@ -207,6 +410,10 @@ def run_soak(spark, root: str, seconds: float) -> dict:
             and stored_influx == stats["influx_acked"]
             and stats["queries"] > 0
             and stats["meta"] > 0
+            and tail_ok
+            and (not ruler or (
+                ruler_health == "ok" and ruler_recorded_rows > 0
+            ))
         ),
     }
     return verdict

@@ -1147,3 +1147,61 @@ def test_http_influx_push_end_to_end(gateway):
     vals = {r["metric"]["host"]: r["value"][1]
             for r in out["data"]["result"]}
     assert vals == {"h1": "0.5", "h2": "0.7"}
+
+
+def test_stale_listing_error_retries_once(gateway):
+    """A rotate/compact can swap parquet files under an in-flight scan;
+    the query surface must refresh + re-run ONCE instead of answering
+    500 (found by the service soak: 4/8 runs lost a query thread to a
+    FileNotFoundException 500 racing the mid-soak maintenance tick).
+    A PERSISTENT failure still answers 500 — one retry, no loop."""
+    import gc
+
+    from gigapipe_spark.storage.query import StoreEngine
+
+    base, port = gateway
+    payload = json.dumps({
+        "streams": [{"stream": {"app": "stale"},
+                     "values": [["1700000000000000000", "stale seed"]]}]
+    }).encode()
+    assert _post(base, "/loki/api/v1/push", payload) in (200, 204)
+
+    # the module fixture's engine is the only live StoreEngine here
+    eng = next(
+        o for o in gc.get_objects()
+        if isinstance(o, StoreEngine) and getattr(o, "catalog", None)
+    )
+    real = eng.loki_labels
+    real_refresh = eng.refresh
+    calls = {"n": 0, "refreshes": 0, "always_fail": False}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 or calls["always_fail"]:
+            raise RuntimeError(
+                "org.apache.spark.SparkException: Job aborted ... "
+                "Caused by: java.io.FileNotFoundException: part-0000 "
+                "It is possible the underlying files have been updated."
+            )
+        return real(*a, **kw)
+
+    def counting_refresh(*a, **kw):
+        calls["refreshes"] += 1
+        return real_refresh(*a, **kw)
+
+    eng.loki_labels = flaky
+    eng.refresh = counting_refresh
+    try:
+        st, body = _get(base, "/loki/api/v1/labels")
+        assert st == 200 and body["status"] == "success"
+        assert calls["n"] == 2  # failed once, re-ran once
+        assert calls["refreshes"] >= 1  # listing dropped before re-run
+        calls["always_fail"] = True
+        try:
+            _get(base, "/loki/api/v1/labels")
+            raise AssertionError("expected 500 for persistent failure")
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 500
+    finally:
+        eng.loki_labels = real
+        eng.refresh = real_refresh
