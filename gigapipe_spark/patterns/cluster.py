@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 # token classes, mirroring the reference lexer's typing
 # (ref: writer/pattern/clustering/_lexer.go): higher cost = more
 # "valuable" when generalizing
+# mixed-corpus split strategy thresholds (mine_patterns): <= ISIN_CAP
+# multi keys inline as a literal IN-set; <= COLLECT_CAP broadcast as a
+# collected LocalRelation; beyond that the full-row window path takes
+# over. Module-level so tests can pin every branch.
+ISIN_CAP = 2_000
+COLLECT_CAP = 100_000
+
 TOKEN_CLASSES = [
     ("uuid", re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), 1),
     ("ip", re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(:\d+)?$"), 1),
@@ -409,14 +416,12 @@ def mine_patterns(
     # Past the cap (adversarial key cardinality, not a flush batch)
     # the full-row window path takes over: correct at any scale, one
     # shuffle slower.
-    _COLLECT_CAP = 100_000
-    if stats["multi_keys"] > _COLLECT_CAP:
+    if stats["multi_keys"] > COLLECT_CAP:
         return _mine_patterns_window(
             keyed, tokens_raw, similarity, out_schema, run, par
         )
     key_rows = sizes.filter(F.col("count") > 1).select(*shard_keys).collect()
-    _ISIN_CAP = 2_000
-    if len(key_rows) <= _ISIN_CAP:
+    if len(key_rows) <= ISIN_CAP:
         # few multi keys (the common flush): inline them as a literal
         # IN-set on a composite key — a JVM hash-set probe per row in
         # the SAME stage as the block read, no broadcast exchanges, no

@@ -79,3 +79,47 @@ def test_distributed_mining(spark):
     assert merged["tokens"][1] == GENERALIZED
     agg = read_patterns(pats)
     assert agg.count() == 3
+
+
+def test_mine_patterns_branch_parity(spark, monkeypatch):
+    """All four mine_patterns strategies produce the SAME clusters on
+    the same mixed corpus: the isin split (default here: 2 multi keys),
+    the broadcast-LocalRelation split (ISIN_CAP forced to 0), the
+    full-row window fallback (COLLECT_CAP forced to 0), and the r12
+    window shape they all replaced. Pure singles and pure multi pure
+    paths are covered by the oracle + probe suites; this pins the
+    MIXED-corpus branch equivalence the caps switch between."""
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.patterns import cluster as CL
+
+    rows = []
+    t0 = 1_700_000_000_000_000_000
+    # two multi shards (same first token, same fp+bucket) + singles
+    for i in range(6):
+        rows.append((1, t0 + i, f"login user u{i} from site"))
+        rows.append((2, t0 + i, f"logout user u{i} early"))
+    for i in range(10):
+        rows.append((100 + i, t0 + i, f"solo event number {i}"))
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ns long, string string"
+    )
+
+    def canon(out):
+        return sorted(
+            tuple(r)
+            for r in out.select(
+                "fingerprint", "timestamp_10m",
+                F.concat_ws(" ", "tokens").alias("p"),
+                "samples_count", "overall_cost", "generalized_cost",
+                "pattern_id",
+            ).collect()
+        )
+
+    base = canon(CL.mine_patterns(df))
+    assert len(base) == 12  # 2 merged multi shards + 10 singles
+    monkeypatch.setattr(CL, "ISIN_CAP", 0)
+    via_broadcast = canon(CL.mine_patterns(df))
+    monkeypatch.setattr(CL, "COLLECT_CAP", 0)
+    via_window = canon(CL.mine_patterns(df))
+    assert base == via_broadcast == via_window
