@@ -26,6 +26,8 @@ they are plain column expressions, no UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -162,6 +164,42 @@ def _dim_memo(spark: SparkSession) -> dict:
     return _dim_cache_by_session.setdefault(spark, {})
 
 
+# fact-sized caches need this much JVM heap to coexist with 32-wide
+# execution; below it they stream from parquet instead (cache-if-fits)
+_FACT_CACHE_MIN_HEAP = 4 * 1024**3
+
+
+def _fact_cache_ok(spark: SparkSession, sf_dir: str) -> bool:
+    """Cache-if-fits gate for FACT-sized session views (the exploded
+    GIN, the attr map, the ancestor closure). In local mode storage and
+    execution share ONE heap: materializing a multi-million-row
+    columnar cache under a stock 1 GiB driver killed the JVM outright
+    (sf0.1 vanilla sweep: OutOfMemoryError in the cache-build stage,
+    32 task pages + batch builders + pinned storage). Real engines size
+    caches to memory — under the floor the view streams from parquet
+    per query: slower, never fatal. Dimension caches (a few MB,
+    coalesce(16)) always cache, and small fixtures (≤ the driver-gate
+    sf0.01 footprint) stay cached under any heap — their caches are
+    kilobytes and the correctness driver runs exactly that shape."""
+    try:
+        jvm = spark.sparkContext._jvm
+        if jvm.java.lang.Runtime.getRuntime().maxMemory() >= (
+            _FACT_CACHE_MIN_HEAP
+        ):
+            return True
+    except Exception:
+        return True
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return False
+    return total <= 8 * 1024 * 1024
+
+
 def _cached(
     spark: SparkSession, sf_dir: str, name: str, build, fact: bool = False
 ) -> DataFrame:
@@ -187,6 +225,11 @@ def _cached(
             cores = spark.sparkContext.defaultParallelism
             if df.rdd.getNumPartitions() > 4 * cores:
                 df = df.coalesce(2 * cores)
+            if not _fact_cache_ok(spark, sf_dir):
+                # memoize the PLAN (compile once) but stream the data:
+                # under a small heap the cache build itself is fatal
+                memo[key] = df
+                return df
         else:
             df = df.coalesce(16)
         memo[key] = df.cache()

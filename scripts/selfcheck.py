@@ -32,14 +32,58 @@ def main() -> None:
         # instead of in CORRECTNESS_r{N}.json.
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[32]")
             .appName("selfcheck-vanilla")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        # the heap preflight's remediation knob: SQL confs stay vanilla
+        # (that's what the driver-mimicry is FOR), only the JVM heap
+        # grows — correctness semantics never depend on heap size
+        if os.environ.get("SELFCHECK_DRIVER_MEM"):
+            builder = builder.config(
+                "spark.driver.memory", os.environ["SELFCHECK_DRIVER_MEM"]
+            )
+        spark = builder.getOrCreate()
     qs, os_ = e.queries(), e.oracle_sql()
+
+    # Vanilla-session heap preflight (VERDICT r12 task 3, measured):
+    # a stock 1 GiB driver running local[32] has ~12 MB of unified
+    # memory per concurrent task — the sf0.1 sweep kills the JVM with
+    # a raw OutOfMemoryError (first in the fact-cache build, and after
+    # the cache-if-fits gate shaved that, in plain 32-wide execution).
+    # Fail FAST with the remediation instead of dying 40 minutes in.
+    # The driver-gate shape (sf0.01, ~2 MB of parquet) passes untouched.
+    try:
+        heap = (
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory()
+        )
+        sf_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except Exception:
+        heap, sf_bytes = None, 0
+    if (
+        heap is not None
+        and heap < 4 * 1024**3
+        and sf_bytes > 8 * 1024**2
+        and not os.environ.get("SELFCHECK_FORCE")
+    ):
+        print(
+            f"PREFLIGHT: driver heap {heap / 1024**3:.1f} GiB is below the"
+            f" 4 GiB floor for a {sf_bytes / 1024**2:.0f} MB dataset sweep"
+            " (local-mode execution and caches share one heap; measured:"
+            " OutOfMemoryError at sf0.1 under 1 GiB x local[32])."
+            " Re-run with SELFCHECK_TUNED=1 (16 GiB tuned session), set"
+            " spark.driver.memory >= 4g, or SELFCHECK_FORCE=1 to attempt"
+            " anyway.",
+            flush=True,
+        )
+        sys.exit(2)
 
     # Untimed session warm-up so per-entry timings measure the ENTRY,
     # not first-use session costs (JVM JIT, Janino codegen, Python
