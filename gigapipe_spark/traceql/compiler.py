@@ -284,8 +284,17 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
     # ZERO probe jobs. Store-backed contexts are excluded (their tables
     # grow between pushes) and non-servable terms (regex — dialect
     # fidelity — and duration) fall back to the scan probe per selector.
+    # build (or fetch) the session stats ONLY when some selector could
+    # actually be answered from them: a regex/duration/intrinsic-only
+    # script falls to the scan probe regardless, and the stats build is
+    # a real cold job (explode+groupBy+collect over the attr map) that
+    # shouldn't run on a path that can't use it
     stats = None
-    if type(ctx).__name__ == "TraceQLContext":
+    if type(ctx).__name__ == "TraceQLContext" and any(
+        sel.expr is not None
+        and all(_term_servable(t) for t in _collect_terms(sel.expr))
+        for sel in _selectors(spanset)
+    ):
         stats = views.attr_stats(ctx.spark, ctx.sf_dir)
     stat_keys = {k for k, _ in stats} if stats else set()
     best = 0
@@ -340,6 +349,27 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
                     n += ctx.spans().filter(icond).count()
         best = max(best, n)
     return best
+
+
+def _term_servable(t) -> bool:
+    """Structural twin of _stats_term_bound's None conditions: True iff
+    the term's bound CAN resolve from per-(key,val) stats for some
+    stats dict — attr terms with =/!= string ops, bools, or parseable
+    numeric comparisons. Intrinsics (span columns, never index rows)
+    and regex ops are never servable. Keep in lockstep with
+    _stats_term_bound; eval_complexity uses this to skip the stats
+    build entirely for scripts the scan probe must handle anyway."""
+    if t.attr in _INTRINSIC_COLS:
+        return False
+    if t.kind == "string":
+        return t.op in ("=", "!=")
+    if t.kind == "bool":
+        return True
+    try:
+        float(t.value)
+    except (TypeError, ValueError):
+        return False
+    return t.op in ("=", "!=", ">", ">=", "<", "<=")
 
 
 def _stats_term_bound(t, stats: dict, stat_keys: set) -> int | None:

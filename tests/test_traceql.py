@@ -475,3 +475,35 @@ def test_stats_bound_never_answers_intrinsics():
     # non-intrinsic attrs still resolve from stats
     t = AttrCmp(attr="custom", op="=", value="x", kind="string")
     assert _stats_term_bound(t, stats, keys) == 5
+
+
+def test_stats_servability_precheck():
+    """_term_servable mirrors _stats_term_bound's None conditions —
+    eval_complexity uses it to skip the (cold, explode+groupBy+collect)
+    stats build for scripts the scan probe must handle anyway."""
+    from gigapipe_spark.traceql.compiler import (
+        _stats_term_bound,
+        _term_servable,
+    )
+    from gigapipe_spark.traceql.parser import AttrCmp
+
+    cases = [
+        AttrCmp("custom", "=", "x", "string"),
+        AttrCmp("custom", "!=", "x", "string"),
+        AttrCmp("custom", "=~", "x.*", "string"),
+        AttrCmp("custom", "!~", "x.*", "string"),
+        AttrCmp("flag", "=", True, "bool"),
+        AttrCmp("n", ">", 3.0, "number"),
+        AttrCmp("n", "=", "notanum", "number"),
+        AttrCmp("name", "=", "GET /", "string"),
+        AttrCmp("service.name", "=", "api", "string"),
+        AttrCmp("duration", ">", 5.0, "duration"),
+    ]
+    stats = {("custom", "x"): 2, ("flag", "true"): 1, ("n", "4"): 1,
+             ("name", "GET /"): 9, ("service.name", "api"): 9,
+             ("n", "notanum"): 1}
+    keys = {k for k, _ in stats}
+    for t in cases:
+        servable = _term_servable(t)
+        bound = _stats_term_bound(t, stats, keys)
+        assert servable == (bound is not None), (t, servable, bound)
