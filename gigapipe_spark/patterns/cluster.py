@@ -219,6 +219,7 @@ def mine_patterns(
     samples: DataFrame,
     similarity: float = 0.6,
     bucket_ns: int = 600_000_000_000,  # 10m flush buckets (ref: controller.go)
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed pattern mining over a samples DataFrame.
 
@@ -261,6 +262,17 @@ def mine_patterns(
         "timestamp_ns",
         ckey_col.alias("ckey"),
     )
+    if materialize:
+        # derive-once: the sizing job below is the first action, so ONE
+        # pass over the input computes the shard sizes AND persists the
+        # 5 needed columns as executor-local blocks — every later pass
+        # (branch scans, the write) reads blocks instead of re-running
+        # the input's derivation. Callers whose input is ALREADY
+        # block-backed (patterns_fanout: the fan-out's checkpointed
+        # flush batch) pass materialize=False and skip the extra copy —
+        # measured faster on the 100× ingest probe, while the fixture
+        # path (a parquet-derived view) measured ~2× faster cold WITH it.
+        keyed = keyed.localCheckpoint(eager=False)
 
     out_schema = (
         "fingerprint long, timestamp_10m long, tokens array<string>, "
@@ -372,55 +384,62 @@ def mine_patterns(
             run, schema=out_schema
         )
 
-    # ONE heavy sizing job: scan + regexp_extract + map-side partial
-    # agg, materialized executor-local — the only all-rows exchange
-    # ships (key, count) pairs, never full rows (the pre-r13 window
-    # sizing shuffled every full row just to learn its shard size; at
-    # 100x that shuffle was the profiled ingest pole). The two driver
-    # reads below (shape stats, multi-key collect) run on the
-    # checkpointed counts in milliseconds.
-    sizes = keyed.groupBy(*shard_keys).count().localCheckpoint()
-    stats = sizes.agg(
-        F.coalesce(F.sum("count"), F.lit(0)).alias("total_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
-        ).alias("multi_rows"),
-        F.count(F.when(F.col("count") > 1, True)).alias("multi_keys"),
-    ).collect()[0]
+    # ONE sizing job, total: scan + regexp_extract + map-side partial
+    # agg — the only all-rows exchange ships (key, count) pairs, never
+    # full rows (the pre-r13 window sizing shuffled every full row just
+    # to learn its shard size; at 100x that shuffle was the profiled
+    # ingest pole). Only the MULTI keys (rare) collect; the pure/mixed
+    # shape stats ride the SAME pass as observed metrics — the gate's
+    # earlier forms (3 jobs; then 1 job collecting the whole ~100k-key
+    # size table through py4j) were each the pole of the entry's COLD
+    # latency in turn.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    key_rows = (
+        keyed.groupBy(*shard_keys)
+        .count()
+        .observe(
+            obs,
+            F.coalesce(F.sum("count"), F.lit(0)).alias("total_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("count") > 1, F.col("count"))),
+                F.lit(0),
+            ).alias("multi_rows"),
+        )
+        .filter(F.col("count") > 1)
+        .limit(COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(key_rows) > COLLECT_CAP:
+        # adversarial key cardinality (not a flush batch): the full-row
+        # window path takes over — correct at any scale, one shuffle
+        # slower, and never ships an unbounded key set anywhere. (The
+        # observed stats are unused here — a tripped LIMIT may stop
+        # early and under-count them; below the cap nothing truncates.)
+        return _mine_patterns_window(
+            keyed, tokens_raw, similarity, out_schema, run, par
+        )
+    stats = obs.get
+    multi_rows = stats["multi_rows"]
+    total_rows = stats["total_rows"]
 
     # Pure corpora skip the split entirely — the overwhelmingly common
     # flush shapes cost ZERO extra scans vs computing blind:
     #   all singleton shards -> pure JVM column algebra, no pandas stage
     #   all multi shards     -> straight to the merge loop, no anti scan
-    if stats["multi_rows"] == 0:
+    if multi_rows == 0:
         return _singles(keyed)
-    if stats["multi_rows"] == stats["total_rows"]:
+    if multi_rows == total_rows and total_rows > 0:
         return _multi(keyed)
 
-    # MIXED corpus only: lazily materialize the narrow projection as
-    # executor-local blocks — both branch legs scan it, and the second
-    # leg (plus every warm re-execution of a memoized fixture plan)
-    # reads blocks instead of re-scanning the full-width input (whose
-    # checkpointed rows deserialize the labels map on every pass).
-    # Pure corpora have exactly one consumer, so they skip the block
-    # write and its memory footprint. The miner's input is one bounded
-    # flush batch (the reference clusters per push batch,
-    # controller.go:71); blocks free when the plan is GC'd.
-    keyed = keyed.localCheckpoint(eager=False)
-
-    # Mixed corpus: the multi keys come back as a LocalRelation and
-    # BROADCAST into a left-anti (singles) / left-semi (multi) split,
-    # so singleton rows never shuffle. A non-collected broadcast plan
-    # would re-run the agg subplan once per join (ReusedExchange does
-    # not fire across AQE's independent broadcast stages, measured).
-    # Past the cap (adversarial key cardinality, not a flush batch)
-    # the full-row window path takes over: correct at any scale, one
-    # shuffle slower.
-    if stats["multi_keys"] > COLLECT_CAP:
-        return _mine_patterns_window(
-            keyed, tokens_raw, similarity, out_schema, run, par
-        )
-    key_rows = sizes.filter(F.col("count") > 1).select(*shard_keys).collect()
+    # MIXED corpus on an un-materialized input: both branch legs scan
+    # it, so lazily persist the narrow projection here (the
+    # materialize=True path already did this up front). The miner's
+    # input is one bounded flush batch (the reference clusters per push
+    # batch, controller.go:71); blocks free when the plan is GC'd.
+    if not materialize:
+        keyed = keyed.localCheckpoint(eager=False)
     if len(key_rows) <= ISIN_CAP:
         # few multi keys (the common flush): inline them as a literal
         # IN-set on a composite key — a JVM hash-set probe per row in
@@ -442,7 +461,9 @@ def mine_patterns(
         )
     multi_keys = F.broadcast(
         spark.createDataFrame(
-            key_rows, "fingerprint long, timestamp_10m long, ckey string"
+            [(r["fingerprint"], r["timestamp_10m"], r["ckey"])
+             for r in key_rows],
+            "fingerprint long, timestamp_10m long, ckey string",
         )
     )
     return _singles(

@@ -629,7 +629,7 @@ def patterns_fanout(
         dates,
     ).begin()
     pats = (
-        _mine_patterns(log_rows)
+        _mine_patterns(log_rows, materialize=False)
         .withColumn(
             "date",
             F.to_date(
