@@ -1166,10 +1166,13 @@ def test_stale_listing_error_retries_once(gateway):
     }).encode()
     assert _post(base, "/loki/api/v1/push", payload) in (200, 204)
 
-    # the module fixture's engine is the only live StoreEngine here
+    # the module fixture's engine — match by its store root (a full
+    # suite run leaves OTHER modules' engines alive in gc)
     eng = next(
         o for o in gc.get_objects()
-        if isinstance(o, StoreEngine) and getattr(o, "catalog", None)
+        if isinstance(o, StoreEngine)
+        and getattr(o, "catalog", None)
+        and "httpstore" in o.catalog.root
     )
     real = eng.loki_labels
     real_refresh = eng.refresh
