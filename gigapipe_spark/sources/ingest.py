@@ -133,11 +133,12 @@ def finalize_entries(df: DataFrame, ttl_days: int = 0) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
     parsed_ttl = F.expr("try_cast(labels['__ttl_days__'] as smallint)")
+    # ttl_days is a PYTHON constant: branch here, not in the plan —
+    # F.when(F.lit(ttl_days) == 0, ...) built a literal '0 == 0'
+    # predicate that log4j warned about on every single flush
     ttl = (
-        F.when(F.lit(ttl_days) == 0, F.coalesce(parsed_ttl, F.lit(0)))
-        .otherwise(F.lit(ttl_days))
-        .cast("int")
-    )
+        F.coalesce(parsed_ttl, F.lit(0)) if ttl_days == 0 else F.lit(ttl_days)
+    ).cast("int")
     special = set(_METADATA_LABELS) | (
         {"__ttl_days__"} if ttl_days == 0 else set()
     )
