@@ -123,3 +123,69 @@ def test_mine_patterns_branch_parity(spark, monkeypatch):
     monkeypatch.setattr(CL, "COLLECT_CAP", 0)
     via_window = canon(CL.mine_patterns(df))
     assert base == via_broadcast == via_window
+
+
+def test_mine_patterns_matches_driver_side_reference(spark):
+    """Differential property over randomized corpora: the distributed
+    miner (whatever strategy branch it picks) must equal cluster_lines
+    applied driver-side per (fingerprint, 10m bucket, first-token)
+    shard in timestamp order — the exact reference semantics
+    (pattern.go merge loop over the controller's shards). Seeded RNG:
+    deterministic, but shaped to hit singles, multi-merge,
+    multi-no-merge, and whitespace edge rows in one corpus."""
+    import random
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.patterns.cluster import cluster_lines, mine_patterns
+
+    rng = random.Random(1307)
+    t0 = 1_700_000_000_000_000_000
+    rows = []
+    templates = [
+        lambda i: f"login user u{i % 4} from 10.0.0.{i % 9} ok",
+        lambda i: f"payment of {i * 3} cents failed code {i % 5}",
+        lambda i: f"GET /api/v{i % 2}/items {200 + (i % 3)} {i}ms",
+        lambda i: "completely different shape " + "x" * (i % 4 + 1),
+    ]
+    for i in range(300):
+        fp = rng.randrange(4)
+        tmpl = templates[rng.randrange(len(templates))]
+        bucket_jitter = rng.randrange(3) * 600_000_000_000
+        rows.append((fp, t0 + bucket_jitter + i * 1_000_000, tmpl(i)))
+    rows.append((0, t0, "   "))  # whitespace-only: dropped everywhere
+    rows.append((1, t0, ""))  # empty: filtered at the source
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ns long, string string"
+    )
+
+    # driver-side reference: shard exactly like the miner, cluster in
+    # timestamp order with the same merge loop
+    shards: dict = {}
+    for fp, ts, line in rows:
+        if line == "" or not line.split():
+            continue
+        bucket = ts - ts % 600_000_000_000
+        ckey = line.split()[0]
+        shards.setdefault((fp, bucket, ckey), []).append((ts, line))
+    expected = []
+    for (fp, bucket, _ck), items in shards.items():
+        items.sort()
+        for c in cluster_lines([line for _, line in items]):
+            expected.append((
+                fp, bucket, " ".join(c.tokens), c.samples_count,
+                c.overall_cost, c.generalized_cost,
+                zlib.crc32(" ".join(c.tokens).encode()),
+            ))
+
+    got = [
+        tuple(r)
+        for r in mine_patterns(df).select(
+            "fingerprint", "timestamp_10m",
+            F.concat_ws(" ", "tokens").alias("p"),
+            "samples_count", "overall_cost", "generalized_cost",
+            "pattern_id",
+        ).collect()
+    ]
+    assert sorted(got) == sorted(expected)
