@@ -349,3 +349,32 @@ def test_complexity_stats_probe_runs_no_jobs(spark):
     after = len(st.getJobIdsForGroup(None) or [])
     assert n > 0
     assert after == before  # dict lookups, no jobs
+
+
+def test_miner_singles_path_no_full_row_exchange(spark):
+    """The r13 miner contract: full log rows never shuffle to learn
+    their shard size. The mixed-corpus plan's ONLY exchanges are (a)
+    the sizing aggregation's (key, count) pairs — inside the gate job,
+    not this plan — and (b) the repartition of the rare MULTI rows
+    feeding the pandas merge loop. The singles branch (the bulk of
+    every real corpus) must be exchange-free end-to-end: scan → IN-set
+    filter → project, one stage."""
+    from gigapipe_spark.patterns.cluster import mine_patterns
+    from tests.conftest import SF_DIR_MED
+
+    # sf0.01: a MIXED corpus (sf0.001 is all-singles — zero exchanges,
+    # which is its own pure-path guarantee)
+    df = mine_patterns(views.samples(spark, SF_DIR_MED))
+    plan = _plan(df)
+    # the union plan: count exchanges — exactly ONE (the multi-branch
+    # repartition); a second would mean singles rows are shuffling
+    assert plan.count("Exchange ") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # no window sizing (the pre-r13 full-row shuffle's signature)
+    assert "Window" not in plan, plan
+
+    # pure-singles corpus: the whole plan is exchange-free
+    pure = mine_patterns(views.samples(spark, SF_DIR))
+    pplan = _plan(pure)
+    assert pplan.count("Exchange ") == 0, pplan
+    assert "MapInPandas" not in pplan, pplan
