@@ -170,6 +170,7 @@ def main() -> None:
     # 3 warm runs per query AFTER the cold pass → p50/p95 per query.
     warm_p50: dict[str, float] = {}
     warm_p95: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
     for name in timings:
         runs = []
         for _ in range(3):
@@ -179,9 +180,16 @@ def main() -> None:
         runs.sort()
         warm_p50[name] = round(runs[1], 3)
         warm_p95[name] = round(runs[-1], 3)
+        warm_min[name] = round(runs[0], 3)
     out["warm_queries_p50"] = warm_p50
     out["warm_queries_p95"] = warm_p95
+    # best-of-N: the least load-sensitive warm signal on a shared box
+    # (p50 swings 2-3x under external CPU load while min barely moves —
+    # measured r13); regression adjudication should prefer comparing
+    # mins across rounds when p50s disagree
+    out["warm_queries_min"] = warm_min
     out["warm_total_p50"] = round(sum(warm_p50.values()), 3)
+    out["warm_total_min"] = round(sum(warm_min.values()), 3)
     out["regression"] = _regression_verdict(out)
     print(json.dumps(out))
     if out["regression"]["status"] == "regression":
