@@ -228,21 +228,21 @@ def mine_patterns(
     shard only. Output mirrors the `patterns` table (ref:
     ctrl/qryn/sql/log.sql:174-187).
 
-    Sizing shape (the full ingest path's bound, SCALE.md): shard sizes
-    come from a groupBy().count() over the key columns — map-side
-    partial aggregation means the only all-rows exchange ships
-    (key, count) pairs, not full rows. The rare multi-shard keys then
-    BROADCAST back as a left-anti (singles) / left-semi (multi) join,
-    so singleton rows — the overwhelming majority on observability
-    corpora — never shuffle at all. The previous shape sized shards
-    with a count().over(window), which shuffled every full row
-    (line + token + class arrays) just to learn its shard size; at
-    100× that shuffle was the profiled pole (145.6k lines/s full path
-    vs 248k patterns-off). Both broadcast sides reuse one exchange
-    (same subplan → ReusedExchange). A driver-side cap guards the
-    broadcast: past ~2M distinct multi keys (adversarial corpus, not a
-    flush batch) the window path takes over — correct at any scale,
-    just slower.
+    Sizing shape (the full ingest path's bound, SCALE.md): ONE sizing
+    job runs groupBy().count() over the key columns — map-side partial
+    aggregation means the only all-rows exchange ships (key, count)
+    pairs, not full rows — with the pure/mixed shape stats attached as
+    observed metrics and only the rare MULTI keys collected. Pure
+    corpora then skip the split entirely; mixed corpora split via a
+    literal IN-set (≤ ISIN_CAP keys), a collected-LocalRelation
+    broadcast join (≤ COLLECT_CAP), or — past that (adversarial key
+    cardinality, never a flush batch) — the pre-r13 full-row window
+    path, correct at any scale, one shuffle slower. The window shape
+    shuffled every full row (line + token arrays) just to learn its
+    shard size; at 100× that shuffle was the profiled pole hypothesis
+    (falsified end-to-end — receipts in docs/SCALE.md — but the
+    replacement halves the fixture entry's warm latency and never
+    moves full rows to size shards).
     """
     spark = samples.sparkSession
     par = spark.sparkContext.defaultParallelism
