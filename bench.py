@@ -351,7 +351,9 @@ def _regression_verdict(cur: dict) -> dict:
             # it in cold_findings (VERDICT r11 task 5 — the r11 traceql
             # trio sailed through this clause unflagged). cold_findings
             # informs, flagged fails.
-            w = warm50.get(name)
+            w = (cur.get("warm_queries_min") or {}).get(
+                name, warm50.get(name)
+            )
             if cal and w is not None and (w / cal) <= p * (1.0 + margin):
                 cold_findings.append(
                     f"{name}: {p} -> {c} cold normalized (anchor {anchor})"
