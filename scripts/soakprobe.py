@@ -421,11 +421,15 @@ def run_soak(
 
 def main() -> None:
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    tail_clients = int(os.environ.get("SOAK_TAIL_CLIENTS", "0"))
+    ruler = os.environ.get("SOAK_RULER", "").lower() in ("1", "true")
     from gigapipe_spark.session import get_spark
 
     spark = get_spark("soakprobe")
     root = tempfile.mkdtemp(prefix="soak_") + "/store"
-    verdict = run_soak(spark, root, seconds)
+    verdict = run_soak(
+        spark, root, seconds, tail_clients=tail_clients, ruler=ruler
+    )
     print(json.dumps(verdict), flush=True)
     sys.exit(0 if verdict["ok"] else 1)
 
