@@ -296,12 +296,11 @@ def eval_complexity(ctx: TraceQLContext, spanset) -> int:
         for sel in _selectors(spanset)
     ):
         stats = views.attr_stats(ctx.spark, ctx.sf_dir)
-    stat_keys = {k for k, _ in stats} if stats else set()
     best = 0
     for sel in _selectors(spanset):
         if sel.expr is not None and stats is not None:
             bounds = [
-                _stats_term_bound(t, stats, stat_keys)
+                _stats_term_bound(t, stats)
                 for t in _collect_terms(sel.expr)
             ]
             if all(b is not None for b in bounds):
@@ -372,7 +371,7 @@ def _term_servable(t) -> bool:
     return t.op in ("=", "!=", ">", ">=", "<", "<=")
 
 
-def _stats_term_bound(t, stats: dict, stat_keys: set) -> int | None:
+def _stats_term_bound(t, stats: dict) -> int | None:
     """Upper bound on attr-index rows matching one term, resolved
     driver-side from the (key,val)→count stats; None = not servable
     (fall back to the scan probe). Equality on a key absent from stats

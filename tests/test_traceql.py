@@ -471,10 +471,10 @@ def test_stats_bound_never_answers_intrinsics():
     keys = {k for k, _ in stats}
     for attr in ("name", "service.name", "duration"):
         t = AttrCmp(attr=attr, op="=", value="GET /", kind="string")
-        assert _stats_term_bound(t, stats, keys) is None, attr
+        assert _stats_term_bound(t, stats) is None, attr
     # non-intrinsic attrs still resolve from stats
     t = AttrCmp(attr="custom", op="=", value="x", kind="string")
-    assert _stats_term_bound(t, stats, keys) == 5
+    assert _stats_term_bound(t, stats) == 5
 
 
 def test_stats_servability_precheck():
@@ -505,5 +505,5 @@ def test_stats_servability_precheck():
     keys = {k for k, _ in stats}
     for t in cases:
         servable = _term_servable(t)
-        bound = _stats_term_bound(t, stats, keys)
+        bound = _stats_term_bound(t, stats)
         assert servable == (bound is not None), (t, servable, bound)
