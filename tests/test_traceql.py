@@ -468,7 +468,6 @@ def test_stats_bound_never_answers_intrinsics():
 
     stats = {("name", "GET /"): 3, ("service.name", "api"): 7,
              ("custom", "x"): 5}
-    keys = {k for k, _ in stats}
     for attr in ("name", "service.name", "duration"):
         t = AttrCmp(attr=attr, op="=", value="GET /", kind="string")
         assert _stats_term_bound(t, stats) is None, attr
@@ -502,7 +501,6 @@ def test_stats_servability_precheck():
     stats = {("custom", "x"): 2, ("flag", "true"): 1, ("n", "4"): 1,
              ("name", "GET /"): 9, ("service.name", "api"): 9,
              ("n", "notanum"): 1}
-    keys = {k for k, _ in stats}
     for t in cases:
         servable = _term_servable(t)
         bound = _stats_term_bound(t, stats)
