@@ -209,6 +209,7 @@ def main() -> None:
     out["warm_total_p50"] = round(sum(warm_p50.values()), 3)
     out["warm_total_min"] = round(sum(warm_min.values()), 3)
     out["regression"] = _regression_verdict(out)
+    _write_durable_record(out)
     print(json.dumps(out))
     if out["regression"]["status"] == "regression":
         print(
@@ -216,6 +217,37 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(3)
+
+
+def _write_durable_record(out: dict) -> None:
+    """Write the FULL result JSON to docs/bench/BENCH_local_r<N>.json
+    (VERDICT r13 task 3): the driver's BENCH_r{N}.json capture keeps
+    only the last 2,000 chars of stdout, which truncated r13's cold
+    totals/calibration/normalized out of the repo record entirely. The
+    round number comes from SPARK_GRAFT_ROUND, else max committed
+    BENCH_r*.json + 1 (the round currently being built). Best-effort:
+    an unwritable docs dir must never fail the bench."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        nums = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = str(max(nums, default=0) + 1)
+    try:
+        dest_dir = os.path.join(here, "docs", "bench")
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, f"BENCH_local_r{int(rnd):02d}.json")
+        with open(dest, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"# full record: {dest}", file=sys.stderr)
+    except (OSError, ValueError):
+        pass
 
 
 def _fields_from_tail(tail: str) -> dict:
@@ -273,8 +305,15 @@ def _load_bench(path: str) -> dict | None:
                 prev = _fields_from_tail(prev.get("tail") or "")
             else:
                 prev = prev["parsed"]
-        prev["queries_normalized"]  # noqa: B018 — presence probe
-        prev["normalized"]
+        # TYPE probes, not just presence (ADVICE r13): a baseline with
+        # "normalized": null or a scalar queries_normalized would pass
+        # a presence check here and crash _regression_verdict later —
+        # aborting bench before its result JSON prints. Coerce/verify
+        # inside this try so a malformed round is dropped like any
+        # other unusable baseline.
+        if not isinstance(prev.get("queries_normalized"), dict):
+            return None
+        float(prev["normalized"])
         return prev
     except (OSError, KeyError, ValueError, TypeError):
         return None
@@ -359,6 +398,39 @@ def _regression_verdict(cur: dict) -> dict:
         if not anchored:
             continue
         p, anchor = min(anchored)
+        if c <= p * (1.0 + margin) and c > p * 1.3 and c - p > 1.0:
+            # MAD-INDEPENDENT floor (VERDICT r13 task 5): on a loaded
+            # box the joint band inflates with calibration MAD (r13
+            # judge run: margin 0.462 silently absorbed patterns_mine
+            # 6.42 → 9.15, a 1.43× cold move the quiet-box run had
+            # flagged) — the gate's cold arm went blind exactly when
+            # the box was noisiest. A ≥1.3× cold move is recorded as a
+            # finding regardless of MAD, annotated with whether the
+            # warm floor corroborates it (warm_min barely moves under
+            # load, so corroboration ≈ real; cold-only ≈ first-touch).
+            w = (cur.get("warm_queries_min") or {}).get(
+                name, warm50.get(name)
+            )
+            w_anchors = [
+                float(prev["warm_queries_min"][name])
+                / max(float(prev.get("calibration", 0.0)), 1e-9)
+                for _, prev in rounds
+                if isinstance(prev.get("warm_queries_min"), dict)
+                and prev["warm_queries_min"].get(name)
+                and float(prev.get("calibration", 0.0)) > 0
+            ]
+            corroborated = (
+                cal is not None
+                and w is not None
+                and w_anchors
+                and (w / cal) > min(w_anchors)
+            )
+            cold_findings.append(
+                f"{name}: {p} -> {c} cold normalized above 1.3x floor"
+                f" (anchor {anchor},"
+                f" {'warm-corroborated' if corroborated else 'cold-only'})"
+            )
+            continue
         if c > p * (1.0 + margin) and c - p > 1.0:
             # cold single-shot timings carry GC/first-touch noise the
             # probe band can't see (measured: logql_json_label_filter

@@ -149,19 +149,11 @@ def _ms_to_ns(val: str) -> int:
 def _stale_listing_error(ex: Exception) -> bool:
     """True when a Spark error means 'a file in the snapshot listing is
     gone' — the signature of a rotate/compact swapping parquet files
-    under an in-flight scan. Matched on the rendered py4j error chain;
-    deliberately narrow (no bare 'does not exist') so genuine user
-    errors never trigger a silent re-run."""
-    s = str(ex)
-    return any(
-        m in s
-        for m in (
-            "FileNotFoundException",
-            "FILE_NOT_FOUND",
-            "FileReadException",
-            "underlying files have been updated",
-        )
-    )
+    under an in-flight scan (canonical matcher lives next to the
+    snapshot protocol in storage/snapshot.py)."""
+    from gigapipe_spark.storage.snapshot import stale_listing_error
+
+    return stale_listing_error(ex)
 
 
 def _int_arg(q: dict, name: str) -> int | None:

@@ -243,6 +243,19 @@ def mine_patterns(
     (falsified end-to-end — receipts in docs/SCALE.md — but the
     replacement halves the fixture entry's warm latency and never
     moves full rows to size shards).
+
+    INPUT CONTRACT (ADVICE r13): the sizing job runs EAGERLY at build
+    time and its observed shape gates which branch the returned plan
+    takes, so the input must be stable between this call and the
+    plan's execution. materialize=True (default) guarantees it — the
+    sizing job doubles as the localCheckpoint materialization, and
+    every branch scan reads the pinned blocks. materialize=False
+    callers must hand in an already-materialized/immutable input (the
+    fan-out passes its checkpointed flush batch; the reference
+    likewise clusters one bounded push batch, controller.go:71). A
+    live growing source under materialize=False would route shards
+    that became multi-line after sizing through the singles branch as
+    unmerged samples_count=1 rows.
     """
     spark = samples.sparkSession
     par = spark.sparkContext.defaultParallelism

@@ -64,12 +64,12 @@ def register(name: str, oracle: str | None = None):
 # call. Entries with call-time side effects (store_roundtrip_* writes,
 # engine construction) never route through these builders and are
 # never memoized; store-backed contexts invalidate via refresh().
-# Keyed on the session OBJECT via weakref (not id(spark)): an id-keyed
-# dict never evicts, pinning DataFrames of stopped sessions alive
-# forever — and CPython id() reuse after GC could even serve a stale
-# plan bound to a DEAD SparkSession to a brand-new one. With a
-# WeakKeyDictionary the whole per-session memo vanishes when the
-# session object does.
+# Keyed on the session OBJECT (not id(spark)): CPython id() reuse
+# after GC could serve a stale plan bound to a DEAD SparkSession to a
+# brand-new one. Weak keying alone does NOT evict here — the memoized
+# DataFrames strongly reference their session, keeping the weak key
+# alive (ADVICE r13) — so eviction is a stopped-session sweep on every
+# access (session.evict_stopped_sessions).
 import weakref as _weakref
 
 _PLAN_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
@@ -78,7 +78,10 @@ _PLAN_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _plan_memo(key: tuple, build) -> DataFrame:
+    from gigapipe_spark.session import evict_stopped_sessions
+
     spark = key[0]
+    evict_stopped_sessions(_PLAN_MEMO)
     memo = _PLAN_MEMO.setdefault(spark, {})
     sub = key[1:]
     if sub not in memo:

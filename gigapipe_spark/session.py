@@ -21,6 +21,34 @@ import weakref as _weakref
 _BOOTSTRAPPED: "_weakref.WeakSet" = _weakref.WeakSet()
 
 
+def session_stopped(spark: SparkSession) -> bool:
+    """True when the session's SparkContext has been stopped — its
+    cached DataFrames can never execute again. SparkContext.stop()
+    sets `_jsc = None`, the documented tombstone pyspark itself guards
+    on. An un-probe-able session is treated as live (never evict on
+    doubt)."""
+    try:
+        return getattr(spark._sc, "_jsc", None) is None
+    except Exception:
+        return False
+
+
+def evict_stopped_sessions(memo) -> None:
+    """Drop per-session memo entries whose session is stopped.
+
+    A WeakKeyDictionary alone cannot evict DataFrame-valued memos: a
+    pyspark DataFrame strongly references its SparkSession, so
+    memo → sub-dict → DataFrame → session keeps the weak key alive
+    forever (ADVICE r13 medium — the weakref conversion was a no-op
+    for exactly these caches). Sweeping stopped sessions on access
+    breaks that cycle at the only moment it matters: the next memo use
+    by any session. The weak keying still covers sessions that are
+    GC'd without being stopped and kills id()-reuse aliasing."""
+    for sess in list(memo.keys()):
+        if session_stopped(sess):
+            memo.pop(sess, None)
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Apply the engine's RUNTIME-SETTABLE session defaults to a
     foreign SparkSession — the embedding contract. A host application

@@ -148,11 +148,12 @@ def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table for every query. Fact-table views are NOT cached — they must
 # stream from parquet with pushdown.
 #
-# Keyed on the session OBJECT via weakref: an id(spark)-keyed dict
-# never evicts, pinning cached DataFrames (and their stopped sessions)
-# alive for the life of the process — the top driver-heap offender in
-# a long multi-session run. The per-session sub-dict (keyed by
-# (sf_dir, name)) dies with its session object.
+# Keyed on the session OBJECT (not id(spark)) so id()-reuse can never
+# alias a dead session's cache to a new one. Weak keying alone cannot
+# evict — the cached DataFrames strongly reference their session,
+# keeping the weak key alive (ADVICE r13) — so eviction is a
+# stopped-session sweep on each access, which is what actually frees
+# the top driver-heap offender in a long multi-session run.
 import weakref as _weakref
 
 _dim_cache_by_session: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
@@ -161,6 +162,9 @@ _dim_cache_by_session: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _dim_memo(spark: SparkSession) -> dict:
+    from gigapipe_spark.session import evict_stopped_sessions
+
+    evict_stopped_sessions(_dim_cache_by_session)
     return _dim_cache_by_session.setdefault(spark, {})
 
 
@@ -188,13 +192,22 @@ def _fact_cache_ok(spark: SparkSession, sf_dir: str) -> bool:
         ):
             return True
     except Exception:
-        return True
+        # FAIL CLOSED (ADVICE r13): an unreadable heap probe must mean
+        # "stream from parquet", not "cache anyway" — caching on doubt
+        # reproduces the exact OutOfMemoryError this gate prevents
+        return False
+    # small-heap fallback: cache only fixtures at-or-under the
+    # driver-gate footprint. os.walk, not a top-level glob — the
+    # fixture tables may be partitioned dataset DIRECTORIES, which a
+    # flat '*.parquet' listing totals as ~0 bytes (ADVICE r13)
     try:
-        total = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(sf_dir):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in filenames
+                if f.endswith(".parquet")
+            )
     except OSError:
         return False
     return total <= 8 * 1024 * 1024

@@ -139,11 +139,17 @@ class BatchJournal:
     def done(self) -> None:
         if self.commit_marker is None:
             os.remove(self.path)
-            return
-        os.makedirs(os.path.dirname(self.commit_marker), exist_ok=True)
-        # the atomic commit point: journal → applied-marker in one rename
-        os.replace(self.path, self.commit_marker)
-        _prune_markers(os.path.dirname(self.commit_marker))
+        else:
+            os.makedirs(os.path.dirname(self.commit_marker), exist_ok=True)
+            # atomic commit point: journal → applied-marker in one rename
+            os.replace(self.path, self.commit_marker)
+            _prune_markers(os.path.dirname(self.commit_marker))
+        # advance the store's mutation seq so a lock-free snapshot
+        # reader (storage/snapshot.pin_listing) detects a batch that
+        # began AND committed inside its listing window
+        from gigapipe_spark.storage.snapshot import bump_mutation_seq
+
+        bump_mutation_seq(self.root)
 
 
 def stream_marker_path(root: str, checkpoint: str, batch_id: int) -> str:
@@ -230,6 +236,11 @@ def repair(root: str) -> list[str]:
             entry["id"],
             ", ".join(entry["tables"]),
         )
+    if healed:
+        # rollback mutates listings too — fence it for snapshot readers
+        from gigapipe_spark.storage.snapshot import bump_mutation_seq
+
+        bump_mutation_seq(root)
     return healed
 
 

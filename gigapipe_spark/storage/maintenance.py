@@ -141,9 +141,10 @@ def rotate(
     healing BEFORE any partition is touched (rotating a half-applied
     batch's partition would otherwise freeze the inconsistency in).
     """
+    from gigapipe_spark.storage.snapshot import maintenance_window
     from gigapipe_spark.storage.writer import store_write_lock
 
-    with store_write_lock(catalog.root):
+    with store_write_lock(catalog.root), maintenance_window(catalog.root):
         return _rotate_locked(spark, catalog, drop_days, policies, tables, today)
 
 
@@ -347,9 +348,10 @@ def compact(
     never bakes a crashed batch's partial files into a merged file
     that a later repair can't surgically remove.
     """
+    from gigapipe_spark.storage.snapshot import maintenance_window
     from gigapipe_spark.storage.writer import store_write_lock
 
-    with store_write_lock(catalog.root):
+    with store_write_lock(catalog.root), maintenance_window(catalog.root):
         return _compact_locked(
             spark, catalog, table, target_files_per_partition, sort_cols, codec
         )
@@ -436,6 +438,14 @@ def heal_compact_leftovers(root: str) -> list[str]:
     healed: list[str] = []
     if not os.path.isdir(root):
         return healed
+    from gigapipe_spark.storage.snapshot import maintenance_window
+
+    with maintenance_window(root):
+        _heal_compact_walk(root, healed)
+    return healed
+
+
+def _heal_compact_walk(root: str, healed: list[str]) -> None:
     for table in sorted(os.listdir(root)):
         tdir = os.path.join(root, table)
         if not os.path.isdir(tdir) or table.startswith("_"):
@@ -466,7 +476,6 @@ def heal_compact_leftovers(root: str) -> list[str]:
                         live + ".compact_old"
                     ):
                         shutil.rmtree(path)
-    return healed
 
 
 # --- settings KV (ref: rotate.go getSetting/putSetting + argMax read) --------

@@ -247,29 +247,35 @@ class Catalog:
         return os.path.join(self.root, table)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        path = self.path(table)
         try:
-            df = spark.read.parquet(path)
+            df = spark.read.parquet(self.path(table))
         except Exception as ex:
-            # A table whose every partition was rotated away (or rolled
-            # back) keeps its dir + _SUCCESS but has no data files, and
-            # a never-pushed deployment has no dir at all; Spark raises
-            # on both. The reference's freshly-provisioned / emptied
-            # ClickHouse table still answers queries with zero rows —
-            # so do we: schema from the sidecar rotate() leaves behind,
-            # else from the generated canonical registry.
-            msg = str(ex)
-            if (
-                "UNABLE_TO_INFER_SCHEMA" not in msg
-                and "PATH_NOT_FOUND" not in msg
-            ):
-                raise
-            df = _empty_from_sidecar(spark, path)
-            if df is None:
-                schema = canonical_schema(table)
-                if schema is None:
-                    raise
-                df = spark.createDataFrame([], schema)
+            df = self._empty_table(spark, table, ex)
+        return self._scope_oid(df)
+
+    def _empty_table(self, spark: SparkSession, table: str, ex: Exception):
+        # A table whose every partition was rotated away (or rolled
+        # back) keeps its dir + _SUCCESS but has no data files, and
+        # a never-pushed deployment has no dir at all; Spark raises
+        # on both. The reference's freshly-provisioned / emptied
+        # ClickHouse table still answers queries with zero rows —
+        # so do we: schema from the sidecar rotate() leaves behind,
+        # else from the generated canonical registry.
+        msg = str(ex)
+        if (
+            "UNABLE_TO_INFER_SCHEMA" not in msg
+            and "PATH_NOT_FOUND" not in msg
+        ):
+            raise ex
+        df = _empty_from_sidecar(spark, self.path(table))
+        if df is None:
+            schema = canonical_schema(table)
+            if schema is None:
+                raise ex
+            df = spark.createDataFrame([], schema)
+        return df
+
+    def _scope_oid(self, df: DataFrame) -> DataFrame:
         if "oid" in df.columns:
             return df.filter(F.col("oid") == self.oid).drop("oid")
         if self.oid != "0":
@@ -381,6 +387,38 @@ class Catalog:
         from gigapipe_spark.streaming.rollup import merge_cells
 
         return merge_cells(self.read(spark, "metrics_15s").drop("date"))
+
+
+class SnapshotCatalog(Catalog):
+    """A Catalog view pinned to one consistent file listing (see
+    storage/snapshot.py): `read()` loads exactly the pinned files
+    instead of re-listing the table dir, so a query plan built from
+    this catalog sees a committed MVCC-style snapshot no matter how
+    many flushes land while it executes. basePath keeps the (oid,
+    date) partition columns, so partition pruning and oid scoping work
+    exactly as on the base catalog. Tables outside the pinned set fall
+    back to the live listing."""
+
+    def __init__(self, base: Catalog, listing: dict[str, list[str]]):
+        super().__init__(base.root, base.oid)
+        self._listing = listing
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        files = self._listing.get(table)
+        if files is None:
+            return super().read(spark, table)
+        if not files:
+            # nothing committed in the pinned view: same zero-row
+            # empty-table contract as the base catalog
+            df = _empty_from_sidecar(spark, self.path(table))
+            if df is None:
+                schema = canonical_schema(table)
+                if schema is None:
+                    return super().read(spark, table)
+                df = spark.createDataFrame([], schema)
+            return self._scope_oid(df)
+        df = spark.read.option("basePath", self.path(table)).parquet(*files)
+        return self._scope_oid(df)
 
 
 def _checkpoint_flush(batch: DataFrame, small: int = 100_000) -> DataFrame:

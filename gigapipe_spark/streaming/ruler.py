@@ -213,13 +213,19 @@ def store_tailer(
 ) -> "Tailer":
     """Live tail over a written store: each poll re-runs the compiled
     query against the stored tables from the last-seen timestamp
-    (query_range.go:670-760 over the writer's tables)."""
+    (query_range.go:670-760 over the writer's tables). Each poll runs
+    against a PINNED consistent listing (storage/snapshot.py) — no
+    lock is ever taken, so tails never stall ingest flushes and a
+    MODE=reader gateway never touches the writer flock."""
     from gigapipe_spark.storage.query import store_logql_context
+    from gigapipe_spark.storage.snapshot import pin_tail_catalog
 
     return Tailer(
-        logctx_factory=lambda: store_logql_context(spark, catalog),
+        logctx_factory=lambda pinned=catalog: store_logql_context(
+            spark, pinned
+        ),
         query=query,
-        lock_root=catalog.root,
+        pin_factory=lambda last_ts_ns: pin_tail_catalog(catalog, last_ts_ns),
         **kw,
     )
 
@@ -229,36 +235,72 @@ class Tailer:
     """Live tail as a poll loop (ref: query_range.go:670-760): each poll
     re-runs the query filtered to rows newer than the last-seen ts.
 
-    `lock_root` (set by store_tailer) makes each poll a CONSISTENT
+    `pin_factory` (set by store_tailer) makes each poll a CONSISTENT
     snapshot: a Spark append commits its task files into the partition
-    dir one rename at a time, so an unlocked poll racing a bulk flush
+    dir one rename at a time, so an unpinned poll racing a bulk flush
     can list a PREFIX of the batch, advance last_ts past the batch's
-    max, and permanently skip the unlisted rows (the soak's tail leg
-    measured exactly this: ~300 of 1300 lines silently missing). Taking
-    the store writer lock for the poll serializes it with flush commits
-    — the local-parquet analog of the MVCC snapshot the reference gets
-    for free from ClickHouse; on an object store the same property
-    comes from a manifest/commit log instead of a lock."""
+    max, and permanently skip the unlisted rows (the r12 soak's tail
+    leg measured exactly this: ~300 of 1300 lines silently missing).
+    The r13 fix held the store WRITER lock for the whole poll; that
+    serialized every flush behind a full Spark query per tail tick and
+    acquired the cross-process writer flock from a read path (ADVICE
+    r13 high). Now the poll pins a validated committed file listing
+    (storage/snapshot.pin_listing — in-flight batch files excluded via
+    the journal's pre-batch snapshots) and runs the query against the
+    pinned view with NO lock held: flushes never wait on polls, polls
+    never wait on flushes, and rows of an in-flight batch surface on
+    the next poll after its commit. This is the manifest-read pattern
+    an object-store lake uses; the reference gets the same property
+    from ClickHouse MVCC."""
 
     logctx_factory: Callable
     query: str
     last_ts_ns: int = 0
     max_rows_per_poll: int = 1000
     dropped: int = field(default=0)
-    lock_root: str | None = None
+    # (last_ts_ns) -> pinned Catalog view for one poll (store tails)
+    pin_factory: Callable | None = None
+    # polls skipped because no quiescent listing window was observed
+    # (e.g. an active compact); the watermark never advances on a skip
+    unstable_polls: int = field(default=0)
 
     def poll(self) -> list:
-        if self.lock_root is not None:
-            from gigapipe_spark.storage.writer import store_write_lock
+        if self.pin_factory is None:
+            return self._poll(self.logctx_factory)
+        from gigapipe_spark.storage.snapshot import (
+            SnapshotUnstable,
+            stale_listing_error,
+        )
 
-            with store_write_lock(self.lock_root):
-                return self._poll()
-        return self._poll()
+        for attempt in range(3):
+            try:
+                pinned = self.pin_factory(self.last_ts_ns)
+            except SnapshotUnstable:
+                # no quiescent listing window (active compact/rotate):
+                # skip the tick — last_ts is untouched, nothing is lost
+                self.unstable_polls += 1
+                return []
+            try:
+                return self._poll(lambda: self.logctx_factory(pinned))
+            except Exception as ex:
+                # rotate/compact can delete a pinned file between the
+                # pin and the collect. For a listing pinned moments ago,
+                # PATH_NOT_FOUND is the same staleness (the whole
+                # partition dir vanished — AnalysisException at plan
+                # time rather than FileNotFound at scan time). last_ts
+                # only advances on success, so re-pin + re-run loses
+                # nothing; three stale rounds in a row means something
+                # beyond a maintenance race — surface it.
+                stale = stale_listing_error(ex) or "PATH_NOT_FOUND" in str(ex)
+                if not stale or attempt == 2:
+                    raise
+                self.unstable_polls += 1
+        return []  # unreachable; loop always returns or raises
 
-    def _poll(self) -> list:
+    def _poll(self, ctx_factory: Callable) -> list:
         from gigapipe_spark.logql.compiler import query as logql_query
 
-        ctx = self.logctx_factory()
+        ctx = ctx_factory()
         if self.last_ts_ns:
             # thread the tail bound through the context so the store
             # scan prunes raw-ts row groups AND (oid, date) partitions

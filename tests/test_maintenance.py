@@ -249,7 +249,13 @@ def test_compact_runs_journal_repair_first(spark, tmp_path):
     done = compact(spark, cat, "samples", target_files_per_partition=1)
     assert done == {"2026-03-01": 2}  # repair removed the partial file first
     assert spark.read.parquet(part).count() == 2
-    assert not os.listdir(os.path.join(cat.root, "_journal"))
+    # no pending batch entries left (the mutation-seq / maint-marker
+    # snapshot plumbing may legitimately live in _journal)
+    assert not [
+        n
+        for n in os.listdir(os.path.join(cat.root, "_journal"))
+        if n.endswith(".json")
+    ]
 
 
 def test_fully_rotated_table_still_answers_queries(spark, tmp_path):
