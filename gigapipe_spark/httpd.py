@@ -1866,6 +1866,18 @@ class _Handler(BaseHTTPRequestHandler):
         self._ws_buf = bytearray(self._ws_drain_rfile())
         self.connection.settimeout(30)  # sends only; recv goes via select
         try:
+            # adaptive tick: hot streams poll at 500ms (the reference's
+            # tail is a ~1s-class ticker re-running the transpiled
+            # query, query_range.go:670 — sub-second batching is what a
+            # human tail needs); an idle tail backs off toward 1s so N
+            # idle dashboard tails cost ~2x less driver work again
+            # (each poll is a pin + possible Spark query). The
+            # incremental Tailer already skips the query when no files
+            # landed; this shrinks even the pin cadence. Measured
+            # (docs/SCALE.md r14): 8 hot tail clients at 200ms cost
+            # ~15-19% ingest throughput on local[32] from per-poll
+            # compile GIL contention alone.
+            delay = 0.5
             while True:
                 rows = tailer.poll()
                 if rows:
@@ -1873,9 +1885,12 @@ class _Handler(BaseHTTPRequestHandler):
                         _loki_envelope(rows)["data"] | {"dropped_entries": []}
                     ).encode()
                     self._ws_send(frame)
+                    delay = 0.5
+                else:
+                    delay = min(delay * 1.5, 1.0)
                 if self._ws_client_closed():
                     break
-                time.sleep(0.2)
+                time.sleep(delay)
         except (BrokenPipeError, ConnectionResetError, OSError):
             pass
         finally:

@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 # over. Module-level so tests can pin every branch.
 ISIN_CAP = 2_000
 COLLECT_CAP = 100_000
+# multi-ROW count at or under which the multi branch runs the pure-JVM
+# fold instead of mapInPandas (measured crossover, docs/SCALE.md r14:
+# JVM ~2x faster on small/mixed slices — the real-world flush shape,
+# e.g. the sf0.1 fixture's multi slice is 340 rows — pandas wins past
+# ~30k all-multi rows and is ~1.6x faster at 1M)
+JVM_FOLD_CAP = 16_384
 
 TOKEN_CLASSES = [
     ("uuid", re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"), 1),
@@ -387,12 +393,24 @@ def mine_patterns(
             )
         )
 
-    def _multi(rows: DataFrame) -> DataFrame:
+    def _multi(rows: DataFrame, n_multi: int | None = None) -> DataFrame:
+        # Strategy gate, MEASURED (docs/SCALE.md round-14): the JVM
+        # fold wins ~2x warm on small/mixed multi slices by skipping
+        # the Python stage; the tight pandas loop wins ~1.6x on
+        # massive all-multi corpora where interpreted HOF evaluation
+        # per token dominates. Route by the sizing job's observed
+        # multi-row count; env overrides pin each path for the
+        # differential tests.
+        if os.environ.get("GIGAPIPE_MINER_PANDAS") != "1" and (
+            os.environ.get("GIGAPIPE_MINER_JVM") == "1"
+            or (n_multi is not None and n_multi <= JVM_FOLD_CAP)
+        ):
+            return _mine_multi_jvm(rows, shard_keys, similarity)
         # multi-line shards re-spread across the full core count (a
-        # Python merge-loop stage's cost is per-ROW, so byte-sized AQE
-        # coalescing would starve it). The pandas loop re-tokenizes its
-        # lines itself: shipping precomputed arrays through Arrow
-        # measured SLOWER than the line strings.
+        # Python merge-loop stage's cost is per-ROW, so byte-sized
+        # AQE coalescing would starve it). The pandas loop
+        # re-tokenizes its lines itself: shipping precomputed
+        # arrays through Arrow measured SLOWER than the strings.
         return rows.repartition(par, *shard_keys).mapInPandas(
             run, schema=out_schema
         )
@@ -444,7 +462,7 @@ def mine_patterns(
     if multi_rows == 0:
         return _singles(keyed)
     if multi_rows == total_rows and total_rows > 0:
-        return _multi(keyed)
+        return _multi(keyed, n_multi=multi_rows)
 
     # MIXED corpus on an un-materialized input: both branch legs scan
     # it, so lazily persist the narrow projection here (the
@@ -470,7 +488,7 @@ def mine_patterns(
             F.col("ckey"),
         )
         return _singles(keyed.filter(~composite.isin(lits))).unionByName(
-            _multi(keyed.filter(composite.isin(lits)))
+            _multi(keyed.filter(composite.isin(lits)), n_multi=multi_rows)
         )
     multi_keys = F.broadcast(
         spark.createDataFrame(
@@ -481,7 +499,154 @@ def mine_patterns(
     )
     return _singles(
         keyed.join(multi_keys, shard_keys, "left_anti")
-    ).unionByName(_multi(keyed.join(multi_keys, shard_keys, "left_semi")))
+    ).unionByName(
+        _multi(
+            keyed.join(multi_keys, shard_keys, "left_semi"),
+            n_multi=multi_rows,
+        )
+    )
+
+
+# accumulator element: one live cluster of the reference merge loop —
+# elems carries (token, ORIGINAL cost) pairs (costs never change on
+# merge, pattern.go:46-66), gen/overall the cached cost sums, samples
+# the absorbed-line count
+_CLUSTER_ACC_T = (
+    "array<struct<elems:array<struct<tok:string,cost:int>>,"
+    "gen:int,overall:int,samples:bigint>>"
+)
+
+
+def _fold_sql(similarity: float) -> str:
+    """The reference merge loop as ONE SQL aggregate() fold over a
+    shard's time-sorted `lines` column. A single f-string (not stacked
+    pyspark Column calls): the equivalent Column-API construction paid
+    ~0.4s of py4j round trips PER PLAN BUILD — measured — and the
+    ingest path builds a fresh plan per flush batch; one expr() string
+    parses JVM-side in one call.
+
+    Shape: outer aggregate folds lines into the live cluster list;
+    the inner aggregate rebuilds that list per line with
+    first-match-wins try_merge (ref: pattern.go:155-198), its finish
+    lambda appending a fresh cluster when nothing accepted. Lambda
+    variables (acc, line, st, c) are bound values — re-reading them is
+    free; only the merge condition re-evaluates (twice per cluster:
+    once gating the rebuilt element, once feeding the done flag), a
+    bounded constant factor, unlike the HOF-inlining trap where a
+    PRODUCER expression duplicates per consumer (docs/SCALE.md).
+    Merge semantics mirror Pattern.try_merge verbatim: same operand
+    order, same float division, costs frozen at first sight, diff
+    slots generalized to `<_>`, gen += exactly the newly generalized
+    slots' costs. zip_with pads length mismatches with null → poison
+    cost so the ratio test fails (the size() guard is the real gate;
+    the poison keeps the arithmetic null-free under
+    non-short-circuit evaluation)."""
+    thresh = repr(1.0 - similarity)
+    dc = (
+        "aggregate(zip_with(c.elems, line.elems, (m, x) -> "
+        "CASE WHEN m IS NULL OR x IS NULL THEN 1000000000 "
+        f"WHEN m.tok <> x.tok AND m.tok <> '{GENERALIZED}' THEN m.cost "
+        "ELSE 0 END), 0, (a, b) -> a + b)"
+    )
+    merge_ok = (
+        "(size(c.elems) = size(line.elems) AND "
+        f"CAST(({dc} + c.gen) AS double) / "
+        "CAST(IF(c.overall = 0, 1, c.overall) AS double) "
+        f"<= {thresh})"
+    )
+    merged = (
+        "named_struct("
+        "'elems', zip_with(c.elems, line.elems, (m, x) -> named_struct("
+        f"'tok', IF(m.tok = x.tok OR m.tok = '{GENERALIZED}', m.tok, "
+        f"'{GENERALIZED}'), 'cost', m.cost)), "
+        f"'gen', c.gen + {dc}, "
+        "'overall', c.overall, "
+        "'samples', c.samples + CAST(1 AS bigint))"
+    )
+    fresh = (
+        "named_struct('elems', line.elems, 'gen', 0, "
+        "'overall', aggregate(line.elems, 0, (a, x) -> a + x.cost), "
+        "'samples', CAST(1 AS bigint))"
+    )
+    return (
+        "aggregate(lines, "
+        f"CAST(array() AS {_CLUSTER_ACC_T}), "
+        "(acc, line) -> IF(size(line.elems) = 0, acc, "
+        "aggregate(acc, "
+        f"named_struct('out', CAST(array() AS {_CLUSTER_ACC_T}), "
+        "'done', false), "
+        "(st, c) -> named_struct("
+        f"'out', concat(st.out, array(IF(st.done OR NOT {merge_ok}, c, "
+        f"{merged}))), "
+        f"'done', st.done OR {merge_ok}), "
+        f"st -> IF(st.done, st.out, concat(st.out, array({fresh}))))))"
+    )
+
+
+def _mine_multi_jvm(
+    rows: DataFrame, shard_keys: list[str], similarity: float
+) -> DataFrame:
+    """The reference merge loop as a pure-JVM fold per shard — no
+    Python worker, no Arrow transfer (VERDICT r13 task 2; the same
+    aggregate-fold reformulation killed holt_winters' pandas overhead,
+    BASELINE.md r3). Clustering is a linear recurrence over a shard's
+    time-ordered lines, expressed as sort_array(collect_list(line))
+    per (fingerprint, bucket, ckey) group — the same single full-row
+    shuffle the pandas path pays for its repartition — folded by the
+    nested SQL higher-order functions in _fold_sql.
+
+    MEASURED CROSSOVER (docs/SCALE.md round-14): on small/mixed multi
+    slices (the real-world flush and fixture shapes) this wins ~2×
+    warm over mapInPandas by skipping the Python stage entirely; on
+    massive ALL-multi corpora (the adversarial 100× ingest probe, 1M
+    multi rows) the tight pandas loop wins ~1.6× — interpreted HOF
+    evaluation costs more per token than CPython on big shards, and
+    the exchange ships token+cost arrays instead of raw strings.
+    mine_patterns therefore routes by the sizing job's observed
+    multi-row count (_JVM_FOLD_CAP); this function stays correct at
+    any scale.
+
+    100 TB shape: one hash exchange on the shard key (the minimum any
+    grouping pays), fold runs partition-local, per-shard state bounded
+    by per-key line volume exactly like the pandas twin. Parity is
+    pinned by test_patterns' differential suite (JVM vs pandas vs
+    driver-side reference clustering) and the patterns_mine_exact
+    closed-form oracle."""
+    tokens_col = F.filter(F.split("string", r"\s+"), lambda t: t != "")
+    elems_col = F.zip_with(
+        tokens_col,
+        F.transform(tokens_col, _cost_col),
+        lambda t, c: F.struct(t.alias("tok"), c.alias("cost")),
+    )
+    grouped = (
+        rows.withColumn("elems", elems_col)
+        .groupBy(*shard_keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("timestamp_ns", "elems"))
+            ).alias("lines")
+        )
+    )
+    out_tokens = F.col("c.elems").getField("tok")
+    return grouped.select(
+        "fingerprint",
+        "timestamp_10m",
+        F.explode(F.expr(_fold_sql(similarity))).alias("c"),
+    ).select(
+        "fingerprint",
+        "timestamp_10m",
+        out_tokens.alias("tokens"),
+        # classes re-classify the FINAL tokens (generalized slots score
+        # as plain words), mirroring the pandas emitter's token_cost()
+        # over c.tokens
+        F.transform(out_tokens, _cost_col).alias("classes"),
+        F.col("c.overall").alias("overall_cost"),
+        F.col("c.gen").alias("generalized_cost"),
+        F.col("c.samples").alias("samples_count"),
+        F.crc32(F.concat_ws(" ", out_tokens).cast("binary")).cast(
+            "long"
+        ).alias("pattern_id"),
+    )
 
 
 def _mine_patterns_window(

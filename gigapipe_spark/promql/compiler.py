@@ -104,8 +104,13 @@ def _bucket(ts: Column, width_ns: int, offset_ns: int = 0) -> Column:
     return t - F.pmod(t, F.lit(width_ns))
 
 
-def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
-    """Matcher-filtered raw metric samples with labels attached.
+def _selector_samples(
+    ctx: PromQLContext, sel: VectorSelector, with_labels: bool = True
+) -> DataFrame:
+    """Matcher-filtered raw metric samples with labels attached
+    (`with_labels=False` skips the label join for callers that
+    aggregate per fingerprint first and re-attach labels after — the
+    hash-aggregate-friendly shape, see _instant_matrix).
 
     Fingerprint resolution reuses the LogQL GIN bitmask semi-join
     (ref: promql planner/stream_select.go — same pattern as LogQL).
@@ -123,6 +128,14 @@ def _selector_samples(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
     if matchers:
         fps = fingerprints(lctx, LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
+    if not with_labels:
+        if sel.offset_ns:
+            df = df.withColumn(
+                "timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns)
+            )
+        if sel.at_ns is not None:
+            df = df.filter(F.col("timestamp_ns") <= sel.at_ns)
+        return df
     series = ctx.series().select("fingerprint", "labels")
     df = df.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
@@ -140,13 +153,23 @@ def _instant_matrix(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
     """Instant vector: last raw sample per step bucket per series
     (ref: downsample_values.go argMaxMerge(last) per step). With an
     @-modifier: one point per series — the last sample within the
-    staleness lookback before the pinned time."""
-    df = _selector_samples(ctx, sel)
+    staleness lookback before the pinned time.
+
+    Labels re-attach AFTER the aggregate via the broadcast series dim
+    (fingerprint IS the label hash, so the dim's labels are exactly
+    the rows' labels): carrying the map through the groupBy as
+    first(labels) put a MapType in the aggregation buffer, which
+    disqualifies hash aggregation — Spark planned SortAggregate with a
+    per-partition sort of every raw sample (visible in the r14 plan
+    audit of promql_instant_sum_by). A long+double buffer hash-aggs."""
+    df = _selector_samples(ctx, sel, with_labels=False)
+    series = F.broadcast(ctx.series().select("fingerprint", "labels"))
     if sel.at_ns is not None:
         df = df.filter(F.col("timestamp_ns") > sel.at_ns - _LOOKBACK_NS)
         return (
             df.groupBy("fingerprint")
-            .agg(F.max_by("value", "timestamp_ns").alias("value"), F.first("labels").alias("labels"))
+            .agg(F.max_by("value", "timestamp_ns").alias("value"))
+            .join(series, "fingerprint", "left")
             .select(
                 "fingerprint", "labels",
                 F.lit(sel.at_ns).alias("timestamp_ns"), "value",
@@ -154,7 +177,8 @@ def _instant_matrix(ctx: PromQLContext, sel: VectorSelector) -> DataFrame:
         )
     return (
         df.groupBy("fingerprint", _bucket(F.col("timestamp_ns"), ctx.step_ns).alias("timestamp_ns"))
-        .agg(F.max_by("value", "timestamp_ns").alias("value"), F.first("labels").alias("labels"))
+        .agg(F.max_by("value", "timestamp_ns").alias("value"))
+        .join(series, "fingerprint", "left")
         .select("fingerprint", "labels", "timestamp_ns", "value")
     )
 

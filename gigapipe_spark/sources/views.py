@@ -125,21 +125,32 @@ def metric_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter = fmod(running_sum(value), 1000) per fingerprint → monotone
     within a cycle with deliberate resets, exactly the shape the
     reference's counter logic handles (ref: promql planner counter.go).
-    The window is per-fingerprint ordered by time — on a cluster this
-    shuffles once on fingerprint, which any counter computation requires.
-    """
-    w = (
-        Window.partitionBy("fingerprint")
-        .orderBy("timestamp_ns")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return samples(spark, sf_dir).select(
-        "fingerprint",
-        "timestamp_ns",
-        (F.sum("value").over(w) % F.lit(1000.0)).alias("value"),
-        F.lit("").alias("string"),
-        F.lit(2).cast("byte").alias("type"),
-    )
+
+    Session-cached as a FACT view (heap-gated like spans/attr_map):
+    the running-sum window is VALUE SYNTHESIS — fixture plumbing
+    standing in for the stored samples table's value column, which a
+    deployment reads straight from parquet (the store-backed
+    StorePromQLContext.metrics does exactly that) — and uncached it
+    re-paid a full fact shuffle + sort + window on EVERY PromQL
+    execution (measured r14: the whole-plan floor of
+    promql_instant_sum_by). Under the cache-if-fits gate small heaps
+    still stream the plan per query — slower, never fatal."""
+
+    def build():
+        w = (
+            Window.partitionBy("fingerprint")
+            .orderBy("timestamp_ns")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return samples(spark, sf_dir).select(
+            "fingerprint",
+            "timestamp_ns",
+            (F.sum("value").over(w) % F.lit(1000.0)).alias("value"),
+            F.lit("").alias("string"),
+            F.lit(2).cast("byte").alias("type"),
+        )
+
+    return _cached(spark, sf_dir, "metric_samples", build, fact=True)
 
 
 # Dimension cache: in the reference these are real stored tables

@@ -277,24 +277,27 @@ def pin_listing(
     )
 
 
-def snapshot_catalog(catalog, tables: tuple[str, ...], date_floor=None):
+def snapshot_catalog(catalog, tables: tuple[str, ...], date_floor=None,
+                     reuse: dict | None = None):
     """A Catalog view of `catalog` pinned to one consistent listing."""
     from gigapipe_spark.storage.writer import SnapshotCatalog
 
     return SnapshotCatalog(
-        catalog, pin_listing(catalog.root, tables, date_floor)
+        catalog, pin_listing(catalog.root, tables, date_floor), reuse=reuse
     )
 
 
-def pin_tail_catalog(catalog, last_ts_ns: int = 0):
+def pin_tail_catalog(catalog, last_ts_ns: int = 0, reuse: dict | None = None):
     """Pinned catalog for one tail poll. The samples listing is pruned
     to partitions that can hold rows newer than the watermark (same
     one-day widening as the query-side date prune, storage/query.py
     `_bounded`); the series/GIN index listings stay full — a stream
     created long ago still emits new lines, and its index rows live in
-    old partitions."""
+    old partitions. `reuse` (a dict the Tailer owns across polls)
+    memoizes built DataFrames per exact fileset — see
+    SnapshotCatalog."""
     floor = None
     if last_ts_ns:
         dt = datetime.fromtimestamp(last_ts_ns / 1e9, tz=timezone.utc)
         floor = {"samples": (dt - timedelta(days=1)).date().isoformat()}
-    return snapshot_catalog(catalog, TAIL_TABLES, floor)
+    return snapshot_catalog(catalog, TAIL_TABLES, floor, reuse=reuse)

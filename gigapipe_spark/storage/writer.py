@@ -397,28 +397,76 @@ class SnapshotCatalog(Catalog):
     many flushes land while it executes. basePath keeps the (oid,
     date) partition columns, so partition pruning and oid scoping work
     exactly as on the base catalog. Tables outside the pinned set fall
-    back to the live listing."""
+    back to the live listing.
 
-    def __init__(self, base: Catalog, listing: dict[str, list[str]]):
+    Poll-loop plan reuse: a tail polls several times a second, and the
+    profile showed each poll's COMPILE dominated by py4j round trips —
+    ~90-300ms per spark.read.parquet (JVM file-index build + footer
+    schema inference) times three tables, plus the series-dedup
+    Column rebuild. Two levers, both semantics-free:
+      * reads pass the declared schema (canonical registry / sidecar)
+        so the JVM never opens a footer to infer one — the registry is
+        pinned against the writers by the table-schema drift test;
+      * a caller-owned `reuse` dict memoizes built DataFrames keyed by
+        (table, exact file tuple): an index table whose listing didn't
+        change between polls (series/GIN — new streams are rare)
+        reuses the previous poll's immutable plan object verbatim.
+    """
+
+    def __init__(
+        self,
+        base: Catalog,
+        listing: dict[str, list[str]],
+        reuse: dict | None = None,
+    ):
         super().__init__(base.root, base.oid)
         self._listing = listing
+        self.reuse = reuse
+
+    def _memo(self, key: tuple, build):
+        if self.reuse is None:
+            return build()
+        if key not in self.reuse:
+            # one live entry per (kind, table): listings evolve
+            # monotonically, stale filesets never come back
+            for k in [k for k in self.reuse if k[:2] == key[:2]]:
+                del self.reuse[k]
+            self.reuse[key] = build()
+        return self.reuse[key]
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         files = self._listing.get(table)
         if files is None:
             return super().read(spark, table)
+        return self._memo(
+            ("read", table, tuple(files)),
+            lambda: self._read_pinned(spark, table, files),
+        )
+
+    def _read_pinned(self, spark, table: str, files: list[str]) -> DataFrame:
+        schema = _empty_from_sidecar(spark, self.path(table))
+        schema = schema.schema if schema is not None else canonical_schema(table)
         if not files:
             # nothing committed in the pinned view: same zero-row
             # empty-table contract as the base catalog
-            df = _empty_from_sidecar(spark, self.path(table))
-            if df is None:
-                schema = canonical_schema(table)
-                if schema is None:
-                    return super().read(spark, table)
-                df = spark.createDataFrame([], schema)
-            return self._scope_oid(df)
-        df = spark.read.option("basePath", self.path(table)).parquet(*files)
-        return self._scope_oid(df)
+            if schema is None:
+                return super().read(spark, table)
+            return self._scope_oid(spark.createDataFrame([], schema))
+        reader = spark.read.option("basePath", self.path(table))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return self._scope_oid(reader.parquet(*files))
+
+    def read_series(self, spark: SparkSession, types=None, per_fingerprint=False):
+        files = self._listing.get("time_series")
+        if files is None or self.reuse is None:
+            return super().read_series(spark, types, per_fingerprint)
+        return self._memo(
+            ("series", "time_series", tuple(files), types, per_fingerprint),
+            lambda: super(SnapshotCatalog, self).read_series(
+                spark, types, per_fingerprint
+            ),
+        )
 
 
 def _checkpoint_flush(batch: DataFrame, small: int = 100_000) -> DataFrame:

@@ -220,12 +220,15 @@ def store_tailer(
     from gigapipe_spark.storage.query import store_logql_context
     from gigapipe_spark.storage.snapshot import pin_tail_catalog
 
+    reuse: dict = {}  # per-tailer DataFrame memo across polls
     return Tailer(
         logctx_factory=lambda pinned=catalog: store_logql_context(
             spark, pinned
         ),
         query=query,
-        pin_factory=lambda last_ts_ns: pin_tail_catalog(catalog, last_ts_ns),
+        pin_factory=lambda last_ts_ns: pin_tail_catalog(
+            catalog, last_ts_ns, reuse=reuse
+        ),
         **kw,
     )
 
@@ -263,6 +266,19 @@ class Tailer:
     # polls skipped because no quiescent listing window was observed
     # (e.g. an active compact); the watermark never advances on a skip
     unstable_polls: int = field(default=0)
+    # INCREMENTAL polls (store tails): the store is append-only at file
+    # granularity (flushes add files; compact/rotate swap or delete
+    # whole partitions, bumping the snapshot seq), so once a poll has
+    # drained everything ≤ its pinned listing, rows newer than the
+    # watermark can only live in files ADDED since — the next poll
+    # scans just the listing DELTA instead of the whole tail window
+    # (the parquet-lake analog of the reference tail's "re-run from
+    # last-seen ts" riding ClickHouse's primary-key index,
+    # query_range.go:670-760). A capped poll leaves backlog in OLD
+    # files, so the next poll falls back to the full pinned scan; an
+    # empty delta skips Spark entirely.
+    _prev_samples: frozenset | None = field(default=None, repr=False)
+    _backlog: bool = field(default=True, repr=False)
 
     def poll(self) -> list:
         if self.pin_factory is None:
@@ -280,8 +296,19 @@ class Tailer:
                 # skip the tick — last_ts is untouched, nothing is lost
                 self.unstable_polls += 1
                 return []
+            cur = frozenset(pinned._listing.get("samples", ()))
+            delta_scan = self._prev_samples is not None and not self._backlog
+            if delta_scan:
+                delta = cur - self._prev_samples
+                if not delta:
+                    # nothing committed since the drained poll: no file
+                    # can hold a row newer than the watermark — skip
+                    # the query (compile + scan) entirely this tick
+                    self._prev_samples = cur
+                    return []
+                pinned._listing["samples"] = sorted(delta)
             try:
-                return self._poll(lambda: self.logctx_factory(pinned))
+                rows = self._poll(lambda: self.logctx_factory(pinned))
             except Exception as ex:
                 # rotate/compact can delete a pinned file between the
                 # pin and the collect. For a listing pinned moments ago,
@@ -295,6 +322,12 @@ class Tailer:
                 if not stale or attempt == 2:
                     raise
                 self.unstable_polls += 1
+                continue
+            # capped ⇒ undelivered rows remain in files already seen:
+            # the next poll must scan the full pinned listing
+            self._backlog = len(rows) >= self.max_rows_per_poll
+            self._prev_samples = cur
+            return rows
         return []  # unreachable; loop always returns or raises
 
     def _poll(self, ctx_factory: Callable) -> list:

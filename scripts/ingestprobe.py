@@ -98,7 +98,19 @@ def main() -> None:
     from gigapipe_spark.session import get_spark
 
     spark = get_spark("ingestprobe")
-    probe(spark, 10, lines_per_stream, True)  # warm JIT, throwaway
+    # warm JIT + both miner strategies (throwaway): the shape-gated
+    # multi branch (patterns/cluster.JVM_FOLD_CAP) runs the JVM fold on
+    # small corpora and mapInPandas past the cap — a cold Python worker
+    # pool would otherwise bill ~3s of spin-up to the first big run
+    probe(spark, 10, lines_per_stream, True)
+    from gigapipe_spark.patterns.cluster import JVM_FOLD_CAP
+
+    probe(
+        spark,
+        JVM_FOLD_CAP // lines_per_stream + 10,
+        lines_per_stream,
+        True,
+    )
     for mine in (True, False):
         r1 = probe(spark, base_streams, lines_per_stream, mine)
         rf = probe(spark, base_streams * factor, lines_per_stream, mine)

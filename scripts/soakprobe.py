@@ -221,7 +221,17 @@ def run_soak(
                 try:
                     fn()
                 except Exception as ex:  # noqa: BLE001 — soak verdict
-                    errors.append(f"{name}: {type(ex).__name__}: {ex}")
+                    detail = ""
+                    if isinstance(ex, urllib.error.HTTPError):
+                        try:  # the response body names the real fault
+                            detail = " :: " + ex.read()[:300].decode(
+                                "utf-8", "replace"
+                            )
+                        except Exception:  # noqa: BLE001
+                            pass
+                    errors.append(
+                        f"{name}: {type(ex).__name__}: {ex}{detail}"
+                    )
                     return
         t = threading.Thread(target=loop, daemon=True, name=name)
         t.start()

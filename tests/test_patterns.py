@@ -189,3 +189,56 @@ def test_mine_patterns_matches_driver_side_reference(spark):
         ).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+def test_mine_patterns_jvm_fold_equals_pandas_loop(spark, monkeypatch):
+    """r14: the multi branch's JVM aggregate() fold must emit EXACTLY
+    what the mapInPandas merge loop emits — full rows including the
+    re-classified classes of generalized tokens and the crc32 pattern
+    id — on a corpus that exercises merge, no-merge, generalization,
+    and whitespace edges. (The pandas loop itself equals the
+    driver-side reference, pinned above.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gigapipe_spark.patterns import cluster as CL
+
+    rng = random.Random(14)
+    t0 = 1_700_000_000_000_000_000
+    rows = []
+    for i in range(240):
+        fp = rng.randrange(3)
+        line = rng.choice([
+            f"login user u{i % 7} from 10.0.0.{i % 5} ok",
+            f"payment of {i} cents failed code {i % 4}",
+            "static line with no params at all",
+            f"weird {'x' * (i % 3 + 1)} tail {i}",
+        ])
+        rows.append((fp, t0 + i * 1_000_000, line))
+    rows.append((0, t0 + 999, "  \t "))
+    df = spark.createDataFrame(
+        rows, "fingerprint long, timestamp_ns long, string string"
+    )
+
+    def canon():
+        out = CL.mine_patterns(df)
+        return sorted(
+            (
+                r["fingerprint"], r["timestamp_10m"], tuple(r["tokens"]),
+                tuple(r["classes"]), r["overall_cost"],
+                r["generalized_cost"], r["samples_count"], r["pattern_id"],
+            )
+            for r in out.collect()
+        )
+
+    monkeypatch.delenv("GIGAPIPE_MINER_PANDAS", raising=False)
+    monkeypatch.setenv("GIGAPIPE_MINER_JVM", "1")  # pin the fold path
+    via_jvm = canon()
+    monkeypatch.delenv("GIGAPIPE_MINER_JVM", raising=False)
+    monkeypatch.setenv("GIGAPIPE_MINER_PANDAS", "1")
+    via_pandas = canon()
+    assert via_jvm == via_pandas
+    # the corpus really generalized something (classes re-classify
+    # `<_>` slots as plain words — cost 5 — unlike the frozen costs)
+    assert any("<_>" in toks for _, _, toks, *_ in via_jvm)
