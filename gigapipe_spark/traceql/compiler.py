@@ -584,21 +584,45 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
         sel, n, baseline = script.compare
         return compare_attrs(ctx, sel, top_n=n, baseline=baseline)
     ctx.pending_spanset = script.spanset
-    ids = eval_spanset(ctx, script.spanset)
+    if isinstance(script.spanset, SpanSelector) and (
+        script.spanset.expr is None
+        or all(
+            t.attr in _INTRINSIC_COLS
+            for t in _collect_terms(script.spanset.expr)
+        )
+    ):
+        # Single INTRINSIC-ONLY selector (the common `{ name = "x" }` /
+        # `{ duration > .. }` metrics shapes): the matched ROWS are a
+        # plain filter over the spans table — going through
+        # ids = select_spans() and then semi-joining spans back to its
+        # own filtered ids paid one full extra exchange of the fact
+        # table for nothing (measured r14: ~0.45s of the metrics
+        # entries' warm floor at sf0.1; the reference's attrless.go
+        # likewise scans the span table directly for these).
+        spans = ctx.spans()
+        if script.spanset.expr is not None:
+            spans = spans.filter(
+                _build_direct_intrinsic(script.spanset.expr)
+            )
+    else:
+        ids = eval_spanset(ctx, script.spanset)
+        # fetch matched span rows: broadcast the id set into the fact
+        # scan when an already-run probe bounds it; otherwise leave the
+        # strategy to AQE rather than paying a probe job for this join
+        fetch_ids = (
+            F.broadcast(ids)
+            if ctx.complexity is not None
+            and ctx.complexity <= COMPLEXITY_THRESHOLD
+            else ids
+        )
+        spans = ctx.spans().join(fetch_ids, ["trace_id", "span_id"], "left_semi")
     if script.sample is not None:
         # trace-level sampling with a fixed seed (ref: ctx.RandomFilter
         # attr_condition.go:55-62 — the reference also samples trace ids)
-        traces = ids.select("trace_id").distinct().sample(script.sample, seed=42)
-        ids = ids.join(_small_side(ctx, traces), "trace_id", "left_semi")
-    # fetch matched span rows: broadcast the id set into the fact scan
-    # when an already-run probe bounds it; otherwise leave the strategy
-    # to AQE rather than paying a probe job just for this join
-    fetch_ids = (
-        F.broadcast(ids)
-        if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD
-        else ids
-    )
-    spans = ctx.spans().join(fetch_ids, ["trace_id", "span_id"], "left_semi")
+        traces = (
+            spans.select("trace_id").distinct().sample(script.sample, seed=42)
+        )
+        spans = spans.join(_small_side(ctx, traces), "trace_id", "left_semi")
     spans = _agg_filter_spans(ctx, spans, script.agg_filters)
     if script.metrics is not None:
         out = _metrics(ctx, spans, script.metrics)

@@ -366,11 +366,18 @@ def test_miner_singles_path_no_full_row_exchange(spark):
     # which is its own pure-path guarantee)
     df = mine_patterns(views.samples(spark, SF_DIR_MED))
     plan = _plan(df)
-    # the union plan: count exchanges — exactly ONE (the multi-branch
-    # repartition); a second would mean singles rows are shuffling
+    # the union plan: count exchanges — exactly ONE, and it carries
+    # ONLY the rare multi rows: either the JVM fold's groupBy hash
+    # exchange on the shard keys (small slices, r14 default) or the
+    # pandas branch's explicit repartition (past JVM_FOLD_CAP); a
+    # second exchange would mean singles rows are shuffling
     assert plan.count("Exchange ") == 1, plan
-    assert "REPARTITION_BY_NUM" in plan, plan
-    # no window sizing (the pre-r13 full-row shuffle's signature)
+    assert (
+        "REPARTITION_BY_NUM" in plan
+        or "hashpartitioning(fingerprint" in plan
+    ), plan
+    # no window sizing (the pre-r13 full-row shuffle's signature) —
+    # the JVM fold's window-free contract too
     assert "Window" not in plan, plan
 
     # pure-singles corpus: the whole plan is exchange-free
