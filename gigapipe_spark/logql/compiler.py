@@ -326,23 +326,28 @@ _JSON_MAP = "map<string,string>"
 def _merge_parsed(df: DataFrame, newmap: Column) -> DataFrame:
     """labels ← labels ⊎ parsed (parsed wins on key conflict).
 
-    The parsed map is materialized into a temp column first so the parse
-    expression is evaluated ONCE per row — inlining it into map_concat/
-    map_filter would duplicate it in the expression tree (no guaranteed
-    CSE across lambda scopes).
+    map_zip_with unions the key sets and pairs the values, so
+    parsed-wins is one coalesce(v2, v1) per key and the parsed map
+    appears exactly ONCE in the expression — as a direct argument,
+    never referenced from inside a lambda. That last property is the
+    load-bearing one: a label-filter stage right after a parser pushes
+    its predicate through this projection, and alias substitution
+    inlines whatever `labels` expands to into the filter condition.
+    The previous map_concat(map_filter(labels, λk: k ∉ __parsed),
+    __parsed) shape referenced the parsed map from inside the
+    map_filter lambda, so after inlining the full from_json parse ran
+    once per LABEL MAP ENTRY per row (measured at sf0.1:
+    logql_json_label_filter warm_min 1.09s → 0.45s from this change
+    plus parse-once in _apply_parser).
     """
-    tmp = df.withColumn("__parsed", F.coalesce(newmap, F.expr("map()")))
-    merged = tmp.withColumn(
+    return df.withColumn(
         "labels",
-        F.map_concat(
-            F.map_filter(
-                F.coalesce(F.col("labels"), F.expr("map()")),
-                lambda k, v: ~F.map_contains_key(F.col("__parsed"), k),
-            ),
-            F.col("__parsed"),
+        F.map_zip_with(
+            F.coalesce(F.col("labels"), F.expr("map()")),
+            F.coalesce(newmap, F.expr("map()")),
+            lambda _k, v1, v2: F.coalesce(v2, v1),
         ),
     )
-    return merged.drop("__parsed")
 
 
 # synthetic labels injected when a parser stage fails
@@ -367,13 +372,20 @@ _LOGFMT_ERR_MAP_EXPR = (
 )
 
 
-def _logfmt_map(line: Column) -> Column:
+def _logfmt_map(pairs: Column) -> Column:
     """`| logfmt` as pure column expressions, with the reference's Go
     parser semantics (ref: internal/planner/parser_helpers.go, kr/logfmt):
     quoted values lose their quotes and unescape \\\" and \\\\, keys
     sanitize to [a-zA-Z0-9_] (sanitizeLabel), the LAST duplicate key
-    wins, and an unterminated quoted value flags LogfmtParserErr."""
-    pairs = F.regexp_extract_all(line, F.lit(_LOGFMT_PAIR), 0)
+    wins, and an unterminated quoted value flags LogfmtParserErr.
+
+    Takes the ALREADY-EXTRACTED pair array (regexp_extract_all over the
+    line), not the line: `pairs` feeds both the unterminated-quote
+    check (the when() condition) and the merge fold (its branch value),
+    and conditional branch values are excluded from codegen
+    subexpression elimination — inlining the extraction here would run
+    the full pair regexp twice per row (the same double-parse the
+    `| json` stage had). The caller materializes it as a temp column."""
     key = lambda p: F.regexp_replace(  # noqa: E731
         F.regexp_extract(p, _LOGFMT_PAIR, 1), r"[^a-zA-Z0-9_]", "_"
     )
@@ -406,31 +418,44 @@ def _logfmt_map(line: Column) -> Column:
 
 def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
     if st.kind == "json":
+        # ONE from_json reference in the whole expression tree. A
+        # label-filter stage right after `| json` pushes its predicate
+        # through the labels projection, and alias substitution clones
+        # the labels expression into the filter — every from_json
+        # occurrence in it then runs per row (and the pre-r14 shape had
+        # it inside a map_filter lambda: per map ENTRY per row). The
+        # object-validity check rides the parse itself: from_json with
+        # a map schema parses exactly JSON objects and returns NULL
+        # otherwise (mirroring the reference's JSONType(string) =
+        # 'Object' gate), so "not an object → __error__ labels" is one
+        # coalesce — no second parse as a CASE condition, which codegen
+        # subexpression elimination would NOT merge with the branch
+        # value (branch values are excluded from elimination).
+        raw = F.from_json("string", _JSON_MAP)
         if st.params:
             # parameterized: | json lbl="path.to[0].field"
             # ref: planner_parser_json.go JSONExtractString per param
             pairs = []
             for lbl, path in st.params.items():
                 pairs += [F.lit(lbl), F.get_json_object("string", "$." + path)]
-            newmap = F.map_filter(
+            extracted = F.map_filter(
                 F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
                 lambda k, v: v.isNotNull(),
+            )
+            newmap = F.when(raw.isNotNull(), extracted).otherwise(
+                F.expr(_JSON_ERR_MAP_EXPR)
             )
         else:
             # bare | json: merge every top-level scalar field
             # (ref runs this Go-side row-at-a-time; from_json is JVM-side)
-            newmap = F.from_json("string", _JSON_MAP)
-        # a line that is not a JSON object gets the __error__ labels
-        # instead of parsed fields (the object check mirrors
-        # JSONType(string)='Object': from_json with a map schema parses
-        # exactly JSON objects, returning NULL otherwise)
-        valid = F.from_json("string", _JSON_MAP).isNotNull()
-        newmap = F.when(valid, F.coalesce(newmap, F.expr("map()"))).otherwise(
-            F.expr(_JSON_ERR_MAP_EXPR)
-        )
+            newmap = F.coalesce(raw, F.expr(_JSON_ERR_MAP_EXPR))
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
-        parsed = _logfmt_map(F.col("string"))
+        tmp = df.withColumn(
+            "__logfmt_pairs",
+            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 0),
+        )
+        parsed = _logfmt_map(F.col("__logfmt_pairs"))
         if st.params:
             # parameterized: keep only the requested logfmt keys,
             # emitted under the sanitized KEY name (the reference's
@@ -443,7 +468,7 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             parsed = F.map_filter(
                 parsed, lambda k, v: k.isin(*wanted) | k.startswith("__error")
             )
-        return _merge_parsed(df, parsed)
+        return _merge_parsed(tmp, parsed).drop("__logfmt_pairs")
     if st.kind == "regexp":
         # RE2 pattern → Java with RE2 semantics; named groups become
         # plain groups (Java rejects RE2-legal names like foo_bar), so
