@@ -764,10 +764,27 @@ def _apply_drop_keep(df: DataFrame, st: A.Drop | A.Keep) -> DataFrame:
 
 
 def apply_stages(
-    df: DataFrame, expr: A.LogExpr, stages: list | None = None
+    df: DataFrame,
+    expr: A.LogExpr,
+    stages: list | None = None,
+    defer_unwrap_filter: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Run the pipeline; returns (df, labels_mutated). `stages`
-    overrides expr.stages when scan_pipeline already lifted a prefix."""
+    overrides expr.stages when scan_pipeline already lifted a prefix.
+
+    defer_unwrap_filter: skip the `value IS NOT NULL` row filter after a
+    label unwrap. A Filter over the parser/label_format/unwrap Project
+    chain gets pushed below ALL of it, and predicate-pushdown alias
+    substitution clones the referenced expressions unconditionally —
+    the unwrap conversion references its source label ~13x (unit/number
+    branches), each cloning the full labels chain, so the pushed filter
+    evaluated from_json 29x PER ROW on `| json | unwrap bytes(..)`
+    (measured; the Projects themselves stay bounded because
+    CollapseProject's non-cheap multi-ref guard keeps their
+    boundaries). Range aggregation callers pass True and instead use
+    null-ignoring aggregates + a cheap post-aggregate guard, which
+    reproduces the filtered semantics exactly with zero per-row
+    duplication."""
     mutated = False
     for st in expr.stages if stages is None else stages:
         if isinstance(st, A.LineFilter):
@@ -807,7 +824,8 @@ def apply_stages(
                 df = df.withColumn("value", _humanized_bytes(raw))
             else:
                 df = df.withColumn("value", raw.cast("double"))
-            df = df.filter(F.col("value").isNotNull())
+            if not defer_unwrap_filter:
+                df = df.filter(F.col("value").isNotNull())
         else:
             raise NotImplementedError(f"stage {st}")
     return df, mutated
@@ -862,14 +880,27 @@ _BYTES_FACTORS = {
 def _humanized_bytes(raw: Column) -> Column:
     """`unwrap bytes(lbl)`: humanized size ("3MiB", "5 kB") → bytes,
     as humanize.ParseBytes does (ref: unwrap.go:9). SI units are decimal
-    (kB=1e3), IEC binary (KiB=1024)."""
+    (kB=1e3), IEC binary (KiB=1024).
+
+    Exactly TWO regex runs per row: the factor is a map-literal lookup
+    (try_element_at → NULL on an unknown unit) and the number goes
+    through try_cast (NULL on the empty non-match) — a when-cascade /
+    emptiness CASE would reference the extracted columns up to 11x,
+    and every reference re-executes its regexp_extract after the
+    optimizer's alias substitution (measured on `| json | unwrap
+    bytes(..)`: 28 regex runs per row through the pushed-down filter)."""
     pat = r"^\s*(-?\d+(?:\.\d+)?)\s*([kKmMgGtTpP]?[iI]?[bB]?)\s*$"
     num = F.regexp_extract(raw, pat, 1)
     unit = F.lower(F.regexp_extract(raw, pat, 2))
-    factor = F.lit(None).cast("double")
-    for u, f_ in reversed(_BYTES_FACTORS.items()):
-        factor = F.when(unit == u, F.lit(f_)).otherwise(factor)
-    return F.when(num != "", num.cast("double") * factor)
+    factors = F.create_map(
+        *[F.lit(x) for u, f_ in _BYTES_FACTORS.items() for x in (u, f_)]
+    )
+    # non-matching raw extracts "" for BOTH groups; "" is not a factor
+    # key ... except it IS ("" -> 1.0, the bare-number case). Guard the
+    # bare-number factor on the number actually matching: try_cast("")
+    # is NULL, so the product is NULL and the row drops, exactly like
+    # the old `num != ""` CASE.
+    return num.try_cast("double") * F.try_element_at(factors, unit)
 
 
 # ---------------------------------------------------------------- aggs
@@ -949,13 +980,49 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
     # of the (small) dimension — cheap relative to the fact scan.
     with_labels = True
     df, kept, lifted_mut = scan_pipeline(ctx, ra.inner, with_labels)
-    df, mutated = apply_stages(df, ra.inner, kept)
+    stages_eff = ra.inner.stages if kept is None else kept
+    unwrapped = any(
+        isinstance(st, A.Unwrap) and st.label != "__value__"
+        for st in stages_eff
+    )
+    df, mutated = apply_stages(
+        df, ra.inner, kept, defer_unwrap_filter=unwrapped
+    )
     mutated = mutated or lifted_mut
     bucket = _bucket_col(ra.range_ns, ra.offset_ns)
     if ra.fn == "quantile_over_time":
         agg = F.percentile("value", F.lit(ra.param))
     else:
         agg = _RANGE_AGGS[ra.fn](ra.range_ns)
+    post_guard = None
+    if unwrapped:
+        # Null-ignoring aggregates reproduce the dropped `value IS NOT
+        # NULL` row filter (see apply_stages defer_unwrap_filter):
+        # sum/avg/min/max/stddev/stdvar/percentile skip nulls natively;
+        # the count/first/last/bytes shapes need explicit null
+        # awareness. A bucket whose rows ALL failed the unwrap
+        # conversion previously produced no group at all — the post-agg
+        # guard removes its (null or zero-count) row, and it cannot
+        # remove a legitimate one: a surviving group always has >= 1
+        # parsed row, so count > 0 and the null-ignoring values are
+        # non-null.
+        rs = ra.range_ns
+        valid_ts = F.when(F.col("value").isNotNull(), F.col("timestamp_ns"))
+        valid_len = F.when(F.col("value").isNotNull(), F.length("string"))
+        overrides = {
+            "count_over_time": F.count("value").cast("double"),
+            "rate": (F.count("value") / F.lit(rs / 1e9)).cast("double"),
+            "bytes_over_time": F.sum(valid_len).cast("double"),
+            "bytes_rate": (F.sum(valid_len) / F.lit(rs / 1e9)).cast("double"),
+            "first_over_time": F.min_by("value", valid_ts),
+            "last_over_time": F.max_by("value", valid_ts),
+        }
+        agg = overrides.get(ra.fn, agg)
+        post_guard = (
+            (F.col("value") > 0)
+            if ra.fn in ("count_over_time", "rate")
+            else F.col("value").isNotNull()
+        )
     if grouped:
         # grouped range agg: aggregate RAW samples per (group-labels,
         # bucket) — NOT per-stream then re-aggregate, which would turn
@@ -968,6 +1035,8 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
             .groupBy(key.alias("fingerprint"), bucket)
             .agg(agg.alias("value"), F.first("labels").alias("labels"))
         )
+        if post_guard is not None:
+            out = out.filter(post_guard)
         return Result(
             out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", True
         )
@@ -987,6 +1056,8 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
                 (F.first("labels") if with_labels else F.first(F.lit(None).cast("map<string,string>"))).alias("labels"),
             )
         )
+    if post_guard is not None:
+        out = out.filter(post_guard)
     return Result(out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", mutated)
 
 
