@@ -385,3 +385,56 @@ def test_miner_singles_path_no_full_row_exchange(spark):
     pplan = _plan(pure)
     assert pplan.count("Exchange ") == 0, pplan
     assert "MapInPandas" not in pplan, pplan
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_json_parse_once_through_label_filter_pushdown(spark):
+    """Predicate pushdown substitutes Project aliases into the pushed
+    filter UNCONDITIONALLY (no non-cheap multi-ref guard like
+    CollapseProject's), so every from_json occurrence in the labels
+    expression runs per row once a label filter sinks below the parser
+    projection — and a reference from inside a map lambda runs per map
+    ENTRY per row. The r14 parse-once contract: `| json` + label
+    filter compiles to exactly ONE from_json in the optimized plan
+    (pre-fix: 4, one inside a map_filter lambda)."""
+    from gigapipe_spark.logql.compiler import LogQLContext, query as lq
+
+    res = lq(
+        LogQLContext(spark, SF_DIR),
+        '{app="view"} | json | k > 50',
+    )
+    plan = _optimized(res.df)
+    # exactly 2: one in the pushed filter, one in the labels output
+    # projection (a streams result carries labels for display; a
+    # caller that prunes labels — the registry entries do — gets 1).
+    # Pre-fix this was 4, one of them inside a map_filter lambda:
+    # per map ENTRY per row.
+    assert plan.count("from_json(") == 2, plan
+    # the per-element trap specifically: no JSON parse after a lambda
+    # body opens (heuristic: in this plan the only from_json sites are
+    # direct map_zip_with arguments, which print BEFORE the lambda)
+    for line in plan.splitlines():
+        head, sep, tail = line.partition("lambdafunction(")
+        assert not (sep and "from_json(" in tail), line
+
+
+def test_unwrap_bytes_no_filter_explosion(spark):
+    """`| unwrap bytes(..)` must not emit a row filter over the
+    parser/label_format/unwrap chain: the pushed-down null filter
+    cloned the chain per reference (29 from_json + 28 regexp_extract
+    per input row pre-fix). Range aggregations use null-ignoring
+    aggregates + a post-aggregate guard instead; the conversion itself
+    is exactly two regex runs."""
+    from gigapipe_spark.logql.compiler import LogQLContext, query_range
+
+    res = query_range(
+        LogQLContext(spark, SF_DIR),
+        'sum_over_time({app="purchase"} | json'
+        ' | label_format b="{{.k}}KiB" | unwrap bytes(b) [10m]) by (app)',
+    )
+    plan = _optimized(res.df)
+    assert plan.count("from_json(") == 1, plan
+    assert plan.count("regexp_extract(") <= 2, plan
