@@ -372,27 +372,26 @@ _LOGFMT_ERR_MAP_EXPR = (
 )
 
 
-def _logfmt_map(pairs: Column) -> Column:
+def _logfmt_map(keys_raw: Column, vals_raw: Column) -> Column:
     """`| logfmt` as pure column expressions, with the reference's Go
     parser semantics (ref: internal/planner/parser_helpers.go, kr/logfmt):
     quoted values lose their quotes and unescape \\\" and \\\\, keys
     sanitize to [a-zA-Z0-9_] (sanitizeLabel), the LAST duplicate key
     wins, and an unterminated quoted value flags LogfmtParserErr.
 
-    Takes the ALREADY-EXTRACTED pair array (regexp_extract_all over the
-    line), not the line: `pairs` feeds both the unterminated-quote
-    check (the when() condition) and the merge fold (its branch value),
-    and conditional branch values are excluded from codegen
-    subexpression elimination — inlining the extraction here would run
-    the full pair regexp twice per row (the same double-parse the
-    `| json` stage had). The caller materializes it as a temp column."""
-    key = lambda p: F.regexp_replace(  # noqa: E731
-        F.regexp_extract(p, _LOGFMT_PAIR, 1), r"[^a-zA-Z0-9_]", "_"
-    )
-    rawv = lambda p: F.regexp_extract(p, _LOGFMT_PAIR, 2)  # noqa: E731
+    Takes the ALREADY-EXTRACTED key and value arrays (group-1 and
+    group-2 regexp_extract_all over the line; the same pattern, so the
+    arrays align by construction). Two whole-line regex scans replace
+    the earlier per-PAIR-token re-extraction (3 regexp_extract per
+    element inside interpreted lambda bodies, where codegen never
+    reaches). The caller materializes both as temp columns: vals_raw
+    feeds the unterminated-quote check (the when() condition) AND the
+    merge fold (its branch value), and conditional branch values are
+    excluded from codegen subexpression elimination — an inline
+    extraction would run twice per row."""
+    key = lambda k: F.regexp_replace(k, r"[^a-zA-Z0-9_]", "_")  # noqa: E731
 
-    def val(p: Column) -> Column:
-        r = rawv(p)
+    def val(r: Column) -> Column:
         unq = F.replace(
             F.replace(F.substring(r, 2, F.length(r) - 2), F.lit('\\"'), F.lit('"')),
             F.lit("\\\\"),
@@ -400,18 +399,24 @@ def _logfmt_map(pairs: Column) -> Column:
         )
         return F.when(r.startswith('"'), unq).otherwise(r)
 
+    entries = F.zip_with(
+        keys_raw,
+        vals_raw,
+        lambda k, v: F.struct(k.alias("k"), v.alias("v")),
+    )
     # fold into a map with last-key-wins (map_from_arrays would throw on
     # duplicate keys under the default dedup policy)
     merged = F.aggregate(
-        pairs,
+        entries,
         F.expr("map()").cast("map<string,string>"),
         lambda acc, p: F.map_concat(
-            F.map_filter(acc, lambda k, v: k != key(p)), F.create_map(key(p), val(p))
+            F.map_filter(acc, lambda k, v: k != key(p["k"])),
+            F.create_map(key(p["k"]), val(p["v"])),
         ),
     )
     broken = F.exists(
-        pairs,
-        lambda p: rawv(p).startswith('"') & ~rawv(p).rlike(_LOGFMT_FULL_QUOTE),
+        vals_raw,
+        lambda v: v.startswith('"') & ~v.rlike(_LOGFMT_FULL_QUOTE),
     )
     return F.when(broken, F.expr(_LOGFMT_ERR_MAP_EXPR)).otherwise(merged)
 
@@ -452,10 +457,13 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
         tmp = df.withColumn(
-            "__logfmt_pairs",
-            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 0),
+            "__lfk",
+            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 1),
+        ).withColumn(
+            "__lfv",
+            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 2),
         )
-        parsed = _logfmt_map(F.col("__logfmt_pairs"))
+        parsed = _logfmt_map(F.col("__lfk"), F.col("__lfv"))
         if st.params:
             # parameterized: keep only the requested logfmt keys,
             # emitted under the sanitized KEY name (the reference's
@@ -468,7 +476,7 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             parsed = F.map_filter(
                 parsed, lambda k, v: k.isin(*wanted) | k.startswith("__error")
             )
-        return _merge_parsed(tmp, parsed).drop("__logfmt_pairs")
+        return _merge_parsed(tmp, parsed).drop("__lfk", "__lfv")
     if st.kind == "regexp":
         # RE2 pattern → Java with RE2 semantics; named groups become
         # plain groups (Java rejects RE2-legal names like foo_bar), so
