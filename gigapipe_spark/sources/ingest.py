@@ -499,7 +499,12 @@ def elastic_bulk(
         )
         .filter(F.length("line") > 0)
     )
-    act = F.from_json(F.col("line"), _ELASTIC_ACTION_SCHEMA)
+    # ONE action parse per line, materialized: the state-marker CASE
+    # below references the parsed struct ~6x across its conditions and
+    # branch values, and branch values are excluded from codegen
+    # subexpression elimination — inlining the from_json here re-parsed
+    # the action line per reference.
+    act = F.col("__act")
     entry_t = "array<struct<key: string, value: string>>"
     base = [
         F.struct(F.lit("type").alias("key"), F.lit("elastic").alias("value"))
@@ -530,8 +535,11 @@ def elastic_bulk(
         .otherwise(F.lit(None).cast(entry_t))
     )
     classified = lines.select(
-        "__pid", "__lno", "line", marker.alias("__marker")
-    )
+        "__pid",
+        "__lno",
+        "line",
+        F.from_json(F.col("line"), _ELASTIC_ACTION_SCHEMA).alias("__act"),
+    ).select("__pid", "__lno", "line", marker.alias("__marker"))
     w = (
         Window.partitionBy("__pid")
         .orderBy("__lno")
