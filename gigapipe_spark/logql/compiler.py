@@ -40,7 +40,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gigapipe_spark.logql import ast as A
-from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.model.fingerprint import (
+    canonical_from_entries,
+    canonical_labels_str,
+    sorted_entries,
+)
 from gigapipe_spark.model.re2java import group_index as _re2_groups
 from gigapipe_spark.model.re2java import translate as _re2
 from gigapipe_spark.sources import views
@@ -1037,36 +1041,69 @@ def compile_range_agg(ctx: LogQLContext, ra: A.RangeAgg) -> Result:
         # quantiles into sums-of-quantiles (ref: unwrap_agg.go applies
         # the agg over the regrouped stream set)
         group_labels = _group_labels_col(ra.by, ra.without)
-        key = F.xxhash64(canonical_labels_str(group_labels))
-        out = (
-            df.withColumn("labels", group_labels)
-            .groupBy(key.alias("fingerprint"), bucket)
-            .agg(agg.alias("value"), F.first("labels").alias("labels"))
-        )
+        out = _labels_keyed_agg(df, group_labels, bucket, agg)
         if post_guard is not None:
             out = out.filter(post_guard)
-        return Result(
-            out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", True
-        )
+        return Result(out, "matrix", True)
     if mutated:
         # labels can differ per row: stream identity = full label set
         # (ref: by_without.go canonical fingerprint re-hash)
-        key = F.xxhash64(canonical_labels_str(F.col("labels")))
+        out = _labels_keyed_agg(df, F.col("labels"), bucket, agg)
+    elif with_labels:
+        # labels are constant within a stream fingerprint here (no
+        # parser/format stage mutated them), so the sorted entries ride
+        # the group key — functionally dependent on fingerprint, no
+        # MapType in the buffer (see _labels_keyed_agg)
         out = (
-            df.groupBy(key.alias("fingerprint"), bucket)
-            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+            df.groupBy(
+                "fingerprint",
+                sorted_entries(F.col("labels")).alias("__lbl_entries"),
+                bucket,
+            )
+            .agg(agg.alias("value"))
+            .withColumn("labels", F.map_from_entries("__lbl_entries"))
+            .select("fingerprint", "labels", "timestamp_ns", "value")
         )
     else:
         out = (
             df.groupBy("fingerprint", bucket)
-            .agg(
-                agg.alias("value"),
-                (F.first("labels") if with_labels else F.first(F.lit(None).cast("map<string,string>"))).alias("labels"),
-            )
+            .agg(agg.alias("value"))
+            .withColumn("labels", F.lit(None).cast("map<string,string>"))
+            .select("fingerprint", "labels", "timestamp_ns", "value")
         )
     if post_guard is not None:
         out = out.filter(post_guard)
-    return Result(out.select("fingerprint", "labels", "timestamp_ns", "value"), "matrix", mutated)
+    return Result(out, "matrix", mutated)
+
+
+def _labels_keyed_agg(
+    df: DataFrame, labels_expr: Column, time_col: Column, agg: Column
+) -> DataFrame:
+    """Aggregate per (label set, time) with the label set AS the group key.
+
+    The previous shape — groupBy(xxhash64(canonical), time) +
+    first(labels) — put a MapType in the aggregation buffer, which
+    disqualifies HashAggregateExec: Spark planned SortAggregate with a
+    per-partition sort of EVERY input row, and the partial side shipped
+    the labels map through the exchange (the same defect class the r14
+    PromQL instant-vector fix removed). Grouping by the sorted entries
+    array keeps the buffer numeric (hash agg, no input sort) and ships
+    one entries array per group instead of a map per row; labels and
+    fingerprint are rebuilt FROM the group key after the aggregate —
+    map_from_entries inverts exactly, and the fingerprint hashes the
+    canonical string derived from the same sorted entries, so group
+    identity and fingerprints are identical to the old path.
+    """
+    out = (
+        df.groupBy(sorted_entries(labels_expr).alias("__lbl_entries"), time_col)
+        .agg(agg.alias("value"))
+        .withColumn("labels", F.map_from_entries("__lbl_entries"))
+        .withColumn(
+            "fingerprint",
+            F.xxhash64(canonical_from_entries(F.col("__lbl_entries"))),
+        )
+    )
+    return out.select("fingerprint", "labels", "timestamp_ns", "value")
 
 
 def _group_labels_col(by: list[str] | None, without: list[str] | None) -> Column:
@@ -1104,16 +1141,8 @@ def _regroup(res: Result, by, without, fn: str) -> Result:
     (ref: planner_by_without.go + planner_agg_op.go)."""
     df = res.df
     new_labels = _group_labels_col(by, without)
-    key = F.xxhash64(canonical_labels_str(new_labels))
     agg = _VECTOR_AGGS[fn](F.col("value"))
-    out = (
-        df.withColumn("labels", new_labels)
-        .groupBy(
-            key.alias("fingerprint"), F.col("timestamp_ns")
-        )
-        .agg(agg.alias("value"), F.first("labels").alias("labels"))
-        .select("fingerprint", "labels", "timestamp_ns", "value")
-    )
+    out = _labels_keyed_agg(df, new_labels, F.col("timestamp_ns"), agg)
     return Result(out, "matrix", True)
 
 

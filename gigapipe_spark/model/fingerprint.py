@@ -42,17 +42,37 @@ def fingerprint_labels_py(labels: dict[str, str]) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def sorted_entries(labels_col: Column) -> Column:
+    """Key-sorted entries array for a MapType(String,String) column.
+
+    array<struct<key,value>> is a valid GROUP BY key (maps are not), and
+    grouping on it keeps MapType out of aggregation buffers — first(map)
+    in an agg disqualifies HashAggregateExec and forces SortAggregate
+    with a per-partition sort of every input row (the r14 PromQL find).
+    map_from_entries() inverts it exactly (no separator escaping), and
+    canonical_from_entries() derives the same canonical string / xxhash
+    fingerprint the map itself would produce.
+    """
+    return F.array_sort(F.map_entries(labels_col))
+
+
+def canonical_from_entries(entries_col: Column) -> Column:
+    """Canonical "k=v" string from an already-sorted entries array."""
+    return F.array_join(
+        F.transform(
+            entries_col, lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        ),
+        _SEP,
+    )
+
+
 def canonical_labels_str(labels_col: Column) -> Column:
     """Key-sorted "k=v" canonical string for a MapType(String,String) column.
 
     Stays entirely in built-in functions (map_entries → sort → transform →
     join) so it participates in whole-stage codegen.
     """
-    entries = F.array_sort(F.map_entries(labels_col))
-    return F.array_join(
-        F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
-        _SEP,
-    )
+    return canonical_from_entries(sorted_entries(labels_col))
 
 
 def fingerprint_col(labels_col: Column) -> Column:

@@ -26,8 +26,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gigapipe_spark.logql.compiler import LogQLContext, _group_labels_col
+from gigapipe_spark.logql.compiler import (
+    LogQLContext,
+    _group_labels_col,
+    _labels_keyed_agg,
+)
 from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.promql.functions import fp_entries_agg
 from gigapipe_spark.promql import parser as P
 from gigapipe_spark.promql.parser import (
     AggExpr,
@@ -306,10 +311,8 @@ def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
         agg = F.percentile("value", F.lit(fn.param))
     else:
         agg = _SIMPLE_RANGE[fn.fn]()
-    return (
-        inner.groupBy("fingerprint", bucket)
-        .agg(agg.alias("value"), F.first("labels").alias("labels"))
-        .select("fingerprint", "labels", "timestamp_ns", "value")
+    return fp_entries_agg(inner, bucket, agg.alias("value")).select(
+        "fingerprint", "labels", "timestamp_ns", "value"
     )
 
 
@@ -366,16 +369,17 @@ def _range_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> Dat
     if matchers:
         fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
         df = df.join(F.broadcast(fps), "fingerprint", "inner")
-    series = ctx.series().select("fingerprint", "labels")
-    df = df.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         df = df.withColumn("timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns))
     bucket = _bucket(F.col("timestamp_ns"), sel.range_ns).alias("timestamp_ns")
     agg = _ROLLUP_AGGS[fn.fn]()
-    return (
-        df.groupBy("fingerprint", bucket)
-        .agg(agg.alias("value"), F.first("labels").alias("labels"))
-        .select("fingerprint", "labels", "timestamp_ns", "value")
+    # label-free hash aggregate over the rollup cells, labels re-joined
+    # from the broadcast series dim on the bucket-reduced output (the
+    # r14 instant-vector shape; see _range_fn's group-None branch)
+    out = df.groupBy("fingerprint", bucket).agg(agg.alias("value"))
+    series = ctx.series().select("fingerprint", "labels")
+    return out.join(F.broadcast(series), "fingerprint", "left").select(
+        "fingerprint", "labels", "timestamp_ns", "value"
     )
 
 
@@ -449,13 +453,9 @@ def _range_fn(
             from gigapipe_spark.logql.compiler import _group_labels_col
 
             new_labels = _group_labels_col(group[0], group[1])
-            key = F.xxhash64(canonical_labels_str(new_labels))
             agg = {"sum": F.sum, "max": F.max, "min": F.min}[group[2]](F.col("value"))
-            return (
-                out.withColumn("labels", new_labels)
-                .groupBy(key.alias("fingerprint"), "timestamp_ns")
-                .agg(agg.alias("value"), F.first("labels").alias("labels"))
-                .select("fingerprint", "labels", "timestamp_ns", "value")
+            return _labels_keyed_agg(
+                out, new_labels, F.col("timestamp_ns"), agg
             )
         return out
     if group is None and _counter_rollup_eligible(ctx, fn, sel):
@@ -479,22 +479,29 @@ def _range_fn(
         bucket = F.lit(sel.at_ns).alias("timestamp_ns")
     else:
         bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
-    if fn.fn in _SIMPLE_RANGE:
-        agg = _SIMPLE_RANGE[fn.fn]()
-        out = (
-            df.groupBy("fingerprint", bucket)
-            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+    if fn.fn in _SIMPLE_RANGE or fn.fn == "quantile_over_time":
+        agg = (
+            F.percentile("value", F.lit(fn.param))
+            if fn.fn == "quantile_over_time"
+            else _SIMPLE_RANGE[fn.fn]()
         )
-        return out.select("fingerprint", "labels", "timestamp_ns", "value")
-    if fn.fn == "quantile_over_time":
-        out = (
-            df.groupBy("fingerprint", bucket)
-            .agg(
-                F.percentile("value", F.lit(fn.param)).alias("value"),
-                F.first("labels").alias("labels"),
-            )
+        if group is None:
+            # per-SERIES grouping: aggregate label-free and re-attach
+            # labels from the broadcast series dim on the bucket-reduced
+            # output (the r14 instant-vector shape) — the aggregation
+            # buffer stays numeric (hash agg / object-hash for
+            # percentile) and the exchange ships (fp, bucket, partial)
+            # only. The dim IS where df's labels came from, so the join
+            # reproduces first(labels) exactly.
+            out = df.groupBy("fingerprint", bucket).agg(agg.alias("value"))
+            series = ctx.series().select("fingerprint", "labels")
+            out = out.join(F.broadcast(series), "fingerprint", "left")
+            return out.select("fingerprint", "labels", "timestamp_ns", "value")
+        # commuted grouping: labels were just regrouped (not in the dim)
+        # — they ride the group key as sorted entries instead
+        return fp_entries_agg(df, bucket, agg.alias("value")).select(
+            "fingerprint", "labels", "timestamp_ns", "value"
         )
-        return out.select("fingerprint", "labels", "timestamp_ns", "value")
     if fn.fn in _COUNTER_FNS:
         # window: per-series consecutive-pair deltas WITHIN each bucket
         # (@-pinned ranges are one window per series)
@@ -1057,18 +1064,13 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
                 F.map_filter(base, lambda k, v: k != e.sparam),
                 F.create_map(F.lit(e.sparam), F.col("value").cast("string")),
             )
-            key = F.xxhash64(canonical_labels_str(new_labels))
-            return (
-                inner.withColumn("labels", new_labels)
-                .groupBy(key.alias("fingerprint"), "timestamp_ns")
-                .agg(
-                    F.count(F.lit(1)).cast("double").alias("value"),
-                    F.first("labels").alias("labels"),
-                )
-                .select("fingerprint", "labels", "timestamp_ns", "value")
+            return _labels_keyed_agg(
+                inner,
+                new_labels,
+                F.col("timestamp_ns"),
+                F.count(F.lit(1)).cast("double"),
             )
         new_labels = _group_labels_col(e.by, e.without)
-        key = F.xxhash64(canonical_labels_str(new_labels))
         if e.fn == "quantile":
             # quantile(φ, v) by (...): φ-quantile with linear
             # interpolation across the group's series, exactly
@@ -1076,12 +1078,7 @@ def compile_expr(ctx: PromQLContext, e: PromExpr) -> DataFrame:
             agg = F.percentile(F.col("value"), F.lit(e.param))
         else:
             agg = _AGG_FNS[e.fn](F.col("value"))
-        return (
-            inner.withColumn("labels", new_labels)
-            .groupBy(key.alias("fingerprint"), "timestamp_ns")
-            .agg(agg.alias("value"), F.first("labels").alias("labels"))
-            .select("fingerprint", "labels", "timestamp_ns", "value")
-        )
+        return _labels_keyed_agg(inner, new_labels, F.col("timestamp_ns"), agg)
     if isinstance(e, PromBinOp):
         return _binop(ctx, e)
     if isinstance(e, PromScalar):

@@ -23,11 +23,38 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gigapipe_spark.model.fingerprint import canonical_labels_str
+from gigapipe_spark.model.fingerprint import canonical_labels_str, sorted_entries
 
 
 def _bucket(ts: Column, width_ns: int) -> Column:
     return ts - F.pmod(ts, F.lit(width_ns))
+
+
+def fp_entries_agg(df: DataFrame, bucket: Column, *aggs: Column) -> DataFrame:
+    """groupBy (fingerprint, sorted label entries, bucket) — labels ride
+    the group key instead of a first(map) aggregate.
+
+    first(labels) puts a MapType in the aggregation buffer, which
+    disqualifies HashAggregateExec: Spark plans SortAggregate with a
+    per-partition sort of EVERY input row (the r14 instant-vector find,
+    here applied to the range/over_time group-bys). With the entries
+    array riding the key, the buffer holds only the numeric aggregates
+    (hash agg for declarative fns, object-hash for percentile-family)
+    and the exchange ships one entries array per group instead of a map
+    per row. Labels are rebuilt from the key via map_from_entries —
+    exact inversion, no separator escaping. Callers guarantee labels
+    are constant within a fingerprint (they come from the series dim,
+    or the fingerprint was just recomputed from these labels), so the
+    extra key never splits a group."""
+    return (
+        df.groupBy(
+            "fingerprint",
+            sorted_entries(F.col("labels")).alias("__lbl_entries"),
+            bucket,
+        )
+        .agg(*aggs)
+        .withColumn("labels", F.map_from_entries("__lbl_entries"))
+    )
 
 
 def _bucket_rel_seconds(range_ns: int):
@@ -46,15 +73,11 @@ def deriv(samples: DataFrame, range_ns: int) -> DataFrame:
     """Per-second least-squares slope per (series, bucket)
     (PromQL deriv): regr_slope over (value, t_seconds)."""
     b, t = _bucket_rel_seconds(range_ns)
-    return (
-        samples.withColumn("__t", t)
-        .groupBy("fingerprint", b.alias("timestamp_ns"))
-        .agg(
-            F.regr_slope(F.col("value"), F.col("__t")).alias("value"),
-            F.first("labels").alias("labels"),
-        )
-        .select("fingerprint", "labels", "timestamp_ns", "value")
-    )
+    return fp_entries_agg(
+        samples.withColumn("__t", t),
+        b.alias("timestamp_ns"),
+        F.regr_slope(F.col("value"), F.col("__t")).alias("value"),
+    ).select("fingerprint", "labels", "timestamp_ns", "value")
 
 
 def predict_linear(samples: DataFrame, range_ns: int, horizon_s: float) -> DataFrame:
@@ -64,11 +87,12 @@ def predict_linear(samples: DataFrame, range_ns: int, horizon_s: float) -> DataF
     origin but the PREDICTION is origin-invariant."""
     b, t = _bucket_rel_seconds(range_ns)
     df = samples.withColumn("__t", t)
-    grouped = df.groupBy("fingerprint", b.alias("timestamp_ns")).agg(
+    grouped = fp_entries_agg(
+        df,
+        b.alias("timestamp_ns"),
         F.regr_slope(F.col("value"), F.col("__t")).alias("__m"),
         F.regr_intercept(F.col("value"), F.col("__t")).alias("__c"),
         F.max("__t").alias("__tmax"),
-        F.first("labels").alias("labels"),
     )
     return grouped.select(
         "fingerprint",
