@@ -438,3 +438,66 @@ def test_unwrap_bytes_no_filter_explosion(spark):
     plan = _optimized(res.df)
     assert plan.count("from_json(") == 1, plan
     assert plan.count("regexp_extract(") <= 2, plan
+
+
+def test_vector_agg_no_map_in_aggregation_buffer(spark):
+    """first(labels) in a groupBy puts a MapType in the aggregation
+    buffer, which disqualifies HashAggregateExec — Spark plans
+    SortAggregate with a per-partition sort of every raw matching row.
+    The r14 contract: LogQL vector/range aggregates group by the sorted
+    label-entries array (labels and fingerprint rebuilt FROM the key),
+    so the whole-plan aggregate strategy stays hash-based with no
+    pre-aggregate sort of the scan."""
+    from gigapipe_spark.registry import queries
+
+    for entry in ("logql_sum_by_count_over_time", "logql_topk"):
+        df = queries()[entry](spark, SF_DIR)
+        plan = _plan(df)
+        assert "SortAggregate" not in plan, entry
+        assert "first(labels" not in plan, entry
+
+
+def test_promql_range_agg_no_map_in_buffer(spark):
+    """PromQL per-series over_time aggregates run label-free on
+    (fingerprint, bucket) and re-attach labels from the broadcast
+    series dim on the bucket-reduced output (the r14 instant-vector
+    shape); regrouped vector aggs use the entries-key form. Either way
+    no first(map) survives in the physical plan."""
+    from gigapipe_spark.registry import queries
+
+    for entry in ("promql_max_over_time", "promql_quantile_agg"):
+        df = queries()[entry](spark, SF_DIR)
+        assert "first(labels" not in _plan(df), entry
+
+
+def test_entries_key_reproduces_canonical_fingerprint(spark):
+    """The entries-grouped aggregate rebuilds labels and fingerprint
+    from the group key. Pin the bit-identity of that rebuild against
+    the original map-derived forms, including the null/empty split."""
+    from gigapipe_spark.model.fingerprint import (
+        canonical_from_entries,
+        canonical_labels_str,
+        sorted_entries,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ({"b": "2", "a": "1"},),
+            ({"a": "x=y", "c": ""},),
+            ({},),
+            (None,),
+        ],
+        "labels map<string,string>",
+    )
+    ent = sorted_entries(F.col("labels"))
+    rows = df.select(
+        F.xxhash64(canonical_labels_str(F.col("labels"))).alias("fp_map"),
+        F.xxhash64(canonical_from_entries(ent)).alias("fp_ent"),
+        F.map_from_entries(ent).alias("rebuilt"),
+        F.col("labels"),
+    ).collect()
+    for r in rows:
+        assert r.fp_map == r.fp_ent, r
+        assert r.rebuilt == r.labels, r
+    # null map and empty map stay DISTINCT groups
+    assert rows[2].fp_ent != rows[3].fp_ent
