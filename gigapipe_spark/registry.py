@@ -921,9 +921,13 @@ from gigapipe_spark.sources.oracle import with_spans  # noqa: E402
 def _traceql(q: str, cols=("trace_id", "span_id"), round_cols=()) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         def build():
-            df = traceql_query(TraceQLContext(spark, sf_dir), q).select(
-                *cols
-            )
+            # entries that emit only the id pair let plain searches
+            # skip the final id→row fetch join (compile_script ids_only)
+            df = traceql_query(
+                TraceQLContext(spark, sf_dir),
+                q,
+                ids_only=set(cols) <= {"trace_id", "span_id"},
+            ).select(*cols)
             return _rounded(df, *round_cols)
 
         return _plan_memo(

