@@ -93,6 +93,16 @@ class LogQLContext:
             self._gin = views.time_series_gin(self.spark, self.sf_dir)
         return self._gin
 
+    def match_series(self) -> DataFrame:
+        """Series dim used for selector matching: one row per
+        fingerprint with the full labels map, NO sample-type scoping —
+        the GIN this replaces had none either; the consumers' fact
+        scans apply their own type filters, so a fingerprint of a type
+        a query never reads joins to nothing exactly as before.
+        Store contexts override (their series() accessors are
+        type-scoped per planner rules)."""
+        return self.series()
+
 
 @dataclass
 class Result:
@@ -104,27 +114,33 @@ class Result:
 # ---------------------------------------------------------------- selector
 
 
-def _matcher_cond(key_col: Column, val_col: Column, m: A.Matcher) -> Column:
-    cond = key_col == m.label
-    if m.op == "=":
-        return cond & (val_col == m.value)
-    if m.op == "=~":
-        # user regexes are RE2 (ref: sql_misc.go:33 match()); translate
-        # to Java-with-RE2-semantics before rlike
-        return cond & val_col.rlike(_re2(m.value))
-    raise ValueError(f"positive matcher expected, got {m.op}")
+def _val_cond(v: Column, op: str, value: str) -> Column:
+    """Positive value condition against a labels-map lookup (NULL for a
+    missing key ⇒ condition NULL ⇒ filtered, matching "no GIN row → bit
+    unset")."""
+    if op == "=":
+        return v == value
+    # user regexes are RE2 (ref: sql_misc.go:33 match()); translate to
+    # Java-with-RE2-semantics before rlike
+    return v.rlike(_re2(value))
 
 
 def fingerprints(ctx: LogQLContext, sel: A.Selector) -> DataFrame:
-    """Selector → DF[fingerprint] via the GIN inverted index.
+    """Selector → DF[fingerprint]: ONE zero-shuffle scan of the series
+    dimension's labels map evaluating every matcher at once.
 
-    Positive matchers use the reference's bitmask trick (ref:
-    planner_stream_select.go:73-82): one scan of the exploded (key,val)
-    index evaluates N matchers — each matching row contributes bit i,
-    a series qualifies when bit_or == 2^n - 1. Negative matchers are an
-    anti-join refinement (a series qualifies unless some row matches the
-    negated value). The result is small (dimension-sized) and is
-    broadcast into the fact scan by `scan`.
+    Semantically this is the reference's GIN bitmask collapse
+    (planner_stream_select.go:73-82: each matching exploded (key,val)
+    row contributes bit i, a series qualifies when bit_or == 2^n - 1)
+    evaluated on the un-exploded map — a missing key yields NULL →
+    false, exactly "no index row → bit unset"; negative matchers are
+    NOT(coalesce(match, false)), exactly the anti-join refinement.
+    r14: the bitmask formulation paid a groupBy(fingerprint) Exchange +
+    two HashAggregates + per-negation anti-joins PER QUERY EXECUTION on
+    a dimension-sized input — measured 0.39s warm at sf0.1 vs 0.09s for
+    the map scan, with set-identical output. The result is one row per
+    fingerprint (the dim is) and is broadcast into the fact scan by
+    `scan`.
     """
     # Matcher normalization (ref: planner_stream_select.go:31-47,85-116):
     #  - `l=~".*"` is trivially true — PRUNE it (semantic fix too: the
@@ -152,44 +168,28 @@ def fingerprints(ctx: LogQLContext, sel: A.Selector) -> DataFrame:
                 require_present.append(m.label)
             continue
         matchers.append(m)
-    gin = ctx.gin()
+    dim = ctx.match_series().select("fingerprint", "labels")
     if match_nothing:
-        return ctx.series().select("fingerprint").limit(0)
-    pos = [m for m in matchers if m.op in ("=", "=~")]
-    neg = [m for m in matchers if m.op in ("!=", "!~")]
-    if pos:
-        conds = None
-        bits = None
-        for i, m in enumerate(pos):
-            c = _matcher_cond(F.col("key"), F.col("val"), m)
-            conds = c if conds is None else (conds | c)
-            b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
-            bits = b if bits is None else bits.bitwiseOR(b)
-        want = (1 << len(pos)) - 1
-        fps = (
-            gin.filter(conds)
-            .groupBy("fingerprint")
-            .agg(F.bit_or(bits).alias("mask"))
-            .filter(F.col("mask") == want)
-            .select("fingerprint")
-        )
-    else:
-        fps = ctx.series().select("fingerprint")
-    for m in neg:
-        flip = A.Matcher(label=m.label, op="=" if m.op == "!=" else "=~", value=m.value)
-        bad = gin.filter(_matcher_cond(F.col("key"), F.col("val"), flip)).select(
-            "fingerprint"
-        )
-        fps = fps.join(bad, "fingerprint", "left_anti")
+        return dim.select("fingerprint").limit(0)
+    cond = F.lit(True)
+    lab = F.col("labels")
+    for m in matchers:
+        v = lab.getItem(m.label)
+        if m.op in ("=", "=~"):
+            cond = cond & _val_cond(v, m.op, m.value)
+        else:
+            # negation: qualifies unless the label EXISTS with a
+            # matching value (absent label → coalesce false → keep)
+            flip = "=" if m.op == "!=" else "=~"
+            cond = cond & ~F.coalesce(
+                _val_cond(v, flip, m.value), F.lit(False)
+            )
     for lbl in require_absent:
-        has = gin.filter(F.col("key") == lbl).select("fingerprint")
-        fps = fps.join(has, "fingerprint", "left_anti")
+        cond = cond & lab.getItem(lbl).isNull()
     for lbl in require_present:
-        has = gin.filter((F.col("key") == lbl) & (F.col("val") != "")).select(
-            "fingerprint"
-        )
-        fps = fps.join(has, "fingerprint", "left_semi")
-    return fps
+        v = lab.getItem(lbl)
+        cond = cond & v.isNotNull() & (v != "")
+    return dim.filter(cond).select("fingerprint")
 
 
 def _needs_labels(expr: A.LogExpr, grouped: bool) -> bool:

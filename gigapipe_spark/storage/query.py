@@ -68,6 +68,20 @@ class StoreLogQLContext(LogQLContext):
     """LogQL over the stored samples/time_series/gin tables."""
 
     catalog: Catalog | None = None
+    _match_series: DataFrame | None = None
+
+    def match_series(self) -> DataFrame:
+        # NO type scoping (the GIN-bitmask matcher this replaces had
+        # none; consumers' sample scans apply their own type filters).
+        # per_fingerprint=True keeps the one-row-per-fingerprint
+        # contract fingerprints() broadcasts rely on — labels are
+        # identical across a fingerprint's type/version rows by
+        # construction (the fingerprint IS the label hash).
+        if self._match_series is None:
+            self._match_series = self.catalog.read_series(
+                self.spark, types=None, per_fingerprint=True
+            ).select("fingerprint", "labels")
+        return self._match_series
 
     def samples(self) -> DataFrame:
         if self._samples is None:
