@@ -231,32 +231,25 @@ def profile_fingerprints_frames(
         fps = series
         for s in glob:
             fps = fps.filter(_global_cond(s))
-        fps = fps.select("fingerprint")
-        if kv_pos:
-            # one GIN scan evaluates all positive kv matchers
-            # (bitSetAnd == 2^n - 1, planner_selector.go:30-37)
-            conds = None
-            bits = None
-            for i, s in enumerate(kv_pos):
-                c = (F.col("key") == s.name) & _cond(F.col("val"), s)
-                conds = c if conds is None else (conds | c)
-                b = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
-                bits = b if bits is None else bits.bitwiseOR(b)
-            want = (1 << len(kv_pos)) - 1
-            matched = (
-                gin.filter(conds)
-                .groupBy("fingerprint")
-                .agg(F.bit_or(bits).alias("mask"))
-                .filter(F.col("mask") == want)
-                .select("fingerprint")
-            )
-            fps = fps.join(matched, "fingerprint", "left_semi")
+        # kv matchers evaluate against the series tag map directly —
+        # the GIN is explode(map), so "∃ GIN row (key, matching val)"
+        # ≡ "map[key] matches" (NULL for a missing key ⇒ false) and the
+        # bitmask collapse (bitSetAnd == 2^n - 1, planner_selector.go:
+        # 30-37) ≡ AND of the per-key conditions. This keeps selector
+        # resolution a single zero-shuffle dim scan instead of a
+        # groupBy(fingerprint) Exchange + per-negation anti-joins per
+        # query (the r14 LogQL fingerprints() finding, applied here).
+        map_col = "labels" if "labels" in series.columns else "tags"
+        lab = F.col(map_col)
+        for s in kv_pos:
+            fps = fps.filter(_cond(lab.getItem(s.name), s))
         for s in kv_neg:
+            # qualifies unless the tag EXISTS with a matching value
             flip = Selector(name=s.name, op="=" if s.op == "!=" else "=~", val=s.val)
-            bad = gin.filter(
-                (F.col("key") == s.name) & _cond(F.col("val"), flip)
-            ).select("fingerprint")
-            fps = fps.join(bad, "fingerprint", "left_anti")
+            fps = fps.filter(
+                ~F.coalesce(_cond(lab.getItem(s.name), flip), F.lit(False))
+            )
+        fps = fps.select("fingerprint")
         outs.append(fps)
     out = outs[0]
     for o in outs[1:]:
