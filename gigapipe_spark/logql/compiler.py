@@ -443,17 +443,35 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
         raw = F.from_json("string", _JSON_MAP)
         if st.params:
             # parameterized: | json lbl="path.to[0].field"
-            # ref: planner_parser_json.go JSONExtractString per param
-            pairs = []
-            for lbl, path in st.params.items():
-                pairs += [F.lit(lbl), F.get_json_object("string", "$." + path)]
-            extracted = F.map_filter(
-                F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2])),
-                lambda k, v: v.isNotNull(),
-            )
-            newmap = F.when(raw.isNotNull(), extracted).otherwise(
-                F.expr(_JSON_ERR_MAP_EXPR)
-            )
+            # ref: planner_parser_json.go JSONExtractString per param.
+            # Top-level identifier paths are served from the ONE
+            # from_json parse (value-identical to JSONExtractString for
+            # every scalar/object/array/escape shape — equivalence
+            # fuzzed before landing); only genuinely nested paths pay a
+            # get_json_object re-parse. The parsed map is bound once
+            # via transform-over-a-1-element-array so the (N params +
+            # validity) references cannot each clone the parse when a
+            # downstream label filter pushes through this projection
+            # (the r14 pushdown-clone trap).
+            def _extract(m: Column) -> Column:
+                pairs = []
+                for lbl, path in st.params.items():
+                    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", path):
+                        v = m.getItem(path)
+                    else:
+                        v = F.get_json_object("string", "$." + path)
+                    pairs += [F.lit(lbl), v]
+                extracted = F.map_filter(
+                    F.map_from_arrays(
+                        F.array(*pairs[0::2]), F.array(*pairs[1::2])
+                    ),
+                    lambda k, v: v.isNotNull(),
+                )
+                return F.when(m.isNotNull(), extracted).otherwise(
+                    F.expr(_JSON_ERR_MAP_EXPR)
+                )
+
+            newmap = F.element_at(F.transform(F.array(raw), _extract), 1)
         else:
             # bare | json: merge every top-level scalar field
             # (ref runs this Go-side row-at-a-time; from_json is JVM-side)
