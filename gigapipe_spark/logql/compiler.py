@@ -392,7 +392,17 @@ def _logfmt_map(keys_raw: Column, vals_raw: Column) -> Column:
     feeds the unterminated-quote check (the when() condition) AND the
     merge fold (its branch value), and conditional branch values are
     excluded from codegen subexpression elimination — an inline
-    extraction would run twice per row."""
+    extraction would run twice per row.
+
+    Sanitize (key) and unescape (value) run ONCE per pair via transform
+    over the raw arrays BEFORE the dedup fold. Inside the fold they
+    would re-run per fold step — and the key sanitize additionally per
+    accumulator ENTRY inside the map_filter lambda, O(pairs²)
+    regexp_replace executions per row (HOF lambda bodies are
+    interpreted; codegen CSE never reaches them). The fold's quadratic
+    part is now plain string equality on already-sanitized keys, which
+    is semantics-identical: both shapes dedup last-wins on the
+    SANITIZED key."""
     key = lambda k: F.regexp_replace(k, r"[^a-zA-Z0-9_]", "_")  # noqa: E731
 
     def val(r: Column) -> Column:
@@ -404,8 +414,8 @@ def _logfmt_map(keys_raw: Column, vals_raw: Column) -> Column:
         return F.when(r.startswith('"'), unq).otherwise(r)
 
     entries = F.zip_with(
-        keys_raw,
-        vals_raw,
+        F.transform(keys_raw, key),
+        F.transform(vals_raw, val),
         lambda k, v: F.struct(k.alias("k"), v.alias("v")),
     )
     # fold into a map with last-key-wins (map_from_arrays would throw on
@@ -414,8 +424,8 @@ def _logfmt_map(keys_raw: Column, vals_raw: Column) -> Column:
         entries,
         F.expr("map()").cast("map<string,string>"),
         lambda acc, p: F.map_concat(
-            F.map_filter(acc, lambda k, v: k != key(p["k"])),
-            F.create_map(key(p["k"]), val(p["v"])),
+            F.map_filter(acc, lambda k, v: k != p["k"]),
+            F.create_map(p["k"], p["v"]),
         ),
     )
     broken = F.exists(

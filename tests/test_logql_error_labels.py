@@ -84,6 +84,22 @@ def test_logfmt_quoted_values_and_sanitization(spark):
     assert got[4]["__error__"] == "LogfmtParserErr"
 
 
+def test_logfmt_dedup_on_sanitized_keys(spark):
+    """Raw keys that collide only AFTER sanitization still dedup
+    last-wins on the sanitized name: the r14 fold hoists sanitize out
+    of the dedup fold (once per pair, not per fold step), which is
+    only equivalent because the dedup key stays the SANITIZED one."""
+    rows = [
+        (1, "foo.x=1 foo:x=2", {}),          # collide post-sanitize
+        (2, "a.b=1 c=q a:b=2 a;b=3", {}),    # three-way collision
+    ]
+    d = spark.createDataFrame(rows, "id long, string string, labels map<string,string>")
+    out = _apply_parser(d, A.ParserStage("logfmt"))
+    got = {r.id: dict(r.labels) for r in out.collect()}
+    assert got[1] == {"foo_x": "2"}
+    assert got[2] == {"a_b": "3", "c": "q"}
+
+
 def test_logfmt_parameterized(spark):
     """`| logfmt key1, lbl="key2"`: only requested keys merge, emitted
     under the sanitized logfmt-key name (the alias is ignored —
