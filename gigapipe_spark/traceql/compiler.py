@@ -419,15 +419,12 @@ def _stats_term_bound(t, stats: dict) -> int | None:
     return n
 
 
-def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
-    """Broadcast a trace/span id set only when the complexity probe
-    bounds it under the threshold; otherwise return it unhinted and let
-    AQE pick the join strategy from runtime sizes (Spark's native
-    equivalent of the reference's simple/complex processor split).
+def _probe_bound(ctx: TraceQLContext) -> bool:
+    """True when the (lazy, memoized) complexity probe bounds the
+    pending spanset under the broadcast threshold.
 
-    The probe is LAZY: it runs at the first broadcast decision, so plans
-    with no forced-broadcast site (plain selectors, structural ops) pay
-    no probe job at all."""
+    The probe is LAZY: it runs at the first strategy decision, so plans
+    with no size-sensitive site pay no probe job at all."""
     if ctx.complexity is None and ctx.pending_spanset is not None:
         # session-level memo: dashboards re-issue the same spanset
         # shapes, and the probe's inputs (the cached dims for one
@@ -444,9 +441,46 @@ def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
             ctx.complexity = eval_complexity(ctx, ctx.pending_spanset)
             if cacheable:
                 memo[key] = ctx.complexity
-    if ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD:
-        return F.broadcast(df)
-    return df
+    return ctx.complexity is not None and ctx.complexity <= COMPLEXITY_THRESHOLD
+
+
+def _small_side(ctx: TraceQLContext, df: DataFrame) -> DataFrame:
+    """Broadcast a trace/span id set only when the complexity probe
+    bounds it under the threshold; otherwise return it unhinted and let
+    AQE pick the join strategy from runtime sizes (Spark's native
+    equivalent of the reference's simple/complex processor split)."""
+    return F.broadcast(df) if _probe_bound(ctx) else df
+
+
+# The dedup flip's cutoff sits an ORDER below the broadcast gate: the
+# flip trades ONE exchange of the matched ids (distinct) for a SECOND
+# full pass over `right` plus a broadcast build of the ids — a fixed
+# ~0.3s saving against a cost that scales with the data. Measured
+# bracket (30× fixture A/B, sibling-alone warm): flip wins at
+# complexity 200k (sf0.1: 1.05 → 0.74), loses 25.8 s vs distinct's
+# 9.5 s at complexity 6.0M — still "bounded" by the 10M broadcast
+# gate, which is why the dedup needs its own, tighter threshold.
+DEDUP_FLIP_THRESHOLD = COMPLEXITY_THRESHOLD // 10
+
+
+def _dedup_ids(ctx: TraceQLContext, ids: DataFrame, right: DataFrame) -> DataFrame:
+    """Distinct id set for a structural op's match output (ids ⊆ right,
+    and right is one-row-per-span by construction), strategy picked by
+    the complexity probe's matched-rows bound:
+
+    - small (≤ DEDUP_FLIP_THRESHOLD): semi-join ids back onto `right`
+      with a broadcast probe — no exchange at all (the r14 flip; warm
+      1.05 → 0.74 at sf0.1, and the regime every store-path seek-bounded
+      set lands in).
+    - large: plain distinct() — ONE exchange of ids. The flip is wrong
+      at scale twice over: it re-scans `right` (grows with data, the
+      ids exchange grows only with matches), and past the broadcast
+      gate the semi-join would shuffle BOTH sides.
+
+    Both branches return the same multiset (the distinct matched set)."""
+    if _probe_bound(ctx) and ctx.complexity <= DEDUP_FLIP_THRESHOLD:
+        return right.join(F.broadcast(ids), ["trace_id", "span_id"], "left_semi")
+    return ids.distinct()
 
 
 def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
@@ -493,13 +527,7 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
             "left_semi",
         ).select("trace_id", "span_id")
         if e.op == "&>>":
-            # distinctness via a semi-join back onto `right` (selector
-            # output is one-row-per-span, and matched ⊆ right): a
-            # broadcast probe instead of distinct()'s Exchange + two
-            # HashAggregates — measured 1.05 → 0.74 warm at sf0.1
-            return right.join(
-                _small_side(ctx, matched), ["trace_id", "span_id"], "left_semi"
-            )
+            return _dedup_ids(ctx, matched, right)
         return right.join(matched, ["trace_id", "span_id"], "left_anti")
     if e.op in ("<<&", "<<~"):
         # ancestor: spans matching `right` that have a descendant
@@ -513,11 +541,7 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
             .select("trace_id", "span_id")
         )
         if e.op == "<<&":
-            # res ⊆ right; semi-join flip dedups without an exchange
-            # (same rationale as &>> above; anti below ignores dups)
-            return right.join(
-                _small_side(ctx, res), ["trace_id", "span_id"], "left_semi"
-            )
+            return _dedup_ids(ctx, res, right)
         return right.join(res, ["trace_id", "span_id"], "left_anti")
     if e.op == "~":
         # sibling: spans in right sharing a parent with a (different) span
@@ -533,12 +557,7 @@ def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
         j = rp.join(lp, ["trace_id", "parent_id"], "inner").filter(
             F.col("span_id") != F.col("lspan")
         )
-        # j's ids ⊆ right; semi-join flip dedups without an exchange
-        return right.join(
-            _small_side(ctx, j.select("trace_id", "span_id")),
-            ["trace_id", "span_id"],
-            "left_semi",
-        )
+        return _dedup_ids(ctx, j.select("trace_id", "span_id"), right)
     raise NotImplementedError(f"structural op {e.op}")
 
 

@@ -505,3 +505,62 @@ def test_stats_servability_precheck():
         servable = _term_servable(t)
         bound = _stats_term_bound(t, stats)
         assert servable == (bound is not None), (t, servable, bound)
+
+
+# ------------------------------------------- structural dedup regimes (r14)
+
+def test_structural_dedup_unbounded_falls_back_to_distinct(spark):
+    """The structural ops' dedup is regime-adaptive (_dedup_ids): with
+    the complexity gate bounding the spanset, matched ids semi-join back
+    onto `right` behind a broadcast probe (no exchange); when the gate
+    REFUSES, the fallback must be distinct() — one exchange of the id
+    set — because the semi-join formulation shuffles BOTH sides once
+    broadcast is off, and `right` is the larger one (30× fixture A/B:
+    descendant warm 11.6 → 8.0 s, sibling 30.6 → 23.6 s). Results are
+    identical in both regimes; this locks the unbounded branch's results
+    AND its plan (no join in the dedup tail, distinct's HashAggregate
+    present)."""
+    import gigapipe_spark.traceql.compiler as C
+
+    cases = [
+        (
+            '{ priority = "1-URGENT" } &>> { returnflag = "R" }',
+            """
+            SELECT c.trace_id, c.span_id FROM spans c
+            JOIN spans p ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE c.returnflag = 'R' AND p.priority = '1-URGENT'
+            """,
+        ),
+        (
+            '{ returnflag = "R" } <<& { name = "order" }',
+            """
+            SELECT DISTINCT p.trace_id, p.span_id FROM spans p
+            JOIN spans c ON c.trace_id = p.trace_id AND c.parent_id = p.span_id
+            WHERE p.name = 'order' AND c.returnflag = 'R'
+            """,
+        ),
+        (
+            '{ returnflag = "R" } ~ { returnflag = "A" }',
+            """
+            SELECT DISTINCT b.trace_id, b.span_id FROM spans b
+            JOIN spans a ON a.trace_id = b.trace_id AND a.parent_id = b.parent_id
+                        AND a.span_id != b.span_id
+            WHERE b.returnflag = 'A' AND a.returnflag = 'R'
+              AND b.parent_id != '' AND a.parent_id != ''
+            """,
+        ),
+    ]
+    for text, sql in cases:
+        c = ctx(spark)
+        # pre-set the probe result above the threshold: the gate refuses
+        # and every _small_side/_dedup_ids site must take the unhinted/
+        # distinct branch (compile_script never resets a probed value)
+        c.complexity = C.COMPLEXITY_THRESHOLD + 1
+        df = ids(query(c, text, ids_only=True))
+        assert_match(df, with_spans(sql), SF_DIR)
+        # the unbounded dedup is distinct(): the optimized plan's root is
+        # an Aggregate over the id pair — NOT the broadcast-hinted
+        # LeftSemi against `right` the bounded regime plans (which the
+        # committed plans/r14 dumps and the bounded tests above pin)
+        root = df._jdf.queryExecution().optimizedPlan().toString().splitlines()[0]
+        assert root.startswith("Aggregate [trace_id"), (text, root)
