@@ -223,22 +223,19 @@ def _write_durable_record(out: dict) -> None:
     """Write the FULL result JSON to docs/bench/BENCH_local_r<N>.json
     (VERDICT r13 task 3): the driver's BENCH_r{N}.json capture keeps
     only the last 2,000 chars of stdout, which truncated r13's cold
-    totals/calibration/normalized out of the repo record entirely. The
-    round number comes from SPARK_GRAFT_ROUND, else max committed
-    BENCH_r*.json + 1 (the round currently being built). Best-effort:
-    an unwritable docs dir must never fail the bench."""
-    import glob
-    import re
+    totals/calibration/normalized out of the repo record entirely.
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    OPT-IN via SPARK_GRAFT_ROUND (VERDICT r14 task 4): the r14 writer
+    fired on EVERY bench run, so the driver's own verification runs
+    overwrote the committed record and dropped untracked files in the
+    tree. The builder sets SPARK_GRAFT_ROUND when freezing a round
+    record; any other invocation (the driver's included) writes
+    nothing and leaves `git status` clean. Best-effort: an unwritable
+    docs dir must never fail the bench."""
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if not rnd:
-        nums = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        rnd = str(max(nums, default=0) + 1)
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
         dest_dir = os.path.join(here, "docs", "bench")
         os.makedirs(dest_dir, exist_ok=True)
