@@ -295,11 +295,23 @@ def _lf_col(op: str, e: A.LFExpr) -> Column:
     raise ValueError(f"unknown line filter op {op}")
 
 
-def _label_col(e: A.LabelExpr) -> Column:
+def _label_col(e: A.LabelExpr, labels: Column | None = None) -> Column:
+    """Label-filter predicate over `labels` (default: the column).
+
+    Callers that filter right after a parser/line_format chain pass a
+    BOUND map (the transform-over-1-element-array trick) so predicate
+    pushdown's alias substitution can clone the chain at most once
+    into the pushed Filter — a compound predicate built directly on
+    F.col("labels") references the map once per leaf, and each
+    reference clones the whole parser chain (the r14 pushdown-clone
+    trap, guide §4.4's duplication mechanism for built-in columns)."""
+    if labels is None:
+        labels = F.col("labels")
     if isinstance(e, A.LabelNode):
-        left, right = _label_col(e.left), _label_col(e.right)
+        left = _label_col(e.left, labels)
+        right = _label_col(e.right, labels)
         return (left & right) if e.op == "and" else (left | right)
-    lbl = F.col("labels").getItem(e.label)
+    lbl = labels.getItem(e.label)
     if e.numeric:
         num = lbl.cast("double")
         v = float(e.value)
@@ -388,11 +400,12 @@ def _logfmt_map(keys_raw: Column, vals_raw: Column) -> Column:
     arrays align by construction). Two whole-line regex scans replace
     the earlier per-PAIR-token re-extraction (3 regexp_extract per
     element inside interpreted lambda bodies, where codegen never
-    reaches). The caller materializes both as temp columns: vals_raw
-    feeds the unterminated-quote check (the when() condition) AND the
-    merge fold (its branch value), and conditional branch values are
-    excluded from codegen subexpression elimination — an inline
-    extraction would run twice per row.
+    reaches). The caller must BIND both arrays (lambda variables via
+    the one-element-array trick): vals_raw feeds the unterminated-
+    quote check (the when() condition) AND the merge fold (its branch
+    value), and conditional branch values are excluded from codegen
+    subexpression elimination — an inline extraction would run twice
+    per row.
 
     Sanitize (key) and unescape (value) run ONCE per pair via transform
     over the raw arrays BEFORE the dedup fold. Inside the fold they
@@ -488,14 +501,35 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             newmap = F.coalesce(raw, F.expr(_JSON_ERR_MAP_EXPR))
         return _merge_parsed(df, newmap)
     if st.kind == "logfmt":
-        tmp = df.withColumn(
-            "__lfk",
-            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 1),
-        ).withColumn(
-            "__lfv",
-            F.regexp_extract_all(F.col("string"), F.lit(_LOGFMT_PAIR), 2),
+        # Two nested one-element-array bindings (the B4 trick): the
+        # outer binds the LINE so `string` appears exactly once in the
+        # parsed-map expression — when a downstream label filter
+        # pushes below this projection AND below a preceding
+        # line_format, alias substitution clones whatever `string`
+        # expands to (the whole template + upstream parser chain) per
+        # reference; the inner binds the two regexp_extract_all arrays
+        # as one struct so the value array's two consumers (the
+        # unterminated-quote guard and the merge fold) share one
+        # extraction. The earlier __lfk/__lfv temp columns gave the
+        # same single-extraction property inside the Project but were
+        # substituted per reference into pushed filters (measured on
+        # logql_line_format_logfmt: 3 regexp_extract_all × the full
+        # line_format chain inside the Filter condition).
+        def _parse_line(s: Column) -> Column:
+            kv = F.struct(
+                F.regexp_extract_all(s, F.lit(_LOGFMT_PAIR), 1).alias("k"),
+                F.regexp_extract_all(s, F.lit(_LOGFMT_PAIR), 2).alias("v"),
+            )
+            return F.element_at(
+                F.transform(
+                    F.array(kv), lambda a: _logfmt_map(a["k"], a["v"])
+                ),
+                1,
+            )
+
+        parsed = F.element_at(
+            F.transform(F.array(F.col("string")), _parse_line), 1
         )
-        parsed = _logfmt_map(F.col("__lfk"), F.col("__lfv"))
         if st.params:
             # parameterized: keep only the requested logfmt keys,
             # emitted under the sanitized KEY name (the reference's
@@ -508,7 +542,7 @@ def _apply_parser(df: DataFrame, st: A.ParserStage) -> DataFrame:
             parsed = F.map_filter(
                 parsed, lambda k, v: k.isin(*wanted) | k.startswith("__error")
             )
-        return _merge_parsed(tmp, parsed).drop("__lfk", "__lfv")
+        return _merge_parsed(df, parsed)
     if st.kind == "regexp":
         # RE2 pattern → Java with RE2 semantics; named groups become
         # plain groups (Java rejects RE2-legal names like foo_bar), so
@@ -830,7 +864,21 @@ def apply_stages(
         if isinstance(st, A.LineFilter):
             df = df.filter(_lf_col(st.op, st.expr))
         elif isinstance(st, A.LabelFilter):
-            df = df.filter(_label_col(st.expr))
+            # bind the labels map ONCE into the predicate: when this
+            # filter pushes below a parser/line_format Project chain,
+            # alias substitution inlines the chain per labels
+            # reference — the bound form caps that at one clone
+            # (measured on logql_line_format_logfmt: from_json 5 → 1
+            # inside the pushed Filter condition)
+            df = df.filter(
+                F.element_at(
+                    F.transform(
+                        F.array(F.col("labels")),
+                        lambda m: _label_col(st.expr, m),
+                    ),
+                    1,
+                )
+            )
         elif isinstance(st, A.ParserStage):
             df = _apply_parser(df, st)
             mutated = True

@@ -245,7 +245,7 @@ def _range_fn_subquery(ctx: PromQLContext, fn: FnCall, sq) -> DataFrame:
         # counter math over the inner expression's step-grid points —
         # same window/reset formula as the raw path
         wb = _bucket(F.col("timestamp_ns"), sq.range_ns)
-        return _counter_agg(inner, wb, bucket, sq.range_ns, fn.fn)
+        return _counter_agg(inner, wb, sq.range_ns, fn.fn)
     if fn.fn == "deriv":
         from gigapipe_spark.promql import functions as _pf
 
@@ -510,7 +510,7 @@ def _range_fn(
             if sel.at_ns is not None
             else _bucket(F.col("timestamp_ns"), rng)
         )
-        return _counter_agg(df, b, bucket, rng, fn.fn)
+        return _counter_agg(df, b, rng, fn.fn)
     if fn.fn in (
         "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time"
     ):
@@ -601,17 +601,22 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
     if matchers:
         fps = fingerprints(ctx.logctx(), LA.Selector(matchers=matchers))
         cells = cells.join(F.broadcast(fps), "fingerprint", "inner")
-    series = ctx.series().select("fingerprint", "labels")
-    cells = cells.join(F.broadcast(series), "fingerprint", "left")
     if sel.offset_ns:
         cells = cells.withColumn(
             "timestamp_ns", F.col("timestamp_ns") + F.lit(sel.offset_ns)
         )
     rng = sel.range_ns
-    bucket = _bucket(F.col("timestamp_ns"), rng).alias("timestamp_ns")
-    w = Window.partitionBy("fingerprint", _bucket(F.col("timestamp_ns"), rng)).orderBy(
-        "timestamp_ns"
-    )
+    # ONE materialized bucket column shared by the window partitioning
+    # and the grouping (guide §2.4): two separately-built copies of the
+    # same bucket expression plan as different attributes, so the
+    # aggregate's required distribution is not recognized as satisfied
+    # by the window's exchange and Spark inserts a second full shuffle
+    # (measured in the r15 before-plan: Exchange (44) re-partitioning
+    # on (fingerprint, _groupingexpression) right after a Window that
+    # already hash-partitioned on (fingerprint, _w0) — same value).
+    cells = cells.withColumn("__wb", _bucket(F.col("timestamp_ns"), rng))
+    bucket = F.col("__wb").alias("timestamp_ns")
+    w = Window.partitionBy("fingerprint", "__wb").orderBy("timestamp_ns")
     prev_last = F.lag("last").over(w)
     boundary_reset_amt = F.when(
         prev_last > F.col("first"), prev_last
@@ -650,8 +655,14 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
         (F.sum("changes") + F.sum("__b_change")).alias("__changes"),
         F.max_by("__cand_delta", "__pair_ts").alias("__last_delta"),
         F.max_by("__cand_dt", "__pair_ts").alias("__last_dt"),
-        F.first("labels").alias("labels"),
     )
+    # labels re-attach AFTER the bucket reduction (the r14 A2/A9
+    # instant-vector shape): the dim IS where the cells' labels came
+    # from, so the post-agg broadcast left join reproduces
+    # first(labels) exactly while the window/shuffle path stays
+    # numeric-only and the join touches 15×-reduced rows.
+    series = ctx.series().select("fingerprint", "labels")
+    grouped = grouped.join(F.broadcast(series), "fingerprint", "left")
     increase = F.col("__last") - F.col("__first") + F.col("__resets_amt")
     value = {
         "increase": increase,
@@ -671,15 +682,23 @@ def _counter_fn_rollup(ctx: PromQLContext, fn: FnCall, sel: VectorSelector) -> D
 
 
 def _counter_agg(
-    df: DataFrame, window_bucket: Column, bucket: Column, rng: int, fn_name: str
+    df: DataFrame, window_bucket: Column, rng: int, fn_name: str
 ) -> DataFrame:
     """Shared counter computation (ref counter.go:62-96, :173): lag
     window per (series, bucket), reset detection, one aggregation.
-    Used by both the raw range path and subquery evaluation."""
-    w = Window.partitionBy("fingerprint", window_bucket).orderBy("timestamp_ns")
+    Used by both the raw range path and subquery evaluation.
+
+    The bucket is materialized ONCE (`__wb`) and shared by the window
+    partitioning and the grouping (guide §2.4): building the same
+    bucket expression twice plans as two different attributes, so the
+    post-window aggregate fails to recognize the window's exchange as
+    satisfying its required distribution and pays a second full
+    shuffle of every sample row."""
+    df2 = df.withColumn("__wb", window_bucket)
+    w = Window.partitionBy("fingerprint", "__wb").orderBy("timestamp_ns")
     prev = F.lag("value").over(w)
     prev_ts = F.lag("timestamp_ns").over(w)
-    df2 = df.withColumn("__prev", prev).withColumn("__prev_ts", prev_ts)
+    df2 = df2.withColumn("__prev", prev).withColumn("__prev_ts", prev_ts)
     reset_amt = F.when(F.col("__prev") > F.col("value"), F.col("__prev")).otherwise(F.lit(0.0))
     changed = F.when(
         F.col("__prev").isNotNull() & (F.col("__prev") != F.col("value")), 1
@@ -687,7 +706,9 @@ def _counter_agg(
     reset_cnt = F.when(
         F.col("__prev").isNotNull() & (F.col("__prev") > F.col("value")), 1
     ).otherwise(0)
-    grouped = df2.groupBy("fingerprint", bucket).agg(
+    grouped = df2.groupBy(
+        "fingerprint", F.col("__wb").alias("timestamp_ns")
+    ).agg(
         F.min_by("value", "timestamp_ns").alias("__first"),
         F.max_by("value", "timestamp_ns").alias("__last"),
         F.sum(reset_amt).alias("__resets_amt"),

@@ -1221,10 +1221,16 @@ def traceql_metrics_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def _traceql_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = traceql_query(
-        TraceQLContext(spark, sf_dir), '{ name = "item" } | quantile_over_time(duration, 0.9)'
-    )
-    return df.select("timestamp_ns", F.round("value", 4).alias("value"))
+    # plan-memoized like every _traceql()-built entry (this one has a
+    # hand-rolled wrapper only because of its column shape)
+    def build():
+        df = traceql_query(
+            TraceQLContext(spark, sf_dir),
+            '{ name = "item" } | quantile_over_time(duration, 0.9)',
+        )
+        return df.select("timestamp_ns", F.round("value", 4).alias("value"))
+
+    return _plan_memo((spark, sf_dir, "traceql_metrics_quantile"), build)
 
 register(
     "traceql_metrics_histogram",
@@ -1448,15 +1454,20 @@ def rollup_metrics_15s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 15s downsample table build (ref: ClickHouse MV log.sql:96-107;
     Spark = one groupBy with re-aggregable partials — including the
     counter partials that let rate/increase run from cells — streaming
-    variant in streaming/rollup.py)."""
+    variant in streaming/rollup.py). Plan-memoized (~0.3s of Py4J
+    column construction per execution before, r15)."""
     from gigapipe_spark.streaming.rollup import rollup_15s_batch
     from gigapipe_spark.sources import views
 
-    df = rollup_15s_batch(views.samples(spark, sf_dir))
-    return _rounded(
-        df.drop("type"),
-        "max", "min", "sum", "bytes", "last", "first", "reset_amt", "last_delta",
-    )
+    def build():
+        df = rollup_15s_batch(views.samples(spark, sf_dir))
+        return _rounded(
+            df.drop("type"),
+            "max", "min", "sum", "bytes", "last", "first", "reset_amt",
+            "last_delta",
+        )
+
+    return _plan_memo((spark, sf_dir, "rollup_metrics_15s"), build)
 
 
 # ------------------------------------------------------- PromQL long tail
@@ -2059,8 +2070,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with exact verification: at threshold 0.5 with 32
     bands × 2 rows recall is 1.0 on the fixture, so the exact-pair SQL
-    is a valid oracle."""
-    return _dedup.minhash_lsh_pairs(_views.documents(spark, sf_dir), threshold=0.5)
+    is a valid oracle.
+
+    Plan-memoized like the logql/promql/traceql/patterns entries: the
+    build pays ~0.3s of Py4J expression construction PLUS the
+    cap-gate's one count job — once per (session, sf_dir), not per
+    execution (measured r15: the warm path was plan-build-bound, not
+    compute-bound; the persisted signature/banded artifacts were
+    already session-shared via CacheManager plan matching, so this
+    changes no data-caching semantics)."""
+    return _plan_memo(
+        (spark, sf_dir, "dedup_minhash_lsh"),
+        lambda: _dedup.minhash_lsh_pairs(
+            _views.documents(spark, sf_dir), threshold=0.5
+        ),
+    )
 
 
 @register(
@@ -2137,7 +2161,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.cosine_topk(_views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
+    # plan-memoized: pure Py4J build cost (~0.2s/execution, r15)
+    return _plan_memo(
+        (spark, sf_dir, "sim_cosine_topk"),
+        lambda: _sim.cosine_topk(
+            _views.embeddings(spark, sf_dir), [0, 1, 2, 3, 4], k=5
+        ),
+    )
 
 
 @register("sim_ann_lsh")  # approximate — rows-only check (recall tested in tests/)
@@ -2274,7 +2304,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.quality_score(_views.documents(spark, sf_dir))
+    # plan-memoized: pure Py4J build cost (see dedup_minhash_lsh)
+    return _plan_memo(
+        (spark, sf_dir, "text_quality_score"),
+        lambda: _ts.quality_score(_views.documents(spark, sf_dir)),
+    )
 
 
 @register(

@@ -86,9 +86,19 @@ def main() -> None:
         comp = datetime.strptime(j["completionTime"], fmt)
         dur = (comp - sub).total_seconds() * 1000
         total_ms += dur
+        names = []
+        for sid in sorted(j["stageIds"]):
+            try:
+                st = _api(base, f"/stages/{sid}")
+                names.append(
+                    st[0]["name"].split("\n")[0][:46]
+                    + f"[{st[0]['numTasks']}t,{st[0].get('executorRunTime', 0)}ms]"
+                )
+            except Exception:
+                names.append(f"stage{sid}")
         print(
             f"job {j['jobId']:4d}  {dur:8.0f}ms  stages={len(j['stageIds'])}"
-            f" tasks={j['numTasks']:4d}  {j.get('description', '')[:90]}"
+            f" tasks={j['numTasks']:4d}  {' | '.join(names)}"
         )
     print(f"# {len(jobs)} jobs, {len(jobs) / reps:.1f}/run, "
           f"sum job time {total_ms / 1000:.3f}s "

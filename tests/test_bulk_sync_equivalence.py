@@ -11,6 +11,9 @@ import urllib.request
 
 import pytest
 
+# soak/crash integration probes: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 T0 = 1_700_000_000_000_000_000
 
 

@@ -22,6 +22,11 @@ import sys
 
 from pyspark.sql import functions as F
 
+import pytest
+
+# soak/crash integration probes: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = """

@@ -24,6 +24,9 @@ import pytest
 
 from pyspark.sql import functions as F
 
+# soak/crash integration probes: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CRASHER = """

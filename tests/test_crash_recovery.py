@@ -7,6 +7,11 @@ list."""
 
 import sys
 
+import pytest
+
+# soak/crash integration probes: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_sigkill_mid_flush_recovers_consistent(spark):
     sys.path.insert(0, "scripts")

@@ -70,6 +70,7 @@ def _query_lines(base: str, app: str) -> list[str]:
 N_CLIENTS = 8
 
 
+@pytest.mark.slow
 def test_concurrent_push_query_no_crosstalk(gateway):
     base, _ = gateway
 

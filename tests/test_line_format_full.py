@@ -5,6 +5,7 @@ fallback for the full template function library
 from gigapipe_spark.logql.compiler import LogQLContext, query
 from tests.conftest import SF_DIR
 from tests.oracle_utils import assert_match
+import pytest
 
 
 def test_compiled_subset_matches_oracle(spark):
@@ -91,6 +92,7 @@ def test_sprig_integer_arithmetic_semantics(spark):
         assert slow == want, (tpl, slow, want)
 
 
+@pytest.mark.slow
 def test_template_paths_differential_fuzz(spark):
     """Random templates from the shared subset must render identically
     through the compiled column path and the Arrow-UDF fallback."""

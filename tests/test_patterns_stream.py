@@ -1,8 +1,10 @@
 """Streaming pattern mining through foreachBatch (ref: controller.go)."""
 
 from gigapipe_spark.patterns.cluster import read_patterns, stream_mine_patterns
+import pytest
 
 
+@pytest.mark.slow
 def test_stream_mining(spark, tmp_path):
     rows = [
         (1, 1_300_000_000_000, "user 17 logged in from 10.0.0.1"),

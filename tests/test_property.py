@@ -20,6 +20,7 @@ from gigapipe_spark.logql.parser import parse_duration_ns
 from gigapipe_spark.patterns.cluster import Pattern, cluster_key
 from gigapipe_spark.promql.parser import parse as promql_parse
 from gigapipe_spark.traceql.parser import parse as traceql_parse
+import pytest
 
 label = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,10}", fullmatch=True)
 # printable values without quote/backslash escapes (escaping rules are
@@ -209,6 +210,7 @@ def duration_like(draw):
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(duration_like(), min_size=1, max_size=12, unique=True))
+@pytest.mark.slow
 def test_go_duration_column_matches_python(spark, vals):
     from pyspark.sql import functions as F
 

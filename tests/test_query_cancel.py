@@ -192,6 +192,7 @@ def test_guard_timeout_fires_and_reports_reason(spark):
     assert _group_jobs_done(spark, g.group_id)
 
 
+@pytest.mark.slow
 def test_non_promql_routes_not_deadline_bounded(spark):
     """ADVICE r10: the reference scopes its 30s Timeout to the PromQL
     engine only (prometheus_query_range.go:32) — LogQL/Tempo/Pyroscope

@@ -8,6 +8,11 @@ is scripts/soakprobe.py; this runs the same harness for ~20s."""
 import sys
 import tempfile
 
+import pytest
+
+# soak/crash integration probes: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_service_soak_short(spark):
     sys.path.insert(0, "scripts")
