@@ -651,7 +651,20 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # verification: join hashed shingle sets back for candidates only
+    # verification: join hashed shingle sets back for candidates only.
+    # DELIBERATELY two joins (r15, VERDICT task 3 falsified): the
+    # single-join fusion — explode each pair into (doc_a, doc_b, id)
+    # legs, join the index once, reassemble via a (doc_a, doc_b)
+    # collect_list aggregation — does drop one broadcast job per warm
+    # run at sf0.1 (jobprobe: 5 → 4) but is timing-neutral there
+    # (0.28 vs 0.31 median), and at the 30× regime the pair-
+    # reassembling aggregation is catastrophically slower: warm
+    # 7.9–19.8s (this chain) → 55.5s (fused), cold 54 → 117s under
+    # matched conditions. collect_list of shingle-array payloads is an
+    # ObjectHashAggregate that degrades to its sort-based fallback at
+    # candidate volume, re-sorting the heavy arrays; the join chain
+    # keeps the arrays in hash-relation lookups instead. Receipt in
+    # OPTIMIZATION_r15.md §B and docs/SCALE.md.
     shingle_sets = sh.select("id", F.col("__h").alias("sh"))
     verified = (
         cand.join(shingle_sets.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

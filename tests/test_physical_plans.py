@@ -501,3 +501,30 @@ def test_entries_key_reproduces_canonical_fingerprint(spark):
         assert r.rebuilt == r.labels, r
     # null map and empty map stay DISTINCT groups
     assert rows[2].fp_ent != rows[3].fp_ent
+
+
+def test_minhash_verify_join_chain_shape(spark):
+    """Pin the minhash verify shape: ONE candidate self-join plus TWO
+    per-side verify joins against the shingle index, and NO
+    collect_list pair-reassembly aggregate. The single-join fusion
+    (explode pairs into id legs, join once, reassemble via a
+    (doc_a, doc_b) collect_list) was measured and FALSIFIED in r15:
+    it removes one broadcast job at sf0.1 but is 3-7x slower warm at
+    the 30x regime — the pair-reassembling ObjectHashAggregate
+    re-buffers the shingle-array payloads where the join chain keeps
+    them in hash-relation lookups (receipt: OPTIMIZATION_r15.md §B)."""
+    from gigapipe_spark.datapipe.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(views.documents(spark, SF_DIR), threshold=0.5)
+    import re
+
+    plan = _formatted(df)
+    # the formatted dump names each operator twice (tree + detail
+    # header), so count the numbered detail headers only
+    joins = re.findall(
+        r"^\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join",
+        plan,
+        re.M,
+    )
+    assert len(joins) == 3, plan
+    assert "collect_list" not in plan, plan
