@@ -870,6 +870,30 @@ def apply_stages(
             # reference — the bound form caps that at one clone
             # (measured on logql_line_format_logfmt: from_json 5 → 1
             # inside the pushed Filter condition)
+            if mutated:
+                # labels are per-row parser output here, so pushing
+                # this predicate below the labels projection cannot
+                # reach the scan — alias substitution only clones the
+                # whole parser/line_format chain into the Filter, which
+                # then re-runs per input row while the Project above
+                # re-runs it for survivors (guide §4.4's duplication
+                # mechanism, on a built-in chain). PushPredicate-
+                # ThroughNonJoin's Project case guards on the PROJECT
+                # FIELDS' determinism (not the condition's — a
+                # non-deterministic condition is substituted anyway,
+                # measured on Spark 4.1), so the barrier goes on the
+                # projection side: shuffle() over a one-element array
+                # is a value-identity that Catalyst must treat as
+                # non-deterministic (rand()-comparison guards fold —
+                # Spark 4.1 knows rand's range). The filter then stays
+                # ABOVE the projection and the chain materializes once
+                # per row. Only applied when a parser/label_format
+                # mutated labels: selector-level label filters keep
+                # full pushdown.
+                df = df.withColumn(
+                    "labels",
+                    F.element_at(F.shuffle(F.array(F.col("labels"))), 1),
+                )
             df = df.filter(
                 F.element_at(
                     F.transform(

@@ -407,12 +407,14 @@ def test_json_parse_once_through_label_filter_pushdown(spark):
         '{app="view"} | json | k > 50',
     )
     plan = _optimized(res.df)
-    # exactly 2: one in the pushed filter, one in the labels output
-    # projection (a streams result carries labels for display; a
-    # caller that prunes labels — the registry entries do — gets 1).
-    # Pre-fix this was 4, one of them inside a map_filter lambda:
-    # per map ENTRY per row.
-    assert plan.count("from_json(") == 2, plan
+    # exactly 1: the r15 pushdown barrier (a non-deterministic
+    # value-identity on the labels projection at post-parser filter
+    # time) keeps the filter ABOVE the parse, so the chain
+    # materializes once and the filter reads the materialized map.
+    # r14 shape: 2 (one cloned into the pushed filter, one in the
+    # labels output projection). Pre-r14: 4, one of them inside a
+    # map_filter lambda — per map ENTRY per row.
+    assert plan.count("from_json(") == 1, plan
     # the per-element trap specifically: no JSON parse after a lambda
     # body opens (heuristic: in this plan the only from_json sites are
     # direct map_zip_with arguments, which print BEFORE the lambda)
