@@ -47,6 +47,7 @@ from gigapipe_spark.model.fingerprint import (
 )
 from gigapipe_spark.model.re2java import group_index as _re2_groups
 from gigapipe_spark.model.re2java import translate as _re2
+from gigapipe_spark.planutil import nonpushable
 from gigapipe_spark.sources import views
 
 
@@ -876,24 +877,14 @@ def apply_stages(
                 # reach the scan — alias substitution only clones the
                 # whole parser/line_format chain into the Filter, which
                 # then re-runs per input row while the Project above
-                # re-runs it for survivors (guide §4.4's duplication
-                # mechanism, on a built-in chain). PushPredicate-
-                # ThroughNonJoin's Project case guards on the PROJECT
-                # FIELDS' determinism (not the condition's — a
-                # non-deterministic condition is substituted anyway,
-                # measured on Spark 4.1), so the barrier goes on the
-                # projection side: shuffle() over a one-element array
-                # is a value-identity that Catalyst must treat as
-                # non-deterministic (rand()-comparison guards fold —
-                # Spark 4.1 knows rand's range). The filter then stays
-                # ABOVE the projection and the chain materializes once
-                # per row. Only applied when a parser/label_format
-                # mutated labels: selector-level label filters keep
-                # full pushdown.
-                df = df.withColumn(
-                    "labels",
-                    F.element_at(F.shuffle(F.array(F.col("labels"))), 1),
-                )
+                # re-runs it for survivors. The nonpushable barrier
+                # keeps the filter ABOVE the projection; the chain
+                # materializes once per row (mechanism + why the
+                # condition-side wrappers fail: planutil.nonpushable).
+                # Only applied when a parser/label_format mutated
+                # labels: selector-level label filters keep full
+                # pushdown.
+                df = df.withColumn("labels", nonpushable(F.col("labels")))
             df = df.filter(
                 F.element_at(
                     F.transform(

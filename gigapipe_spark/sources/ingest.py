@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gigapipe_spark.model.fingerprint import fingerprint_col
+from gigapipe_spark.planutil import nonpushable
 
 _LOKI_SCHEMA = (
     "struct<streams: array<struct<stream: map<string,string>,"
@@ -380,9 +381,17 @@ def influx_line(
     mult = _INFLUX_PRECISION_NS.get(precision, 1)
     ts_ns = F.coalesce(ts * F.lit(mult), F.lit(now_ns))
 
+    # Both consumers below FILTER on fields-derived predicates
+    # (message-present, numeric-value). Those filters can never prune
+    # at the scan — fields is per-row extraction output — but pushdown
+    # substitutes the whole tokenize/extract chain into each Filter
+    # condition (dupescan: 29–41 regexp_extract in-Filter per entry)
+    # while the projection re-runs it for survivors. The nonpushable
+    # barrier materializes the fields map once per row and keeps the
+    # filters above it (mechanism: planutil.nonpushable).
     parsed = raw.select(
         measurement.alias("meas"), tags.alias("tags"), ts_ns.alias("ts"),
-        fields.alias("fields"),
+        nonpushable(fields).alias("fields"),
     )
 
     def decoded_str(v: Column) -> Column:
@@ -901,8 +910,16 @@ def collapsed_stacks(raw: DataFrame, line_col: str = "line",
     # throw, so gate the cast and drop them
     value = F.when(raw_value != "", raw_value.cast("long"))
     stack = F.split(F.regexp_extract(line, r"^(.*) \d+\s*$", 1), ";")
+    # both filters read per-row extraction output and can never prune
+    # at the scan; without the barrier pushdown clones the
+    # regexp_extract/split chain into each Filter condition
+    # (mechanism: planutil.nonpushable)
     parsed = (
-        raw.select(F.col(profile_col), stack.alias("stack"), value.alias("value"))
+        raw.select(
+            F.col(profile_col),
+            nonpushable(stack).alias("stack"),
+            nonpushable(value).alias("value"),
+        )
         .filter(F.col("value").isNotNull())
         .filter(F.size("stack") > 0)
     )

@@ -530,3 +530,31 @@ def test_minhash_verify_join_chain_shape(spark):
     )
     assert len(joins) == 3, plan
     assert "collect_list" not in plan, plan
+
+
+def test_ingest_decoder_filters_do_not_clone_extraction(spark):
+    """Ingest decoders filter on per-row extraction output (influx:
+    message-present / numeric-value on the fields map; collapsed
+    stacks: value-parses / non-empty stack). Those predicates can
+    never prune at the scan, so pushdown only clones the whole
+    tokenize/extract chain into each Filter condition (r15 dupescan:
+    29-41 regexp_extract in-Filter per influx entry) while the
+    projection re-runs it for survivors. The nonpushable barrier pins
+    the shape: no regexp work on any Filter line."""
+    from gigapipe_spark.sources.ingest import collapsed_stacks, influx_line
+
+    raw = spark.createDataFrame(
+        [("cpu,region=east usage=0.64,idle=0.3 1000000000",),
+         ("sys message=\"boot ok\" sev=3 2000000000",)],
+        "line string",
+    )
+    folded = spark.createDataFrame(
+        [("p1", "main;foo 5"), ("p1", "bad-line")],
+        "profile_id string, line string",
+    )
+    for df in (influx_line(raw), collapsed_stacks(folded)):
+        plan = _optimized(df)
+        for line in plan.splitlines():
+            if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+                assert "regexp_extract" not in line, line
+                assert "regexp_replace" not in line, line
