@@ -28,6 +28,7 @@ the index entirely and scan the spans table (ref: attrless.go).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -483,10 +484,99 @@ def _dedup_ids(ctx: TraceQLContext, ids: DataFrame, right: DataFrame) -> DataFra
     return ids.distinct()
 
 
+def _amap_routed_selector(ctx: TraceQLContext, sel) -> bool:
+    """True when select_spans would evaluate this plain selector as a
+    single filter over the cached per-span attr map: every term a real
+    (non-intrinsic) attribute — NULL-for-missing keeps amap-only scans
+    correct because a span with no attr row can never match an attr
+    term — and not the stored-GIN single-term shape, whose index seek
+    is cheaper than any map scan."""
+    if not isinstance(sel, SpanSelector) or sel.expr is None:
+        return False
+    terms = _collect_terms(sel.expr)
+    if any(t.attr in _INTRINSIC_COLS for t in terms):
+        return False
+    if ctx.gin_is_stored and len(terms) == 1:
+        return False
+    return True
+
+
+def _fused_struct_ids(ctx: TraceQLContext, e) -> DataFrame | None:
+    """Descendant/ancestor structural ops over two amap-routed plain
+    selectors, compiled as ONE tagged attr-map pass (both selector
+    conditions as flag columns) probed twice by the ancestor closure.
+
+    This is a COMPILE-TIME shortcut, not an execution change: Catalyst
+    specializes the tagged scan back into per-probe pushed-filter
+    cached scans, so the executed plan is operator-for-operator
+    equivalent to the unfused chain (plans/r15 pair) and execute-only
+    interleaved A/Bs are flat at sf0.1 AND 30×. What it removes is
+    ~2/3 of the per-compile Py4J construction (fresh-context
+    compile+execute interleaved A/B: sf0.1 p50 1.07 → 0.76 s, 30×
+    10.3 → 7.6 s, row-identical) — the ad-hoc/latency-envelope cost
+    every NON-memoized structural query pays per submission.
+
+    Only under the complexity gate: the unbounded regime keeps the
+    unfused AQE-governed shape and its pinned distinct-root plan (the
+    combined flag set is at most the sum of the two per-side sets the
+    gate already admits for broadcast one at a time). Returns None
+    when the fast path does not apply."""
+    if getattr(e, "op", None) not in ("&>>", "!>>", "<<&", "<<~"):
+        return None
+    if os.environ.get("GIGAPIPE_NO_STRUCT_FUSION"):
+        return None  # A/B kill switch (same pattern as the cacheprobe knob)
+    if not (
+        _amap_routed_selector(ctx, e.left)
+        and _amap_routed_selector(ctx, e.right)
+    ):
+        return None
+    if not _probe_bound(ctx):
+        return None
+    lc = F.coalesce(_build_map_cond(e.left.expr), F.lit(False))
+    rc = F.coalesce(_build_map_cond(e.right.expr), F.lit(False))
+    tagged = (
+        ctx.attr_map()
+        .select("trace_id", "span_id", lc.alias("__l"), rc.alias("__r"))
+        .filter(F.col("__l") | F.col("__r"))
+    )
+    b = F.broadcast(tagged)
+    # &>>/!>> emit the DESCENDANT (right-matching) spans; <<&/<<~ emit
+    # the ANCESTOR (right-matching) spans of left-matching descendants
+    desc_flag, anc_flag = (
+        ("__r", "__l") if e.op in ("&>>", "!>>") else ("__l", "__r")
+    )
+    cl = ctx.ancestors()
+    t, a = b.alias("__t"), b.alias("__a")
+    matched = cl.join(
+        t,
+        (cl["trace_id"] == F.col("__t.trace_id"))
+        & (cl["span_id"] == F.col("__t.span_id"))
+        & F.col(f"__t.{desc_flag}"),
+        "left_semi",
+    ).join(
+        a,
+        (cl["trace_id"] == F.col("__a.trace_id"))
+        & (cl["anc_id"] == F.col("__a.span_id"))
+        & F.col(f"__a.{anc_flag}"),
+        "left_semi",
+    )
+    if e.op in ("&>>", "!>>"):
+        ids = matched.select("trace_id", "span_id")
+    else:
+        ids = matched.select("trace_id", F.col("anc_id").alias("span_id"))
+    rset = tagged.filter(F.col("__r")).select("trace_id", "span_id")
+    if e.op in ("&>>", "<<&"):
+        return _dedup_ids(ctx, ids, rset)
+    return rset.join(ids, ["trace_id", "span_id"], "left_anti")
+
+
 def eval_spanset(ctx: TraceQLContext, e) -> DataFrame:
     """Spanset expr → DF[trace_id, span_id]."""
     if isinstance(e, SpanSelector):
         return select_spans(ctx, e)
+    fused = _fused_struct_ids(ctx, e)
+    if fused is not None:
+        return fused
     if isinstance(e, ScriptedSpanset):
         # selector + its OWN aggregate filters as one operand
         # (model_v2.go Selector{…, Aggregator}): filter, then shrink

@@ -564,3 +564,49 @@ def test_structural_dedup_unbounded_falls_back_to_distinct(spark):
         # committed plans/r14 dumps and the bounded tests above pin)
         root = df._jdf.queryExecution().optimizedPlan().toString().splitlines()[0]
         assert root.startswith("Aggregate [trace_id"), (text, root)
+
+
+# --------------------------------------------- fused structural scan (r15)
+
+def test_struct_fusion_one_tagged_scan(spark, monkeypatch):
+    """&>>/!>>/<<&/<<~ over two amap-routed selectors compile as ONE
+    tagged attr-map pass (flag columns __l/__r) probed twice — a
+    compile-time shortcut (~2/3 of the per-compile Py4J construction;
+    fresh-context interleaved A/B: sf0.1 p50 1.07 -> 0.76 s, 30x
+    10.3 -> 7.6 s) whose EXECUTED plan Catalyst specializes back to
+    the per-probe pushed-filter scans (execution-neutral, receipts in
+    OPTIMIZATION_r15.md B8). Results must be identical with the fusion
+    killed, and the fusion must NOT engage for mixed intrinsic/attr
+    selector pairs (whose bases differ) or in the unbounded regime
+    (pinned distinct root in
+    test_structural_dedup_unbounded_falls_back_to_distinct)."""
+    import gigapipe_spark.traceql.compiler as C
+
+    for text in (
+        '{ priority = "1-URGENT" } &>> { returnflag = "R" }',
+        '{ priority = "1-URGENT" } !>> { returnflag = "R" }',
+        '{ returnflag = "R" } <<& { priority = "1-URGENT" }',
+    ):
+        fused = ids(query(ctx(spark), text, ids_only=True))
+        # the optimizer inlines the flag aliases into join conditions, so
+        # the engagement pin reads the ANALYZED plan (the physical
+        # one-scan/reused-broadcast evidence is the committed plans/r15
+        # pair); semantics are pinned by the A/B collect below
+        plan = fused._jdf.queryExecution().analyzed().toString()
+        assert "__l" in plan and "__r" in plan, (text, "fusion not engaged")
+        monkeypatch.setenv("GIGAPIPE_NO_STRUCT_FUSION", "1")
+        unfused = ids(query(ctx(spark), text, ids_only=True))
+        uplan = unfused._jdf.queryExecution().analyzed().toString()
+        assert "__l" not in uplan and "__r" not in uplan
+        monkeypatch.delenv("GIGAPIPE_NO_STRUCT_FUSION")
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, unfused.collect())
+        ), text
+
+    # mixed pair: name is an intrinsic (spans base) — stays unfused
+    mixed = ids(
+        query(ctx(spark), '{ name = "order" } &>> { returnflag = "R" }',
+              ids_only=True)
+    )
+    mplan = mixed._jdf.queryExecution().analyzed().toString()
+    assert "__l" not in mplan and "__r" not in mplan
