@@ -532,8 +532,13 @@ def _fused_struct_ids(ctx: TraceQLContext, e) -> DataFrame | None:
         return None
     if not _probe_bound(ctx):
         return None
-    lc = F.coalesce(_build_map_cond(e.left.expr), F.lit(False))
-    rc = F.coalesce(_build_map_cond(e.right.expr), F.lit(False))
+    # raw conditions, NOT coalesce(cond, false): NULL (missing key)
+    # already acts as false in both the tagged filter and the semi-join
+    # conditions, and a coalesce wrapper in the pushed cache filter
+    # defeats InMemoryTableScan batch pruning (execute-only A/B showed
+    # the wrapped build ~5% slower than the unfused bare predicates)
+    lc = _build_map_cond(e.left.expr)
+    rc = _build_map_cond(e.right.expr)
     tagged = (
         ctx.attr_map()
         .select("trace_id", "span_id", lc.alias("__l"), rc.alias("__r"))
